@@ -1,0 +1,139 @@
+"""Deterministic geometry derivation from the driver's TPC-H-ish tables.
+
+The test parquet (TESTDATA.md) carries no geometry columns; per FIXTURES.md
+§F5 we derive SOURCE / TARGET spatial datasets deterministically from the
+integer keys. The derivation is emitted as SQL text from ONE generator and
+executed verbatim by BOTH engines (Spark SQL and the DuckDB oracle), so the
+two sides agree bit-for-bit.
+
+Exactness contract: every coordinate is an integer number of 1/16 units
+(exact in binary floating point), so box arithmetic (intersections, areas,
+tile indices) is order-independent and reproducible across engines.
+
+Geometry mix mirrors the reference's ingestion contract (axis-aligned
+envelopes are the reference's MBR approximation — see
+/root/reference/src/main/scala/model/approximations/MBR.scala:5-10); the
+box lattice guarantees non-zero counts for touches/covers/equals relations
+(shared edges occur with probability ~1/GRID per axis).
+"""
+
+from __future__ import annotations
+
+# Domain: coordinates in [0, 96) + max width 25/16 → [0, ~97.6).
+GRID = 1536  # number of 1/16 cells per axis → 96.0 units
+SCALE = 16.0
+
+# Odd multiplicative-hash constants (public-domain Knuth/Fibonacci style).
+SRC_MX = 2654435761
+SRC_MY = 2246822519
+TGT_MX = 2862933555
+TGT_MY = 3267000013
+
+
+def _box_exprs(key: str, mx: int, my: int, wmul: int, hmul: int) -> dict[str, str]:
+    """Closed-form box from an integer key; all values multiples of 1/16."""
+    minx = f"(CAST(({key} * {mx}) % {GRID} AS DOUBLE) / {SCALE})"
+    miny = f"(CAST(({key} * {my}) % {GRID} AS DOUBLE) / {SCALE})"
+    w = f"(CAST(1 + (({key} * {wmul}) % 24) AS DOUBLE) / {SCALE})"
+    h = f"(CAST(1 + (({key} * {hmul}) % 24) AS DOUBLE) / {SCALE})"
+    return {
+        "minx": minx,
+        "miny": miny,
+        "maxx": f"({minx} + {w})",
+        "maxy": f"({miny} + {h})",
+    }
+
+
+def source_box_sql(table: str = "part", key: str = "p_partkey") -> str:
+    """SOURCE dataset: one axis-aligned box per part row."""
+    b = _box_exprs(key, SRC_MX, SRC_MY, 1, 7)
+    return (
+        f"SELECT CAST({key} AS BIGINT) AS id, {b['minx']} AS minx, {b['miny']} AS miny, "
+        f"{b['maxx']} AS maxx, {b['maxy']} AS maxy FROM {table}"
+    )
+
+
+def target_box_sql(table: str = "orders", key: str = "o_orderkey") -> str:
+    """TARGET dataset: one box per orders row.
+
+    Rows with key % 97 == 0 mimic the SOURCE formula on a folded key so the
+    EQUALS relation has non-zero support (identical boxes across datasets).
+    """
+    own = _box_exprs(key, TGT_MX, TGT_MY, 11, 5)
+    mimic_key = f"({key} % 1777)"
+    mim = _box_exprs(mimic_key, SRC_MX, SRC_MY, 1, 7)
+    cols = []
+    for c in ("minx", "miny", "maxx", "maxy"):
+        cols.append(
+            f"CASE WHEN {key} % 97 = 0 THEN {mim[c]} ELSE {own[c]} END AS {c}"
+        )
+    return f"SELECT CAST({key} AS BIGINT) AS id, {', '.join(cols)} FROM {table}"
+
+
+def point_sql(table: str = "customer", key: str = "c_custkey") -> str:
+    """POINT dataset: one lattice point per customer row (minx=maxx etc.)."""
+    x = f"(CAST(({key} * {SRC_MX}) % {GRID + 25} AS DOUBLE) / {SCALE})"
+    y = f"(CAST(({key} * {TGT_MY}) % {GRID + 25} AS DOUBLE) / {SCALE})"
+    return (
+        f"SELECT CAST({key} AS BIGINT) AS id, {x} AS minx, {y} AS miny, "
+        f"{x} AS maxx, {y} AS maxy FROM {table}"
+    )
+
+
+def temporal_source_sql() -> str:
+    """Spatio-temporal SOURCE: sampled orders boxes + order date."""
+    b = _box_exprs("o_orderkey", SRC_MX, SRC_MY, 1, 7)
+    return (
+        f"SELECT CAST(o_orderkey AS BIGINT) AS id, {b['minx']} AS minx, {b['miny']} AS miny, "
+        f"{b['maxx']} AS maxx, {b['maxy']} AS maxy, CAST(o_orderdate AS DATE) AS dt "
+        f"FROM orders WHERE o_orderkey % 10 = 0"
+    )
+
+
+def temporal_target_sql() -> str:
+    """Spatio-temporal TARGET: first lineitem per order, box + ship date."""
+    k = "(l_orderkey * 31 + l_partkey)"
+    b = _box_exprs(k, TGT_MX, TGT_MY, 11, 5)
+    return (
+        f"SELECT CAST(l_orderkey AS BIGINT) AS id, {b['minx']} AS minx, {b['miny']} AS miny, "
+        f"{b['maxx']} AS maxx, {b['maxy']} AS maxy, CAST(l_shipdate AS DATE) AS dt "
+        f"FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 5 = 0"
+    )
+
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+# Testdata columns stored as TIMESTAMP(NANOS) in parquet; Spark reads them
+# as long (see session.py nanosAsLong) and we restore timestamp type here so
+# Spark-side views agree with DuckDB's native read.
+_NANO_TS_COLS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def register_views(spark, sf_dir: str) -> None:
+    """Register every testdata parquet as a temp view named after the table."""
+    from pyspark.sql import functions as F, types as T
+
+    # The testdata parquet stores TIMESTAMP(NANOS), which Spark 4 rejects in
+    # some scan paths; nanosAsLong is runtime-settable and makes every
+    # session (including the driver's own) read them as long — restored to
+    # timestamp below. Idempotent and safe for non-nanos files.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        for c in _NANO_TS_COLS.get(t, ()):
+            if isinstance(df.schema[c].dataType, T.LongType):
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        df.createOrReplaceTempView(t)
+
+
+def load_sql(spark, sf_dir: str, sql: str):
+    """Run a derivation SQL against the testdata views."""
+    register_views(spark, sf_dir)
+    return spark.sql(sql)

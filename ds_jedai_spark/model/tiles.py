@@ -1,0 +1,58 @@
+"""Dynamic tile grid (theta) + tile coverage as DataFrame expressions.
+
+Re-expresses the reference's TileGranularities / SpatialIndex pair
+(reference: src/main/scala/model/TileGranularities.scala:21-47,
+src/main/scala/model/structures/SpatialIndex.scala:33-47) the Spark way:
+
+- theta = one cheap aggregate over the SOURCE envelopes (avg extent),
+  collected as two driver scalars and folded into the plan as literals —
+  the only driver action besides final results, same as the reference.
+- tile coverage = ``explode(sequence(floor(min/θ), floor(max/θ)))`` per
+  axis. The per-partition hash-grid index of the reference is not needed:
+  the exploded equi-join on (tx, ty) IS the index, and Catalyst picks
+  broadcast vs shuffle hash join per side size (the reference has no
+  broadcast path at all).
+
+Scale notes (100 TB): the explode multiplies rows by the mean tile count
+per geometry (~4 with avg-extent theta), but each exploded row carries only
+(id, 4 doubles, tx, ty) — the wide payload stays behind until after the
+join. Theta is an extra source pass; at scale, persist the envelope
+projection or reuse a stored stats row instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MIN_THETA = 1e-9
+
+
+def compute_theta(source: DataFrame) -> tuple[float, float]:
+    """Average envelope extent of the source dataset (reference 'avg' mode)."""
+    row = source.agg(
+        F.avg(F.col("maxx") - F.col("minx")).alias("tx"),
+        F.avg(F.col("maxy") - F.col("miny")).alias("ty"),
+    ).collect()[0]
+    return (max(row["tx"] or MIN_THETA, MIN_THETA), max(row["ty"] or MIN_THETA, MIN_THETA))
+
+
+def with_tiles(df: DataFrame, theta: tuple[float, float]) -> DataFrame:
+    """Explode each envelope to every (tx, ty) grid cell it overlaps."""
+    tx, ty = theta
+    df = df.withColumn(
+        "tx",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("minx") / F.lit(tx)), F.floor(F.col("maxx") / F.lit(tx))
+            )
+        ),
+    )
+    df = df.withColumn(
+        "ty",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("miny") / F.lit(ty)), F.floor(F.col("maxy") / F.lit(ty))
+            )
+        ),
+    )
+    return df

@@ -1,0 +1,121 @@
+"""End-to-end GIA.nt batch plans + their DuckDB oracle SQL.
+
+Mirrors the contract of the reference flagship ``experiments.GiantExp``
+(reference: experiments/GiantExp.scala:104-121 — log the 9 DE-9IM relation
+counts + verifications + qualifying pairs) and the single-relation pair
+mode ``GIAnt.relate`` (linkers/GIAnt.scala:19-25).
+
+Both the Spark plan and the oracle are generated from the same predicate
+text (operators/relate.py) and the same geometry derivation SQL
+(io/synthetic.py), so correctness comparisons exercise the *engine*
+(tile join + dedup + aggregation), not formula transcription.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ds_jedai_spark.io.synthetic import (
+    load_sql,
+    point_sql,
+    source_box_sql,
+    target_box_sql,
+    temporal_source_sql,
+    temporal_target_sql,
+)
+from ds_jedai_spark.operators.relate import RELATIONS, relation_predicates, with_relations
+from ds_jedai_spark.operators.spatial_join import tile_join
+
+COUNT_RELATIONS = [r for r in RELATIONS if r != "disjoint"]
+
+
+def _candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    source = load_sql(spark, sf_dir, source_box_sql())
+    target = load_sql(spark, sf_dir, target_box_sql())
+    return with_relations(tile_join(source, target))
+
+
+def giant_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: verifications + qualifying pairs + 9 relation counts."""
+    cand = _candidates(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("verifications"),
+            F.count(F.when(F.col("r_intersects"), True)).alias("qualifying_pairs")]
+    for r in COUNT_RELATIONS:
+        aggs.append(F.count(F.when(F.col(f"r_{r}"), True)).alias(f"n_{r}"))
+    return cand.agg(*aggs)
+
+
+def relation_pairs(relation: str):
+    """Single-relation pair discovery (the GIAnt.relate contract)."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cand = _candidates(spark, sf_dir)
+        return cand.where(F.col(f"r_{relation}")).select("s_id", "t_id")
+
+    return q
+
+
+def _pairs_cte() -> str:
+    preds = relation_predicates("s.", "t.")
+    cols = ", ".join(
+        f"s.{c} AS s_{c}, t.{c} AS t_{c}"
+        for c in ("id", "minx", "miny", "maxx", "maxy")
+    )
+    return (
+        f"WITH source AS ({source_box_sql()}), target AS ({target_box_sql()}), "
+        f"pairs AS (SELECT {cols} FROM source s JOIN target t ON {preds['intersects']})"
+    )
+
+
+def giant_counts_oracle() -> str:
+    preds = relation_predicates("s_", "t_")
+    sel = [
+        "COUNT(*) AS verifications",
+        f"COUNT(*) FILTER (WHERE {preds['intersects']}) AS qualifying_pairs",
+    ]
+    for r in COUNT_RELATIONS:
+        sel.append(f"COUNT(*) FILTER (WHERE {preds[r]}) AS n_{r}")
+    return f"{_pairs_cte()} SELECT {', '.join(sel)} FROM pairs"
+
+
+def relation_pairs_oracle(relation: str) -> str:
+    preds = relation_predicates("s_", "t_")
+    return f"{_pairs_cte()} SELECT s_id, t_id FROM pairs WHERE {preds[relation]}"
+
+
+def spatiotemporal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal interlinking: envelope intersection AND |Δdays| < 2
+    (reference: model/entities/SpatioTemporalEntity.scala:18-28)."""
+    source = load_sql(spark, sf_dir, temporal_source_sql())
+    target = load_sql(spark, sf_dir, temporal_target_sql())
+    cand = tile_join(source, target, source_extra=("dt",), target_extra=("dt",))
+    return cand.where(F.abs(F.datediff(F.col("s_dt"), F.col("t_dt"))) < 2).select(
+        "s_id", "t_id"
+    )
+
+
+def spatiotemporal_pairs_oracle() -> str:
+    preds = relation_predicates("s.", "t.")
+    return (
+        f"WITH source AS ({temporal_source_sql()}), target AS ({temporal_target_sql()}) "
+        f"SELECT s.id AS s_id, t.id AS t_id FROM source s JOIN target t "
+        f"ON {preds['intersects']} AND abs(date_diff('day', t.dt, s.dt)) < 2"
+    )
+
+
+def point_in_box_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-containment join: customer points covered by part boxes
+    (mixed-dimension verification path)."""
+    source = load_sql(spark, sf_dir, source_box_sql())
+    target = load_sql(spark, sf_dir, point_sql())
+    cand = with_relations(tile_join(source, target))
+    return cand.where(F.col("r_covers")).select("s_id", "t_id")
+
+
+def point_in_box_pairs_oracle() -> str:
+    preds = relation_predicates("s.", "t.")
+    return (
+        f"WITH source AS ({source_box_sql()}), target AS ({point_sql()}) "
+        f"SELECT s.id AS s_id, t.id AS t_id FROM source s JOIN target t "
+        f"ON {preds['covers']}"
+    )

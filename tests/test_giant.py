@@ -1,0 +1,76 @@
+"""Correctness of the GIA.nt tile-join plans.
+
+Two strategies from the reference's test suite (SURVEY.md §5):
+1. equivalence — optimized tile join must equal the brute-force cross
+   join (the IntersectionMatrixTest pattern);
+2. oracle — every declared query must match its DuckDB oracle SQL
+   (the driver's t2 gate, run here at sf0.001 for fast feedback).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from conftest import SF_SMALL
+
+import __spark_entry__ as entrymod
+from ds_jedai_spark.io.synthetic import TABLES, load_sql, source_box_sql, target_box_sql
+from ds_jedai_spark.operators.spatial_join import brute_force_join, tile_join
+
+
+def _duck(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+def _normalize(pdf):
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_tile_join_equals_brute_force(spark):
+    src = load_sql(spark, SF_SMALL, source_box_sql())
+    tgt = load_sql(spark, SF_SMALL, target_box_sql())
+    fast = set(
+        (r.s_id, r.t_id) for r in tile_join(src, tgt).select("s_id", "t_id").collect()
+    )
+    slow_rows = brute_force_join(src, tgt).select("s_id", "t_id").collect()
+    slow = set((r.s_id, r.t_id) for r in slow_rows)
+    assert len(slow_rows) == len(slow), "brute force produced duplicate pairs"
+    assert fast == slow
+
+
+def test_tile_join_no_duplicates(spark):
+    src = load_sql(spark, SF_SMALL, source_box_sql())
+    tgt = load_sql(spark, SF_SMALL, target_box_sql())
+    rows = tile_join(src, tgt).select("s_id", "t_id").collect()
+    assert len(rows) == len(set((r.s_id, r.t_id) for r in rows))
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, name):
+    qdf = entrymod.queries()[name](spark, SF_SMALL).toPandas()
+    odf = _duck(SF_SMALL, entrymod.oracle_sql()[name])
+    q, o = _normalize(qdf), _normalize(odf)
+    assert list(q.columns) == list(o.columns)
+    assert len(q) == len(o)
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(q, o, check_dtype=False)
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["verifications"] >= rows[0]["qualifying_pairs"]
