@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from ds_jedai_spark.plans import giant  # noqa: E402
+from ds_jedai_spark.plans import progressive_plans as pp  # noqa: E402
 
 PAIR_RELATIONS = (
     "intersects",
@@ -41,6 +42,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     for rel in PAIR_RELATIONS:
         q[f"pairs_{rel}"] = giant.relation_pairs(rel)
+    q.update(
+        {
+            "progressive_giant_js": pp.progressive_giant_js,
+            "progressive_giant_x2": pp.progressive_giant_x2,
+            "topk_cf": pp.topk_cf,
+            "reciprocal_topk_mbro": pp.reciprocal_topk_mbro,
+            "random_sched": pp.random_sched,
+            "pgr_js_overlaps": pp.pgr_js_overlaps,
+            "theta_stats": pp.theta_stats,
+            "skew_cost": pp.skew_cost,
+            # Stateful scans — sequential semantics, rows-only checks:
+            "dynamic_progressive_js": pp.dynamic_progressive_js,
+            "early_stopping_js": pp.early_stopping_js,
+        }
+    )
     return q
 
 
@@ -52,4 +68,16 @@ def oracle_sql() -> dict[str, str]:
     }
     for rel in PAIR_RELATIONS:
         o[f"pairs_{rel}"] = giant.relation_pairs_oracle(rel)
+    o.update(
+        {
+            "progressive_giant_js": pp.progressive_giant_js_oracle(),
+            "progressive_giant_x2": pp.progressive_giant_x2_oracle(),
+            "topk_cf": pp.topk_cf_oracle(),
+            "reciprocal_topk_mbro": pp.reciprocal_topk_mbro_oracle(),
+            "random_sched": pp.random_sched_oracle(),
+            "pgr_js_overlaps": pp.pgr_js_overlaps_oracle(),
+            "theta_stats": pp.theta_stats_oracle(),
+            "skew_cost": pp.skew_cost_oracle(),
+        }
+    )
     return o

@@ -1,0 +1,94 @@
+"""Progressive (budget-bounded) interlinking as window / top-k plans.
+
+The reference implements these as per-partition priority queues
+(reference: src/main/scala/linkers/progressive/ProgressiveGIAnt.scala:25-42,
+TopKPairs.scala:25-76, ReciprocalTopK.scala:26-69,
+RandomScheduling.scala:24-43, model/structures/ComparisonPQ.scala:45-70).
+Spark-first, a budget-capped PQ is simply a top-k: ``ORDER BY weight
+LIMIT budget`` compiles to TakeOrderedAndProject (distributed partial
+top-k per partition + driver merge — no global sort shuffle), and
+per-entity k-capping is ``row_number() OVER (PARTITION BY id)``.
+
+Determinism: the reference breaks weight ties by PQ insertion counter
+(non-reproducible across runs); we fix the documented deterministic
+ordering (weight DESC, s_id, t_id) instead (SURVEY.md §7 hard-part 3).
+
+RANDOM scheduling uses a seeded multiplicative hash of the pair ids
+rather than ``rand()`` so the plan stays reproducible and oracle-checkable
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+RANDOM_WEIGHT_SQL = (
+    "(CAST((s_id * 2654435761 + t_id * 40503) % 1000003 AS DOUBLE) / 1000003.0)"
+)
+
+
+def with_weight(cand: DataFrame, weight_sql: str) -> DataFrame:
+    return cand.withColumn("w", F.expr(weight_sql))
+
+
+def progressive_top_budget(cand: DataFrame, weight_sql: str, budget: int) -> DataFrame:
+    """PROGRESSIVE_GIANT scheduling: keep the top-``budget`` weighted pairs."""
+    return (
+        with_weight(cand, weight_sql)
+        .select("s_id", "t_id", "w")
+        .orderBy(F.desc("w"), "s_id", "t_id")
+        .limit(budget)
+    )
+
+
+def topk_per_entity(cand: DataFrame, weight_sql: str, k: int) -> DataFrame:
+    """TOPK: per-source-entity top-k candidates by weight."""
+    w = Window.partitionBy("s_id").orderBy(F.desc("w"), "t_id")
+    return (
+        with_weight(cand, weight_sql)
+        .select("s_id", "t_id", "w")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def reciprocal_topk(cand: DataFrame, weight_sql: str, k: int) -> DataFrame:
+    """RECIPROCAL_TOPK: pair kept iff it is in the source-side top-k AND the
+    target-side top-k (the reference's mutual-best semi-join)."""
+    ws = Window.partitionBy("s_id").orderBy(F.desc("w"), "t_id")
+    wt = Window.partitionBy("t_id").orderBy(F.desc("w"), "s_id")
+    return (
+        with_weight(cand, weight_sql)
+        .select("s_id", "t_id", "w")
+        .withColumn("rn_s", F.row_number().over(ws))
+        .withColumn("rn_t", F.row_number().over(wt))
+        .where((F.col("rn_s") <= k) & (F.col("rn_t") <= k))
+        .drop("rn_s", "rn_t")
+    )
+
+
+def random_scheduling(cand: DataFrame, budget: int) -> DataFrame:
+    """RANDOM: seeded-hash weights + the same top-budget machinery."""
+    return progressive_top_budget(cand, RANDOM_WEIGHT_SQL, budget)
+
+
+def pgr_metrics(scheduled: DataFrame, qualifies_col: str = "qualifies") -> DataFrame:
+    """Progressive Geometry Recall over the scheduled verification order
+    (reference: DistributedProgressiveInterlinking.scala:229-257):
+    PGR = (sum of running qualifying counts / qp-within-budget) / verifications."""
+    w = (
+        Window.orderBy(F.desc("w"), "s_id", "t_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = scheduled.withColumn(
+        "running_qp", F.sum(F.col(qualifies_col).cast("long")).over(w)
+    )
+    return run.agg(
+        F.count(F.lit(1)).alias("verifications"),
+        F.sum(F.col(qualifies_col).cast("long")).alias("qualifying_pairs"),
+        (
+            (F.sum("running_qp") / F.sum(F.col(qualifies_col).cast("long")))
+            / F.count(F.lit(1))
+        ).alias("pgr"),
+    )

@@ -1,0 +1,202 @@
+"""Progressive-mode query plans + DuckDB oracles.
+
+Covers the reference's progressive algorithm suite (SURVEY.md §2.9) in its
+relationally-expressible forms: PROGRESSIVE_GIANT, TOPK, RECIPROCAL_TOPK,
+RANDOM, plus the PGR evaluation metric and the supporting aggregate
+queries (theta stats, per-target skew cost). The stateful variants
+(DYNAMIC_PROGRESSIVE_GIANT, EARLY_STOPPING) live in
+operators/progressive_state.py (applyInPandas; rows-only checks).
+
+All weight queries pin theta to exact literals (1.0) and the contingency
+universe to a constant so Spark and DuckDB evaluate identical IEEE
+arithmetic (weights come out bit-equal; see io/synthetic.py exactness
+contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ds_jedai_spark.io.synthetic import load_sql, source_box_sql, target_box_sql
+from ds_jedai_spark.operators import progressive as prog
+from ds_jedai_spark.operators.relate import with_relations
+from ds_jedai_spark.operators.spatial_join import tile_join
+from ds_jedai_spark.operators.weights import weight_exprs
+from ds_jedai_spark.plans.giant import _pairs_cte
+
+THETA = (1.0, 1.0)
+TOTAL_BLOCKS = 10000
+PROG_BUDGET = 2000
+TOPK_K = 5
+RECIP_K = 3
+
+WEXPR = weight_exprs("s_", "t_", THETA[0], THETA[1], TOTAL_BLOCKS)
+
+
+def _cand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    source = load_sql(spark, sf_dir, source_box_sql())
+    target = load_sql(spark, sf_dir, target_box_sql())
+    return tile_join(source, target, theta=THETA)
+
+
+def progressive_giant_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prog.progressive_top_budget(_cand(spark, sf_dir), WEXPR["js"], PROG_BUDGET)
+
+
+def topk_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prog.topk_per_entity(_cand(spark, sf_dir), WEXPR["cf"], TOPK_K)
+
+
+def reciprocal_topk_mbro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prog.reciprocal_topk(_cand(spark, sf_dir), WEXPR["mbro"], RECIP_K)
+
+
+def random_sched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prog.random_scheduling(_cand(spark, sf_dir), PROG_BUDGET)
+
+
+def progressive_giant_x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prog.progressive_top_budget(_cand(spark, sf_dir), WEXPR["x2"], PROG_BUDGET)
+
+
+def pgr_js_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PGR of JS-ordered verification with OVERLAPS as the target relation."""
+    cand = with_relations(_cand(spark, sf_dir))
+    sched = (
+        prog.with_weight(cand, WEXPR["js"])
+        .withColumn("qualifies", F.col("r_overlaps"))
+        .select("s_id", "t_id", "w", "qualifies")
+        .orderBy(F.desc("w"), "s_id", "t_id")
+        .limit(PROG_BUDGET)
+    )
+    return prog.pgr_metrics(sched)
+
+
+def dynamic_progressive_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC_PROGRESSIVE_GIANT: JS weights, OVERLAPS hits boost neighbors.
+    Sequential PQ semantics — no SQL oracle (driver rows-only check)."""
+    from ds_jedai_spark.operators.progressive_state import dynamic_progressive
+
+    cand = with_relations(_cand(spark, sf_dir))
+    return dynamic_progressive(cand, WEXPR["js"], "r_overlaps", PROG_BUDGET)
+
+
+def early_stopping_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EARLY_STOPPING: batch-verified JS ordering with the reference's
+    stopping rule — no SQL oracle (driver rows-only check).
+
+    Qualifying relation is EQUALS: identical boxes have JS=1 and sort to
+    the head of the scan, so match density decays and the stopping rule
+    actually fires (with OVERLAPS it never would on this data)."""
+    from ds_jedai_spark.operators.progressive_state import early_stopping
+
+    cand = with_relations(_cand(spark, sf_dir))
+    # num_parts sized so each group sees enough batches for the violation
+    # counter to be meaningful (~20 batches/group at sf0.01).
+    return early_stopping(cand, WEXPR["js"], "r_equals", num_parts=4)
+
+
+def theta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-granularity statistics over the source (TileGranularities modes:
+    min/max/avg — reference model/TileGranularities.scala:21-47)."""
+    src = load_sql(spark, sf_dir, source_box_sql())
+    w, h = F.col("maxx") - F.col("minx"), F.col("maxy") - F.col("miny")
+    return src.agg(
+        F.avg(w).alias("avg_w"),
+        F.avg(h).alias("avg_h"),
+        F.min(w).alias("min_w"),
+        F.min(h).alias("min_h"),
+        F.max(w).alias("max_w"),
+        F.max(h).alias("max_h"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def skew_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target verification cost (candidate count) — the load-balancing
+    statistic of WellBalancedDistributedInterlinking.scala:42-57."""
+    return (
+        _cand(spark, sf_dir)
+        .groupBy("t_id")
+        .agg(F.count(F.lit(1)).alias("cost"))
+    )
+
+
+# ---------------------------------------------------------------- oracles
+
+def _w_cte() -> str:
+    return (
+        f"{_pairs_cte()}, ww AS (SELECT s_id, t_id, "
+        + ", ".join(f"{WEXPR[k]} AS w_{k}" for k in ("cf", "js", "x2", "mbro"))
+        + f", {prog.RANDOM_WEIGHT_SQL} AS w_rand, "
+        + "s_minx, s_miny, s_maxx, s_maxy, t_minx, t_miny, t_maxx, t_maxy FROM pairs)"
+    )
+
+
+def progressive_giant_js_oracle() -> str:
+    return (
+        f"{_w_cte()} SELECT s_id, t_id, w_js AS w FROM ww "
+        f"ORDER BY w DESC, s_id, t_id LIMIT {PROG_BUDGET}"
+    )
+
+
+def progressive_giant_x2_oracle() -> str:
+    return (
+        f"{_w_cte()} SELECT s_id, t_id, w_x2 AS w FROM ww "
+        f"ORDER BY w DESC, s_id, t_id LIMIT {PROG_BUDGET}"
+    )
+
+
+def topk_cf_oracle() -> str:
+    return (
+        f"{_w_cte()} SELECT s_id, t_id, w FROM ("
+        f"SELECT s_id, t_id, w_cf AS w, row_number() OVER "
+        f"(PARTITION BY s_id ORDER BY w_cf DESC, t_id) AS rn FROM ww) WHERE rn <= {TOPK_K}"
+    )
+
+
+def reciprocal_topk_mbro_oracle() -> str:
+    return (
+        f"{_w_cte()} SELECT s_id, t_id, w FROM ("
+        f"SELECT s_id, t_id, w_mbro AS w, "
+        f"row_number() OVER (PARTITION BY s_id ORDER BY w_mbro DESC, t_id) AS rn_s, "
+        f"row_number() OVER (PARTITION BY t_id ORDER BY w_mbro DESC, s_id) AS rn_t "
+        f"FROM ww) WHERE rn_s <= {RECIP_K} AND rn_t <= {RECIP_K}"
+    )
+
+
+def random_sched_oracle() -> str:
+    return (
+        f"{_w_cte()} SELECT s_id, t_id, w_rand AS w FROM ww "
+        f"ORDER BY w DESC, s_id, t_id LIMIT {PROG_BUDGET}"
+    )
+
+
+def pgr_js_overlaps_oracle() -> str:
+    from ds_jedai_spark.operators.relate import relation_predicates
+
+    overlaps = relation_predicates("s_", "t_")["overlaps"]
+    return (
+        f"{_w_cte()}, sched AS ("
+        f"SELECT s_id, t_id, w_js AS w, CAST({overlaps} AS BIGINT) AS q FROM ww "
+        f"ORDER BY w DESC, s_id, t_id LIMIT {PROG_BUDGET}), "
+        f"run AS (SELECT *, sum(q) OVER (ORDER BY w DESC, s_id, t_id "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qp FROM sched) "
+        f"SELECT count(*) AS verifications, CAST(sum(q) AS BIGINT) AS qualifying_pairs, "
+        f"(CAST(sum(running_qp) AS DOUBLE) / CAST(sum(q) AS DOUBLE)) / count(*) AS pgr "
+        f"FROM run"
+    )
+
+
+def theta_stats_oracle() -> str:
+    return (
+        f"WITH source AS ({source_box_sql()}) SELECT "
+        f"avg(maxx - minx) AS avg_w, avg(maxy - miny) AS avg_h, "
+        f"min(maxx - minx) AS min_w, min(maxy - miny) AS min_h, "
+        f"max(maxx - minx) AS max_w, max(maxy - miny) AS max_h, "
+        f"count(*) AS n FROM source"
+    )
+
+
+def skew_cost_oracle() -> str:
+    return f"{_pairs_cte()} SELECT t_id, count(*) AS cost FROM pairs GROUP BY t_id"
