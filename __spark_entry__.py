@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from ds_jedai_spark.plans import giant  # noqa: E402
+from ds_jedai_spark.plans import pipeline_plans as pl  # noqa: E402
 from ds_jedai_spark.plans import progressive_plans as pp  # noqa: E402
 
 PAIR_RELATIONS = (
@@ -57,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "early_stopping_js": pp.early_stopping_js,
         }
     )
+    q.update(pl.QUERIES)
     return q
 
 
@@ -80,4 +82,5 @@ def oracle_sql() -> dict[str, str]:
             "skew_cost": pp.skew_cost_oracle(),
         }
     )
+    o.update(pl.ORACLES)
     return o

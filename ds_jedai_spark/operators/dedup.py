@@ -1,0 +1,187 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Beyond-reference training-data pipeline components (SURVEY.md §7 phase 5).
+The blocked-join shape deliberately mirrors the engine's spatial tile
+join: block (tile / band bucket / nibble) → equi-join → verify exactly —
+the GIA.nt filter-verification paradigm applied to text.
+
+Scale notes (100 TB):
+- every join is an equi-join on a block key (Catalyst shuffle hash / AQE
+  skew split); verification touches candidate pairs only (semi-join
+  restriction of the shingle sets before the overlap count).
+- hot shingles (stopword-like) are the skew risk; production would drop
+  shingles with document frequency above a threshold before the inverted
+  join — expressed here as an optional ``max_df`` filter.
+- vocab dense_rank is the oracle-determinism path; production uses
+  xxhash64 (see textops.vocab).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ds_jedai_spark.operators.textops import shingles, vocab
+
+MINHASH_P = 1000003
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicated text group."""
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("copies"))
+        .where(F.col("copies") > 1)
+        .select("keep_id", "copies")
+    )
+
+
+def _sizes(d: DataFrame) -> DataFrame:
+    return d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _overlap(d: DataFrame, max_df: int | None = None) -> DataFrame:
+    """Inverted-index self-join: common-shingle counts per doc pair."""
+    if max_df is not None:
+        hot = (
+            d.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        d = d.join(hot, "shingle", "left_semi")
+    a = d.select(F.col("doc_id").alias("d1"), "shingle")
+    b = d.select(F.col("doc_id").alias("d2"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+
+
+def _with_jaccard(pairs: DataFrame, d: DataFrame) -> DataFrame:
+    sz = _sizes(d)
+    return (
+        pairs.join(sz.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sz.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("common")).cast("double"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.8) -> DataFrame:
+    """Exact shingle-Jaccard near-dup discovery (the correctness baseline
+    the LSH variants are verified against)."""
+    d = shingles(docs)
+    return (
+        _with_jaccard(_overlap(d), d)
+        .where(F.col("jaccard") >= tau)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def minhash_signatures(d: DataFrame, k: int = 32) -> DataFrame:
+    """(doc_id, i, h) minhash signatures with closed-form hash family
+    h_i(w) = ((2i+1)*w + i*i + 7) mod P over vocab ids."""
+    v = vocab(d, "shingle")
+    dw = d.join(v, "shingle").select("doc_id", "wid")
+    h = ((2 * F.col("i") + 1) * F.col("wid") + F.col("i") * F.col("i") + 7) % F.lit(
+        MINHASH_P
+    )
+    return (
+        dw.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .withColumn("h", h)
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("h"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = 32, rows_per_band: int = 4, tau: float = 0.8
+) -> DataFrame:
+    """MinHash + banded LSH + exact verification.
+
+    shingle → minhash signature → band buckets (order-independent band key
+    = sum of position-weighted hashes) → bucket equi-join → verify true
+    Jaccard on candidates only.
+    """
+    d = shingles(docs)
+    sig = minhash_signatures(d, k)
+    band = (
+        sig.withColumn("band", F.col("i") - (F.col("i") % rows_per_band))
+        .withColumn("slot", (F.col("i") % rows_per_band) + 1)
+        .groupBy("doc_id", "band")
+        .agg(F.sum(F.col("h") * F.col("slot")).alias("bkey"))
+    )
+    a = band.select(F.col("doc_id").alias("d1"), "band", "bkey")
+    b = band.select(F.col("doc_id").alias("d2"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    # Verify candidates only: restrict shingle sets to candidate docs first.
+    cand_docs = (
+        cand.select(F.col("d1").alias("doc_id"))
+        .union(cand.select(F.col("d2")))
+        .distinct()
+    )
+    dc = d.join(cand_docs, "doc_id", "left_semi")
+    verified = _with_jaccard(_overlap(dc).join(cand, ["d1", "d2"]), d)
+    return verified.where(F.col("jaccard") >= tau).select("d1", "d2", "jaccard")
+
+
+def simhash_fingerprints(d: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, fp) — per-bit majority sign over multiplicative-hash bits.
+
+    bit_j(w) = bit (j+8) of w * 2654435761 — a Knuth multiplicative hash;
+    the +8 offset skips the poorly-mixed low product bits. (A plain
+    ``parity((w+1)*odd_j mod P)`` family is degenerate: below the modulus
+    the parity is independent of j and every bit collapses.)"""
+    v = vocab(d, "shingle")
+    dw = d.join(v, "shingle").select("doc_id", "wid")
+    parity = F.expr("shiftright((wid + 1) * 2654435761, j + 8) % 2")
+    contrib = parity * 2 - 1
+    per_bit = (
+        dw.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))))
+        .withColumn("c", contrib)
+        .groupBy("doc_id", "j")
+        .agg(F.sum("c").alias("s"))
+    )
+    bitval = F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
+        F.lit(0)
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(bitval).cast("long").alias("fp")
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """SimHash near-dup: byte-banded candidate join + hamming verify.
+
+    32-bit fingerprint split into 4 byte-wide bands; a pair is a candidate
+    when any band matches (standard simhash blocking: hamming <= 3 implies
+    at least one of 4 bands is untouched)."""
+    d = shingles(docs)
+    fp = simhash_fingerprints(d)
+    nib = fp.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(3)))).withColumn(
+        "nibble", F.expr("shiftright(fp, k * 8) % 256")
+    )
+    a = nib.select(F.col("doc_id").alias("d1"), F.col("fp").alias("fp1"), "k", "nibble")
+    b = nib.select(F.col("doc_id").alias("d2"), F.col("fp").alias("fp2"), "k", "nibble")
+    cand = (
+        a.join(b, ["k", "nibble"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "fp1", "fp2")
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("fp1 ^ fp2"))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )

@@ -1,0 +1,169 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference extensions (SURVEY.md §7 phase 5): tokenization,
+shingling, vocabulary building, token statistics, quality scoring,
+language-ID and positional fingerprinting over the ``documents`` table —
+all as DataFrame plans whose arithmetic is mirrored 1:1 by DuckDB oracle
+SQL in plans/pipeline_plans.py.
+
+Engine/oracle contract:
+- tokens = elements of split(text, ' '); positions are 1-based on the RAW
+  split (empties filtered afterwards, so positions are stable in both
+  engines: Spark posexplode+1 == DuckDB generate_subscripts).
+- shingles = word 3-grams joined with '_' over the empty-filtered array.
+- vocabulary ids come from dense_rank over the sorted distinct token set.
+  That global window is deliberate: it makes ids reproducible across
+  engines for oracle checking. The production-scale path would use
+  xxhash64(token) directly (no vocab join, no global window) — same
+  downstream algebra, noted per operator.
+- no transcendental functions in any output column (libm vs JVM ulp
+  drift); scores are rational arithmetic only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Derived corpus with injected duplicates so dedup operators have signal:
+# originals + exact copies (doc_id%7==0, +1M ids) + 3/4-length truncated
+# near-copies (doc_id%11==0, +2M ids). Dialect-neutral SQL (runs verbatim
+# in Spark SQL and DuckDB).
+CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0 "
+    "UNION ALL SELECT doc_id + 2000000 AS doc_id, "
+    "substring(text, 1, CAST(floor(CAST(3 * length(text) AS DOUBLE) / 4.0) AS INT)) AS text "
+    "FROM documents WHERE doc_id % 11 = 0"
+)
+
+STOPWORDS = ("the", "a", "of", "and", "is")
+LANG_WORDLISTS = {
+    "en": ("the", "a", "and", "query", "table"),
+    "de": ("der", "die", "und", "tabelle"),
+    "fr": ("le", "la", "et", "ligne"),
+}
+
+
+def words(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, word) — 1-based raw positions, empties dropped."""
+    return (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+        )
+        .where(F.col("word") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams (n=3), '_'-joined."""
+    arr = F.filter(F.split("text", " "), lambda w: w != "")
+    gram = F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+            lambda i: F.concat_ws(
+                "_", *[F.element_at(arr, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(gram).alias("shingle"))
+        .distinct()
+    )
+
+
+def vocab(tokens: DataFrame, col: str) -> DataFrame:
+    """(token, wid) — dense_rank over the sorted distinct token set.
+
+    Cross-engine-reproducible ids (oracle contract). At 100 TB scale use
+    xxhash64(token) instead: no global window, no join — the downstream
+    min-hash algebra is unchanged.
+    """
+    w = Window.orderBy(col)
+    return (
+        tokens.select(col).distinct().withColumn("wid", F.dense_rank().over(w))
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    arr_raw = F.split("text", " ")
+    arr = F.filter(arr_raw, lambda w: w != "")
+    return docs.select(
+        "doc_id",
+        F.size(arr_raw).cast("long").alias("n_tokens_raw"),
+        F.size(arr).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+        (F.size(arr) * F.lit(100.0) / F.length("text")).alias("words_per_100_chars"),
+    )
+
+
+def quality(docs: DataFrame) -> DataFrame:
+    """Rational-arithmetic quality score: distinct-word ratio + stopword mix."""
+    w = words(docs)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    agg = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.countDistinct("word").alias("n_distinct"),
+        F.count(F.when(F.array_contains(stop, F.col("word")), True)).alias("n_stop"),
+        F.sum(F.length("word")).alias("sum_word_len"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        "n_stop",
+        (F.col("sum_word_len").cast("double") / F.col("n_words")).alias("avg_word_len"),
+        (F.col("n_stop").cast("double") / F.col("n_words")).alias("stop_ratio"),
+        (
+            F.lit(0.6) * (F.col("n_distinct").cast("double") / F.col("n_words"))
+            + F.lit(0.4) * (F.col("n_stop").cast("double") / F.col("n_words"))
+        ).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Wordlist-hit language ID with deterministic argmax (en > de > fr on
+    ties). The mechanism of an n-gram language identifier; wordlists are
+    tiny constants here."""
+    w = words(docs)
+    aggs = [F.count(F.lit(1)).alias("n_words")]
+    for lang, wl in LANG_WORDLISTS.items():
+        arr = F.array(*[F.lit(x) for x in wl])
+        aggs.append(
+            F.count(F.when(F.array_contains(arr, F.col("word")), True)).alias(
+                f"hits_{lang}"
+            )
+        )
+    agg = w.groupBy("doc_id").agg(*aggs)
+    pred = (
+        F.when(
+            (F.col("hits_en") >= F.col("hits_de"))
+            & (F.col("hits_en") >= F.col("hits_fr")),
+            F.lit("en"),
+        )
+        .when(F.col("hits_de") >= F.col("hits_fr"), F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return agg.select(
+        "doc_id", "hits_en", "hits_de", "hits_fr", pred.alias("lang_pred")
+    )
+
+
+FP_MULT = 2654435761
+FP_MOD = 1000003
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Positional document fingerprint: sum of per-position token-id terms
+    mod P — order-sensitive via the position weight yet order-independent
+    to aggregate (exact integer arithmetic, any summation order)."""
+    w = words(docs)
+    v = vocab(w, "word")
+    t = w.join(v, "word")
+    term = ((F.col("wid") + 1) * F.col("pos") * F.lit(FP_MULT)) % F.lit(FP_MOD)
+    return (
+        t.select("doc_id", term.alias("term"))
+        .groupBy("doc_id")
+        .agg((F.sum("term") % F.lit(FP_MOD)).alias("fingerprint"))
+    )

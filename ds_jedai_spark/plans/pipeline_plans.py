@@ -1,0 +1,300 @@
+"""Training-data pipeline query plans + DuckDB oracles.
+
+Deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding
+cosine), similarity search (brute-force + IVF), text analysis (token
+stats, quality, lang-ID, fingerprint) and multimodal metadata — each as a
+DataFrame plan over the driver's ``documents`` / ``embeddings`` tables
+with a mirrored DuckDB oracle.
+
+The oracle SQL re-states each operator's algebra in DuckDB dialect from
+the same constants (hash families, thresholds, corpus derivation), so a
+mismatch means an engine bug, not formula drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ds_jedai_spark.io.synthetic import load_sql, register_views
+from ds_jedai_spark.operators import dedup, multimodal, similarity, textops
+
+TAU_JACCARD = 0.8
+MAX_HAMMING = 2
+TAU_COS = 0.4
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_sql(spark, sf_dir, textops.CORPUS_SQL)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.table("documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.table("embeddings")
+
+
+# ------------------------------------------------------------- queries
+
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_corpus(spark, sf_dir))
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_corpus(spark, sf_dir), TAU_JACCARD)
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_corpus(spark, sf_dir), tau=TAU_JACCARD)
+
+
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(_corpus(spark, sf_dir), MAX_HAMMING)
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    return similarity.cosine_neardup_pairs(_emb(spark, sf_dir), TAU_COS)
+
+
+def ann_brute_topk(spark, sf_dir):
+    return similarity.brute_topk(_emb(spark, sf_dir))
+
+
+def ann_ivf_topk(spark, sf_dir):
+    return similarity.ivf_label_topk(_emb(spark, sf_dir))
+
+
+def text_token_stats(spark, sf_dir):
+    return textops.token_stats(_docs(spark, sf_dir))
+
+
+def text_quality(spark, sf_dir):
+    return textops.quality(_docs(spark, sf_dir))
+
+
+def text_lang_id(spark, sf_dir):
+    return textops.lang_id(_docs(spark, sf_dir))
+
+
+def text_fingerprint(spark, sf_dir):
+    return textops.fingerprint(_docs(spark, sf_dir))
+
+
+def media_metadata(spark, sf_dir):
+    return multimodal.media_metadata(_docs(spark, sf_dir))
+
+
+# ------------------------------------------------------------- oracles
+
+_SHINGLE_CTE = (
+    f"corpus AS ({textops.CORPUS_SQL}), "
+    "warr AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr "
+    "FROM corpus), "
+    "sh0 AS (SELECT doc_id, unnest(list_transform("
+    "range(1, CASE WHEN len(arr) >= 3 THEN len(arr) - 1 ELSE 1 END), "
+    "i -> arr[i] || '_' || arr[i+1] || '_' || arr[i+2])) AS shingle FROM warr), "
+    "d AS (SELECT DISTINCT doc_id, shingle FROM sh0), "
+    "sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id), "
+    "ov AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common "
+    "FROM d a JOIN d b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "jac AS (SELECT d1, d2, CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) "
+    "AS jaccard FROM ov "
+    "JOIN (SELECT doc_id AS d1, n AS n1 FROM sz) USING (d1) "
+    "JOIN (SELECT doc_id AS d2, n AS n2 FROM sz) USING (d2))"
+)
+
+_VOCAB_CTE = (
+    "v AS (SELECT shingle, CAST(dense_rank() OVER (ORDER BY shingle) AS BIGINT) AS wid "
+    "FROM (SELECT DISTINCT shingle FROM d)), "
+    "dw AS (SELECT doc_id, wid FROM d JOIN v USING (shingle))"
+)
+
+P = dedup.MINHASH_P
+
+
+def dedup_exact_oracle() -> str:
+    return (
+        f"WITH corpus AS ({textops.CORPUS_SQL}) "
+        "SELECT keep_id, copies FROM (SELECT min(doc_id) AS keep_id, "
+        "count(*) AS copies FROM corpus GROUP BY text) WHERE copies > 1"
+    )
+
+
+def dedup_ngram_jaccard_oracle() -> str:
+    return (
+        f"WITH {_SHINGLE_CTE} "
+        f"SELECT d1, d2, jaccard FROM jac WHERE jaccard >= {TAU_JACCARD!r}"
+    )
+
+
+def dedup_minhash_lsh_oracle() -> str:
+    return (
+        f"WITH {_SHINGLE_CTE}, {_VOCAB_CTE}, "
+        f"hx AS (SELECT doc_id, i, min(((2*i+1)*wid + i*i + 7) % {P}) AS h "
+        "FROM dw, (SELECT unnest(range(0, 32)) AS i) r GROUP BY doc_id, i), "
+        "band AS (SELECT doc_id, i - (i % 4) AS band, sum(h * ((i % 4) + 1)) AS bkey "
+        "FROM hx GROUP BY doc_id, band), "
+        "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 "
+        "FROM band a JOIN band b USING (band, bkey) WHERE a.doc_id < b.doc_id) "
+        "SELECT d1, d2, jaccard FROM jac JOIN cand USING (d1, d2) "
+        f"WHERE jaccard >= {TAU_JACCARD!r}"
+    )
+
+
+def dedup_simhash_oracle() -> str:
+    return (
+        f"WITH {_SHINGLE_CTE}, {_VOCAB_CTE}, "
+        "perbit AS (SELECT doc_id, j, sum(((((wid+1) * 2654435761) >> (j+8)) % 2) * 2 - 1) AS s "
+        "FROM dw, (SELECT unnest(range(0, 32)) AS j) r GROUP BY doc_id, j), "
+        "fp AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) "
+        "ELSE 0 END) AS BIGINT) AS fp FROM perbit GROUP BY doc_id), "
+        "nib AS (SELECT doc_id, fp, k, (fp >> (k*8)) % 256 AS nibble "
+        "FROM fp, (SELECT unnest(range(0, 4)) AS k) r), "
+        "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, "
+        "a.fp AS fp1, b.fp AS fp2 FROM nib a JOIN nib b USING (k, nibble) "
+        "WHERE a.doc_id < b.doc_id) "
+        "SELECT d1, d2, CAST(bit_count(xor(fp1, fp2)) AS BIGINT) AS hamming "
+        f"FROM cand WHERE bit_count(xor(fp1, fp2)) <= {MAX_HAMMING}"
+    )
+
+
+_QUANT_CTE = (
+    "q AS (SELECT vec_id, label, list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings), "
+    "n AS (SELECT vec_id, label, qv, list_dot_product(qv, qv) AS n2 FROM q)"
+)
+
+
+def dedup_embedding_cosine_oracle() -> str:
+    return (
+        f"WITH {_QUANT_CTE} "
+        "SELECT a.vec_id AS v1, b.vec_id AS v2, "
+        "list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) AS cos "
+        "FROM n a JOIN n b ON a.vec_id < b.vec_id "
+        f"WHERE list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) >= {TAU_COS!r}"
+    )
+
+
+def ann_brute_topk_oracle() -> str:
+    return (
+        f"WITH {_QUANT_CTE}, "
+        "scored AS (SELECT a.vec_id AS qid, b.vec_id AS vid, "
+        "list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) AS cos "
+        "FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) "
+        "SELECT qid, vid, cos FROM (SELECT qid, vid, cos, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM scored) WHERE rn <= 5"
+    )
+
+
+def ann_ivf_topk_oracle() -> str:
+    return (
+        f"WITH {_QUANT_CTE}, "
+        "scored AS (SELECT a.vec_id AS qid, b.vec_id AS vid, "
+        "list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) AS cos "
+        "FROM n a JOIN n b ON a.label = b.label AND a.vec_id % 50 = 0 "
+        "AND a.vec_id <> b.vec_id) "
+        "SELECT qid, vid, cos FROM (SELECT qid, vid, cos, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM scored) WHERE rn <= 3"
+    )
+
+
+_WORDS_CTE = (
+    "w0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word, "
+    "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents), "
+    "w AS (SELECT doc_id, pos, word FROM w0 WHERE word <> '')"
+)
+
+
+def text_token_stats_oracle() -> str:
+    return (
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_raw, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) "
+        "AS n_words, CAST(length(text) AS BIGINT) AS n_chars, "
+        "len(list_filter(string_split(text, ' '), x -> x <> '')) * 100.0 / length(text) "
+        "AS words_per_100_chars FROM documents"
+    )
+
+
+def text_quality_oracle() -> str:
+    stop = ", ".join(f"'{s}'" for s in textops.STOPWORDS)
+    return (
+        f"WITH {_WORDS_CTE} "
+        "SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS n_distinct, "
+        f"count(*) FILTER (WHERE word IN ({stop})) AS n_stop, "
+        "CAST(sum(length(word)) AS DOUBLE) / count(*) AS avg_word_len, "
+        f"CAST(count(*) FILTER (WHERE word IN ({stop})) AS DOUBLE) / count(*) "
+        "AS stop_ratio, "
+        "0.6 * (CAST(count(DISTINCT word) AS DOUBLE) / count(*)) + "
+        f"0.4 * (CAST(count(*) FILTER (WHERE word IN ({stop})) AS DOUBLE) / count(*)) "
+        "AS quality_score FROM w GROUP BY doc_id"
+    )
+
+
+def text_lang_id_oracle() -> str:
+    hits = {
+        lang: f"count(*) FILTER (WHERE word IN ({', '.join(repr(x) for x in wl)}))"
+        for lang, wl in textops.LANG_WORDLISTS.items()
+    }
+    return (
+        f"WITH {_WORDS_CTE}, agg AS (SELECT doc_id, "
+        + ", ".join(f"{expr} AS hits_{lang}" for lang, expr in hits.items())
+        + " FROM w GROUP BY doc_id) "
+        "SELECT doc_id, hits_en, hits_de, hits_fr, "
+        "CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr THEN 'en' "
+        "WHEN hits_de >= hits_fr THEN 'de' ELSE 'fr' END AS lang_pred FROM agg"
+    )
+
+
+def text_fingerprint_oracle() -> str:
+    return (
+        f"WITH {_WORDS_CTE}, "
+        "v AS (SELECT word, CAST(dense_rank() OVER (ORDER BY word) AS BIGINT) AS wid "
+        "FROM (SELECT DISTINCT word FROM w)), "
+        "t AS (SELECT doc_id, ((wid + 1) * pos * "
+        f"{textops.FP_MULT}) % {textops.FP_MOD} AS term FROM w JOIN v USING (word)) "
+        f"SELECT doc_id, sum(term) % {textops.FP_MOD} AS fingerprint "
+        "FROM t GROUP BY doc_id"
+    )
+
+
+def media_metadata_oracle() -> str:
+    return (
+        "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len, "
+        "64 + octet_length(CAST(text AS BLOB)) % 193 AS width, "
+        "64 + (octet_length(CAST(text AS BLOB)) * 7) % 211 AS height, "
+        "octet_length(CAST(text AS BLOB)) % 16 + 1 AS frames FROM documents"
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_brute_topk": ann_brute_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "media_metadata": media_metadata,
+}
+
+ORACLES = {
+    "dedup_exact": dedup_exact_oracle(),
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_oracle(),
+    "dedup_minhash_lsh": dedup_minhash_lsh_oracle(),
+    "dedup_simhash": dedup_simhash_oracle(),
+    "dedup_embedding_cosine": dedup_embedding_cosine_oracle(),
+    "ann_brute_topk": ann_brute_topk_oracle(),
+    "ann_ivf_topk": ann_ivf_topk_oracle(),
+    "text_token_stats": text_token_stats_oracle(),
+    "text_quality": text_quality_oracle(),
+    "text_lang_id": text_lang_id_oracle(),
+    "text_fingerprint": text_fingerprint_oracle(),
+    "media_metadata": media_metadata_oracle(),
+}
