@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "giant_counts": giant.giant_counts,
         "spatiotemporal_pairs": giant.spatiotemporal_pairs,
         "point_in_box_pairs": giant.point_in_box_pairs,
+        "line_box_counts": giant.line_box_counts,
+        "line_box_crosses_pairs": giant.line_box_crosses_pairs,
     }
     for rel in PAIR_RELATIONS:
         q[f"pairs_{rel}"] = giant.relation_pairs(rel)
@@ -67,6 +69,8 @@ def oracle_sql() -> dict[str, str]:
         "giant_counts": giant.giant_counts_oracle(),
         "spatiotemporal_pairs": giant.spatiotemporal_pairs_oracle(),
         "point_in_box_pairs": giant.point_in_box_pairs_oracle(),
+        "line_box_counts": giant.line_box_counts_oracle(),
+        "line_box_crosses_pairs": giant.line_box_crosses_pairs_oracle(),
     }
     for rel in PAIR_RELATIONS:
         o[f"pairs_{rel}"] = giant.relation_pairs_oracle(rel)

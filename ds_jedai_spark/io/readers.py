@@ -1,0 +1,102 @@
+"""Source readers: delimited WKT, GeoJSON, RDF N-Triples, directories.
+
+Re-expresses the reference reader surface (reference:
+src/main/scala/utils/readers/Reader.scala:38-203) Spark-first: every
+format lands in the engine's geometry row format (id, ts?, gtype, coords,
+minx..maxy) via ``spark.read`` + JVM-side projection, with the WKT parse
+as the only Python step (Arrow-batched; model/geometry.py).
+
+Scale notes: CSV/JSON/text scans are splittable and predicate/column
+pruning applies before the parse UDF (only the id/geom/date columns are
+selected). Directory paths glob natively in ``spark.read`` — the
+reference's per-file union loop (Reader.scala:63-70) is unnecessary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ds_jedai_spark.model.geometry import valid_geometries, with_parsed_geometry
+
+DEFAULT_DATE_PATTERN = "yyyy-MM-dd HH:mm:ss"
+
+
+def _finish(df: DataFrame, date_field: str | None, date_pattern: str) -> DataFrame:
+    out = with_parsed_geometry(df, "wkt")
+    out = valid_geometries(out).drop("wkt")
+    if date_field is not None:
+        out = out.withColumn("ts", F.to_timestamp("ts_raw", date_pattern)).drop(
+            "ts_raw"
+        )
+    return out
+
+
+def read_wkt_delimited(
+    spark: SparkSession,
+    path: str,
+    id_field: str,
+    geom_field: str,
+    delimiter: str = "\t",
+    date_field: str | None = None,
+    date_pattern: str = DEFAULT_DATE_PATTERN,
+    header: bool = True,
+) -> DataFrame:
+    """CSV/TSV scan with a WKT column (reference Reader.loadDelimitedFile)."""
+    raw = spark.read.option("header", header).option("delimiter", delimiter).csv(path)
+    cols = [F.col(id_field).alias("id"), F.col(geom_field).alias("wkt")]
+    if date_field is not None:
+        cols.append(F.col(date_field).alias("ts_raw"))
+    return _finish(raw.select(*cols), date_field, date_pattern)
+
+
+def read_geojson(
+    spark: SparkSession,
+    path: str,
+    id_field: str = "id",
+    date_field: str | None = None,
+    date_pattern: str = DEFAULT_DATE_PATTERN,
+) -> DataFrame:
+    """GeoJSON feature scan (reference Reader.loadGeoJSON). Reads newline-
+    delimited GeoJSON features via spark.read.json and rebuilds WKT from
+    the coordinates struct for the shared parse path."""
+    raw = spark.read.json(path)
+    wkt = F.when(
+        F.col("geometry.type") == "Point",
+        F.concat(
+            F.lit("POINT ("),
+            F.col("geometry.coordinates")[0].cast("string"),
+            F.lit(" "),
+            F.col("geometry.coordinates")[1].cast("string"),
+            F.lit(")"),
+        ),
+    )
+    cols = [F.col(f"properties.{id_field}").alias("id"), wkt.alias("wkt")]
+    if date_field is not None:
+        cols.append(F.col(f"properties.{date_field}").alias("ts_raw"))
+    return _finish(raw.select(*cols), date_field, date_pattern)
+
+
+GEOMETRY_PREDICATE = "<http://www.opengis.net/ont/geosparql#asWKT>"
+
+
+def read_ntriples(
+    spark: SparkSession,
+    path: str,
+    geometry_predicate: str = GEOMETRY_PREDICATE,
+) -> DataFrame:
+    """RDF N-Triples scan (reference Reader.loadRdfAsTextual): keep triples
+    whose predicate is the geometry predicate, strip IRI brackets and
+    literal quotes, parse the WKT object."""
+    raw = spark.read.text(path)
+    pred = geometry_predicate.replace("<", "").replace(">", "")
+    parts = F.split(F.col("value"), " ", 3)
+    df = (
+        raw.select(
+            F.regexp_replace(parts[0], "[<>]", "").alias("id"),
+            F.regexp_replace(parts[1], "[<>]", "").alias("predicate"),
+            F.regexp_extract(parts[2], '"(.*)"', 1).alias("wkt"),
+        )
+        .where(F.col("predicate") == pred)
+        .drop("predicate")
+    )
+    return _finish(df, None, DEFAULT_DATE_PATTERN)

@@ -80,6 +80,26 @@ def point_sql(table: str = "customer", key: str = "c_custkey") -> str:
     )
 
 
+def line_sql(table: str = "customer", key: str = "c_custkey") -> str:
+    """LINESTRING dataset: one lattice 2-point segment per customer row.
+
+    Exposes x1/y1/x2/y2 plus the envelope columns the tile join runs on.
+    Degenerate (zero-length) segments are excluded.
+    """
+    x1 = f"(CAST(({key} * {SRC_MX}) % {GRID} AS DOUBLE) / {SCALE})"
+    y1 = f"(CAST(({key} * {SRC_MY}) % {GRID} AS DOUBLE) / {SCALE})"
+    dx = f"(CAST(({key} * 13) % 49 - 24 AS DOUBLE) / {SCALE})"
+    dy = f"(CAST(({key} * 29) % 49 - 24 AS DOUBLE) / {SCALE})"
+    return (
+        f"SELECT id, x1, y1, x2, y2, "
+        f"least(x1, x2) AS minx, least(y1, y2) AS miny, "
+        f"greatest(x1, x2) AS maxx, greatest(y1, y2) AS maxy FROM ("
+        f"SELECT CAST({key} AS BIGINT) AS id, {x1} AS x1, {y1} AS y1, "
+        f"{x1} + {dx} AS x2, {y1} + {dy} AS y2 FROM {table} "
+        f"WHERE NOT (({key} * 13) % 49 = 24 AND ({key} * 29) % 49 = 24)) t"
+    )
+
+
 def temporal_source_sql() -> str:
     """Spatio-temporal SOURCE: sampled orders boxes + order date."""
     b = _box_exprs("o_orderkey", SRC_MX, SRC_MY, 1, 7)

@@ -1,0 +1,197 @@
+"""Geometry parsing & representation without a geometry library.
+
+The reference parses WKT with JTS (reference:
+src/main/scala/utils/readers/Reader.scala:85-112) and drops empty /
+invalid / GeometryCollection rows (Reader.scala:59-61). This environment
+has no shapely/JTS, so the engine ships a small from-scratch WKT parser
+running inside Arrow-batched pandas UDFs.
+
+Representation at rest (the engine's row format):
+    gtype  : string — POINT | LINESTRING | POLYGON | MULTI* variants
+    coords : array<array<array<double>>> — parts × points × [x, y]
+             (POINT: 1 part, 1 point; POLYGON: rings as parts;
+              MULTIPOLYGON: flattened ring list with ring-starts encoded
+              by part boundaries — outer ring first per polygon)
+    minx, miny, maxx, maxy : double — cached envelope (the columns every
+             join/filter in the engine runs on; the wide coords column
+             stays behind until exact verification needs it)
+
+Structural validity (stand-in for JTS isValid): finite coordinates,
+LINESTRING >= 2 points, polygon rings closed with >= 4 points.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+GEOM_FIELDS = "gtype string, coords array<array<array<double>>>, minx double, miny double, maxx double, maxy double"
+
+_NUM = re.compile(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?")
+
+
+def _parse_ring_text(txt: str) -> list[list[float]] | None:
+    pts = []
+    for pair in txt.split(","):
+        nums = _NUM.findall(pair)
+        if len(nums) < 2:
+            return None
+        x, y = float(nums[0]), float(nums[1])
+        if not (np.isfinite(x) and np.isfinite(y)):
+            return None
+        pts.append([x, y])
+    return pts
+
+
+def _split_top(s: str) -> list[str]:
+    """Split a parenthesized group list at depth 0 commas."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def parse_wkt(s: str) -> tuple[str, list[list[list[float]]]] | None:
+    """Parse WKT → (gtype, parts). None for malformed/empty/unsupported."""
+    if s is None:
+        return None
+    s = s.strip()
+    m = re.match(r"^([A-Za-z]+)\s*(.*)$", s, re.S)
+    if not m:
+        return None
+    gtype = m.group(1).upper()
+    body = m.group(2).strip()
+    if body.upper() == "EMPTY" or not body:
+        return None
+    if gtype == "GEOMETRYCOLLECTION":
+        return None  # dropped at load, like the reference
+    if not (body.startswith("(") and body.endswith(")")):
+        return None
+    inner = body[1:-1]
+    try:
+        if gtype == "POINT":
+            pts = _parse_ring_text(inner)
+            if not pts or len(pts) != 1:
+                return None
+            return gtype, [pts]
+        if gtype == "LINESTRING":
+            pts = _parse_ring_text(inner)
+            if not pts or len(pts) < 2:
+                return None
+            return gtype, [pts]
+        if gtype == "MULTIPOINT":
+            parts = []
+            for g in _split_top(inner):
+                pts = _parse_ring_text(g.strip().strip("()"))
+                if not pts:
+                    return None
+                parts.append(pts)
+            return gtype, parts
+        if gtype in ("POLYGON", "MULTILINESTRING"):
+            parts = []
+            for g in _split_top(inner):
+                g = g.strip()
+                if not (g.startswith("(") and g.endswith(")")):
+                    return None
+                pts = _parse_ring_text(g[1:-1])
+                if pts is None:
+                    return None
+                if gtype == "POLYGON":
+                    if len(pts) < 4 or pts[0] != pts[-1]:
+                        return None
+                elif len(pts) < 2:
+                    return None
+                parts.append(pts)
+            return (gtype, parts) if parts else None
+        if gtype == "MULTIPOLYGON":
+            parts = []
+            for poly in _split_top(inner):
+                poly = poly.strip()
+                if not (poly.startswith("(") and poly.endswith(")")):
+                    return None
+                for ring in _split_top(poly[1:-1]):
+                    ring = ring.strip()
+                    if not (ring.startswith("(") and ring.endswith(")")):
+                        return None
+                    pts = _parse_ring_text(ring[1:-1])
+                    if pts is None or len(pts) < 4 or pts[0] != pts[-1]:
+                        return None
+                    parts.append(pts)
+            return (gtype, parts) if parts else None
+    except (ValueError, IndexError):
+        return None
+    return None
+
+
+def format_wkt(gtype: str, parts: list[list[list[float]]]) -> str:
+    def ring(pts):
+        return ", ".join(f"{x} {y}" for x, y in pts)
+
+    if gtype == "POINT":
+        return f"POINT ({ring(parts[0])})"
+    if gtype == "LINESTRING":
+        return f"LINESTRING ({ring(parts[0])})"
+    if gtype == "POLYGON":
+        return "POLYGON (" + ", ".join(f"({ring(p)})" for p in parts) + ")"
+    raise ValueError(f"format_wkt: unsupported {gtype}")
+
+
+def _envelope(parts: list[list[list[float]]]) -> tuple[float, float, float, float]:
+    arr = np.array([pt for part in parts for pt in part], dtype=float)
+    return float(arr[:, 0].min()), float(arr[:, 1].min()), float(arr[:, 0].max()), float(arr[:, 1].max())
+
+
+def with_parsed_geometry(df: DataFrame, wkt_col: str = "wkt") -> DataFrame:
+    """Append (gtype, coords, minx..maxy); rows failing to parse are kept
+    with NULL gtype (filter with dropna downstream)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "gtype": [],
+                "coords": [],
+                "minx": [],
+                "miny": [],
+                "maxx": [],
+                "maxy": [],
+            }
+            for s in pdf[wkt_col]:
+                parsed = parse_wkt(s)
+                if parsed is None:
+                    out["gtype"].append(None)
+                    out["coords"].append(None)
+                    for k in ("minx", "miny", "maxx", "maxy"):
+                        out[k].append(None)
+                else:
+                    gtype, parts = parsed
+                    mnx, mny, mxx, mxy = _envelope(parts)
+                    out["gtype"].append(gtype)
+                    out["coords"].append(parts)
+                    out["minx"].append(mnx)
+                    out["miny"].append(mny)
+                    out["maxx"].append(mxx)
+                    out["maxy"].append(mxy)
+            yield pd.concat([pdf.reset_index(drop=True), pd.DataFrame(out)], axis=1)
+
+    in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    return df.mapInPandas(run, f"{in_fields}, {GEOM_FIELDS}")
+
+
+def valid_geometries(df: DataFrame) -> DataFrame:
+    """Drop rows that failed parsing (empty/invalid/collection), mirroring
+    the reference's load-time filter."""
+    return df.where(F.col("gtype").isNotNull())

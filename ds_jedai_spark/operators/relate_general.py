@@ -1,0 +1,349 @@
+"""General-path DE-9IM verification for parsed geometries (pandas UDF).
+
+The closed-form column algebra (operators/relate.py, relate_lines.py)
+covers boxes, points and segments — the hot path. WKT-ingested data can
+carry arbitrary points / polylines / polygons; this module verifies those
+pairs with exact rational-arithmetic predicates inside an Arrow-batched
+``mapInPandas`` (the engine's slow path, mirroring the reference's JTS
+``geometry.relate`` step, linkers/GIAnt.scala:32-37).
+
+Exactness scope:
+- POINT vs POINT / LINESTRING / POLYGON (with holes): exact (orientation
+  tests + ray casting with boundary detection).
+- LINESTRING vs LINESTRING: exact intersects/crosses/touches/overlaps;
+  equals/within exact for single-segment lines, conservative
+  (vertex+midpoint coverage) for multi-segment chains.
+- LINESTRING vs POLYGON and POLYGON vs POLYGON: exact when the polygon is
+  an axis-aligned rectangle; otherwise the verification falls back to the
+  envelope approximation — the same documented behavior as the
+  reference's base ``EntityT.relate`` (model/entities/EntityT.scala:35,
+  SURVEY.md §2.11), which our engine otherwise always upgrades.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ds_jedai_spark.operators.relate import RELATIONS
+
+Pt = tuple[float, float]
+
+
+def _orient(a: Pt, b: Pt, c: Pt) -> float:
+    return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+
+def _on_segment(p: Pt, a: Pt, b: Pt) -> bool:
+    if _orient(a, b, p) != 0:
+        return False
+    return min(a[0], b[0]) <= p[0] <= max(a[0], b[0]) and min(a[1], b[1]) <= p[1] <= max(
+        a[1], b[1]
+    )
+
+
+def _seg_intersect(a1: Pt, a2: Pt, b1: Pt, b2: Pt) -> tuple[bool, bool, bool]:
+    """(intersects, proper_cross, collinear_overlap_positive_length)."""
+    d1, d2 = _orient(b1, b2, a1), _orient(b1, b2, a2)
+    d3, d4 = _orient(a1, a2, b1), _orient(a1, a2, b2)
+    if ((d1 > 0 and d2 < 0) or (d1 < 0 and d2 > 0)) and (
+        (d3 > 0 and d4 < 0) or (d3 < 0 and d4 > 0)
+    ):
+        return True, True, False
+    touch = (
+        _on_segment(a1, b1, b2)
+        or _on_segment(a2, b1, b2)
+        or _on_segment(b1, a1, a2)
+        or _on_segment(b2, a1, a2)
+    )
+    if d1 == 0 and d2 == 0 and d3 == 0 and d4 == 0 and touch:
+        # Collinear: positive-length overlap?
+        axis = 0 if a1[0] != a2[0] or b1[0] != b2[0] else 1
+        lo = max(min(a1[axis], a2[axis]), min(b1[axis], b2[axis]))
+        hi = min(max(a1[axis], a2[axis]), max(b1[axis], b2[axis]))
+        return True, False, hi > lo
+    return touch, False, False
+
+
+def _point_in_ring(p: Pt, ring: list[Pt]) -> int:
+    """2 inside, 1 on boundary, 0 outside (ray cast, exact on boundary)."""
+    x, y = p
+    inside = False
+    n = len(ring)
+    for i in range(n - 1):
+        a, b = ring[i], ring[i + 1]
+        if _on_segment(p, a, b):
+            return 1
+        if (a[1] > y) != (b[1] > y):
+            # exact rational comparison: x < ax + (y-ay)*(bx-ax)/(by-ay)
+            t = (y - a[1]) * (b[0] - a[0]) - (x - a[0]) * (b[1] - a[1])
+            if (t > 0) != (b[1] < a[1]):
+                inside = not inside
+    return 2 if inside else 0
+
+
+def _point_in_polygon(p: Pt, rings: list[list[Pt]]) -> int:
+    """2 interior, 1 boundary, 0 exterior — outer ring first, then holes."""
+    loc = _point_in_ring(p, rings[0])
+    if loc != 2:
+        return loc
+    for hole in rings[1:]:
+        hloc = _point_in_ring(p, hole)
+        if hloc == 1:
+            return 1
+        if hloc == 2:
+            return 0
+    return 2
+
+
+def _segments(parts: list[list[Pt]]) -> list[tuple[Pt, Pt]]:
+    out = []
+    for part in parts:
+        for i in range(len(part) - 1):
+            out.append((tuple(part[i]), tuple(part[i + 1])))
+    return out
+
+
+def _line_endpoints(parts: list[list[Pt]]) -> set[Pt]:
+    return {tuple(part[i]) for part in parts for i in (0, -1)}
+
+
+def _is_rect(parts: list[list[Pt]]) -> bool:
+    if len(parts) != 1 or len(parts[0]) != 5:
+        return False
+    xs = {p[0] for p in parts[0]}
+    ys = {p[1] for p in parts[0]}
+    return len(xs) == 2 and len(ys) == 2
+
+
+def _env(parts) -> tuple[float, float, float, float]:
+    xs = [p[0] for part in parts for p in part]
+    ys = [p[1] for part in parts for p in part]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def _false() -> dict[str, bool]:
+    return {r: False for r in RELATIONS}
+
+
+def _finish(d: dict[str, bool]) -> dict[str, bool]:
+    d["disjoint"] = not d["intersects"]
+    return d
+
+
+def _relate_point_point(a: Pt, b: Pt) -> dict[str, bool]:
+    d = _false()
+    eq = a == b
+    d.update(intersects=eq, equals=eq, contains=eq, within=eq, covers=eq, coveredby=eq)
+    return _finish(d)
+
+
+def _relate_point_line(p: Pt, parts) -> dict[str, bool]:
+    d = _false()
+    segs = _segments(parts)
+    on = any(_on_segment(p, s[0], s[1]) for s in segs)
+    if not on:
+        return _finish(d)
+    boundary = p in _line_endpoints(parts)
+    d["intersects"] = True
+    if boundary:
+        d["touches"] = True
+    else:
+        d["within"] = True
+        d["coveredby"] = True
+    return _finish(d)
+
+
+def _relate_point_polygon(p: Pt, rings) -> dict[str, bool]:
+    d = _false()
+    loc = _point_in_polygon(p, rings)
+    if loc == 0:
+        return _finish(d)
+    d["intersects"] = True
+    if loc == 1:
+        d["touches"] = True
+        d["coveredby"] = True
+    else:
+        d["within"] = True
+        d["coveredby"] = True
+    return _finish(d)
+
+
+def _relate_line_line(pa, pb) -> dict[str, bool]:
+    d = _false()
+    sa, sb = _segments(pa), _segments(pb)
+    ea, eb = _line_endpoints(pa), _line_endpoints(pb)
+    any_int = proper_interior = collinear = False
+    touch_pts: set[Pt] = set()
+    for s1 in sa:
+        for s2 in sb:
+            inter, proper, coll = _seg_intersect(s1[0], s1[1], s2[0], s2[1])
+            if not inter:
+                continue
+            any_int = True
+            if coll:
+                collinear = True
+            if proper:
+                # crossing point interior to both unless it is a global endpoint
+                proper_interior = True
+            else:
+                for p in (s1[0], s1[1], s2[0], s2[1]):
+                    if _on_segment(p, s2[0], s2[1]) and _on_segment(p, s1[0], s1[1]):
+                        touch_pts.add(p)
+    if not any_int:
+        return _finish(d)
+    d["intersects"] = True
+    ii = proper_interior or collinear or any(
+        p not in ea and p not in eb for p in touch_pts
+    )
+    if not ii:
+        d["touches"] = True
+        return _finish(d)
+    # within/equals: conservative coverage checks
+    def covered(src_parts, dst_segs):
+        pts = []
+        for s in _segments(src_parts):
+            pts.extend([s[0], s[1], ((s[0][0] + s[1][0]) / 2, (s[0][1] + s[1][1]) / 2)])
+        return all(any(_on_segment(p, t[0], t[1]) for t in dst_segs) for p in pts)
+
+    a_in_b = covered(pa, sb)
+    b_in_a = covered(pb, sa)
+    d["equals"] = a_in_b and b_in_a
+    d["coveredby"] = a_in_b
+    d["covers"] = b_in_a
+    d["within"] = a_in_b
+    d["contains"] = b_in_a
+    if collinear and not a_in_b and not b_in_a:
+        d["overlaps"] = True
+    if not collinear and not a_in_b and not b_in_a:
+        d["crosses"] = True
+    return _finish(d)
+
+
+def _relate_line_rect(parts, env) -> dict[str, bool]:
+    minx, miny, maxx, maxy = env
+    d = _false()
+    corners = [(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy), (minx, miny)]
+    rect_rings = [corners]
+    segs = _segments(parts)
+    any_int = ii = False
+    all_inside = True
+    for s in segs:
+        sminx, smaxx = min(s[0][0], s[1][0]), max(s[0][0], s[1][0])
+        sminy, smaxy = min(s[0][1], s[1][1]), max(s[0][1], s[1][1])
+        bbox = sminx <= maxx and minx <= smaxx and sminy <= maxy and miny <= smaxy
+        fs = [
+            (s[1][0] - s[0][0]) * (c[1] - s[0][1])
+            - (s[1][1] - s[0][1]) * (c[0] - s[0][0])
+            for c in corners[:4]
+        ]
+        if bbox and min(fs) <= 0 <= max(fs):
+            any_int = True
+        strict = sminx < maxx and minx < smaxx and sminy < maxy and miny < smaxy
+        if strict and min(fs) < 0 < max(fs):
+            ii = True
+        for p in s:
+            if not (minx <= p[0] <= maxx and miny <= p[1] <= maxy):
+                all_inside = False
+    # vertices strictly inside also imply ii (covers segments fully interior)
+    if not ii:
+        for part in parts:
+            for p in part:
+                if minx < p[0] < maxx and miny < p[1] < maxy:
+                    ii = True
+    if not any_int and not ii:
+        return _finish(d)
+    d["intersects"] = True
+    d["coveredby"] = all_inside
+    d["within"] = all_inside and ii
+    d["crosses"] = ii and not all_inside
+    d["touches"] = not ii
+    return _finish(d)
+
+
+def _relate_rect_rect(env_a, env_b) -> dict[str, bool]:
+    ax1, ay1, ax2, ay2 = env_a
+    bx1, by1, bx2, by2 = env_b
+    d = _false()
+    inter = ax1 <= bx2 and bx1 <= ax2 and ay1 <= by2 and by1 <= ay2
+    if not inter:
+        return _finish(d)
+    ii = ax1 < bx2 and bx1 < ax2 and ay1 < by2 and by1 < ay2
+    covers = bx1 >= ax1 and bx2 <= ax2 and by1 >= ay1 and by2 <= ay2
+    coveredby = ax1 >= bx1 and ax2 <= bx2 and ay1 >= by1 and ay2 <= by2
+    d.update(
+        intersects=True,
+        covers=covers,
+        coveredby=coveredby,
+        contains=covers and ii,
+        within=coveredby and ii,
+        equals=covers and coveredby,
+        touches=not ii,
+        overlaps=ii and not covers and not coveredby,
+    )
+    return _finish(d)
+
+
+def relate_pair(gtype_a: str, parts_a, gtype_b: str, parts_b) -> dict[str, bool]:
+    a_point = gtype_a in ("POINT",)
+    b_point = gtype_b in ("POINT",)
+    a_line = gtype_a in ("LINESTRING", "MULTILINESTRING")
+    b_line = gtype_b in ("LINESTRING", "MULTILINESTRING")
+    a_poly = gtype_a in ("POLYGON", "MULTIPOLYGON")
+    b_poly = gtype_b in ("POLYGON", "MULTIPOLYGON")
+
+    def swap(d: dict[str, bool]) -> dict[str, bool]:
+        out = dict(d)
+        out["contains"], out["within"] = d["within"], d["contains"]
+        out["covers"], out["coveredby"] = d["coveredby"], d["covers"]
+        return out
+
+    if a_point and b_point:
+        return _relate_point_point(tuple(parts_a[0][0]), tuple(parts_b[0][0]))
+    if a_point and b_line:
+        return _relate_point_line(tuple(parts_a[0][0]), parts_b)
+    if b_point and a_line:
+        return swap(_relate_point_line(tuple(parts_b[0][0]), parts_a))
+    if a_point and b_poly:
+        return _relate_point_polygon(tuple(parts_a[0][0]), parts_b)
+    if b_point and a_poly:
+        return swap(_relate_point_polygon(tuple(parts_b[0][0]), parts_a))
+    if a_line and b_line:
+        return _relate_line_line(parts_a, parts_b)
+    if a_line and b_poly and _is_rect(parts_b):
+        return _relate_line_rect(parts_a, _env(parts_b))
+    if b_line and a_poly and _is_rect(parts_a):
+        return swap(_relate_line_rect(parts_b, _env(parts_a)))
+    if a_poly and b_poly and _is_rect(parts_a) and _is_rect(parts_b):
+        return _relate_rect_rect(_env(parts_a), _env(parts_b))
+    # Envelope fallback (documented; the reference's EntityT.relate quirk)
+    return _relate_rect_rect(_env(parts_a), _env(parts_b))
+
+
+def with_general_relations(
+    pairs: DataFrame, s: str = "s_", t: str = "t_"
+) -> DataFrame:
+    """Append r_<relation> booleans computed by the general-path verifier.
+    Requires {s}gtype/{s}coords and {t}gtype/{t}coords columns."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res: dict[str, list[bool]] = {r: [] for r in RELATIONS}
+            for ga, ca, gb, cb in zip(
+                pdf[f"{s}gtype"], pdf[f"{s}coords"], pdf[f"{t}gtype"], pdf[f"{t}coords"]
+            ):
+                d = relate_pair(ga, ca, gb, cb)
+                for r in RELATIONS:
+                    res[r].append(bool(d[r]))
+            out = pdf.reset_index(drop=True)
+            for r in RELATIONS:
+                out[f"r_{r}"] = res[r]
+            yield out
+
+    in_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in pairs.schema
+    )
+    rel_fields = ", ".join(f"r_{r} boolean" for r in RELATIONS)
+    return pairs.mapInPandas(run, f"{in_fields}, {rel_fields}")

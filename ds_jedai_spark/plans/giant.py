@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ds_jedai_spark.io.synthetic import (
+    line_sql,
     load_sql,
     point_sql,
     source_box_sql,
@@ -110,6 +111,72 @@ def point_in_box_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = load_sql(spark, sf_dir, point_sql())
     cand = with_relations(tile_join(source, target))
     return cand.where(F.col("r_covers")).select("s_id", "t_id")
+
+
+def _line_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box×segment candidates: tile join on envelopes, segment coords kept."""
+    source = load_sql(spark, sf_dir, source_box_sql())
+    lines = load_sql(spark, sf_dir, line_sql())
+    return tile_join(source, lines, target_extra=("x1", "y1", "x2", "y2"))
+
+
+def line_box_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment×box DE-9IM counts — exercises the line dimension (CROSSES
+    has real support here, unlike the pure box algebra)."""
+    from ds_jedai_spark.operators.relate_lines import seg_box_predicates
+
+    preds = seg_box_predicates(s="t_", t="s_")
+    cand = _line_candidates(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("verifications")]
+    for r in ("intersects", "crosses", "touches", "within", "coveredby"):
+        aggs.append(F.count(F.when(F.expr(preds[r]), True)).alias(f"n_{r}"))
+    return cand.agg(*aggs)
+
+
+def line_box_crosses_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_jedai_spark.operators.relate_lines import seg_box_predicates
+
+    preds = seg_box_predicates(s="t_", t="s_")
+    return (
+        _line_candidates(spark, sf_dir)
+        .where(F.expr(preds["crosses"]))
+        .select("s_id", "t_id")
+    )
+
+
+def _line_pairs_cte() -> str:
+    env = (
+        "s.minx <= t.maxx AND t.minx <= s.maxx AND "
+        "s.miny <= t.maxy AND t.miny <= s.maxy"
+    )
+    scols = ", ".join(
+        f"s.{c} AS s_{c}" for c in ("id", "minx", "miny", "maxx", "maxy")
+    )
+    tcols = ", ".join(
+        f"t.{c} AS t_{c}"
+        for c in ("id", "minx", "miny", "maxx", "maxy", "x1", "y1", "x2", "y2")
+    )
+    return (
+        f"WITH source AS ({source_box_sql()}), lines AS ({line_sql()}), "
+        f"pairs AS (SELECT {scols}, {tcols} FROM source s JOIN lines t ON {env})"
+    )
+
+
+def line_box_counts_oracle() -> str:
+    from ds_jedai_spark.operators.relate_lines import seg_box_predicates
+
+    preds = seg_box_predicates(s="t_", t="s_")
+    sel = ["COUNT(*) AS verifications"]
+    for r in ("intersects", "crosses", "touches", "within", "coveredby"):
+        sel.append(f"COUNT(*) FILTER (WHERE {preds[r]}) AS n_{r}")
+    return f"{_line_pairs_cte()} SELECT {', '.join(sel)} FROM pairs"
+
+
+def line_box_crosses_pairs_oracle() -> str:
+    from ds_jedai_spark.operators.relate_lines import seg_box_predicates
+
+    preds = seg_box_predicates(s="t_", t="s_")
+    return f"{_line_pairs_cte()} SELECT s_id, t_id FROM pairs WHERE {preds['crosses']}"
 
 
 def point_in_box_pairs_oracle() -> str:

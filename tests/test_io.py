@@ -1,0 +1,149 @@
+"""Reader/sink/geometry tests, modeled on the reference's fixture corpus
+(src/test/scala/TestingGeometries.scala) and ingestion contract
+(Reader.scala:59-61: silently drop invalid/empty/collection rows)."""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from conftest import SF_SMALL
+
+from pyspark.sql import functions as F
+
+from ds_jedai_spark.io.readers import read_ntriples, read_wkt_delimited
+from ds_jedai_spark.io.writers import export_csv_pairs, export_ntriples, export_rdf
+from ds_jedai_spark.io.synthetic import load_sql, source_box_sql, target_box_sql
+from ds_jedai_spark.model.geometry import parse_wkt
+from ds_jedai_spark.operators.relate import with_relations
+from ds_jedai_spark.operators.spatial_join import tile_join
+
+GOOD_WKT = [
+    ("p1", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+    ("p2", "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1), (1.5 1.5, 2 1.5, 2 2, 1.5 2, 1.5 1.5))"),
+    ("l1", "LINESTRING (0 0, 5 5, 10 0)"),
+    ("pt1", "POINT (2.5 2.5)"),
+    ("mp1", "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))"),
+    ("ml1", "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"),
+]
+BAD_WKT = [
+    ("b1", "GEOMETRYCOLLECTION (POINT (1 1))"),
+    ("b2", "POLYGON EMPTY"),
+    ("b3", "POLYGON ((0 0, 1 0))"),  # unclosed / too few points
+    ("b4", "NOT A GEOMETRY"),
+    ("b5", ""),
+]
+
+
+def test_parse_wkt_golden():
+    g, parts = parse_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert g == "POLYGON" and len(parts) == 1 and len(parts[0]) == 5
+    g, parts = parse_wkt("POINT (2.5 -3.5)")
+    assert g == "POINT" and parts == [[[2.5, -3.5]]]
+    for _, bad in BAD_WKT:
+        assert parse_wkt(bad) is None
+
+
+def test_read_wkt_tsv_drops_bad_rows(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/geoms.tsv"
+        with open(path, "w") as f:
+            f.write("id\twkt\n")
+            for i, w in GOOD_WKT + BAD_WKT:
+                f.write(f"{i}\t{w}\n")
+        df = read_wkt_delimited(spark, path, "id", "wkt")
+        rows = {r.id: r for r in df.collect()}
+        assert set(rows) == {i for i, _ in GOOD_WKT}
+        assert rows["p1"].maxx == 4.0 and rows["p1"].miny == 0.0
+        assert rows["mp1"].maxx == 6.0
+        assert rows["pt1"].minx == rows["pt1"].maxx == 2.5
+
+
+def test_read_ntriples(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/data.nt"
+        with open(path, "w") as f:
+            f.write(
+                '<http://ex/a> <http://www.opengis.net/ont/geosparql#asWKT> "POINT (1 2)" .\n'
+            )
+            f.write('<http://ex/a> <http://ex/name> "ignored" .\n')
+            f.write(
+                '<http://ex/b> <http://www.opengis.net/ont/geosparql#asWKT> "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))" .\n'
+            )
+        df = read_ntriples(spark, path)
+        rows = {r.id: r for r in df.collect()}
+        assert set(rows) == {"http://ex/a", "http://ex/b"}
+        assert rows["http://ex/a"].gtype == "POINT"
+        assert rows["http://ex/b"].maxx == 2.0
+
+
+def test_wkt_roundtrip_equals_direct_path(spark):
+    """WKT-ize the derived boxes, write TSV, read through the reader stack,
+    tile-join — must equal the arithmetic-derived join exactly."""
+    src = load_sql(spark, SF_SMALL, source_box_sql())
+    tgt = load_sql(spark, SF_SMALL, target_box_sql())
+    direct = set(
+        (r.s_id, r.t_id) for r in tile_join(src, tgt).select("s_id", "t_id").collect()
+    )
+
+    def wktize(df):
+        return df.select(
+            "id",
+            F.concat(
+                F.lit("POLYGON (("),
+                F.col("minx"), F.lit(" "), F.col("miny"), F.lit(", "),
+                F.col("maxx"), F.lit(" "), F.col("miny"), F.lit(", "),
+                F.col("maxx"), F.lit(" "), F.col("maxy"), F.lit(", "),
+                F.col("minx"), F.lit(" "), F.col("maxy"), F.lit(", "),
+                F.col("minx"), F.lit(" "), F.col("miny"),
+                F.lit("))"),
+            ).alias("wkt"),
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        wktize(src).write.option("header", True).option("delimiter", "\t").csv(
+            f"{tmp}/src"
+        )
+        wktize(tgt).write.option("header", True).option("delimiter", "\t").csv(
+            f"{tmp}/tgt"
+        )
+        s2 = read_wkt_delimited(spark, f"{tmp}/src", "id", "wkt").withColumn(
+            "id", F.col("id").cast("long")
+        )
+        t2 = read_wkt_delimited(spark, f"{tmp}/tgt", "id", "wkt").withColumn(
+            "id", F.col("id").cast("long")
+        )
+        via_wkt = set(
+            (r.s_id, r.t_id)
+            for r in tile_join(s2, t2).select("s_id", "t_id").collect()
+        )
+    assert via_wkt == direct
+
+
+def test_sinks_write_expected_shapes(spark):
+    src = load_sql(spark, SF_SMALL, source_box_sql())
+    tgt = load_sql(spark, SF_SMALL, target_box_sql())
+    rel = with_relations(tile_join(src, tgt))
+    with tempfile.TemporaryDirectory() as tmp:
+        export_csv_pairs(rel, f"{tmp}/pairs")
+        got = spark.read.option("header", True).csv(f"{tmp}/pairs")
+        assert got.columns == ["s_id", "t_id"] and got.count() == rel.count()
+
+        export_ntriples(rel, f"{tmp}/nt", single_file=True)
+        lines = spark.read.text(f"{tmp}/nt").collect()
+        assert len(lines) == rel.count()
+        assert all("sfIntersects" in r.value and r.value.endswith(" .") for r in lines)
+
+        export_rdf(rel, f"{tmp}/rdf")
+        rdf = spark.read.text(f"{tmp}/rdf")
+        n_true = rel.select(
+            sum(
+                F.when(F.col(f"r_{x}"), 1).otherwise(0)
+                for x in ("contains", "coveredby", "covers", "crosses", "equals",
+                          "intersects", "overlaps", "touches", "within")
+            ).alias("n")
+        ).agg(F.sum("n")).collect()[0][0]
+        assert rdf.count() == n_true

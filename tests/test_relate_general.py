@@ -1,0 +1,130 @@
+"""General-path verifier tests.
+
+1. Golden DE-9IM cases (hand-derived JTS semantics) per type combo.
+2. Equivalence (the reference IntersectionMatrixTest pattern,
+   src/test/scala/IntersectionMatrixTest.scala:29-38): the pandas-UDF
+   general path must agree with the closed-form column algebra on the
+   derived segment×box workload.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from conftest import SF_SMALL
+
+from pyspark.sql import functions as F
+
+from ds_jedai_spark.io.synthetic import line_sql, load_sql, source_box_sql
+from ds_jedai_spark.model.geometry import parse_wkt
+from ds_jedai_spark.operators.relate_general import relate_pair, with_general_relations
+from ds_jedai_spark.operators.relate_lines import seg_box_predicates
+from ds_jedai_spark.operators.spatial_join import tile_join
+
+
+def rel(wkt_a: str, wkt_b: str) -> dict[str, bool]:
+    ga, pa = parse_wkt(wkt_a)
+    gb, pb = parse_wkt(wkt_b)
+    return relate_pair(ga, pa, gb, pb)
+
+
+def test_point_point():
+    assert rel("POINT (1 1)", "POINT (1 1)")["equals"]
+    assert rel("POINT (1 1)", "POINT (2 1)")["disjoint"]
+
+
+def test_point_line():
+    d = rel("POINT (1 1)", "LINESTRING (0 0, 2 2)")
+    assert d["within"] and d["intersects"] and not d["touches"]
+    d = rel("POINT (0 0)", "LINESTRING (0 0, 2 2)")
+    assert d["touches"] and not d["within"]
+    assert rel("POINT (3 0)", "LINESTRING (0 0, 2 2)")["disjoint"]
+
+
+def test_point_polygon_with_hole():
+    poly = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+    assert rel("POINT (0.5 0.5)", poly)["within"]
+    assert rel("POINT (2 2)", poly)["disjoint"]  # inside the hole
+    assert rel("POINT (1 2)", poly)["touches"]  # on hole boundary
+    assert rel("POINT (0 2)", poly)["touches"]  # on outer boundary
+
+
+def test_line_line():
+    d = rel("LINESTRING (0 0, 2 2)", "LINESTRING (0 2, 2 0)")
+    assert d["crosses"] and d["intersects"]
+    d = rel("LINESTRING (0 0, 1 1)", "LINESTRING (1 1, 2 0)")
+    assert d["touches"] and not d["crosses"]
+    d = rel("LINESTRING (0 0, 2 0)", "LINESTRING (1 0, 3 0)")
+    assert d["overlaps"] and not d["crosses"]
+    d = rel("LINESTRING (0 0, 3 0)", "LINESTRING (1 0, 2 0)")
+    assert d["contains"] and d["covers"] and not d["overlaps"]
+    d = rel("LINESTRING (0 0, 2 2)", "LINESTRING (2 2, 0 0)")
+    assert d["equals"]
+
+
+def test_line_rect():
+    box = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    assert rel("LINESTRING (-1 2, 5 2)", box)["crosses"]
+    d = rel("LINESTRING (1 1, 3 3)", box)
+    assert d["within"] and not d["crosses"]
+    d = rel("LINESTRING (0 0, 4 0)", box)  # along bottom edge
+    assert d["touches"] and d["coveredby"] and not d["within"]
+    d = rel("LINESTRING (-2 -2, -1 -1)", box)
+    assert d["disjoint"]
+    d = rel("LINESTRING (-1 5, 5 -1)", box)  # clips the corner region
+    assert d["crosses"]
+
+
+def test_rect_rect_matches_box_algebra():
+    a = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    b = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+    d = rel(a, b)
+    assert d["overlaps"] and d["intersects"] and not d["contains"]
+    inner = "POLYGON ((0.5 0.5, 1 0.5, 1 1, 0.5 1, 0.5 0.5))"
+    assert rel(a, inner)["contains"]
+    edge = "POLYGON ((2 0, 3 0, 3 1, 2 1, 2 0))"
+    assert rel(a, edge)["touches"]
+
+
+def test_general_path_equals_closed_form(spark):
+    """Segment×box: pandas-UDF verifier == closed-form SQL algebra."""
+    boxes = load_sql(spark, SF_SMALL, source_box_sql()).select(
+        "id", "minx", "miny", "maxx", "maxy",
+        F.lit("POLYGON").alias("gtype"),
+        F.array(
+            F.array(
+                F.array("minx", "miny"), F.array("maxx", "miny"),
+                F.array("maxx", "maxy"), F.array("minx", "maxy"),
+                F.array("minx", "miny"),
+            )
+        ).alias("coords"),
+    )
+    lines = load_sql(spark, SF_SMALL, line_sql()).select(
+        "id", "minx", "miny", "maxx", "maxy", "x1", "y1", "x2", "y2",
+        F.lit("LINESTRING").alias("gtype"),
+        F.array(F.array(F.array("x1", "y1"), F.array("x2", "y2"))).alias("coords"),
+    )
+    # Lines as SOURCE so the general path yields line-relative relations
+    # (no swap), matching seg_box_predicates' line-vs-box perspective.
+    cand = tile_join(
+        lines,
+        boxes,
+        source_extra=("gtype", "coords", "x1", "y1", "x2", "y2"),
+        target_extra=("gtype", "coords"),
+    )
+    general = with_general_relations(cand)
+    preds = seg_box_predicates(s="s_", t="t_")
+    rows = general.select(
+        "s_id", "t_id",
+        *[F.col(f"r_{r}").alias(f"g_{r}") for r in ("intersects", "crosses", "touches", "within", "coveredby", "disjoint")],
+        *[F.expr(preds[r]).alias(f"c_{r}") for r in ("intersects", "crosses", "touches", "within", "coveredby", "disjoint")],
+    ).collect()
+    assert rows
+    for r in rows:
+        for name in ("intersects", "crosses", "touches", "within", "coveredby", "disjoint"):
+            assert r[f"g_{name}"] == r[f"c_{name}"], (
+                r.s_id, r.t_id, name, r.asDict()
+            )
