@@ -53,6 +53,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "reciprocal_topk_mbro": pp.reciprocal_topk_mbro,
             "random_sched": pp.random_sched,
             "pgr_js_overlaps": pp.pgr_js_overlaps,
+            "composite_js_mbro": pp.composite_js_mbro,
+            "hybrid_js_mbro": pp.hybrid_js_mbro,
+            "thin_multi_js_cf_mbro": pp.thin_multi_js_cf_mbro,
+            "progressive_isp": pp.progressive_isp,
+            "local_budget_js": pp.local_budget_js,
             "theta_stats": pp.theta_stats,
             "skew_cost": pp.skew_cost,
             # Stateful scans — sequential semantics, rows-only checks:
@@ -82,6 +87,11 @@ def oracle_sql() -> dict[str, str]:
             "reciprocal_topk_mbro": pp.reciprocal_topk_mbro_oracle(),
             "random_sched": pp.random_sched_oracle(),
             "pgr_js_overlaps": pp.pgr_js_overlaps_oracle(),
+            "composite_js_mbro": pp.composite_js_mbro_oracle(),
+            "hybrid_js_mbro": pp.hybrid_js_mbro_oracle(),
+            "thin_multi_js_cf_mbro": pp.thin_multi_js_cf_mbro_oracle(),
+            "progressive_isp": pp.progressive_isp_oracle(),
+            "local_budget_js": pp.local_budget_js_oracle(),
             "theta_stats": pp.theta_stats_oracle(),
             "skew_cost": pp.skew_cost_oracle(),
         }

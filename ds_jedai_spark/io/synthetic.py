@@ -100,6 +100,20 @@ def line_sql(table: str = "customer", key: str = "c_custkey") -> str:
     )
 
 
+POINT_ID_OFFSET = 1_000_000_000
+
+
+def mixed_target_sql() -> str:
+    """Mixed-geometry TARGET: boxes UNION points, ids made disjoint by an
+    offset. Gives the ISP weighting function (1/(npoints_s+npoints_t)) real
+    variance — point rows have 1 boundary point, boxes 5."""
+    return (
+        f"SELECT id, minx, miny, maxx, maxy FROM ({target_box_sql()}) mb "
+        f"UNION ALL SELECT id + {POINT_ID_OFFSET} AS id, minx, miny, maxx, maxy "
+        f"FROM ({point_sql()}) mp"
+    )
+
+
 def temporal_source_sql() -> str:
     """Spatio-temporal SOURCE: sampled orders boxes + order date."""
     b = _box_exprs("o_orderkey", SRC_MX, SRC_MY, 1, 7)

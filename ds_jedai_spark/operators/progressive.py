@@ -68,6 +68,82 @@ def reciprocal_topk(cand: DataFrame, weight_sql: str, k: int) -> DataFrame:
     )
 
 
+def composite_top_budget(
+    cand: DataFrame, main_sql: str, secondary_sql: str, budget: int
+) -> DataFrame:
+    """COMPOSITE weighting scheme: the secondary weight breaks main-weight
+    ties (reference: model/weightedPairs/CompositeWP.scala:27-44 — with its
+    documented non-transitivity consciously replaced by a total order)."""
+    return (
+        cand.withColumn("w", F.expr(main_sql))
+        .withColumn("w2", F.expr(secondary_sql))
+        .select("s_id", "t_id", "w", "w2")
+        .orderBy(F.desc("w"), F.desc("w2"), "s_id", "t_id")
+        .limit(budget)
+    )
+
+
+def hybrid_top_budget(
+    cand: DataFrame, main_sql: str, secondary_sql: str, budget: int
+) -> DataFrame:
+    """HYBRID weighting scheme: product of the two weights
+    (reference: model/weightedPairs/HybridWP.scala:28-39)."""
+    return progressive_top_budget(cand, f"(({main_sql}) * ({secondary_sql}))", budget)
+
+
+def thin_multi_top_budget(
+    cand: DataFrame, w1_sql: str, w2_sql: str, w3_sql: str, budget: int
+) -> DataFrame:
+    """THIN_MULTI_COMPOSITE scheme: lexicographic (w1, w2, w3) ordering —
+    the reference fixes these to (JS, CF, MBRO)
+    (model/weightedPairs/ThinMultiCompositePair.scala:8-21)."""
+    return (
+        cand.withColumn("w1", F.expr(w1_sql))
+        .withColumn("w2", F.expr(w2_sql))
+        .withColumn("w3", F.expr(w3_sql))
+        .select("s_id", "t_id", "w1", "w2", "w3")
+        .orderBy(F.desc("w1"), F.desc("w2"), F.desc("w3"), "s_id", "t_id")
+        .limit(budget)
+    )
+
+
+def local_budget_top(
+    cand: DataFrame,
+    source: DataFrame,
+    weight_sql: str,
+    budget: int,
+    pid_sql: str,
+    source_pid_sql: str,
+) -> DataFrame:
+    """Budget-proportional scheduling: each spatial partition p gets
+    ``localBudget = ceil(budget * |source_p| / |source|)`` and keeps its own
+    top-localBudget pairs (reference: linkers/progressive/
+    ProgressiveGIAnt.scala:26). Partition id is a coarse grid cell of the
+    source envelope; per-pid counts are a tiny aggregate broadcast into the
+    candidate stream — no driver-side action."""
+    counts = (
+        source.withColumn("pid", F.expr(source_pid_sql))
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+        .withColumn(
+            "lb",
+            F.expr(f"CAST(floor(({budget} * cnt + total - 1.0) / total) AS BIGINT)"),
+        )
+        .select("pid", "lb")
+    )
+    w = Window.partitionBy("pid").orderBy(F.desc("w"), "s_id", "t_id")
+    return (
+        with_weight(cand, weight_sql)
+        .withColumn("pid", F.expr(pid_sql))
+        .select("s_id", "t_id", "w", "pid")
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(counts), on="pid", how="inner")
+        .where(F.col("rn") <= F.col("lb"))
+        .select("s_id", "t_id", "w")
+    )
+
+
 def random_scheduling(cand: DataFrame, budget: int) -> DataFrame:
     """RANDOM: seeded-hash weights + the same top-budget machinery."""
     return progressive_top_budget(cand, RANDOM_WEIGHT_SQL, budget)

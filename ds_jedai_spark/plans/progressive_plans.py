@@ -17,7 +17,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ds_jedai_spark.io.synthetic import load_sql, source_box_sql, target_box_sql
+from ds_jedai_spark.io.synthetic import (
+    load_sql,
+    mixed_target_sql,
+    source_box_sql,
+    target_box_sql,
+)
 from ds_jedai_spark.operators import progressive as prog
 from ds_jedai_spark.operators.relate import with_relations
 from ds_jedai_spark.operators.spatial_join import tile_join
@@ -29,6 +34,14 @@ TOTAL_BLOCKS = 10000
 PROG_BUDGET = 2000
 TOPK_K = 5
 RECIP_K = 3
+
+# Coarse spatial-partition id of an envelope's min corner (coords < 96,
+# so 12x12 cells of 8.0 units; 64 keeps x/y digits disjoint).
+def _pid_sql(p: str) -> str:
+    return (
+        f"(CAST(floor({p}minx / 8.0) AS BIGINT) * 64 + "
+        f"CAST(floor({p}miny / 8.0) AS BIGINT))"
+    )
 
 WEXPR = weight_exprs("s_", "t_", THETA[0], THETA[1], TOTAL_BLOCKS)
 
@@ -57,6 +70,51 @@ def random_sched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def progressive_giant_x2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prog.progressive_top_budget(_cand(spark, sf_dir), WEXPR["x2"], PROG_BUDGET)
+
+
+def composite_js_mbro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE scheme: JS main weight, MBRO breaks ties."""
+    return prog.composite_top_budget(
+        _cand(spark, sf_dir), WEXPR["js"], WEXPR["mbro"], PROG_BUDGET
+    )
+
+
+def hybrid_js_mbro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID scheme: JS x MBRO product weight."""
+    return prog.hybrid_top_budget(
+        _cand(spark, sf_dir), WEXPR["js"], WEXPR["mbro"], PROG_BUDGET
+    )
+
+
+def thin_multi_js_cf_mbro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THIN_MULTI_COMPOSITE scheme: lexicographic (JS, CF, MBRO) — the
+    fixed triple used by the reference's early-stopping linker."""
+    return prog.thin_multi_top_budget(
+        _cand(spark, sf_dir), WEXPR["js"], WEXPR["cf"], WEXPR["mbro"], PROG_BUDGET
+    )
+
+
+def progressive_isp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE_GIANT with the ISP weight over a mixed boxes+points
+    target, where the boundary-point count actually varies."""
+    source = load_sql(spark, sf_dir, source_box_sql())
+    target = load_sql(spark, sf_dir, mixed_target_sql())
+    cand = tile_join(source, target, theta=THETA)
+    return prog.progressive_top_budget(cand, WEXPR["isp"], PROG_BUDGET)
+
+
+def local_budget_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget split proportionally to per-spatial-partition source counts
+    (reference ProgressiveGIAnt.scala:26), JS weights."""
+    source = load_sql(spark, sf_dir, source_box_sql())
+    return prog.local_budget_top(
+        _cand(spark, sf_dir),
+        source,
+        WEXPR["js"],
+        PROG_BUDGET,
+        _pid_sql("s_"),
+        _pid_sql(""),
+    )
 
 
 def pgr_js_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,6 +220,59 @@ def reciprocal_topk_mbro_oracle() -> str:
         f"row_number() OVER (PARTITION BY s_id ORDER BY w_mbro DESC, t_id) AS rn_s, "
         f"row_number() OVER (PARTITION BY t_id ORDER BY w_mbro DESC, s_id) AS rn_t "
         f"FROM ww) WHERE rn_s <= {RECIP_K} AND rn_t <= {RECIP_K}"
+    )
+
+
+def composite_js_mbro_oracle() -> str:
+    return (
+        f"{_w_cte()} SELECT s_id, t_id, w_js AS w, w_mbro AS w2 FROM ww "
+        f"ORDER BY w DESC, w2 DESC, s_id, t_id LIMIT {PROG_BUDGET}"
+    )
+
+
+def hybrid_js_mbro_oracle() -> str:
+    return (
+        f"{_w_cte()} SELECT s_id, t_id, (w_js * w_mbro) AS w FROM ww "
+        f"ORDER BY w DESC, s_id, t_id LIMIT {PROG_BUDGET}"
+    )
+
+
+def thin_multi_js_cf_mbro_oracle() -> str:
+    return (
+        f"{_w_cte()} SELECT s_id, t_id, w_js AS w1, w_cf AS w2, w_mbro AS w3 "
+        f"FROM ww ORDER BY w1 DESC, w2 DESC, w3 DESC, s_id, t_id LIMIT {PROG_BUDGET}"
+    )
+
+
+def progressive_isp_oracle() -> str:
+    env = (
+        "s.minx <= t.maxx AND t.minx <= s.maxx AND "
+        "s.miny <= t.maxy AND t.miny <= s.maxy"
+    )
+    cols = ", ".join(
+        f"s.{c} AS s_{c}, t.{c} AS t_{c}"
+        for c in ("id", "minx", "miny", "maxx", "maxy")
+    )
+    return (
+        f"WITH source AS ({source_box_sql()}), target AS ({mixed_target_sql()}), "
+        f"pairs AS (SELECT {cols} FROM source s JOIN target t ON {env}) "
+        f"SELECT s_id, t_id, {WEXPR['isp']} AS w FROM pairs "
+        f"ORDER BY w DESC, s_id, t_id LIMIT {PROG_BUDGET}"
+    )
+
+
+def local_budget_js_oracle() -> str:
+    pid_s, pid_src = _pid_sql("s_"), _pid_sql("")
+    return (
+        f"{_w_cte()}, "
+        f"pidc AS (SELECT {pid_src} AS pid, count(*) AS cnt FROM source GROUP BY 1), "
+        f"tot AS (SELECT sum(cnt) AS total FROM pidc), "
+        f"lims AS (SELECT pid, CAST(floor(({PROG_BUDGET} * cnt + total - 1.0) / total) "
+        f"AS BIGINT) AS lbv FROM pidc, tot), "
+        f"rnk AS (SELECT s_id, t_id, w_js AS w, {pid_s} AS pid FROM ww), "
+        f"rr AS (SELECT *, row_number() OVER (PARTITION BY pid "
+        f"ORDER BY w DESC, s_id, t_id) AS rn FROM rnk) "
+        f"SELECT s_id, t_id, w FROM rr JOIN lims USING (pid) WHERE rn <= lbv"
     )
 
 
