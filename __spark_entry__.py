@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "local_budget_js": pp.local_budget_js,
             "theta_stats": pp.theta_stats,
             "skew_cost": pp.skew_cost,
+            "skew_entities": pp.skew_entities,
+            "well_balanced_counts": pp.well_balanced_counts,
             # Stateful scans — sequential semantics, rows-only checks:
             "dynamic_progressive_js": pp.dynamic_progressive_js,
             "early_stopping_js": pp.early_stopping_js,
@@ -94,6 +96,8 @@ def oracle_sql() -> dict[str, str]:
             "local_budget_js": pp.local_budget_js_oracle(),
             "theta_stats": pp.theta_stats_oracle(),
             "skew_cost": pp.skew_cost_oracle(),
+            "skew_entities": pp.skew_entities_oracle(),
+            "well_balanced_counts": giant.giant_counts_oracle(),
         }
     )
     o.update(pl.ORACLES)

@@ -36,14 +36,18 @@ def _candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_relations(tile_join(source, target))
 
 
-def giant_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: verifications + qualifying pairs + 9 relation counts."""
-    cand = _candidates(spark, sf_dir)
+def counts_agg(cand: DataFrame) -> DataFrame:
+    """The GiantExp 11-counter aggregation over relation-flagged candidates."""
     aggs = [F.count(F.lit(1)).alias("verifications"),
             F.count(F.when(F.col("r_intersects"), True)).alias("qualifying_pairs")]
     for r in COUNT_RELATIONS:
         aggs.append(F.count(F.when(F.col(f"r_{r}"), True)).alias(f"n_{r}"))
     return cand.agg(*aggs)
+
+
+def giant_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: verifications + qualifying pairs + 9 relation counts."""
+    return counts_agg(_candidates(spark, sf_dir))
 
 
 def relation_pairs(relation: str):

@@ -170,6 +170,25 @@ def theta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skew_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targets whose verification-cost z-score exceeds 3 — the skew set of
+    WellBalancedDistributedInterlinking.scala:45-57."""
+    from ds_jedai_spark.operators.loadbalance import skew_targets
+
+    return skew_targets(_cand(spark, sf_dir))
+
+
+def well_balanced_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIA.nt counts through the skew-split two-path join: the balanced
+    physical plan must produce the identical logical result (the oracle is
+    the plain giant_counts oracle)."""
+    from ds_jedai_spark.operators.loadbalance import well_balanced_candidates
+    from ds_jedai_spark.plans.giant import counts_agg
+
+    cand = well_balanced_candidates(_cand(spark, sf_dir), skew_parts=8)
+    return counts_agg(with_relations(cand))
+
+
 def skew_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-target verification cost (candidate count) — the load-balancing
     statistic of WellBalancedDistributedInterlinking.scala:42-57."""
@@ -311,3 +330,16 @@ def theta_stats_oracle() -> str:
 
 def skew_cost_oracle() -> str:
     return f"{_pairs_cte()} SELECT t_id, count(*) AS cost FROM pairs GROUP BY t_id"
+
+
+def skew_entities_oracle() -> str:
+    from ds_jedai_spark.operators.loadbalance import MEAN_SQL, STD_SQL, Z_SCORE
+
+    return (
+        f"{_pairs_cte()}, "
+        f"cost AS (SELECT t_id, count(*) AS cost FROM pairs GROUP BY t_id), "
+        f"stats AS (SELECT count(*) AS n, sum(cost) AS sc, "
+        f"sum(cost * cost) AS sc2 FROM cost) "
+        f"SELECT t_id, cost FROM cost, stats "
+        f"WHERE (CAST(cost AS DOUBLE) - {MEAN_SQL}) > {Z_SCORE!r} * {STD_SQL}"
+    )
