@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_in_box_pairs": giant.point_in_box_pairs,
         "line_box_counts": giant.line_box_counts,
         "line_box_crosses_pairs": giant.line_box_crosses_pairs,
+        "partitioned_counts": giant.partitioned_counts,
     }
     for rel in PAIR_RELATIONS:
         q[f"pairs_{rel}"] = giant.relation_pairs(rel)
@@ -78,6 +79,7 @@ def oracle_sql() -> dict[str, str]:
         "point_in_box_pairs": giant.point_in_box_pairs_oracle(),
         "line_box_counts": giant.line_box_counts_oracle(),
         "line_box_crosses_pairs": giant.line_box_crosses_pairs_oracle(),
+        "partitioned_counts": giant.giant_counts_oracle(),
     }
     for rel in PAIR_RELATIONS:
         o[f"pairs_{rel}"] = giant.relation_pairs_oracle(rel)

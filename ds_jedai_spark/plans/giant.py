@@ -117,6 +117,17 @@ def point_in_box_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.where(F.col("r_covers")).select("s_id", "t_id")
 
 
+def partitioned_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIA.nt counts through the sampled quantile-grid partitioner instead
+    of the tile join — partitioning is physical, so the result must equal
+    plain giant_counts (the oracle is the same SQL)."""
+    from ds_jedai_spark.operators.partitioner import partitioned_join
+
+    source = load_sql(spark, sf_dir, source_box_sql())
+    target = load_sql(spark, sf_dir, target_box_sql())
+    return counts_agg(with_relations(partitioned_join(source, target)))
+
+
 def _line_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Box×segment candidates: tile join on envelopes, segment coords kept."""
     source = load_sql(spark, sf_dir, source_box_sql())
