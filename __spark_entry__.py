@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_box_counts": giant.line_box_counts,
         "line_box_crosses_pairs": giant.line_box_crosses_pairs,
         "partitioned_counts": giant.partitioned_counts,
+        "finegrained_line_counts": giant.finegrained_line_counts,
     }
     for rel in PAIR_RELATIONS:
         q[f"pairs_{rel}"] = giant.relation_pairs(rel)
@@ -80,6 +81,7 @@ def oracle_sql() -> dict[str, str]:
         "line_box_counts": giant.line_box_counts_oracle(),
         "line_box_crosses_pairs": giant.line_box_crosses_pairs_oracle(),
         "partitioned_counts": giant.giant_counts_oracle(),
+        "finegrained_line_counts": giant.finegrained_line_counts_oracle(),
     }
     for rel in PAIR_RELATIONS:
         o[f"pairs_{rel}"] = giant.relation_pairs_oracle(rel)

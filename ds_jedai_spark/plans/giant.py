@@ -159,6 +159,40 @@ def line_box_crosses_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def finegrained_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line×box counts through the FineGrainedEnvelopes pre-filter: each
+    segment is refined into 4 closed-form slice envelopes and a candidate
+    survives only if the box overlaps one of them. Verification count drops
+    (pruning power) while every true-relation count is provably unchanged —
+    slice envelopes cover the segment, so intersecting pairs always pass
+    (reference: model/approximations/FineGrainedEnvelopes.scala:22-55)."""
+    from ds_jedai_spark.operators.decompose import seg_fine_filter_sql
+    from ds_jedai_spark.operators.relate_lines import seg_box_predicates
+
+    preds = seg_box_predicates(s="t_", t="s_")
+    cand = _line_candidates(spark, sf_dir).where(
+        F.expr(seg_fine_filter_sql("s_", "t_", 4))
+    )
+    aggs = [F.count(F.lit(1)).alias("verifications")]
+    for r in ("intersects", "crosses", "touches", "within", "coveredby"):
+        aggs.append(F.count(F.when(F.expr(preds[r]), True)).alias(f"n_{r}"))
+    return cand.agg(*aggs)
+
+
+def finegrained_line_counts_oracle() -> str:
+    from ds_jedai_spark.operators.decompose import seg_fine_filter_sql
+    from ds_jedai_spark.operators.relate_lines import seg_box_predicates
+
+    preds = seg_box_predicates(s="t_", t="s_")
+    sel = ["COUNT(*) AS verifications"]
+    for r in ("intersects", "crosses", "touches", "within", "coveredby"):
+        sel.append(f"COUNT(*) FILTER (WHERE {preds[r]}) AS n_{r}")
+    return (
+        f"{_line_pairs_cte()} SELECT {', '.join(sel)} FROM pairs "
+        f"WHERE {seg_fine_filter_sql('s_', 't_', 4)}"
+    )
+
+
 def _line_pairs_cte() -> str:
     env = (
         "s.minx <= t.maxx AND t.minx <= s.maxx AND "

@@ -1,0 +1,54 @@
+"""with_fine_envelopes + list-vs-list filter: never prunes a truly
+intersecting pair (metamorphic check over WKT fixtures through the full
+DataFrame path)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ds_jedai_spark.model.geometry import valid_geometries, with_parsed_geometry
+from ds_jedai_spark.operators.decompose import (
+    FINE_OVERLAP_SQL,
+    with_fine_envelopes,
+)
+
+WKTS = [
+    (1, "LINESTRING (0 0, 8 8)"),
+    (2, "LINESTRING (0 8, 8 0)"),
+    (3, "POLYGON ((3 3, 5 3, 5 5, 3 5, 3 3))"),
+    (4, "POLYGON ((0 6, 2 6, 2 8, 0 8, 0 6))"),
+    (5, "POINT (4 4)"),
+    (6, "LINESTRING (6 0, 8 2)"),
+]
+
+
+@pytest.fixture(scope="module")
+def geoms(spark):
+    df = spark.createDataFrame(WKTS, ["id", "wkt"])
+    return with_fine_envelopes(valid_geometries(with_parsed_geometry(df)))
+
+
+def test_fine_filter_keeps_all_true_intersections(spark, geoms):
+    from ds_jedai_spark.operators.relate_general import with_general_relations
+
+    s = geoms.select(*[F.col(c).alias(f"s_{c}") for c in geoms.columns])
+    t = geoms.select(*[F.col(c).alias(f"t_{c}") for c in geoms.columns])
+    cand = s.crossJoin(t).where(F.col("s_id") != F.col("t_id"))
+
+    full = with_general_relations(cand.drop("s_fine_envs", "t_fine_envs"))
+    truly = {
+        (r.s_id, r.t_id) for r in full.where("r_intersects").collect()
+    }
+    kept = {
+        (r.s_id, r.t_id)
+        for r in cand.where(F.expr(FINE_OVERLAP_SQL)).select("s_id", "t_id").collect()
+    }
+    assert truly <= kept  # no false prune
+    # and the filter does prune something the MBR test would keep:
+    mbr_kept = {
+        (r.s_id, r.t_id)
+        for r in cand.where(
+            "s_minx <= t_maxx AND t_minx <= s_maxx AND "
+            "s_miny <= t_maxy AND t_miny <= s_maxy"
+        ).select("s_id", "t_id").collect()
+    }
+    assert kept < mbr_kept
