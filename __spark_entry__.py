@@ -17,6 +17,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from ds_jedai_spark.plans import giant  # noqa: E402
 from ds_jedai_spark.plans import pipeline_plans as pl  # noqa: E402
 from ds_jedai_spark.plans import progressive_plans as pp  # noqa: E402
+from ds_jedai_spark.plans import streaming_plans as sp  # noqa: E402
 
 PAIR_RELATIONS = (
     "intersects",
@@ -70,6 +71,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         }
     )
     q.update(pl.QUERIES)
+    q.update(
+        {
+            "stream_window_counts": sp.stream_window_counts,
+            "stream_points_in_boxes": sp.stream_points_in_boxes,
+        }
+    )
     return q
 
 
@@ -105,4 +112,10 @@ def oracle_sql() -> dict[str, str]:
         }
     )
     o.update(pl.ORACLES)
+    o.update(
+        {
+            "stream_window_counts": sp.stream_window_counts_oracle(),
+            "stream_points_in_boxes": sp.stream_points_in_boxes_oracle(),
+        }
+    )
     return o

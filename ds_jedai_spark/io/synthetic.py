@@ -70,14 +70,24 @@ def target_box_sql(table: str = "orders", key: str = "o_orderkey") -> str:
     return f"SELECT CAST({key} AS BIGINT) AS id, {', '.join(cols)} FROM {table}"
 
 
-def point_sql(table: str = "customer", key: str = "c_custkey") -> str:
-    """POINT dataset: one lattice point per customer row (minx=maxx etc.)."""
+def point_exprs(key: str) -> dict[str, str]:
+    """Column SQL for the lattice-point derivation (shared with streaming)."""
     x = f"(CAST(({key} * {SRC_MX}) % {GRID + 25} AS DOUBLE) / {SCALE})"
     y = f"(CAST(({key} * {TGT_MY}) % {GRID + 25} AS DOUBLE) / {SCALE})"
-    return (
-        f"SELECT CAST({key} AS BIGINT) AS id, {x} AS minx, {y} AS miny, "
-        f"{x} AS maxx, {y} AS maxy FROM {table}"
-    )
+    return {
+        "id": f"CAST({key} AS BIGINT)",
+        "minx": x,
+        "miny": y,
+        "maxx": x,
+        "maxy": y,
+    }
+
+
+def point_sql(table: str = "customer", key: str = "c_custkey") -> str:
+    """POINT dataset: one lattice point per customer row (minx=maxx etc.)."""
+    e = point_exprs(key)
+    cols = ", ".join(f"{v} AS {k}" for k, v in e.items())
+    return f"SELECT {cols} FROM {table}"
 
 
 def line_sql(table: str = "customer", key: str = "c_custkey") -> str:

@@ -1,0 +1,50 @@
+"""Streaming query plans, drained to completion for the correctness gate.
+
+Each query runs a real Structured Streaming pipeline (file source →
+watermark/window or stream-static tile join → memory sink) with
+``availableNow`` and returns the materialized result, so the DuckDB
+oracle checks the streaming path like any batch query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ds_jedai_spark.io.synthetic import load_sql, point_sql, source_box_sql
+from ds_jedai_spark.streaming import geostream as gs
+
+THETA = (1.0, 1.0)
+
+
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling rollup per event type."""
+    agg = gs.windowed_event_counts(gs.read_event_stream(spark, sf_dir))
+    gs.run_to_table(agg, "stream_window_counts_tbl", "complete")
+    return spark.table("stream_window_counts_tbl")
+
+
+def stream_points_in_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static tile join: event points enriched with covering boxes."""
+    pts = gs.event_points(gs.read_event_stream(spark, sf_dir))
+    src = load_sql(spark, sf_dir, source_box_sql())
+    j = gs.stream_points_in_boxes(pts, src, THETA)
+    gs.run_to_table(j, "stream_pib_tbl", "append")
+    return spark.table("stream_pib_tbl")
+
+
+def stream_window_counts_oracle() -> str:
+    return (
+        "SELECT date_trunc('hour', ts) AS win_start, event_type, "
+        "count(*) AS n, min(value) AS min_value, max(value) AS max_value "
+        "FROM events GROUP BY 1, 2"
+    )
+
+
+def stream_points_in_boxes_oracle() -> str:
+    return (
+        f"WITH source AS ({source_box_sql()}), "
+        f"target AS ({point_sql('events', 'event_id')}) "
+        f"SELECT s.id AS s_id, t.id AS t_id FROM source s JOIN target t "
+        f"ON s.minx <= t.minx AND t.maxx <= s.maxx "
+        f"AND s.miny <= t.miny AND t.maxy <= s.maxy"
+    )

@@ -1,0 +1,126 @@
+"""Structured Streaming surface: geometry event streams.
+
+The reference has NO streaming operators (SURVEY.md §2.10) — its only
+temporal feature is a static ±2-day join filter. This module is the
+engine's beyond-reference extension: the same tile-join machinery applied
+to an unbounded geometry event stream.
+
+Design (idiomatic Structured Streaming):
+- file-source ``readStream`` over the events parquet (at scale: Kafka or
+  cloud-storage autoloader-style listing — same plan shape);
+- watermarked tumbling-window aggregation for event rollups;
+- stream-static equi-join on tile id for point-in-region enrichment: the
+  static side is the tiled SOURCE dataset; a point maps to exactly ONE
+  tile, so the join needs no reference-point dedup and stays append-mode.
+
+Every query here is runnable to completion with
+``trigger(availableNow=True)`` into an in-memory sink, which turns the
+streaming computation into a deterministic, DuckDB-oracle-checkable
+DataFrame — the driver's correctness gate covers the streaming path too.
+
+Stateful extensions (sessionization via applyInPandasWithState) belong
+here when needed; the windowed aggregation covers the reference-adjacent
+rollup semantics without custom state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ds_jedai_spark.io.synthetic import point_exprs
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. The parquet stores
+    TIMESTAMP(NANOS); with nanosAsLong the long is restored to a proper
+    timestamp (micros) exactly like the batch reader (io/synthetic.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # File streams need a directory path; glob-filter to the events table.
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window rollup per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def event_points(events: DataFrame) -> DataFrame:
+    """Derive the lattice point of each event (same closed-form family as
+    the batch point dataset, so the oracle reuses point_sql)."""
+    e = point_exprs("event_id")
+    return events.selectExpr(*[f"{v} AS {k}" for k, v in e.items()])
+
+
+def stream_points_in_boxes(
+    points: DataFrame, static_source: DataFrame, theta: tuple[float, float]
+) -> DataFrame:
+    """Stream-static join: which static box covers each streaming point.
+
+    Static side is exploded to tiles once (it is re-broadcast per
+    micro-batch by Spark); the stream side maps each point to its single
+    tile — an append-mode equi-join with no stateful dedup needed.
+    """
+    from ds_jedai_spark.model.tiles import with_tiles
+
+    tx, ty = theta
+    s = with_tiles(static_source, theta).select(
+        "tx",
+        "ty",
+        *[
+            F.col(c).alias(f"s_{c}")
+            for c in ("id", "minx", "miny", "maxx", "maxy")
+        ],
+    )
+    t = points.select(
+        F.floor(F.col("minx") / tx).cast("int").alias("tx"),
+        F.floor(F.col("miny") / ty).cast("int").alias("ty"),
+        F.col("id").alias("t_id"),
+        F.col("minx").alias("t_x"),
+        F.col("miny").alias("t_y"),
+    )
+    covers = (
+        (F.col("s_minx") <= F.col("t_x"))
+        & (F.col("t_x") <= F.col("s_maxx"))
+        & (F.col("s_miny") <= F.col("t_y"))
+        & (F.col("t_y") <= F.col("s_maxy"))
+    )
+    return t.join(s, on=["tx", "ty"], how="inner").where(covers).select("s_id", "t_id")
+
+
+def run_to_table(sdf: DataFrame, name: str, output_mode: str) -> None:
+    """Drain the stream with availableNow into an in-memory table."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
