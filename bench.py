@@ -22,6 +22,9 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    # Warm up the JVM / codegen paths; data registration stays timed.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     headline = [
         "giant_counts",
         "pairs_intersects",

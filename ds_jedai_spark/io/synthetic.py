@@ -160,24 +160,39 @@ _NANO_TS_COLS = {
 }
 
 
-def register_views(spark, sf_dir: str) -> None:
-    """Register every testdata parquet as a temp view named after the table."""
+# (app, table) -> sf_dir last registered — registration re-runs only when
+# the target directory changes (schema listing of all 10 tables is ~5s of
+# pure overhead when repeated per query).
+_REGISTERED: dict[tuple[str, str], str] = {}
+
+
+def register_views(spark, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register testdata parquet as temp views named after the tables."""
     from pyspark.sql import functions as F, types as T
 
+    app = spark.sparkContext.applicationId
+    todo = [t for t in (tables or TABLES) if _REGISTERED.get((app, t)) != sf_dir]
+    if not todo:
+        return
     # The testdata parquet stores TIMESTAMP(NANOS), which Spark 4 rejects in
     # some scan paths; nanosAsLong is runtime-settable and makes every
     # session (including the driver's own) read them as long — restored to
     # timestamp below. Idempotent and safe for non-nanos files.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    for t in TABLES:
+    for t in todo:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         for c in _NANO_TS_COLS.get(t, ()):
             if isinstance(df.schema[c].dataType, T.LongType):
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
         df.createOrReplaceTempView(t)
+        _REGISTERED[(app, t)] = sf_dir
 
 
 def load_sql(spark, sf_dir: str, sql: str):
-    """Run a derivation SQL against the testdata views."""
-    register_views(spark, sf_dir)
+    """Run a derivation SQL against the testdata views, registering only
+    the tables the statement references."""
+    import re
+
+    needed = [t for t in TABLES if re.search(rf"\b{t}\b", sql)]
+    register_views(spark, sf_dir, needed or None)
     return spark.sql(sql)

@@ -30,10 +30,25 @@ from ds_jedai_spark.operators.spatial_join import tile_join
 COUNT_RELATIONS = [r for r in RELATIONS if r != "disjoint"]
 
 
+# Theta is a deterministic scalar per (session, sf_dir, dataset); computing
+# it is a full source scan, so repeat queries reuse the cached value.
+_THETA_CACHE: dict[tuple[str, str, str], tuple[float, float]] = {}
+
+
+def cached_theta(spark: SparkSession, sf_dir: str, tag: str, source: DataFrame):
+    from ds_jedai_spark.model.tiles import compute_theta
+
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    if key not in _THETA_CACHE:
+        _THETA_CACHE[key] = compute_theta(source)
+    return _THETA_CACHE[key]
+
+
 def _candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = load_sql(spark, sf_dir, source_box_sql())
     target = load_sql(spark, sf_dir, target_box_sql())
-    return with_relations(tile_join(source, target))
+    theta = cached_theta(spark, sf_dir, "source_box", source)
+    return with_relations(tile_join(source, target, theta=theta))
 
 
 def counts_agg(cand: DataFrame) -> DataFrame:
@@ -132,7 +147,8 @@ def _line_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Box×segment candidates: tile join on envelopes, segment coords kept."""
     source = load_sql(spark, sf_dir, source_box_sql())
     lines = load_sql(spark, sf_dir, line_sql())
-    return tile_join(source, lines, target_extra=("x1", "y1", "x2", "y2"))
+    theta = cached_theta(spark, sf_dir, "source_box", source)
+    return tile_join(source, lines, theta=theta, target_extra=("x1", "y1", "x2", "y2"))
 
 
 def line_box_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
