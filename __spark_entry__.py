@@ -45,6 +45,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_box_crosses_pairs": giant.line_box_crosses_pairs,
         "partitioned_counts": giant.partitioned_counts,
         "finegrained_line_counts": giant.finegrained_line_counts,
+        "dirty_self_pairs": giant.dirty_self_pairs,
+        "envelope_rank_counts": giant.envelope_rank_counts,
+        "pair_ref_points": giant.pair_ref_points,
     }
     for rel in PAIR_RELATIONS:
         q[f"pairs_{rel}"] = giant.relation_pairs(rel)
@@ -89,6 +92,9 @@ def oracle_sql() -> dict[str, str]:
         "line_box_crosses_pairs": giant.line_box_crosses_pairs_oracle(),
         "partitioned_counts": giant.giant_counts_oracle(),
         "finegrained_line_counts": giant.finegrained_line_counts_oracle(),
+        "dirty_self_pairs": giant.dirty_self_pairs_oracle(),
+        "envelope_rank_counts": giant.envelope_rank_counts_oracle(),
+        "pair_ref_points": giant.pair_ref_points_oracle(),
     }
     for rel in PAIR_RELATIONS:
         o[f"pairs_{rel}"] = giant.relation_pairs_oracle(rel)

@@ -46,6 +46,21 @@ RELATIONS = (
 )
 
 
+_SWAP = {
+    "within": "contains",
+    "contains": "within",
+    "covers": "coveredby",
+    "coveredby": "covers",
+}
+
+
+def swap_relation(relation: str) -> str:
+    """Relation seen from the other side (reference
+    utils/configuration/Constants.scala:30-36): WITHIN<->CONTAINS,
+    COVERS<->COVEREDBY; symmetric relations map to themselves."""
+    return _SWAP.get(relation, relation)
+
+
 def _c(p: str, c: str) -> str:
     return f"{p}{c}"
 

@@ -175,6 +175,75 @@ def line_box_crosses_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dirty_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty (self) interlinking of the source dataset: each unordered
+    intersecting pair once, via id ordering (reference
+    linkers/DirtyGIAnt.scala:1-80)."""
+    source = load_sql(spark, sf_dir, source_box_sql())
+    theta = cached_theta(spark, sf_dir, "source_box", source)
+    cand = tile_join(source, source, theta=theta)
+    return cand.where(F.col("s_id") < F.col("t_id")).select("s_id", "t_id")
+
+
+def dirty_self_pairs_oracle() -> str:
+    env = (
+        "s.minx <= t.maxx AND t.minx <= s.maxx AND "
+        "s.miny <= t.maxy AND t.miny <= s.maxy"
+    )
+    return (
+        f"WITH source AS ({source_box_sql()}) "
+        f"SELECT s.id AS s_id, t.id AS t_id FROM source s JOIN source t "
+        f"ON {env} AND s.id < t.id"
+    )
+
+
+def envelope_rank_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of envelope-intersection ranks over candidate pairs
+    (EnvelopeOp.scala:14-30 RANK0-3; all candidates overlap, so rank>=1)."""
+    from ds_jedai_spark.operators.envelopes import envelope_rank_expr
+
+    cand = _candidates(spark, sf_dir)
+    return (
+        cand.withColumn("rank", F.expr(envelope_rank_expr()))
+        .groupBy("rank")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def envelope_rank_counts_oracle() -> str:
+    from ds_jedai_spark.operators.envelopes import envelope_rank_expr
+
+    return (
+        f"{_pairs_cte()} SELECT {envelope_rank_expr()} AS rank, count(*) AS n "
+        f"FROM pairs GROUP BY 1"
+    )
+
+
+def pair_ref_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference point of every candidate pair in theta units + epsilon
+    (GeometryApproximationT.scala:35-44) — the dedup primitive exposed."""
+    from ds_jedai_spark.operators.envelopes import reference_point_exprs
+
+    e = reference_point_exprs()
+    cand = _candidates(spark, sf_dir)
+    return cand.select(
+        "s_id",
+        "t_id",
+        F.expr(e["ref_x"]).alias("ref_x"),
+        F.expr(e["ref_y"]).alias("ref_y"),
+    )
+
+
+def pair_ref_points_oracle() -> str:
+    from ds_jedai_spark.operators.envelopes import reference_point_exprs
+
+    e = reference_point_exprs()
+    return (
+        f"{_pairs_cte()} SELECT s_id, t_id, {e['ref_x']} AS ref_x, "
+        f"{e['ref_y']} AS ref_y FROM pairs"
+    )
+
+
 def finegrained_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line×box counts through the FineGrainedEnvelopes pre-filter: each
     segment is refined into 4 closed-form slice envelopes and a candidate
