@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "thin_multi_js_cf_mbro": pp.thin_multi_js_cf_mbro,
             "progressive_isp": pp.progressive_isp,
             "local_budget_js": pp.local_budget_js,
+            "progressive_eval_js_overlaps": pp.progressive_eval_js_overlaps,
+            "common_tiles_array": pp.common_tiles_array,
             "theta_stats": pp.theta_stats,
             "skew_cost": pp.skew_cost,
             "skew_entities": pp.skew_entities,
@@ -111,6 +113,8 @@ def oracle_sql() -> dict[str, str]:
             "thin_multi_js_cf_mbro": pp.thin_multi_js_cf_mbro_oracle(),
             "progressive_isp": pp.progressive_isp_oracle(),
             "local_budget_js": pp.local_budget_js_oracle(),
+            "progressive_eval_js_overlaps": pp.progressive_eval_js_overlaps_oracle(),
+            "common_tiles_array": pp.common_tiles_array_oracle(),
             "theta_stats": pp.theta_stats_oracle(),
             "skew_cost": pp.skew_cost_oracle(),
             "skew_entities": pp.skew_entities_oracle(),

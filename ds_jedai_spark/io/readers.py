@@ -16,9 +16,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ds_jedai_spark.model.geometry import valid_geometries, with_parsed_geometry
+from ds_jedai_spark.model.geometry import (
+    flatten_collection_wkt,
+    valid_geometries,
+    with_parsed_geometry,
+)
 
 DEFAULT_DATE_PATTERN = "yyyy-MM-dd HH:mm:ss"
+
+
+def explode_collections(df: DataFrame, wkt_col: str = "wkt") -> DataFrame:
+    """One row per GEOMETRYCOLLECTION member, other columns propagated
+    (reference GeometryUtils.scala:26-37). Arrow-batched; non-collection
+    rows pass through unchanged."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                for member in flatten_collection_wkt(row[wkt_col]):
+                    r = row.copy()
+                    r[wkt_col] = member
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=pdf.columns)
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    return df.mapInPandas(run, fields)
 
 
 def _finish(df: DataFrame, date_field: str | None, date_pattern: str) -> DataFrame:

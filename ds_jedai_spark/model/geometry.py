@@ -137,6 +137,34 @@ def parse_wkt(s: str) -> tuple[str, list[list[list[float]]]] | None:
     return None
 
 
+def flatten_collection_wkt(s: str) -> list[str]:
+    """Split a GEOMETRYCOLLECTION into member WKTs (reference
+    utils/geometryUtils/GeometryUtils.scala:26-37 flattens members and
+    propagates userData). Non-collections return themselves; nested
+    collections flatten recursively."""
+    if s is None:
+        return []
+    txt = s.strip()
+    m = re.match(r"^GEOMETRYCOLLECTION\s*\((.*)\)$", txt, re.S | re.I)
+    if not m:
+        return [txt]
+    out: list[str] = []
+    for member in _split_top(m.group(1)):
+        out.extend(flatten_collection_wkt(member.strip()))
+    return out
+
+
+def snap_precision(
+    parts: list[list[list[float]]], scale: float = 1e11
+) -> list[list[list[float]]]:
+    """Pointwise grid snap — the reference's GeometryPrecisionReducer at
+    scale 1e11 (utils/geometryUtils/GeometryUtils.scala:18-24)."""
+    return [
+        [[round(x * scale) / scale, round(y * scale) / scale] for x, y in part]
+        for part in parts
+    ]
+
+
 def format_wkt(gtype: str, parts: list[list[list[float]]]) -> str:
     def ring(pts):
         return ", ".join(f"{x} {y}" for x, y in pts)

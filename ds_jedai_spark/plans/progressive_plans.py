@@ -154,6 +154,74 @@ def early_stopping_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     return early_stopping(cand, WEXPR["js"], "r_equals", num_parts=4)
 
 
+def progressive_eval_js_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metrics of the budget-limited JS schedule against the full
+    ground truth (reference experiments/progressive/
+    ProgressiveEvaluation.scala:124-140): recall = qualifying pairs found
+    within budget / all qualifying pairs, precision = found / verified."""
+    cand = with_relations(_cand(spark, sf_dir)).persist()
+    totals = cand.agg(
+        F.sum(F.col("r_overlaps").cast("long")).alias("total_qp")
+    )
+    sched = (
+        prog.with_weight(cand, WEXPR["js"])
+        .select("s_id", "t_id", "w", F.col("r_overlaps").cast("long").alias("q"))
+        .orderBy(F.desc("w"), "s_id", "t_id")
+        .limit(PROG_BUDGET)
+    )
+    in_budget = sched.agg(
+        F.count(F.lit(1)).alias("verifications"),
+        F.sum("q").alias("qp_in_budget"),
+    )
+    return (
+        in_budget.crossJoin(totals)
+        .withColumn(
+            "recall",
+            F.expr("CAST(qp_in_budget AS DOUBLE) / CAST(total_qp AS DOUBLE)"),
+        )
+        .withColumn(
+            "precision",
+            F.expr("CAST(qp_in_budget AS DOUBLE) / CAST(verifications AS DOUBLE)"),
+        )
+    )
+
+
+def common_tiles_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair common-tile count via materialized tile SETS and
+    array_intersect (the IndexedDecomposedEntity tile-set pre-filter,
+    reference model/entities/segmented/IndexedDecomposedEntity.scala:24-31)
+    — the oracle computes the same number in closed form, so the two
+    implementations cross-check each other."""
+    tx, ty = THETA
+    tiles = (
+        "flatten(transform(sequence(CAST(floor({p}minx / %r) AS BIGINT), "
+        "CAST(floor({p}maxx / %r) AS BIGINT)), "
+        "x -> transform(sequence(CAST(floor({p}miny / %r) AS BIGINT), "
+        "CAST(floor({p}maxy / %r) AS BIGINT)), y -> x * 65536 + y)))"
+        % (tx, tx, ty, ty)
+    )
+    cand = _cand(spark, sf_dir)
+    return cand.select(
+        "s_id",
+        "t_id",
+        F.size(
+            F.array_intersect(
+                F.expr(tiles.format(p="s_")), F.expr(tiles.format(p="t_"))
+            )
+        ).cast("long").alias("n_common"),
+    )
+
+
+def common_tiles_array_oracle() -> str:
+    from ds_jedai_spark.operators.weights import common_tiles_expr
+
+    cb = common_tiles_expr("s_", "t_", THETA[0], THETA[1])
+    return (
+        f"{_pairs_cte()} SELECT s_id, t_id, CAST({cb} AS BIGINT) AS n_common "
+        f"FROM pairs"
+    )
+
+
 def theta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile-granularity statistics over the source (TileGranularities modes:
     min/max/avg — reference model/TileGranularities.scala:21-47)."""
@@ -315,6 +383,25 @@ def pgr_js_overlaps_oracle() -> str:
         f"SELECT count(*) AS verifications, CAST(sum(q) AS BIGINT) AS qualifying_pairs, "
         f"(CAST(sum(running_qp) AS DOUBLE) / CAST(sum(q) AS DOUBLE)) / count(*) AS pgr "
         f"FROM run"
+    )
+
+
+def progressive_eval_js_overlaps_oracle() -> str:
+    from ds_jedai_spark.operators.relate import relation_predicates
+
+    overlaps = relation_predicates("s_", "t_")["overlaps"]
+    return (
+        f"{_w_cte()}, "
+        f"totals AS (SELECT CAST(sum(CAST({overlaps} AS BIGINT)) AS BIGINT) "
+        f"AS total_qp FROM ww), "
+        f"sched AS (SELECT CAST({overlaps} AS BIGINT) AS q FROM ww "
+        f"ORDER BY w_js DESC, s_id, t_id LIMIT {PROG_BUDGET}), "
+        f"ib AS (SELECT count(*) AS verifications, CAST(sum(q) AS BIGINT) "
+        f"AS qp_in_budget FROM sched) "
+        f"SELECT verifications, qp_in_budget, total_qp, "
+        f"CAST(qp_in_budget AS DOUBLE) / CAST(total_qp AS DOUBLE) AS recall, "
+        f"CAST(qp_in_budget AS DOUBLE) / CAST(verifications AS DOUBLE) AS precision "
+        f"FROM ib, totals"
     )
 
 
