@@ -1,0 +1,95 @@
+"""End-to-end config surface: YAML -> api.run == brute-force general path."""
+
+import pytest
+import yaml
+from pyspark.sql import functions as F
+
+from ds_jedai_spark import api
+from ds_jedai_spark.config import ConfigError, load_config, parse_config
+
+
+def _write_tsv(path, rows):
+    with open(path, "w") as f:
+        f.write("id\twkt\n")
+        for i, w in rows:
+            f.write(f"{i}\t{w}\n")
+
+
+SOURCE = [
+    (1, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+    (2, "POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))"),
+    (3, "LINESTRING (0 5, 9 5)"),
+    (4, "POINT (5 5)"),
+]
+TARGET = [
+    (10, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),
+    (11, "LINESTRING (2 0, 2 9)"),
+    (12, "POINT (4 4)"),
+    (13, "POLYGON ((6 6, 8 6, 8 8, 6 8, 6 6))"),
+]
+
+
+@pytest.fixture(scope="module")
+def conf_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("apicfg")
+    _write_tsv(d / "source.tsv", SOURCE)
+    _write_tsv(d / "target.tsv", TARGET)
+    doc = {
+        "source": {"path": str(d / "source.tsv"), "realIdField": "id",
+                   "geometryField": "wkt"},
+        "target": {"path": str(d / "target.tsv"), "realIdField": "id",
+                   "geometryField": "wkt"},
+        "relation": "DE9IM",
+    }
+    p = d / "conf.yaml"
+    p.write_text(yaml.safe_dump(doc))
+    return str(p)
+
+
+def test_yaml_roundtrip_and_validation(conf_path):
+    cfg = load_config(conf_path)
+    assert cfg.relation == "DE9IM" and cfg.ws == "SIMPLE"
+    with pytest.raises(ConfigError):
+        parse_config({"source": {"path": "x"}, "target": {"path": "y"},
+                      "relation": "NOPE"})
+    with pytest.raises(ConfigError):
+        parse_config({"source": {"path": "x"}, "target": {"path": "y"},
+                      "configurations": {"mainWF": "BAD"}})
+
+
+def test_de9im_run_matches_brute_force(spark, conf_path):
+    from ds_jedai_spark.config import load_config
+    from ds_jedai_spark.operators.relate_general import with_general_relations
+    from ds_jedai_spark.operators.spatial_join import brute_force_join
+
+    cfg = load_config(conf_path)
+    got = api.run(spark, cfg).first().asDict()
+
+    s = api.read_dataset(spark, cfg.source)
+    t = api.read_dataset(spark, cfg.target)
+    bf = with_general_relations(
+        brute_force_join(s, t, ("gtype", "coords"), ("gtype", "coords"))
+    )
+    assert got["verifications"] == bf.count()
+    assert got["qualifying_pairs"] == bf.where("r_intersects").count()
+    assert got["n_touches"] == bf.where("r_touches").count()
+    assert got["n_crosses"] == bf.where("r_crosses").count()
+
+
+def test_single_relation_pairs(spark, conf_path, tmp_path):
+    cfg = load_config(conf_path)
+    cfg.relation = "INTERSECTS"
+    cfg.export_path = str(tmp_path / "out")
+    pairs = {(r.s_id, r.t_id) for r in api.run(spark, cfg).collect()}
+    assert ("1", "12") in pairs and len(pairs) >= 5
+    exported = spark.read.option("header", True).csv(cfg.export_path)
+    assert exported.count() == len(pairs)
+
+
+def test_progressive_run_budget_caps(spark, conf_path):
+    cfg = load_config(conf_path)
+    cfg.relation = "INTERSECTS"
+    cfg.progressive_algorithm = "PROGRESSIVE_GIANT"
+    cfg.budget = 3
+    pairs = api.run(spark, cfg).collect()
+    assert len(pairs) <= 3
