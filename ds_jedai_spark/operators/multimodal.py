@@ -51,6 +51,41 @@ def media_metadata(docs: DataFrame) -> DataFrame:
     return payload.mapInPandas(extract, META_SCHEMA)
 
 
+RESIZE_TARGET = 224
+
+
+def resize_meta(docs: DataFrame) -> DataFrame:
+    """Aspect-preserving resize planning: target dims fitting a
+    RESIZE_TARGET square. Pure column arithmetic over the decoded
+    metadata — at scale this column feeds the (stubbed) pixel resampler
+    without any extra shuffle."""
+    m = "greatest(width, height)"
+    return media_metadata(docs).select(
+        "doc_id",
+        "width",
+        "height",
+        F.expr(
+            f"CAST(floor((width * {RESIZE_TARGET}.0) / {m}) AS BIGINT)"
+        ).alias("out_w"),
+        F.expr(
+            f"CAST(floor((height * {RESIZE_TARGET}.0) / {m}) AS BIGINT)"
+        ).alias("out_h"),
+    )
+
+
+def frame_sample(docs: DataFrame) -> DataFrame:
+    """Frame sampling plan for video-like payloads: one row per sampled
+    frame index (stride = max(1, frames/8)), via explode(sequence(...)) —
+    all JVM-side; a real decoder maps these indices to pixel batches."""
+    return media_metadata(docs).select(
+        "doc_id",
+        "frames",
+        F.explode(
+            F.expr("sequence(CAST(0 AS BIGINT), frames - 1, greatest(CAST(1 AS BIGINT), frames div 8))")
+        ).alias("frame_idx"),
+    )
+
+
 def decode_image(docs: DataFrame) -> DataFrame:
     """Real image decode — unavailable in this environment by design."""
     try:

@@ -87,6 +87,14 @@ def media_metadata(spark, sf_dir):
     return multimodal.media_metadata(_docs(spark, sf_dir))
 
 
+def media_resize(spark, sf_dir):
+    return multimodal.resize_meta(_docs(spark, sf_dir))
+
+
+def media_frame_sample(spark, sf_dir):
+    return multimodal.frame_sample(_docs(spark, sf_dir))
+
+
 # ------------------------------------------------------------- oracles
 
 _SHINGLE_CTE = (
@@ -269,6 +277,27 @@ def media_metadata_oracle() -> str:
     )
 
 
+_META_CTE = f"meta AS ({media_metadata_oracle()})"
+
+
+def media_resize_oracle() -> str:
+    t = multimodal.RESIZE_TARGET
+    m = "greatest(width, height)"
+    return (
+        f"WITH {_META_CTE} SELECT doc_id, width, height, "
+        f"CAST(floor((width * {t}.0) / {m}) AS BIGINT) AS out_w, "
+        f"CAST(floor((height * {t}.0) / {m}) AS BIGINT) AS out_h FROM meta"
+    )
+
+
+def media_frame_sample_oracle() -> str:
+    return (
+        f"WITH {_META_CTE} SELECT doc_id, frames, "
+        f"CAST(unnest(range(0, frames, greatest(1, frames // 8))) AS BIGINT) "
+        f"AS frame_idx FROM meta"
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -282,6 +311,8 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "media_metadata": media_metadata,
+    "media_resize": media_resize,
+    "media_frame_sample": media_frame_sample,
 }
 
 ORACLES = {
@@ -297,4 +328,6 @@ ORACLES = {
     "text_lang_id": text_lang_id_oracle(),
     "text_fingerprint": text_fingerprint_oracle(),
     "media_metadata": media_metadata_oracle(),
+    "media_resize": media_resize_oracle(),
+    "media_frame_sample": media_frame_sample_oracle(),
 }
