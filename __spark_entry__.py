@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "skew_cost": pp.skew_cost,
             "skew_entities": pp.skew_entities,
             "well_balanced_counts": pp.well_balanced_counts,
+            "segment_groups": pp.segment_groups,
             # Stateful scans — sequential semantics, rows-only checks:
             "dynamic_progressive_js": pp.dynamic_progressive_js,
             "early_stopping_js": pp.early_stopping_js,
@@ -119,6 +120,7 @@ def oracle_sql() -> dict[str, str]:
             "skew_cost": pp.skew_cost_oracle(),
             "skew_entities": pp.skew_entities_oracle(),
             "well_balanced_counts": giant.giant_counts_oracle(),
+            "segment_groups": pp.segment_groups_oracle(),
         }
     )
     o.update(pl.ORACLES)

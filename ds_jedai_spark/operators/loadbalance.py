@@ -58,6 +58,39 @@ def skew_targets(cand: DataFrame, z: float = Z_SCORE) -> DataFrame:
     )
 
 
+def segment_group_units(seg_cand: DataFrame) -> DataFrame:
+    """Trie-style segment redistribution (reference:
+    WellBalancedDistributedInterlinking.scala:95-166 +
+    model/structures/IndicesPrefixTrie.scala:30-152): a skew target's
+    segments are grouped by IDENTICAL source-candidate sets, so each group
+    is verified once per candidate instead of once per segment.
+
+    Input: (t_id, seg_idx, s_id) candidate rows (one per segment x source).
+    Output per target: segment count, group count, grouped pair count
+    (sum over groups of |candidate set|) and the naive pair count — the
+    verification-work saving the trie grouping buys.
+
+    Spark-first: the prefix trie is a groupBy on the sorted candidate-set
+    key; batching (MAX_SIZE=256 per node) becomes AQE partition splitting
+    of the exploded group rows.
+    """
+    per_seg = seg_cand.groupBy("t_id", "seg_idx").agg(
+        F.sort_array(F.collect_set("s_id")).alias("cand_set"),
+        F.count(F.lit(1)).alias("n_cand"),
+    )
+    groups = per_seg.groupBy("t_id", "cand_set").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.size(F.first("cand_set")).alias("set_size"),
+        F.sum("n_cand").alias("naive_pairs"),
+    )
+    return groups.groupBy("t_id").agg(
+        F.sum("n_segs").cast("long").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("set_size").cast("long").alias("grouped_pairs"),
+        F.sum("naive_pairs").cast("long").alias("naive_pairs"),
+    )
+
+
 def well_balanced_candidates(
     cand: DataFrame, z: float = Z_SCORE, skew_parts: int | None = None
 ) -> DataFrame:

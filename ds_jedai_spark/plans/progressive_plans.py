@@ -257,6 +257,62 @@ def well_balanced_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts_agg(with_relations(cand))
 
 
+def segment_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target verification-unit statistics of trie-style segment
+    grouping: line targets are refined into 4 slice envelopes, each slice
+    finds its source candidates through the tile join, and slices sharing
+    an identical candidate set collapse into one verification group
+    (reference IndicesPrefixTrie semantics, exposed as counts)."""
+    from ds_jedai_spark.io.synthetic import line_sql
+    from ds_jedai_spark.operators.decompose import seg_slice_envelope_exprs
+    from ds_jedai_spark.operators.loadbalance import segment_group_units
+
+    source = load_sql(spark, sf_dir, source_box_sql())
+    lines = load_sql(spark, sf_dir, line_sql())
+    structs = []
+    for i, e in enumerate(seg_slice_envelope_exprs("", k=4)):
+        structs.append(
+            f"struct({e['minx']} AS minx, {e['miny']} AS miny, "
+            f"{e['maxx']} AS maxx, {e['maxy']} AS maxy, {i} AS seg_idx)"
+        )
+    slices = lines.selectExpr(
+        "id", f"explode(array({', '.join(structs)})) AS sl"
+    ).selectExpr("id", "sl.minx", "sl.miny", "sl.maxx", "sl.maxy", "sl.seg_idx")
+    cand = tile_join(source, slices, theta=THETA, target_extra=("seg_idx",))
+    seg_cand = cand.select(
+        "t_id", F.col("t_seg_idx").alias("seg_idx"), "s_id"
+    )
+    return segment_group_units(seg_cand)
+
+
+def segment_groups_oracle() -> str:
+    from ds_jedai_spark.io.synthetic import line_sql
+
+    env = (
+        "s.minx <= sl.maxx AND sl.minx <= s.maxx AND "
+        "s.miny <= sl.maxy AND sl.miny <= s.maxy"
+    )
+    return (
+        f"WITH source AS ({source_box_sql()}), lines AS ({line_sql()}), "
+        "idx AS (SELECT unnest(range(0, 4)) AS i), "
+        "slices AS (SELECT id AS t_id, i AS seg_idx, "
+        "least(x1 + (x2 - x1) * (i / 4.0), x1 + (x2 - x1) * ((i + 1) / 4.0)) AS minx, "
+        "least(y1 + (y2 - y1) * (i / 4.0), y1 + (y2 - y1) * ((i + 1) / 4.0)) AS miny, "
+        "greatest(x1 + (x2 - x1) * (i / 4.0), x1 + (x2 - x1) * ((i + 1) / 4.0)) AS maxx, "
+        "greatest(y1 + (y2 - y1) * (i / 4.0), y1 + (y2 - y1) * ((i + 1) / 4.0)) AS maxy "
+        "FROM lines, idx), "
+        f"cand AS (SELECT s.id AS s_id, sl.t_id, sl.seg_idx FROM source s "
+        f"JOIN slices sl ON {env}), "
+        "per_seg AS (SELECT t_id, seg_idx, list_sort(list(DISTINCT s_id)) AS cs, "
+        "count(*) AS n_cand FROM cand GROUP BY 1, 2), "
+        "groups AS (SELECT t_id, cs, count(*) AS n_segs, len(cs) AS set_size, "
+        "sum(n_cand) AS naive FROM per_seg GROUP BY 1, 2) "
+        "SELECT t_id, CAST(sum(n_segs) AS BIGINT) AS n_segments, "
+        "count(*) AS n_groups, CAST(sum(set_size) AS BIGINT) AS grouped_pairs, "
+        "CAST(sum(naive) AS BIGINT) AS naive_pairs FROM groups GROUP BY t_id"
+    )
+
+
 def skew_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-target verification cost (candidate count) — the load-balancing
     statistic of WellBalancedDistributedInterlinking.scala:42-57."""
