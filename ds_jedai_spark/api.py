@@ -107,12 +107,28 @@ def run(spark: SparkSession, cfg: JedaiConfig) -> DataFrame:
     source = read_dataset(spark, cfg.source)
     target = read_dataset(spark, cfg.target)
 
+    decomposed = cfg.entity_type in (
+        "DECOMPOSED_ENTITY", "INDEXED_DECOMPOSED_ENTITY"
+    )
+    if decomposed:
+        from ds_jedai_spark.operators.decompose import with_fine_envelopes
+
+        source = with_fine_envelopes(source)
+        target = with_fine_envelopes(target)
+
     theta = compute_theta(source)
-    extras = ("gtype", "coords") + (("ts",) if cfg.source.date_field else ())
-    textras = ("gtype", "coords") + (("ts",) if cfg.target.date_field else ())
+    fine = ("fine_envs",) if decomposed else ()
+    extras = ("gtype", "coords") + fine + (("ts",) if cfg.source.date_field else ())
+    textras = ("gtype", "coords") + fine + (("ts",) if cfg.target.date_field else ())
     cand = tile_join(
         source, target, theta=theta, source_extra=extras, target_extra=textras
     )
+    if decomposed:
+        # List-vs-list fine-grained envelope pre-filter (the decomposed
+        # entity types' approximateIntersection) before exact verification.
+        from ds_jedai_spark.operators.decompose import FINE_OVERLAP_SQL
+
+        cand = cand.where(F.expr(FINE_OVERLAP_SQL))
     if cfg.source.date_field and cfg.target.date_field:
         # The reference's spatio-temporal qualifier: |days between| < 2
         cand = cand.where(F.abs(F.datediff(F.col("s_ts"), F.col("t_ts"))) < 2)

@@ -24,6 +24,10 @@ PROGRESSIVE_ALGS = {
     "RECIPROCAL_TOPK", "RANDOM", "EARLY_STOPPING",
 }
 GRID_TYPES = {"KDBTREE", "QUADTREE", "TILES"}
+ENTITY_TYPES = {
+    "SPATIAL_ENTITY", "SPATIOTEMPORAL_ENTITY", "PREPARED_ENTITY",
+    "DECOMPOSED_ENTITY", "INDEXED_DECOMPOSED_ENTITY",
+}
 DEFAULT_DATE_PATTERN = "yyyy-MM-dd HH:mm:ss"
 
 
@@ -53,6 +57,7 @@ class JedaiConfig:
     ws: str = "SIMPLE"
     progressive_algorithm: str | None = None
     budget: int | None = None
+    entity_type: str = "SPATIAL_ENTITY"
     export_path: str | None = None
     extra: dict = field(default_factory=dict)
 
@@ -104,6 +109,7 @@ def parse_config(doc: dict) -> JedaiConfig:
         ws=enum("ws", SCHEMES, "SIMPLE"),
         progressive_algorithm=enum("progressiveAlgorithm", PROGRESSIVE_ALGS, None),
         budget=int(budget) if budget is not None else None,
+        entity_type=enum("entityType", ENTITY_TYPES, "SPATIAL_ENTITY"),
         export_path=conf.get("exportPath"),
         extra={k: v for k, v in conf.items()},
     )

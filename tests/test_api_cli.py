@@ -86,6 +86,19 @@ def test_single_relation_pairs(spark, conf_path, tmp_path):
     assert exported.count() == len(pairs)
 
 
+def test_decomposed_entity_type_same_qualifying(spark, conf_path):
+    # Fine-grained pre-filter may prune non-intersecting candidates but
+    # never a qualifying pair: counts of true relations are unchanged.
+    cfg = load_config(conf_path)
+    plain = api.run(spark, cfg).first().asDict()
+    cfg.entity_type = "INDEXED_DECOMPOSED_ENTITY"
+    fine = api.run(spark, cfg).first().asDict()
+    assert fine["verifications"] <= plain["verifications"]
+    for k in plain:
+        if k != "verifications":
+            assert fine[k] == plain[k], k
+
+
 def test_progressive_run_budget_caps(spark, conf_path):
     cfg = load_config(conf_path)
     cfg.relation = "INTERSECTS"
