@@ -83,6 +83,59 @@ def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.8) -> DataFrame:
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame, id1: str = "d1", id2: str = "d2", max_iter: int = 15
+) -> DataFrame:
+    """Connected components over the duplicate-pair graph: cluster id =
+    the minimum doc_id reachable from a node. Iterative min-label
+    propagation — each round is one distributed join+aggregate, with an
+    early-exit action per round and localCheckpoint to truncate lineage.
+    Near-dup clusters have tiny diameters, so this converges in a few
+    rounds; at 100 TB each round is a single shuffle keyed by doc id.
+    """
+    e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select("a").distinct().select(
+            F.col("a").alias("node"), F.col("a").alias("label")
+        )
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label").alias("blabel")
+                ),
+                on="b",
+            )
+            .groupBy("a")
+            .agg(F.min("blabel").alias("nlabel"))
+        )
+        new = (
+            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), on="node")
+            .where("n.label != o.label")
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def minhash_signatures(d: DataFrame, k: int = 32) -> DataFrame:
     """(doc_id, i, h) minhash signatures with closed-form hash family
     h_i(w) = ((2i+1)*w + i*i + 7) mod P over vocab ids."""

@@ -55,6 +55,15 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(_corpus(spark, sf_dir), MAX_HAMMING)
 
 
+def dedup_clusters(spark, sf_dir):
+    """Connected components over the exact n-gram-Jaccard duplicate graph
+    — the cluster-assignment stage a production dedup pipeline runs after
+    pair discovery (keep one doc per cluster_id)."""
+    return dedup.duplicate_clusters(
+        dedup.ngram_jaccard_pairs(_corpus(spark, sf_dir), TAU_JACCARD)
+    )
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     return similarity.cosine_neardup_pairs(_emb(spark, sf_dir), TAU_COS)
 
@@ -135,6 +144,22 @@ def dedup_ngram_jaccard_oracle() -> str:
     return (
         f"WITH {_SHINGLE_CTE} "
         f"SELECT d1, d2, jaccard FROM jac WHERE jaccard >= {TAU_JACCARD!r}"
+    )
+
+
+def dedup_clusters_oracle() -> str:
+    # Transitive closure via recursive CTE: a node's cluster id is the
+    # minimum id among all reachable nodes of the symmetric pair graph.
+    return (
+        f"WITH RECURSIVE {_SHINGLE_CTE}, "
+        f"p AS (SELECT d1, d2 FROM jac WHERE jaccard >= {TAU_JACCARD!r}), "
+        "e AS (SELECT d1 AS a, d2 AS b FROM p UNION ALL "
+        "SELECT d2 AS a, d1 AS b FROM p), "
+        "walk(node, label) AS ("
+        "SELECT a, a FROM (SELECT DISTINCT a FROM e) "
+        "UNION "
+        "SELECT e.a, w.label FROM e JOIN walk w ON e.b = w.node) "
+        "SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node"
     )
 
 
@@ -304,6 +329,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_clusters": dedup_clusters,
     "ann_brute_topk": ann_brute_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "text_token_stats": text_token_stats,
@@ -321,6 +347,7 @@ ORACLES = {
     "dedup_minhash_lsh": dedup_minhash_lsh_oracle(),
     "dedup_simhash": dedup_simhash_oracle(),
     "dedup_embedding_cosine": dedup_embedding_cosine_oracle(),
+    "dedup_clusters": dedup_clusters_oracle(),
     "ann_brute_topk": ann_brute_topk_oracle(),
     "ann_ivf_topk": ann_ivf_topk_oracle(),
     "text_token_stats": text_token_stats_oracle(),
