@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {
             "stream_window_counts": sp.stream_window_counts,
             "stream_points_in_boxes": sp.stream_points_in_boxes,
+            "stream_sessions": sp.stream_sessions,
         }
     )
     return q
@@ -128,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         {
             "stream_window_counts": sp.stream_window_counts_oracle(),
             "stream_points_in_boxes": sp.stream_points_in_boxes_oracle(),
+            "stream_sessions": sp.stream_sessions_oracle(),
         }
     )
     return o

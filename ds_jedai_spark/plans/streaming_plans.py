@@ -32,6 +32,30 @@ def stream_points_in_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_pib_tbl")
 
 
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful sessionization (applyInPandasWithState) over the event
+    stream; emits sessions closed by >30min inactivity."""
+    sess = gs.sessionize(gs.read_event_stream(spark, sf_dir))
+    gs.run_to_table(sess, "stream_sessions_tbl", "append")
+    return spark.table("stream_sessions_tbl")
+
+
+def stream_sessions_oracle() -> str:
+    g = gs.SESSION_GAP_MIN
+    return (
+        "WITH d AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+        f"OR ts - lag(ts) OVER w > INTERVAL {g} MINUTE THEN 1 ELSE 0 END "
+        "AS is_start FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "s AS (SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM d), "
+        "g AS (SELECT user_id, sid, min(ts) AS session_start, "
+        "max(ts) AS session_end, count(*) AS n_events FROM s GROUP BY 1, 2) "
+        "SELECT user_id, session_start, session_end, n_events FROM "
+        "(SELECT *, max(sid) OVER (PARTITION BY user_id) AS m FROM g) "
+        "WHERE sid < m"
+    )
+
+
 def stream_window_counts_oracle() -> str:
     return (
         "SELECT date_trunc('hour', ts) AS win_start, event_type, "

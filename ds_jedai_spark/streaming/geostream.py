@@ -114,6 +114,77 @@ def stream_points_in_boxes(
     return t.join(s, on=["tx", "ty"], how="inner").where(covers).select("s_id", "t_id")
 
 
+SESSION_GAP_MIN = 30
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint"
+)
+_SESSION_STATE_SCHEMA = "last_us bigint, start_us bigint, n bigint"
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    sessions split at >gap inactivity. A session is emitted only once a
+    later event confirms the gap (closed sessions); the open tail stays in
+    state across micro-batches, so multi-batch and single-batch runs emit
+    the identical closed-session set — which is what the oracle (a lag
+    window excluding each user's last session) checks.
+
+    Contract: events arrive time-ordered per key across micro-batches
+    (time-partitioned file drops / Kafka per-key ordering) — the standard
+    assumption for gap sessionization; out-of-order tolerance would need
+    watermark-bounded buffering in state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import _parse_datatype_string
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        user = key[0]
+        ts = pd.concat(list(pdfs))["ts"]
+        us = ts.astype("int64").sort_values() // 1000  # ns -> us
+        if state.exists:
+            last_us, start_us, n = state.get
+        else:
+            last_us = start_us = n = None
+        out = []
+        for t in us:
+            t = int(t)
+            if last_us is None:
+                start_us, n = t, 0
+            elif t - last_us > gap_us:
+                out.append((user, start_us, last_us, n))
+                start_us, n = t, 0
+            last_us = t
+            n += 1
+        state.update((last_us, start_us, n))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "session_start": pd.to_datetime(
+                        [o[1] for o in out], unit="us"
+                    ),
+                    "session_end": pd.to_datetime([o[2] for o in out], unit="us"),
+                    "n_events": [o[3] for o in out],
+                }
+            )
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            _parse_datatype_string(SESSION_OUT_SCHEMA),
+            _parse_datatype_string(_SESSION_STATE_SCHEMA),
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_table(sdf: DataFrame, name: str, output_mode: str) -> None:
     """Drain the stream with availableNow into an in-memory table."""
     q = (

@@ -42,6 +42,45 @@ def test_stream_static_join_matches_batch_across_microbatches(spark, event_files
     assert got == want and len(want) > 0
 
 
+@pytest.fixture(scope="module")
+def ordered_event_files(spark, tmp_path_factory):
+    """Time-ordered file drops (the sessionize arrival contract): file i
+    holds the i-th quartile of the timeline, written sequentially."""
+    out = str(tmp_path_factory.mktemp("evordered"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    qs = ev.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
+    bounds = [float("-inf")] + qs + [float("inf")]
+    for i in range(4):
+        ev.where(
+            (F.col("ts") > bounds[i]) & (F.col("ts") <= bounds[i + 1])
+        ).coalesce(1).write.mode("append").parquet(out)
+    return out
+
+
+def test_sessionize_state_carries_across_microbatches(spark, ordered_event_files):
+    def run(max_files):
+        raw = (
+            spark.readStream.schema(gs.EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", str(max_files))
+            .option("latestFirst", "false")
+            .parquet(ordered_event_files)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        name = f"t_sessions_{max_files}"
+        gs.run_to_table(gs.sessionize(raw), name, "append")
+        return {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.table(name).collect()
+        }
+
+    # One batch vs one-file-per-batch must emit the same closed sessions:
+    # the open tail lives in state and is never emitted by either.
+    single = run(100)
+    multi = run(1)
+    assert single == multi and len(single) > 0
+
+
 def test_windowed_counts_watermark_schema(spark, event_files):
     ev = (
         spark.readStream.schema(gs.EVENT_SCHEMA)
