@@ -80,24 +80,66 @@ def read_geojson(
     date_field: str | None = None,
     date_pattern: str = DEFAULT_DATE_PATTERN,
 ) -> DataFrame:
-    """GeoJSON feature scan (reference Reader.loadGeoJSON). Reads newline-
-    delimited GeoJSON features via spark.read.json and rebuilds WKT from
-    the coordinates struct for the shared parse path."""
-    raw = spark.read.json(path)
-    wkt = F.when(
-        F.col("geometry.type") == "Point",
-        F.concat(
-            F.lit("POINT ("),
-            F.col("geometry.coordinates")[0].cast("string"),
-            F.lit(" "),
-            F.col("geometry.coordinates")[1].cast("string"),
-            F.lit(")"),
-        ),
+    """GeoJSON feature scan (reference Reader.loadGeoJSON): newline-
+    delimited features parsed with the stdlib json module inside an
+    Arrow-batched mapInPandas — all geometry types, no schema-inference
+    fights with ragged coordinate nesting. Splittable text scan."""
+    import json
+
+    import pandas as pd
+
+    def to_wkt(geom: dict) -> str | None:
+        t = (geom or {}).get("type", "")
+        c = (geom or {}).get("coordinates")
+        if c is None:
+            return None
+
+        def pt(p):
+            return f"{p[0]} {p[1]}"
+
+        def ring(r):
+            return "(" + ", ".join(pt(p) for p in r) + ")"
+
+        if t == "Point":
+            return f"POINT ({pt(c)})"
+        if t == "LineString":
+            return f"LINESTRING {ring(c)}"
+        if t == "Polygon":
+            return "POLYGON (" + ", ".join(ring(r) for r in c) + ")"
+        if t == "MultiPoint":
+            return "MULTIPOINT (" + ", ".join(f"({pt(p)})" for p in c) + ")"
+        if t == "MultiLineString":
+            return "MULTILINESTRING (" + ", ".join(ring(r) for r in c) + ")"
+        if t == "MultiPolygon":
+            return (
+                "MULTIPOLYGON ("
+                + ", ".join("(" + ", ".join(ring(r) for r in p) + ")" for p in c)
+                + ")"
+            )
+        return None
+
+    def parse(batches):
+        for pdf in batches:
+            ids, wkts, dates = [], [], []
+            for line in pdf["value"]:
+                try:
+                    feat = json.loads(line)
+                except (ValueError, TypeError):
+                    continue
+                props = feat.get("properties") or {}
+                ids.append(props.get(id_field))
+                wkts.append(to_wkt(feat.get("geometry")))
+                dates.append(props.get(date_field) if date_field else None)
+            out = {"id": ids, "wkt": wkts}
+            if date_field is not None:
+                out["ts_raw"] = dates
+            yield pd.DataFrame(out)
+
+    fields = "id string, wkt string" + (
+        ", ts_raw string" if date_field is not None else ""
     )
-    cols = [F.col(f"properties.{id_field}").alias("id"), wkt.alias("wkt")]
-    if date_field is not None:
-        cols.append(F.col(f"properties.{date_field}").alias("ts_raw"))
-    return _finish(raw.select(*cols), date_field, date_pattern)
+    return _finish(spark.read.text(path).mapInPandas(parse, fields),
+                   date_field, date_pattern)
 
 
 GEOMETRY_PREDICATE = "<http://www.opengis.net/ont/geosparql#asWKT>"

@@ -62,6 +62,32 @@ def test_read_wkt_tsv_drops_bad_rows(spark):
         assert rows["pt1"].minx == rows["pt1"].maxx == 2.5
 
 
+def test_read_geojson_all_types(spark, tmp_path):
+    import json
+
+    feats = [
+        {"type": "Feature", "properties": {"id": "a"},
+         "geometry": {"type": "Point", "coordinates": [1.0, 2.0]}},
+        {"type": "Feature", "properties": {"id": "b"},
+         "geometry": {"type": "Polygon", "coordinates":
+                      [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]]}},
+        {"type": "Feature", "properties": {"id": "c"},
+         "geometry": {"type": "LineString", "coordinates": [[0, 0], [3, 3]]}},
+        {"type": "Feature", "properties": {"id": "d"},
+         "geometry": {"type": "MultiPolygon", "coordinates":
+                      [[[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]]]}},
+        {"type": "Feature", "properties": {"id": "bad"}, "geometry": None},
+    ]
+    p = tmp_path / "feats.geojson"
+    p.write_text("\n".join(json.dumps(f) for f in feats))
+
+    from ds_jedai_spark.io.readers import read_geojson
+
+    got = {r.id: r.gtype for r in read_geojson(spark, str(p)).collect()}
+    assert got == {"a": "POINT", "b": "POLYGON", "c": "LINESTRING",
+                   "d": "MULTIPOLYGON"}
+
+
 def test_read_ntriples(spark):
     with tempfile.TemporaryDirectory() as tmp:
         path = f"{tmp}/data.nt"
