@@ -76,6 +76,10 @@ def ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_label_topk(_emb(spark, sf_dir))
 
 
+def ann_lsh_pairs(spark, sf_dir):
+    return similarity.lsh_neardup_pairs(_emb(spark, sf_dir), TAU_COS)
+
+
 def text_token_stats(spark, sf_dir):
     return textops.token_stats(_docs(spark, sf_dir))
 
@@ -211,6 +215,23 @@ def dedup_embedding_cosine_oracle() -> str:
     )
 
 
+def ann_lsh_pairs_oracle() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, qv, n2, {b} AS band, {expr} AS bucket FROM n"
+        for b, expr in enumerate(similarity.band_buckets_duckdb())
+    )
+    return (
+        f"WITH {_QUANT_CTE}, "
+        f"bk AS ({bands}), "
+        "cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2 "
+        "FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket "
+        "AND a.vec_id < b.vec_id) "
+        "SELECT d1, d2, list_dot_product(x.qv, y.qv) / sqrt(x.n2 * y.n2) AS cos "
+        "FROM cand JOIN n x ON x.vec_id = d1 JOIN n y ON y.vec_id = d2 "
+        f"WHERE list_dot_product(x.qv, y.qv) / sqrt(x.n2 * y.n2) >= {TAU_COS!r}"
+    )
+
+
 def ann_brute_topk_oracle() -> str:
     return (
         f"WITH {_QUANT_CTE}, "
@@ -332,6 +353,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "ann_brute_topk": ann_brute_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_lsh_pairs": ann_lsh_pairs,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
@@ -350,6 +372,7 @@ ORACLES = {
     "dedup_clusters": dedup_clusters_oracle(),
     "ann_brute_topk": ann_brute_topk_oracle(),
     "ann_ivf_topk": ann_ivf_topk_oracle(),
+    "ann_lsh_pairs": ann_lsh_pairs_oracle(),
     "text_token_stats": text_token_stats_oracle(),
     "text_quality": text_quality_oracle(),
     "text_lang_id": text_lang_id_oracle(),
