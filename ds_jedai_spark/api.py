@@ -133,7 +133,10 @@ def run(spark: SparkSession, cfg: JedaiConfig) -> DataFrame:
         # The reference's spatio-temporal qualifier: |days between| < 2
         cand = cand.where(F.abs(F.datediff(F.col("s_ts"), F.col("t_ts"))) < 2)
 
-    if cfg.progressive_algorithm:
+    stateful = cfg.progressive_algorithm in (
+        "DYNAMIC_PROGRESSIVE_GIANT", "EARLY_STOPPING"
+    )
+    if cfg.progressive_algorithm and not stateful:
         wexpr = weight_exprs(
             "s_", "t_", theta[0], theta[1], _total_blocks(source, theta)
         )
@@ -141,6 +144,34 @@ def run(spark: SparkSession, cfg: JedaiConfig) -> DataFrame:
         cand = cand.join(pair_keys, on=["s_id", "t_id"], how="left_semi")
 
     verified = with_general_relations(cand)
+
+    if stateful:
+        # These algorithms interleave verification with scheduling (the PQ
+        # reorders / the scan stops based on hits), so they run over the
+        # relation-flagged candidates and emit the verified subset.
+        from ds_jedai_spark.operators.progressive_state import (
+            dynamic_progressive,
+            early_stopping,
+        )
+
+        wexpr = weight_exprs(
+            "s_", "t_", theta[0], theta[1], _total_blocks(source, theta)
+        )
+        main = wexpr[cfg.main_wf.lower().replace("pearson_x2", "x2")]
+        qcol = (
+            "r_intersects"
+            if cfg.relation == "DE9IM"
+            else f"r_{cfg.relation.lower()}"
+        )
+        if cfg.progressive_algorithm == "DYNAMIC_PROGRESSIVE_GIANT":
+            sched = dynamic_progressive(
+                verified, main, qcol, cfg.budget or 3000
+            )
+        else:
+            sched = early_stopping(verified, main, qcol)
+        verified = verified.join(
+            sched.select("s_id", "t_id"), on=["s_id", "t_id"], how="left_semi"
+        )
 
     if cfg.relation == "DE9IM":
         aggs = [

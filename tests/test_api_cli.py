@@ -106,3 +106,14 @@ def test_progressive_run_budget_caps(spark, conf_path):
     cfg.budget = 3
     pairs = api.run(spark, cfg).collect()
     assert len(pairs) <= 3
+
+
+@pytest.mark.parametrize("alg", ["DYNAMIC_PROGRESSIVE_GIANT", "EARLY_STOPPING"])
+def test_stateful_algorithms_run_and_stay_subset(spark, conf_path, alg):
+    cfg = load_config(conf_path)
+    cfg.relation = "INTERSECTS"
+    full = {(r.s_id, r.t_id) for r in api.run(spark, cfg).collect()}
+    cfg.progressive_algorithm = alg
+    cfg.budget = 100
+    got = {(r.s_id, r.t_id) for r in api.run(spark, cfg).collect()}
+    assert got and got <= full
