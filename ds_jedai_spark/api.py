@@ -116,13 +116,25 @@ def run(spark: SparkSession, cfg: JedaiConfig) -> DataFrame:
         source = with_fine_envelopes(source)
         target = with_fine_envelopes(target)
 
-    theta = compute_theta(source)
+    theta = compute_theta(source, cfg.theta_granularity)
     fine = ("fine_envs",) if decomposed else ()
     extras = ("gtype", "coords") + fine + (("ts",) if cfg.source.date_field else ())
     textras = ("gtype", "coords") + fine + (("ts",) if cfg.target.date_field else ())
-    cand = tile_join(
-        source, target, theta=theta, source_extra=extras, target_extra=textras
-    )
+    if cfg.grid_type in ("KDBTREE", "QUADTREE"):
+        # Sampled spatial partitioner path (the reference's gridType); the
+        # quantile grid stands in for both sampled tree builds.
+        from ds_jedai_spark.operators.partitioner import partitioned_join
+
+        n = cfg.partitions or 64
+        side = max(2, int(n ** 0.5))
+        cand = partitioned_join(
+            source, target, nx=side, ny=side,
+            source_extra=extras, target_extra=textras,
+        )
+    else:
+        cand = tile_join(
+            source, target, theta=theta, source_extra=extras, target_extra=textras
+        )
     if decomposed:
         # List-vs-list fine-grained envelope pre-filter (the decomposed
         # entity types' approximateIntersection) before exact verification.

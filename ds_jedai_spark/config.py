@@ -62,6 +62,13 @@ class JedaiConfig:
     extra: dict = field(default_factory=dict)
 
 
+def _theta_mode(v) -> str:
+    mode = str(v).lower()
+    if mode not in ("avg", "min", "max", "avg2"):
+        raise ConfigError(f"thetaGranularity: {mode!r} not in avg/min/max/avg2")
+    return mode
+
+
 def _dataset(d: dict, name: str) -> DatasetSpec:
     if not isinstance(d, dict) or "path" not in d:
         raise ConfigError(f"{name}: needs at least 'path'")
@@ -102,7 +109,7 @@ def parse_config(doc: dict) -> JedaiConfig:
         target=_dataset(doc["target"], "target"),
         relation=relation,
         partitions=int(conf["partitions"]) if "partitions" in conf else None,
-        theta_granularity=str(conf.get("thetaGranularity", "avg")).lower(),
+        theta_granularity=_theta_mode(conf.get("thetaGranularity", "avg")),
         grid_type=enum("gridType", GRID_TYPES, "TILES"),
         main_wf=enum("mainWF", WEIGHT_FUNCS, "JS"),
         secondary_wf=enum("secondaryWF", WEIGHT_FUNCS, None),

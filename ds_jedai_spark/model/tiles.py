@@ -27,13 +27,18 @@ from pyspark.sql import DataFrame, functions as F
 MIN_THETA = 1e-9
 
 
-def compute_theta(source: DataFrame) -> tuple[float, float]:
-    """Average envelope extent of the source dataset (reference 'avg' mode)."""
-    row = source.agg(
-        F.avg(F.col("maxx") - F.col("minx")).alias("tx"),
-        F.avg(F.col("maxy") - F.col("miny")).alias("ty"),
-    ).collect()[0]
-    return (max(row["tx"] or MIN_THETA, MIN_THETA), max(row["ty"] or MIN_THETA, MIN_THETA))
+def compute_theta(source: DataFrame, mode: str = "avg") -> tuple[float, float]:
+    """Tile granularity from the source envelope extents. Modes mirror the
+    reference ThetaOption enum (TileGranularities.scala:21-47):
+    avg (recommended), min, max, avg2 (avg x 0.5)."""
+    w, h = F.col("maxx") - F.col("minx"), F.col("maxy") - F.col("miny")
+    agg = {"avg": F.avg, "avg2": F.avg, "min": F.min, "max": F.max}[mode]
+    row = source.agg(agg(w).alias("tx"), agg(h).alias("ty")).collect()[0]
+    scale = 0.5 if mode == "avg2" else 1.0
+    return (
+        max((row["tx"] or MIN_THETA) * scale, MIN_THETA),
+        max((row["ty"] or MIN_THETA) * scale, MIN_THETA),
+    )
 
 
 def with_tiles(df: DataFrame, theta: tuple[float, float]) -> DataFrame:

@@ -62,7 +62,9 @@ def cell_table(
     )
 
 
-def _distribute(df: DataFrame, cells: DataFrame, p: str) -> DataFrame:
+def _distribute(
+    df: DataFrame, cells: DataFrame, p: str, extra: tuple[str, ...] = ()
+) -> DataFrame:
     """Duplicate each row into every overlapping cell (broadcast join)."""
     overlap = (
         (F.col("minx") <= F.col("cell_maxx"))
@@ -70,11 +72,15 @@ def _distribute(df: DataFrame, cells: DataFrame, p: str) -> DataFrame:
         & (F.col("miny") <= F.col("cell_maxy"))
         & (F.col("maxy") >= F.col("cell_miny"))
     )
-    cols = [F.col(c).alias(f"{p}{c}") for c in ("id", "minx", "miny", "maxx", "maxy")]
-    return df.join(F.broadcast(cells), overlap).select("pid", *cols) if p == "s_" else (
-        df.join(F.broadcast(cells), overlap).select(
-            "pid", "cell_minx", "cell_maxx", "cell_miny", "cell_maxy", *cols
-        )
+    cols = [
+        F.col(c).alias(f"{p}{c}")
+        for c in ("id", "minx", "miny", "maxx", "maxy") + extra
+    ]
+    joined = df.join(F.broadcast(cells), overlap)
+    if p == "s_":
+        return joined.select("pid", *cols)
+    return joined.select(
+        "pid", "cell_minx", "cell_maxx", "cell_miny", "cell_maxy", *cols
     )
 
 
@@ -83,6 +89,8 @@ def partitioned_join(
     target: DataFrame,
     nx: int = 8,
     ny: int = 8,
+    source_extra: tuple[str, ...] = (),
+    target_extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """Envelope-intersecting pairs via the sampled spatial partitioner —
     each pair exactly once (same output contract as tile_join)."""
@@ -90,8 +98,8 @@ def partitioned_join(
     xcuts, ycuts = quantile_cuts(source, nx, ny)
     cells = cell_table(spark, xcuts, ycuts)
 
-    s = _distribute(source, cells, "s_")
-    t = _distribute(target, cells, "t_")
+    s = _distribute(source, cells, "s_", source_extra)
+    t = _distribute(target, cells, "t_", target_extra)
 
     envelope_overlap = (
         (F.col("s_minx") <= F.col("t_maxx"))

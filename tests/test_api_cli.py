@@ -108,6 +108,18 @@ def test_progressive_run_budget_caps(spark, conf_path):
     assert len(pairs) <= 3
 
 
+def test_kdbtree_grid_and_theta_modes_match_default(spark, conf_path):
+    cfg = load_config(conf_path)
+    want = api.run(spark, cfg).first().asDict()
+    # Sampled-partitioner path and alternate theta modes: identical counts.
+    cfg.grid_type = "KDBTREE"
+    cfg.partitions = 16
+    assert api.run(spark, cfg).first().asDict() == want
+    cfg.grid_type = "TILES"
+    cfg.theta_granularity = "avg2"
+    assert api.run(spark, cfg).first().asDict() == want
+
+
 @pytest.mark.parametrize("alg", ["DYNAMIC_PROGRESSIVE_GIANT", "EARLY_STOPPING"])
 def test_stateful_algorithms_run_and_stay_subset(spark, conf_path, alg):
     cfg = load_config(conf_path)
