@@ -80,6 +80,27 @@ def ann_lsh_pairs(spark, sf_dir):
     return similarity.lsh_neardup_pairs(_emb(spark, sf_dir), TAU_COS)
 
 
+def ann_lsh_recall(spark, sf_dir):
+    """Measured recall of the LSH path against the exact cosine pass —
+    the quality metric an ANN deployment monitors."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    exact = similarity.cosine_neardup_pairs(emb, TAU_COS).select(
+        F.col("v1").alias("d1"), F.col("v2").alias("d2")
+    )
+    lsh = similarity.lsh_neardup_pairs(emb, TAU_COS).select("d1", "d2")
+    hit = exact.join(lsh, on=["d1", "d2"], how="left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_found")))
+        .withColumn(
+            "recall",
+            F.expr("CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE)"),
+        )
+    )
+
+
 def text_token_stats(spark, sf_dir):
     return textops.token_stats(_docs(spark, sf_dir))
 
@@ -232,6 +253,28 @@ def ann_lsh_pairs_oracle() -> str:
     )
 
 
+def ann_lsh_recall_oracle() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, qv, n2, {b} AS band, {expr} AS bucket FROM n"
+        for b, expr in enumerate(similarity.band_buckets_duckdb())
+    )
+    return (
+        f"WITH {_QUANT_CTE}, "
+        "ex AS (SELECT a.vec_id AS d1, b.vec_id AS d2 FROM n a JOIN n b "
+        "ON a.vec_id < b.vec_id "
+        f"WHERE list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) >= {TAU_COS!r}), "
+        f"bk AS ({bands}), "
+        "cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2 "
+        "FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket "
+        "AND a.vec_id < b.vec_id), "
+        "hit AS (SELECT ex.* FROM ex JOIN cand USING (d1, d2)) "
+        "SELECT (SELECT count(*) FROM ex) AS n_exact, "
+        "(SELECT count(*) FROM hit) AS n_found, "
+        "CAST((SELECT count(*) FROM hit) AS DOUBLE) / "
+        "CAST((SELECT count(*) FROM ex) AS DOUBLE) AS recall"
+    )
+
+
 def ann_brute_topk_oracle() -> str:
     return (
         f"WITH {_QUANT_CTE}, "
@@ -354,6 +397,7 @@ QUERIES = {
     "ann_brute_topk": ann_brute_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_pairs": ann_lsh_pairs,
+    "ann_lsh_recall": ann_lsh_recall,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
@@ -373,6 +417,7 @@ ORACLES = {
     "ann_brute_topk": ann_brute_topk_oracle(),
     "ann_ivf_topk": ann_ivf_topk_oracle(),
     "ann_lsh_pairs": ann_lsh_pairs_oracle(),
+    "ann_lsh_recall": ann_lsh_recall_oracle(),
     "text_token_stats": text_token_stats_oracle(),
     "text_quality": text_quality_oracle(),
     "text_lang_id": text_lang_id_oracle(),
