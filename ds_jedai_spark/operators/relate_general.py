@@ -13,11 +13,12 @@ Exactness scope:
 - LINESTRING vs LINESTRING: exact intersects/crosses/touches/overlaps;
   equals/within exact for single-segment lines, conservative
   (vertex+midpoint coverage) for multi-segment chains.
-- LINESTRING vs POLYGON and POLYGON vs POLYGON: exact when the polygon is
-  an axis-aligned rectangle; otherwise the verification falls back to the
-  envelope approximation — the same documented behavior as the
-  reference's base ``EntityT.relate`` (model/entities/EntityT.scala:35,
-  SURVEY.md §2.11), which our engine otherwise always upgrades.
+- LINESTRING vs POLYGON and POLYGON vs POLYGON: exact for any simple
+  polygon (with holes, multi) — axis-aligned rectangles take a float
+  closed form, everything else the rational-arithmetic sub-segment
+  classifier in operators/relate_poly.py. Only MULTIPOINT-vs-extended
+  combos keep the envelope approximation (the reference's base
+  ``EntityT.relate`` quirk, model/entities/EntityT.scala:35).
 """
 
 from __future__ import annotations
@@ -318,7 +319,17 @@ def relate_pair(gtype_a: str, parts_a, gtype_b: str, parts_b) -> dict[str, bool]
         return swap(_relate_line_rect(parts_b, _env(parts_a)))
     if a_poly and b_poly and _is_rect(parts_a) and _is_rect(parts_b):
         return _relate_rect_rect(_env(parts_a), _env(parts_b))
-    # Envelope fallback (documented; the reference's EntityT.relate quirk)
+    # Exact rational-arithmetic general paths (operators/relate_poly.py).
+    from ds_jedai_spark.operators import relate_poly
+
+    if a_line and b_poly:
+        return relate_poly.relate_line_polygon(parts_a, parts_b)
+    if b_line and a_poly:
+        return swap(relate_poly.relate_line_polygon(parts_b, parts_a))
+    if a_poly and b_poly:
+        return relate_poly.relate_polygon_polygon(parts_a, parts_b)
+    # Remaining combos (MULTIPOINT vs line/polygon): envelope approximation
+    # (documented; the reference's EntityT.relate quirk).
     return _relate_rect_rect(_env(parts_a), _env(parts_b))
 
 

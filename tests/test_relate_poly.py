@@ -1,0 +1,122 @@
+"""Exact general polygon relations: golden cases (concave, holes, nested,
+collinear contact) + consistency with the rectangle closed form."""
+
+from hypothesis import given, settings, strategies as st
+
+from ds_jedai_spark.operators.relate_general import relate_pair
+
+SQ = lambda x1, y1, x2, y2: [[(x1, y1), (x2, y1), (x2, y2), (x1, y2), (x1, y1)]]
+TRI = [[(0.0, 0.0), (6.0, 0.0), (3.0, 5.0), (0.0, 0.0)]]
+L_SHAPE = [[(0.0, 0.0), (6.0, 0.0), (6.0, 2.0), (2.0, 2.0), (2.0, 6.0),
+            (0.0, 6.0), (0.0, 0.0)]]
+HOLED = [
+    [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)],
+    [(3.0, 3.0), (7.0, 3.0), (7.0, 7.0), (3.0, 7.0), (3.0, 3.0)],
+]
+
+
+def rel(a_t, a, b_t, b):
+    return relate_pair(a_t, a, b_t, b)
+
+
+def flags(d, **want):
+    for k, v in want.items():
+        assert d[k] == v, (k, d)
+
+
+def test_triangle_crosses_square():
+    d = rel("POLYGON", TRI, "POLYGON", SQ(2, -1, 4, 1))
+    flags(d, intersects=True, overlaps=True, touches=False, contains=False)
+
+
+def test_nested_triangle_in_square():
+    d = rel("POLYGON", SQ(-1, -1, 7, 6), "POLYGON", TRI)
+    flags(d, contains=True, covers=True, equals=False, overlaps=False)
+    rev = rel("POLYGON", TRI, "POLYGON", SQ(-1, -1, 7, 6))
+    flags(rev, within=True, coveredby=True)
+
+
+def test_equal_triangles():
+    d = rel("POLYGON", TRI, "POLYGON", [list(map(tuple, TRI[0]))])
+    flags(d, equals=True, covers=True, coveredby=True, touches=False)
+
+
+def test_edge_touching_concave():
+    # Square sits in the notch of the L, sharing edges only.
+    d = rel("POLYGON", L_SHAPE, "POLYGON", SQ(2, 2, 6, 6))
+    flags(d, intersects=True, touches=True, overlaps=False)
+
+
+def test_square_in_hole_is_disjoint():
+    d = rel("POLYGON", HOLED, "POLYGON", SQ(4, 4, 6, 6))
+    flags(d, disjoint=True, intersects=False)
+
+
+def test_hole_ring_containment():
+    # Big square covers the holed polygon entirely.
+    d = rel("POLYGON", SQ(-1, -1, 11, 11), "POLYGON", HOLED)
+    flags(d, contains=True, covers=True)
+
+
+def test_shared_edge_inside_cover():
+    # B inside A, flush with A's left edge: covered AND contained (JTS).
+    d = rel("POLYGON", SQ(0, 0, 8, 8), "POLYGON", SQ(0, 2, 3, 5))
+    flags(d, covers=True, contains=True, overlaps=False)
+
+
+def test_line_crosses_triangle():
+    d = rel("LINESTRING", [[(-1.0, 1.0), (7.0, 1.0)]], "POLYGON", TRI)
+    flags(d, crosses=True, intersects=True, touches=False, coveredby=False)
+
+
+def test_line_within_triangle():
+    d = rel("LINESTRING", [[(2.0, 1.0), (4.0, 1.0)]], "POLYGON", TRI)
+    flags(d, within=True, coveredby=True, crosses=False)
+
+
+def test_line_along_boundary_touches():
+    d = rel("LINESTRING", [[(1.0, 0.0), (5.0, 0.0)]], "POLYGON", TRI)
+    flags(d, touches=True, coveredby=True, within=False, crosses=False)
+
+
+def test_line_into_hole_crosses():
+    d = rel("LINESTRING", [[(1.0, 5.0), (5.0, 5.0)]], "POLYGON", HOLED)
+    flags(d, crosses=True)
+
+
+def test_line_inside_hole_disjoint():
+    d = rel("LINESTRING", [[(4.0, 5.0), (6.0, 5.0)]], "POLYGON", HOLED)
+    flags(d, disjoint=True)
+
+
+def test_polygon_line_swap_consistency():
+    d = rel("POLYGON", TRI, "LINESTRING", [[(-1.0, 1.0), (7.0, 1.0)]])
+    flags(d, crosses=True, contains=False)
+
+
+lattice = st.integers(min_value=-10, max_value=10).map(lambda v: v / 2.0)
+
+
+@st.composite
+def rects(draw):
+    x1, x2 = sorted((draw(lattice), draw(lattice)))
+    y1, y2 = sorted((draw(lattice), draw(lattice)))
+    if x1 == x2:
+        x2 = x1 + 0.5
+    if y1 == y2:
+        y2 = y1 + 0.5
+    return x1, y1, x2, y2
+
+
+@given(rects(), rects())
+@settings(max_examples=150, deadline=None)
+def test_general_path_matches_rect_closed_form(a, b):
+    # Perturb one rectangle into a 5-vertex pentagon-shaped rect (insert a
+    # collinear midpoint) so relate_pair routes through relate_poly, then
+    # compare with the rectangle closed form on the plain rects.
+    ax1, ay1, ax2, ay2 = a
+    ring = [(ax1, ay1), ((ax1 + ax2) / 2, ay1), (ax2, ay1), (ax2, ay2),
+            (ax1, ay2), (ax1, ay1)]
+    general = relate_pair("POLYGON", [ring], "POLYGON", SQ(*b))
+    closed = relate_pair("POLYGON", SQ(*a), "POLYGON", SQ(*b))
+    assert general == closed
