@@ -287,6 +287,70 @@ def _relate_rect_rect(env_a, env_b) -> dict[str, bool]:
     return _finish(d)
 
 
+def _relate_points_line(pts: list[Pt], parts) -> dict[str, bool]:
+    """Point-set vs line: per-point location aggregation (dim 0 vs 1)."""
+    d = _false()
+    segs = _segments(parts)
+    ends = _line_endpoints(parts)
+    n_interior = n_boundary = n_off = 0
+    for p in pts:
+        if any(_on_segment(p, a, b) for a, b in segs):
+            if p in ends:
+                n_boundary += 1
+            else:
+                n_interior += 1
+        else:
+            n_off += 1
+    if n_interior + n_boundary == 0:
+        return _finish(d)
+    d["intersects"] = True
+    d["coveredby"] = n_off == 0
+    d["within"] = n_off == 0 and n_interior > 0
+    d["crosses"] = n_interior > 0 and n_off > 0
+    d["touches"] = n_interior == 0
+    return _finish(d)
+
+
+def _relate_points_polygon(pts: list[Pt], rings) -> dict[str, bool]:
+    """Point-set vs polygon region (dim 0 vs 2)."""
+    d = _false()
+    n_in = n_on = n_out = 0
+    for p in pts:
+        loc = _point_in_polygon(p, rings)
+        if loc == 2:
+            n_in += 1
+        elif loc == 1:
+            n_on += 1
+        else:
+            n_out += 1
+    if n_in + n_on == 0:
+        return _finish(d)
+    d["intersects"] = True
+    d["coveredby"] = n_out == 0
+    d["within"] = n_out == 0 and n_in > 0
+    d["crosses"] = n_in > 0 and n_out > 0
+    d["touches"] = n_in == 0
+    return _finish(d)
+
+
+def _relate_points_points(pa: list[Pt], pb: list[Pt]) -> dict[str, bool]:
+    """Point-set vs point-set: pure set algebra (points have no boundary,
+    so touches is identically false and overlaps needs proper overlap)."""
+    d = _false()
+    sa, sb = set(pa), set(pb)
+    common = sa & sb
+    if not common:
+        return _finish(d)
+    d["intersects"] = True
+    d["coveredby"] = sa <= sb
+    d["within"] = sa <= sb
+    d["covers"] = sb <= sa
+    d["contains"] = sb <= sa
+    d["equals"] = sa == sb
+    d["overlaps"] = bool(sa - sb) and bool(sb - sa)
+    return _finish(d)
+
+
 def relate_pair(gtype_a: str, parts_a, gtype_b: str, parts_b) -> dict[str, bool]:
     a_point = gtype_a in ("POINT",)
     b_point = gtype_b in ("POINT",)
@@ -328,9 +392,23 @@ def relate_pair(gtype_a: str, parts_a, gtype_b: str, parts_b) -> dict[str, bool]
         return swap(relate_poly.relate_line_polygon(parts_b, parts_a))
     if a_poly and b_poly:
         return relate_poly.relate_polygon_polygon(parts_a, parts_b)
-    # Remaining combos (MULTIPOINT vs line/polygon): envelope approximation
-    # (documented; the reference's EntityT.relate quirk).
-    return _relate_rect_rect(_env(parts_a), _env(parts_b))
+    # MULTIPOINT combos: exact per-point location aggregation.
+    def pts(parts):
+        return [tuple(p) for part in parts for p in part]
+
+    a_mp = gtype_a == "MULTIPOINT" or a_point
+    b_mp = gtype_b == "MULTIPOINT" or b_point
+    if a_mp and b_mp:
+        return _relate_points_points(pts(parts_a), pts(parts_b))
+    if a_mp and b_line:
+        return _relate_points_line(pts(parts_a), parts_b)
+    if b_mp and a_line:
+        return swap(_relate_points_line(pts(parts_b), parts_a))
+    if a_mp and b_poly:
+        return _relate_points_polygon(pts(parts_a), parts_b)
+    if b_mp and a_poly:
+        return swap(_relate_points_polygon(pts(parts_b), parts_a))
+    raise AssertionError(f"unhandled geometry pair: {gtype_a} x {gtype_b}")
 
 
 def with_general_relations(
