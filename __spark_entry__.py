@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_counts": giant.partitioned_counts,
         "finegrained_line_counts": giant.finegrained_line_counts,
         "dirty_self_pairs": giant.dirty_self_pairs,
+        "triangle_point_counts": giant.triangle_point_counts,
         "envelope_rank_counts": giant.envelope_rank_counts,
         "pair_ref_points": giant.pair_ref_points,
     }
@@ -97,6 +98,7 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_counts": giant.giant_counts_oracle(),
         "finegrained_line_counts": giant.finegrained_line_counts_oracle(),
         "dirty_self_pairs": giant.dirty_self_pairs_oracle(),
+        "triangle_point_counts": giant.triangle_point_counts_oracle(),
         "envelope_rank_counts": giant.envelope_rank_counts_oracle(),
         "pair_ref_points": giant.pair_ref_points_oracle(),
     }

@@ -113,6 +113,27 @@ def line_sql(table: str = "customer", key: str = "c_custkey") -> str:
 POINT_ID_OFFSET = 1_000_000_000
 
 
+def triangle_sql(table: str = "part", key: str = "p_partkey") -> str:
+    """TRIANGLE dataset: 3 lattice vertices per supplier row, degenerate
+    (zero-area) triangles excluded; exposes vertex + envelope columns."""
+    x1 = f"(CAST(({key} * {SRC_MX}) % {GRID} AS DOUBLE) / {SCALE})"
+    y1 = f"(CAST(({key} * {SRC_MY}) % {GRID} AS DOUBLE) / {SCALE})"
+    dx2 = f"(CAST(({key} * 13) % 49 - 24 AS DOUBLE) / {SCALE})"
+    dy2 = f"(CAST(({key} * 29) % 49 - 24 AS DOUBLE) / {SCALE})"
+    dx3 = f"(CAST(({key} * 37) % 49 - 24 AS DOUBLE) / {SCALE})"
+    dy3 = f"(CAST(({key} * 41) % 49 - 24 AS DOUBLE) / {SCALE})"
+    area2 = "((x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1))"
+    return (
+        f"SELECT id, x1, y1, x2, y2, x3, y3, "
+        f"least(x1, x2, x3) AS minx, least(y1, y2, y3) AS miny, "
+        f"greatest(x1, x2, x3) AS maxx, greatest(y1, y2, y3) AS maxy FROM ("
+        f"SELECT CAST({key} AS BIGINT) AS id, {x1} AS x1, {y1} AS y1, "
+        f"{x1} + {dx2} AS x2, {y1} + {dy2} AS y2, "
+        f"{x1} + {dx3} AS x3, {y1} + {dy3} AS y3 FROM {table}) t "
+        f"WHERE {area2} <> 0"
+    )
+
+
 def mixed_target_sql() -> str:
     """Mixed-geometry TARGET: boxes UNION points, ids made disjoint by an
     offset. Gives the ISP weighting function (1/(npoints_s+npoints_t)) real

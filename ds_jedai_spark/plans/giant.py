@@ -175,6 +175,68 @@ def line_box_crosses_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def triangle_point_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-triangle through the GENERAL Python verifier: triangles
+    and points are joined on envelopes, coords columns are assembled
+    JVM-side, and relate_pair (the exact rational/orientation path) runs
+    in mapInPandas. The oracle recomputes covered/interior/boundary with
+    closed-form orientation signs in SQL — putting the Python verifier
+    itself under the DuckDB gate."""
+    from ds_jedai_spark.io.synthetic import triangle_sql
+    from ds_jedai_spark.operators.relate_general import with_general_relations
+
+    tris = load_sql(spark, sf_dir, triangle_sql())
+    pts = load_sql(spark, sf_dir, point_sql())
+    cand = tile_join(
+        tris, pts, theta=(1.0, 1.0),
+        source_extra=("x1", "y1", "x2", "y2", "x3", "y3"),
+    )
+    cand = cand.selectExpr(
+        "*",
+        "'POLYGON' AS s_gtype",
+        "array(array(array(s_x1, s_y1), array(s_x2, s_y2), "
+        "array(s_x3, s_y3), array(s_x1, s_y1))) AS s_coords",
+        "'POINT' AS t_gtype",
+        "array(array(array(t_minx, t_miny))) AS t_coords",
+    )
+    v = with_general_relations(cand)
+    return v.agg(
+        F.count(F.lit(1)).alias("verifications"),
+        F.count(F.when(F.col("r_covers"), True)).alias("n_covered"),
+        F.count(F.when(F.col("r_contains"), True)).alias("n_interior"),
+        F.count(F.when(F.col("r_touches"), True)).alias("n_boundary"),
+    )
+
+
+def triangle_point_counts_oracle() -> str:
+    from ds_jedai_spark.io.synthetic import triangle_sql
+
+    env = (
+        "s.minx <= t.maxx AND t.minx <= s.maxx AND "
+        "s.miny <= t.maxy AND t.miny <= s.maxy"
+    )
+    d = {
+        i: f"((s.x{j} - s.x{i}) * (t.miny - s.y{i}) - "
+           f"(s.y{j} - s.y{i}) * (t.minx - s.x{i}))"
+        for i, j in ((1, 2), (2, 3), (3, 1))
+    }
+    has_pos = f"({d[1]} > 0 OR {d[2]} > 0 OR {d[3]} > 0)"
+    has_neg = f"({d[1]} < 0 OR {d[2]} < 0 OR {d[3]} < 0)"
+    covered = f"(NOT ({has_pos} AND {has_neg}))"
+    interior = (
+        f"(({d[1]} > 0 AND {d[2]} > 0 AND {d[3]} > 0) OR "
+        f"({d[1]} < 0 AND {d[2]} < 0 AND {d[3]} < 0))"
+    )
+    return (
+        f"WITH tri AS ({triangle_sql()}), pt AS ({point_sql()}) "
+        f"SELECT count(*) AS verifications, "
+        f"COUNT(*) FILTER (WHERE {covered}) AS n_covered, "
+        f"COUNT(*) FILTER (WHERE {interior}) AS n_interior, "
+        f"COUNT(*) FILTER (WHERE {covered} AND NOT {interior}) AS n_boundary "
+        f"FROM tri s JOIN pt t ON {env}"
+    )
+
+
 def dirty_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirty (self) interlinking of the source dataset: each unordered
     intersecting pair once, via id ordering (reference
