@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "finegrained_line_counts": giant.finegrained_line_counts,
         "dirty_self_pairs": giant.dirty_self_pairs,
         "triangle_point_counts": giant.triangle_point_counts,
+        "triangle_line_counts": giant.triangle_line_counts,
         "envelope_rank_counts": giant.envelope_rank_counts,
         "pair_ref_points": giant.pair_ref_points,
     }
@@ -99,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
         "finegrained_line_counts": giant.finegrained_line_counts_oracle(),
         "dirty_self_pairs": giant.dirty_self_pairs_oracle(),
         "triangle_point_counts": giant.triangle_point_counts_oracle(),
+        "triangle_line_counts": giant.triangle_line_counts_oracle(),
         "envelope_rank_counts": giant.envelope_rank_counts_oracle(),
         "pair_ref_points": giant.pair_ref_points_oracle(),
     }

@@ -118,10 +118,13 @@ def triangle_sql(table: str = "part", key: str = "p_partkey") -> str:
     (zero-area) triangles excluded; exposes vertex + envelope columns."""
     x1 = f"(CAST(({key} * {SRC_MX}) % {GRID} AS DOUBLE) / {SCALE})"
     y1 = f"(CAST(({key} * {SRC_MY}) % {GRID} AS DOUBLE) / {SCALE})"
-    dx2 = f"(CAST(({key} * 13) % 49 - 24 AS DOUBLE) / {SCALE})"
-    dy2 = f"(CAST(({key} * 29) % 49 - 24 AS DOUBLE) / {SCALE})"
-    dx3 = f"(CAST(({key} * 37) % 49 - 24 AS DOUBLE) / {SCALE})"
-    dy3 = f"(CAST(({key} * 41) % 49 - 24 AS DOUBLE) / {SCALE})"
+    # Constants distinct from line_sql's (13, 29) so segments never
+    # coincide with triangle edges; range +/-6 units makes containment of
+    # small segments actually occur.
+    dx2 = f"(CAST(({key} * 17) % 193 - 96 AS DOUBLE) / {SCALE})"
+    dy2 = f"(CAST(({key} * 23) % 193 - 96 AS DOUBLE) / {SCALE})"
+    dx3 = f"(CAST(({key} * 37) % 193 - 96 AS DOUBLE) / {SCALE})"
+    dy3 = f"(CAST(({key} * 41) % 193 - 96 AS DOUBLE) / {SCALE})"
     area2 = "((x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1))"
     return (
         f"SELECT id, x1, y1, x2, y2, x3, y3, "

@@ -237,6 +237,74 @@ def triangle_point_counts_oracle() -> str:
     )
 
 
+def triangle_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-in-triangle through the general verifier's exact
+    LINESTRING×POLYGON path (relate_poly). Convexity makes the oracle
+    closed-form: a segment is covered iff both endpoints are covered, and
+    it lies ON an edge iff both endpoints are collinear with one edge."""
+    from ds_jedai_spark.io.synthetic import line_sql, triangle_sql
+    from ds_jedai_spark.operators.relate_general import with_general_relations
+
+    tris = load_sql(spark, sf_dir, triangle_sql())
+    lines = load_sql(spark, sf_dir, line_sql())
+    cand = tile_join(
+        tris, lines, theta=(1.0, 1.0),
+        source_extra=("x1", "y1", "x2", "y2", "x3", "y3"),
+        target_extra=("x1", "y1", "x2", "y2"),
+    )
+    cand = cand.selectExpr(
+        "*",
+        "'POLYGON' AS s_gtype",
+        "array(array(array(s_x1, s_y1), array(s_x2, s_y2), "
+        "array(s_x3, s_y3), array(s_x1, s_y1))) AS s_coords",
+        "'LINESTRING' AS t_gtype",
+        "array(array(array(t_x1, t_y1), array(t_x2, t_y2))) AS t_coords",
+    )
+    v = with_general_relations(cand)
+    return v.agg(
+        F.count(F.lit(1)).alias("verifications"),
+        F.count(F.when(F.col("r_covers"), True)).alias("n_covered"),
+        F.count(F.when(F.col("r_contains"), True)).alias("n_contained"),
+        F.count(
+            F.when(F.col("r_covers") & F.col("r_touches"), True)
+        ).alias("n_on_edge"),
+    )
+
+
+def triangle_line_counts_oracle() -> str:
+    from ds_jedai_spark.io.synthetic import line_sql, triangle_sql
+
+    env = (
+        "s.minx <= t.maxx AND t.minx <= s.maxx AND "
+        "s.miny <= t.maxy AND t.miny <= s.maxy"
+    )
+
+    def orients(px: str, py: str) -> dict[int, str]:
+        return {
+            i: f"((s.x{j} - s.x{i}) * ({py} - s.y{i}) - "
+               f"(s.y{j} - s.y{i}) * ({px} - s.x{i}))"
+            for i, j in ((1, 2), (2, 3), (3, 1))
+        }
+
+    def covered(px: str, py: str) -> str:
+        d = orients(px, py)
+        has_pos = f"({d[1]} > 0 OR {d[2]} > 0 OR {d[3]} > 0)"
+        has_neg = f"({d[1]} < 0 OR {d[2]} < 0 OR {d[3]} < 0)"
+        return f"(NOT ({has_pos} AND {has_neg}))"
+
+    dp, dq = orients("t.x1", "t.y1"), orients("t.x2", "t.y2")
+    both = f"({covered('t.x1', 't.y1')} AND {covered('t.x2', 't.y2')})"
+    on_edge = " OR ".join(f"({dp[i]} = 0 AND {dq[i]} = 0)" for i in (1, 2, 3))
+    return (
+        f"WITH tri AS ({triangle_sql()}), seg AS ({line_sql()}) "
+        f"SELECT count(*) AS verifications, "
+        f"COUNT(*) FILTER (WHERE {both}) AS n_covered, "
+        f"COUNT(*) FILTER (WHERE {both} AND NOT ({on_edge})) AS n_contained, "
+        f"COUNT(*) FILTER (WHERE {both} AND ({on_edge})) AS n_on_edge "
+        f"FROM tri s JOIN seg t ON {env}"
+    )
+
+
 def dirty_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirty (self) interlinking of the source dataset: each unordered
     intersecting pair once, via id ordering (reference
