@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dirty_self_pairs": giant.dirty_self_pairs,
         "triangle_point_counts": giant.triangle_point_counts,
         "triangle_line_counts": giant.triangle_line_counts,
+        "triangle_triangle_counts": giant.triangle_triangle_counts,
         "envelope_rank_counts": giant.envelope_rank_counts,
         "pair_ref_points": giant.pair_ref_points,
     }
@@ -101,6 +102,7 @@ def oracle_sql() -> dict[str, str]:
         "dirty_self_pairs": giant.dirty_self_pairs_oracle(),
         "triangle_point_counts": giant.triangle_point_counts_oracle(),
         "triangle_line_counts": giant.triangle_line_counts_oracle(),
+        "triangle_triangle_counts": giant.triangle_triangle_counts_oracle(),
         "envelope_rank_counts": giant.envelope_rank_counts_oracle(),
         "pair_ref_points": giant.pair_ref_points_oracle(),
     }

@@ -305,6 +305,106 @@ def triangle_line_counts_oracle() -> str:
     )
 
 
+def triangle_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle×triangle through the exact POLYGON×POLYGON path
+    (relate_poly.relate_polygon_polygon). The oracle is the separating-
+    axis theorem in closed form — valid because triangles are convex:
+    closures intersect iff no edge strictly separates; interiors
+    intersect iff no edge separates even non-strictly; coverage is
+    all-vertices-covered."""
+    from ds_jedai_spark.io.synthetic import triangle_sql
+    from ds_jedai_spark.operators.relate_general import with_general_relations
+
+    a = load_sql(spark, sf_dir, triangle_sql())
+    b = load_sql(spark, sf_dir, triangle_sql("orders", "o_orderkey"))
+    vex = ("x1", "y1", "x2", "y2", "x3", "y3")
+    cand = tile_join(a, b, theta=(2.0, 2.0), source_extra=vex, target_extra=vex)
+
+    def coords(p: str) -> str:
+        return (
+            f"array(array(array({p}x1, {p}y1), array({p}x2, {p}y2), "
+            f"array({p}x3, {p}y3), array({p}x1, {p}y1)))"
+        )
+
+    cand = cand.selectExpr(
+        "*",
+        "'POLYGON' AS s_gtype",
+        f"{coords('s_')} AS s_coords",
+        "'POLYGON' AS t_gtype",
+        f"{coords('t_')} AS t_coords",
+    )
+    v = with_general_relations(cand)
+    aggs = [F.count(F.lit(1)).alias("verifications")]
+    for r in ("intersects", "touches", "overlaps", "covers", "contains", "equals"):
+        aggs.append(F.count(F.when(F.col(f"r_{r}"), True)).alias(f"n_{r}"))
+    return v.agg(*aggs)
+
+
+def triangle_triangle_counts_oracle() -> str:
+    from ds_jedai_spark.io.synthetic import triangle_sql
+
+    env = (
+        "a.minx <= b.maxx AND b.minx <= a.maxx AND "
+        "a.miny <= b.maxy AND b.miny <= a.maxy"
+    )
+
+    def sgn(p: str) -> str:
+        area2 = (
+            f"(({p}.x2 - {p}.x1) * ({p}.y3 - {p}.y1) - "
+            f"({p}.y2 - {p}.y1) * ({p}.x3 - {p}.x1))"
+        )
+        return f"(CASE WHEN {area2} > 0 THEN 1 ELSE -1 END)"
+
+    def edge_seps(p: str, q: str, strict: bool) -> list[str]:
+        """One clause per edge of p: all q vertices on the outer side."""
+        op = "<" if strict else "<="
+        out = []
+        for i, j in ((1, 2), (2, 3), (3, 1)):
+            terms = []
+            for k in (1, 2, 3):
+                o = (
+                    f"(({p}.x{j} - {p}.x{i}) * ({q}.y{k} - {p}.y{i}) - "
+                    f"({p}.y{j} - {p}.y{i}) * ({q}.x{k} - {p}.x{i}))"
+                )
+                terms.append(f"{sgn(p)} * {o} {op} 0")
+            out.append("(" + " AND ".join(terms) + ")")
+        return out
+
+    def separated(strict: bool) -> str:
+        return "(" + " OR ".join(
+            edge_seps("a", "b", strict) + edge_seps("b", "a", strict)
+        ) + ")"
+
+    def covers(p: str, q: str) -> str:
+        terms = []
+        for k in (1, 2, 3):
+            for i, j in ((1, 2), (2, 3), (3, 1)):
+                o = (
+                    f"(({p}.x{j} - {p}.x{i}) * ({q}.y{k} - {p}.y{i}) - "
+                    f"({p}.y{j} - {p}.y{i}) * ({q}.x{k} - {p}.x{i}))"
+                )
+                terms.append(f"{sgn(p)} * {o} >= 0")
+        return "(" + " AND ".join(terms) + ")"
+
+    inter = f"(NOT {separated(True)})"
+    ii = f"(NOT {separated(False)})"
+    cov, covby = covers("a", "b"), covers("b", "a")
+    sel = [
+        "count(*) AS verifications",
+        f"COUNT(*) FILTER (WHERE {inter}) AS n_intersects",
+        f"COUNT(*) FILTER (WHERE {inter} AND NOT {ii}) AS n_touches",
+        f"COUNT(*) FILTER (WHERE {ii} AND NOT {cov} AND NOT {covby}) AS n_overlaps",
+        f"COUNT(*) FILTER (WHERE {inter} AND {cov}) AS n_covers",
+        f"COUNT(*) FILTER (WHERE {inter} AND {cov} AND {ii}) AS n_contains",
+        f"COUNT(*) FILTER (WHERE {inter} AND {cov} AND {covby}) AS n_equals",
+    ]
+    return (
+        f"WITH ta AS ({triangle_sql()}), "
+        f"tb AS ({triangle_sql('orders', 'o_orderkey')}) "
+        f"SELECT {', '.join(sel)} FROM ta a JOIN tb b ON {env}"
+    )
+
+
 def dirty_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirty (self) interlinking of the source dataset: each unordered
     intersecting pair once, via id ordering (reference
