@@ -28,6 +28,10 @@ PAIR_RELATIONS = (
     "equals",
     "touches",
     "overlaps",
+    # crosses is identically false in the box algebra (see operators/relate.py);
+    # the pairs query + oracle prove the empty set matches. Nonempty crosses
+    # support lives in line_box_crosses_pairs / triangle_line_counts.
+    "crosses",
 )
 
 
@@ -51,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_triangle_counts": giant.triangle_triangle_counts,
         "envelope_rank_counts": giant.envelope_rank_counts,
         "pair_ref_points": giant.pair_ref_points,
+        "disjoint_counts": giant.disjoint_counts,
     }
     for rel in PAIR_RELATIONS:
         q[f"pairs_{rel}"] = giant.relation_pairs(rel)
@@ -105,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_triangle_counts": giant.triangle_triangle_counts_oracle(),
         "envelope_rank_counts": giant.envelope_rank_counts_oracle(),
         "pair_ref_points": giant.pair_ref_points_oracle(),
+        "disjoint_counts": giant.disjoint_counts_oracle(),
     }
     for rel in PAIR_RELATIONS:
         o[f"pairs_{rel}"] = giant.relation_pairs_oracle(rel)

@@ -550,3 +550,49 @@ def point_in_box_pairs_oracle() -> str:
         f"SELECT s.id AS s_id, t.id AS t_id FROM source s JOIN target t "
         f"ON {preds['covers']}"
     )
+
+
+def disjoint_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``relation: DISJOINT`` mode as a complement count.
+
+    A tile join can only enumerate envelope-OVERLAPPING pairs, so at scale
+    DISJOINT (utils/configuration/Constants.scala:14-37, model/IM.scala:13)
+    must never be materialized pair-by-pair: |S|x|T| disjoint pairs is
+    ~|S|x|T| rows at 100 TB. The scalable plan is three cheap aggregates —
+    |S|, |T|, and the deduplicated intersecting-pair count from the tile
+    join — combined as n_disjoint = |S|*|T| - n_intersecting. Integer
+    arithmetic end-to-end, so the oracle comparison is exact.
+    """
+    source = load_sql(spark, sf_dir, source_box_sql())
+    target = load_sql(spark, sf_dir, target_box_sql())
+    theta = cached_theta(spark, sf_dir, "source_box", source)
+    inter = tile_join(source, target, theta=theta).agg(
+        F.count(F.lit(1)).alias("n_intersecting")
+    )
+    ns = source.agg(F.count(F.lit(1)).alias("n_source"))
+    nt = target.agg(F.count(F.lit(1)).alias("n_target"))
+    return (
+        ns.crossJoin(nt)
+        .crossJoin(inter)
+        .select(
+            "n_source",
+            "n_target",
+            "n_intersecting",
+            (F.col("n_source") * F.col("n_target") - F.col("n_intersecting")).alias(
+                "n_disjoint"
+            ),
+        )
+    )
+
+
+def disjoint_counts_oracle() -> str:
+    preds = relation_predicates("s.", "t.")
+    return (
+        f"WITH source AS ({source_box_sql()}), target AS ({target_box_sql()}), "
+        f"ns AS (SELECT COUNT(*) AS n_source FROM source), "
+        f"nt AS (SELECT COUNT(*) AS n_target FROM target), "
+        f"ni AS (SELECT COUNT(*) AS n_intersecting FROM source s "
+        f"JOIN target t ON {preds['intersects']}) "
+        f"SELECT n_source, n_target, n_intersecting, "
+        f"n_source * n_target - n_intersecting AS n_disjoint FROM ns, nt, ni"
+    )
