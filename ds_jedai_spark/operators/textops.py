@@ -167,3 +167,78 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg((F.sum("term") % F.lit(FP_MOD)).alias("fingerprint"))
     )
+
+
+PACK_BUDGET = 64  # tokens per packed training sequence
+PACK_SHARDS = 8
+
+MIX_MULT = 2654435761  # shared with the fingerprint hash family
+MIX_BASE = 20
+MIX_STEP = 13
+MIX_SPAN = 61
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int = PACK_BUDGET, n_shards: int = PACK_SHARDS
+) -> DataFrame:
+    """Token-budget sequence packing for pretraining-data assembly.
+
+    Documents are assigned to fixed-token-budget training sequences by a
+    running token sum: within a shard (``doc_id % n_shards``), docs fill
+    sequences in doc_id order and a doc opens a new sequence whenever the
+    cumulative count before it crosses a budget multiple
+    (``seq_id = floor(cum_before / budget)``).
+
+    Scale notes: the shard key bounds every window to one shard — shards
+    sort independently and in parallel, so there is no global sort at
+    100 TB; n_shards scales with the cluster (one output file per shard
+    per writer task). All arithmetic is integer, so the DuckDB oracle
+    matches bit-for-bit.
+    """
+    arr = F.filter(F.split("text", " "), lambda w: w != "")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.size(arr).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    seq = F.floor((cum - F.col("n_tokens")).cast("double") / F.lit(float(budget)))
+    packed = t.select(
+        "shard", "doc_id", "n_tokens", seq.cast("long").alias("seq_id")
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def mixture_sample(docs: DataFrame) -> DataFrame:
+    """Deterministic weighted corpus mixing (dataset-mixture sampling).
+
+    Each source gets a sampling rate in percent derived from its numeric
+    suffix (rate = MIX_BASE + suffix*MIX_STEP mod MIX_SPAN); a document
+    survives iff hash(doc_id) mod 100 < rate. Hash-based Bernoulli
+    thinning is reproducible, embarrassingly parallel (no shuffle before
+    the reporting agg), and re-runnable incrementally — the properties a
+    100 TB mixture rebuild needs. Output reports per-source totals.
+    """
+    srcnum = F.substring("source", 4, 8).cast("long")
+    rate = (F.lit(MIX_BASE) + (srcnum * F.lit(MIX_STEP)) % F.lit(MIX_SPAN)).alias(
+        "rate_pct"
+    )
+    keep = ((F.col("doc_id") * F.lit(MIX_MULT)) % 100) < F.col("rate_pct")
+    t = docs.select("doc_id", "source", rate)
+    return (
+        t.groupBy("source", "rate_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(keep, True)).alias("n_sampled"),
+        )
+    )

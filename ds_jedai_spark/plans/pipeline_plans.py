@@ -117,6 +117,14 @@ def text_fingerprint(spark, sf_dir):
     return textops.fingerprint(_docs(spark, sf_dir))
 
 
+def text_pack_sequences(spark, sf_dir):
+    return textops.pack_sequences(_docs(spark, sf_dir))
+
+
+def text_mixture_sample(spark, sf_dir):
+    return textops.mixture_sample(_docs(spark, sf_dir))
+
+
 def media_metadata(spark, sf_dir):
     return multimodal.media_metadata(_docs(spark, sf_dir))
 
@@ -357,6 +365,35 @@ def text_fingerprint_oracle() -> str:
     )
 
 
+def text_pack_sequences_oracle() -> str:
+    b, sh = textops.PACK_BUDGET, textops.PACK_SHARDS
+    return (
+        "WITH tok AS (SELECT doc_id, doc_id % "
+        f"{sh} AS shard, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) "
+        "AS n_tokens FROM documents), "
+        "run AS (SELECT shard, doc_id, n_tokens, "
+        "SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM tok) "
+        f"SELECT shard, CAST(floor(CAST(cum - n_tokens AS DOUBLE) / {b}.0) AS BIGINT) "
+        "AS seq_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, "
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc "
+        "FROM run GROUP BY 1, 2"
+    )
+
+
+def text_mixture_sample_oracle() -> str:
+    t = textops
+    return (
+        "WITH r AS (SELECT doc_id, source, "
+        f"{t.MIX_BASE} + (CAST(substring(source, 4, 8) AS BIGINT) * {t.MIX_STEP}) "
+        f"% {t.MIX_SPAN} AS rate_pct FROM documents) "
+        "SELECT source, rate_pct, count(*) AS n_docs, "
+        f"count(*) FILTER (WHERE (doc_id * {t.MIX_MULT}) % 100 < rate_pct) "
+        "AS n_sampled FROM r GROUP BY 1, 2"
+    )
+
+
 def media_metadata_oracle() -> str:
     return (
         "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len, "
@@ -402,6 +439,8 @@ QUERIES = {
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_pack_sequences": text_pack_sequences,
+    "text_mixture_sample": text_mixture_sample,
     "media_metadata": media_metadata,
     "media_resize": media_resize,
     "media_frame_sample": media_frame_sample,
@@ -422,6 +461,8 @@ ORACLES = {
     "text_quality": text_quality_oracle(),
     "text_lang_id": text_lang_id_oracle(),
     "text_fingerprint": text_fingerprint_oracle(),
+    "text_pack_sequences": text_pack_sequences_oracle(),
+    "text_mixture_sample": text_mixture_sample_oracle(),
     "media_metadata": media_metadata_oracle(),
     "media_resize": media_resize_oracle(),
     "media_frame_sample": media_frame_sample_oracle(),
