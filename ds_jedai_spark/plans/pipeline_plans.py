@@ -117,6 +117,55 @@ def text_fingerprint(spark, sf_dir):
     return textops.fingerprint(_docs(spark, sf_dir))
 
 
+def corpus_clean_stats(spark, sf_dir):
+    """End-to-end cleaning pipeline over the duplicate-injected corpus:
+    exact dedup (keep min doc_id per text) + quality filter + English
+    language filter, reporting corpus/unique/clean counts and the clean
+    token total.
+
+    The per-doc statistics (quality + language hits) are FUSED into one
+    grouped aggregation over the exploded words — a single shuffle where
+    naively composing quality() and lang_id() would take two. The dedup
+    groupBy ships full text as the shuffle key here for oracle
+    transparency; the 100 TB path groups by xxhash64(text) (64-bit keys,
+    same algebra, collision-checked by a residual equality)."""
+    from pyspark.sql import functions as F
+
+    docs = _corpus(spark, sf_dir)
+    w = textops.words(docs)
+    stop = F.array(*[F.lit(s) for s in textops.STOPWORDS])
+    aggs = [
+        F.count(F.lit(1)).alias("n_words"),
+        F.countDistinct("word").alias("n_distinct"),
+        F.count(F.when(F.array_contains(stop, F.col("word")), True)).alias("n_stop"),
+    ]
+    for lang, wl in textops.LANG_WORDLISTS.items():
+        arr = F.array(*[F.lit(x) for x in wl])
+        aggs.append(
+            F.count(F.when(F.array_contains(arr, F.col("word")), True)).alias(
+                f"hits_{lang}"
+            )
+        )
+    per_doc = w.groupBy("doc_id").agg(*aggs)
+    score = F.lit(0.6) * (
+        F.col("n_distinct").cast("double") / F.col("n_words")
+    ) + F.lit(0.4) * (F.col("n_stop").cast("double") / F.col("n_words"))
+    is_en = (F.col("hits_en") >= F.col("hits_de")) & (
+        F.col("hits_en") >= F.col("hits_fr")
+    )
+    uniq = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    clean = per_doc.join(uniq, "doc_id").where(
+        (F.col("n_words") >= 5) & (score >= 0.45) & is_en
+    )
+    n_corpus = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
+    n_unique = uniq.agg(F.count(F.lit(1)).alias("n_unique"))
+    cl = clean.agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias("clean_tokens"),
+    )
+    return n_corpus.crossJoin(n_unique).crossJoin(cl)
+
+
 def text_pack_sequences(spark, sf_dir):
     return textops.pack_sequences(_docs(spark, sf_dir))
 
@@ -365,6 +414,36 @@ def text_fingerprint_oracle() -> str:
     )
 
 
+def corpus_clean_stats_oracle() -> str:
+    stop = ", ".join(f"'{s}'" for s in textops.STOPWORDS)
+    hits = {
+        lang: f"count(*) FILTER (WHERE word IN ({', '.join(repr(x) for x in wl)}))"
+        for lang, wl in textops.LANG_WORDLISTS.items()
+    }
+    score = (
+        "0.6 * (CAST(n_distinct AS DOUBLE) / n_words) + "
+        "0.4 * (CAST(n_stop AS DOUBLE) / n_words)"
+    )
+    return (
+        f"WITH corpus AS ({textops.CORPUS_SQL}), "
+        "w0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus), "
+        "w AS (SELECT doc_id, word FROM w0 WHERE word <> ''), "
+        "per_doc AS (SELECT doc_id, count(*) AS n_words, "
+        "count(DISTINCT word) AS n_distinct, "
+        f"count(*) FILTER (WHERE word IN ({stop})) AS n_stop, "
+        + ", ".join(f"{expr} AS hits_{lang}" for lang, expr in hits.items())
+        + " FROM w GROUP BY doc_id), "
+        "uniq AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text), "
+        "clean AS (SELECT per_doc.* FROM per_doc JOIN uniq USING (doc_id) "
+        f"WHERE n_words >= 5 AND {score} >= 0.45 "
+        "AND hits_en >= hits_de AND hits_en >= hits_fr) "
+        "SELECT (SELECT count(*) FROM corpus) AS n_corpus, "
+        "(SELECT count(*) FROM uniq) AS n_unique, "
+        "count(*) AS n_clean, "
+        "CAST(coalesce(sum(n_words), 0) AS BIGINT) AS clean_tokens FROM clean"
+    )
+
+
 def text_pack_sequences_oracle() -> str:
     b, sh = textops.PACK_BUDGET, textops.PACK_SHARDS
     return (
@@ -441,6 +520,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_pack_sequences": text_pack_sequences,
     "text_mixture_sample": text_mixture_sample,
+    "corpus_clean_stats": corpus_clean_stats,
     "media_metadata": media_metadata,
     "media_resize": media_resize,
     "media_frame_sample": media_frame_sample,
@@ -463,6 +543,7 @@ ORACLES = {
     "text_fingerprint": text_fingerprint_oracle(),
     "text_pack_sequences": text_pack_sequences_oracle(),
     "text_mixture_sample": text_mixture_sample_oracle(),
+    "corpus_clean_stats": corpus_clean_stats_oracle(),
     "media_metadata": media_metadata_oracle(),
     "media_resize": media_resize_oracle(),
     "media_frame_sample": media_frame_sample_oracle(),
