@@ -18,11 +18,28 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 from ds_jedai_spark.operators.textops import shingles, vocab
 
 MINHASH_P = 1000003
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize a multi-use intermediate (eager localCheckpoint).
+
+    Every self-join or fan-out below would otherwise recompute its full
+    upstream per branch — the LSH plan references the shingle table four
+    times and the candidate set twice (measured ~3x end-to-end). Plain
+    ``persist()`` is not enough: cache substitution matches analyzed
+    subtrees, and the self-union / self-join consumers here fail the
+    lookup (observed: zero InMemoryTableScan in the candidate plan), so
+    the checkpoint's lineage truncation is what guarantees reuse. At
+    100 TB the equivalent is writing the intermediate to a bucketed
+    table; executor-local blocks are the single-job form (same recovery
+    tradeoff as the reference's persisted RDDs)."""
+    return df.localCheckpoint()
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -75,7 +92,7 @@ def _with_jaccard(pairs: DataFrame, d: DataFrame) -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.8) -> DataFrame:
     """Exact shingle-Jaccard near-dup discovery (the correctness baseline
     the LSH variants are verified against)."""
-    d = shingles(docs)
+    d = _pin(shingles(docs))
     return (
         _with_jaccard(_overlap(d), d)
         .where(F.col("jaccard") >= tau)
@@ -161,9 +178,9 @@ def minhash_lsh_pairs(
     = sum of position-weighted hashes) → bucket equi-join → verify true
     Jaccard on candidates only.
     """
-    d = shingles(docs)
+    d = _pin(shingles(docs))
     sig = minhash_signatures(d, k)
-    band = (
+    band = _pin(
         sig.withColumn("band", F.col("i") - (F.col("i") % rows_per_band))
         .withColumn("slot", (F.col("i") % rows_per_band) + 1)
         .groupBy("doc_id", "band")
@@ -171,7 +188,7 @@ def minhash_lsh_pairs(
     )
     a = band.select(F.col("doc_id").alias("d1"), "band", "bkey")
     b = band.select(F.col("doc_id").alias("d2"), "band", "bkey")
-    cand = (
+    cand = _pin(
         a.join(b, ["band", "bkey"])
         .where(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
@@ -219,10 +236,12 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
     32-bit fingerprint split into 4 byte-wide bands; a pair is a candidate
     when any band matches (standard simhash blocking: hamming <= 3 implies
     at least one of 4 bands is untouched)."""
-    d = shingles(docs)
+    d = _pin(shingles(docs))
     fp = simhash_fingerprints(d)
-    nib = fp.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(3)))).withColumn(
-        "nibble", F.expr("shiftright(fp, k * 8) % 256")
+    nib = _pin(
+        fp.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(3)))).withColumn(
+            "nibble", F.expr("shiftright(fp, k * 8) % 256")
+        )
     )
     a = nib.select(F.col("doc_id").alias("d1"), F.col("fp").alias("fp1"), "k", "nibble")
     b = nib.select(F.col("doc_id").alias("d2"), F.col("fp").alias("fp2"), "k", "nibble")

