@@ -18,7 +18,6 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 from ds_jedai_spark.operators.textops import shingles, vocab
