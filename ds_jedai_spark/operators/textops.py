@@ -78,15 +78,43 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def vocab(tokens: DataFrame, col: str) -> DataFrame:
-    """(token, wid) — dense_rank over the sorted distinct token set.
+    """(token, wid) — global dense_rank ids over the sorted distinct
+    token set, with NO single-partition window.
 
-    Cross-engine-reproducible ids (oracle contract). At 100 TB scale use
-    xxhash64(token) instead: no global window, no join — the downstream
-    min-hash algebra is unchanged.
+    Distributed two-phase ranking: range-repartition the distinct tokens
+    (partition i sorts wholly before partition i+1), row_number within
+    each partition, then add broadcast cumulative per-partition offsets.
+    The ids equal dense_rank() OVER (ORDER BY token) — the oracle
+    contract — but every stage is parallel, so a billion-token vocabulary
+    at 100 TB never funnels through one task. (A pure-production variant
+    could use xxhash64(token) directly — no ranking at all — but the
+    two-phase rank keeps ids dense AND reproducible.)
+
+    The ranked frame is pinned (eager localCheckpoint): it feeds both the
+    offset aggregate and the final join, and repartitionByRange samples
+    its boundaries nondeterministically — unpinned recomputation could
+    assign different (part, rn) per consumer. The offset cumulative sum
+    is a global window over <= numPartitions rows (tiny aggregate).
     """
-    w = Window.orderBy(col)
-    return (
-        tokens.select(col).distinct().withColumn("wid", F.dense_rank().over(w))
+    distinct = tokens.select(col).distinct()
+    n = int(tokens.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    local = (
+        distinct.repartitionByRange(n, col)
+        .withColumn("part", F.spark_partition_id())
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("part").orderBy(col)).cast("long"),
+        )
+        .localCheckpoint()
+    )
+    offsets = (
+        local.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("off", F.sum("cnt").over(Window.orderBy("part")) - F.col("cnt"))
+        .select("part", "off")
+    )
+    return local.join(F.broadcast(offsets), "part").select(
+        col, (F.col("off") + F.col("rn")).alias("wid")
     )
 
 
