@@ -79,7 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "skew_entities": pp.skew_entities,
             "well_balanced_counts": pp.well_balanced_counts,
             "segment_groups": pp.segment_groups,
-            # Stateful scans — sequential semantics, rows-only checks:
+            # Stateful scans — sequential semantics, oracled via
+            # recursive-CTE / gaps-and-islands SQL replays:
             "dynamic_progressive_js": pp.dynamic_progressive_js,
             "early_stopping_js": pp.early_stopping_js,
         }
@@ -134,6 +135,8 @@ def oracle_sql() -> dict[str, str]:
             "skew_entities": pp.skew_entities_oracle(),
             "well_balanced_counts": giant.giant_counts_oracle(),
             "segment_groups": pp.segment_groups_oracle(),
+            "dynamic_progressive_js": pp.dynamic_progressive_js_oracle(),
+            "early_stopping_js": pp.early_stopping_js_oracle(),
         }
     )
     o.update(pl.ORACLES)

@@ -20,15 +20,18 @@ sequential scan per partition group with ``applyInPandas`` (Arrow-batched,
 one Python pass per group — the same operator-per-partition shape the
 reference uses, linkers/DistributedInterlinking.scala:37-44).
 
-Groups are formed by hashing the source id into ``num_parts`` buckets and
-each group gets a budget share proportional to its candidate count
-(reference localBudget, ProgressiveGIAnt.scala:26).
+Groups are formed by bucketing the source id into ``num_parts`` buckets
+(``s_id % num_parts`` — portable modular bucketing so the DuckDB oracle can
+reproduce the grouping bit-for-bit) and each group gets a budget share
+proportional to its candidate count (reference localBudget,
+ProgressiveGIAnt.scala:26). The group total needed for that share is a
+broadcast one-row aggregate joined onto the candidates — no driver-side
+``count()`` action, so the candidate set is scanned exactly once.
 """
 
 from __future__ import annotations
 
 import heapq
-import math
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -91,16 +94,19 @@ def dynamic_progressive(
     num_parts: int = 32,
 ) -> DataFrame:
     """cand must carry s_id, t_id, envelope cols and the qualifies column."""
-    total = cand.count()
     base = (
         cand.withColumn("w", F.expr(weight_sql))
         .withColumn("qualifies", F.col(qualifies_col))
-        .withColumn("pid", F.pmod(F.hash("s_id"), F.lit(num_parts)))
+        .withColumn("pid", F.pmod(F.col("s_id"), F.lit(num_parts)))
         .select("pid", "s_id", "t_id", "w", "qualifies")
     )
+    totals = base.agg(F.count(F.lit(1)).alias("n_total"))
+    base = base.crossJoin(F.broadcast(totals))
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        local_budget = max(1, math.ceil(budget * len(pdf) / max(total, 1)))
+        total = max(int(pdf["n_total"].iloc[0]), 1)
+        # Integer-exact ceil so the SQL oracle's `(a + b - 1) // b` matches.
+        local_budget = max(1, (budget * len(pdf) + total - 1) // total)
         pdf = pdf.sort_values(["w", "s_id", "t_id"], ascending=[False, True, True])
         return _dynamic_scan(pdf, local_budget)
 
@@ -121,7 +127,7 @@ def early_stopping(
     base = (
         cand.withColumn("w", F.expr(weight_sql))
         .withColumn("qualifies", F.col(qualifies_col))
-        .withColumn("pid", F.pmod(F.hash("s_id"), F.lit(num_parts)))
+        .withColumn("pid", F.pmod(F.col("s_id"), F.lit(num_parts)))
         .select("pid", "s_id", "t_id", "w", "qualifies")
     )
 

@@ -132,7 +132,8 @@ def pgr_js_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dynamic_progressive_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DYNAMIC_PROGRESSIVE_GIANT: JS weights, OVERLAPS hits boost neighbors.
-    Sequential PQ semantics — no SQL oracle (driver rows-only check)."""
+    Sequential PQ semantics; the DuckDB oracle replays the same scan as a
+    recursive CTE (one verification per group per recursion step)."""
     from ds_jedai_spark.operators.progressive_state import dynamic_progressive
 
     cand = with_relations(_cand(spark, sf_dir))
@@ -141,7 +142,8 @@ def dynamic_progressive_js(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def early_stopping_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EARLY_STOPPING: batch-verified JS ordering with the reference's
-    stopping rule — no SQL oracle (driver rows-only check).
+    stopping rule; oracled via a gaps-and-islands SQL replay (consecutive
+    violating batches = batch index minus last non-violating batch index).
 
     Qualifying relation is EQUALS: identical boxes have JS=1 and sort to
     the head of the scan, so match density decays and the stopping rule
@@ -423,6 +425,85 @@ def random_sched_oracle() -> str:
     return (
         f"{_w_cte()} SELECT s_id, t_id, w_rand AS w FROM ww "
         f"ORDER BY w DESC, s_id, t_id LIMIT {PROG_BUDGET}"
+    )
+
+
+def dynamic_progressive_js_oracle() -> str:
+    """Recursive-CTE replay of the dynamic-PQ scan (one verification per
+    group per recursion level): among pending pairs pick the (eff DESC,
+    s_id, t_id) minimum-rank pair, then boost every pending pair sharing an
+    endpoint with a qualifying choice to ``w0 * (1 + relatedMatches)`` —
+    byte-identical to operators/progressive_state._dynamic_scan (reference
+    DynamicProgressiveGIAnt.scala:25-88)."""
+    from ds_jedai_spark.operators.relate import relation_predicates
+
+    pred = relation_predicates("s_", "t_")["overlaps"]
+    cte = _w_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    boosted = (
+        "(rnk IS NULL AND NOT chosen AND ch_q AND (s_id = ch_s OR t_id = ch_t))"
+    )
+    return (
+        f"{cte}, "
+        f"prep AS (SELECT s_id % 32 AS pid, s_id, t_id, w_js AS w0, "
+        f"({pred}) AS qual FROM ww), "
+        f"tot AS (SELECT count(*) AS n_total FROM prep), "
+        f"lims AS (SELECT pid, GREATEST(1, ({PROG_BUDGET} * count(*) + n_total - 1) "
+        f"// n_total) AS lb FROM prep, tot GROUP BY pid, n_total), "
+        f"scan AS ("
+        f"SELECT p.pid, p.s_id, p.t_id, p.w0, p.qual, l.lb, "
+        f"0 AS rm, p.w0 AS eff, CAST(NULL AS BIGINT) AS rnk "
+        f"FROM prep p JOIN lims l USING (pid) "
+        f"UNION ALL "
+        f"SELECT pid, s_id, t_id, w0, qual, lb, "
+        f"CASE WHEN {boosted} THEN rm + 1 ELSE rm END AS rm, "
+        f"CASE WHEN {boosted} THEN w0 * (2 + rm) ELSE eff END AS eff, "
+        f"CASE WHEN chosen THEN done_cnt + 1 ELSE rnk END AS rnk "
+        f"FROM ("
+        f"SELECT *, "
+        f"max(CASE WHEN chosen THEN s_id END) OVER (PARTITION BY pid) AS ch_s, "
+        f"max(CASE WHEN chosen THEN t_id END) OVER (PARTITION BY pid) AS ch_t, "
+        f"bool_or(chosen AND qual) OVER (PARTITION BY pid) AS ch_q, "
+        f"bool_or(chosen) OVER () AS any_chosen "
+        f"FROM ("
+        f"SELECT *, (rnk IS NULL AND done_cnt < lb AND "
+        f"row_number() OVER (PARTITION BY pid "
+        f"ORDER BY (rnk IS NOT NULL), eff DESC, s_id, t_id) = 1) AS chosen "
+        f"FROM (SELECT *, count(rnk) OVER (PARTITION BY pid) AS done_cnt FROM scan)"
+        f")) WHERE any_chosen) "
+        f"SELECT s_id, t_id, eff AS w, rnk AS verified_rank "
+        f"FROM (SELECT DISTINCT s_id, t_id, eff, rnk FROM scan WHERE rnk IS NOT NULL)"
+    )
+
+
+def early_stopping_js_oracle() -> str:
+    """Gaps-and-islands replay of the early-stopping batch scan: per group,
+    batches of 100 in (w DESC, s_id, t_id) order; a batch violates when its
+    match count falls below 0.18 x first-batch matches; the scan stops at
+    the 4th consecutive violation, inclusive (reference
+    EarlyStoppingLinker.scala:34-131)."""
+    from ds_jedai_spark.operators.relate import relation_predicates
+
+    pred = relation_predicates("s_", "t_")["equals"]
+    return (
+        f"{_w_cte()}, "
+        f"prep AS (SELECT s_id % 4 AS pid, s_id, t_id, w_js AS w, "
+        f"CAST({pred} AS INT) AS q FROM ww), "
+        f"ordered AS (SELECT *, row_number() OVER (PARTITION BY pid "
+        f"ORDER BY w DESC, s_id, t_id) AS rn FROM prep), "
+        f"batched AS (SELECT *, (rn - 1) // 100 AS b FROM ordered), "
+        f"bm AS (SELECT pid, b, sum(q) AS matches FROM batched GROUP BY pid, b), "
+        f"fb AS (SELECT pid, GREATEST(matches, 1) AS fbm FROM bm WHERE b = 0), "
+        f"flags AS (SELECT bm.pid, bm.b, "
+        f"(bm.b > 0 AND bm.matches < 0.18 * fb.fbm) AS viol "
+        f"FROM bm JOIN fb USING (pid)), "
+        f"runs AS (SELECT pid, b, b - max(CASE WHEN NOT viol THEN b END) "
+        f"OVER (PARTITION BY pid ORDER BY b ROWS UNBOUNDED PRECEDING) AS cv "
+        f"FROM flags), "
+        f"stops AS (SELECT pid, min(CASE WHEN cv >= 4 THEN b END) AS stop_b "
+        f"FROM runs GROUP BY pid) "
+        f"SELECT s_id, t_id, w, rn AS verified_rank "
+        f"FROM batched JOIN stops USING (pid) "
+        f"WHERE stop_b IS NULL OR b <= stop_b"
     )
 
 
