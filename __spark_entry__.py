@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_point_counts": giant.triangle_point_counts,
         "triangle_line_counts": giant.triangle_line_counts,
         "triangle_triangle_counts": giant.triangle_triangle_counts,
+        "multipoint_line_counts": giant.multipoint_line_counts,
+        "multipoint_triangle_counts": giant.multipoint_triangle_counts,
         "envelope_rank_counts": giant.envelope_rank_counts,
         "pair_ref_points": giant.pair_ref_points,
         "disjoint_counts": giant.disjoint_counts,
@@ -109,6 +111,8 @@ def oracle_sql() -> dict[str, str]:
         "triangle_point_counts": giant.triangle_point_counts_oracle(),
         "triangle_line_counts": giant.triangle_line_counts_oracle(),
         "triangle_triangle_counts": giant.triangle_triangle_counts_oracle(),
+        "multipoint_line_counts": giant.multipoint_line_counts_oracle(),
+        "multipoint_triangle_counts": giant.multipoint_triangle_counts_oracle(),
         "envelope_rank_counts": giant.envelope_rank_counts_oracle(),
         "pair_ref_points": giant.pair_ref_points_oracle(),
         "disjoint_counts": giant.disjoint_counts_oracle(),

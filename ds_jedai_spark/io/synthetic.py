@@ -113,6 +113,35 @@ def line_sql(table: str = "customer", key: str = "c_custkey") -> str:
 POINT_ID_OFFSET = 1_000_000_000
 
 
+def multipoint_sql(table: str = "customer", key: str = "c_custkey") -> str:
+    """MULTIPOINT dataset: 3 lattice points per customer row.
+
+    Anchored on the same base as line_sql so relations actually occur:
+    p1 equals the same-key segment's start vertex (boundary contact), p2 is
+    the exact segment midpoint whenever both deltas are even (interior
+    contact, ~1/4 of keys) and a near-miss otherwise, p3 scatters ±2 units.
+    Halving uses `(v - v % 2) / 2` — integer-exact and identical in Spark
+    and DuckDB (both give % the dividend's sign).
+    """
+    x1 = f"(CAST(({key} * {SRC_MX}) % {GRID} AS DOUBLE) / {SCALE})"
+    y1 = f"(CAST(({key} * {SRC_MY}) % {GRID} AS DOUBLE) / {SCALE})"
+    vx = f"(({key} * 13) % 49 - 24)"
+    vy = f"(({key} * 29) % 49 - 24)"
+    hx = f"(CAST(({vx} - {vx} % 2) / 2 AS DOUBLE) / {SCALE})"
+    hy = f"(CAST(({vy} - {vy} % 2) / 2 AS DOUBLE) / {SCALE})"
+    sx = f"(CAST(({key} * 19) % 65 - 32 AS DOUBLE) / {SCALE})"
+    sy = f"(CAST(({key} * 31) % 65 - 32 AS DOUBLE) / {SCALE})"
+    return (
+        f"SELECT id, p1x, p1y, p2x, p2y, p3x, p3y, "
+        f"least(p1x, p2x, p3x) AS minx, least(p1y, p2y, p3y) AS miny, "
+        f"greatest(p1x, p2x, p3x) AS maxx, greatest(p1y, p2y, p3y) AS maxy "
+        f"FROM (SELECT CAST({key} AS BIGINT) AS id, "
+        f"{x1} AS p1x, {y1} AS p1y, "
+        f"{x1} + {hx} AS p2x, {y1} + {hy} AS p2y, "
+        f"{x1} + {sx} AS p3x, {y1} + {sy} AS p3y FROM {table}) t"
+    )
+
+
 def triangle_sql(table: str = "part", key: str = "p_partkey") -> str:
     """TRIANGLE dataset: 3 lattice vertices per supplier row, degenerate
     (zero-area) triangles excluded; exposes vertex + envelope columns."""

@@ -16,9 +16,16 @@ Exactness scope:
 - LINESTRING vs POLYGON and POLYGON vs POLYGON: exact for any simple
   polygon (with holes, multi) — axis-aligned rectangles take a float
   closed form, everything else the rational-arithmetic sub-segment
-  classifier in operators/relate_poly.py. Only MULTIPOINT-vs-extended
-  combos keep the envelope approximation (the reference's base
-  ``EntityT.relate`` quirk, model/entities/EntityT.scala:35).
+  classifier in operators/relate_poly.py.
+- MULTIPOINT vs anything: exact per-point location aggregation
+  (_relate_points_*) — strictly stronger than the reference's envelope
+  approximation for this combo (model/entities/EntityT.scala:35); oracled
+  by plans/giant.multipoint_{line,triangle}_counts.
+
+No geometry combo keeps the envelope approximation; the float orientation
+tests are exact on the engine's lattice contract (coordinates that are
+small integer multiples of 1/16 — io/synthetic.py), and the arbitrary-
+coordinate polygon paths route through fractions.Fraction in relate_poly.
 """
 
 from __future__ import annotations

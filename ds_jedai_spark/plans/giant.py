@@ -405,6 +405,155 @@ def triangle_triangle_counts_oracle() -> str:
     )
 
 
+def _multipoint_coords(p: str) -> str:
+    return (
+        f"array(array(array({p}p1x, {p}p1y)), array(array({p}p2x, {p}p2y)), "
+        f"array(array({p}p3x, {p}p3y)))"
+    )
+
+
+def multipoint_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPOINT×LINESTRING through the exact per-point location
+    aggregation path (relate_general._relate_points_line) — the combo the
+    reference approximates with envelopes (model/entities/EntityT.scala:35);
+    here it is exact and oracled: the SQL recomputes each point's
+    interior/boundary/off classification with closed-form collinearity."""
+    from ds_jedai_spark.io.synthetic import multipoint_sql
+    from ds_jedai_spark.operators.relate_general import with_general_relations
+
+    mps = load_sql(spark, sf_dir, multipoint_sql())
+    lines = load_sql(spark, sf_dir, line_sql())
+    cand = tile_join(
+        mps, lines, theta=(1.0, 1.0),
+        source_extra=("p1x", "p1y", "p2x", "p2y", "p3x", "p3y"),
+        target_extra=("x1", "y1", "x2", "y2"),
+    )
+    cand = cand.selectExpr(
+        "*",
+        "'MULTIPOINT' AS s_gtype",
+        f"{_multipoint_coords('s_')} AS s_coords",
+        "'LINESTRING' AS t_gtype",
+        "array(array(array(t_x1, t_y1), array(t_x2, t_y2))) AS t_coords",
+    )
+    v = with_general_relations(cand)
+    return v.agg(
+        F.count(F.lit(1)).alias("verifications"),
+        F.count(F.when(F.col("r_intersects"), True)).alias("n_intersects"),
+        F.count(F.when(F.col("r_within"), True)).alias("n_within"),
+        F.count(F.when(F.col("r_coveredby"), True)).alias("n_coveredby"),
+        F.count(F.when(F.col("r_crosses"), True)).alias("n_crosses"),
+        F.count(F.when(F.col("r_touches"), True)).alias("n_touches"),
+    )
+
+
+def multipoint_line_counts_oracle() -> str:
+    from ds_jedai_spark.io.synthetic import multipoint_sql
+
+    env = (
+        "s.minx <= t.maxx AND t.minx <= s.maxx AND "
+        "s.miny <= t.maxy AND t.miny <= s.maxy"
+    )
+    on, bnd = [], []
+    for k in (1, 2, 3):
+        px, py = f"s.p{k}x", f"s.p{k}y"
+        cross = (
+            f"((t.x2 - t.x1) * ({py} - t.y1) - (t.y2 - t.y1) * ({px} - t.x1))"
+        )
+        on.append(
+            f"({cross} = 0 AND least(t.x1, t.x2) <= {px} AND "
+            f"{px} <= greatest(t.x1, t.x2) AND least(t.y1, t.y2) <= {py} AND "
+            f"{py} <= greatest(t.y1, t.y2))"
+        )
+        bnd.append(
+            f"(({px} = t.x1 AND {py} = t.y1) OR ({px} = t.x2 AND {py} = t.y2))"
+        )
+    interior = [f"({on[k]} AND NOT {bnd[k]})" for k in range(3)]
+    any_on = "(" + " OR ".join(on) + ")"
+    all_on = "(" + " AND ".join(on) + ")"
+    any_int = "(" + " OR ".join(interior) + ")"
+    return (
+        f"WITH mp AS ({multipoint_sql()}), seg AS ({line_sql()}) "
+        f"SELECT count(*) AS verifications, "
+        f"COUNT(*) FILTER (WHERE {any_on}) AS n_intersects, "
+        f"COUNT(*) FILTER (WHERE {all_on} AND {any_int}) AS n_within, "
+        f"COUNT(*) FILTER (WHERE {all_on}) AS n_coveredby, "
+        f"COUNT(*) FILTER (WHERE {any_int} AND NOT {all_on}) AS n_crosses, "
+        f"COUNT(*) FILTER (WHERE {any_on} AND NOT {any_int}) AS n_touches "
+        f"FROM mp s JOIN seg t ON {env}"
+    )
+
+
+def multipoint_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPOINT×POLYGON through the exact per-point location aggregation
+    (relate_general._relate_points_polygon); oracle classifies each point
+    against the triangle with orientation signs (covered / strict
+    interior), mirroring triangle_point_counts."""
+    from ds_jedai_spark.io.synthetic import multipoint_sql, triangle_sql
+    from ds_jedai_spark.operators.relate_general import with_general_relations
+
+    mps = load_sql(spark, sf_dir, multipoint_sql())
+    tris = load_sql(spark, sf_dir, triangle_sql())
+    cand = tile_join(
+        mps, tris, theta=(2.0, 2.0),
+        source_extra=("p1x", "p1y", "p2x", "p2y", "p3x", "p3y"),
+        target_extra=("x1", "y1", "x2", "y2", "x3", "y3"),
+    )
+    cand = cand.selectExpr(
+        "*",
+        "'MULTIPOINT' AS s_gtype",
+        f"{_multipoint_coords('s_')} AS s_coords",
+        "'POLYGON' AS t_gtype",
+        "array(array(array(t_x1, t_y1), array(t_x2, t_y2), "
+        "array(t_x3, t_y3), array(t_x1, t_y1))) AS t_coords",
+    )
+    v = with_general_relations(cand)
+    return v.agg(
+        F.count(F.lit(1)).alias("verifications"),
+        F.count(F.when(F.col("r_intersects"), True)).alias("n_intersects"),
+        F.count(F.when(F.col("r_within"), True)).alias("n_within"),
+        F.count(F.when(F.col("r_coveredby"), True)).alias("n_coveredby"),
+        F.count(F.when(F.col("r_crosses"), True)).alias("n_crosses"),
+        F.count(F.when(F.col("r_touches"), True)).alias("n_touches"),
+    )
+
+
+def multipoint_triangle_counts_oracle() -> str:
+    from ds_jedai_spark.io.synthetic import multipoint_sql, triangle_sql
+
+    env = (
+        "s.minx <= t.maxx AND t.minx <= s.maxx AND "
+        "s.miny <= t.maxy AND t.miny <= s.maxy"
+    )
+    cov, inn = [], []
+    for k in (1, 2, 3):
+        px, py = f"s.p{k}x", f"s.p{k}y"
+        d = {
+            i: f"((t.x{j} - t.x{i}) * ({py} - t.y{i}) - "
+               f"(t.y{j} - t.y{i}) * ({px} - t.x{i}))"
+            for i, j in ((1, 2), (2, 3), (3, 1))
+        }
+        has_pos = f"({d[1]} > 0 OR {d[2]} > 0 OR {d[3]} > 0)"
+        has_neg = f"({d[1]} < 0 OR {d[2]} < 0 OR {d[3]} < 0)"
+        cov.append(f"(NOT ({has_pos} AND {has_neg}))")
+        inn.append(
+            f"(({d[1]} > 0 AND {d[2]} > 0 AND {d[3]} > 0) OR "
+            f"({d[1]} < 0 AND {d[2]} < 0 AND {d[3]} < 0))"
+        )
+    any_cov = "(" + " OR ".join(cov) + ")"
+    all_cov = "(" + " AND ".join(cov) + ")"
+    any_in = "(" + " OR ".join(inn) + ")"
+    return (
+        f"WITH mp AS ({multipoint_sql()}), tri AS ({triangle_sql()}) "
+        f"SELECT count(*) AS verifications, "
+        f"COUNT(*) FILTER (WHERE {any_cov}) AS n_intersects, "
+        f"COUNT(*) FILTER (WHERE {all_cov} AND {any_in}) AS n_within, "
+        f"COUNT(*) FILTER (WHERE {all_cov}) AS n_coveredby, "
+        f"COUNT(*) FILTER (WHERE {any_in} AND NOT {all_cov}) AS n_crosses, "
+        f"COUNT(*) FILTER (WHERE {any_cov} AND NOT {any_in}) AS n_touches "
+        f"FROM mp s JOIN tri t ON {env}"
+    )
+
+
 def dirty_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirty (self) interlinking of the source dataset: each unordered
     intersecting pair once, via id ordering (reference
