@@ -71,7 +71,31 @@ def _total_blocks(df: DataFrame, theta: tuple[float, float]) -> int:
     return max(1, nx * ny)
 
 
-def _schedule(cand: DataFrame, cfg: JedaiConfig, wexpr: dict) -> DataFrame:
+# Above this budget, TakeOrderedAndProject's driver-side merge of `budget`
+# rows becomes the bottleneck (reference experiment budgets reach 5M-100M,
+# TSAS-Experiments/scalabilityExp.sh); dispatch switches to the
+# partitioned local-budget scheduler which never funnels rows through one
+# task or the driver.
+LARGE_BUDGET = 100_000
+
+
+def _grid_pid_sql(prefix: str, theta: tuple[float, float]) -> str:
+    """Coarse spatial-partition id (8x8-theta cells) of an envelope's min
+    corner; the multiplier keeps x/y cell indices disjoint."""
+    tx, ty = 8.0 * theta[0], 8.0 * theta[1]
+    return (
+        f"(CAST(floor({prefix}minx / {tx!r}) AS BIGINT) * 1048576 + "
+        f"CAST(floor({prefix}miny / {ty!r}) AS BIGINT))"
+    )
+
+
+def _schedule(
+    cand: DataFrame,
+    cfg: JedaiConfig,
+    wexpr: dict,
+    source: DataFrame,
+    theta: tuple[float, float],
+) -> DataFrame:
     main = wexpr[cfg.main_wf.lower().replace("pearson_x2", "x2")]
     sec = (
         wexpr[cfg.secondary_wf.lower().replace("pearson_x2", "x2")]
@@ -83,10 +107,21 @@ def _schedule(cand: DataFrame, cfg: JedaiConfig, wexpr: dict) -> DataFrame:
     if alg == "RANDOM":
         sched = prog.random_scheduling(cand, budget)
     elif alg in ("TOPK", "RECIPROCAL_TOPK"):
-        n = max(cand.select("s_id").distinct().count(), 1)
-        k = max(1, -(-budget // n))
-        fn = prog.topk_per_entity if alg == "TOPK" else prog.reciprocal_topk
-        sched = fn(cand, main, k)
+        # Per-source k = ceil(budget / |distinct sources|); the distinct
+        # count is a one-row broadcast aggregate folded into the plan, not
+        # a driver action over the candidate set.
+        n_src = cand.agg(
+            F.greatest(F.count_distinct(F.col("s_id")), F.lit(1)).alias("n_src")
+        )
+        with_k = cand.crossJoin(F.broadcast(n_src)).withColumn(
+            "k", F.expr(f"CAST(ceil({budget} / CAST(n_src AS DOUBLE)) AS INT)")
+        )
+        fn = (
+            prog.topk_per_entity_dynamic
+            if alg == "TOPK"
+            else prog.reciprocal_topk_dynamic
+        )
+        sched = fn(with_k, main)
     elif cfg.ws == "COMPOSITE" and sec:
         sched = prog.composite_top_budget(cand, main, sec, budget)
     elif cfg.ws == "HYBRID" and sec:
@@ -94,6 +129,11 @@ def _schedule(cand: DataFrame, cfg: JedaiConfig, wexpr: dict) -> DataFrame:
     elif cfg.ws == "THIN_MULTI_COMPOSITE":
         sched = prog.thin_multi_top_budget(
             cand, wexpr["js"], wexpr["cf"], wexpr["mbro"], budget
+        )
+    elif budget >= LARGE_BUDGET:
+        sched = prog.local_budget_top(
+            cand, source, main, budget,
+            _grid_pid_sql("s_", theta), _grid_pid_sql("", theta),
         )
     else:
         sched = prog.progressive_top_budget(cand, main, budget)
@@ -152,15 +192,16 @@ def run(spark: SparkSession, cfg: JedaiConfig) -> DataFrame:
         wexpr = weight_exprs(
             "s_", "t_", theta[0], theta[1], _total_blocks(source, theta)
         )
-        pair_keys = _schedule(cand, cfg, wexpr)
+        pair_keys = _schedule(cand, cfg, wexpr, source, theta)
         cand = cand.join(pair_keys, on=["s_id", "t_id"], how="left_semi")
-
-    verified = with_general_relations(cand)
 
     if stateful:
         # These algorithms interleave verification with scheduling (the PQ
-        # reorders / the scan stops based on hits), so they run over the
-        # relation-flagged candidates and emit the verified subset.
+        # reorders / the scan stops based on hits). Verification happens
+        # INSIDE the scan, lazily per dequeued pair, so the budget bounds
+        # the number of exact relate_pair calls (reference
+        # ProgressiveLinkerT.scala:47-63); the full relation flags are then
+        # computed only for the scheduled (budget-bounded) subset.
         from ds_jedai_spark.operators.progressive_state import (
             dynamic_progressive,
             early_stopping,
@@ -170,20 +211,20 @@ def run(spark: SparkSession, cfg: JedaiConfig) -> DataFrame:
             "s_", "t_", theta[0], theta[1], _total_blocks(source, theta)
         )
         main = wexpr[cfg.main_wf.lower().replace("pearson_x2", "x2")]
-        qcol = (
-            "r_intersects"
-            if cfg.relation == "DE9IM"
-            else f"r_{cfg.relation.lower()}"
+        qrel = (
+            "intersects" if cfg.relation == "DE9IM" else cfg.relation.lower()
         )
         if cfg.progressive_algorithm == "DYNAMIC_PROGRESSIVE_GIANT":
             sched = dynamic_progressive(
-                verified, main, qcol, cfg.budget or 3000
+                cand, main, None, cfg.budget or 3000, relation=qrel
             )
         else:
-            sched = early_stopping(verified, main, qcol)
-        verified = verified.join(
+            sched = early_stopping(cand, main, None, relation=qrel)
+        cand = cand.join(
             sched.select("s_id", "t_id"), on=["s_id", "t_id"], how="left_semi"
         )
+
+    verified = with_general_relations(cand)
 
     if cfg.relation == "DE9IM":
         aggs = [

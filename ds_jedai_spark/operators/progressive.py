@@ -68,6 +68,36 @@ def reciprocal_topk(cand: DataFrame, weight_sql: str, k: int) -> DataFrame:
     )
 
 
+def topk_per_entity_dynamic(cand: DataFrame, weight_sql: str) -> DataFrame:
+    """topk_per_entity with k taken from a per-row ``k`` column (derived
+    from a broadcast aggregate) instead of a Python literal — lets the
+    engine fold counts like ceil(budget / |sources|) into the plan with no
+    driver action."""
+    w = Window.partitionBy("s_id").orderBy(F.desc("w"), "t_id")
+    return (
+        with_weight(cand, weight_sql)
+        .select("s_id", "t_id", "w", "k")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("k"))
+        .drop("rn", "k")
+    )
+
+
+def reciprocal_topk_dynamic(cand: DataFrame, weight_sql: str) -> DataFrame:
+    """reciprocal_topk with the per-row ``k`` column contract of
+    topk_per_entity_dynamic."""
+    ws = Window.partitionBy("s_id").orderBy(F.desc("w"), "t_id")
+    wt = Window.partitionBy("t_id").orderBy(F.desc("w"), "s_id")
+    return (
+        with_weight(cand, weight_sql)
+        .select("s_id", "t_id", "w", "k")
+        .withColumn("rn_s", F.row_number().over(ws))
+        .withColumn("rn_t", F.row_number().over(wt))
+        .where((F.col("rn_s") <= F.col("k")) & (F.col("rn_t") <= F.col("k")))
+        .drop("rn_s", "rn_t", "k")
+    )
+
+
 def composite_top_budget(
     cand: DataFrame, main_sql: str, secondary_sql: str, budget: int
 ) -> DataFrame:
@@ -152,19 +182,35 @@ def random_scheduling(cand: DataFrame, budget: int) -> DataFrame:
 def pgr_metrics(scheduled: DataFrame, qualifies_col: str = "qualifies") -> DataFrame:
     """Progressive Geometry Recall over the scheduled verification order
     (reference: DistributedProgressiveInterlinking.scala:229-257):
-    PGR = (sum of running qualifying counts / qp-within-budget) / verifications."""
-    w = (
-        Window.orderBy(F.desc("w"), "s_id", "t_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    PGR = (sum of running qualifying counts / qp-within-budget) / verifications.
+
+    The running cumulative sum is never materialized: with rank_i the
+    1-based global verification order, sum_i(running_qp_i) telescopes to
+    (n + 1) * sum(q) - sum(q * rank) — so the plan is a distributed
+    two-phase rank (ranking.global_rank, no single-task window) plus one
+    ordinary aggregate, and survives reference-scale budgets (5M-100M
+    pairs)."""
+    from ds_jedai_spark.operators.ranking import global_rank
+
+    q = F.col(qualifies_col).cast("long")
+    ranked = global_rank(
+        scheduled.withColumn("negw", -F.col("w")),
+        asc_cols=["negw", "s_id", "t_id"],
     )
-    run = scheduled.withColumn(
-        "running_qp", F.sum(F.col(qualifies_col).cast("long")).over(w)
-    )
-    return run.agg(
+    agg = ranked.agg(
         F.count(F.lit(1)).alias("verifications"),
-        F.sum(F.col(qualifies_col).cast("long")).alias("qualifying_pairs"),
+        F.sum(q).alias("qualifying_pairs"),
+        F.sum(q * F.col("rank")).alias("qrank"),
+    )
+    return agg.select(
+        "verifications",
+        "qualifying_pairs",
         (
-            (F.sum("running_qp") / F.sum(F.col(qualifies_col).cast("long")))
-            / F.count(F.lit(1))
+            (
+                ((F.col("verifications") + 1) * F.col("qualifying_pairs")
+                 - F.col("qrank"))
+                / F.col("qualifying_pairs")
+            )
+            / F.col("verifications")
         ).alias("pgr"),
     )

@@ -38,14 +38,36 @@ from pyspark.sql import DataFrame, functions as F
 
 OUT_SCHEMA = "s_id long, t_id long, w double, verified_rank long"
 
+GEOM_COLS = ("s_gtype", "s_coords", "t_gtype", "t_coords")
 
-def _dynamic_scan(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
+
+def _lazy_qualifier(pdf: pd.DataFrame, relation: str):
+    """Per-row exact verifier, called only when the scan dequeues the row —
+    so the budget genuinely bounds relate_pair calls on the general WKT
+    path (the reference verifies inside the scan the same way,
+    ProgressiveLinkerT.scala:47-63)."""
+    from ds_jedai_spark.operators.relate_general import relate_pair
+
+    sg = pdf["s_gtype"].to_numpy()
+    sc = pdf["s_coords"].to_numpy()
+    tg = pdf["t_gtype"].to_numpy()
+    tc = pdf["t_coords"].to_numpy()
+
+    def qual_of(i: int) -> bool:
+        return bool(relate_pair(sg[i], sc[i], tg[i], tc[i])[relation])
+
+    return qual_of
+
+
+def _dynamic_scan(pdf: pd.DataFrame, budget: int, qual_of=None) -> pd.DataFrame:
     """Sequential dynamic-PQ scan over one group (pandas)."""
     n = len(pdf)
     s_ids = pdf["s_id"].to_numpy()
     t_ids = pdf["t_id"].to_numpy()
     w0 = pdf["w"].to_numpy()
-    qual = pdf["qualifies"].to_numpy()
+    if qual_of is None:
+        qual = pdf["qualifies"].to_numpy()
+        qual_of = lambda i: bool(qual[i])  # noqa: E731
 
     by_s: dict[int, list[int]] = {}
     by_t: dict[int, list[int]] = {}
@@ -73,7 +95,7 @@ def _dynamic_scan(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
         out_t.append(int(t_ids[i]))
         out_w.append(eff[i])
         out_r.append(rank)
-        if qual[i]:
+        if qual_of(i):
             for j in by_s.get(int(s_ids[i]), []) + by_t.get(int(t_ids[i]), []):
                 if not done[j]:
                     rm[j] += 1
@@ -89,17 +111,25 @@ def _dynamic_scan(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
 def dynamic_progressive(
     cand: DataFrame,
     weight_sql: str,
-    qualifies_col: str,
+    qualifies_col: str | None,
     budget: int,
     num_parts: int = 32,
+    relation: str | None = None,
 ) -> DataFrame:
-    """cand must carry s_id, t_id, envelope cols and the qualifies column."""
-    base = (
-        cand.withColumn("w", F.expr(weight_sql))
-        .withColumn("qualifies", F.col(qualifies_col))
-        .withColumn("pid", F.pmod(F.col("s_id"), F.lit(num_parts)))
-        .select("pid", "s_id", "t_id", "w", "qualifies")
+    """cand must carry s_id, t_id and either a precomputed qualifies column
+    (closed-form box algebra — free JVM column math) or, with
+    ``relation=...``, the geometry columns (s_gtype/s_coords/t_gtype/
+    t_coords) for lazy in-scan exact verification of dequeued pairs only."""
+    cols = ["pid", "s_id", "t_id", "w"]
+    base = cand.withColumn("w", F.expr(weight_sql)).withColumn(
+        "pid", F.pmod(F.col("s_id"), F.lit(num_parts))
     )
+    if relation is None:
+        base = base.withColumn("qualifies", F.col(qualifies_col))
+        cols.append("qualifies")
+    else:
+        cols.extend(GEOM_COLS)
+    base = base.select(*cols)
     totals = base.agg(F.count(F.lit(1)).alias("n_total"))
     base = base.crossJoin(F.broadcast(totals))
 
@@ -107,8 +137,11 @@ def dynamic_progressive(
         total = max(int(pdf["n_total"].iloc[0]), 1)
         # Integer-exact ceil so the SQL oracle's `(a + b - 1) // b` matches.
         local_budget = max(1, (budget * len(pdf) + total - 1) // total)
-        pdf = pdf.sort_values(["w", "s_id", "t_id"], ascending=[False, True, True])
-        return _dynamic_scan(pdf, local_budget)
+        pdf = pdf.sort_values(
+            ["w", "s_id", "t_id"], ascending=[False, True, True]
+        ).reset_index(drop=True)
+        qual_of = _lazy_qualifier(pdf, relation) if relation else None
+        return _dynamic_scan(pdf, local_budget, qual_of)
 
     return base.groupBy("pid").applyInPandas(scan, OUT_SCHEMA)
 
@@ -116,31 +149,42 @@ def dynamic_progressive(
 def early_stopping(
     cand: DataFrame,
     weight_sql: str,
-    qualifies_col: str,
+    qualifies_col: str | None,
     batch_size: int = 100,
     max_violations: int = 4,
     precision_level: float = 0.18,
     num_parts: int = 32,
+    relation: str | None = None,
 ) -> DataFrame:
     """Batch-verified scan with the reference's stopping rule (defaults are
-    the reference case-class defaults, EarlyStoppingLinker.scala:21-23)."""
-    base = (
-        cand.withColumn("w", F.expr(weight_sql))
-        .withColumn("qualifies", F.col(qualifies_col))
-        .withColumn("pid", F.pmod(F.col("s_id"), F.lit(num_parts)))
-        .select("pid", "s_id", "t_id", "w", "qualifies")
+    the reference case-class defaults, EarlyStoppingLinker.scala:21-23).
+    With ``relation=...`` each batch is exactly verified lazily, so batches
+    after the stopping point are never verified at all."""
+    cols = ["pid", "s_id", "t_id", "w"]
+    base = cand.withColumn("w", F.expr(weight_sql)).withColumn(
+        "pid", F.pmod(F.col("s_id"), F.lit(num_parts))
     )
+    if relation is None:
+        base = base.withColumn("qualifies", F.col(qualifies_col))
+        cols.append("qualifies")
+    else:
+        cols.extend(GEOM_COLS)
+    base = base.select(*cols)
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
             ["w", "s_id", "t_id"], ascending=[False, True, True]
         ).reset_index(drop=True)
+        qual_of = _lazy_qualifier(pdf, relation) if relation else None
         out_idx: list[int] = []
         first_batch_matches = None
         violations = 0
         for start in range(0, len(pdf), batch_size):
             batch = pdf.iloc[start : start + batch_size]
-            matches = int(batch["qualifies"].sum())
+            if qual_of is None:
+                matches = int(batch["qualifies"].sum())
+            else:
+                matches = sum(qual_of(i) for i in batch.index)
             out_idx.extend(batch.index)
             if first_batch_matches is None:
                 first_batch_matches = max(matches, 1)

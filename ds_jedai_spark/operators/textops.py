@@ -96,25 +96,11 @@ def vocab(tokens: DataFrame, col: str) -> DataFrame:
     assign different (part, rn) per consumer. The offset cumulative sum
     is a global window over <= numPartitions rows (tiny aggregate).
     """
+    from ds_jedai_spark.operators.ranking import global_rank
+
     distinct = tokens.select(col).distinct()
-    n = int(tokens.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    local = (
-        distinct.repartitionByRange(n, col)
-        .withColumn("part", F.spark_partition_id())
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("part").orderBy(col)).cast("long"),
-        )
-        .localCheckpoint()
-    )
-    offsets = (
-        local.groupBy("part")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("off", F.sum("cnt").over(Window.orderBy("part")) - F.col("cnt"))
-        .select("part", "off")
-    )
-    return local.join(F.broadcast(offsets), "part").select(
-        col, (F.col("off") + F.col("rn")).alias("wid")
+    return global_rank(distinct, asc_cols=[col]).select(
+        col, F.col("rank").alias("wid")
     )
 
 

@@ -51,3 +51,71 @@ def test_single_shuffle_free_tile_join(cand):
     assert "ShuffleExchange" not in plan_of(cand).replace(
         "AQEShuffleRead", ""
     ).replace("ShuffleQueryStage", "")
+
+
+def test_pgr_plan_has_no_single_task_window_over_schedule(cand, spark):
+    """pgr_metrics must never funnel the scheduled pairs through one task:
+    the rank is a range-repartitioned two-phase window, so no global Sort
+    and no single-partition Exchange consumed by a Window over the pair
+    stream (the only SinglePartition exchange allowed is the tiny
+    per-partition offsets aggregate, <= numPartitions rows)."""
+    from pyspark.sql import functions as F
+
+    from ds_jedai_spark.operators import progressive as prog
+    from ds_jedai_spark.operators.weights import weight_exprs
+
+    wexpr = weight_exprs("s_", "t_", 1.0, 1.0, 10000)
+    sched = (
+        prog.with_weight(cand, wexpr["js"])
+        .withColumn("qualifies", F.col("s_id") % 2 == 0)
+        .select("s_id", "t_id", "w", "qualifies")
+    )
+    # The rank stage (pre-checkpoint) must range-partition and keep every
+    # Window partition-local (keyed on the partition id).
+    from ds_jedai_spark.operators.ranking import ranked_local
+
+    ranked = ranked_local(
+        sched.withColumn("negw", -F.col("w")), ["negw", "s_id", "t_id"]
+    )
+    rank_plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(" in rank_plan
+    assert "SinglePartition" not in rank_plan
+    assert "windowspecdefinition(part#" in rank_plan
+    # And the full metric never sorts the pair stream globally: the only
+    # Sort nodes are partition-local (global=false).
+    plan = prog.pgr_metrics(sched)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Sort \[[^\]]*\], (\w+),", plan):
+        assert m.group(1) == "false", f"global Sort in PGR plan: {m.group(0)}"
+
+
+def test_large_budget_schedule_avoids_driver_merge(spark):
+    """api._schedule at reference-scale budgets must dispatch to the
+    partitioned local-budget top-k — no TakeOrderedAndProject (whose final
+    merge materializes `budget` rows on the driver)."""
+    from ds_jedai_spark.api import LARGE_BUDGET, _schedule
+    from ds_jedai_spark.config import JedaiConfig
+    from ds_jedai_spark.io.synthetic import load_sql, source_box_sql
+    from ds_jedai_spark.operators.spatial_join import tile_join
+    from ds_jedai_spark.operators.weights import weight_exprs
+
+    source = load_sql(spark, SF, source_box_sql())
+    target = load_sql(spark, SF, target_box_sql())
+    cand = tile_join(source, target, theta=(1.0, 1.0))
+    wexpr = weight_exprs("s_", "t_", 1.0, 1.0, 10000)
+    cfg = JedaiConfig.__new__(JedaiConfig)
+    cfg.main_wf = "JS"
+    cfg.secondary_wf = None
+    cfg.ws = "SIMPLE"
+    cfg.progressive_algorithm = "PROGRESSIVE_GIANT"
+
+    cfg.budget = LARGE_BUDGET
+    big = _schedule(cand, cfg, wexpr, source, (1.0, 1.0))
+    big_plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in big_plan
+
+    cfg.budget = 2000
+    small = _schedule(cand, cfg, wexpr, source, (1.0, 1.0))
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in small_plan
