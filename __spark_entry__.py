@@ -17,6 +17,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from ds_jedai_spark.plans import giant  # noqa: E402
 from ds_jedai_spark.plans import pipeline_plans as pl  # noqa: E402
 from ds_jedai_spark.plans import progressive_plans as pp  # noqa: E402
+from ds_jedai_spark.plans import reader_plans as rp  # noqa: E402
 from ds_jedai_spark.plans import streaming_plans as sp  # noqa: E402
 
 PAIR_RELATIONS = (
@@ -58,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "envelope_rank_counts": giant.envelope_rank_counts,
         "pair_ref_points": giant.pair_ref_points,
         "disjoint_counts": giant.disjoint_counts,
+        "wkt_reader_counts": rp.wkt_reader_counts,
     }
     for rel in PAIR_RELATIONS:
         q[f"pairs_{rel}"] = giant.relation_pairs(rel)
@@ -116,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
         "envelope_rank_counts": giant.envelope_rank_counts_oracle(),
         "pair_ref_points": giant.pair_ref_points_oracle(),
         "disjoint_counts": giant.disjoint_counts_oracle(),
+        "wkt_reader_counts": rp.wkt_reader_counts_oracle(),
     }
     for rel in PAIR_RELATIONS:
         o[f"pairs_{rel}"] = giant.relation_pairs_oracle(rel)

@@ -29,17 +29,14 @@ def explode_collections(df: DataFrame, wkt_col: str = "wkt") -> DataFrame:
     """One row per GEOMETRYCOLLECTION member, other columns propagated
     (reference GeometryUtils.scala:26-37). Arrow-batched; non-collection
     rows pass through unchanged."""
-    import pandas as pd
-
     def run(batches):
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                for member in flatten_collection_wkt(row[wkt_col]):
-                    r = row.copy()
-                    r[wkt_col] = member
-                    rows.append(r)
-            yield pd.DataFrame(rows, columns=pdf.columns)
+            out = pdf.copy()
+            # Vectorized member expansion: map to member lists, then one
+            # pandas-level explode — no per-row Python loop over the frame.
+            out[wkt_col] = out[wkt_col].map(flatten_collection_wkt)
+            out = out.explode(wkt_col, ignore_index=True)
+            yield out[out[wkt_col].notna()]
 
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     return df.mapInPandas(run, fields)

@@ -1,0 +1,68 @@
+"""End-to-end WKT ingestion under the DuckDB oracle gate.
+
+The driver-oracled spatial queries elsewhere derive geometry from parquet
+keys; this plan instead runs the actual reader chain the reference exposes
+(reference utils/readers/Reader.scala:85-112 -> experiments/GiantExp):
+
+    read_wkt_delimited (delimited scan, WKT parse, validity filter,
+    envelope derivation) -> tile_join -> counts
+
+over a committed WKT fixture (fixtures/wkt_source.tsv, regenerable via
+scripts/make_wkt_fixture.py). The fixture carries ground-truth columns
+(gtype/valid/envelope) that ONLY the oracle reads — the engine sees just
+id+wkt — so a hash match proves the reader, not formula transcription.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ds_jedai_spark.operators.spatial_join import tile_join
+
+FIXTURE = str(Path(__file__).resolve().parents[2] / "fixtures" / "wkt_source.tsv")
+
+_ENV = (
+    "s.minx <= t.maxx AND t.minx <= s.maxx AND "
+    "s.miny <= t.maxy AND t.miny <= s.maxy"
+)
+
+
+def wkt_reader_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity mix + self-join pair count of the parsed fixture."""
+    from ds_jedai_spark.io.readers import read_wkt_delimited
+
+    src = read_wkt_delimited(
+        spark, FIXTURE, id_field="id", geom_field="wkt"
+    ).withColumn("id", F.col("id").cast("long"))
+    ents = src.agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.count(F.when(F.col("gtype").startswith("MULTI"), True)).alias("n_multi"),
+        F.count(F.when(F.col("gtype") == "POLYGON", True)).alias("n_polygons"),
+        F.count(F.when(F.col("gtype") == "LINESTRING", True)).alias("n_lines"),
+        F.count(F.when(F.col("gtype") == "POINT", True)).alias("n_points"),
+    )
+    pairs = (
+        tile_join(src, src, theta=(1.0, 1.0))
+        .where(F.col("s_id") < F.col("t_id"))
+        .agg(F.count(F.lit(1)).alias("pairs"))
+    )
+    return ents.crossJoin(pairs)
+
+
+def wkt_reader_counts_oracle() -> str:
+    return (
+        f"WITH src AS (SELECT CAST(id AS BIGINT) AS id, gtype, "
+        f"minx, miny, maxx, maxy "
+        f"FROM read_csv('{FIXTURE}', delim='\t', header=true) WHERE valid = 1), "
+        f"ent AS (SELECT count(*) AS n_entities, "
+        f"COUNT(*) FILTER (WHERE gtype LIKE 'MULTI%') AS n_multi, "
+        f"COUNT(*) FILTER (WHERE gtype = 'POLYGON') AS n_polygons, "
+        f"COUNT(*) FILTER (WHERE gtype = 'LINESTRING') AS n_lines, "
+        f"COUNT(*) FILTER (WHERE gtype = 'POINT') AS n_points FROM src), "
+        f"pr AS (SELECT count(*) AS pairs FROM src s JOIN src t "
+        f"ON {_ENV} AND s.id < t.id) "
+        f"SELECT n_entities, n_multi, n_polygons, n_lines, n_points, pairs "
+        f"FROM ent, pr"
+    )
