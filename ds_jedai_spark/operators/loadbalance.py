@@ -100,7 +100,11 @@ def well_balanced_candidates(
     HashPartitioner over a fresh key) so its verification work spreads
     evenly; the cheap branch keeps its partitioning. Same rows out.
     """
-    cand = cand.persist()
+    # Eager localCheckpoint, not persist(): cand feeds a self-referential
+    # consumer pair (joins against an aggregate of itself), where cache
+    # substitution misses and silently recomputes per branch — see
+    # dedup._pin for the measured evidence.
+    cand = cand.localCheckpoint()
     ids = F.broadcast(skew_targets(cand, z).select("t_id"))
     cheap = cand.join(ids, on="t_id", how="left_anti")
     skew = cand.join(ids, on="t_id", how="left_semi")

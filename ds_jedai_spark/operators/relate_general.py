@@ -10,9 +10,10 @@ pairs with exact rational-arithmetic predicates inside an Arrow-batched
 Exactness scope:
 - POINT vs POINT / LINESTRING / POLYGON (with holes): exact (orientation
   tests + ray casting with boundary detection).
-- LINESTRING vs LINESTRING: exact intersects/crosses/touches/overlaps;
-  equals/within exact for single-segment lines, conservative
-  (vertex+midpoint coverage) for multi-segment chains.
+- LINESTRING vs LINESTRING: exact — intersects/crosses/touches/overlaps
+  by segment classification, equals/within/covers by rational
+  sub-segment coverage (cut at exact intersection parameters, every
+  sub-segment midpoint and vertex on the target).
 - LINESTRING vs POLYGON and POLYGON vs POLYGON: exact for any simple
   polygon (with holes, multi) — axis-aligned rectangles take a float
   closed form, everything else the rational-arithmetic sub-segment
@@ -209,12 +210,46 @@ def _relate_line_line(pa, pb) -> dict[str, bool]:
     if not ii:
         d["touches"] = True
         return _finish(d)
-    # within/equals: conservative coverage checks
+    # within/equals: exact coverage — cut each source segment at its exact
+    # rational intersection parameters with the target segments and require
+    # every sub-segment midpoint (and every vertex) to lie on the target.
+    # A vertex+midpoint heuristic would false-positive on gapped collinear
+    # targets (e.g. target pieces [0,.45],[.48,.52],[.55,1] vs source [0,1]).
     def covered(src_parts, dst_segs):
-        pts = []
+        from fractions import Fraction
+
+        from ds_jedai_spark.operators.relate_poly import (
+            _on_seg as _on_seg_frac,
+            _seg_cut_params,
+        )
+
+        fsegs = [
+            (
+                (Fraction(a[0]), Fraction(a[1])),
+                (Fraction(b[0]), Fraction(b[1])),
+            )
+            for a, b in dst_segs
+        ]
+
+        def on_target(p) -> bool:
+            return any(_on_seg_frac(p, e[0], e[1]) for e in fsegs)
+
         for s in _segments(src_parts):
-            pts.extend([s[0], s[1], ((s[0][0] + s[1][0]) / 2, (s[0][1] + s[1][1]) / 2)])
-        return all(any(_on_segment(p, t[0], t[1]) for t in dst_segs) for p in pts)
+            p = (Fraction(s[0][0]), Fraction(s[0][1]))
+            q = (Fraction(s[1][0]), Fraction(s[1][1]))
+            if not on_target(p) or not on_target(q):
+                return False
+            if p == q:
+                continue
+            ts = sorted(_seg_cut_params((p, q), fsegs))
+            for t0, t1 in zip(ts, ts[1:]):
+                if t0 == t1:
+                    continue
+                tm = (t0 + t1) / 2
+                m = (p[0] + (q[0] - p[0]) * tm, p[1] + (q[1] - p[1]) * tm)
+                if not on_target(m):
+                    return False
+        return True
 
     a_in_b = covered(pa, sb)
     b_in_a = covered(pb, sa)

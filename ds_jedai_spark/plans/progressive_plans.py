@@ -161,7 +161,10 @@ def progressive_eval_js_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth (reference experiments/progressive/
     ProgressiveEvaluation.scala:124-140): recall = qualifying pairs found
     within budget / all qualifying pairs, precision = found / verified."""
-    cand = with_relations(_cand(spark, sf_dir)).persist()
+    # Eager localCheckpoint, not persist(): the totals aggregate and the
+    # schedule both re-consume cand, and cache substitution misses
+    # self-referential consumers (see dedup._pin).
+    cand = with_relations(_cand(spark, sf_dir)).localCheckpoint()
     totals = cand.agg(
         F.sum(F.col("r_overlaps").cast("long")).alias("total_qp")
     )

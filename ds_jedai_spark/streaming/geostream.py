@@ -38,7 +38,14 @@ EVENT_SCHEMA = (
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table. The parquet stores
     TIMESTAMP(NANOS); with nanosAsLong the long is restored to a proper
-    timestamp (micros) exactly like the batch reader (io/synthetic.py)."""
+    timestamp (micros) exactly like the batch reader (io/synthetic.py).
+
+    SIDE EFFECT (session-wide, documented): sets
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` for the session, the
+    same flag the batch path (io/synthetic.register_views) sets — it must
+    hold whenever the lazily-planned stream executes, so it cannot be
+    restored here. It only changes decoding of TIMESTAMP(NANOS) parquet
+    columns, which this engine always reads as longs by contract."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # File streams need a directory path; glob-filter to the events table.
     raw = (

@@ -128,3 +128,26 @@ def test_general_path_equals_closed_form(spark):
             assert r[f"g_{name}"] == r[f"c_{name}"], (
                 r.s_id, r.t_id, name, r.asDict()
             )
+
+
+def test_line_line_gapped_collinear_coverage_not_within():
+    """Regression: endpoints+midpoint of the source all lie on the target
+    pieces, but the target has gaps — within/equals must be False."""
+    from ds_jedai_spark.operators.relate_general import relate_pair
+
+    target = [
+        [(0.0, 0.0), (0.45, 0.0)],
+        [(0.48, 0.0), (0.52, 0.0)],
+        [(0.55, 0.0), (1.0, 0.0)],
+    ]
+    source = [[(0.0, 0.0), (1.0, 0.0)]]
+    d = relate_pair("MULTILINESTRING", target, "LINESTRING", source)
+    assert d["intersects"] and not d["equals"]
+    assert d["within"] and d["coveredby"]  # target IS inside source
+    assert not d["covers"] and not d["contains"]  # gaps: source not covered
+    d2 = relate_pair("LINESTRING", source, "MULTILINESTRING", target)
+    assert not d2["within"] and not d2["coveredby"] and not d2["equals"]
+    # Full coverage without gaps stays within/equals.
+    full = [[(0.0, 0.0), (0.5, 0.0)], [(0.5, 0.0), (1.0, 0.0)]]
+    d3 = relate_pair("LINESTRING", source, "MULTILINESTRING", full)
+    assert d3["within"] and d3["equals"] and d3["coveredby"]
