@@ -30,6 +30,11 @@ def main() -> None:
         "pairs_intersects",
         "spatiotemporal_pairs",
         "point_in_box_pairs",
+        # Non-spatial half — regressions here must be visible per round:
+        "dedup_minhash_lsh",
+        "progressive_giant_js",
+        "topk_cf",
+        "text_token_stats",
     ]
     qmap = entrymod.queries()
     timings: dict[str, float] = {}

@@ -86,13 +86,51 @@ def frame_sample(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(docs: DataFrame) -> DataFrame:
-    """Real image decode — unavailable in this environment by design."""
+DECODE_SCHEMA = "doc_id long, width long, height long, mode string"
+
+
+def have_image_decoder() -> bool:
+    """Feature check for the optional real decoder (Pillow)."""
     try:
-        import PIL  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:  # pragma: no cover - environment-dependent
+        return False
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """Real image decode over (doc_id, payload binary) rows — the same
+    Arrow-batched mapInPandas shape as media_metadata, wired to Pillow
+    when the library exists and a documented NotImplementedError when it
+    does not (this container ships no image libraries by design; the
+    plumbing — schema, batching, UDF signature — is identical either
+    way and unit-tested whenever Pillow is importable)."""
+    if not have_image_decoder():
         raise NotImplementedError(
             "image decoding requires Pillow; only the metadata/plumbing "
             "path (media_metadata) runs in this environment"
-        ) from exc
-    raise NotImplementedError("decoder wiring pending")
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            widths, heights, modes = [], [], []
+            for buf in pdf["payload"]:
+                with Image.open(io.BytesIO(buf)) as img:
+                    widths.append(img.width)
+                    heights.append(img.height)
+                    modes.append(img.mode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": pd.Series(widths, dtype="int64"),
+                    "height": pd.Series(heights, dtype="int64"),
+                    "mode": modes,
+                }
+            )
+
+    return media.mapInPandas(decode, DECODE_SCHEMA)
