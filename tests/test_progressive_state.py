@@ -66,3 +66,57 @@ def test_stateful_plans_run_on_testdata(spark):
 
     assert dynamic_progressive_js(spark, SF_SMALL).count() > 0
     assert early_stopping_js(spark, SF_SMALL).count() > 0
+
+
+def _geom_cand(spark):
+    """Candidates with real geometry columns: lazy in-scan verification
+    must agree with precomputing the relation flags first."""
+    import itertools
+
+    boxes_s = [(i, 2.0 * (i % 5), 2.0 * (i // 5)) for i in range(1, 13)]
+    boxes_t = [(100 + i, 0.5 * i, 0.25 * i) for i in range(1, 13)]
+    rows = []
+    for (si, sx, sy), (ti, tx, ty) in itertools.product(boxes_s, boxes_t):
+        s_ring = [[sx, sy], [sx + 3, sy], [sx + 3, sy + 3], [sx, sy + 3], [sx, sy]]
+        t_ring = [[tx, ty], [tx + 2, ty], [tx + 2, ty + 2], [tx, ty + 2], [tx, ty]]
+        rows.append(
+            (si, ti, float(si % 7 + 1), "POLYGON", [s_ring], "POLYGON", [t_ring])
+        )
+    return spark.createDataFrame(
+        rows,
+        "s_id long, t_id long, wv double, s_gtype string, "
+        "s_coords array<array<array<double>>>, t_gtype string, "
+        "t_coords array<array<array<double>>>",
+    )
+
+
+def test_dynamic_lazy_verify_equals_precomputed(spark):
+    from ds_jedai_spark.operators.relate_general import with_general_relations
+
+    cand = _geom_cand(spark)
+    lazy = dynamic_progressive(
+        cand, "wv", None, budget=40, num_parts=4, relation="intersects"
+    )
+    pre = dynamic_progressive(
+        with_general_relations(cand), "wv", "r_intersects", budget=40, num_parts=4
+    )
+    key = ["s_id", "t_id", "w", "verified_rank"]
+    assert sorted(map(tuple, lazy.select(key).collect())) == sorted(
+        map(tuple, pre.select(key).collect())
+    )
+
+
+def test_early_stopping_lazy_verify_equals_precomputed(spark):
+    from ds_jedai_spark.operators.relate_general import with_general_relations
+
+    cand = _geom_cand(spark)
+    lazy = early_stopping(
+        cand, "wv", None, batch_size=10, num_parts=2, relation="overlaps"
+    )
+    pre = early_stopping(
+        with_general_relations(cand), "wv", "r_overlaps", batch_size=10, num_parts=2
+    )
+    key = ["s_id", "t_id", "w", "verified_rank"]
+    assert sorted(map(tuple, lazy.select(key).collect())) == sorted(
+        map(tuple, pre.select(key).collect())
+    )
