@@ -154,18 +154,32 @@ def duplicate_clusters(
 
 def minhash_signatures(d: DataFrame, k: int = 32) -> DataFrame:
     """(doc_id, i, h) minhash signatures with closed-form hash family
-    h_i(w) = ((2i+1)*w + i*i + 7) mod P over vocab ids."""
+    h_i(w) = ((2i+1)*w + i*i + 7) mod P over vocab ids.
+
+    The k min-aggregates run as WIDE columns over one row per
+    (doc, shingle) — not an explode to k× rows — so map-side partial
+    aggregation reduces each doc to a single k-column row per partition
+    before the shuffle; the (doc_id, i, h) shape downstream consumers
+    expect is restored by an explode over the tiny aggregated frame."""
     v = vocab(d, "shingle")
     dw = d.join(v, "shingle").select("doc_id", "wid")
-    h = ((2 * F.col("i") + 1) * F.col("wid") + F.col("i") * F.col("i") + 7) % F.lit(
-        MINHASH_P
+    wide = dw.groupBy("doc_id").agg(
+        *[
+            F.min(
+                ((2 * i + 1) * F.col("wid") + (i * i + 7)) % F.lit(MINHASH_P)
+            ).alias(f"h{i}")
+            for i in range(k)
+        ]
     )
-    return (
-        dw.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
-        .withColumn("h", h)
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("h"))
+    sig = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).cast("int").alias("i"), F.col(f"h{i}").alias("h"))
+                for i in range(k)
+            ]
+        )
     )
+    return wide.select("doc_id", sig.alias("s")).select("doc_id", "s.i", "s.h")
 
 
 def minhash_lsh_pairs(
