@@ -172,6 +172,83 @@ FP_MULT = 2654435761
 FP_MOD = 1000003
 
 
+def repetition(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document: top-word fraction,
+    duplicated-word-instance fraction, duplicated-bigram-instance
+    fraction (the "repetitious text" filters of the Gopher/MassiveText
+    cleaning rules, computed with rational arithmetic only).
+
+    Scale notes: bigrams come from a lead() window partitioned by doc —
+    partition-local, no global window; the two per-doc aggregates join on
+    doc_id (co-partitioned by the groupBy shuffle)."""
+    w = words(docs)
+    wc = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    per_word = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_word_count"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+            "dup_word_instances"
+        ),
+    )
+    nxt = F.lead("word").over(Window.partitionBy("doc_id").orderBy("pos"))
+    bg = (
+        w.withColumn("nxt", nxt)
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "word", "nxt").alias("bigram"))
+    )
+    bc = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    per_bigram = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+            "dup_bigram_instances"
+        ),
+    )
+    joined = per_word.join(per_bigram, "doc_id", "left")
+    nb = F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+    db = F.coalesce(F.col("dup_bigram_instances"), F.lit(0)).cast("long")
+    return joined.select(
+        "doc_id",
+        "n_words",
+        (F.col("top_word_count").cast("double") / F.col("n_words")).alias(
+            "top_word_frac"
+        ),
+        (F.col("dup_word_instances").cast("double") / F.col("n_words")).alias(
+            "dup_word_frac"
+        ),
+        nb.alias("n_bigrams"),
+        F.when(nb > 0, db.cast("double") / nb.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+
+
+SPLIT_MULT = 2654435761
+SPLIT_BUCKETS = 100
+SPLIT_TRAIN = 90  # buckets [0,90) train, [90,95) val, [95,100) test
+SPLIT_VAL = 95
+
+
+def corpus_split(docs: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment by multiplicative hash of
+    doc_id — reproducible across engines and runs, shuffle-free at the
+    row level (the only shuffle is the 3-group final aggregate)."""
+    bucket = (F.col("doc_id") * SPLIT_MULT) % SPLIT_BUCKETS
+    split = (
+        F.when(bucket < SPLIT_TRAIN, F.lit("train"))
+        .when(bucket < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    arr = F.filter(F.split("text", " "), lambda x: x != "")
+    return (
+        docs.select(split.alias("split"), F.size(arr).cast("long").alias("nw"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nw").alias("n_words"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Positional document fingerprint: sum of per-position token-id terms
     mod P — order-sensitive via the position weight yet order-independent

@@ -117,6 +117,14 @@ def text_fingerprint(spark, sf_dir):
     return textops.fingerprint(_docs(spark, sf_dir))
 
 
+def text_repetition(spark, sf_dir):
+    return textops.repetition(_docs(spark, sf_dir))
+
+
+def text_corpus_split(spark, sf_dir):
+    return textops.corpus_split(_docs(spark, sf_dir))
+
+
 def corpus_clean_stats(spark, sf_dir):
     """End-to-end cleaning pipeline over the duplicate-injected corpus:
     exact dedup (keep min doc_id per text) + quality filter + English
@@ -387,6 +395,47 @@ def text_quality_oracle() -> str:
     )
 
 
+def text_repetition_oracle() -> str:
+    return (
+        f"WITH {_WORDS_CTE}, "
+        "wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2), "
+        "pw AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_word_count, "
+        "sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_word_instances "
+        "FROM wc GROUP BY doc_id), "
+        "sq AS (SELECT doc_id, pos, word, "
+        "lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM w), "
+        "bg AS (SELECT doc_id, word || ' ' || nxt AS bigram FROM sq "
+        "WHERE nxt IS NOT NULL), "
+        "bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2), "
+        "pb AS (SELECT doc_id, sum(c) AS n_bigrams, "
+        "sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bigram_instances "
+        "FROM bc GROUP BY doc_id) "
+        "SELECT pw.doc_id, CAST(pw.n_words AS BIGINT) AS n_words, "
+        "CAST(top_word_count AS DOUBLE) / n_words AS top_word_frac, "
+        "CAST(dup_word_instances AS DOUBLE) / n_words AS dup_word_frac, "
+        "CAST(coalesce(pb.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+        "CASE WHEN coalesce(pb.n_bigrams, 0) > 0 THEN "
+        "CAST(coalesce(pb.dup_bigram_instances, 0) AS DOUBLE) / "
+        "CAST(pb.n_bigrams AS DOUBLE) ELSE 0.0 END AS dup_bigram_frac "
+        "FROM pw LEFT JOIN pb ON pw.doc_id = pb.doc_id"
+    )
+
+
+def text_corpus_split_oracle() -> str:
+    t = textops
+    return (
+        "WITH s AS (SELECT CASE "
+        f"WHEN (doc_id * {t.SPLIT_MULT}) % {t.SPLIT_BUCKETS} < {t.SPLIT_TRAIN} "
+        "THEN 'train' "
+        f"WHEN (doc_id * {t.SPLIT_MULT}) % {t.SPLIT_BUCKETS} < {t.SPLIT_VAL} "
+        "THEN 'val' ELSE 'test' END AS split, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) "
+        "AS nw FROM documents) "
+        "SELECT split, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_words "
+        "FROM s GROUP BY split"
+    )
+
+
 def text_lang_id_oracle() -> str:
     hits = {
         lang: f"count(*) FILTER (WHERE word IN ({', '.join(repr(x) for x in wl)}))"
@@ -516,6 +565,8 @@ QUERIES = {
     "ann_lsh_recall": ann_lsh_recall,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
+    "text_repetition": text_repetition,
+    "text_corpus_split": text_corpus_split,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "text_pack_sequences": text_pack_sequences,
@@ -539,6 +590,8 @@ ORACLES = {
     "ann_lsh_recall": ann_lsh_recall_oracle(),
     "text_token_stats": text_token_stats_oracle(),
     "text_quality": text_quality_oracle(),
+    "text_repetition": text_repetition_oracle(),
+    "text_corpus_split": text_corpus_split_oracle(),
     "text_lang_id": text_lang_id_oracle(),
     "text_fingerprint": text_fingerprint_oracle(),
     "text_pack_sequences": text_pack_sequences_oracle(),
