@@ -103,6 +103,73 @@ def ivf_label_topk(emb: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _dist2(qcol, ccol):
+    return F.aggregate(
+        F.zip_with(qcol, ccol, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_assign(qe: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the tiny centroid table,
+    exact integer squared distance, deterministic argmin (d2, cid)."""
+    scored = qe.crossJoin(F.broadcast(cent)).withColumn(
+        "d2", _dist2(F.col("qv"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "qv", "cid", "d2")
+    )
+
+
+def _kmeans_update(assign: DataFrame) -> DataFrame:
+    """New centroids: element-wise floored mean of the assigned vectors.
+    Floor on doubles (not integer div) so Spark and DuckDB agree for
+    negative sums; one shuffle keyed (cid, pos)."""
+    u = assign.select("cid", F.posexplode("qv").alias("pos", "v"))
+    s = u.groupBy("cid", "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    m = s.withColumn("m", F.expr("CAST(floor(CAST(s AS DOUBLE) / c) AS BIGINT)"))
+    return m.groupBy("cid").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+        ).alias("cv")
+    )
+
+
+def kmeans_cells(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Trained IVF coarse quantizer: Lloyd iterations over the quantized
+    integer vectors — (cid, n_vecs, inertia) after ``iters`` assignment
+    rounds, centroids seeded from the first k vec_ids (deterministic).
+
+    Everything is exact long arithmetic except the floored mean (shared
+    IEEE double floor), so the DuckDB oracle replays the iterations
+    bit-identically. Scale shape: per-round cost is one broadcast-join
+    assignment (map-side, no shuffle of the vectors) plus one (cid, pos)
+    aggregation — the standard distributed Lloyd step; k stays
+    broadcast-sized."""
+    qe = quantized(emb).select("vec_id", "qv")
+    cent = qe.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    for _ in range(iters - 1):
+        cent = _kmeans_update(_kmeans_assign(qe, cent))
+    final = _kmeans_assign(qe, cent)
+    return final.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.sum("d2").alias("inertia")
+    )
+
+
 LSH_BANDS = 8
 LSH_BITS = 2  # tuned for the tau=0.4 regime: p_bit≈0.63 -> recall≈0.98
 _PLANE_W = "(((2 * {j} + 3) * (i + 1) * 40503) % 1000003 - 500001)"

@@ -340,6 +340,51 @@ def ann_lsh_recall_oracle() -> str:
     )
 
 
+def ann_kmeans_cells(spark, sf_dir):
+    from ds_jedai_spark.operators.similarity import kmeans_cells
+
+    return kmeans_cells(_emb(spark, sf_dir))
+
+
+def ann_kmeans_cells_oracle() -> str:
+    from ds_jedai_spark.operators.similarity import KMEANS_ITERS, KMEANS_K
+
+    def sc(cent: str, tag: str) -> str:
+        return (
+            f"sc{tag} AS (SELECT q.vec_id, q.qv, c.cid, "
+            f"CAST(list_sum(list_transform(range(1, len(q.qv) + 1), "
+            f"i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS d2 "
+            f"FROM qe q, {cent} c), "
+            f"a{tag} AS (SELECT vec_id, qv, cid, d2 FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY d2, cid) AS rn FROM sc{tag}) WHERE rn = 1)"
+        )
+
+    parts = [
+        _QUANT_CTE.split(", n AS")[0],  # just the q CTE
+        "qe AS (SELECT vec_id, qv FROM q)",
+        f"c0 AS (SELECT vec_id AS cid, qv AS cv FROM qe WHERE vec_id < {KMEANS_K})",
+    ]
+    prev = "c0"
+    for it in range(1, KMEANS_ITERS):
+        parts.append(sc(prev, str(it)))
+        parts.append(
+            f"u{it} AS (SELECT cid, generate_subscripts(qv, 1) AS pos, "
+            f"unnest(qv) AS v FROM a{it}), "
+            f"s{it} AS (SELECT cid, pos, CAST(floor(CAST(sum(v) AS DOUBLE) "
+            f"/ count(*)) AS BIGINT) AS m FROM u{it} GROUP BY cid, pos), "
+            f"c{it} AS (SELECT cid, list(m ORDER BY pos) AS cv "
+            f"FROM s{it} GROUP BY cid)"
+        )
+        prev = f"c{it}"
+    parts.append(sc(prev, "F"))
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT cid, count(*) AS n_vecs, CAST(sum(d2) AS BIGINT) AS inertia "
+        "FROM aF GROUP BY cid"
+    )
+
+
 def ann_brute_topk_oracle() -> str:
     return (
         f"WITH {_QUANT_CTE}, "
@@ -563,6 +608,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_pairs": ann_lsh_pairs,
     "ann_lsh_recall": ann_lsh_recall,
+    "ann_kmeans_cells": ann_kmeans_cells,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_repetition": text_repetition,
@@ -587,6 +633,7 @@ ORACLES = {
     "ann_brute_topk": ann_brute_topk_oracle(),
     "ann_ivf_topk": ann_ivf_topk_oracle(),
     "ann_lsh_pairs": ann_lsh_pairs_oracle(),
+    "ann_kmeans_cells": ann_kmeans_cells_oracle(),
     "ann_lsh_recall": ann_lsh_recall_oracle(),
     "text_token_stats": text_token_stats_oracle(),
     "text_quality": text_quality_oracle(),
