@@ -145,6 +145,55 @@ def _kmeans_update(assign: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_assignments(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Final (vec_id, qv, cid, d2) after ``iters`` Lloyd rounds (see
+    kmeans_cells for the exactness/scale contract)."""
+    qe = quantized(emb).select("vec_id", "qv")
+    cent = qe.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    for _ in range(iters - 1):
+        cent = _kmeans_update(_kmeans_assign(qe, cent))
+    return _kmeans_assign(qe, cent)
+
+
+def ivf_trained_topk(emb: DataFrame, k: int = 3) -> DataFrame:
+    """IVF search over the TRAINED quantizer: assign every vector to its
+    Lloyd cell, then cosine top-k restricted to the query's cell — the
+    full train -> assign -> search pipeline (ivf_label_topk's cells are
+    pre-labeled; these are learned). Same scale shape: the cell id is an
+    equi-join key, one shuffle, AQE splits hot cells."""
+    qe = quantized(emb)
+    cells = kmeans_assignments(emb).select("vec_id", "cid")
+    base = qe.join(cells, "vec_id")
+    queries = base.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("cid").alias("cell"),
+        F.col("qv").alias("a"),
+        F.col("norm2").alias("n1"),
+    )
+    cand = base.select(
+        F.col("vec_id").alias("vid"),
+        F.col("cid").alias("cell"),
+        F.col("qv").alias("b"),
+        F.col("norm2").alias("n2"),
+    )
+    scored = (
+        queries.join(cand, "cell")
+        .where(F.col("qid") != F.col("vid"))
+        .withColumn("dot", _dot("a", "b"))
+        .withColumn("cos", _cos())
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "vid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vid", "cos")
+    )
+
+
 def kmeans_cells(
     emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
 ) -> DataFrame:
@@ -158,13 +207,7 @@ def kmeans_cells(
     assignment (map-side, no shuffle of the vectors) plus one (cid, pos)
     aggregation — the standard distributed Lloyd step; k stays
     broadcast-sized."""
-    qe = quantized(emb).select("vec_id", "qv")
-    cent = qe.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
-    )
-    for _ in range(iters - 1):
-        cent = _kmeans_update(_kmeans_assign(qe, cent))
-    final = _kmeans_assign(qe, cent)
+    final = kmeans_assignments(emb, k, iters)
     return final.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vecs"), F.sum("d2").alias("inertia")
     )

@@ -346,7 +346,9 @@ def ann_kmeans_cells(spark, sf_dir):
     return kmeans_cells(_emb(spark, sf_dir))
 
 
-def ann_kmeans_cells_oracle() -> str:
+def _kmeans_cte() -> str:
+    """Unrolled Lloyd iterations as CTE text ending in aF (final
+    assignment: vec_id, qv, cid, d2) — shared by the kmeans queries."""
     from ds_jedai_spark.operators.similarity import KMEANS_ITERS, KMEANS_K
 
     def sc(cent: str, tag: str) -> str:
@@ -378,10 +380,33 @@ def ann_kmeans_cells_oracle() -> str:
         )
         prev = f"c{it}"
     parts.append(sc(prev, "F"))
+    return "WITH " + ", ".join(parts)
+
+
+def ann_kmeans_cells_oracle() -> str:
     return (
-        "WITH " + ", ".join(parts) + " "
+        f"{_kmeans_cte()} "
         "SELECT cid, count(*) AS n_vecs, CAST(sum(d2) AS BIGINT) AS inertia "
         "FROM aF GROUP BY cid"
+    )
+
+
+def ann_ivf_trained_topk(spark, sf_dir):
+    from ds_jedai_spark.operators.similarity import ivf_trained_topk
+
+    return ivf_trained_topk(_emb(spark, sf_dir))
+
+
+def ann_ivf_trained_topk_oracle() -> str:
+    return (
+        f"{_kmeans_cte()}, "
+        "nn AS (SELECT vec_id, qv, cid, list_dot_product(qv, qv) AS n2 FROM aF), "
+        "scored AS (SELECT a.vec_id AS qid, b.vec_id AS vid, "
+        "list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) AS cos "
+        "FROM nn a JOIN nn b ON a.cid = b.cid AND a.vec_id % 50 = 0 "
+        "AND a.vec_id <> b.vec_id) "
+        "SELECT qid, vid, cos FROM (SELECT qid, vid, cos, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM scored) WHERE rn <= 3"
     )
 
 
@@ -609,6 +634,7 @@ QUERIES = {
     "ann_lsh_pairs": ann_lsh_pairs,
     "ann_lsh_recall": ann_lsh_recall,
     "ann_kmeans_cells": ann_kmeans_cells,
+    "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_repetition": text_repetition,
@@ -634,6 +660,7 @@ ORACLES = {
     "ann_ivf_topk": ann_ivf_topk_oracle(),
     "ann_lsh_pairs": ann_lsh_pairs_oracle(),
     "ann_kmeans_cells": ann_kmeans_cells_oracle(),
+    "ann_ivf_trained_topk": ann_ivf_trained_topk_oracle(),
     "ann_lsh_recall": ann_lsh_recall_oracle(),
     "text_token_stats": text_token_stats_oracle(),
     "text_quality": text_quality_oracle(),
