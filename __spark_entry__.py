@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_ref_points": giant.pair_ref_points,
         "disjoint_counts": giant.disjoint_counts,
         "wkt_reader_counts": rp.wkt_reader_counts,
+        "distance_pairs": giant.distance_pairs,
     }
     for rel in PAIR_RELATIONS:
         q[f"pairs_{rel}"] = giant.relation_pairs(rel)
@@ -119,6 +120,7 @@ def oracle_sql() -> dict[str, str]:
         "pair_ref_points": giant.pair_ref_points_oracle(),
         "disjoint_counts": giant.disjoint_counts_oracle(),
         "wkt_reader_counts": rp.wkt_reader_counts_oracle(),
+        "distance_pairs": giant.distance_pairs_oracle(),
     }
     for rel in PAIR_RELATIONS:
         o[f"pairs_{rel}"] = giant.relation_pairs_oracle(rel)

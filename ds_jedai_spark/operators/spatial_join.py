@@ -92,3 +92,42 @@ def brute_force_join(
         & (F.col("t_miny") <= F.col("s_maxy"))
     )
     return s.crossJoin(t).where(cond)
+
+
+def distance_join(
+    source: DataFrame,
+    target: DataFrame,
+    radius: float,
+    theta: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Pairs of POINT entities within Euclidean ``radius`` — the standard
+    expanded-MBR distance join (beyond the reference's surface; the same
+    tile machinery the envelope join uses, so it inherits its scale
+    contract: one equi-join shuffle on tiles, ref-point dedup, AQE skew
+    handling).
+
+    Both inputs must be point datasets (minx == maxx, miny == maxy). The
+    source envelope is expanded by ``radius`` so the tile join yields a
+    superset, then the exact squared-distance predicate filters — all
+    JVM column arithmetic, exact on lattice coordinates with a lattice
+    radius (radius² sums stay inside exact double-integer range).
+    """
+    expanded = source.select(
+        "id",
+        (F.col("minx") - radius).alias("minx"),
+        (F.col("miny") - radius).alias("miny"),
+        (F.col("maxx") + radius).alias("maxx"),
+        (F.col("maxy") + radius).alias("maxy"),
+        F.col("minx").alias("px"),
+        F.col("miny").alias("py"),
+    )
+    cand = tile_join(
+        expanded, target, theta=theta, source_extra=("px", "py")
+    )
+    dx = F.col("s_px") - F.col("t_minx")
+    dy = F.col("s_py") - F.col("t_miny")
+    return (
+        cand.withColumn("dist2", dx * dx + dy * dy)
+        .where(F.col("dist2") <= F.lit(radius) * F.lit(radius))
+        .select("s_id", "t_id", "dist2")
+    )

@@ -554,6 +554,35 @@ def multipoint_triangle_counts_oracle() -> str:
     )
 
 
+DISTANCE_RADIUS = 2.0
+
+
+def distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-point distance join (within DISTANCE_RADIUS): the expanded-MBR
+    tile join (operators/spatial_join.distance_join) against a closed-form
+    distance-predicate oracle — proves the expansion yields a superset and
+    the exact filter trims it precisely."""
+    from ds_jedai_spark.operators.spatial_join import distance_join
+
+    src = load_sql(spark, sf_dir, point_sql())
+    tgt = load_sql(spark, sf_dir, point_sql("supplier", "s_suppkey"))
+    return distance_join(src, tgt, radius=DISTANCE_RADIUS, theta=(1.0, 1.0))
+
+
+def distance_pairs_oracle() -> str:
+    r2 = DISTANCE_RADIUS * DISTANCE_RADIUS
+    d2 = (
+        "(a.minx - b.minx) * (a.minx - b.minx) + "
+        "(a.miny - b.miny) * (a.miny - b.miny)"
+    )
+    return (
+        f"WITH a AS ({point_sql()}), "
+        f"b AS ({point_sql('supplier', 's_suppkey')}) "
+        f"SELECT a.id AS s_id, b.id AS t_id, {d2} AS dist2 "
+        f"FROM a JOIN b ON {d2} <= {r2!r}"
+    )
+
+
 def dirty_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirty (self) interlinking of the source dataset: each unordered
     intersecting pair once, via id ordering (reference
