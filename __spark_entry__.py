@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjoint_counts": giant.disjoint_counts,
         "wkt_reader_counts": rp.wkt_reader_counts,
         "distance_pairs": giant.distance_pairs,
+        "knn_pairs": giant.knn_pairs,
     }
     for rel in PAIR_RELATIONS:
         q[f"pairs_{rel}"] = giant.relation_pairs(rel)
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "disjoint_counts": giant.disjoint_counts_oracle(),
         "wkt_reader_counts": rp.wkt_reader_counts_oracle(),
         "distance_pairs": giant.distance_pairs_oracle(),
+        "knn_pairs": giant.knn_pairs_oracle(),
     }
     for rel in PAIR_RELATIONS:
         o[f"pairs_{rel}"] = giant.relation_pairs_oracle(rel)
