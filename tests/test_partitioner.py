@@ -46,3 +46,32 @@ def test_cell_table_covers_plane(spark, datasets):
     assert len(cells) == (len(xcuts) + 1) * (len(ycuts) + 1)
     assert min(c.cell_minx for c in cells) == float("-inf")
     assert max(c.cell_maxx for c in cells) == float("inf")
+
+
+def test_distance_join_equals_brute_force(spark):
+    """distance_join (expanded-MBR tiles + exact filter) == brute-force
+    distance predicate on a deterministic lattice point set."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from ds_jedai_spark.operators.spatial_join import distance_join
+
+    pts = [
+        (i, ((i * 37) % 41) / 2.0, ((i * 53) % 41) / 2.0) for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        [(i, x, y, x, y) for i, x, y in pts],
+        "id long, minx double, miny double, maxx double, maxy double",
+    )
+    r = 2.5
+    got = {
+        (row.s_id, row.t_id)
+        for row in distance_join(df, df, radius=r, theta=(1.0, 1.0)).collect()
+    }
+    want = {
+        (a[0], b[0])
+        for a, b in itertools.product(pts, pts)
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= r * r
+    }
+    assert got == want
