@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_ref_points": giant.pair_ref_points,
         "disjoint_counts": giant.disjoint_counts,
         "wkt_reader_counts": rp.wkt_reader_counts,
+        "geojson_reader_counts": rp.geojson_reader_counts,
         "distance_pairs": giant.distance_pairs,
         "knn_pairs": giant.knn_pairs,
     }
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "pair_ref_points": giant.pair_ref_points_oracle(),
         "disjoint_counts": giant.disjoint_counts_oracle(),
         "wkt_reader_counts": rp.wkt_reader_counts_oracle(),
+        "geojson_reader_counts": rp.geojson_reader_counts_oracle(),
         "distance_pairs": giant.distance_pairs_oracle(),
         "knn_pairs": giant.knn_pairs_oracle(),
     }

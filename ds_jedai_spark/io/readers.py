@@ -124,7 +124,10 @@ def read_geojson(
                 except (ValueError, TypeError):
                     continue
                 props = feat.get("properties") or {}
-                ids.append(props.get(id_field))
+                rid = props.get(id_field)
+                # Properties may carry numeric ids; the row format's id is
+                # a string column — stringify so Arrow serialization holds.
+                ids.append(None if rid is None else str(rid))
                 wkts.append(to_wkt(feat.get("geometry")))
                 dates.append(props.get(date_field) if date_field else None)
             out = {"id": ids, "wkt": wkts}

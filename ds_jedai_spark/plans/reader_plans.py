@@ -29,13 +29,13 @@ _ENV = (
 )
 
 
-def wkt_reader_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity mix + self-join pair count of the parsed fixture."""
-    from ds_jedai_spark.io.readers import read_wkt_delimited
+GEO_FIXTURE = str(
+    Path(__file__).resolve().parents[2] / "fixtures" / "geo_source.geojson"
+)
 
-    src = read_wkt_delimited(
-        spark, FIXTURE, id_field="id", geom_field="wkt"
-    ).withColumn("id", F.col("id").cast("long"))
+
+def _reader_counts(src: DataFrame) -> DataFrame:
+    """Entity mix + self-join pair count of a parsed fixture frame."""
     ents = src.agg(
         F.count(F.lit(1)).alias("n_entities"),
         F.count(F.when(F.col("gtype").startswith("MULTI"), True)).alias("n_multi"),
@@ -51,11 +51,9 @@ def wkt_reader_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ents.crossJoin(pairs)
 
 
-def wkt_reader_counts_oracle() -> str:
+def _reader_counts_oracle(src_cte: str) -> str:
     return (
-        f"WITH src AS (SELECT CAST(id AS BIGINT) AS id, gtype, "
-        f"minx, miny, maxx, maxy "
-        f"FROM read_csv('{FIXTURE}', delim='\t', header=true) WHERE valid = 1), "
+        f"WITH src AS ({src_cte}), "
         f"ent AS (SELECT count(*) AS n_entities, "
         f"COUNT(*) FILTER (WHERE gtype LIKE 'MULTI%') AS n_multi, "
         f"COUNT(*) FILTER (WHERE gtype = 'POLYGON') AS n_polygons, "
@@ -65,4 +63,45 @@ def wkt_reader_counts_oracle() -> str:
         f"ON {_ENV} AND s.id < t.id) "
         f"SELECT n_entities, n_multi, n_polygons, n_lines, n_points, pairs "
         f"FROM ent, pr"
+    )
+
+
+def wkt_reader_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_jedai_spark.io.readers import read_wkt_delimited
+
+    src = read_wkt_delimited(
+        spark, FIXTURE, id_field="id", geom_field="wkt"
+    ).withColumn("id", F.col("id").cast("long"))
+    return _reader_counts(src)
+
+
+def wkt_reader_counts_oracle() -> str:
+    return _reader_counts_oracle(
+        f"SELECT CAST(id AS BIGINT) AS id, gtype, minx, miny, maxx, maxy "
+        f"FROM read_csv('{FIXTURE}', delim='\t', header=true) WHERE valid = 1"
+    )
+
+
+def geojson_reader_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same gate through the GeoJSON reader (NDJSON features; truth lives
+    in properties, the engine parses only the geometry objects)."""
+    from ds_jedai_spark.io.readers import read_geojson
+
+    src = read_geojson(spark, GEO_FIXTURE, id_field="id").withColumn(
+        "id", F.col("id").cast("long")
+    )
+    return _reader_counts(src)
+
+
+def geojson_reader_counts_oracle() -> str:
+    cols = (
+        "STRUCT(id BIGINT, gtype VARCHAR, valid INTEGER, "
+        "minx DOUBLE, miny DOUBLE, maxx DOUBLE, maxy DOUBLE)"
+    )
+    return _reader_counts_oracle(
+        f"SELECT properties.id AS id, properties.gtype AS gtype, "
+        f"properties.minx AS minx, properties.miny AS miny, "
+        f"properties.maxx AS maxx, properties.maxy AS maxy "
+        f"FROM read_json('{GEO_FIXTURE}', format='newline_delimited', "
+        f"columns={{'properties': '{cols}'}}) WHERE properties.valid = 1"
     )

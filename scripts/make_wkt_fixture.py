@@ -101,15 +101,60 @@ def make_row(k: int):
             (min(x, x2), min(y, y2), max(x + w, x2 + w), max(y + w, y2 + w)))
 
 
+GEO_OUT = os.path.join(os.path.dirname(OUT), "geo_source.geojson")
+
+
+def geojson_geometry(wkt: str):
+    """GeoJSON geometry for a fixture WKT via the engine's own parser
+    (identical coordinates; grouping rebuilt from the fixture's shapes:
+    POLYGON parts are rings of one polygon, MULTIPOLYGON parts are
+    single-ring polygons — true for every row this generator emits)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from ds_jedai_spark.model.geometry import parse_wkt
+
+    parsed = parse_wkt(wkt)
+    if parsed is None:
+        return None
+    gtype, parts = parsed
+    if gtype == "POINT":
+        return {"type": "Point", "coordinates": parts[0][0]}
+    if gtype == "LINESTRING":
+        return {"type": "LineString", "coordinates": parts[0]}
+    if gtype == "POLYGON":
+        return {"type": "Polygon", "coordinates": parts}
+    if gtype == "MULTIPOINT":
+        return {"type": "MultiPoint", "coordinates": [p[0] for p in parts]}
+    if gtype == "MULTILINESTRING":
+        return {"type": "MultiLineString", "coordinates": parts}
+    if gtype == "MULTIPOLYGON":
+        return {"type": "MultiPolygon", "coordinates": [[r] for r in parts]}
+    return None
+
+
 def main():
+    import json
+
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    with open(OUT, "w") as f:
+    with open(OUT, "w") as f, open(GEO_OUT, "w") as g:
         f.write("id\twkt\tgtype\tvalid\tminx\tminy\tmaxx\tmaxy\n")
         for k in range(1, N + 1):
             wkt, gtype, valid, env = make_row(k)
             f.write(f"{k}\t{wkt}\t{gtype}\t{valid}\t"
                     f"{fmt(env[0])}\t{fmt(env[1])}\t{fmt(env[2])}\t{fmt(env[3])}\n")
+            feat = {
+                "type": "Feature",
+                "geometry": geojson_geometry(wkt) if valid else None,
+                "properties": {
+                    "id": k, "gtype": gtype, "valid": valid,
+                    "minx": env[0], "miny": env[1],
+                    "maxx": env[2], "maxy": env[3],
+                },
+            }
+            g.write(json.dumps(feat) + "\n")
     print(f"wrote {OUT}")
+    print(f"wrote {GEO_OUT}")
 
 
 if __name__ == "__main__":
