@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjoint_counts": giant.disjoint_counts,
         "wkt_reader_counts": rp.wkt_reader_counts,
         "geojson_reader_counts": rp.geojson_reader_counts,
+        "ntriples_reader_counts": rp.ntriples_reader_counts,
         "distance_pairs": giant.distance_pairs,
         "knn_pairs": giant.knn_pairs,
     }
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "disjoint_counts": giant.disjoint_counts_oracle(),
         "wkt_reader_counts": rp.wkt_reader_counts_oracle(),
         "geojson_reader_counts": rp.geojson_reader_counts_oracle(),
+        "ntriples_reader_counts": rp.ntriples_reader_counts_oracle(),
         "distance_pairs": giant.distance_pairs_oracle(),
         "knn_pairs": giant.knn_pairs_oracle(),
     }

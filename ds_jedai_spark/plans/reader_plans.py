@@ -82,6 +82,28 @@ def wkt_reader_counts_oracle() -> str:
     )
 
 
+NT_FIXTURE = str(
+    Path(__file__).resolve().parents[2] / "fixtures" / "nt_source.nt"
+)
+
+
+def ntriples_reader_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same gate through the RDF N-Triples reader: the .nt fixture embeds
+    the identical WKT set, ids are the subject-IRI numeric suffix, the
+    truth columns come from the sibling TSV — all three §2.1 readers must
+    land on identical counts."""
+    from ds_jedai_spark.io.readers import read_ntriples
+
+    src = read_ntriples(spark, NT_FIXTURE).withColumn(
+        "id", F.regexp_extract(F.col("id"), r"e(\d+)$", 1).cast("long")
+    )
+    return _reader_counts(src)
+
+
+def ntriples_reader_counts_oracle() -> str:
+    return wkt_reader_counts_oracle()
+
+
 def geojson_reader_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same gate through the GeoJSON reader (NDJSON features; truth lives
     in properties, the engine parses only the geometry objects)."""

@@ -102,6 +102,8 @@ def make_row(k: int):
 
 
 GEO_OUT = os.path.join(os.path.dirname(OUT), "geo_source.geojson")
+NT_OUT = os.path.join(os.path.dirname(OUT), "nt_source.nt")
+NT_PRED = "<http://www.opengis.net/ont/geosparql#asWKT>"
 
 
 def geojson_geometry(wkt: str):
@@ -137,7 +139,7 @@ def main():
     import json
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    with open(OUT, "w") as f, open(GEO_OUT, "w") as g:
+    with open(OUT, "w") as f, open(GEO_OUT, "w") as g, open(NT_OUT, "w") as t:
         f.write("id\twkt\tgtype\tvalid\tminx\tminy\tmaxx\tmaxy\n")
         for k in range(1, N + 1):
             wkt, gtype, valid, env = make_row(k)
@@ -153,8 +155,10 @@ def main():
                 },
             }
             g.write(json.dumps(feat) + "\n")
+            t.write(f'<http://example.org/e{k}> {NT_PRED} "{wkt}" .\n')
     print(f"wrote {OUT}")
     print(f"wrote {GEO_OUT}")
+    print(f"wrote {NT_OUT}")
 
 
 if __name__ == "__main__":
