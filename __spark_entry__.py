@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntriples_reader_counts": rp.ntriples_reader_counts,
         "distance_pairs": giant.distance_pairs,
         "knn_pairs": giant.knn_pairs,
+        "knn_exact_pairs": giant.knn_exact_pairs,
     }
     for rel in PAIR_RELATIONS:
         q[f"pairs_{rel}"] = giant.relation_pairs(rel)
@@ -127,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "ntriples_reader_counts": rp.ntriples_reader_counts_oracle(),
         "distance_pairs": giant.distance_pairs_oracle(),
         "knn_pairs": giant.knn_pairs_oracle(),
+        "knn_exact_pairs": giant.knn_exact_pairs_oracle(),
     }
     for rel in PAIR_RELATIONS:
         o[f"pairs_{rel}"] = giant.relation_pairs_oracle(rel)

@@ -131,3 +131,59 @@ def distance_join(
         .where(F.col("dist2") <= F.lit(radius) * F.lit(radius))
         .select("s_id", "t_id", "dist2")
     )
+
+
+def knn_join_exact(
+    source: DataFrame,
+    target: DataFrame,
+    k: int,
+    theta: tuple[float, float] | None = None,
+    r0: float = 1.0,
+    growth: float = 4.0,
+    rmax: float = 256.0,
+) -> DataFrame:
+    """EXACT k-nearest-neighbors join via iterative radius expansion.
+
+    Round i runs the expanded-MBR distance join at radius r0 * growth^i
+    for the still-unresolved sources only. A source is resolved once it
+    has >= k candidates within the round radius r — then its true k
+    nearest all lie within r (k points at distance <= r bound the k-th NN
+    distance), so its per-source top-k is final and exact. Unresolved
+    sources carry to the next round; the final round (r >= rmax, chosen
+    >= the domain diameter) resolves everything with any neighbor at all.
+
+    The round count is a STATIC function of (r0, growth, rmax) — no
+    driver-side convergence action; each round is one tile equi-join plus
+    a per-source window, and the union across rounds covers disjoint
+    source sets. The oracle contract is plain all-pairs kNN."""
+    from pyspark.sql import Window
+
+    rounds: list[DataFrame] = []
+    remaining = source
+    r = r0
+    while True:
+        cand = distance_join(remaining, target, r, theta).where(
+            F.col("s_id") != F.col("t_id")
+        )
+        w = Window.partitionBy("s_id").orderBy("dist2", "t_id")
+        ranked = cand.withColumn("rn", F.row_number().over(w))
+        cnts = ranked.groupBy("s_id").agg(F.count(F.lit(1)).alias("nc"))
+        if r >= rmax:
+            done = cnts.select("s_id")
+        else:
+            done = cnts.where(F.col("nc") >= k).select("s_id")
+        rounds.append(
+            ranked.join(done, "s_id", "left_semi")
+            .where(F.col("rn") <= k)
+            .select("s_id", "t_id", "dist2")
+        )
+        if r >= rmax:
+            break
+        remaining = remaining.join(
+            done.withColumnRenamed("s_id", "id"), "id", "left_anti"
+        )
+        r *= growth
+    out = rounds[0]
+    for part in rounds[1:]:
+        out = out.unionByName(part)
+    return out

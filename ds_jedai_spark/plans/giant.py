@@ -627,6 +627,32 @@ def knn_pairs_oracle() -> str:
     )
 
 
+def knn_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT kNN self-join (iterative radius expansion,
+    operators/spatial_join.knn_join_exact) — the oracle is plain
+    all-pairs kNN, so the radius-expansion machinery must reproduce the
+    brute-force truth precisely."""
+    from ds_jedai_spark.operators.spatial_join import knn_join_exact
+
+    pts = load_sql(spark, sf_dir, point_sql())
+    return knn_join_exact(pts, pts, k=KNN_K, theta=(1.0, 1.0))
+
+
+def knn_exact_pairs_oracle() -> str:
+    d2 = (
+        "(a.minx - b.minx) * (a.minx - b.minx) + "
+        "(a.miny - b.miny) * (a.miny - b.miny)"
+    )
+    return (
+        f"WITH p AS ({point_sql()}), "
+        f"pr AS (SELECT a.id AS s_id, b.id AS t_id, {d2} AS dist2 "
+        f"FROM p a JOIN p b ON a.id <> b.id) "
+        f"SELECT s_id, t_id, dist2 FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY s_id ORDER BY dist2, t_id) AS rn FROM pr) "
+        f"WHERE rn <= {KNN_K}"
+    )
+
+
 def dirty_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirty (self) interlinking of the source dataset: each unordered
     intersecting pair once, via id ordering (reference
