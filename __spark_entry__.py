@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stream_window_counts": sp.stream_window_counts,
             "stream_points_in_boxes": sp.stream_points_in_boxes,
             "stream_sessions": sp.stream_sessions,
+            "stream_event_pairs": sp.stream_event_pairs,
         }
     )
     return q
@@ -162,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
             "stream_window_counts": sp.stream_window_counts_oracle(),
             "stream_points_in_boxes": sp.stream_points_in_boxes_oracle(),
             "stream_sessions": sp.stream_sessions_oracle(),
+            "stream_event_pairs": sp.stream_event_pairs_oracle(),
         }
     )
     return o

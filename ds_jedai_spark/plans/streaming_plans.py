@@ -72,3 +72,20 @@ def stream_points_in_boxes_oracle() -> str:
         f"ON s.minx <= t.minx AND t.maxx <= s.maxx "
         f"AND s.miny <= t.miny AND t.maxy <= s.maxy"
     )
+
+
+def stream_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join (watermarked both sides)."""
+    ev = gs.read_event_stream(spark, sf_dir)
+    j = gs.stream_event_pairs(ev)
+    gs.run_to_table(j, "stream_event_pairs_tbl", "append")
+    return spark.table("stream_event_pairs_tbl")
+
+
+def stream_event_pairs_oracle() -> str:
+    g = gs.PAIR_GAP_MIN
+    return (
+        "SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id "
+        "FROM events a JOIN events b ON a.user_id = b.user_id "
+        f"AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL {g} MINUTE"
+    )

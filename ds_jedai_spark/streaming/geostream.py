@@ -202,3 +202,32 @@ def run_to_table(sdf: DataFrame, name: str, output_mode: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+PAIR_GAP_MIN = 30
+
+
+def stream_event_pairs(
+    events: DataFrame, max_gap_min: int = PAIR_GAP_MIN, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked stream-stream interval self-join: pairs of events by
+    the same user where the second follows the first within max_gap_min.
+    Both sides carry a watermark and the join condition bounds the event
+    time range, so Spark can expire state (the canonical stream-stream
+    join shape; state per key is bounded by watermark + interval)."""
+    a = events.select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+    ).withWatermark("a_ts", watermark)
+    b = events.select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+    ).withWatermark("b_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("user_id_b"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {max_gap_min} MINUTES"))
+    )
+    return a.join(b, cond).select("user_id", "a_id", "b_id")
