@@ -93,3 +93,50 @@ def test_windowed_counts_watermark_schema(spark, event_files):
     assert set(out.columns) == {"win_start", "event_type", "n", "min_value", "max_value"}
     total = out.agg(F.sum("n")).first()[0]
     assert total == spark.read.parquet(event_files).count() > 0
+
+
+def test_stream_stream_pairs_match_batch_across_microbatches(
+    spark, ordered_event_files
+):
+    """Stream-stream interval self-join drained over multi-file triggers
+    equals the batch interval join on the same data. Files arrive in
+    time order (the same contract real ingestion provides): with the
+    watermark (2h) wider than the join interval (30min), no in-interval
+    pair is ever evicted — randomly-ordered arrival WOULD legitimately
+    drop pairs older than the watermark."""
+    event_files = ordered_event_files
+
+    def ts_events(df):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    raw = (
+        spark.readStream.schema(gs.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(event_files)
+    )
+    j = gs.stream_event_pairs(ts_events(raw))
+    gs.run_to_table(j, "t_stream_pairs", "append")
+    got = {
+        (r.user_id, r.a_id, r.b_id)
+        for r in spark.table("t_stream_pairs").collect()
+    }
+
+    ev = ts_events(spark.read.parquet(event_files))
+    a = ev.select("user_id", F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts"))
+    b = ev.select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    want = {
+        (r.user_id, r.a_id, r.b_id)
+        for r in a.join(
+            b,
+            (F.col("user_id") == F.col("user_id_b"))
+            & (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select("user_id", "a_id", "b_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0
