@@ -119,3 +119,25 @@ def test_large_budget_schedule_avoids_driver_merge(spark):
     small = _schedule(cand, cfg, wexpr, source, (1.0, 1.0))
     small_plan = small._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in small_plan
+
+
+def test_pipeline_text_ops_have_no_single_task_stages(spark):
+    """Sequence packing and the PGR/vocab rank family must never compile
+    to a single-partition exchange over the data stream (the only allowed
+    SinglePartition is a final one-row aggregate or a <= numPartitions
+    offsets frame)."""
+    from ds_jedai_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{(i * 7) % 23} common") for i in range(1, 400)],
+        "doc_id long, text string",
+    )
+    packed = textops.pack_sequences(docs)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    # Windows key on the shard column, never an empty partition spec.
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        head = frag.split(",")[0]
+        assert "#" in head and "ASC" not in head.split("#")[0], (
+            f"unpartitioned window in pack plan: {head}"
+        )
+    assert "SinglePartition" not in plan
