@@ -104,6 +104,46 @@ def ntriples_reader_counts_oracle() -> str:
     return wkt_reader_counts_oracle()
 
 
+def sink_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV pair sink under the oracle gate: write the qualifying
+    intersecting pairs with writers.export_csv_pairs, read the files
+    back, and report count + key extrema — the oracle computes the same
+    directly from the pairs CTE, so the write/rescan round trip must be
+    lossless."""
+    import tempfile
+
+    from ds_jedai_spark.io.writers import export_csv_pairs
+    from ds_jedai_spark.plans.giant import relation_pairs
+
+    pairs = relation_pairs("intersects")(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="jedai_sink_")
+    export_csv_pairs(pairs, out)
+    back = (
+        spark.read.option("header", True)
+        .schema("s_id long, t_id long")
+        .csv(out)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("s_id").alias("min_s"),
+        F.max("s_id").alias("max_s"),
+        F.min("t_id").alias("min_t"),
+        F.max("t_id").alias("max_t"),
+        F.sum(F.col("s_id") + F.col("t_id")).alias("key_sum"),
+    )
+
+
+def sink_roundtrip_counts_oracle() -> str:
+    from ds_jedai_spark.plans.giant import relation_pairs_oracle
+
+    return (
+        f"WITH rt AS ({relation_pairs_oracle('intersects')}) "
+        f"SELECT count(*) AS n_pairs, min(s_id) AS min_s, max(s_id) AS max_s, "
+        f"min(t_id) AS min_t, max(t_id) AS max_t, "
+        f"CAST(sum(s_id + t_id) AS BIGINT) AS key_sum FROM rt"
+    )
+
+
 def geojson_reader_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same gate through the GeoJSON reader (NDJSON features; truth lives
     in properties, the engine parses only the geometry objects)."""
