@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_reader_counts": rp.geojson_reader_counts,
         "ntriples_reader_counts": rp.ntriples_reader_counts,
         "sink_roundtrip_counts": rp.sink_roundtrip_counts,
+        "ntriples_sink_roundtrip": rp.ntriples_sink_roundtrip,
         "distance_pairs": giant.distance_pairs,
         "knn_pairs": giant.knn_pairs,
         "knn_exact_pairs": giant.knn_exact_pairs,
@@ -129,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "geojson_reader_counts": rp.geojson_reader_counts_oracle(),
         "ntriples_reader_counts": rp.ntriples_reader_counts_oracle(),
         "sink_roundtrip_counts": rp.sink_roundtrip_counts_oracle(),
+        "ntriples_sink_roundtrip": rp.ntriples_sink_roundtrip_oracle(),
         "distance_pairs": giant.distance_pairs_oracle(),
         "knn_pairs": giant.knn_pairs_oracle(),
         "knn_exact_pairs": giant.knn_exact_pairs_oracle(),

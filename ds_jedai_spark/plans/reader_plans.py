@@ -144,6 +144,40 @@ def sink_roundtrip_counts_oracle() -> str:
     )
 
 
+def ntriples_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples sink round trip: qualifying pairs out through
+    export_ntriples, parsed back with the same regex surface the reader
+    uses, aggregated against the direct pairs oracle."""
+    import tempfile
+
+    from ds_jedai_spark.io.writers import export_ntriples
+    from ds_jedai_spark.plans.giant import relation_pairs
+
+    pairs = relation_pairs("intersects")(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="jedai_nt_sink_")
+    export_ntriples(pairs, out)
+    back = spark.read.text(out).select(
+        F.regexp_extract("value", r"^<(\d+)> <[^>]+> <(\d+)> \.$", 1)
+        .cast("long")
+        .alias("s_id"),
+        F.regexp_extract("value", r"^<(\d+)> <[^>]+> <(\d+)> \.$", 2)
+        .cast("long")
+        .alias("t_id"),
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("s_id").alias("min_s"),
+        F.max("s_id").alias("max_s"),
+        F.min("t_id").alias("min_t"),
+        F.max("t_id").alias("max_t"),
+        F.sum(F.col("s_id") + F.col("t_id")).alias("key_sum"),
+    )
+
+
+def ntriples_sink_roundtrip_oracle() -> str:
+    return sink_roundtrip_counts_oracle()
+
+
 def geojson_reader_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same gate through the GeoJSON reader (NDJSON features; truth lives
     in properties, the engine parses only the geometry objects)."""
