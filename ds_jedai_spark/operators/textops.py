@@ -11,11 +11,12 @@ Engine/oracle contract:
   split (empties filtered afterwards, so positions are stable in both
   engines: Spark posexplode+1 == DuckDB generate_subscripts).
 - shingles = word 3-grams joined with '_' over the empty-filtered array.
-- vocabulary ids come from dense_rank over the sorted distinct token set.
-  That global window is deliberate: it makes ids reproducible across
-  engines for oracle checking. The production-scale path would use
-  xxhash64(token) directly (no vocab join, no global window) — same
-  downstream algebra, noted per operator.
+- vocabulary ids equal dense_rank over the sorted distinct token set —
+  computed distributedly (operators/ranking.global_rank: range-partition
+  + local row_number + broadcast offsets; no single-task window), and
+  reproducible across engines for oracle checking. A production pipeline
+  that doesn't need dense ids can use xxhash64(token) directly (no vocab
+  join at all) — same downstream algebra, noted per operator.
 - no transcendental functions in any output column (libm vs JVM ulp
   drift); scores are rational arithmetic only.
 """
