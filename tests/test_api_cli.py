@@ -129,3 +129,24 @@ def test_stateful_algorithms_run_and_stay_subset(spark, conf_path, alg):
     cfg.budget = 100
     got = {(r.s_id, r.t_id) for r in api.run(spark, cfg).collect()}
     assert got and got <= full
+
+
+@pytest.mark.parametrize("alg", ["TOPK", "RECIPROCAL_TOPK"])
+def test_topk_algorithms_run_and_stay_subset(spark, conf_path, alg):
+    """The dynamic-k dispatch (k = ceil(budget / |sources|) folded in as a
+    broadcast aggregate) must produce a nonempty subset of the full
+    qualifying pairs, with at most k pairs per source for TOPK."""
+    cfg = load_config(conf_path)
+    cfg.relation = "INTERSECTS"
+    full = {(r.s_id, r.t_id) for r in api.run(spark, cfg).collect()}
+    cfg.progressive_algorithm = alg
+    cfg.budget = 8
+    got = [(r.s_id, r.t_id) for r in api.run(spark, cfg).collect()]
+    assert got and set(got) <= full
+    if alg == "TOPK":
+        from collections import Counter
+
+        # True k = ceil(budget / |candidate sources|); candidate sources
+        # superset the qualifying sources, so this bound only loosens.
+        k_bound = -(-8 // max(len({s for s, _ in full}), 1))
+        assert max(Counter(s for s, _ in got).values()) <= k_bound
