@@ -52,6 +52,9 @@ def read_dataset(spark: SparkSession, spec) -> DataFrame:
         )
     if ext == ".nt":
         return readers.read_ntriples(spark, spec.path)
+    if ext == ".parquet":
+        # Engine row-format parquet: zero-parse fast path.
+        return readers.read_parquet_dataset(spark, spec.path, id_field=spec.id_field)
     raise ValueError(f"unsupported dataset extension: {spec.path}")
 
 

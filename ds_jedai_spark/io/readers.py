@@ -81,6 +81,21 @@ def read_geojson(
     delimited features parsed with the stdlib json module inside an
     Arrow-batched mapInPandas — all geometry types, no schema-inference
     fights with ragged coordinate nesting. Splittable text scan."""
+    return _geojson_from_lines(
+        spark.read.text(path), id_field=id_field,
+        date_field=date_field, date_pattern=date_pattern,
+    )
+
+
+def _geojson_from_lines(
+    lines: DataFrame,
+    id_field: str,
+    date_field: str | None,
+    date_pattern: str,
+) -> DataFrame:
+    """Shared feature-parsing pipeline over a one-JSON-object-per-row
+    ``value`` column (used by both the NDJSON and FeatureCollection
+    readers)."""
     import json
 
     import pandas as pd
@@ -138,8 +153,7 @@ def read_geojson(
     fields = "id string, wkt string" + (
         ", ts_raw string" if date_field is not None else ""
     )
-    return _finish(spark.read.text(path).mapInPandas(parse, fields),
-                   date_field, date_pattern)
+    return _finish(lines.mapInPandas(parse, fields), date_field, date_pattern)
 
 
 GEOMETRY_PREDICATE = "<http://www.opengis.net/ont/geosparql#asWKT>"
@@ -166,3 +180,71 @@ def read_ntriples(
         .drop("predicate")
     )
     return _finish(df, None, DEFAULT_DATE_PATTERN)
+
+
+def read_geojson_collection(
+    spark: SparkSession,
+    path: str,
+    id_field: str = "id",
+    date_field: str | None = None,
+    date_pattern: str = DEFAULT_DATE_PATTERN,
+) -> DataFrame:
+    """Whole-document GeoJSON FeatureCollection scan.
+
+    Real-world GeoJSON often ships one FeatureCollection object per file
+    rather than newline-delimited features. A whole-file JSON document is
+    NOT splittable, so this reader targets many-small-files layouts (one
+    task per file via wholeTextFiles-style `wholetext`); for a single
+    multi-GB collection, convert to NDJSON first and use read_geojson.
+    Parsing reuses read_geojson's feature pipeline by re-emitting each
+    feature as its own JSON line inside the batch iterator."""
+    import json
+
+    import pandas as pd
+
+    def split_features(batches):
+        for pdf in batches:
+            lines = []
+            for doc in pdf["value"]:
+                try:
+                    obj = json.loads(doc)
+                except (ValueError, TypeError):
+                    continue
+                feats = (
+                    obj.get("features", [])
+                    if obj.get("type") == "FeatureCollection"
+                    else [obj]
+                )
+                lines.extend(json.dumps(f) for f in feats)
+            yield pd.DataFrame({"value": lines})
+
+    ndjson = (
+        spark.read.option("wholetext", True)
+        .text(path)
+        .mapInPandas(split_features, "value string")
+    )
+    return _geojson_from_lines(
+        ndjson, id_field=id_field, date_field=date_field,
+        date_pattern=date_pattern,
+    )
+
+
+def read_parquet_dataset(
+    spark: SparkSession,
+    path: str,
+    id_field: str = "id",
+) -> DataFrame:
+    """Engine-native parquet ingestion: a dataset already in the row
+    format (gtype/coords/envelope columns) loads with zero parsing — the
+    fast path for data previously exported by this engine or prepared
+    upstream. Column pruning and predicate pushdown apply directly."""
+    df = spark.read.parquet(path)
+    cols = {"gtype", "coords", "minx", "miny", "maxx", "maxy"}
+    missing = cols - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"parquet dataset missing row-format columns: {sorted(missing)}"
+        )
+    if id_field != "id":
+        df = df.withColumnRenamed(id_field, "id")
+    return df

@@ -173,3 +173,61 @@ def test_sinks_write_expected_shapes(spark):
             ).alias("n")
         ).agg(F.sum("n")).collect()[0][0]
         assert rdf.count() == n_true
+
+
+def test_read_geojson_collection_matches_ndjson(spark, tmp_path):
+    """A whole-file FeatureCollection parses to the same rows as the same
+    features in NDJSON form."""
+    import json
+
+    from ds_jedai_spark.io.readers import read_geojson, read_geojson_collection
+
+    feats = [
+        {"type": "Feature",
+         "geometry": {"type": "Point", "coordinates": [1.5, 2.5]},
+         "properties": {"id": 1}},
+        {"type": "Feature",
+         "geometry": {"type": "Polygon",
+                      "coordinates": [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]]},
+         "properties": {"id": 2}},
+        {"type": "Feature", "geometry": None, "properties": {"id": 3}},
+    ]
+    coll = tmp_path / "coll.geojson"
+    coll.write_text(json.dumps({"type": "FeatureCollection", "features": feats}))
+    nd = tmp_path / "nd.geojson"
+    nd.write_text("\n".join(json.dumps(f) for f in feats) + "\n")
+
+    key = ["id", "gtype", "minx", "miny", "maxx", "maxy"]
+    got = sorted(
+        tuple(r) for r in read_geojson_collection(spark, str(coll)).select(key).collect()
+    )
+    want = sorted(
+        tuple(r) for r in read_geojson(spark, str(nd)).select(key).collect()
+    )
+    assert got == want and len(got) == 2  # null-geometry row dropped
+
+
+def test_read_parquet_dataset_roundtrip(spark, tmp_path):
+    """Engine row-format parquet loads without parsing; missing columns
+    are rejected."""
+    import pytest
+
+    from ds_jedai_spark.io.readers import read_parquet_dataset, read_wkt_delimited
+
+    src = tmp_path / "src.tsv"
+    src.write_text(
+        "id\twkt\n1\tPOINT (1.5 2.5)\n2\tPOLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))\n"
+    )
+    parsed = read_wkt_delimited(spark, str(src), id_field="id", geom_field="wkt")
+    out = str(tmp_path / "ds.parquet")
+    parsed.write.parquet(out)
+
+    back = read_parquet_dataset(spark, out)
+    key = ["id", "gtype", "minx", "miny", "maxx", "maxy"]
+    assert sorted(tuple(r) for r in back.select(key).collect()) == sorted(
+        tuple(r) for r in parsed.select(key).collect()
+    )
+    with pytest.raises(ValueError, match="row-format"):
+        bad = str(tmp_path / "bad.parquet")
+        parsed.drop("coords").write.parquet(bad)
+        read_parquet_dataset(spark, bad)
