@@ -78,3 +78,53 @@ def export_ntriples(
     if single_file:
         out = out.coalesce(1)
     out.write.mode("overwrite").text(path)
+
+
+def geojson_lines(entities: DataFrame) -> DataFrame:
+    """One NDJSON Feature per entity from the engine row format
+    (id, gtype, coords) — the inverse of readers.read_geojson. Arrow-
+    batched; export is off the hot path by design."""
+    import json
+
+    def to_feature(gtype: str, parts) -> dict | None:
+        parts = [[list(map(float, p)) for p in part] for part in parts]
+        if gtype == "POINT":
+            return {"type": "Point", "coordinates": parts[0][0]}
+        if gtype == "LINESTRING":
+            return {"type": "LineString", "coordinates": parts[0]}
+        if gtype == "POLYGON":
+            return {"type": "Polygon", "coordinates": parts}
+        if gtype == "MULTIPOINT":
+            return {"type": "MultiPoint", "coordinates": [p[0] for p in parts]}
+        if gtype == "MULTILINESTRING":
+            return {"type": "MultiLineString", "coordinates": parts}
+        if gtype == "MULTIPOLYGON":
+            # Row-format multipolygon parts are rings, outer ring first per
+            # polygon; without hole metadata each ring exports as its own
+            # polygon (true for engine-ingested multipolygons, whose holes
+            # are rejected at parse; see model/geometry.parse_wkt).
+            return {"type": "MultiPolygon", "coordinates": [[r] for r in parts]}
+        return None
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            lines = []
+            for rid, gtype, coords in zip(pdf["id"], pdf["gtype"], pdf["coords"]):
+                geom = to_feature(gtype, coords)
+                if geom is None:
+                    continue
+                lines.append(json.dumps({
+                    "type": "Feature",
+                    "geometry": geom,
+                    "properties": {"id": str(rid)},
+                }))
+            yield pd.DataFrame({"value": lines})
+
+    return entities.select("id", "gtype", "coords").mapInPandas(run, "value string")
+
+
+def export_geojson(entities: DataFrame, path: str) -> None:
+    """NDJSON GeoJSON feature export (splittable on re-read)."""
+    geojson_lines(entities).write.mode("overwrite").text(path)

@@ -231,3 +231,20 @@ def test_read_parquet_dataset_roundtrip(spark, tmp_path):
         bad = str(tmp_path / "bad.parquet")
         parsed.drop("coords").write.parquet(bad)
         read_parquet_dataset(spark, bad)
+
+
+def test_geojson_export_roundtrip(spark, tmp_path):
+    """export_geojson -> read_geojson reproduces the row format exactly
+    for every geometry type the WKT fixture exercises."""
+    from ds_jedai_spark.io.readers import read_geojson, read_wkt_delimited
+    from ds_jedai_spark.io.writers import export_geojson
+    from ds_jedai_spark.plans.reader_plans import FIXTURE
+
+    src = read_wkt_delimited(spark, FIXTURE, id_field="id", geom_field="wkt")
+    out = str(tmp_path / "export.geojson")
+    export_geojson(src, out)
+    back = read_geojson(spark, out)
+    key = ["id", "gtype", "minx", "miny", "maxx", "maxy"]
+    got = sorted(tuple(r) for r in back.select(key).collect())
+    want = sorted(tuple(r) for r in src.select(key).collect())
+    assert got == want and len(got) > 300
