@@ -80,3 +80,44 @@ def test_point_box_laws(p, b):
     assert not pb["overlaps"] and not pb["covers"]
     if pb["intersects"]:
         assert pb["coveredby"]  # point in closed box is covered
+
+
+@st.composite
+def polylines(draw):
+    """1-3 lattice segments, possibly sharing endpoints (a MULTILINESTRING
+    parts list); degenerate zero-length segments excluded."""
+    n = draw(st.integers(min_value=1, max_value=3))
+    parts = []
+    for _ in range(n):
+        a = (draw(lattice), draw(lattice))
+        b = (draw(lattice), draw(lattice))
+        if a == b:
+            b = (b[0] + 1 / 16.0, b[1])
+        parts.append([list(a), list(b)])
+    return parts
+
+
+@given(polylines(), polylines())
+@settings(max_examples=300, deadline=None)
+def test_line_line_algebra_laws(pa, pb):
+    """Internal consistency of the exact line-line path (rational
+    sub-segment coverage): argument-swap duality, symmetry of the
+    symmetric relations, and the subsumption ladder."""
+    ab = relate_pair("MULTILINESTRING", pa, "MULTILINESTRING", pb)
+    ba = relate_pair("MULTILINESTRING", pb, "MULTILINESTRING", pa)
+    for sym in ("intersects", "disjoint", "equals", "touches", "overlaps", "crosses"):
+        assert ab[sym] == ba[sym], (sym, pa, pb)
+    assert ab["within"] == ba["contains"] and ab["contains"] == ba["within"]
+    assert ab["coveredby"] == ba["covers"] and ab["covers"] == ba["coveredby"]
+    assert ab["disjoint"] != ab["intersects"]
+    if ab["within"]:
+        assert ab["coveredby"]
+    if ab["contains"]:
+        assert ab["covers"]
+    if ab["equals"]:
+        assert ab["coveredby"] and ab["covers"]
+    if ab["touches"]:
+        assert ab["intersects"] and not ab["within"] and not ab["overlaps"]
+    for r in ("equals", "touches", "overlaps", "crosses", "within", "contains"):
+        if ab[r]:
+            assert ab["intersects"], (r, pa, pb)
