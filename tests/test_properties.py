@@ -121,3 +121,39 @@ def test_line_line_algebra_laws(pa, pb):
     for r in ("equals", "touches", "overlaps", "crosses", "within", "contains"):
         if ab[r]:
             assert ab["intersects"], (r, pa, pb)
+
+
+@st.composite
+def triangles(draw):
+    from hypothesis import assume
+
+    pts = [(draw(lattice), draw(lattice)) for _ in range(3)]
+    area2 = (pts[1][0] - pts[0][0]) * (pts[2][1] - pts[0][1]) - (
+        pts[1][1] - pts[0][1]
+    ) * (pts[2][0] - pts[0][0])
+    assume(area2 != 0)
+    ring = [list(p) for p in pts] + [list(pts[0])]
+    return [ring]
+
+
+@given(triangles(), triangles())
+@settings(max_examples=200, deadline=None)
+def test_polygon_polygon_algebra_laws(pa, pb):
+    """Same consistency laws through the rational-arithmetic
+    polygon-polygon path (relate_poly)."""
+    ab = relate_pair("POLYGON", pa, "POLYGON", pb)
+    ba = relate_pair("POLYGON", pb, "POLYGON", pa)
+    for sym in ("intersects", "disjoint", "equals", "touches", "overlaps", "crosses"):
+        assert ab[sym] == ba[sym], (sym, pa, pb)
+    assert ab["within"] == ba["contains"] and ab["covers"] == ba["coveredby"]
+    assert ab["disjoint"] != ab["intersects"]
+    if ab["within"]:
+        assert ab["coveredby"]
+    if ab["equals"]:
+        assert ab["coveredby"] and ab["covers"] and ab["within"] and ab["contains"]
+    if ab["touches"]:
+        assert ab["intersects"] and not ab["overlaps"] and not ab["within"]
+    assert not ab["crosses"]  # equal-dimension area pairs can never cross
+    for r in ("equals", "touches", "overlaps", "within", "contains"):
+        if ab[r]:
+            assert ab["intersects"], (r, pa, pb)
