@@ -157,3 +157,26 @@ def test_polygon_polygon_algebra_laws(pa, pb):
     for r in ("equals", "touches", "overlaps", "within", "contains"):
         if ab[r]:
             assert ab["intersects"], (r, pa, pb)
+
+
+@given(polylines(), triangles())
+@settings(max_examples=200, deadline=None)
+def test_line_polygon_algebra_laws(pl, tri):
+    """Mixed-dimension laws through the rational line-polygon classifier:
+    swap duality, dimension constraints (a 1-D geometry can never
+    contain/cover a 2-D region; equals is impossible), and subsumption."""
+    ab = relate_pair("MULTILINESTRING", pl, "POLYGON", tri)
+    ba = relate_pair("POLYGON", tri, "MULTILINESTRING", pl)
+    for sym in ("intersects", "disjoint", "touches", "overlaps", "crosses", "equals"):
+        assert ab[sym] == ba[sym], (sym, pl, tri)
+    assert ab["within"] == ba["contains"] and ab["coveredby"] == ba["covers"]
+    assert ab["disjoint"] != ab["intersects"]
+    assert not ab["equals"] and not ab["overlaps"]  # dim(a) != dim(b)
+    assert not ab["contains"] and not ab["covers"]  # 1-D cannot cover 2-D
+    if ab["within"]:
+        assert ab["coveredby"]
+    if ab["touches"]:
+        assert ab["intersects"] and not ab["within"] and not ab["crosses"]
+    for r in ("touches", "crosses", "within", "coveredby"):
+        if ab[r]:
+            assert ab["intersects"], (r, pl, tri)
