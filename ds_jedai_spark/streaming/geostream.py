@@ -29,31 +29,48 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ds_jedai_spark.io.synthetic import point_exprs
 
-EVENT_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, "
-    "event_type string, value double, props string"
-)
+def event_stream(spark: SparkSession, path: str, glob: str | None = None,
+                 **options: str) -> DataFrame:
+    """File-source stream over an event parquet directory.
 
-
-def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table. The parquet stores
-    TIMESTAMP(NANOS); with nanosAsLong the long is restored to a proper
-    timestamp (micros) exactly like the batch reader (io/synthetic.py).
+    The ``ts`` column's physical type varies by testdata generation:
+    TIMESTAMP(MICROS) reads natively as a timestamp, TIMESTAMP(NANOS)
+    reads as a long under ``nanosAsLong`` and is restored here — the same
+    defensive rule the batch reader applies (io/synthetic.register_views).
+    A batch footer probe supplies the stream's required schema, so both
+    layouts produce an identical event-time column; watermarks demand
+    TimestampType, so a TIMESTAMP_NTZ column is re-labeled to the session
+    zone (UTC), staying aligned with the naive DuckDB oracle.
 
     SIDE EFFECT (session-wide, documented): sets
     ``spark.sql.legacy.parquet.nanosAsLong=true`` for the session, the
-    same flag the batch path (io/synthetic.register_views) sets — it must
-    hold whenever the lazily-planned stream executes, so it cannot be
-    restored here. It only changes decoding of TIMESTAMP(NANOS) parquet
-    columns, which this engine always reads as longs by contract."""
+    same flag the batch path sets — it must hold whenever the
+    lazily-planned stream executes, so it cannot be restored here. It
+    only changes decoding of TIMESTAMP(NANOS) parquet columns."""
+    from pyspark.sql import types as T
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # File streams need a directory path; glob-filter to the events table.
-    raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    batch = spark.read
+    if glob:
+        batch = batch.option("pathGlobFilter", glob)
+    probe = batch.parquet(path).schema
+    reader = spark.readStream.schema(probe)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    raw = reader.parquet(path)
+    if "ts" in raw.columns:
+        if isinstance(probe["ts"].dataType, T.LongType):
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(probe["ts"].dataType, T.TimestampNTZType):
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream over the testdata events table (glob-filtered directory scan)."""
+    return event_stream(spark, sf_dir, glob="events.parquet")
 
 
 def windowed_event_counts(
@@ -151,7 +168,10 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFra
     def fn(key, pdfs, state):
         user = key[0]
         ts = pd.concat(list(pdfs))["ts"]
-        us = ts.astype("int64").sort_values() // 1000  # ns -> us
+        # Arrow hands the event time over as datetime64 whose unit depends
+        # on the pandas/arrow pairing (ns historically, us under pandas 2);
+        # normalize to microseconds explicitly instead of assuming a unit.
+        us = pd.Series(ts.values.astype("datetime64[us]").astype("int64")).sort_values()
         if state.exists:
             last_us, start_us, n = state.get
         else:

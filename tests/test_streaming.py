@@ -21,11 +21,7 @@ def event_files(spark, tmp_path_factory):
 
 
 def test_stream_static_join_matches_batch_across_microbatches(spark, event_files):
-    raw = (
-        spark.readStream.schema(gs.EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(event_files)
-    )
+    raw = gs.event_stream(spark, event_files, maxFilesPerTrigger="1")
     stream_pts = gs.event_points(raw)
     src = load_sql(spark, SF, source_box_sql())
     j = gs.stream_points_in_boxes(stream_pts, src, THETA)
@@ -49,23 +45,23 @@ def ordered_event_files(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("evordered"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{SF}/events.parquet")
-    qs = ev.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
+    ev = ev.withColumn("tsd", F.col("ts").cast("timestamp").cast("double"))
+    qs = ev.approxQuantile("tsd", [0.25, 0.5, 0.75], 0.0)
     bounds = [float("-inf")] + qs + [float("inf")]
     for i in range(4):
         ev.where(
-            (F.col("ts") > bounds[i]) & (F.col("ts") <= bounds[i + 1])
-        ).coalesce(1).write.mode("append").parquet(out)
+            (F.col("tsd") > bounds[i]) & (F.col("tsd") <= bounds[i + 1])
+        ).drop("tsd").coalesce(1).write.mode("append").parquet(out)
     return out
 
 
 def test_sessionize_state_carries_across_microbatches(spark, ordered_event_files):
     def run(max_files):
-        raw = (
-            spark.readStream.schema(gs.EVENT_SCHEMA)
-            .option("maxFilesPerTrigger", str(max_files))
-            .option("latestFirst", "false")
-            .parquet(ordered_event_files)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        raw = gs.event_stream(
+            spark,
+            ordered_event_files,
+            maxFilesPerTrigger=str(max_files),
+            latestFirst="false",
         )
         name = f"t_sessions_{max_files}"
         gs.run_to_table(gs.sessionize(raw), name, "append")
@@ -82,11 +78,7 @@ def test_sessionize_state_carries_across_microbatches(spark, ordered_event_files
 
 
 def test_windowed_counts_watermark_schema(spark, event_files):
-    ev = (
-        spark.readStream.schema(gs.EVENT_SCHEMA)
-        .parquet(event_files)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    ev = gs.event_stream(spark, event_files)
     agg = gs.windowed_event_counts(ev)
     gs.run_to_table(agg, "t_stream_win", "complete")
     out = spark.table("t_stream_win")
@@ -106,22 +98,17 @@ def test_stream_stream_pairs_match_batch_across_microbatches(
     drop pairs older than the watermark."""
     event_files = ordered_event_files
 
-    def ts_events(df):
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-
-    raw = (
-        spark.readStream.schema(gs.EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(event_files)
-    )
-    j = gs.stream_event_pairs(ts_events(raw))
+    raw = gs.event_stream(spark, event_files, maxFilesPerTrigger="1")
+    j = gs.stream_event_pairs(raw)
     gs.run_to_table(j, "t_stream_pairs", "append")
     got = {
         (r.user_id, r.a_id, r.b_id)
         for r in spark.table("t_stream_pairs").collect()
     }
 
-    ev = ts_events(spark.read.parquet(event_files))
+    ev = spark.read.parquet(event_files).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     a = ev.select("user_id", F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts"))
     b = ev.select(
         F.col("user_id").alias("user_id_b"),
