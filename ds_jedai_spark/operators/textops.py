@@ -338,3 +338,38 @@ def mixture_sample(docs: DataFrame) -> DataFrame:
             F.count(F.when(keep, True)).alias("n_sampled"),
         )
     )
+
+
+def contamination(
+    train: DataFrame, bench: DataFrame, n: int = 3
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction of
+    its distinct word n-grams that appear anywhere in the benchmark set
+    (the standard n-gram-overlap test run before training to keep eval
+    data out of the corpus).
+
+    Scale shape: the benchmark gram set is tiny next to the corpus, so
+    the probe is a left-semi equi-join on the gram — Catalyst broadcasts
+    the benchmark side when it fits, and the training grams stream
+    through one shuffle-free pass in that case. No all-pairs comparison
+    exists anywhere; cost is O(|train grams| + |bench grams|).
+    """
+    tg = shingles(train, n)
+    bg = shingles(bench, n).select("shingle").distinct()
+    totals = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        tg.join(bg, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .na.fill({"n_hit": 0})
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_grams")).alias("hit_frac"),
+            (F.col("n_hit") > 0).alias("contaminated"),
+        )
+    )

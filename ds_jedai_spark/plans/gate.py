@@ -372,6 +372,7 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
     keep("ann_lsh_recall", pl.QUERIES["ann_lsh_recall"], pl.ORACLES["ann_lsh_recall"])
     keep("ann_kmeans_cells", pl.QUERIES["ann_kmeans_cells"],
          pl.ORACLES["ann_kmeans_cells"])
+    keep("emb_quantize", pl.QUERIES["emb_quantize"], pl.ORACLES["emb_quantize"])
 
     # -- text analysis: per-doc profile join + corpus-level queries
     add(
@@ -394,6 +395,8 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
             ],
         ),
     )
+    keep("text_contamination", pl.QUERIES["text_contamination"],
+         pl.ORACLES["text_contamination"])
     keep("text_corpus_split", pl.QUERIES["text_corpus_split"],
          pl.ORACLES["text_corpus_split"])
     keep("text_pack_sequences", pl.QUERIES["text_pack_sequences"],
@@ -426,6 +429,8 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
          sp.stream_points_in_boxes_oracle())
     keep("stream_sessions", sp.stream_sessions, sp.stream_sessions_oracle())
     keep("stream_event_pairs", sp.stream_event_pairs, sp.stream_event_pairs_oracle())
+    keep("stream_dedup_counts", sp.stream_dedup_counts,
+         sp.stream_dedup_counts_oracle())
 
     return queries, oracles
 

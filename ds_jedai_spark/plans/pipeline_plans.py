@@ -675,3 +675,73 @@ ORACLES = {
     "media_resize": media_resize_oracle(),
     "media_frame_sample": media_frame_sample_oracle(),
 }
+
+
+# ---------------------------------------------- decontamination / quantize
+
+def text_contamination(spark, sf_dir):
+    """Benchmark decontamination over the documents table: source
+    'src0' plays the held-out benchmark, every other source is the
+    training corpus."""
+    d = _docs(spark, sf_dir)
+    return textops.contamination(
+        d.where(F.col("source") != "src0"),
+        d.where(F.col("source") == "src0"),
+    )
+
+
+def text_contamination_oracle() -> str:
+    return (
+        "WITH warr AS (SELECT doc_id, source, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS arr FROM documents), "
+        "sh0 AS (SELECT doc_id, source, unnest(list_transform("
+        "range(1, CASE WHEN len(arr) >= 3 THEN len(arr) - 1 ELSE 1 END), "
+        "i -> arr[i] || '_' || arr[i+1] || '_' || arr[i+2])) AS shingle FROM warr), "
+        "d AS (SELECT DISTINCT doc_id, source, shingle FROM sh0), "
+        "bg AS (SELECT DISTINCT shingle FROM d WHERE source = 'src0'), "
+        "t AS (SELECT doc_id, shingle FROM d WHERE source <> 'src0'), "
+        "tot AS (SELECT doc_id, count(*) AS n_grams FROM t GROUP BY 1), "
+        "hit AS (SELECT t.doc_id, count(*) AS n_hit FROM t JOIN bg USING (shingle) "
+        "GROUP BY 1) "
+        "SELECT doc_id, n_grams, coalesce(n_hit, 0) AS n_hit, "
+        "CAST(coalesce(n_hit, 0) AS DOUBLE) / n_grams AS hit_frac, "
+        "coalesce(n_hit, 0) > 0 AS contaminated "
+        "FROM tot LEFT JOIN hit USING (doc_id)"
+    )
+
+
+def emb_quantize(spark, sf_dir):
+    return similarity.int8_quantize_stats(_emb(spark, sf_dir))
+
+
+def emb_quantize_oracle() -> str:
+    q8 = (
+        "CAST(floor((254.0 * x + maxabs) / (2.0 * maxabs)) AS BIGINT)"
+    )
+    err = f"(127 * x - {q8} * maxabs)"
+    return (
+        "WITH base AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv "
+        "FROM embeddings), "
+        "mx AS (SELECT vec_id, qv, "
+        "list_aggregate(list_transform(qv, v -> abs(v)), 'max') AS maxabs FROM base) "
+        "SELECT vec_id, CAST(maxabs AS BIGINT) AS maxabs, "
+        "CAST(coalesce(list_aggregate(list_transform(qv, x -> "
+        f"CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT) ELSE {err} * {err} END), "
+        "'sum'), 0) AS BIGINT) AS sse "
+        "FROM mx"
+    )
+
+
+QUERIES.update(
+    {
+        "text_contamination": text_contamination,
+        "emb_quantize": emb_quantize,
+    }
+)
+ORACLES.update(
+    {
+        "text_contamination": text_contamination_oracle(),
+        "emb_quantize": emb_quantize_oracle(),
+    }
+)

@@ -89,3 +89,15 @@ def stream_event_pairs_oracle() -> str:
         "FROM events a JOIN events b ON a.user_id = b.user_id "
         f"AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL {g} MINUTE"
     )
+
+
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (at-least-once replay collapsed by event_id) then
+    per-type rollup; two chained stateful operators in one query."""
+    agg = gs.stream_dedup_counts(spark, sf_dir)
+    gs.run_to_table(agg, "stream_dedup_tbl", "complete")
+    return spark.table("stream_dedup_tbl")
+
+
+def stream_dedup_counts_oracle() -> str:
+    return "SELECT event_type, count(*) AS n FROM events GROUP BY 1"

@@ -251,3 +251,20 @@ def stream_event_pairs(
         & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {max_gap_min} MINUTES"))
     )
     return a.join(b, cond).select("user_id", "a_id", "b_id")
+
+
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming deduplication: the event stream unioned with
+    itself (every event arrives twice, the at-least-once delivery case)
+    is deduplicated on event_id before a per-type rollup. dropDuplicates
+    keeps first-arrival state per key; the watermark bounds that state in
+    a continuous run, and the rollup proves each event was counted once.
+    """
+    a = read_event_stream(spark, sf_dir)
+    b = read_event_stream(spark, sf_dir)
+    dedup = (
+        a.unionByName(b)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates(["event_id"])
+    )
+    return dedup.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,74 @@
+"""Unit laws for decontamination and int8 quantization."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from ds_jedai_spark.operators import similarity, textops
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_contamination_known_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # grams: a_b_c, b_c_d -> both hit
+            (2, "x y z w"),        # grams: x_y_z, y_z_w -> no hit
+            (3, "a b c q r"),      # grams: a_b_c (hit), b_c_q, c_q_r -> 1/3
+            (4, "t u"),            # too short: no grams, absent from output
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "p a b c d e")], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_hit, r.contaminated)
+        for r in textops.contamination(train, bench).collect()
+    }
+    assert got == {1: (2, 2, True), 2: (2, 0, False), 3: (3, 1, True)}
+
+
+def test_contamination_self_is_total(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i")], "doc_id bigint, text string"
+    )
+    out = textops.contamination(docs, docs).collect()
+    assert all(r.n_hit == r.n_grams and r.contaminated for r in out)
+
+
+def test_int8_quantize_matches_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(64)
+    got = {
+        r.vec_id: (r.maxabs, r.sse)
+        for r in similarity.int8_quantize_stats(emb).collect()
+    }
+    for row in emb.collect():
+        qv = [math.floor(float(x) * similarity.QUANT) for x in row.embedding]
+        m = max((abs(v) for v in qv), default=0)
+        if m == 0:
+            want = (0, 0)
+        else:
+            q8 = [math.floor((254 * x + m) / (2 * m)) for x in qv]
+            assert all(-127 <= c <= 127 for c in q8)
+            want = (m, sum((127 * x - c * m) ** 2 for x, c in zip(qv, q8)))
+        assert got[row.vec_id] == want
+
+
+def test_int8_quantize_zero_vector(spark):
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0], 0)], "vec_id bigint, embedding array<float>, label int"
+    )
+    r = similarity.int8_quantize_stats(emb).collect()[0]
+    assert (r.maxabs, r.sse) == (0, 0)
+
+
+def test_contamination_plan_has_no_cartesian(spark):
+    from ds_jedai_spark.io.synthetic import register_views
+
+    register_views(spark, SF)
+    d = spark.table("documents")
+    plan = textops.contamination(
+        d.where(F.col("source") != "src0"), d.where(F.col("source") == "src0")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
