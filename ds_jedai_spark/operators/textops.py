@@ -373,3 +373,38 @@ def contamination(
             (F.col("n_hit") > 0).alias("contaminated"),
         )
     )
+
+
+PII_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+PII_IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII detection + redaction over the text column: count and replace
+    email addresses and IPv4 literals (the minimum scrub a training
+    corpus gets before release).
+
+    Pure JVM regex work (regexp_extract_all / regexp_replace) — one
+    narrow pass, no shuffle; patterns restricted to syntax RE2 and Java
+    regex interpret identically so the DuckDB oracle replays exactly.
+    Emits an md5 of the scrubbed text so the oracle checks the full
+    redacted byte stream, not just counts.
+    """
+    # Patterns go through as literal Columns, never through the SQL
+    # parser, so backslashes survive verbatim on both engines.
+    n_email = F.size(
+        F.regexp_extract_all("text", F.lit(PII_EMAIL_RE), F.lit(0))
+    )
+    n_ip = F.size(F.regexp_extract_all("text", F.lit(PII_IPV4_RE), F.lit(0)))
+    clean = F.regexp_replace(
+        F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
+        PII_IPV4_RE,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        n_email.cast("bigint").alias("n_email"),
+        n_ip.cast("bigint").alias("n_ip"),
+        F.length(clean).cast("bigint").alias("len_clean"),
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+    )

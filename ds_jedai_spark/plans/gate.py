@@ -397,6 +397,8 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
     )
     keep("text_contamination", pl.QUERIES["text_contamination"],
          pl.ORACLES["text_contamination"])
+    keep("text_pii_scrub", pl.QUERIES["text_pii_scrub"],
+         pl.ORACLES["text_pii_scrub"])
     keep("text_corpus_split", pl.QUERIES["text_corpus_split"],
          pl.ORACLES["text_corpus_split"])
     keep("text_pack_sequences", pl.QUERIES["text_pack_sequences"],

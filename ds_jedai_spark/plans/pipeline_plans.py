@@ -745,3 +745,47 @@ ORACLES.update(
         "emb_quantize": emb_quantize_oracle(),
     }
 )
+
+
+# ------------------------------------------------------------- PII scrub
+
+# Deterministic synthetic PII injection (the testdata corpus is clean, so
+# every fifth document gets an email + IPv4 appended; the operator then has
+# real work to find and redact, and zero-count rows stay covered too).
+_PII_INJECT_SPARK = (
+    "CASE WHEN doc_id % 5 = 0 THEN concat(text, ' user', CAST(doc_id AS STRING), "
+    "'@mail.com from 10.0.', CAST(doc_id % 256 AS STRING), '.', "
+    "CAST((doc_id * 7) % 256 AS STRING)) ELSE text END AS text"
+)
+_PII_INJECT_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN text || ' user' || CAST(doc_id AS VARCHAR) || "
+    "'@mail.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || "
+    "CAST((doc_id * 7) % 256 AS VARCHAR) ELSE text END AS text"
+)
+
+
+def text_pii_scrub(spark, sf_dir):
+    d = _docs(spark, sf_dir).selectExpr("doc_id", _PII_INJECT_SPARK)
+    return textops.pii_scrub(d)
+
+
+def text_pii_scrub_oracle() -> str:
+    # DuckDB string literals keep backslashes verbatim, so the Python
+    # pattern values interpolate unchanged.
+    email = textops.PII_EMAIL_RE
+    ipv4 = textops.PII_IPV4_RE
+    return (
+        f"WITH d AS (SELECT doc_id, {_PII_INJECT_SQL} FROM documents), "
+        "c AS (SELECT doc_id, text, "
+        f"regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'), "
+        f"'{ipv4}', '<IP>', 'g') AS clean FROM d) "
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_email, "
+        f"CAST(len(regexp_extract_all(text, '{ipv4}')) AS BIGINT) AS n_ip, "
+        "CAST(length(clean) AS BIGINT) AS len_clean, "
+        "md5(clean) AS clean_md5 FROM c"
+    )
+
+
+QUERIES["text_pii_scrub"] = text_pii_scrub
+ORACLES["text_pii_scrub"] = text_pii_scrub_oracle()

@@ -72,3 +72,21 @@ def test_contamination_plan_has_no_cartesian(spark):
         d.where(F.col("source") != "src0"), d.where(F.col("source") == "src0")
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_pii_scrub_detects_and_redacts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob@mail.com or 10.0.0.1 now"),
+            (2, "nothing sensitive here"),
+            (3, "two mails a@b.com c@d.org one ip 192.168.1.200"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in textops.pii_scrub(docs).collect()}
+    assert (got[1].n_email, got[1].n_ip) == (1, 1)
+    assert (got[2].n_email, got[2].n_ip) == (0, 0)
+    assert (got[3].n_email, got[3].n_ip) == (2, 1)
+    # Redacted lengths: original minus matched spans plus tag lengths.
+    assert got[2].len_clean == len("nothing sensitive here")
+    assert got[1].len_clean == len("contact <EMAIL> or <IP> now")
