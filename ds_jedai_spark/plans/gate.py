@@ -407,6 +407,10 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
          pl.ORACLES["text_mixture_sample"])
     keep("corpus_clean_stats", pl.QUERIES["corpus_clean_stats"],
          pl.ORACLES["corpus_clean_stats"])
+    keep("events_json_stats", pl.QUERIES["events_json_stats"],
+         pl.ORACLES["events_json_stats"])
+    keep("source_quota_sample", pl.QUERIES["source_quota_sample"],
+         pl.ORACLES["source_quota_sample"])
 
     # -- multimodal plumbing (decode stubbed by environment, schema real)
     add(

@@ -789,3 +789,80 @@ def text_pii_scrub_oracle() -> str:
 
 QUERIES["text_pii_scrub"] = text_pii_scrub
 ORACLES["text_pii_scrub"] = text_pii_scrub_oracle()
+
+
+# ------------------------------------- semi-structured props + quota sample
+
+def events_json_stats(spark, sf_dir):
+    """Semi-structured extraction: parse the JSON ``props`` column and
+    roll up per event type. get_json_object is JVM-side JSON-path
+    evaluation — no Python, one groupBy shuffle."""
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def events_json_stats_oracle() -> str:
+    return (
+        "SELECT event_type, count(*) AS n, "
+        "sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k, "
+        "min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k, "
+        "max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k "
+        "FROM events GROUP BY event_type"
+    )
+
+
+QUOTA_PER_SOURCE = 5
+
+
+def source_quota_sample(spark, sf_dir):
+    """Per-domain quota sampling: keep the QUOTA_PER_SOURCE largest
+    documents per source (deterministic tiebreak on doc_id) — the
+    per-domain cap a mixture-controlled corpus applies. One window
+    partitioned by source; no global sort, no skew (partition count =
+    number of sources after the groupless shuffle)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= QUOTA_PER_SOURCE)
+        .select("source", "doc_id", "n_chars", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+def source_quota_sample_oracle() -> str:
+    return (
+        "SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM ("
+        "SELECT source, doc_id, n_chars, row_number() OVER ("
+        "PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk "
+        f"FROM documents) WHERE rk <= {QUOTA_PER_SOURCE}"
+    )
+
+
+QUERIES.update(
+    {
+        "events_json_stats": events_json_stats,
+        "source_quota_sample": source_quota_sample,
+    }
+)
+ORACLES.update(
+    {
+        "events_json_stats": events_json_stats_oracle(),
+        "source_quota_sample": source_quota_sample_oracle(),
+    }
+)
