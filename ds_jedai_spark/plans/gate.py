@@ -355,6 +355,8 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
         ),
     )
     keep("dedup_clusters", pl.QUERIES["dedup_clusters"], pl.ORACLES["dedup_clusters"])
+    keep("dedup_semantic_clusters", pl.QUERIES["dedup_semantic_clusters"],
+         pl.ORACLES["dedup_semantic_clusters"])
 
     # -- ANN family
     add(

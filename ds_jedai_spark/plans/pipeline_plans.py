@@ -866,3 +866,38 @@ ORACLES.update(
         "source_quota_sample": source_quota_sample_oracle(),
     }
 )
+
+
+# --------------------------------------------- semantic duplicate clusters
+
+def dedup_semantic_clusters(spark, sf_dir):
+    """Connected components over the embedding-cosine near-dup graph —
+    semantic dedup (same meaning, different words), the companion to the
+    lexical n-gram clustering. Reuses the iterative min-label
+    propagation; one shuffle per round, lineage truncated per round."""
+    pairs = similarity.cosine_neardup_pairs(_emb(spark, sf_dir), TAU_COS)
+    return (
+        dedup.duplicate_clusters(pairs, id1="v1", id2="v2")
+        .withColumnRenamed("doc_id", "vec_id")
+    )
+
+
+def dedup_semantic_clusters_oracle() -> str:
+    quant = _QUANT_CTE
+    return (
+        f"WITH RECURSIVE {quant}, "
+        "p AS (SELECT a.vec_id AS v1, b.vec_id AS v2 "
+        "FROM n a JOIN n b ON a.vec_id < b.vec_id "
+        f"WHERE list_dot_product(a.qv, b.qv) / sqrt(a.n2 * b.n2) >= {TAU_COS!r}), "
+        "e AS (SELECT v1 AS a, v2 AS b FROM p UNION ALL "
+        "SELECT v2 AS a, v1 AS b FROM p), "
+        "walk(node, label) AS ("
+        "SELECT a, a FROM (SELECT DISTINCT a FROM e) "
+        "UNION "
+        "SELECT e.a, w.label FROM e JOIN walk w ON e.b = w.node) "
+        "SELECT node AS vec_id, min(label) AS cluster_id FROM walk GROUP BY node"
+    )
+
+
+QUERIES["dedup_semantic_clusters"] = dedup_semantic_clusters
+ORACLES["dedup_semantic_clusters"] = dedup_semantic_clusters_oracle()
