@@ -43,6 +43,9 @@ def main() -> None:
         ("progressive_giant_js", pp.progressive_giant_js),
         ("topk_cf", pp.topk_cf),
         ("text_token_stats", pl.QUERIES["text_token_stats"]),
+        ("text_contamination", pl.QUERIES["text_contamination"]),
+        ("text_pii_scrub", pl.QUERIES["text_pii_scrub"]),
+        ("emb_quantize", pl.QUERIES["emb_quantize"]),
     ]
     timings: dict[str, float] = {}
     for name, fn in headline:

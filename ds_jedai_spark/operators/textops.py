@@ -354,7 +354,10 @@ def contamination(
     through one shuffle-free pass in that case. No all-pairs comparison
     exists anywhere; cost is O(|train grams| + |bench grams|).
     """
-    tg = shingles(train, n)
+    # The train gram table feeds BOTH the totals and the hit branch;
+    # pin it so the explode+distinct runs once (same cache-miss pitfall
+    # as the LSH shingle table, operators/dedup.py _pin).
+    tg = shingles(train, n).localCheckpoint()
     bg = shingles(bench, n).select("shingle").distinct()
     totals = tg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
