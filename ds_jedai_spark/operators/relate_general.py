@@ -26,7 +26,9 @@ Exactness scope:
 No geometry combo keeps the envelope approximation; the float orientation
 tests are exact on the engine's lattice contract (coordinates that are
 small integer multiples of 1/16 — io/synthetic.py), and the arbitrary-
-coordinate polygon paths route through fractions.Fraction in relate_poly.
+coordinate polygon paths route through exact scaled-integer arithmetic
+in relate_poly (every float is dyadic, so a joint power-of-two rescale
+makes all vertices integers; probe points are homogeneous triples).
 """
 
 from __future__ import annotations
@@ -216,39 +218,29 @@ def _relate_line_line(pa, pb) -> dict[str, bool]:
     # A vertex+midpoint heuristic would false-positive on gapped collinear
     # targets (e.g. target pieces [0,.45],[.48,.52],[.55,1] vs source [0,1]).
     def covered(src_parts, dst_segs):
-        from fractions import Fraction
+        from ds_jedai_spark.operators import relate_poly as rp
 
-        from ds_jedai_spark.operators.relate_poly import (
-            _on_seg as _on_seg_frac,
-            _seg_cut_params,
+        src_i, dst_i = rp._scale_parts(
+            src_parts, [[a, b] for a, b in dst_segs]
         )
+        isegs = [(part[0], part[1]) for part in dst_i]
 
-        fsegs = [
-            (
-                (Fraction(a[0]), Fraction(a[1])),
-                (Fraction(b[0]), Fraction(b[1])),
-            )
-            for a, b in dst_segs
-        ]
+        def on_target(hp) -> bool:
+            return any(rp._on_seg3(hp, e0, e1) for e0, e1 in isegs)
 
-        def on_target(p) -> bool:
-            return any(_on_seg_frac(p, e[0], e[1]) for e in fsegs)
-
-        for s in _segments(src_parts):
-            p = (Fraction(s[0][0]), Fraction(s[0][1]))
-            q = (Fraction(s[1][0]), Fraction(s[1][1]))
-            if not on_target(p) or not on_target(q):
-                return False
-            if p == q:
-                continue
-            ts = sorted(_seg_cut_params((p, q), fsegs))
-            for t0, t1 in zip(ts, ts[1:]):
-                if t0 == t1:
-                    continue
-                tm = (t0 + t1) / 2
-                m = (p[0] + (q[0] - p[0]) * tm, p[1] + (q[1] - p[1]) * tm)
-                if not on_target(m):
+        for c in src_i:
+            for i in range(len(c) - 1):
+                p, q = c[i], c[i + 1]
+                if not on_target(rp._hpt(p)) or not on_target(rp._hpt(q)):
                     return False
+                if p == q:
+                    continue
+                ts = sorted(rp._seg_cut_params((p, q), isegs))
+                for t0, t1 in zip(ts, ts[1:]):
+                    if t0 == t1:
+                        continue
+                    if not on_target(rp._at_param(p, q, (t0 + t1) / 2)):
+                        return False
         return True
 
     a_in_b = covered(pa, sb)
