@@ -1,0 +1,51 @@
+"""Driver-gate invariants: the round driver only checks the FIRST 50
+queries() entries, so the composite surface must stay under the cap and
+must not silently drop any per-operator check."""
+
+import __spark_entry__ as entry
+from ds_jedai_spark.plans import gate
+from ds_jedai_spark.plans import pipeline_plans as pl
+
+
+def test_gate_under_driver_cap():
+    qs = entry.queries()
+    assert len(qs) <= 50, "driver ignores entries past 50"
+    assert list(qs) == list(gate.QUERIES)
+
+
+def test_every_query_has_oracle():
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    assert set(qs) == set(os_)
+    assert all(isinstance(s, str) and s.strip() for s in os_.values())
+
+
+def test_gate_composites_cover_all_pipeline_queries():
+    """Every pipeline_plans query must be reachable from the gate —
+    either kept under its own name or folded into a composite's parts
+    (the composite oracles embed the per-operator oracle SQL)."""
+    gate_sql = " ".join(gate.ORACLES.values())
+    for name, sql in pl.ORACLES.items():
+        probe = sql.strip().rstrip(";")[:80]
+        assert name in gate.QUERIES or probe in gate_sql, (
+            f"{name} not in gate and its oracle not embedded in any composite"
+        )
+
+
+def test_tagged_union_and_wide_join_column_agreement(spark):
+    """Combinator self-check on a live example: Spark columns match the
+    oracle projection for one union and one wide join."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    for name in ("line_relate_counts", "eval_stats"):
+        sdf = gate.QUERIES[name](spark, "/root/testdata/sf0.001")
+        ocols = [d[0] for d in con.execute(gate.ORACLES[name]).description]
+        assert sorted(sdf.columns) == sorted(ocols)
