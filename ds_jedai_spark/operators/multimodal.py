@@ -134,3 +134,39 @@ def decode_image(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode, DECODE_SCHEMA)
+
+
+FEATURES_SCHEMA = (
+    "doc_id long, n_bytes long, n_space long, n_vowel long, payload_md5 string"
+)
+
+
+def media_features(docs: DataFrame) -> DataFrame:
+    """Feature extraction over the binary payload — the decode-adjacent
+    stage of a multimodal pipeline (byte-level statistics + content
+    digest). Same Arrow-batched mapInPandas shape as media_metadata, so
+    a real embedding/feature model drops into this exact slot; the
+    features chosen here are deterministic byte functions, which keeps
+    the stage under the DuckDB oracle."""
+    import hashlib
+
+    payload = with_payload(docs)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            buf = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": buf.map(len).astype("int64"),
+                    "n_space": buf.map(lambda b: b.count(b" ")).astype("int64"),
+                    "n_vowel": buf.map(
+                        lambda b: sum(b.count(v) for v in b"aeiou")
+                    ).astype("int64"),
+                    "payload_md5": buf.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    return payload.mapInPandas(extract, FEATURES_SCHEMA)

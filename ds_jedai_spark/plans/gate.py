@@ -429,6 +429,8 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
     )
     keep("media_frame_sample", pl.QUERIES["media_frame_sample"],
          pl.ORACLES["media_frame_sample"])
+    keep("media_features", pl.QUERIES["media_features"],
+         pl.ORACLES["media_features"])
 
     # -- Structured Streaming (availableNow drains, deterministic)
     keep("stream_window_counts", sp.stream_window_counts,

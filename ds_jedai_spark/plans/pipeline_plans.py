@@ -901,3 +901,27 @@ def dedup_semantic_clusters_oracle() -> str:
 
 QUERIES["dedup_semantic_clusters"] = dedup_semantic_clusters
 ORACLES["dedup_semantic_clusters"] = dedup_semantic_clusters_oracle()
+
+
+# ------------------------------------------------------------ media features
+
+def media_features(spark, sf_dir):
+    return multimodal.media_features(_docs(spark, sf_dir))
+
+
+def media_features_oracle() -> str:
+    vowels = " + ".join(
+        f"(length(text) - length(replace(text, '{v}', '')))"
+        for v in "aeiou"
+    )
+    return (
+        "SELECT doc_id, "
+        "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, "
+        "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space, "
+        f"CAST({vowels} AS BIGINT) AS n_vowel, "
+        "md5(text) AS payload_md5 FROM documents"
+    )
+
+
+QUERIES["media_features"] = media_features
+ORACLES["media_features"] = media_features_oracle()
