@@ -88,10 +88,14 @@ def _with_jaccard(pairs: DataFrame, d: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, tau: float = 0.8) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, tau: float = 0.8, sh: DataFrame | None = None
+) -> DataFrame:
     """Exact shingle-Jaccard near-dup discovery (the correctness baseline
-    the LSH variants are verified against)."""
-    d = _pin(shingles(docs))
+    the LSH variants are verified against). ``sh`` supplies an already
+    pinned (doc_id, shingle) table so co-running schemes share one
+    materialization."""
+    d = sh if sh is not None else _pin(shingles(docs))
     return (
         _with_jaccard(_overlap(d), d)
         .where(F.col("jaccard") >= tau)
@@ -183,7 +187,11 @@ def minhash_signatures(d: DataFrame, k: int = 32) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, k: int = 32, rows_per_band: int = 4, tau: float = 0.8
+    docs: DataFrame,
+    k: int = 32,
+    rows_per_band: int = 4,
+    tau: float = 0.8,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH + exact verification.
 
@@ -191,7 +199,7 @@ def minhash_lsh_pairs(
     = sum of position-weighted hashes) → bucket equi-join → verify true
     Jaccard on candidates only.
     """
-    d = _pin(shingles(docs))
+    d = sh if sh is not None else _pin(shingles(docs))
     sig = minhash_signatures(d, k)
     band = _pin(
         sig.withColumn("band", F.col("i") - (F.col("i") % rows_per_band))
@@ -243,13 +251,15 @@ def simhash_fingerprints(d: DataFrame, bits: int = 32) -> DataFrame:
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 2, sh: DataFrame | None = None
+) -> DataFrame:
     """SimHash near-dup: byte-banded candidate join + hamming verify.
 
     32-bit fingerprint split into 4 byte-wide bands; a pair is a candidate
     when any band matches (standard simhash blocking: hamming <= 3 implies
     at least one of 4 bands is untouched)."""
-    d = _pin(shingles(docs))
+    d = sh if sh is not None else _pin(shingles(docs))
     fp = simhash_fingerprints(d)
     nib = _pin(
         fp.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(3)))).withColumn(

@@ -37,6 +37,22 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("embeddings")
 
 
+# One pinned (doc_id, shingle) table per (session, sf_dir): the three
+# shingle-based dedup schemes and the cluster pass run back-to-back in
+# the composite gate, and each would otherwise localCheckpoint an
+# identical table.
+_SHINGLE_PIN: dict[tuple[str, str], DataFrame] = {}
+
+
+def _pinned_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SHINGLE_PIN:
+        _SHINGLE_PIN[key] = dedup._pin(
+            textops.shingles(_corpus(spark, sf_dir))
+        )
+    return _SHINGLE_PIN[key]
+
+
 # ------------------------------------------------------------- queries
 
 def dedup_exact(spark, sf_dir):
@@ -44,15 +60,23 @@ def dedup_exact(spark, sf_dir):
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(_corpus(spark, sf_dir), TAU_JACCARD)
+    return dedup.ngram_jaccard_pairs(
+        _corpus(spark, sf_dir), TAU_JACCARD, sh=_pinned_shingles(spark, sf_dir)
+    )
 
 
 def dedup_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(_corpus(spark, sf_dir), tau=TAU_JACCARD)
+    return dedup.minhash_lsh_pairs(
+        _corpus(spark, sf_dir),
+        tau=TAU_JACCARD,
+        sh=_pinned_shingles(spark, sf_dir),
+    )
 
 
 def dedup_simhash(spark, sf_dir):
-    return dedup.simhash_pairs(_corpus(spark, sf_dir), MAX_HAMMING)
+    return dedup.simhash_pairs(
+        _corpus(spark, sf_dir), MAX_HAMMING, sh=_pinned_shingles(spark, sf_dir)
+    )
 
 
 def dedup_clusters(spark, sf_dir):
@@ -60,7 +84,11 @@ def dedup_clusters(spark, sf_dir):
     — the cluster-assignment stage a production dedup pipeline runs after
     pair discovery (keep one doc per cluster_id)."""
     return dedup.duplicate_clusters(
-        dedup.ngram_jaccard_pairs(_corpus(spark, sf_dir), TAU_JACCARD)
+        dedup.ngram_jaccard_pairs(
+            _corpus(spark, sf_dir),
+            TAU_JACCARD,
+            sh=_pinned_shingles(spark, sf_dir),
+        )
     )
 
 
