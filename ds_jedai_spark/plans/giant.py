@@ -844,3 +844,59 @@ def disjoint_counts_oracle() -> str:
         f"SELECT n_source, n_target, n_intersecting, "
         f"n_source * n_target - n_intersecting AS n_disjoint FROM ns, nt, ni"
     )
+
+
+def decompose_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive polygon decomposition under the oracle gate via its
+    conservation law: the pieces of every triangle must tile it exactly,
+    so the summed piece area equals the summed triangle area (scaled
+    x512 to an integer — lattice triangle areas are multiples of 1/512,
+    and rounding absorbs the float dust of rational cut points).
+    Reference: RecursiveDecomposer.scala:123-246; the oracle only needs
+    the closed-form shoelace area of the undecomposed triangles."""
+    import pandas as pd
+
+    from ds_jedai_spark.io.synthetic import triangle_sql
+    from ds_jedai_spark.operators.decompose import decompose_polygon
+
+    tris = load_sql(spark, sf_dir, triangle_sql())
+    theta = (0.5, 0.5)
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            area = 0.0
+            pieces = 0
+            for x1, y1, x2, y2, x3, y3 in zip(
+                pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"], pdf["x3"], pdf["y3"]
+            ):
+                ring = [(x1, y1), (x2, y2), (x3, y3), (x1, y1)]
+                for piece in decompose_polygon([ring], theta):
+                    pieces += 1
+                    for r in piece:
+                        s = 0.0
+                        for (ax, ay), (bx, by) in zip(r, r[1:]):
+                            s += ax * by - bx * ay
+                        area += abs(s) / 2.0
+            yield pd.DataFrame(
+                {"n": [n], "pieces": [pieces], "area512": [area * 512.0]}
+            )
+
+    part = tris.select("x1", "y1", "x2", "y2", "x3", "y3").mapInPandas(
+        run, "n long, pieces long, area512 double"
+    )
+    return part.agg(
+        F.sum("n").alias("n_polygons"),
+        F.round(F.sum("area512")).cast("bigint").alias("area512"),
+    )
+
+
+def decompose_polygon_stats_oracle() -> str:
+    from ds_jedai_spark.io.synthetic import triangle_sql
+
+    area2 = "abs((x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1))"
+    return (
+        f"WITH tri AS ({triangle_sql()}) "
+        f"SELECT CAST(count(*) AS BIGINT) AS n_polygons, "
+        f"CAST(round(sum({area2}) / 2 * 512) AS BIGINT) AS area512 FROM tri"
+    )
