@@ -224,6 +224,8 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     keep("decompose_polygon_stats", giant.decompose_polygon_stats,
          giant.decompose_polygon_stats_oracle())
+    keep("decompose_line_stats", giant.decompose_line_stats,
+         giant.decompose_line_stats_oracle())
     keep("envelope_rank_counts", giant.envelope_rank_counts,
          giant.envelope_rank_counts_oracle())
     keep("pair_ref_points", giant.pair_ref_points, giant.pair_ref_points_oracle())

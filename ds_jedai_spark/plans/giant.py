@@ -900,3 +900,56 @@ def decompose_polygon_stats_oracle() -> str:
         f"SELECT CAST(count(*) AS BIGINT) AS n_polygons, "
         f"CAST(round(sum({area2}) / 2 * 512) AS BIGINT) AS area512 FROM tri"
     )
+
+
+def decompose_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid (blade) line decomposition under the oracle gate via its
+    conservation laws: blade cuts split each segment into collinear
+    pieces, so the per-axis displacement sums |dx|, |dy| are preserved
+    exactly (scaled x512 to integers — cut points are rational, the
+    round absorbs float dust). Reference: GridDecomposer blade
+    splitting; the oracle needs only the undecomposed segments."""
+    import pandas as pd
+
+    from ds_jedai_spark.io.synthetic import line_sql
+    from ds_jedai_spark.operators.decompose import decompose_line
+
+    lines = load_sql(spark, sf_dir, line_sql())
+    theta = (0.5, 0.5)
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            sdx = sdy = 0.0
+            pieces = 0
+            for x1, y1, x2, y2 in zip(
+                pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"]
+            ):
+                for chain in decompose_line([[(x1, y1), (x2, y2)]], theta):
+                    pieces += 1
+                    for (ax, ay), (bx, by) in zip(chain, chain[1:]):
+                        sdx += abs(bx - ax)
+                        sdy += abs(by - ay)
+            yield pd.DataFrame(
+                {"n": [n], "sdx512": [sdx * 512.0], "sdy512": [sdy * 512.0]}
+            )
+
+    part = lines.select("x1", "y1", "x2", "y2").mapInPandas(
+        run, "n long, sdx512 double, sdy512 double"
+    )
+    return part.agg(
+        F.sum("n").alias("n_lines"),
+        F.round(F.sum("sdx512")).cast("bigint").alias("sdx512"),
+        F.round(F.sum("sdy512")).cast("bigint").alias("sdy512"),
+    )
+
+
+def decompose_line_stats_oracle() -> str:
+    from ds_jedai_spark.io.synthetic import line_sql
+
+    return (
+        f"WITH seg AS ({line_sql()}) "
+        f"SELECT CAST(count(*) AS BIGINT) AS n_lines, "
+        f"CAST(round(sum(abs(x2 - x1)) * 512) AS BIGINT) AS sdx512, "
+        f"CAST(round(sum(abs(y2 - y1)) * 512) AS BIGINT) AS sdy512 FROM seg"
+    )
