@@ -1,10 +1,14 @@
 """Command-line entry point mirroring the reference's spark-submit UX.
 
     python -m ds_jedai_spark.cli -conf conf.yaml [-export PATH]
+    python -m ds_jedai_spark.cli -pipeline <query|list> [-data DIR] [-limit N]
 
-Prints the same summary the reference logs (reference:
+The first form prints the same summary the reference logs (reference:
 experiments/GiantExp.scala:104-127 — verifications, qualifying pairs, the
-9 relation counts, total time).
+9 relation counts, total time). The second runs any named engine query
+(the driver-gate surface: spatial, progressive, dedup/ANN/text/media,
+streaming) against a testdata directory — the beyond-reference pipeline
+operators are first-class from the shell, not just from the gate.
 """
 
 from __future__ import annotations
@@ -14,12 +18,53 @@ import sys
 import time
 
 
+def _run_pipeline(name: str, data_dir: str, limit: int) -> int:
+    from ds_jedai_spark.plans import gate
+    from ds_jedai_spark.session import get_spark
+
+    if name == "list":
+        for q in gate.QUERIES:
+            print(q)
+        return 0
+    if name not in gate.QUERIES:
+        print(f"unknown query {name!r}; use '-pipeline list'", file=sys.stderr)
+        return 2
+
+    spark = get_spark("ds_jedai_spark_cli")
+    t0 = time.perf_counter()
+    df = gate.QUERIES[name](spark, data_dir)
+    rows = df.collect()
+    dt = time.perf_counter() - t0
+    print("\t".join(df.columns))
+    for row in rows[:limit]:
+        print("\t".join(str(v) for v in row))
+    if len(rows) > limit:
+        print(f"... ({len(rows)} rows total)")
+    print(f"TOTAL TIME: {dt:.2f}s")
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="ds_jedai_spark")
-    ap.add_argument("-conf", required=True, help="YAML configuration file")
+    ap.add_argument("-conf", default=None, help="YAML configuration file")
     ap.add_argument("-export", default=None, help="override exportPath")
     ap.add_argument("-budget", type=int, default=None, help="override budget")
+    ap.add_argument(
+        "-pipeline",
+        default=None,
+        help="run a named engine query ('list' to enumerate) instead of -conf",
+    )
+    ap.add_argument(
+        "-data", default="/root/testdata/sf0.01", help="testdata dir for -pipeline"
+    )
+    ap.add_argument("-limit", type=int, default=20, help="rows to print (-pipeline)")
     args = ap.parse_args(argv)
+
+    if args.pipeline is not None:
+        return _run_pipeline(args.pipeline, args.data, args.limit)
+    if args.conf is None:
+        ap.error("one of -conf or -pipeline is required")
 
     from ds_jedai_spark import api
     from ds_jedai_spark.config import load_config

@@ -150,3 +150,13 @@ def test_topk_algorithms_run_and_stay_subset(spark, conf_path, alg):
         # superset the qualifying sources, so this bound only loosens.
         k_bound = -(-8 // max(len({s for s, _ in full}), 1))
         assert max(Counter(s for s, _ in got).values()) <= k_bound
+
+
+def test_cli_pipeline_list_and_unknown(capsys):
+    from ds_jedai_spark import cli
+
+    assert cli.main(["-pipeline", "list"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "giant_counts_variants" in out and len(out) <= 50
+
+    assert cli.main(["-pipeline", "nope_such_query"]) == 2
