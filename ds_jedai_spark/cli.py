@@ -33,13 +33,16 @@ def _run_pipeline(name: str, data_dir: str, limit: int) -> int:
     spark = get_spark("ds_jedai_spark_cli")
     t0 = time.perf_counter()
     df = gate.QUERIES[name](spark, data_dir)
-    rows = df.collect()
+    # take/count instead of collect: a pair query at scale would ship
+    # millions of rows to the driver just to print `limit` of them.
+    rows = df.take(limit + 1)
+    total = len(rows) if len(rows) <= limit else df.count()
     dt = time.perf_counter() - t0
     print("\t".join(df.columns))
     for row in rows[:limit]:
         print("\t".join(str(v) for v in row))
-    if len(rows) > limit:
-        print(f"... ({len(rows)} rows total)")
+    if total > limit:
+        print(f"... ({total} rows total)")
     print(f"TOTAL TIME: {dt:.2f}s")
     spark.stop()
     return 0

@@ -866,24 +866,20 @@ def decompose_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             n = len(pdf)
             area = 0.0
-            pieces = 0
             for x1, y1, x2, y2, x3, y3 in zip(
                 pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"], pdf["x3"], pdf["y3"]
             ):
                 ring = [(x1, y1), (x2, y2), (x3, y3), (x1, y1)]
                 for piece in decompose_polygon([ring], theta):
-                    pieces += 1
                     for r in piece:
                         s = 0.0
                         for (ax, ay), (bx, by) in zip(r, r[1:]):
                             s += ax * by - bx * ay
                         area += abs(s) / 2.0
-            yield pd.DataFrame(
-                {"n": [n], "pieces": [pieces], "area512": [area * 512.0]}
-            )
+            yield pd.DataFrame({"n": [n], "area512": [area * 512.0]})
 
     part = tris.select("x1", "y1", "x2", "y2", "x3", "y3").mapInPandas(
-        run, "n long, pieces long, area512 double"
+        run, "n long, area512 double"
     )
     return part.agg(
         F.sum("n").alias("n_polygons"),
@@ -921,12 +917,10 @@ def decompose_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             n = len(pdf)
             sdx = sdy = 0.0
-            pieces = 0
             for x1, y1, x2, y2 in zip(
                 pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"]
             ):
                 for chain in decompose_line([[(x1, y1), (x2, y2)]], theta):
-                    pieces += 1
                     for (ax, ay), (bx, by) in zip(chain, chain[1:]):
                         sdx += abs(bx - ax)
                         sdy += abs(by - ay)

@@ -47,6 +47,10 @@ _SHINGLE_PIN: dict[tuple[str, str], DataFrame] = {}
 def _pinned_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SHINGLE_PIN:
+        # Bound the cache to the current key: checkpoint blocks pinned
+        # for a stale (session, sf_dir) would otherwise accumulate for
+        # the application's lifetime.
+        _SHINGLE_PIN.clear()
         _SHINGLE_PIN[key] = dedup._pin(
             textops.shingles(_corpus(spark, sf_dir))
         )

@@ -25,7 +25,7 @@ def test_gate_composites_cover_all_pipeline_queries():
     (the composite oracles embed the per-operator oracle SQL)."""
     gate_sql = " ".join(gate.ORACLES.values())
     for name, sql in pl.ORACLES.items():
-        probe = sql.strip().rstrip(";")[:80]
+        probe = sql.strip().rstrip(";").strip()
         assert name in gate.QUERIES or probe in gate_sql, (
             f"{name} not in gate and its oracle not embedded in any composite"
         )

@@ -11,11 +11,23 @@ SF = "/root/testdata/sf0.001"
 THETA = (1.0, 1.0)
 
 
+def _events_normalized(spark):
+    """Events with ts as a proper timestamp regardless of the parquet
+    layout (NANOS-as-long or MICROS) — the same rule event_stream applies,
+    so fixtures rewrite a layout every reader interprets identically."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 @pytest.fixture(scope="module")
 def event_files(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("evstream"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF}/events.parquet").limit(2000)
+    ev = _events_normalized(spark).limit(2000)
     ev.repartition(4).write.mode("overwrite").parquet(out)
     return out
 
@@ -43,9 +55,8 @@ def ordered_event_files(spark, tmp_path_factory):
     """Time-ordered file drops (the sessionize arrival contract): file i
     holds the i-th quartile of the timeline, written sequentially."""
     out = str(tmp_path_factory.mktemp("evordered"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF}/events.parquet")
-    ev = ev.withColumn("tsd", F.col("ts").cast("timestamp").cast("double"))
+    ev = _events_normalized(spark)
+    ev = ev.withColumn("tsd", F.col("ts").cast("double"))
     qs = ev.approxQuantile("tsd", [0.25, 0.5, 0.75], 0.0)
     bounds = [float("-inf")] + qs + [float("inf")]
     for i in range(4):
