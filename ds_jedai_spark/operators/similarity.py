@@ -353,3 +353,57 @@ def int8_quantize_stats(emb: DataFrame) -> DataFrame:
         .withColumn("sse", sse)
         .select("vec_id", "maxabs", "sse")
     )
+
+
+def ivf_multiprobe_topk(emb: DataFrame, k: int = 3, nprobe: int = 2) -> DataFrame:
+    """Multi-probe IVF search: each query scans its ``nprobe`` nearest
+    Lloyd cells instead of one — the standard recall/latency knob of an
+    IVF index (probing 2 of 8 cells here). Base vectors stay in their
+    rank-1 cell, so cells are disjoint and no candidate dedup is needed;
+    the probe list is an equi-join key exactly like the single-cell
+    path (one shuffle, AQE splits hot cells)."""
+    qe = quantized(emb)
+    base_side = qe.select("vec_id", "qv")
+    cent = base_side.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    for _ in range(KMEANS_ITERS - 1):
+        cent = _kmeans_update(_kmeans_assign(base_side, cent))
+    scored_cells = base_side.crossJoin(F.broadcast(cent)).withColumn(
+        "d2", _dist2(F.col("qv"), F.col("cv"))
+    )
+    wc = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    ranked = scored_cells.withColumn("rn", F.row_number().over(wc)).select(
+        "vec_id", "cid", "rn"
+    )
+    base = qe.join(ranked.where(F.col("rn") == 1).select("vec_id", "cid"), "vec_id").select(
+        F.col("vec_id").alias("vid"),
+        F.col("qv").alias("b"),
+        F.col("norm2").alias("n2"),
+        F.col("cid").alias("cell"),
+    )
+    probes = ranked.where(
+        (F.col("rn") <= nprobe) & (F.col("vec_id") % 50 == 0)
+    ).select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"))
+    queries = (
+        qe.where(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("qv").alias("a"),
+            F.col("norm2").alias("n1"),
+        )
+        .join(probes, "qid")
+    )
+    scored = (
+        queries.join(base, "cell")
+        .where(F.col("qid") != F.col("vid"))
+        .withColumn("dot", _dot("a", "b"))
+        .select("qid", "vid", F.col("n1"), F.col("n2"), "dot")
+        .withColumn("cos", _cos())
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "vid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vid", "cos")
+    )

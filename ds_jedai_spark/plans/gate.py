@@ -371,6 +371,8 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                 ("ivf", pl.QUERIES["ann_ivf_topk"], pl.ORACLES["ann_ivf_topk"]),
                 ("ivf_trained", pl.QUERIES["ann_ivf_trained_topk"],
                  pl.ORACLES["ann_ivf_trained_topk"]),
+                ("ivf_multiprobe", pl.QUERIES["ann_ivf_multiprobe_topk"],
+                 pl.ORACLES["ann_ivf_multiprobe_topk"]),
             ]
         ),
     )

@@ -957,3 +957,32 @@ def media_features_oracle() -> str:
 
 QUERIES["media_features"] = media_features
 ORACLES["media_features"] = media_features_oracle()
+
+
+# --------------------------------------------------------- multi-probe IVF
+
+def ann_ivf_multiprobe_topk(spark, sf_dir):
+    from ds_jedai_spark.operators.similarity import ivf_multiprobe_topk
+
+    return ivf_multiprobe_topk(_emb(spark, sf_dir))
+
+
+def ann_ivf_multiprobe_topk_oracle() -> str:
+    return (
+        f"{_kmeans_cte()}, "
+        "probe AS (SELECT vec_id AS qid, cid AS cell FROM ("
+        "SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY d2, cid) AS rn FROM scF) WHERE rn <= 2 AND qid % 50 = 0), "
+        "nn AS (SELECT vec_id, qv, cid, list_dot_product(qv, qv) AS n2 FROM aF), "
+        "scored AS (SELECT p.qid, b.vec_id AS vid, "
+        "list_dot_product(a.qv, b.qv) / sqrt(a2.n2 * b.n2) AS cos "
+        "FROM probe p JOIN qe a ON a.vec_id = p.qid "
+        "JOIN nn a2 ON a2.vec_id = p.qid "
+        "JOIN nn b ON b.cid = p.cell AND b.vec_id <> p.qid) "
+        "SELECT qid, vid, cos FROM (SELECT qid, vid, cos, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM scored) WHERE rn <= 3"
+    )
+
+
+QUERIES["ann_ivf_multiprobe_topk"] = ann_ivf_multiprobe_topk
+ORACLES["ann_ivf_multiprobe_topk"] = ann_ivf_multiprobe_topk_oracle()
