@@ -120,3 +120,58 @@ def test_general_path_matches_rect_closed_form(a, b):
     general = relate_pair("POLYGON", [ring], "POLYGON", SQ(*b))
     closed = relate_pair("POLYGON", SQ(*a), "POLYGON", SQ(*b))
     assert general == closed
+
+
+# --- full-precision floats: exercises the joint power-of-two rescaling
+# (denominators up to 2^52), not just the /16 lattice the engine emits.
+
+fullfloat = st.floats(
+    min_value=-4.0, max_value=4.0, allow_nan=False, allow_infinity=False
+)
+
+SWAPPED = {
+    "within": "contains", "contains": "within",
+    "covers": "coveredby", "coveredby": "covers",
+}
+
+
+@st.composite
+def float_triangle(draw):
+    from fractions import Fraction
+
+    from hypothesis import assume
+
+    pts = [(draw(fullfloat), draw(fullfloat)) for _ in range(3)]
+    (ax, ay), (bx, by), (cx, cy) = pts
+    area2 = (Fraction(bx) - Fraction(ax)) * (Fraction(cy) - Fraction(ay)) - (
+        Fraction(by) - Fraction(ay)
+    ) * (Fraction(cx) - Fraction(ax))
+    assume(area2 != 0)
+    return [pts + [pts[0]]]
+
+
+@given(float_triangle(), float_triangle())
+@settings(max_examples=60, deadline=None)
+def test_fullfloat_swap_consistency(a, b):
+    d = rel("POLYGON", a, "POLYGON", b)
+    ds = rel("POLYGON", b, "POLYGON", a)
+    for k, v in d.items():
+        assert ds[SWAPPED.get(k, k)] == v, (k, d, ds)
+
+
+@given(float_triangle())
+@settings(max_examples=40, deadline=None)
+def test_fullfloat_self_equals(a):
+    d = rel("POLYGON", a, "POLYGON", [list(p) for p in a])
+    assert d["equals"] and d["covers"] and d["coveredby"] and not d["touches"]
+
+
+@given(float_triangle(), float_triangle())
+@settings(max_examples=40, deadline=None)
+def test_fullfloat_doubling_invariance(a, b):
+    def dbl(parts):
+        return [[(2.0 * x, 2.0 * y) for x, y in part] for part in parts]
+
+    assert rel("POLYGON", a, "POLYGON", b) == rel(
+        "POLYGON", dbl(a), "POLYGON", dbl(b)
+    )
