@@ -4,7 +4,7 @@ Maps SURVEY.md §2 operators to runnable (spark, sf_dir) -> DataFrame
 queries plus DuckDB oracle SQL. See ds_jedai_spark/ for the engine.
 
 The driver gate checks at most the first 50 ``queries()`` entries, so
-the full 81-check inventory is packed into composite queries (tagged
+the full 90+-check inventory is packed into composite queries (tagged
 unions / wide joins) in ``ds_jedai_spark/plans/gate.py`` — every
 operator keeps its own oracle algebra inside a composite; nothing is
 dropped. COVERAGE.md maps each SURVEY §2 row to its composite + tag.
