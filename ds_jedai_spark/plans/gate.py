@@ -447,6 +447,8 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
     keep("stream_event_pairs", sp.stream_event_pairs, sp.stream_event_pairs_oracle())
     keep("stream_dedup_counts", sp.stream_dedup_counts,
          sp.stream_dedup_counts_oracle())
+    keep("stream_top_event_types", sp.stream_top_event_types,
+         sp.stream_top_event_types_oracle())
 
     return queries, oracles
 

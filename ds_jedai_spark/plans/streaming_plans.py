@@ -101,3 +101,34 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_dedup_counts_oracle() -> str:
     return "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
+
+
+def stream_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k: the watermarked streaming rollup drained to its
+    complete table, then ranked per window (top 3 event types by count)
+    — the serving-layer step of a streaming leaderboard; ranking happens
+    post-drain because a mid-stream global sort is only defined for
+    complete-mode sinks."""
+    from pyspark.sql import Window, functions as F
+
+    agg = gs.windowed_event_counts(gs.read_event_stream(spark, sf_dir))
+    gs.run_to_table(agg, "stream_topk_tbl", "complete")
+    t = spark.table("stream_topk_tbl")
+    w = Window.partitionBy("win_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        t.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("win_start", "event_type", "n", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+def stream_top_event_types_oracle() -> str:
+    return (
+        "SELECT win_start, event_type, n, CAST(rk AS BIGINT) AS rk FROM ("
+        "SELECT win_start, event_type, n, row_number() OVER ("
+        "PARTITION BY win_start ORDER BY n DESC, event_type) AS rk FROM ("
+        "SELECT date_trunc('hour', ts) AS win_start, event_type, "
+        "count(*) AS n FROM events GROUP BY 1, 2)) WHERE rk <= 3"
+    )
