@@ -560,7 +560,7 @@ def text_fingerprint_oracle() -> str:
         "FROM (SELECT DISTINCT word FROM w)), "
         "t AS (SELECT doc_id, ((wid + 1) * pos * "
         f"{textops.FP_MULT}) % {textops.FP_MOD} AS term FROM w JOIN v USING (word)) "
-        f"SELECT doc_id, sum(term) % {textops.FP_MOD} AS fingerprint "
+        f"SELECT doc_id, CAST(sum(term) % {textops.FP_MOD} AS BIGINT) AS fingerprint "
         "FROM t GROUP BY doc_id"
     )
 
@@ -847,7 +847,7 @@ def events_json_stats(spark, sf_dir):
 def events_json_stats_oracle() -> str:
     return (
         "SELECT event_type, count(*) AS n, "
-        "sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k, "
+        "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
         "min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k, "
         "max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k "
         "FROM events GROUP BY event_type"
