@@ -14,6 +14,7 @@ operators are first-class from the shell, not just from the gate.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -28,6 +29,9 @@ def _run_pipeline(name: str, data_dir: str, limit: int) -> int:
         return 0
     if name not in gate.QUERIES:
         print(f"unknown query {name!r}; use '-pipeline list'", file=sys.stderr)
+        return 2
+    if not data_dir:
+        print("-pipeline needs -data DIR (or set $TESTDATA_DIR)", file=sys.stderr)
         return 2
 
     spark = get_spark("ds_jedai_spark_cli")
@@ -59,7 +63,9 @@ def main(argv: list[str] | None = None) -> int:
         help="run a named engine query ('list' to enumerate) instead of -conf",
     )
     ap.add_argument(
-        "-data", default="/root/testdata/sf0.01", help="testdata dir for -pipeline"
+        "-data",
+        default=os.environ.get("TESTDATA_DIR"),
+        help="testdata dir for -pipeline (default: $TESTDATA_DIR)",
     )
     ap.add_argument("-limit", type=int, default=20, help="rows to print (-pipeline)")
     args = ap.parse_args(argv)

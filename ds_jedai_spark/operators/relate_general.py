@@ -457,7 +457,19 @@ def with_general_relations(
     Python worker (measured 494s -> ~20s on the sf0.01 triangle batch).
     The exact verifier dominates the added shuffle by orders of
     magnitude; pass spread=False only when the input is already
-    well-partitioned (e.g. straight after a shuffling equi-join)."""
+    well-partitioned (e.g. straight after a shuffling equi-join).
+
+    Caller audit (round 4): every production call site — the five
+    tile-join composites in plans/giant.py and the progressive path in
+    api.py — was plan-checked at gate scale; all feed from
+    BroadcastHashJoin (tile join, and the budget semi-join also
+    broadcasts), which preserves the scan's single input partition, so
+    each one needs the spread. No caller's input comes out of an
+    exchange today. Do NOT gate this on a static
+    ``rdd.getNumPartitions()`` probe: under AQE the static count can
+    read spark.sql.shuffle.partitions while the runtime-coalesced
+    exchange hands mapInPandas far fewer partitions, silently
+    single-threading the verifier again."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -865,25 +865,32 @@ def decompose_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(batches):
         for pdf in batches:
             n = len(pdf)
-            area = 0.0
+            # Round per input triangle, not once globally: each lattice
+            # triangle's x512 area is an exact integer, and the float
+            # dust of its few rational cut points stays far below 1/2,
+            # so the per-row round is exact and the integer sum cannot
+            # drift no matter how many rows the scale factor adds.
+            area512 = 0
             for x1, y1, x2, y2, x3, y3 in zip(
                 pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"], pdf["x3"], pdf["y3"]
             ):
                 ring = [(x1, y1), (x2, y2), (x3, y3), (x1, y1)]
+                area = 0.0
                 for piece in decompose_polygon([ring], theta):
                     for r in piece:
                         s = 0.0
                         for (ax, ay), (bx, by) in zip(r, r[1:]):
                             s += ax * by - bx * ay
                         area += abs(s) / 2.0
-            yield pd.DataFrame({"n": [n], "area512": [area * 512.0]})
+                area512 += round(area * 512.0)
+            yield pd.DataFrame({"n": [n], "area512": [area512]})
 
     part = tris.select("x1", "y1", "x2", "y2", "x3", "y3").mapInPandas(
-        run, "n long, area512 double"
+        run, "n long, area512 long"
     )
     return part.agg(
         F.sum("n").alias("n_polygons"),
-        F.round(F.sum("area512")).cast("bigint").alias("area512"),
+        F.sum("area512").cast("bigint").alias("area512"),
     )
 
 
@@ -916,25 +923,32 @@ def decompose_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(batches):
         for pdf in batches:
             n = len(pdf)
-            sdx = sdy = 0.0
+            # Per-segment rounding for the same reason as the polygon
+            # variant: each segment's x512 displacement is an exact
+            # integer, so rounding per row keeps the integer sum exact
+            # at any scale factor.
+            sdx512 = sdy512 = 0
             for x1, y1, x2, y2 in zip(
                 pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"]
             ):
+                sdx = sdy = 0.0
                 for chain in decompose_line([[(x1, y1), (x2, y2)]], theta):
                     for (ax, ay), (bx, by) in zip(chain, chain[1:]):
                         sdx += abs(bx - ax)
                         sdy += abs(by - ay)
+                sdx512 += round(sdx * 512.0)
+                sdy512 += round(sdy * 512.0)
             yield pd.DataFrame(
-                {"n": [n], "sdx512": [sdx * 512.0], "sdy512": [sdy * 512.0]}
+                {"n": [n], "sdx512": [sdx512], "sdy512": [sdy512]}
             )
 
     part = lines.select("x1", "y1", "x2", "y2").mapInPandas(
-        run, "n long, sdx512 double, sdy512 double"
+        run, "n long, sdx512 long, sdy512 long"
     )
     return part.agg(
         F.sum("n").alias("n_lines"),
-        F.round(F.sum("sdx512")).cast("bigint").alias("sdx512"),
-        F.round(F.sum("sdy512")).cast("bigint").alias("sdy512"),
+        F.sum("sdx512").cast("bigint").alias("sdx512"),
+        F.sum("sdy512").cast("bigint").alias("sdy512"),
     )
 
 
