@@ -158,15 +158,29 @@ def duplicate_clusters(
 
 def minhash_signatures(d: DataFrame, k: int = 32) -> DataFrame:
     """(doc_id, i, h) minhash signatures with closed-form hash family
-    h_i(w) = ((2i+1)*w + i*i + 7) mod P over vocab ids.
+    h_i(w) = ((2i+1)*w + i*i + 7) mod P over md5-derived shingle ids.
+
+    Shingle ids are the first 48 bits of md5(shingle) — a pure map-side
+    expression, so signature building needs NO vocabulary: no distinct
+    shuffle, no ranked-id join back onto the (doc, shingle) stream. (The
+    earlier dense_rank variant cost a distinct + range-repartition +
+    string equi-join per run — the dominant term of the LSH pipeline at
+    bench scale, and a growing one at 100 TB where the vocabulary alone
+    is billions of rows.) md5 is bit-identical across Spark and DuckDB,
+    so the oracle reproduces the ids with the same expression; 48 bits
+    keeps (2k+1)*wid far inside int64.
 
     The k min-aggregates run as WIDE columns over one row per
     (doc, shingle) — not an explode to k× rows — so map-side partial
     aggregation reduces each doc to a single k-column row per partition
     before the shuffle; the (doc_id, i, h) shape downstream consumers
     expect is restored by an explode over the tiny aggregated frame."""
-    v = vocab(d, "shingle")
-    dw = d.join(v, "shingle").select("doc_id", "wid")
+    dw = d.select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)"
+        ).alias("wid"),
+    )
     wide = dw.groupBy("doc_id").agg(
         *[
             F.min(
@@ -232,9 +246,19 @@ def simhash_fingerprints(d: DataFrame, bits: int = 32) -> DataFrame:
     bit_j(w) = bit (j+8) of w * 2654435761 — a Knuth multiplicative hash;
     the +8 offset skips the poorly-mixed low product bits. (A plain
     ``parity((w+1)*odd_j mod P)`` family is degenerate: below the modulus
-    the parity is independent of j and every bit collapses.)"""
-    v = vocab(d, "shingle")
-    dw = d.join(v, "shingle").select("doc_id", "wid")
+    the parity is independent of j and every bit collapses.)
+
+    Shingle ids are the first 28 bits of md5(shingle) — map-side, no
+    vocabulary build (see minhash_signatures). 28 bits, not 48: the
+    Knuth multiply must stay inside int64 in BOTH engines ((2^28) *
+    2654435761 < 2^63; a 48-bit id would overflow, which Java wraps but
+    DuckDB widens to HUGEINT — a silent cross-engine divergence)."""
+    dw = d.select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(shingle), 1, 7), 16, 10) AS BIGINT)"
+        ).alias("wid"),
+    )
     parity = F.expr("shiftright((wid + 1) * 2654435761, j + 8) % 2")
     contrib = parity * 2 - 1
     per_bit = (

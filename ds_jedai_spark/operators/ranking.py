@@ -8,9 +8,11 @@ vocabulary ids in textops.vocab and reused by the PGR metric):
 1. ``repartitionByRange`` on the sort key — partition i sorts wholly
    before partition i+1 — then ``row_number`` within each partition
    (partition-local window, plan-shape tested).
-2. Per-partition counts -> cumulative offsets (a window over
-   <= numPartitions rows — tiny by construction) broadcast back onto the
-   ranked rows.
+2. Per-partition counts -> cumulative offsets computed driver-side from
+   a <= numPartitions-row collect (the same per-partition count pass
+   RDD.zipWithIndex makes) and broadcast-joined back onto the ranked
+   rows. Driver work and transfer are O(numPartitions), never O(rows),
+   and no unpartitioned WindowExec appears in any plan.
 
 The ranked frame is pinned with an eager localCheckpoint: it feeds both
 the offset aggregate and the final join, and repartitionByRange samples
@@ -54,11 +56,16 @@ def global_rank(df: DataFrame, *, asc_cols: list[str]) -> DataFrame:
     distributedly. Requires the sort key to be unique per row (ties would
     otherwise rank nondeterministically across runs)."""
     local = ranked_local(df, asc_cols).localCheckpoint()
-    offsets = (
-        local.groupBy("part")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("off", F.sum("cnt").over(Window.orderBy("part")) - F.col("cnt"))
-        .select("part", "off")
+    counts = sorted(
+        (r["part"], r["cnt"])
+        for r in local.groupBy("part").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offs, acc = [], 0
+    for part, cnt in counts:
+        offs.append((part, acc))
+        acc += cnt
+    offsets = df.sparkSession.createDataFrame(
+        offs or [(0, 0)], "part int, off long"
     )
     return (
         local.join(F.broadcast(offsets), "part")

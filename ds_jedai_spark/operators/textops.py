@@ -63,7 +63,14 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     gram lambda reads it by name: inlining the filter(split()) expression
     into every element_at makes gram construction O(tokens^2) per document
     (measured 6x slower at sf0.1) because the array is re-derived per
-    element access."""
+    element access.
+
+    Dedup is per-document via array_distinct BEFORE the explode, never a
+    global .distinct(): each doc_id lives on exactly one input row, so
+    per-array dedup already makes (doc_id, shingle) globally unique and
+    the whole operator stays map-only — no shuffle of the exploded gram
+    stream (which is ~tokens x rows, the largest frame in the dedup
+    pipeline at 100 TB)."""
     arr = F.filter(F.split("text", " "), lambda w: w != "")
     t = docs.select("doc_id", arr.alias("arr"))
     gram = F.when(
@@ -75,7 +82,7 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return t.select("doc_id", F.explode(gram).alias("shingle")).distinct()
+    return t.select("doc_id", F.explode(F.array_distinct(gram)).alias("shingle"))
 
 
 def vocab(tokens: DataFrame, col: str) -> DataFrame:

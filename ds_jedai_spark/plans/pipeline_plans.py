@@ -245,10 +245,17 @@ _SHINGLE_CTE = (
     "JOIN (SELECT doc_id AS d2, n AS n2 FROM sz) USING (d2))"
 )
 
-_VOCAB_CTE = (
-    "v AS (SELECT shingle, CAST(dense_rank() OVER (ORDER BY shingle) AS BIGINT) AS wid "
-    "FROM (SELECT DISTINCT shingle FROM d)), "
-    "dw AS (SELECT doc_id, wid FROM d JOIN v USING (shingle))"
+# md5 is bit-identical across Spark and DuckDB, so shingle ids derive
+# map-side from the digest — no dense_rank vocabulary CTE. 12 hex chars
+# (48 bits) for minhash; 7 (28 bits) for simhash, whose Knuth multiply
+# must stay inside int64 in both engines.
+_MINHASH_WID_CTE = (
+    "dw AS (SELECT doc_id, "
+    "CAST(('0x' || substr(md5(shingle), 1, 12)) AS BIGINT) AS wid FROM d)"
+)
+_SIMHASH_WID_CTE = (
+    "dw AS (SELECT doc_id, "
+    "CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS wid FROM d)"
 )
 
 P = dedup.MINHASH_P
@@ -287,7 +294,7 @@ def dedup_clusters_oracle() -> str:
 
 def dedup_minhash_lsh_oracle() -> str:
     return (
-        f"WITH {_SHINGLE_CTE}, {_VOCAB_CTE}, "
+        f"WITH {_SHINGLE_CTE}, {_MINHASH_WID_CTE}, "
         f"hx AS (SELECT doc_id, i, min(((2*i+1)*wid + i*i + 7) % {P}) AS h "
         "FROM dw, (SELECT unnest(range(0, 32)) AS i) r GROUP BY doc_id, i), "
         "band AS (SELECT doc_id, i - (i % 4) AS band, sum(h * ((i % 4) + 1)) AS bkey "
@@ -301,7 +308,7 @@ def dedup_minhash_lsh_oracle() -> str:
 
 def dedup_simhash_oracle() -> str:
     return (
-        f"WITH {_SHINGLE_CTE}, {_VOCAB_CTE}, "
+        f"WITH {_SHINGLE_CTE}, {_SIMHASH_WID_CTE}, "
         "perbit AS (SELECT doc_id, j, sum(((((wid+1) * 2654435761) >> (j+8)) % 2) * 2 - 1) AS s "
         "FROM dw, (SELECT unnest(range(0, 32)) AS j) r GROUP BY doc_id, j), "
         "fp AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) "
