@@ -1,0 +1,148 @@
+"""Cross-validation of the vectorized convex pre-classifier against the
+exact per-pair path: on every decided row the two must agree flag-for-flag,
+and every boundary-contact configuration must come back UNDECIDED-or-right
+(the fast path may never change a relation, only skip work)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from ds_jedai_spark.operators.relate_fast import (
+    CODE_DICTS,
+    UNDECIDED,
+    preclassify_batch,
+)
+from ds_jedai_spark.operators.relate_general import relate_pair
+
+
+def _cross(o, a, b):
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+
+def _convex_poly(rng, maxr=48):
+    while True:
+        cx, cy = rng.randint(-800, 800) / 16, rng.randint(-800, 800) / 16
+        pts = set()
+        while len(pts) < rng.choice([3, 3, 4, 5, 6]):
+            pts.add(
+                (
+                    cx + rng.randint(-maxr, maxr) / 16,
+                    cy + rng.randint(-maxr, maxr) / 16,
+                )
+            )
+        pts = sorted(pts)
+        lower = []
+        for p in pts:
+            while len(lower) >= 2 and _cross(lower[-2], lower[-1], p) <= 0:
+                lower.pop()
+            lower.append(p)
+        upper = []
+        for p in reversed(pts):
+            while len(upper) >= 2 and _cross(upper[-2], upper[-1], p) <= 0:
+                upper.pop()
+            upper.append(p)
+        hull = lower[:-1] + upper[:-1]
+        if len(hull) >= 3:
+            hull.append(hull[0])
+            return [[list(p) for p in hull]]
+
+
+def _check_agreement(ca, cb):
+    n = len(ca)
+    codes = preclassify_batch(["POLYGON"] * n, ca, ["POLYGON"] * n, cb)
+    decided = 0
+    for i in range(n):
+        if codes[i] == UNDECIDED:
+            continue
+        decided += 1
+        exact = relate_pair("POLYGON", ca[i], "POLYGON", cb[i])
+        fast = CODE_DICTS[int(codes[i])]
+        assert fast == {k: exact[k] for k in fast}, (
+            f"row {i}: fast={fast} exact={exact}"
+        )
+    return decided
+
+
+def test_random_convex_pairs_agree_with_exact_path():
+    rng = random.Random(991)
+    ca, cb = [], []
+    for i in range(3000):
+        a, b = _convex_poly(rng), _convex_poly(rng)
+        if i % 2 == 0:
+            # overlap-biased: translate B near A's first vertex
+            ax, ay = a[0][0]
+            dx, dy = rng.randint(-16, 16) / 16, rng.randint(-16, 16) / 16
+            b = [
+                [
+                    [p[0] - b[0][0][0] + ax + dx, p[1] - b[0][0][1] + ay + dy]
+                    for p in b[0]
+                ]
+            ]
+        ca.append(a)
+        cb.append(b)
+    decided = _check_agreement(ca, cb)
+    assert decided > 2500  # the point of the fast path is deciding most rows
+
+
+@pytest.mark.parametrize(
+    "a,b",
+    [
+        # shared-edge neighbours (touches): must not be classified
+        ([[[0, 0], [2, 0], [1, 2], [0, 0]]], [[[0, 0], [2, 0], [1, -2], [0, 0]]]),
+        # vertex-on-edge touch
+        ([[[0, 0], [4, 0], [2, 3], [0, 0]]], [[[2, 0], [5, -2], [3, -4], [2, 0]]]),
+        # identical triangles (equals)
+        ([[[0, 0], [2, 0], [1, 2], [0, 0]]], [[[0, 0], [2, 0], [1, 2], [0, 0]]]),
+        # covered with boundary contact (B inside A, one vertex on edge)
+        ([[[0, 0], [8, 0], [4, 8], [0, 0]]], [[[2, 0], [6, 0], [4, 2], [2, 0]]]),
+    ],
+)
+def test_contact_cases_fall_back(a, b):
+    codes = preclassify_batch(["POLYGON"], [a], ["POLYGON"], [b])
+    assert codes[0] == UNDECIDED
+
+
+def test_nonconvex_and_general_fall_back():
+    # nonconvex quad -> slow path
+    nc = [[[0, 0], [4, 0], [1, 1], [0, 4], [0, 0]]]
+    tri = [[[10, 10], [12, 10], [11, 12], [10, 10]]]
+    assert preclassify_batch(["POLYGON"], [nc], ["POLYGON"], [tri])[0] == UNDECIDED
+    # polygon with hole -> slow path
+    holed = [
+        [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+        [[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]],
+    ]
+    assert preclassify_batch(["POLYGON"], [holed], ["POLYGON"], [tri])[0] == UNDECIDED
+    # non-dyadic-on-the-512-lattice coordinates -> slow path
+    off = [[[0.001, 0], [2, 0], [1, 2], [0.001, 0]]]
+    assert preclassify_batch(["POLYGON"], [off], ["POLYGON"], [tri])[0] == UNDECIDED
+
+
+def test_clean_cases_decide():
+    tri_a = [[[0.0, 0.0], [2.0, 0.0], [1.0, 2.0], [0.0, 0.0]]]
+    far = [[[100.0, 100.0], [102.0, 100.0], [101.0, 102.0], [100.0, 100.0]]]
+    inner = [[[0.75, 0.25], [1.25, 0.25], [1.0, 0.75], [0.75, 0.25]]]
+    outer = [[[-10.0, -10.0], [20.0, -10.0], [1.0, 20.0], [-10.0, -10.0]]]
+    overlap = [[[1.0, -1.0], [3.0, -1.0], [1.0, 1.5], [1.0, -1.0]]]
+    codes = preclassify_batch(
+        ["POLYGON"] * 4,
+        [tri_a, tri_a, tri_a, tri_a],
+        ["POLYGON"] * 4,
+        [far, inner, outer, overlap],
+    )
+    assert list(codes) == [1, 3, 2, 4]  # DISJOINT, B_IN_A, A_IN_B, OVERLAP
+    for code, b in zip(codes, [far, inner, outer, overlap]):
+        exact = relate_pair("POLYGON", tri_a, "POLYGON", b)
+        fast = CODE_DICTS[int(code)]
+        assert fast == {k: exact[k] for k in fast}
+
+
+def test_numpy_object_input_shape():
+    # mapInPandas hands coords as numpy object arrays of ndarrays
+    tri = np.array([np.array([[0.0, 0.0], [2.0, 0.0], [1.0, 2.0], [0.0, 0.0]])],
+                   dtype=object)
+    far = np.array([np.array([[50.0, 50.0], [52.0, 50.0], [51.0, 52.0],
+                              [50.0, 50.0]])], dtype=object)
+    codes = preclassify_batch(["POLYGON"], [tri], ["POLYGON"], [far])
+    assert codes[0] == 1
