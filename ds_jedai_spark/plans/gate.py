@@ -32,6 +32,7 @@ from ds_jedai_spark.plans import pipeline_plans as pl
 from ds_jedai_spark.plans import progressive_plans as pp
 from ds_jedai_spark.plans import reader_plans as rp
 from ds_jedai_spark.plans import streaming_plans as sp
+from ds_jedai_spark.plans import timeseries_plans as tsp
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -449,6 +450,12 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
          sp.stream_dedup_counts_oracle())
     keep("stream_top_event_types", sp.stream_top_event_types,
          sp.stream_top_event_types_oracle())
+
+    # -- time-series joins (as-of, interval) over the events table
+    keep("events_asof_join", tsp.QUERIES["events_asof_join"],
+         tsp.ORACLES["events_asof_join"])
+    keep("events_interval_join", tsp.QUERIES["events_interval_join"],
+         tsp.ORACLES["events_interval_join"])
 
     return queries, oracles
 

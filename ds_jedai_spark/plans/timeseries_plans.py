@@ -1,0 +1,115 @@
+"""Time-series join queries over the events table: as-of join and
+interval join, each with a DuckDB oracle.
+
+The reference has no temporal joins (its only temporal operator is the
++-2-day spatio-temporal pair filter, utils/configuration; mirrored by
+plans/giant.py spatiotemporal_pairs); these are the event-stream joins a
+feature/training pipeline runs constantly. Implementations in
+operators/temporal.py are single-shuffle plans — see that module's
+docstring for the 100 TB argument.
+
+All timestamp outputs are projected to epoch microseconds (BIGINT) so
+the Spark/DuckDB hash comparison never depends on timestamp rendering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ds_jedai_spark.io.synthetic import register_views
+from ds_jedai_spark.operators.temporal import asof_join, epoch_us, interval_join
+
+INCIDENT_US = 6 * 3600 * 1_000_000  # 6-hour incident window after each error
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.table("events")
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to the user's most recent prior-or-equal
+    purchase (backward as-of): one union + one hash shuffle by user."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    j = asof_join(
+        clicks, purchases, key="user_id", ts="ts",
+        right_attrs=("purchase_id", "value"),
+    )
+    return j.select(
+        "click_id",
+        "user_id",
+        epoch_us("ts").alias("click_us"),
+        F.col("asof_purchase_id").alias("purchase_id"),
+        F.col("asof_value").alias("purchase_value"),
+        epoch_us("asof_ts").alias("purchase_us"),
+    )
+
+
+def events_asof_join_oracle() -> str:
+    return (
+        "SELECT l.event_id AS click_id, l.user_id, "
+        "epoch_us(l.ts) AS click_us, "
+        "r.event_id AS purchase_id, r.value AS purchase_value, "
+        "epoch_us(r.ts) AS purchase_us "
+        "FROM (SELECT * FROM events WHERE event_type = 'click') l "
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    )
+
+
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks landing inside any same-user 6-hour post-error incident
+    window: bucket equi-join + residual range predicate (no range
+    cross-join; each pair meets in exactly one bucket)."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        "ts",
+    )
+    incidents = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("w_start"),
+        F.expr("ts + INTERVAL 6 HOURS").alias("w_end"),
+    )
+    j = interval_join(
+        clicks, incidents,
+        left_ts="ts", right_start="w_start", right_end="w_end",
+        bucket_us=INCIDENT_US,
+    ).where(F.col("c_user") == F.col("e_user"))
+    return j.select(
+        "click_id",
+        "error_id",
+        F.col("c_user").alias("user_id"),
+        (epoch_us("ts") - epoch_us("w_start")).alias("delta_us"),
+    )
+
+
+def events_interval_join_oracle() -> str:
+    return (
+        "SELECT c.event_id AS click_id, e.event_id AS error_id, "
+        "c.user_id AS user_id, "
+        "epoch_us(c.ts) - epoch_us(e.ts) AS delta_us "
+        "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+        "JOIN (SELECT * FROM events WHERE event_type = 'error') e "
+        "ON c.user_id = e.user_id AND c.ts >= e.ts "
+        f"AND epoch_us(c.ts) <= epoch_us(e.ts) + {INCIDENT_US}"
+    )
+
+
+QUERIES = {
+    "events_asof_join": events_asof_join,
+    "events_interval_join": events_interval_join,
+}
+
+ORACLES = {
+    "events_asof_join": events_asof_join_oracle(),
+    "events_interval_join": events_interval_join_oracle(),
+}

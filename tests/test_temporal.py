@@ -1,0 +1,111 @@
+"""Temporal join operators: semantics against hand-built frames and plan
+shape (one hash shuffle, no cartesian / range nested-loop join)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from ds_jedai_spark.operators.temporal import asof_join, epoch_us, interval_join
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=_ts(10), click_id=100),
+            Row(user_id=1, ts=_ts(20), click_id=101),
+            Row(user_id=2, ts=_ts(5), click_id=102),   # before any right row
+            Row(user_id=3, ts=_ts(30), click_id=103),  # user with no right rows
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=_ts(8), purchase_id=200, value=1.5),
+            Row(user_id=1, ts=_ts(20), purchase_id=201, value=2.5),  # tie with 101
+            Row(user_id=2, ts=_ts(9), purchase_id=202, value=3.5),
+        ]
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(frames, spark):
+    left, right = frames
+    out = {
+        r["click_id"]: r
+        for r in asof_join(
+            left, right, key="user_id", ts="ts",
+            right_attrs=("purchase_id", "value"),
+        ).collect()
+    }
+    assert out[100]["asof_purchase_id"] == 200          # latest <= 00:10
+    assert out[101]["asof_purchase_id"] == 201          # equal ts matches
+    assert out[102]["asof_purchase_id"] is None         # nothing prior
+    assert out[103]["asof_purchase_id"] is None         # no right rows at all
+    assert out[100]["asof_ts"] == _ts(8)
+    assert out[101]["asof_value"] == 2.5
+
+
+def test_asof_plan_single_shuffle(frames):
+    left, right = frames
+    plan = (
+        asof_join(left, right, key="user_id", ts="ts", right_attrs=("purchase_id",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the union-and-window form needs exactly one exchange (by key)
+    assert plan.count("Exchange") == 1
+
+
+def test_interval_join_closed_ends_and_bucket_boundaries(spark):
+    left = spark.createDataFrame(
+        [
+            Row(ts=_ts(10), click_id=1),   # == w_start (closed)
+            Row(ts=_ts(15), click_id=2),   # inside, crosses bucket boundary
+            Row(ts=_ts(20), click_id=3),   # == w_end (closed)
+            Row(ts=_ts(20, 1), click_id=4),  # just past w_end
+            Row(ts=_ts(9, 59), click_id=5),  # just before w_start
+        ]
+    )
+    right = spark.createDataFrame(
+        [Row(error_id=9, w_start=_ts(10), w_end=_ts(20))]
+    )
+    got = sorted(
+        r["click_id"]
+        for r in interval_join(
+            left, right, left_ts="ts", right_start="w_start", right_end="w_end",
+            bucket_us=600_000_000,  # 10 min: window spans 2 buckets
+        ).collect()
+    )
+    assert got == [1, 2, 3]
+
+
+def test_interval_join_no_duplicate_matches(spark):
+    # window spanning many buckets still yields each pair exactly once
+    left = spark.createDataFrame([Row(ts=_ts(30), click_id=1)])
+    right = spark.createDataFrame(
+        [Row(error_id=9, w_start=_ts(0), w_end=_ts(59))]
+    )
+    rows = interval_join(
+        left, right, left_ts="ts", right_start="w_start", right_end="w_end",
+        bucket_us=60_000_000,  # 1 min buckets -> 60 exploded rows
+    ).collect()
+    assert len(rows) == 1
+
+
+def test_epoch_us_matches_duckdb_on_ntz(spark):
+    import duckdb
+
+    t = dt.datetime(2024, 3, 5, 7, 9, 11, 131415)
+    spark_us = (
+        spark.sql(f"SELECT TIMESTAMP_NTZ '{t}' AS ts")
+        .select(epoch_us("ts").alias("us"))
+        .collect()[0]["us"]
+    )
+    duck_us = duckdb.sql(f"SELECT epoch_us(TIMESTAMP '{t}')").fetchone()[0]
+    assert spark_us == duck_us
