@@ -23,6 +23,7 @@ def main() -> None:
     from ds_jedai_spark.plans import giant
     from ds_jedai_spark.plans import pipeline_plans as pl
     from ds_jedai_spark.plans import progressive_plans as pp
+    from ds_jedai_spark.plans import timeseries_plans as tsp
 
     # Warm up the JVM / codegen / parquet-reader paths; data registration
     # (view setup over the benchmark tables) stays timed inside the first
@@ -46,6 +47,10 @@ def main() -> None:
         ("text_contamination", pl.QUERIES["text_contamination"]),
         ("text_pii_scrub", pl.QUERIES["text_pii_scrub"]),
         ("emb_quantize", pl.QUERIES["emb_quantize"]),
+        # Stateful applyInPandas scan (sequential PQ semantics) — the one
+        # family whose regressions the batch plans can't catch.
+        ("dynamic_progressive_js", pp.dynamic_progressive_js),
+        ("events_asof_join", tsp.events_asof_join),
     ]
     timings: dict[str, float] = {}
     for name, fn in headline:

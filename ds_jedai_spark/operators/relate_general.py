@@ -479,23 +479,37 @@ def with_general_relations(
             UNDECIDED,
             preclassify_batch,
         )
+        from ds_jedai_spark.operators.relate_shapely import (
+            have_geometry_lib,
+            relate_batch,
+        )
 
+        # Feature check runs on the executor (workers may differ from
+        # the driver) — when shapely 2.x is present the whole batch goes
+        # through GEOS's vectorized predicates (the reference's JTS-speed
+        # relate, model/entities/EntityT.scala:42-45); otherwise the
+        # no-dependency exact path below stays the verifier of record.
+        use_lib = have_geometry_lib()
         for pdf in batches:
             ga_l = pdf[f"{s}gtype"].tolist()
             ca_l = pdf[f"{s}coords"].tolist()
             gb_l = pdf[f"{t}gtype"].tolist()
             cb_l = pdf[f"{t}coords"].tolist()
-            # Vectorized exact pre-classifier: convex single-ring pairs
-            # with no boundary contact (the vast majority of tile-join
-            # candidates) decide in one numpy pass; only UNDECIDED rows
-            # pay the per-pair exact path. Result columns assemble as
-            # one numpy gather per relation, not per-row appends.
-            codes = preclassify_batch(ga_l, ca_l, gb_l, cb_l)
-            res = {r: CODE_FLAGS[r][codes] for r in RELATIONS}
-            for i in np.nonzero(codes == UNDECIDED)[0]:
-                d = relate_pair(ga_l[i], ca_l[i], gb_l[i], cb_l[i])
-                for r in RELATIONS:
-                    res[r][i] = d[r]
+            if use_lib:
+                res = relate_batch(ga_l, ca_l, gb_l, cb_l)
+            else:
+                # Vectorized exact pre-classifier: convex single-ring
+                # pairs with no boundary contact (the vast majority of
+                # tile-join candidates) decide in one numpy pass; only
+                # UNDECIDED rows pay the per-pair exact path. Result
+                # columns assemble as one numpy gather per relation, not
+                # per-row appends.
+                codes = preclassify_batch(ga_l, ca_l, gb_l, cb_l)
+                res = {r: CODE_FLAGS[r][codes] for r in RELATIONS}
+                for i in np.nonzero(codes == UNDECIDED)[0]:
+                    d = relate_pair(ga_l[i], ca_l[i], gb_l[i], cb_l[i])
+                    for r in RELATIONS:
+                        res[r][i] = d[r]
             out = pdf.reset_index(drop=True)
             for r in RELATIONS:
                 out[f"r_{r}"] = res[r]

@@ -296,6 +296,8 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                 ("hybrid_js_mbro", pp.hybrid_js_mbro, pp.hybrid_js_mbro_oracle()),
                 ("isp", pp.progressive_isp, pp.progressive_isp_oracle()),
                 ("local_budget_js", pp.local_budget_js, pp.local_budget_js_oracle()),
+                ("local_budget_large", pp.local_budget_large,
+                 pp.local_budget_large_oracle()),
                 ("topk_cf", pp.topk_cf, pp.topk_cf_oracle()),
                 ("reciprocal_topk_mbro", pp.reciprocal_topk_mbro,
                  pp.reciprocal_topk_mbro_oracle()),

@@ -117,6 +117,63 @@ def local_budget_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LARGE_AMP = 20
+LARGE_PROG_BUDGET = 120_000
+
+
+def local_budget_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-regime scheduler path: budget >= api.LARGE_BUDGET dispatches
+    to the partitioned ``local_budget_top`` (never TakeOrderedAndProject's
+    driver merge — reference budgets reach 5M-100M,
+    TSAS-Experiments/scalabilityExp.sh). The sf0.01 candidate set is
+    amplified x20 (t_id' = t_id * 32 + rep, identical weights) so the
+    per-partition limits actually bind and the proportional-split formula
+    is exercised, not just the trivial keep-everything regime."""
+    from ds_jedai_spark.api import _grid_pid_sql
+
+    source = load_sql(spark, sf_dir, source_box_sql())
+    amp = (
+        prog.with_weight(_cand(spark, sf_dir), WEXPR["js"])
+        .selectExpr(
+            "s_id",
+            "t_id",
+            "w AS w0",
+            "s_minx",
+            "s_miny",
+            f"explode(sequence(0, {LARGE_AMP - 1})) AS rep",
+        )
+        .selectExpr("s_id", "t_id * 32 + rep AS t_id", "w0", "s_minx", "s_miny")
+    )
+    return prog.local_budget_top(
+        amp,
+        source,
+        "w0",
+        LARGE_PROG_BUDGET,
+        _grid_pid_sql("s_", THETA),
+        _grid_pid_sql("", THETA),
+    )
+
+
+def local_budget_large_oracle() -> str:
+    from ds_jedai_spark.api import _grid_pid_sql
+
+    pid_s, pid_src = _grid_pid_sql("s_", THETA), _grid_pid_sql("", THETA)
+    return (
+        f"{_w_cte()}, "
+        f"amp AS (SELECT s_id, t_id * 32 + rep AS t_id, w_js AS w, "
+        f"s_minx, s_miny FROM ww, "
+        f"(SELECT unnest(range(0, {LARGE_AMP})) AS rep)), "
+        f"pidc AS (SELECT {pid_src} AS pid, count(*) AS cnt FROM source GROUP BY 1), "
+        f"tot AS (SELECT sum(cnt) AS total FROM pidc), "
+        f"lims AS (SELECT pid, CAST(floor(({LARGE_PROG_BUDGET} * cnt + total - 1.0) "
+        f"/ total) AS BIGINT) AS lbv FROM pidc, tot), "
+        f"rr AS (SELECT s_id, t_id, w, {pid_s} AS pid, "
+        f"row_number() OVER (PARTITION BY {pid_s} "
+        f"ORDER BY w DESC, s_id, t_id) AS rn FROM amp) "
+        f"SELECT s_id, t_id, w FROM rr JOIN lims USING (pid) WHERE rn <= lbv"
+    )
+
+
 def pgr_js_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PGR of JS-ordered verification with OVERLAPS as the target relation."""
     cand = with_relations(_cand(spark, sf_dir))

@@ -138,3 +138,74 @@ def test_stream_stream_pairs_match_batch_across_microbatches(
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_kill_and_restart_same_checkpoint_is_exactly_once(
+    spark, tmp_path_factory
+):
+    """Failure injection: the streaming dedup chain (duplicate-delivery
+    union -> dropDuplicates) writes to a parquet sink, is stopped
+    mid-drain, and restarts against the SAME checkpoint. The file sink's
+    commit log plus replayed dropDuplicates state must yield exactly one
+    output row per event — no losses from the kill, no duplicates from
+    the replay."""
+    base = tmp_path_factory.mktemp("failinject")
+    src_dir, out_dir, ckpt = (
+        str(base / "src"), str(base / "out"), str(base / "ckpt")
+    )
+    ev = _events_normalized(spark).limit(2000)
+    # Many small files => many microbatches, so the kill lands mid-drain.
+    ev.repartition(16).write.parquet(src_dir)
+    expected = ev.select("event_id").distinct().count()
+
+    def dedup_stream():
+        a = gs.event_stream(spark, src_dir, maxFilesPerTrigger="1")
+        b = gs.event_stream(spark, src_dir, maxFilesPerTrigger="1")
+        return (
+            a.unionByName(b)
+            .withWatermark("ts", "2 hours")
+            .dropDuplicates(["event_id"])
+            .select("event_id", "event_type")
+        )
+
+    def start(trigger_kwargs):
+        return (
+            dedup_stream()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    import time
+
+    before = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = start({"processingTime": "0 seconds"})
+        # Kill as soon as at least one microbatch committed (and, with 32
+        # input files over two sources, well before the drain finishes).
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if any(p["numInputRows"] > 0 for p in q.recentProgress):
+                break
+            time.sleep(0.2)
+        killed_after = len(q.recentProgress)
+        q.stop()
+        q.awaitTermination()
+        assert killed_after >= 1, "never saw a committed batch before kill"
+
+        q2 = start({"availableNow": True})
+        q2.awaitTermination()
+    finally:
+        if before is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
+
+    got = spark.read.parquet(out_dir)
+    n_rows = got.count()
+    n_distinct = got.select("event_id").distinct().count()
+    assert n_rows == n_distinct == expected
