@@ -41,6 +41,38 @@ def _pin(df: DataFrame) -> DataFrame:
     return df.localCheckpoint()
 
 
+def pin_shingles(
+    docs: DataFrame,
+    mode: str = "local",
+    table: str = "shingles_pinned",
+    buckets: int = 32,
+) -> DataFrame:
+    """Materialize the shared (doc_id, shingle) table for a dedup run.
+
+    ``mode="local"`` is the single-job form (eager localCheckpoint, see
+    ``_pin``). ``mode="bucketed"`` is the multi-job form named in
+    ``_pin``'s docstring: the shingle table is written bucketed+sorted by
+    the join key, so every later run — the inverted-index self-join in
+    ``_overlap``, candidate verification, other dedup schemes sharing the
+    corpus — re-joins on ``shingle`` with NO Exchange on the bucketed
+    sides (Catalyst proves co-partitioning from the bucket spec; pinned
+    by tests/test_bucketed.py). At 100 TB this is the layout a corpus
+    that outlives one job should persist: the shingle explode and its
+    shuffle are paid once, not per scheme per run."""
+    sh = shingles(docs)
+    if mode == "local":
+        return _pin(sh)
+    if mode != "bucketed":
+        raise ValueError(f"unknown pin mode: {mode!r}")
+    (
+        sh.write.mode("overwrite")
+        .bucketBy(buckets, "shingle")
+        .sortBy("shingle")
+        .saveAsTable(table)
+    )
+    return docs.sparkSession.table(table)
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Hash-groupBy exact dedup: one row per duplicated text group."""
     return (

@@ -141,6 +141,53 @@ def _orient_tensor(A, ka, sa, B, kmax):
     return O, edge_valid
 
 
+def _dense_ring_checks(ring):
+    """Scaling / integrality / convexity checks over a dense batch of
+    closed rings ``ring[n, P, 2]`` (first vertex repeated last). Returns
+    (verts[n,k,2], k, sign[n], valid[n]) or None when the shared shape is
+    outside the fast-path envelope."""
+    k = ring.shape[1] - 1  # vertices sans closure
+    if not 3 <= k <= MAX_VERTS:
+        return None
+    if not bool(np.all(ring[:, 0] == ring[:, -1])):
+        return None
+    r = ring[:, :-1] * SCALE
+    valid = (
+        np.all(np.abs(r) <= MAX_SCALED, axis=(1, 2))
+        & np.all(r == np.rint(r), axis=(1, 2))
+    )
+    e = np.roll(r, -1, axis=1) - r
+    e2 = np.roll(e, -1, axis=1)
+    cr = e[:, :, 0] * e2[:, :, 1] - e[:, :, 1] * e2[:, :, 0]
+    sign = np.where(
+        np.all(cr > 0, axis=1), 1.0, np.where(np.all(cr < 0, axis=1), -1.0, 0.0)
+    )
+    return r, k, sign, valid & (sign != 0.0)
+
+
+def preclassify_dense(ring_a, ring_b) -> np.ndarray | None:
+    """Codes for a dense pair batch: ``ring_a``/``ring_b`` are float64
+    arrays of shape (n, P, 2) holding CLOSED single rings (the layout the
+    Arrow-native verifier gathers straight from the list-array buffers —
+    no per-row objects anywhere). Rows failing the integrality/convexity
+    probe come back UNDECIDED; a shared shape outside the envelope
+    returns None (caller takes the ragged path)."""
+    ha = _dense_ring_checks(ring_a)
+    if ha is None:
+        return None
+    hb = _dense_ring_checks(ring_b)
+    if hb is None:
+        return None
+    n = ring_a.shape[0]
+    A, ka, sa, va = ha
+    B, kb, sb, vb = hb
+    OA, eva = _orient_tensor(A, np.full(n, ka), sa, B, ka)
+    OB, evb = _orient_tensor(B, np.full(n, kb), sb, A, kb)
+    out = _decide(OA, eva, OB, evb)
+    out[~(va & vb)] = UNDECIDED
+    return out
+
+
 def _extract_homogeneous(gtypes, coords):
     """Batch extraction when every row is a single closed ring of the
     same vertex count (the shape every tile-join candidate batch has):
@@ -156,24 +203,7 @@ def _extract_homogeneous(gtypes, coords):
         return None
     if arr.ndim != 4 or arr.shape[1] != 1:
         return None
-    k = arr.shape[2] - 1  # vertices sans closure
-    if not 3 <= k <= MAX_VERTS:
-        return None
-    ring = arr[:, 0]
-    if not bool(np.all(ring[:, 0] == ring[:, -1])):
-        return None
-    r = ring[:, :-1] * SCALE
-    valid = (
-        np.all(np.abs(r) <= MAX_SCALED, axis=(1, 2))
-        & np.all(r == np.rint(r), axis=(1, 2))
-    )
-    e = np.roll(r, -1, axis=1) - r
-    e2 = np.roll(e, -1, axis=1)
-    cr = e[:, :, 0] * e2[:, :, 1] - e[:, :, 1] * e2[:, :, 0]
-    sign = np.where(
-        np.all(cr > 0, axis=1), 1.0, np.where(np.all(cr < 0, axis=1), -1.0, 0.0)
-    )
-    return r, k, sign, valid & (sign != 0.0)
+    return _dense_ring_checks(arr[:, 0])
 
 
 def _decide(OA, eva, OB, evb):

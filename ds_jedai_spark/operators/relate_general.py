@@ -445,11 +445,71 @@ def relate_pair(gtype_a: str, parts_a, gtype_b: str, parts_b) -> dict[str, bool]
     raise AssertionError(f"unhandled geometry pair: {gtype_a} x {gtype_b}")
 
 
+def _flatten3(arr):
+    """Zero-copy view of a list<list<list<double>>> arrow array:
+    (o1, o2, o3, vals) where row i's parts are o1[i]:o1[i+1] (indices
+    into o2), part j's points are o2[j]:o2[j+1] (indices into o3), and
+    point p's doubles are vals[o3[p]:o3[p+1]]. Offsets index the FULL
+    (unsliced) child arrays, so they are valid globally."""
+    import numpy as np
+
+    o1 = arr.offsets.to_numpy().astype(np.int64)
+    a2 = arr.values
+    o2 = a2.offsets.to_numpy().astype(np.int64)
+    a3 = a2.values
+    o3 = a3.offsets.to_numpy().astype(np.int64)
+    vals = a3.values.to_numpy()
+    return o1, o2, o3, vals
+
+
+def _row_parts(f, i):
+    """Row i of a flattened coords column as a list of (k, 2) float64
+    views — no copies, no Python point objects."""
+    o1, o2, o3, vals = f
+    return [
+        vals[o3[o2[j]]:o3[o2[j + 1]]].reshape(-1, 2)
+        for j in range(o1[i], o1[i + 1])
+    ]
+
+
+def _try_dense(f, n):
+    """(n, P, 2) closed-ring gather when every row is exactly one part of
+    a shared point count with [x, y] leaves — one fancy-index over the
+    flat value buffer, zero per-row work. None when ragged."""
+    import numpy as np
+
+    o1, o2, o3, vals = f
+    if not bool(np.all(np.diff(o1) == 1)):
+        return None
+    part_idx = o1[:-1]
+    npts = o2[part_idx + 1] - o2[part_idx]
+    if n == 0 or not bool(np.all(npts == npts[0])):
+        return None
+    P = int(npts[0])
+    pp = o2[part_idx][:, None] + np.arange(P)[None, :]
+    starts = o3[pp]
+    if not bool(np.all(o3[pp + 1] - starts == 2)):
+        return None
+    return vals[starts[..., None] + np.arange(2)]
+
+
 def with_general_relations(
     pairs: DataFrame, s: str = "s_", t: str = "t_", spread: bool = True
 ) -> DataFrame:
     """Append r_<relation> booleans computed by the general-path verifier.
     Requires {s}gtype/{s}coords and {t}gtype/{t}coords columns.
+
+    Arrow-native (``mapInArrow``): the verifier reads the nested coords
+    columns through their raw offset/value buffers and passes every input
+    column back untouched, so NO pandas<->Arrow conversion of nested
+    arrays ever happens. This is the dominant cost at scale, not the
+    geometry math: on the sf0.1 triangle soak (31.4M pairs) an identity
+    ``mapInPandas`` round-trip alone measures 319s on local[32] — 70% of
+    the old 453s wall — while the plain JVM count is 19.5s. Fixed-shape
+    batches (every tile-join candidate stream) gather straight into a
+    dense (n, P, 2) tensor for the exact convex pre-classifier
+    (relate_fast.preclassify_dense); only contact/degenerate rows pay the
+    per-pair exact path, fed by zero-copy row views.
 
     ``spread`` round-robin-repartitions the candidate stream first: a
     broadcast tile join preserves the scan's input partitioning, so a
@@ -468,16 +528,22 @@ def with_general_relations(
     exchange today. Do NOT gate this on a static
     ``rdd.getNumPartitions()`` probe: under AQE the static count can
     read spark.sql.shuffle.partitions while the runtime-coalesced
-    exchange hands mapInPandas far fewer partitions, silently
-    single-threading the verifier again."""
+    exchange hands the verifier far fewer partitions, silently
+    single-threading it again."""
+    names = [f.name for f in pairs.schema]
+    i_sg, i_sc = names.index(f"{s}gtype"), names.index(f"{s}coords")
+    i_tg, i_tc = names.index(f"{t}gtype"), names.index(f"{t}coords")
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches):
         import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         from ds_jedai_spark.operators.relate_fast import (
             CODE_FLAGS,
             UNDECIDED,
             preclassify_batch,
+            preclassify_dense,
         )
         from ds_jedai_spark.operators.relate_shapely import (
             have_geometry_lib,
@@ -490,30 +556,55 @@ def with_general_relations(
         # relate, model/entities/EntityT.scala:42-45); otherwise the
         # no-dependency exact path below stays the verifier of record.
         use_lib = have_geometry_lib()
-        for pdf in batches:
-            ga_l = pdf[f"{s}gtype"].tolist()
-            ca_l = pdf[f"{s}coords"].tolist()
-            gb_l = pdf[f"{t}gtype"].tolist()
-            cb_l = pdf[f"{t}coords"].tolist()
-            if use_lib:
-                res = relate_batch(ga_l, ca_l, gb_l, cb_l)
-            else:
-                # Vectorized exact pre-classifier: convex single-ring
-                # pairs with no boundary contact (the vast majority of
-                # tile-join candidates) decide in one numpy pass; only
-                # UNDECIDED rows pay the per-pair exact path. Result
-                # columns assemble as one numpy gather per relation, not
-                # per-row appends.
-                codes = preclassify_batch(ga_l, ca_l, gb_l, cb_l)
+        for batch in batches:
+            n = batch.num_rows
+            sc_col, tc_col = batch.column(i_sc), batch.column(i_tc)
+            sg_col, tg_col = batch.column(i_sg), batch.column(i_tg)
+            clean = (
+                sc_col.null_count == 0
+                and tc_col.null_count == 0
+                and sg_col.null_count == 0
+                and tg_col.null_count == 0
+            )
+            ga_l = gb_l = fs = ft = None
+            codes = None
+            if clean and not use_lib:
+                fs, ft = _flatten3(sc_col), _flatten3(tc_col)
+                all_poly = bool(
+                    pc.all(pc.equal(sg_col, "POLYGON")).as_py()
+                ) and bool(pc.all(pc.equal(tg_col, "POLYGON")).as_py())
+                if all_poly and n:
+                    da = _try_dense(fs, n)
+                    db = _try_dense(ft, n) if da is not None else None
+                    if da is not None and db is not None:
+                        codes = preclassify_dense(da, db)
+            if codes is None:
+                ga_l, gb_l = sg_col.to_pylist(), tg_col.to_pylist()
+                if use_lib or not clean:
+                    ca_l, cb_l = sc_col.to_pylist(), tc_col.to_pylist()
+                else:
+                    ca_l = [_row_parts(fs, i) for i in range(n)]
+                    cb_l = [_row_parts(ft, i) for i in range(n)]
+                if use_lib:
+                    res = relate_batch(ga_l, ca_l, gb_l, cb_l)
+                else:
+                    codes = preclassify_batch(ga_l, ca_l, gb_l, cb_l)
+            if codes is not None:
                 res = {r: CODE_FLAGS[r][codes] for r in RELATIONS}
-                for i in np.nonzero(codes == UNDECIDED)[0]:
-                    d = relate_pair(ga_l[i], ca_l[i], gb_l[i], cb_l[i])
+                und = np.nonzero(codes == UNDECIDED)[0]
+                if len(und) and ga_l is None:
+                    ga_l, gb_l = sg_col.to_pylist(), tg_col.to_pylist()
+                for i in und:
+                    pa_i = _row_parts(fs, i) if fs is not None else ca_l[i]
+                    pb_i = _row_parts(ft, i) if ft is not None else cb_l[i]
+                    d = relate_pair(ga_l[i], pa_i, gb_l[i], pb_i)
                     for r in RELATIONS:
                         res[r][i] = d[r]
-            out = pdf.reset_index(drop=True)
-            for r in RELATIONS:
-                out[f"r_{r}"] = res[r]
-            yield out
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(j) for j in range(batch.num_columns)]
+                + [pa.array(np.ascontiguousarray(res[r])) for r in RELATIONS],
+                names=names + [f"r_{r}" for r in RELATIONS],
+            )
 
     in_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in pairs.schema
@@ -523,4 +614,4 @@ def with_general_relations(
         from ds_jedai_spark.operators.ranking import shuffle_parts
 
         pairs = pairs.repartition(shuffle_parts(pairs))
-    return pairs.mapInPandas(run, f"{in_fields}, {rel_fields}")
+    return pairs.mapInArrow(run, f"{in_fields}, {rel_fields}")

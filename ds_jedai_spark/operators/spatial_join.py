@@ -38,13 +38,23 @@ def tile_join(
     theta: tuple[float, float] | None = None,
     source_extra: tuple[str, ...] = (),
     target_extra: tuple[str, ...] = (),
+    probe_parts: int | None = None,
 ) -> DataFrame:
     """Candidate pairs whose envelopes intersect — each pair exactly once.
 
     Returns columns s_id, s_minx..s_maxy [, s_<extra>], t_id, t_minx..t_maxy
     [, t_<extra>]. Every returned pair satisfies the envelope-intersection
     filter; verification predicates are applied downstream.
-    """
+
+    ``probe_parts`` round-robin-repartitions the probe (target) input
+    BEFORE the tile explode. On the broadcast path the probe side's
+    explode + join + everything fused after them inherit the scan's file
+    partitioning — a single small input file (a few MB of keys exploding
+    to tens of millions of candidate rows) otherwise runs the whole map
+    side on ONE core. Shuffling the compact pre-explode rows costs
+    almost nothing; pass the core count when the probe input is few
+    files and the fan-out is large. On a real cluster the same knob
+    spreads a small dimension-derived probe across executors."""
     if theta is None:
         theta = compute_theta(source)
     tx, ty = theta
@@ -54,6 +64,8 @@ def tile_join(
         df = with_tiles(df.select(*cols), theta)
         return df.select("tx", "ty", *[F.col(c).alias(f"{p}{c}") for c in cols])
 
+    if probe_parts:
+        target = target.repartition(probe_parts)
     s = tiled(source, "s_", source_extra)
     t = tiled(target, "t_", target_extra)
 

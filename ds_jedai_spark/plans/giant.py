@@ -306,34 +306,32 @@ def triangle_line_counts_oracle() -> str:
 
 
 def triangle_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle×triangle through the exact POLYGON×POLYGON path
+    """Triangle×triangle through the exact POLYGON×POLYGON machinery:
+    the JVM convex classifier (relate_convex, whole-stage codegen)
+    decides clean pairs without ever leaving the JVM; contact/degenerate
+    rows take the Arrow-native exact path
     (relate_poly.relate_polygon_polygon). The oracle is the separating-
     axis theorem in closed form — valid because triangles are convex:
     closures intersect iff no edge strictly separates; interiors
     intersect iff no edge separates even non-strictly; coverage is
     all-vertices-covered."""
     from ds_jedai_spark.io.synthetic import triangle_sql
-    from ds_jedai_spark.operators.relate_general import with_general_relations
+    from ds_jedai_spark.operators.relate_convex import with_relations_convex_fast
 
     a = load_sql(spark, sf_dir, triangle_sql())
     b = load_sql(spark, sf_dir, triangle_sql("orders", "o_orderkey"))
     vex = ("x1", "y1", "x2", "y2", "x3", "y3")
-    cand = tile_join(a, b, theta=(2.0, 2.0), source_extra=vex, target_extra=vex)
+    from ds_jedai_spark.operators.ranking import shuffle_parts
 
-    def coords(p: str) -> str:
-        return (
-            f"array(array(array({p}x1, {p}y1), array({p}x2, {p}y2), "
-            f"array({p}x3, {p}y3), array({p}x1, {p}y1)))"
-        )
-
-    cand = cand.selectExpr(
-        "*",
-        "'POLYGON' AS s_gtype",
-        f"{coords('s_')} AS s_coords",
-        "'POLYGON' AS t_gtype",
-        f"{coords('t_')} AS t_coords",
+    cand = tile_join(
+        a, b, theta=(2.0, 2.0), source_extra=vex, target_extra=vex,
+        probe_parts=shuffle_parts(b),
     )
-    v = with_general_relations(cand)
+    v = with_relations_convex_fast(
+        cand,
+        [("s_x1", "s_y1"), ("s_x2", "s_y2"), ("s_x3", "s_y3")],
+        [("t_x1", "t_y1"), ("t_x2", "t_y2"), ("t_x3", "t_y3")],
+    )
     aggs = [F.count(F.lit(1)).alias("verifications")]
     for r in ("intersects", "touches", "overlaps", "covers", "contains", "equals"):
         aggs.append(F.count(F.when(F.col(f"r_{r}"), True)).alias(f"n_{r}"))
