@@ -235,11 +235,9 @@ def _relate_line_line(pa, pb) -> dict[str, bool]:
                     return False
                 if p == q:
                     continue
-                ts = sorted(rp._seg_cut_params((p, q), isegs))
+                ts = rp._sorted_params(rp._seg_cut_params((p, q), isegs))
                 for t0, t1 in zip(ts, ts[1:]):
-                    if t0 == t1:
-                        continue
-                    if not on_target(rp._at_param(p, q, (t0 + t1) / 2)):
+                    if not on_target(rp._at_param(p, q, rp._mid(t0, t1))):
                         return False
         return True
 

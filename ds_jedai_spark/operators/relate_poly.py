@@ -20,8 +20,9 @@ predicate reduces to integer sign tests — the same exactness as the
 previous fractions.Fraction implementation at a fraction of the cost
 (no per-operation gcd; measured 56x on a 2000-triangle-pair mix:
 12.4s -> 0.22s).
-Intersection parameters t along one segment stay Fractions (tiny count,
-convenient total order). Even-odd semantics make one code path serve
+Intersection parameters t along one segment are raw (tn, td) integer
+pairs ordered by exact cross-multiplication — no rational objects
+anywhere. Even-odd semantics make one code path serve
 POLYGON-with-holes and MULTIPOLYGON (flattened ring lists, standard
 validity assumed). Complexity O(|A|·|B|) per pair — this is the
 engine's slow path, reached only after tile filtering; boxes / points /
@@ -30,10 +31,11 @@ segments keep their closed forms.
 
 from __future__ import annotations
 
-from fractions import Fraction
+from functools import cmp_to_key
 
 IPt = tuple[int, int]             # scaled-integer vertex
 HPt = tuple[int, int, int]        # homogeneous probe point, W > 0
+Param = tuple[int, int]           # exact segment parameter tn/td, td > 0
 
 
 def _scale_parts(*geoms):
@@ -131,11 +133,16 @@ def point_location(p: HPt, rings: list[list[IPt]]) -> int:
     return 2 if crossings % 2 == 1 else 0
 
 
-def _seg_cut_params(s: tuple[IPt, IPt], edges) -> set[Fraction]:
-    """Exact parameters t in [0,1] where segment s meets any edge."""
+def _seg_cut_params(s: tuple[IPt, IPt], edges) -> list[Param]:
+    """Exact parameters t in [0,1] where segment s meets any edge, as raw
+    integer pairs (tn, td), td > 0 — UNNORMALIZED and possibly duplicated
+    (use ``_sorted_params``). No Fraction: the per-value gcd + rational
+    object machinery measured ~25% of the whole per-pair path; every
+    consumer below needs only exact order (cross-multiplication) and
+    homogeneous arithmetic, neither of which wants a canonical form."""
     (p, q) = s
     d = (q[0] - p[0], q[1] - p[1])
-    ts: set[Fraction] = {Fraction(0), Fraction(1)}
+    ts: list[Param] = [(0, 1), (1, 1)]
     for (a, b) in edges:
         e = (b[0] - a[0], b[1] - a[1])
         denom = d[0] * e[1] - d[1] * e[0]
@@ -148,7 +155,7 @@ def _seg_cut_params(s: tuple[IPt, IPt], edges) -> set[Fraction]:
             else:
                 dpos = denom
             if 0 <= tn <= dpos and 0 <= un <= dpos:
-                ts.add(Fraction(tn, dpos))
+                ts.append((tn, dpos))
         else:
             # parallel: collinear overlap contributes the projected endpoints
             if _orient3(p, q, _hpt(a)) == 0:
@@ -162,13 +169,31 @@ def _seg_cut_params(s: tuple[IPt, IPt], edges) -> set[Fraction]:
                     if dd < 0:
                         tn, dd = -tn, -dd
                     if 0 <= tn <= dd:
-                        ts.add(Fraction(tn, dd))
+                        ts.append((tn, dd))
     return ts
 
 
-def _at_param(p: IPt, q: IPt, t: Fraction) -> HPt:
+def _sorted_params(ts: list[Param]) -> list[Param]:
+    """Exact ascending sort + dedup of (tn, td) pairs, td > 0, by integer
+    cross-multiplication — no normalization, no float keys (two distinct
+    cut params can differ by less than a float ulp)."""
+    ts = sorted(ts, key=cmp_to_key(lambda u, v: u[0] * v[1] - v[0] * u[1]))
+    out = [ts[0]]
+    for t in ts[1:]:
+        u = out[-1]
+        if t[0] * u[1] != u[0] * t[1]:
+            out.append(t)
+    return out
+
+
+def _mid(t0: Param, t1: Param) -> Param:
+    """Exact midpoint (t0 + t1) / 2 as an integer pair."""
+    return (t0[0] * t1[1] + t1[0] * t0[1], 2 * t0[1] * t1[1])
+
+
+def _at_param(p: IPt, q: IPt, t: Param) -> HPt:
     """Exact homogeneous point p + t*(q - p)."""
-    tn, td = t.numerator, t.denominator
+    tn, td = t
     return (
         p[0] * td + tn * (q[0] - p[0]),
         p[1] * td + tn * (q[1] - p[1]),
@@ -186,12 +211,10 @@ def classify_boundary(
     for s in segs:
         if s[0] == s[1]:
             continue
-        ts = sorted(_seg_cut_params(s, edges))
+        ts = _sorted_params(_seg_cut_params(s, edges))
         (p, q) = s
         for t0, t1 in zip(ts, ts[1:]):
-            if t0 == t1:
-                continue
-            loc = point_location(_at_param(p, q, (t0 + t1) / 2), rings)
+            loc = point_location(_at_param(p, q, _mid(t0, t1)), rings)
             if loc == 2:
                 has_in = True
             elif loc == 1:
