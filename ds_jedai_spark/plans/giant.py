@@ -321,12 +321,7 @@ def triangle_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = load_sql(spark, sf_dir, triangle_sql())
     b = load_sql(spark, sf_dir, triangle_sql("orders", "o_orderkey"))
     vex = ("x1", "y1", "x2", "y2", "x3", "y3")
-    from ds_jedai_spark.operators.ranking import shuffle_parts
-
-    cand = tile_join(
-        a, b, theta=(2.0, 2.0), source_extra=vex, target_extra=vex,
-        probe_parts=shuffle_parts(b),
-    )
+    cand = tile_join(a, b, theta=(2.0, 2.0), source_extra=vex, target_extra=vex)
     v = with_relations_convex_fast(
         cand,
         [("s_x1", "s_y1"), ("s_x2", "s_y2"), ("s_x3", "s_y3")],

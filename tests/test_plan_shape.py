@@ -46,11 +46,28 @@ def test_closed_form_verification_stays_jvm_side(cand):
     assert "ArrowEvalPython" not in plan
 
 
-def test_single_shuffle_free_tile_join(cand):
-    # Broadcast path: no shuffle exchange at all in the candidate plan.
-    assert "ShuffleExchange" not in plan_of(cand).replace(
+def test_tile_join_never_shuffles_on_the_join_keys(cand):
+    # Broadcast path: no hash-partitioning exchange anywhere. The only
+    # exchange the auto probe-spread may add is a round-robin of the
+    # compact pre-explode probe rows (see tile_join docstring).
+    assert "Exchange hashpartitioning" not in plan_of(cand)
+
+
+def test_tile_join_without_spread_is_fully_shuffle_free(spark):
+    # probe_parts=None pins the exchange-free cluster-scale plan shape
+    # (a many-split probe scan keeps this plan under "auto" as well).
+    source = load_sql(spark, SF, source_box_sql())
+    target = load_sql(spark, SF, target_box_sql())
+    c = tile_join(source, target, theta=(1.0, 1.0), probe_parts=None)
+    assert "ShuffleExchange" not in plan_of(c).replace(
         "AQEShuffleRead", ""
     ).replace("ShuffleQueryStage", "")
+
+
+def test_tile_join_auto_spread_triggers_on_single_file_probe(cand):
+    # The sf0.001 probe is one parquet file -> auto must add the
+    # round-robin spread so the map side parallelizes.
+    assert "RoundRobinPartitioning" in plan_of(cand)
 
 
 def test_pgr_plan_has_no_single_task_window_over_schedule(cand, spark):
