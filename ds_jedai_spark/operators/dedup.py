@@ -135,6 +135,32 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame, tau: float = 0.9, sh: DataFrame | None = None
+) -> DataFrame:
+    """Near-containment dedup: overlap coefficient
+    ``|S1 ∩ S2| / min(|S1|, |S2|) >= tau`` over shingle sets.
+
+    Catches the doc-inside-doc duplication class symmetric Jaccard
+    misses: a page embedded verbatim in a longer page (boilerplate
+    wrappers, concatenated crawls, quote-heavy reposts) has low Jaccard
+    — the union is dominated by the longer doc — but overlap coefficient
+    ~1. Same inverted-index equi-join machinery as the Jaccard path, so
+    the 100 TB shape (blocked join, candidates-only arithmetic) is
+    unchanged."""
+    d = sh if sh is not None else _pin(shingles(docs))
+    return (
+        _with_jaccard(_overlap(d), d)
+        .withColumn(
+            "containment",
+            F.col("common").cast("double")
+            / F.least("n1", "n2").cast("double"),
+        )
+        .where(F.col("containment") >= tau)
+        .select("d1", "d2", "containment")
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame, id1: str = "d1", id2: str = "d2", max_iter: int = 15
 ) -> DataFrame:

@@ -353,6 +353,11 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                  *mapped(pl.QUERIES["dedup_simhash"], pl.ORACLES["dedup_simhash"],
                          [("d1", "d1", None), ("d2", "d2", None),
                           ("hamming", "val", "double")])),
+                ("containment",
+                 *mapped(pl.QUERIES["dedup_containment"],
+                         pl.ORACLES["dedup_containment"],
+                         [("d1", "d1", None), ("d2", "d2", None),
+                          ("containment", "val", "double")])),
                 ("embedding_cosine",
                  *mapped(pl.QUERIES["dedup_embedding_cosine"],
                          pl.ORACLES["dedup_embedding_cosine"],

@@ -21,6 +21,7 @@ from ds_jedai_spark.operators import dedup, multimodal, similarity, textops
 TAU_JACCARD = 0.8
 MAX_HAMMING = 2
 TAU_COS = 0.4
+TAU_CONTAIN = 0.9
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,6 +81,14 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(
         _corpus(spark, sf_dir), MAX_HAMMING, sh=_pinned_shingles(spark, sf_dir)
+    )
+
+
+def dedup_containment(spark, sf_dir):
+    return dedup.containment_pairs(
+        _corpus(spark, sf_dir),
+        TAU_CONTAIN,
+        sh=_pinned_shingles(spark, sf_dir),
     )
 
 
@@ -289,6 +298,18 @@ def dedup_clusters_oracle() -> str:
         "UNION "
         "SELECT e.a, w.label FROM e JOIN walk w ON e.b = w.node) "
         "SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node"
+    )
+
+
+def dedup_containment_oracle() -> str:
+    return (
+        f"WITH {_SHINGLE_CTE}, "
+        "cont AS (SELECT d1, d2, CAST(common AS DOUBLE) / "
+        "CAST(least(n1, n2) AS DOUBLE) AS containment FROM ov "
+        "JOIN (SELECT doc_id AS d1, n AS n1 FROM sz) USING (d1) "
+        "JOIN (SELECT doc_id AS d2, n AS n2 FROM sz) USING (d2)) "
+        f"SELECT d1, d2, containment FROM cont "
+        f"WHERE containment >= {TAU_CONTAIN!r}"
     )
 
 
@@ -666,6 +687,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_containment": dedup_containment,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_clusters": dedup_clusters,
     "ann_brute_topk": ann_brute_topk,
@@ -693,6 +715,7 @@ ORACLES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard_oracle(),
     "dedup_minhash_lsh": dedup_minhash_lsh_oracle(),
     "dedup_simhash": dedup_simhash_oracle(),
+    "dedup_containment": dedup_containment_oracle(),
     "dedup_embedding_cosine": dedup_embedding_cosine_oracle(),
     "dedup_clusters": dedup_clusters_oracle(),
     "ann_brute_topk": ann_brute_topk_oracle(),

@@ -90,3 +90,22 @@ def test_pii_scrub_detects_and_redacts(spark):
     # Redacted lengths: original minus matched spans plus tag lengths.
     assert got[2].len_clean == len("nothing sensitive here")
     assert got[1].len_clean == len("contact <EMAIL> or <IP> now")
+
+
+def test_containment_catches_doc_inside_doc_that_jaccard_misses(spark):
+    """A short doc embedded verbatim in a much longer one: overlap
+    coefficient ~1 (containment pair) while Jaccard is far below the 0.8
+    threshold (no jaccard pair)."""
+    from ds_jedai_spark.operators import dedup
+
+    inner = " ".join(f"w{i}" for i in range(12))
+    outer = inner + " " + " ".join(f"x{i}" for i in range(60))
+    other = " ".join(f"y{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, other)], "doc_id long, text string"
+    )
+    cont = {(r.d1, r.d2) for r in dedup.containment_pairs(docs, 0.9).collect()}
+    jac = {(r.d1, r.d2) for r in dedup.ngram_jaccard_pairs(docs, 0.8).collect()}
+    assert (1, 2) in cont
+    assert (1, 2) not in jac
+    assert all(p[0] != 3 and p[1] != 3 for p in cont)
