@@ -142,18 +142,18 @@ def _orient_tensor(A, ka, sa, B, kmax):
 
 
 def _dense_ring_checks(ring):
-    """Scaling / integrality / convexity checks over a dense batch of
-    closed rings ``ring[n, P, 2]`` (first vertex repeated last). Returns
-    (verts[n,k,2], k, sign[n], valid[n]) or None when the shared shape is
-    outside the fast-path envelope."""
+    """Scaling / integrality / convexity / closure checks over a dense
+    batch of closed rings ``ring[n, P, 2]`` (first vertex repeated
+    last). Returns (verts[n,k,2], k, sign[n], valid[n]) or None when the
+    shared arity is outside the fast-path envelope; rows failing any
+    PER-ROW probe (closure included) come back invalid, not batch-fatal."""
     k = ring.shape[1] - 1  # vertices sans closure
     if not 3 <= k <= MAX_VERTS:
         return None
-    if not bool(np.all(ring[:, 0] == ring[:, -1])):
-        return None
     r = ring[:, :-1] * SCALE
     valid = (
-        np.all(np.abs(r) <= MAX_SCALED, axis=(1, 2))
+        np.all(ring[:, 0] == ring[:, -1], axis=1)
+        & np.all(np.abs(r) <= MAX_SCALED, axis=(1, 2))
         & np.all(r == np.rint(r), axis=(1, 2))
     )
     e = np.roll(r, -1, axis=1) - r

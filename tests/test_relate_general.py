@@ -151,3 +151,54 @@ def test_line_line_gapped_collinear_coverage_not_within():
     full = [[(0.0, 0.0), (0.5, 0.0)], [(0.5, 0.0), (1.0, 0.0)]]
     d3 = relate_pair("LINESTRING", source, "MULTILINESTRING", full)
     assert d3["within"] and d3["equals"] and d3["coveredby"]
+
+
+def test_ragged_arity_buckets_match_exact_path(spark):
+    """Mixed ring arities + non-polygon rows in ONE batch: the grouped
+    dense pre-classifier must agree with relate_pair on every row."""
+    import random
+
+    from ds_jedai_spark.operators.relate_general import with_general_relations
+    from ds_jedai_spark.operators.relate import RELATIONS
+
+    rng = random.Random(2024)
+
+    def ring(k, cx, cy, r=3.0):
+        import math
+
+        pts = [
+            [cx + r * round(16 * math.cos(2 * math.pi * i / k)) / 16,
+             cy + r * round(16 * math.sin(2 * math.pi * i / k)) / 16]
+            for i in range(k)
+        ]
+        return [pts + [pts[0]]]
+
+    rows = []
+    for i in range(200):
+        kind = rng.randrange(4)
+        cx, cy = rng.randint(-40, 40) / 16, rng.randint(-40, 40) / 16
+        dx = rng.randint(-8, 8) / 16
+        if kind == 0:      # same-arity polygons (3..6 vertices)
+            k = rng.choice([3, 4, 5, 6])
+            rows.append(("POLYGON", ring(k, cx, cy),
+                         "POLYGON", ring(rng.choice([3, 4, 5, 6]), cx + dx, cy)))
+        elif kind == 1:    # polygon with hole (multi-ring -> exact path)
+            sh = ring(4, cx, cy, 4.0)[0]
+            ho = ring(4, cx, cy, 1.0)[0]
+            rows.append(("POLYGON", [sh, ho], "POLYGON", ring(3, cx + dx, cy)))
+        elif kind == 2:    # point vs polygon
+            rows.append(("POINT", [[[cx, cy]]], "POLYGON", ring(5, cx + dx, cy)))
+        else:              # line vs line
+            rows.append(("LINESTRING", [[[cx, cy], [cx + 2, cy + 1]]],
+                         "LINESTRING", [[[cx + dx, cy - 1], [cx + dx, cy + 2]]]))
+    df = spark.createDataFrame(
+        rows,
+        "s_gtype string, s_coords array<array<array<double>>>, "
+        "t_gtype string, t_coords array<array<array<double>>>",
+    )
+    for r in with_general_relations(df, spread=False).collect():
+        exact = relate_pair(
+            r["s_gtype"], r["s_coords"], r["t_gtype"], r["t_coords"]
+        )
+        got = {rel: r[f"r_{rel}"] for rel in RELATIONS}
+        assert got == exact, (r["s_gtype"], r["t_gtype"], got, exact)
