@@ -52,8 +52,17 @@ def _pinned_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # for a stale (session, sf_dir) would otherwise accumulate for
         # the application's lifetime.
         _SHINGLE_PIN.clear()
+        from ds_jedai_spark.operators.ranking import shuffle_parts
+
+        # Spread the compact doc rows before the shingle explode: the
+        # corpus is a single parquet file here, so the explode and the
+        # pinned checkpoint would otherwise hold 1-3 partitions and
+        # single-thread every downstream signature/band scan (measured
+        # 1.5x on the sf0.1 LSH chain). Cluster-scale corpora scan as
+        # many splits and the repartition of pre-explode rows is noise.
+        corpus = _corpus(spark, sf_dir)
         _SHINGLE_PIN[key] = dedup._pin(
-            textops.shingles(_corpus(spark, sf_dir))
+            textops.shingles(corpus.repartition(shuffle_parts(corpus)))
         )
     return _SHINGLE_PIN[key]
 
