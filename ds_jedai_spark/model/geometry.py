@@ -185,38 +185,78 @@ def _envelope(parts: list[list[list[float]]]) -> tuple[float, float, float, floa
 
 def with_parsed_geometry(df: DataFrame, wkt_col: str = "wkt") -> DataFrame:
     """Append (gtype, coords, minx..maxy); rows failing to parse are kept
-    with NULL gtype (filter with dropna downstream)."""
+    with NULL gtype and empty coords (filter with ``valid_geometries``
+    downstream — every caller does).
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                "gtype": [],
-                "coords": [],
-                "minx": [],
-                "miny": [],
-                "maxx": [],
-                "maxy": [],
-            }
-            for s in pdf[wkt_col]:
+    Arrow-native (``mapInArrow``): the nested coords column is assembled
+    directly from flat value/offset buffers and the envelopes come from
+    two ``minimum.reduceat``/``maximum.reduceat`` passes over the flat
+    coordinate array. The previous pandas version spent ~80% of reader
+    wall time converting per-row nested Python lists back through
+    pandas->Arrow (measured 262k rows/s end-to-end on local[32] with
+    parse_wkt itself only 12.5us/row); transport, not parsing, was the
+    ingest bottleneck — same lesson as the verifier (PLANS.md §7)."""
+    names = [f.name for f in df.schema]
+    i_wkt = names.index(wkt_col)
+
+    def run(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            wkts = batch.column(i_wkt).to_pylist()
+            n = len(wkts)
+            gtypes: list[str | None] = []
+            flat: list[float] = []
+            o1 = np.zeros(n + 1, dtype=np.int32)
+            o2: list[int] = [0]
+            valid = np.zeros(n, dtype=bool)
+            for i, s in enumerate(wkts):
                 parsed = parse_wkt(s)
                 if parsed is None:
-                    out["gtype"].append(None)
-                    out["coords"].append(None)
-                    for k in ("minx", "miny", "maxx", "maxy"):
-                        out[k].append(None)
-                else:
-                    gtype, parts = parsed
-                    mnx, mny, mxx, mxy = _envelope(parts)
-                    out["gtype"].append(gtype)
-                    out["coords"].append(parts)
-                    out["minx"].append(mnx)
-                    out["miny"].append(mny)
-                    out["maxx"].append(mxx)
-                    out["maxy"].append(mxy)
-            yield pd.concat([pdf.reset_index(drop=True), pd.DataFrame(out)], axis=1)
+                    gtypes.append(None)
+                    o1[i + 1] = o1[i]
+                    continue
+                gtype, parts = parsed
+                gtypes.append(gtype)
+                valid[i] = True
+                for part in parts:
+                    for p in part:
+                        flat += p
+                    o2.append(o2[-1] + len(part))
+                o1[i + 1] = o1[i] + len(parts)
+            vals = np.asarray(flat, dtype=np.float64)
+            npts = len(vals) // 2
+            xs, ys = vals[0::2], vals[1::2]
+            # Per-row envelopes: valid rows tile the flat point range
+            # contiguously, so reduceat over their start offsets is exact.
+            env = {k: np.full(n, np.nan) for k in ("minx", "miny", "maxx", "maxy")}
+            vrows = np.nonzero(valid)[0]
+            if len(vrows):
+                o2a = np.asarray(o2, dtype=np.int64)
+                starts = o2a[o1[vrows]]
+                env["minx"][vrows] = np.minimum.reduceat(xs, starts)
+                env["miny"][vrows] = np.minimum.reduceat(ys, starts)
+                env["maxx"][vrows] = np.maximum.reduceat(xs, starts)
+                env["maxy"][vrows] = np.maximum.reduceat(ys, starts)
+            pts = pa.ListArray.from_arrays(
+                pa.array(np.arange(npts + 1, dtype=np.int32) * 2), pa.array(vals)
+            )
+            parts_arr = pa.ListArray.from_arrays(
+                pa.array(np.asarray(o2, dtype=np.int32)), pts
+            )
+            coords = pa.ListArray.from_arrays(pa.array(o1), parts_arr)
+            cols = [batch.column(j) for j in range(batch.num_columns)]
+            cols.append(pa.array(gtypes, pa.string()))
+            cols.append(coords)
+            mask = ~valid
+            for k in ("minx", "miny", "maxx", "maxy"):
+                cols.append(pa.array(env[k], pa.float64(), mask=mask))
+            yield pa.RecordBatch.from_arrays(
+                cols, names=names + ["gtype", "coords", "minx", "miny", "maxx", "maxy"]
+            )
 
     in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
-    return df.mapInPandas(run, f"{in_fields}, {GEOM_FIELDS}")
+    return df.mapInArrow(run, f"{in_fields}, {GEOM_FIELDS}")
 
 
 def valid_geometries(df: DataFrame) -> DataFrame:
