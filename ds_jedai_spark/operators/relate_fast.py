@@ -188,6 +188,43 @@ def preclassify_dense(ring_a, ring_b) -> np.ndarray | None:
     return out
 
 
+def preclassify_points_vs_poly(pts, ring) -> np.ndarray | None:
+    """Codes for point-set/polyline A vs convex single-ring polygon B.
+
+    ``pts[n, K, 2]`` holds EVERY vertex of A (POINT / MULTIPOINT /
+    LINESTRING / MULTILINESTRING — for dim < 2 geometries the vertex set
+    is enough: on any linear axis the polyline's extremes are vertices,
+    and a convex region containing all vertices contains every segment
+    between them). ``ring[n, P, 2]`` is the closed ring. Claims are
+    conservative and strict-sign only:
+      * every vertex strictly inside every edge half-plane -> A_IN_B
+        (intersects + within + coveredby; no boundary contact possible)
+      * some edge axis with every vertex strictly outside -> DISJOINT
+      * anything else (contact, degenerate, off-lattice) -> UNDECIDED.
+    Exactness: same scaled-integer float64 argument as the polygon pair
+    path. Swapped callers map A_IN_B -> B_IN_A themselves."""
+    hb = _dense_ring_checks(ring)
+    if hb is None:
+        return None
+    B, kb, sb, vb = hb
+    ps = pts * SCALE
+    va = (
+        np.all(np.abs(ps) <= MAX_SCALED, axis=(1, 2))
+        & np.all(ps == np.rint(ps), axis=(1, 2))
+    )
+    n = ring.shape[0]
+    OB, evb = _orient_tensor(B, np.full(n, kb), sb, ps, kb)
+    allj_pos = np.all(OB > 0, axis=2)
+    allj_neg = np.all(OB < 0, axis=2)
+    inside = np.all(allj_pos | ~evb, axis=1)
+    sep = np.any(allj_neg & evb, axis=1)
+    out = np.zeros(n, dtype=np.int8)
+    out[sep] = DISJOINT
+    out[inside] = A_IN_B
+    out[~(va & vb)] = UNDECIDED
+    return out
+
+
 def _extract_homogeneous(gtypes, coords):
     """Batch extraction when every row is a single closed ring of the
     same vertex count (the shape every tile-join candidate batch has):

@@ -481,21 +481,40 @@ def _dense_subset(f, rows, P):
     return vals[o3[pp][..., None] + np.arange(2)]
 
 
-def _ragged_preclassify(fs, ft, poly_mask, n):
+_PTS_KINDS = ("POINT", "MULTIPOINT", "LINESTRING", "MULTILINESTRING")
+
+
+def _dense_points_subset(f, rows, P):
+    """(len(rows), P, 2) gather of ALL points of each row (across parts)
+    — valid because a row's points are contiguous in the flat buffer."""
+    import numpy as np
+
+    o1, o2, o3, vals = f
+    starts = o3[o2[o1[rows]]]
+    return vals[starts[:, None] + np.arange(2 * P)].reshape(len(rows), P, 2)
+
+
+def _ragged_preclassify(fs, ft, kind_a, kind_b, n):
     """Grouped dense pre-classification of a RAGGED batch: rows are
-    bucketed by their (ring size A, ring size B) pair and each bucket
-    runs the same dense tensor as the fixed-shape path — no per-row
-    Python extraction (the former ``_extract_ring`` loop measured ~15us
-    per row, dominating mixed-corpus batches). Rows that are not
-    single-ring polygons of fast-path arity stay UNDECIDED for the
-    per-pair exact path. Returns an int8 code array, or None when the
-    batch violates the leaves-are-[x,y] invariant."""
+    bucketed by their (kind, arity) pairs and each bucket runs a dense
+    tensor — no per-row Python extraction (the former ``_extract_ring``
+    loop measured ~15us per row, dominating mixed-corpus batches).
+    ``kind_*`` is int8 per row: 0 = other, 1 = polygon, 2 = point-set
+    (POINT/MULTIPOINT/LINESTRING/MULTILINESTRING — dim < 2, classified
+    by vertex set). Bucket families: polygon x polygon (full SAT codes),
+    point-set x polygon and polygon x point-set (strict inside/disjoint
+    only). Everything else stays UNDECIDED for the per-pair exact path.
+    Returns an int8 code array, or None when the batch violates the
+    leaves-are-[x,y] invariant."""
     import numpy as np
 
     from ds_jedai_spark.operators.relate_fast import (
+        A_IN_B,
+        B_IN_A,
         MAX_VERTS,
         UNDECIDED,
         preclassify_dense,
+        preclassify_points_vs_poly,
     )
 
     o1a, o2a, o3a, _ = fs
@@ -508,37 +527,63 @@ def _ragged_preclassify(fs, ft, poly_mask, n):
     if n == 0:
         return codes
 
-    def ring_sizes(o1, o2):
+    def shape_info(o1, o2):
         single = np.diff(o1) == 1
-        k = np.where(single, o2[np.minimum(o1[:-1] + 1, len(o2) - 1)]
-                     - o2[np.minimum(o1[:-1], len(o2) - 2)], 0)
-        return single, k
-
-    single_a, ka = ring_sizes(o1a, o2a)
-    single_b, kb = ring_sizes(o1b, o2b)
-    ok = (
-        poly_mask
-        & single_a
-        & single_b
-        & (ka - 1 >= 3)
-        & (ka - 1 <= MAX_VERTS)
-        & (kb - 1 >= 3)
-        & (kb - 1 <= MAX_VERTS)
-    )
-    if not ok.any():
-        return codes
-    pair_key = ka * (MAX_VERTS + 2) + kb
-    for key in np.unique(pair_key[ok]):
-        rows = np.nonzero(ok & (pair_key == key))[0]
-        PA = int(ka[rows[0]])
-        PB = int(kb[rows[0]])
-        got = preclassify_dense(
-            _dense_subset(fs, rows, PA), _dense_subset(ft, rows, PB)
+        ring_pts = np.where(
+            single,
+            o2[np.minimum(o1[:-1] + 1, len(o2) - 1)]
+            - o2[np.minimum(o1[:-1], len(o2) - 2)],
+            0,
         )
-        if got is not None:
-            codes[rows] = got
-        else:
-            codes[rows] = UNDECIDED
+        # total points across all parts (any part structure)
+        all_pts = o2[o1[1:]] - o2[o1[:-1]]
+        return single, ring_pts, all_pts
+
+    single_a, ring_a, pts_a = shape_info(o1a, o2a)
+    single_b, ring_b, pts_b = shape_info(o1b, o2b)
+    poly_a = (kind_a == 1) & single_a & (ring_a - 1 >= 3) & (ring_a - 1 <= MAX_VERTS)
+    poly_b = (kind_b == 1) & single_b & (ring_b - 1 >= 3) & (ring_b - 1 <= MAX_VERTS)
+    MAXP = 64  # point-set fast-path cap: bigger rows go exact
+    pset_a = (kind_a == 2) & (pts_a >= 1) & (pts_a <= MAXP)
+    pset_b = (kind_b == 2) & (pts_b >= 1) & (pts_b <= MAXP)
+
+    def buckets(mask, na, nb, runner):
+        if not mask.any():
+            return
+        key = na * (MAXP + 2) + nb
+        for k in np.unique(key[mask]):
+            rows = np.nonzero(mask & (key == k))[0]
+            got = runner(rows, int(na[rows[0]]), int(nb[rows[0]]))
+            codes[rows] = got if got is not None else UNDECIDED
+
+    buckets(
+        poly_a & poly_b,
+        ring_a,
+        ring_b,
+        lambda rows, pa, pb: preclassify_dense(
+            _dense_subset(fs, rows, pa), _dense_subset(ft, rows, pb)
+        ),
+    )
+    buckets(
+        pset_a & poly_b,
+        pts_a,
+        ring_b,
+        lambda rows, pa, pb: preclassify_points_vs_poly(
+            _dense_points_subset(fs, rows, pa), _dense_subset(ft, rows, pb)
+        ),
+    )
+
+    def swapped(rows, pa, pb):
+        got = preclassify_points_vs_poly(
+            _dense_points_subset(ft, rows, pb), _dense_subset(fs, rows, pa)
+        )
+        if got is None:
+            return None
+        out = got.copy()
+        out[got == A_IN_B] = B_IN_A
+        return out
+
+    buckets(poly_a & pset_b, ring_a, pts_b, swapped)
     return codes
 
 
@@ -649,17 +694,23 @@ def with_general_relations(
                     if da is not None and db is not None:
                         codes = preclassify_dense(da, db)
                 if codes is None:
-                    # Ragged batch: bucket by ring-arity pair, dense
+                    # Ragged batch: bucket by (kind, arity), dense
                     # tensor per bucket — no per-row extraction.
                     ga_l = sg_col.to_pylist()
                     gb_l = tg_col.to_pylist()
-                    pm = np.fromiter(
-                        (a == "POLYGON" and b == "POLYGON"
-                         for a, b in zip(ga_l, gb_l)),
-                        dtype=bool,
-                        count=n,
+
+                    def kinds(gl):
+                        return np.fromiter(
+                            (1 if g == "POLYGON"
+                             else 2 if g in _PTS_KINDS else 0
+                             for g in gl),
+                            dtype=np.int8,
+                            count=n,
+                        )
+
+                    codes = _ragged_preclassify(
+                        fs, ft, kinds(ga_l), kinds(gb_l), n
                     )
-                    codes = _ragged_preclassify(fs, ft, pm, n)
             if codes is None:
                 if ga_l is None:
                     ga_l, gb_l = sg_col.to_pylist(), tg_col.to_pylist()

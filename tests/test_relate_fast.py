@@ -146,3 +146,56 @@ def test_numpy_object_input_shape():
                               [50.0, 50.0]])], dtype=object)
     codes = preclassify_batch(["POLYGON"], [tri], ["POLYGON"], [far])
     assert codes[0] == 1
+
+
+def test_points_vs_poly_preclassifier_agrees_with_exact_path():
+    """Dense point-set/polyline vs convex polygon codes must match
+    relate_pair flags on every decided row (interior / separated /
+    boundary-contact mixes)."""
+    import numpy as np
+
+    from ds_jedai_spark.operators.relate_fast import (
+        A_IN_B,
+        CODE_DICTS,
+        DISJOINT,
+        UNDECIDED,
+        preclassify_points_vs_poly,
+    )
+
+    rng = random.Random(808)
+    rows = []
+    for i in range(600):
+        poly = _convex_poly(rng)
+        ring = poly[0]
+        # point sets of 1..4 points: sometimes a polygon vertex (contact)
+        pts = []
+        for _ in range(rng.choice([1, 2, 3, 4])):
+            if rng.random() < 0.2:
+                pts.append(list(ring[rng.randrange(len(ring) - 1)]))
+            else:
+                pts.append(
+                    [rng.randint(-900, 900) / 16, rng.randint(-900, 900) / 16]
+                )
+        rows.append((pts, poly))
+    keys = sorted({(len(p), len(poly[0])) for p, poly in rows})
+    n_decided_total = 0
+    for npts, rlen in keys:
+        sel = [r for r in rows if len(r[0]) == npts and len(r[1][0]) == rlen]
+        if not sel:
+            continue
+        pts = np.array([r[0] for r in sel], dtype=float)
+        rings = np.array([r[1][0] for r in sel], dtype=float)
+        codes = preclassify_points_vs_poly(pts, rings)
+        assert codes is not None
+        decided = 0
+        for i, (p, poly) in enumerate(sel):
+            if codes[i] == UNDECIDED:
+                continue
+            decided += 1
+            gtype = "POINT" if len(p) == 1 else "MULTIPOINT"
+            parts = [[q] for q in p] if len(p) > 1 else [p]
+            exact = relate_pair(gtype, parts, "POLYGON", poly)
+            want = CODE_DICTS[int(codes[i])]
+            assert {k: exact[k] for k in want} == want, (p, poly, exact)
+        n_decided_total += decided
+    assert n_decided_total > 200
