@@ -225,6 +225,96 @@ def preclassify_points_vs_poly(pts, ring) -> np.ndarray | None:
     return out
 
 
+def _scaled_points(pts):
+    """(scaled points, per-row lattice-validity) for a (n, K, 2) batch."""
+    ps = pts * SCALE
+    valid = (
+        np.all(np.abs(ps) <= MAX_SCALED, axis=(1, 2))
+        & np.all(ps == np.rint(ps), axis=(1, 2))
+    )
+    return ps, valid
+
+
+def preclassify_pts_vs_pts(A, B) -> np.ndarray:
+    """Codes for point-set x point-set (POINT/MULTIPOINT both sides —
+    the vertex set IS the geometry). Pure set algebra on the equality
+    tensor, exact on ANY float coordinates (no lattice probe needed):
+    no common point -> DISJOINT; proper subset -> A_IN_B / B_IN_A;
+    common + residue both sides -> OVERLAP (point sets never touch or
+    cross); equal sets -> UNDECIDED (the code table carries no equals)."""
+    eq = (A[:, :, None, 0] == B[:, None, :, 0]) & (
+        A[:, :, None, 1] == B[:, None, :, 1]
+    )
+    common = eq.any(axis=(1, 2))
+    a_in_b = eq.any(axis=2).all(axis=1)
+    b_in_a = eq.any(axis=1).all(axis=1)
+    out = np.zeros(A.shape[0], dtype=np.int8)
+    out[~common] = DISJOINT
+    out[common & a_in_b & ~b_in_a] = A_IN_B
+    out[common & b_in_a & ~a_in_b] = B_IN_A
+    out[common & ~a_in_b & ~b_in_a] = OVERLAP
+    return out
+
+
+def preclassify_pts_vs_line(P, L) -> np.ndarray:
+    """Codes for point-set vs polyline: DISJOINT iff no point is
+    incident to any segment of the vertex chain (orientation zero AND
+    inside the segment bbox — integer-exact under the lattice probe),
+    else UNDECIDED. Multi-part lines enter as their flat vertex chain:
+    the phantom bridge segments can only ADD incidences, i.e. only
+    withhold a DISJOINT claim — conservative, never wrong."""
+    ps, va = _scaled_points(P)
+    ls, vb = _scaled_points(L)
+    a, b = ls[:, :-1, :], ls[:, 1:, :]
+    e = b - a                                     # (n, S, 2)
+    rel = ps[:, :, None, :] - a[:, None, :, :]    # (n, K, S, 2)
+    o = e[:, None, :, 0] * rel[:, :, :, 1] - e[:, None, :, 1] * rel[:, :, :, 0]
+    lox = np.minimum(a[:, None, :, 0], b[:, None, :, 0])
+    hix = np.maximum(a[:, None, :, 0], b[:, None, :, 0])
+    loy = np.minimum(a[:, None, :, 1], b[:, None, :, 1])
+    hiy = np.maximum(a[:, None, :, 1], b[:, None, :, 1])
+    px, py = ps[:, :, None, 0], ps[:, :, None, 1]
+    incident = (
+        (o == 0) & (px >= lox) & (px <= hix) & (py >= loy) & (py <= hiy)
+    )
+    out = np.zeros(P.shape[0], dtype=np.int8)
+    out[~incident.any(axis=(1, 2))] = DISJOINT
+    out[~(va & vb)] = UNDECIDED
+    return out
+
+
+def preclassify_line_vs_line(A, B) -> np.ndarray:
+    """Codes for polyline vs polyline: DISJOINT iff every segment pair
+    exhibits a strict straddle separation (one segment's endpoints
+    strictly on one side of the other's line — sign tests only), else
+    UNDECIDED. Same conservative flat-vertex-chain treatment for
+    multi-part rows as preclassify_pts_vs_line."""
+    sa, va = _scaled_points(A)
+    sb, vb = _scaled_points(B)
+    a0, a1 = sa[:, :-1, :], sa[:, 1:, :]
+    b0, b1 = sb[:, :-1, :], sb[:, 1:, :]
+
+    def orient(p0, p1, q):
+        # p0/p1: (n, S, 2) broadcast vs q: (n, T, 2) -> (n, S, T)
+        e = p1 - p0
+        return (
+            e[:, :, None, 0] * (q[:, None, :, 1] - p0[:, :, None, 1])
+            - e[:, :, None, 1] * (q[:, None, :, 0] - p0[:, :, None, 0])
+        )
+
+    d1 = orient(b0, b1, a0)                      # (n, SB, SA)
+    d2 = orient(b0, b1, a1)
+    d3 = orient(a0, a1, b0)                      # (n, SA, SB)
+    d4 = orient(a0, a1, b1)
+    sep_b = ((d1 > 0) & (d2 > 0)) | ((d1 < 0) & (d2 < 0))
+    sep_a = ((d3 > 0) & (d4 > 0)) | ((d3 < 0) & (d4 < 0))
+    no_int = sep_b.transpose(0, 2, 1) | sep_a    # (n, SA, SB)
+    out = np.zeros(A.shape[0], dtype=np.int8)
+    out[no_int.all(axis=(1, 2))] = DISJOINT
+    out[~(va & vb)] = UNDECIDED
+    return out
+
+
 def _extract_homogeneous(gtypes, coords):
     """Batch extraction when every row is a single closed ring of the
     same vertex count (the shape every tile-join candidate batch has):

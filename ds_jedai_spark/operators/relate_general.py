@@ -481,9 +481,6 @@ def _dense_subset(f, rows, P):
     return vals[o3[pp][..., None] + np.arange(2)]
 
 
-_PTS_KINDS = ("POINT", "MULTIPOINT", "LINESTRING", "MULTILINESTRING")
-
-
 def _dense_points_subset(f, rows, P):
     """(len(rows), P, 2) gather of ALL points of each row (across parts)
     — valid because a row's points are contiguous in the flat buffer."""
@@ -499,11 +496,13 @@ def _ragged_preclassify(fs, ft, kind_a, kind_b, n):
     bucketed by their (kind, arity) pairs and each bucket runs a dense
     tensor — no per-row Python extraction (the former ``_extract_ring``
     loop measured ~15us per row, dominating mixed-corpus batches).
-    ``kind_*`` is int8 per row: 0 = other, 1 = polygon, 2 = point-set
-    (POINT/MULTIPOINT/LINESTRING/MULTILINESTRING — dim < 2, classified
-    by vertex set). Bucket families: polygon x polygon (full SAT codes),
-    point-set x polygon and polygon x point-set (strict inside/disjoint
-    only). Everything else stays UNDECIDED for the per-pair exact path.
+    ``kind_*`` is int8 per row: 0 = other, 1 = polygon, 2 = point set
+    (POINT/MULTIPOINT), 3 = line (LINESTRING/MULTILINESTRING). Bucket
+    families: polygon x polygon (full SAT codes), any dim<2 vertex set x
+    polygon and its swap (strict inside/disjoint), point-set x point-set
+    (full set algebra sans equals), point-set x line and line x line
+    (proven-disjoint only). Everything else stays UNDECIDED for the
+    per-pair exact path.
     Returns an int8 code array, or None when the batch violates the
     leaves-are-[x,y] invariant."""
     import numpy as np
@@ -514,7 +513,10 @@ def _ragged_preclassify(fs, ft, kind_a, kind_b, n):
         MAX_VERTS,
         UNDECIDED,
         preclassify_dense,
+        preclassify_line_vs_line,
         preclassify_points_vs_poly,
+        preclassify_pts_vs_line,
+        preclassify_pts_vs_pts,
     )
 
     o1a, o2a, o3a, _ = fs
@@ -543,11 +545,17 @@ def _ragged_preclassify(fs, ft, kind_a, kind_b, n):
     single_b, ring_b, pts_b = shape_info(o1b, o2b)
     poly_a = (kind_a == 1) & single_a & (ring_a - 1 >= 3) & (ring_a - 1 <= MAX_VERTS)
     poly_b = (kind_b == 1) & single_b & (ring_b - 1 >= 3) & (ring_b - 1 <= MAX_VERTS)
-    MAXP = 64  # point-set fast-path cap: bigger rows go exact
-    pset_a = (kind_a == 2) & (pts_a >= 1) & (pts_a <= MAXP)
-    pset_b = (kind_b == 2) & (pts_b >= 1) & (pts_b <= MAXP)
+    # Arity caps bound the per-bucket tensors (bigger rows go exact);
+    # the quadratic families get tighter caps than the vs-polygon ones.
+    MAXP = 64
+    vset_a = (kind_a >= 2) & (pts_a >= 1) & (pts_a <= MAXP)
+    vset_b = (kind_b >= 2) & (pts_b >= 1) & (pts_b <= MAXP)
+    pp_a, pp_b = vset_a & (kind_a == 2), vset_b & (kind_b == 2)
+    ln_a = (kind_a == 3) & (pts_a >= 2) & (pts_a <= MAXP)
+    ln_b = (kind_b == 3) & (pts_b >= 2) & (pts_b <= MAXP)
 
-    def buckets(mask, na, nb, runner):
+    def buckets(mask, na, nb, runner, cap_a=MAXP, cap_b=MAXP):
+        mask = mask & (na <= cap_a) & (nb <= cap_b)
         if not mask.any():
             return
         key = na * (MAXP + 2) + nb
@@ -565,7 +573,7 @@ def _ragged_preclassify(fs, ft, kind_a, kind_b, n):
         ),
     )
     buckets(
-        pset_a & poly_b,
+        vset_a & poly_b,
         pts_a,
         ring_b,
         lambda rows, pa, pb: preclassify_points_vs_poly(
@@ -583,7 +591,44 @@ def _ragged_preclassify(fs, ft, kind_a, kind_b, n):
         out[got == A_IN_B] = B_IN_A
         return out
 
-    buckets(poly_a & pset_b, ring_a, pts_b, swapped)
+    buckets(poly_a & vset_b, ring_a, pts_b, swapped)
+    buckets(
+        pp_a & pp_b,
+        pts_a,
+        pts_b,
+        lambda rows, pa, pb: preclassify_pts_vs_pts(
+            _dense_points_subset(fs, rows, pa), _dense_points_subset(ft, rows, pb)
+        ),
+    )
+    buckets(
+        pp_a & ln_b,
+        pts_a,
+        pts_b,
+        lambda rows, pa, pb: preclassify_pts_vs_line(
+            _dense_points_subset(fs, rows, pa), _dense_points_subset(ft, rows, pb)
+        ),
+        cap_b=32,
+    )
+    buckets(
+        ln_a & pp_b,
+        pts_a,
+        pts_b,
+        # DISJOINT is symmetric and it is this classifier's only claim.
+        lambda rows, pa, pb: preclassify_pts_vs_line(
+            _dense_points_subset(ft, rows, pb), _dense_points_subset(fs, rows, pa)
+        ),
+        cap_a=32,
+    )
+    buckets(
+        ln_a & ln_b,
+        pts_a,
+        pts_b,
+        lambda rows, pa, pb: preclassify_line_vs_line(
+            _dense_points_subset(fs, rows, pa), _dense_points_subset(ft, rows, pb)
+        ),
+        cap_a=16,
+        cap_b=16,
+    )
     return codes
 
 
@@ -702,7 +747,9 @@ def with_general_relations(
                     def kinds(gl):
                         return np.fromiter(
                             (1 if g == "POLYGON"
-                             else 2 if g in _PTS_KINDS else 0
+                             else 2 if g in ("POINT", "MULTIPOINT")
+                             else 3 if g in ("LINESTRING", "MULTILINESTRING")
+                             else 0
                              for g in gl),
                             dtype=np.int8,
                             count=n,

@@ -199,3 +199,94 @@ def test_points_vs_poly_preclassifier_agrees_with_exact_path():
             assert {k: exact[k] for k in want} == want, (p, poly, exact)
         n_decided_total += decided
     assert n_decided_total > 200
+
+
+def test_pts_line_and_line_line_classifiers_agree_with_exact_path():
+    """The proven-disjoint classifiers (point-set vs line, line vs line)
+    and the point-set set-algebra codes must agree with relate_pair on
+    every decided row."""
+    import numpy as np
+
+    from ds_jedai_spark.operators.relate_fast import (
+        preclassify_line_vs_line,
+        preclassify_pts_vs_line,
+        preclassify_pts_vs_pts,
+    )
+
+    rng = random.Random(515)
+
+    def rnd_pts(k):
+        return [[rng.randint(-300, 300) / 16, rng.randint(-300, 300) / 16]
+                for _ in range(k)]
+
+    def rnd_chain(k):
+        pts = [[rng.randint(-300, 300) / 16, rng.randint(-300, 300) / 16]]
+        for _ in range(k - 1):
+            pts.append([pts[-1][0] + rng.randint(-48, 48) / 16,
+                        pts[-1][1] + rng.randint(-48, 48) / 16])
+        return pts
+
+    # point-set vs point-set (with forced shares for subset/overlap rows)
+    A, B = [], []
+    for i in range(400):
+        a = rnd_pts(3)
+        if i % 4 == 0:
+            b = list(a)                    # equal sets -> UNDECIDED
+        elif i % 4 == 1:
+            b = a[:2] + rnd_pts(1)         # shared points -> overlap/subset
+        elif i % 4 == 2:
+            b = a[:1] + rnd_pts(2)         # one shared point
+        else:
+            b = rnd_pts(3)                 # usually disjoint
+        B.append(b)
+        A.append(a)
+    An, Bn = np.array(A, float), np.array(B, float)
+    codes = preclassify_pts_vs_pts(An, Bn)
+    from ds_jedai_spark.operators.relate_fast import CODE_DICTS, UNDECIDED
+    decided = 0
+    for i in range(len(A)):
+        if codes[i] == UNDECIDED:
+            continue
+        decided += 1
+        exact = relate_pair("MULTIPOINT", [[p] for p in A[i]],
+                            "MULTIPOINT", [[p] for p in B[i]])
+        want = CODE_DICTS[int(codes[i])]
+        assert {k: exact[k] for k in want} == want, (A[i], B[i], exact)
+    assert decided > 100
+
+    # point-set vs line
+    decided = 0
+    for _ in range(60):
+        P = [rnd_pts(2) for _ in range(40)]
+        L = [rnd_chain(3) for _ in range(40)]
+        # force some incidences: put a point ON a segment midpoint
+        for j in range(0, 40, 5):
+            a, b = L[j][0], L[j][1]
+            P[j][0] = [(a[0] + b[0]) / 2, (a[1] + b[1]) / 2]
+        codes = preclassify_pts_vs_line(np.array(P, float), np.array(L, float))
+        for i in range(40):
+            if codes[i] == UNDECIDED:
+                continue
+            decided += 1
+            exact = relate_pair("MULTIPOINT", [[p] for p in P[i]],
+                                "LINESTRING", [L[i]])
+            want = CODE_DICTS[int(codes[i])]
+            assert {k: exact[k] for k in want} == want, (P[i], L[i], exact)
+    assert decided > 500
+
+    # line vs line
+    decided = 0
+    for _ in range(60):
+        LA = [rnd_chain(3) for _ in range(40)]
+        LB = [rnd_chain(3) for _ in range(40)]
+        for j in range(0, 40, 7):
+            LB[j] = [list(p) for p in LA[j]]   # identical -> intersecting
+        codes = preclassify_line_vs_line(np.array(LA, float), np.array(LB, float))
+        for i in range(40):
+            if codes[i] == UNDECIDED:
+                continue
+            decided += 1
+            exact = relate_pair("LINESTRING", [LA[i]], "LINESTRING", [LB[i]])
+            want = CODE_DICTS[int(codes[i])]
+            assert {k: exact[k] for k in want} == want, (LA[i], LB[i], exact)
+    assert decided > 500
