@@ -3,9 +3,18 @@
 The closed-form column algebra (operators/relate.py, relate_lines.py)
 covers boxes, points and segments — the hot path. WKT-ingested data can
 carry arbitrary points / polylines / polygons; this module verifies those
-pairs with exact rational-arithmetic predicates inside an Arrow-batched
-``mapInPandas`` (the engine's slow path, mirroring the reference's JTS
-``geometry.relate`` step, linkers/GIAnt.scala:32-37).
+pairs exactly, tiered by how much of the work can stay vectorized
+(mirroring the reference's JTS ``geometry.relate`` step,
+linkers/GIAnt.scala:32-37):
+
+1. Arrow-native batch entry (``with_general_relations`` -> ``mapInArrow``):
+   coords read zero-copy from the list-array buffers; rows bucket by
+   (kind, arity) into dense numpy tensors (convex SAT, point-in-convex,
+   point-set algebra, proven-disjoint line tests — relate_fast.py);
+2. per-pair exact predicates below for whatever the tensors leave
+   UNDECIDED (boundary contact, non-convex, holes, off-lattice);
+3. optional shapely 2.x vectorized dispatch when the library exists
+   (relate_shapely.py, feature-checked on the executor).
 
 Exactness scope:
 - POINT vs POINT / LINESTRING / POLYGON (with holes): exact (orientation
@@ -33,9 +42,6 @@ makes all vertices integers; probe points are homogeneous triples).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 
 from ds_jedai_spark.operators.relate import RELATIONS
