@@ -57,12 +57,17 @@ def _pinned_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Spread the compact doc rows before the shingle explode: the
         # corpus is a single parquet file here, so the explode and the
         # pinned checkpoint would otherwise hold 1-3 partitions and
-        # single-thread every downstream signature/band scan (measured
-        # 1.5x on the sf0.1 LSH chain). Cluster-scale corpora scan as
-        # many splits and the repartition of pre-explode rows is noise.
+        # single-thread every downstream signature/band scan. A quarter
+        # of the shuffle parallelism wins the measured alternating A/B
+        # at sf0.1 (2.1/2.6/2.7s warm for 8/32/plain partitions — full
+        # fan-out pays more per-task overhead than this corpus size
+        # amortizes) while still scaling with the session's configured
+        # parallelism on bigger clusters.
         corpus = _corpus(spark, sf_dir)
         _SHINGLE_PIN[key] = dedup._pin(
-            textops.shingles(corpus.repartition(shuffle_parts(corpus)))
+            textops.shingles(
+                corpus.repartition(max(8, shuffle_parts(corpus) // 4))
+            )
         )
     return _SHINGLE_PIN[key]
 
