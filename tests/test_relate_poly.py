@@ -175,3 +175,33 @@ def test_fullfloat_doubling_invariance(a, b):
     assert rel("POLYGON", a, "POLYGON", b) == rel(
         "POLYGON", dbl(a), "POLYGON", dbl(b)
     )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**50), max_value=2**50),
+            st.integers(min_value=1, max_value=2**50),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_sorted_params_matches_fraction_order(pairs):
+    """The gcd-free cut-parameter ordering must agree with Fraction
+    semantics exactly: same ascending order, duplicates (equal rationals
+    under ANY representation) collapsed."""
+    from fractions import Fraction
+
+    from ds_jedai_spark.operators.relate_poly import _mid, _sorted_params
+
+    got = _sorted_params(list(pairs))
+    want = sorted({Fraction(tn, td) for tn, td in pairs})
+    assert len(got) == len(want)
+    for (tn, td), frac in zip(got, want):
+        assert Fraction(tn, td) == frac
+    # midpoints are exact too
+    for a, b in zip(got, got[1:]):
+        mn, md = _mid(a, b)
+        assert Fraction(mn, md) == (Fraction(*a) + Fraction(*b)) / 2
