@@ -38,17 +38,44 @@ def _fake_decode(byte_len: pd.Series) -> pd.DataFrame:
     )
 
 
+def _binary_rows(batch, name: str):
+    """Zero-copy view of a binary column: (row offsets int64, flat uint8
+    buffer) — payload bytes are never materialized as Python objects."""
+    import numpy as np
+
+    col = batch.column(batch.schema.names.index(name))
+    raw = np.frombuffer(col.buffers()[1], dtype=np.int32)
+    off = raw[col.offset:col.offset + len(col) + 1].astype(np.int64)
+    data = col.buffers()[2]
+    flat = (
+        np.frombuffer(data, dtype=np.uint8)
+        if data is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    return off, flat
+
+
 def media_metadata(docs: DataFrame) -> DataFrame:
     payload = with_payload(docs)
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            lens = pdf["payload"].map(len).astype("int64")
-            meta = _fake_decode(lens)
-            meta.insert(0, "doc_id", pdf["doc_id"].values)
-            yield meta
+    def extract(batches):
+        import numpy as np
+        import pyarrow as pa
 
-    return payload.mapInPandas(extract, META_SCHEMA)
+        for batch in batches:
+            off, _ = _binary_rows(batch, "payload")
+            lens = pd.Series(np.diff(off))
+            meta = _fake_decode(lens)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.names.index("doc_id")),
+                    *[pa.array(meta[c].to_numpy()) for c in
+                      ("byte_len", "width", "height", "frames")],
+                ],
+                names=["doc_id", "byte_len", "width", "height", "frames"],
+            )
+
+    return payload.mapInArrow(extract, META_SCHEMA)
 
 
 RESIZE_TARGET = 224
@@ -148,25 +175,44 @@ def media_features(docs: DataFrame) -> DataFrame:
     a real embedding/feature model drops into this exact slot; the
     features chosen here are deterministic byte functions, which keeps
     the stage under the DuckDB oracle."""
-    import hashlib
-
     payload = with_payload(docs)
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            buf = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].values,
-                    "n_bytes": buf.map(len).astype("int64"),
-                    "n_space": buf.map(lambda b: b.count(b" ")).astype("int64"),
-                    "n_vowel": buf.map(
-                        lambda b: sum(b.count(v) for v in b"aeiou")
-                    ).astype("int64"),
-                    "payload_md5": buf.map(
-                        lambda b: hashlib.md5(b).hexdigest()
-                    ),
-                }
+    def extract(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            off, flat = _binary_rows(batch, "payload")
+            lens = np.diff(off)
+            starts = off[:-1]
+            nz = lens > 0
+            space = (flat == ord(" ")).astype(np.int64)
+            vowel = np.isin(flat, np.frombuffer(b"aeiou", np.uint8)).astype(
+                np.int64
+            )
+            n_space = np.zeros(len(lens), dtype=np.int64)
+            n_vowel = np.zeros(len(lens), dtype=np.int64)
+            if nz.any():
+                # reduceat over per-row byte ranges; zero-length rows are
+                # excluded (a repeated reduceat index would misread).
+                n_space[nz] = np.add.reduceat(space, starts[nz])
+                n_vowel[nz] = np.add.reduceat(vowel, starts[nz])
+            mv = memoryview(flat)
+            md5 = [
+                hashlib.md5(mv[off[i]:off[i + 1]]).hexdigest()
+                for i in range(len(lens))
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.names.index("doc_id")),
+                    pa.array(lens),
+                    pa.array(n_space),
+                    pa.array(n_vowel),
+                    pa.array(md5, pa.string()),
+                ],
+                names=["doc_id", "n_bytes", "n_space", "n_vowel", "payload_md5"],
             )
 
-    return payload.mapInPandas(extract, FEATURES_SCHEMA)
+    return payload.mapInArrow(extract, FEATURES_SCHEMA)
