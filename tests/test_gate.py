@@ -49,3 +49,31 @@ def test_tagged_union_and_wide_join_column_agreement(spark):
         sdf = gate.QUERIES[name](spark, "/root/testdata/sf0.001")
         ocols = [d[0] for d in con.execute(gate.ORACLES[name]).description]
         assert sorted(sdf.columns) == sorted(ocols)
+
+
+def test_every_composite_column_aligns_with_its_oracle(spark):
+    """Column-name alignment across ALL gate composites at sf0.001: the
+    driver's compare sorts columns by name before hashing, so an alias
+    drifting on either side fails the hash even with identical values —
+    this is the most common way a green composite silently turns red.
+    Catch it at test time, not at round time."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    mismatches = []
+    for name, fn in gate.QUERIES.items():
+        scols = sorted(fn(spark, "/root/testdata/sf0.001").columns)
+        ocols = sorted(
+            d[0] for d in con.execute(gate.ORACLES[name]).description
+        )
+        if scols != ocols:
+            mismatches.append((name, scols, ocols))
+    assert not mismatches, mismatches
