@@ -87,6 +87,63 @@ def read_geojson(
     )
 
 
+def geojson_parts(geom: dict) -> tuple[str, list] | None:
+    """GeoJSON geometry dict -> the engine's (gtype, parts) — directly,
+    no WKT round-trip. Validity rules mirror model/geometry.parse_wkt:
+    finite coords, LINESTRING >= 2 points, polygon rings closed with
+    >= 4 points, MULTIPOLYGON as a flattened ring list."""
+    import math
+
+    t = (geom or {}).get("type", "")
+    c = (geom or {}).get("coordinates")
+    if c is None:
+        return None
+
+    def pts(seq):
+        out = []
+        for p in seq:
+            x, y = float(p[0]), float(p[1])
+            if not (math.isfinite(x) and math.isfinite(y)):
+                return None
+            out.append([x, y])
+        return out
+
+    def ring(seq):
+        r = pts(seq)
+        if r is None or len(r) < 4 or r[0] != r[-1]:
+            return None
+        return r
+
+    try:
+        if t == "Point":
+            got = pts([c])
+            return ("POINT", [got]) if got else None
+        if t == "MultiPoint":
+            got = pts(c)
+            return ("MULTIPOINT", [[p] for p in got]) if got else None
+        if t == "LineString":
+            got = pts(c)
+            return ("LINESTRING", [got]) if got and len(got) >= 2 else None
+        if t == "MultiLineString":
+            parts = [pts(part) for part in c]
+            if not parts or any(p is None or len(p) < 2 for p in parts):
+                return None
+            return ("MULTILINESTRING", parts)
+        if t == "Polygon":
+            rings = [ring(r) for r in c]
+            if not rings or any(r is None for r in rings):
+                return None
+            return ("POLYGON", rings)
+        if t == "MultiPolygon":
+            rings = [ring(r) for poly in c for r in poly]
+            if not rings or any(r is None for r in rings):
+                return None
+            return ("MULTIPOLYGON", rings)
+    except (TypeError, ValueError, IndexError):
+        return None
+    return None
+
+
 def _geojson_from_lines(
     lines: DataFrame,
     id_field: str,
@@ -95,65 +152,57 @@ def _geojson_from_lines(
 ) -> DataFrame:
     """Shared feature-parsing pipeline over a one-JSON-object-per-row
     ``value`` column (used by both the NDJSON and FeatureCollection
-    readers)."""
+    readers). Arrow-native and WKT-free: JSON coordinate arrays land in
+    the flat-buffer GeometryAccumulator directly (the previous pipeline
+    serialized every geometry to WKT text only to regex-parse it back)."""
     import json
 
-    import pandas as pd
-
-    def to_wkt(geom: dict) -> str | None:
-        t = (geom or {}).get("type", "")
-        c = (geom or {}).get("coordinates")
-        if c is None:
-            return None
-
-        def pt(p):
-            return f"{p[0]} {p[1]}"
-
-        def ring(r):
-            return "(" + ", ".join(pt(p) for p in r) + ")"
-
-        if t == "Point":
-            return f"POINT ({pt(c)})"
-        if t == "LineString":
-            return f"LINESTRING {ring(c)}"
-        if t == "Polygon":
-            return "POLYGON (" + ", ".join(ring(r) for r in c) + ")"
-        if t == "MultiPoint":
-            return "MULTIPOINT (" + ", ".join(f"({pt(p)})" for p in c) + ")"
-        if t == "MultiLineString":
-            return "MULTILINESTRING (" + ", ".join(ring(r) for r in c) + ")"
-        if t == "MultiPolygon":
-            return (
-                "MULTIPOLYGON ("
-                + ", ".join("(" + ", ".join(ring(r) for r in p) + ")" for p in c)
-                + ")"
-            )
-        return None
+    from ds_jedai_spark.model.geometry import GEOM_FIELDS, GeometryAccumulator
 
     def parse(batches):
-        for pdf in batches:
-            ids, wkts, dates = [], [], []
-            for line in pdf["value"]:
+        import pyarrow as pa
+
+        for batch in batches:
+            rows = batch.column(0).to_pylist()
+            feats = []
+            for line in rows:
                 try:
-                    feat = json.loads(line)
+                    feats.append(json.loads(line))
                 except (ValueError, TypeError):
                     continue
+            acc = GeometryAccumulator(len(feats))
+            ids, dates = [], []
+            for feat in feats:
                 props = feat.get("properties") or {}
                 rid = props.get(id_field)
-                # Properties may carry numeric ids; the row format's id is
-                # a string column — stringify so Arrow serialization holds.
+                # Properties may carry numeric ids; the row format's id
+                # is a string column — stringify so Arrow holds.
                 ids.append(None if rid is None else str(rid))
-                wkts.append(to_wkt(feat.get("geometry")))
                 dates.append(props.get(date_field) if date_field else None)
-            out = {"id": ids, "wkt": wkts}
+                parsed = geojson_parts(feat.get("geometry"))
+                if parsed is None:
+                    acc.add_invalid()
+                else:
+                    acc.add(*parsed)
+            cols = [pa.array(ids, pa.string())]
+            names = ["id"]
             if date_field is not None:
-                out["ts_raw"] = dates
-            yield pd.DataFrame(out)
+                cols.append(pa.array(dates, pa.string()))
+                names.append("ts_raw")
+            yield pa.RecordBatch.from_arrays(
+                cols + acc.arrays(),
+                names=names + ["gtype", "coords", "minx", "miny", "maxx", "maxy"],
+            )
 
-    fields = "id string, wkt string" + (
-        ", ts_raw string" if date_field is not None else ""
-    )
-    return _finish(lines.mapInPandas(parse, fields), date_field, date_pattern)
+    fields = "id string, " + (
+        "ts_raw string, " if date_field is not None else ""
+    ) + GEOM_FIELDS
+    out = valid_geometries(lines.mapInArrow(parse, fields))
+    if date_field is not None:
+        out = out.withColumn(
+            "ts", F.to_timestamp("ts_raw", date_pattern)
+        ).drop("ts_raw")
+    return out
 
 
 GEOMETRY_PREDICATE = "<http://www.opengis.net/ont/geosparql#asWKT>"

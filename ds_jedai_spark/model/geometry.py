@@ -183,6 +183,70 @@ def _envelope(parts: list[list[list[float]]]) -> tuple[float, float, float, floa
     return float(arr[:, 0].min()), float(arr[:, 1].min()), float(arr[:, 0].max()), float(arr[:, 1].max())
 
 
+class GeometryAccumulator:
+    """Flat-buffer accumulator for parsed geometries, assembled into
+    arrow arrays at batch end — the shared transport core of every
+    Arrow-native reader (no per-row nested Python lists ever reach
+    pandas/Arrow conversion). Usage per batch: ``add(gtype, parts)`` or
+    ``add_invalid()`` per row, then ``arrays()``."""
+
+    def __init__(self, n: int):
+        self.n = n
+        self.i = 0
+        self.gtypes: list[str | None] = []
+        self.flat: list[float] = []
+        self.o1 = np.zeros(n + 1, dtype=np.int32)
+        self.o2: list[int] = [0]
+        self.valid = np.zeros(n, dtype=bool)
+
+    def add_invalid(self) -> None:
+        self.gtypes.append(None)
+        self.o1[self.i + 1] = self.o1[self.i]
+        self.i += 1
+
+    def add(self, gtype: str, parts) -> None:
+        self.gtypes.append(gtype)
+        self.valid[self.i] = True
+        for part in parts:
+            for p in part:
+                self.flat += [float(p[0]), float(p[1])]
+            self.o2.append(self.o2[-1] + len(part))
+        self.o1[self.i + 1] = self.o1[self.i] + len(parts)
+        self.i += 1
+
+    def arrays(self):
+        """(gtype, coords, minx, miny, maxx, maxy) arrow arrays."""
+        import pyarrow as pa
+
+        assert self.i == self.n
+        vals = np.asarray(self.flat, dtype=np.float64)
+        npts = len(vals) // 2
+        xs, ys = vals[0::2], vals[1::2]
+        # Per-row envelopes: valid rows tile the flat point range
+        # contiguously, so reduceat over their start offsets is exact.
+        env = {k: np.full(self.n, np.nan) for k in ("minx", "miny", "maxx", "maxy")}
+        vrows = np.nonzero(self.valid)[0]
+        if len(vrows):
+            o2a = np.asarray(self.o2, dtype=np.int64)
+            starts = o2a[self.o1[vrows]]
+            env["minx"][vrows] = np.minimum.reduceat(xs, starts)
+            env["miny"][vrows] = np.minimum.reduceat(ys, starts)
+            env["maxx"][vrows] = np.maximum.reduceat(xs, starts)
+            env["maxy"][vrows] = np.maximum.reduceat(ys, starts)
+        pts = pa.ListArray.from_arrays(
+            pa.array(np.arange(npts + 1, dtype=np.int32) * 2), pa.array(vals)
+        )
+        parts_arr = pa.ListArray.from_arrays(
+            pa.array(np.asarray(self.o2, dtype=np.int32)), pts
+        )
+        coords = pa.ListArray.from_arrays(pa.array(self.o1), parts_arr)
+        mask = ~self.valid
+        out = [pa.array(self.gtypes, pa.string()), coords]
+        for k in ("minx", "miny", "maxx", "maxy"):
+            out.append(pa.array(env[k], pa.float64(), mask=mask))
+        return out
+
+
 def with_parsed_geometry(df: DataFrame, wkt_col: str = "wkt") -> DataFrame:
     """Append (gtype, coords, minx..maxy); rows failing to parse are kept
     with NULL gtype and empty coords (filter with ``valid_geometries``
@@ -204,55 +268,17 @@ def with_parsed_geometry(df: DataFrame, wkt_col: str = "wkt") -> DataFrame:
 
         for batch in batches:
             wkts = batch.column(i_wkt).to_pylist()
-            n = len(wkts)
-            gtypes: list[str | None] = []
-            flat: list[float] = []
-            o1 = np.zeros(n + 1, dtype=np.int32)
-            o2: list[int] = [0]
-            valid = np.zeros(n, dtype=bool)
-            for i, s in enumerate(wkts):
+            acc = GeometryAccumulator(len(wkts))
+            for s in wkts:
                 parsed = parse_wkt(s)
                 if parsed is None:
-                    gtypes.append(None)
-                    o1[i + 1] = o1[i]
-                    continue
-                gtype, parts = parsed
-                gtypes.append(gtype)
-                valid[i] = True
-                for part in parts:
-                    for p in part:
-                        flat += p
-                    o2.append(o2[-1] + len(part))
-                o1[i + 1] = o1[i] + len(parts)
-            vals = np.asarray(flat, dtype=np.float64)
-            npts = len(vals) // 2
-            xs, ys = vals[0::2], vals[1::2]
-            # Per-row envelopes: valid rows tile the flat point range
-            # contiguously, so reduceat over their start offsets is exact.
-            env = {k: np.full(n, np.nan) for k in ("minx", "miny", "maxx", "maxy")}
-            vrows = np.nonzero(valid)[0]
-            if len(vrows):
-                o2a = np.asarray(o2, dtype=np.int64)
-                starts = o2a[o1[vrows]]
-                env["minx"][vrows] = np.minimum.reduceat(xs, starts)
-                env["miny"][vrows] = np.minimum.reduceat(ys, starts)
-                env["maxx"][vrows] = np.maximum.reduceat(xs, starts)
-                env["maxy"][vrows] = np.maximum.reduceat(ys, starts)
-            pts = pa.ListArray.from_arrays(
-                pa.array(np.arange(npts + 1, dtype=np.int32) * 2), pa.array(vals)
-            )
-            parts_arr = pa.ListArray.from_arrays(
-                pa.array(np.asarray(o2, dtype=np.int32)), pts
-            )
-            coords = pa.ListArray.from_arrays(pa.array(o1), parts_arr)
+                    acc.add_invalid()
+                else:
+                    acc.add(*parsed)
             cols = [batch.column(j) for j in range(batch.num_columns)]
-            cols.append(pa.array(gtypes, pa.string()))
-            cols.append(coords)
-            mask = ~valid
-            for k in ("minx", "miny", "maxx", "maxy"):
-                cols.append(pa.array(env[k], pa.float64(), mask=mask))
             yield pa.RecordBatch.from_arrays(
-                cols, names=names + ["gtype", "coords", "minx", "miny", "maxx", "maxy"]
+                cols + acc.arrays(),
+                names=names + ["gtype", "coords", "minx", "miny", "maxx", "maxy"],
             )
 
     in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
