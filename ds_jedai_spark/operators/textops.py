@@ -112,6 +112,15 @@ def vocab(tokens: DataFrame, col: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: contractions, space-prefixed letter runs,
+# digit runs, punctuation runs — the GPT-2-style split shape restricted
+# to syntax RE2 and Java regex interpret identically (so the DuckDB
+# oracle replays it). A real tokenizer's subword merge step only splits
+# WITHIN these pre-tokens, so this count is the standard cheap
+# token-budget estimate a corpus pipeline runs before training.
+BPE_SPLIT_RE = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     arr_raw = F.split("text", " ")
     arr = F.filter(arr_raw, lambda w: w != "")
@@ -119,6 +128,9 @@ def token_stats(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.size(arr_raw).cast("long").alias("n_tokens_raw"),
         F.size(arr).cast("long").alias("n_words"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(BPE_SPLIT_RE), F.lit(0))
+        ).cast("long").alias("n_subtokens"),
         F.length("text").cast("long").alias("n_chars"),
         (F.size(arr) * F.lit(100.0) / F.length("text")).alias("words_per_100_chars"),
     )

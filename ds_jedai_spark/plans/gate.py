@@ -397,7 +397,7 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
             "doc_id",
             [
                 ("ts", pl.QUERIES["text_token_stats"], pl.ORACLES["text_token_stats"],
-                 ["n_tokens_raw", "n_words", "n_chars", "words_per_100_chars"]),
+                 ["n_tokens_raw", "n_words", "n_subtokens", "n_chars", "words_per_100_chars"]),
                 ("q", pl.QUERIES["text_quality"], pl.ORACLES["text_quality"],
                  ["n_words", "n_distinct", "n_stop", "avg_word_len", "stop_ratio",
                   "quality_score"]),

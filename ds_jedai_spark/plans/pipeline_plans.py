@@ -518,7 +518,9 @@ def text_token_stats_oracle() -> str:
     return (
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_raw, "
         "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) "
-        "AS n_words, CAST(length(text) AS BIGINT) AS n_chars, "
+        "AS n_words, "
+        f"CAST(len(regexp_extract_all(text, '{textops.BPE_SPLIT_RE.replace(chr(39), chr(39)*2)}')) AS BIGINT) "
+        "AS n_subtokens, CAST(length(text) AS BIGINT) AS n_chars, "
         "len(list_filter(string_split(text, ' '), x -> x <> '')) * 100.0 / length(text) "
         "AS words_per_100_chars FROM documents"
     )
