@@ -407,3 +407,114 @@ def ivf_multiprobe_topk(emb: DataFrame, k: int = 3, nprobe: int = 2) -> DataFram
         .where(F.col("rn") <= k)
         .select("qid", "vid", "cos")
     )
+
+
+# ------------------------------------------------------------------- PQ
+
+PQ_M = 4  # sub-blocks per vector (64-dim corpus -> 16-dim sub-vectors)
+
+
+def _pq_subvectors(qe: DataFrame, m: int) -> DataFrame:
+    """Sub-block m of each quantized vector (dims are split evenly)."""
+    return qe.select(
+        "vec_id",
+        F.expr(
+            f"slice(qv, {m} * (size(qv) div {PQ_M}) + 1, size(qv) div {PQ_M})"
+        ).alias("qv"),
+    )
+
+
+def pq_codebooks(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """One Lloyd codebook per sub-block: list of per-m centroid frames
+    (cid, cv) — the product-quantization training step, reusing the IVF
+    coarse-quantizer machinery per 16-dim slice (integer-exact, floored
+    means, deterministic seeds = first k vec_ids)."""
+    qe = quantized(emb).select("vec_id", "qv")
+    books = []
+    for m in range(PQ_M):
+        sub = _pq_subvectors(qe, m)
+        cent = sub.where(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+        )
+        for _ in range(iters - 1):
+            cent = _kmeans_update(_kmeans_assign(sub, cent))
+        books.append(cent)
+    return books
+
+
+def pq_adc_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Product-quantization ADC search: every vector is stored as PQ_M
+    one-byte codes (its nearest codeword per sub-block) and queries score
+    candidates ASYMMETRICALLY — exact query sub-vectors against the
+    candidate's codewords — so the scan reads M codes + a broadcast
+    codebook instead of the full vector. This is the memory-bound ANN
+    regime's standard layout (a 64-dim int64 vector becomes 4 codes: a
+    128x compression here, more at float32 scale); the approximate
+    cosine uses the codeword reconstruction for both the dot product and
+    the candidate norm. All arithmetic is exact long math until the
+    final double division, so the DuckDB oracle replays it bit-for-bit.
+
+    Scale shape: codebooks are tiny broadcasts (M x k codewords); encode
+    is a map-side broadcast-join argmin; the scan is one broadcast join
+    of queries against the (vec_id, m, cid) code table followed by a
+    (qid, vid) partial-aggregated sum — no shuffle of raw vectors
+    anywhere after training."""
+    qe = quantized(emb).select("vec_id", "qv", "norm2")
+    books = pq_codebooks(emb)
+    # encode: nearest codeword per (vector, sub-block)
+    codes = None
+    book_rows = None
+    for m, cent in enumerate(books):
+        sub = _pq_subvectors(qe, m)
+        a = _kmeans_assign(sub, cent).select(
+            "vec_id", F.lit(m).alias("m"), "cid"
+        )
+        codes = a if codes is None else codes.unionByName(a)
+        b = cent.select(
+            F.lit(m).alias("m"), "cid", "cv",
+            _dot("cv", "cv").alias("cnorm2"),
+        )
+        book_rows = b if book_rows is None else book_rows.unionByName(b)
+    queries = None
+    for m in range(PQ_M):
+        qm = (
+            qe.where(F.col("vec_id") < n_queries)
+            .select("vec_id", "qv", "norm2")
+            .select(
+                F.col("vec_id").alias("qid"),
+                F.lit(m).alias("m"),
+                F.expr(
+                    f"slice(qv, {m} * (size(qv) div {PQ_M}) + 1, "
+                    f"size(qv) div {PQ_M})"
+                ).alias("qsub"),
+                F.col("norm2").alias("n1"),
+            )
+        )
+        queries = qm if queries is None else queries.unionByName(qm)
+    contrib = (
+        codes.join(F.broadcast(book_rows), ["m", "cid"])
+        .join(F.broadcast(queries), "m")
+        .where(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("vid"),
+            "n1",
+            _dot("qsub", "cv").alias("dotm"),
+            "cnorm2",
+        )
+    )
+    scored = contrib.groupBy("qid", "vid", "n1").agg(
+        F.sum("dotm").alias("adot"), F.sum("cnorm2").alias("an2")
+    )
+    cos = F.col("adot").cast("double") / F.sqrt(
+        F.col("n1").cast("double") * F.col("an2").cast("double")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "vid")
+    return (
+        scored.withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vid", "cos")
+    )

@@ -381,6 +381,8 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                  pl.ORACLES["ann_ivf_trained_topk"]),
                 ("ivf_multiprobe", pl.QUERIES["ann_ivf_multiprobe_topk"],
                  pl.ORACLES["ann_ivf_multiprobe_topk"]),
+                ("pq_adc", pl.QUERIES["ann_pq_adc_topk"],
+                 pl.ORACLES["ann_pq_adc_topk"]),
             ]
         ),
     )

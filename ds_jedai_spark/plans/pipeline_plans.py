@@ -484,6 +484,101 @@ def ann_ivf_trained_topk_oracle() -> str:
     )
 
 
+def ann_pq_adc_topk(spark, sf_dir):
+    from ds_jedai_spark.operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(_emb(spark, sf_dir))
+
+
+def _pq_cte() -> str:
+    """Unrolled per-sub-block Lloyd training + encoding as CTE text:
+    codes (vec_id, m, cid), books (m, cid, cv, cnorm2), queries
+    (qid, m, qsub, n1) — the DuckDB replay of similarity.pq_adc_topk's
+    training/encode stages (integer-exact throughout)."""
+    from ds_jedai_spark.operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        PQ_M,
+    )
+
+    def lloyd(tag: str, src: str) -> tuple[list[str], str]:
+        def sc(cent: str, t: str) -> str:
+            return (
+                f"sc{t} AS (SELECT q.vec_id, q.qv, c.cid, "
+                f"CAST(list_sum(list_transform(range(1, len(q.qv) + 1), "
+                f"i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS d2 "
+                f"FROM {src} q, {cent} c), "
+                f"a{t} AS (SELECT vec_id, qv, cid, d2 FROM ("
+                f"SELECT *, row_number() OVER (PARTITION BY vec_id "
+                f"ORDER BY d2, cid) AS rn FROM sc{t}) WHERE rn = 1)"
+            )
+
+        parts = [
+            f"c{tag}0 AS (SELECT vec_id AS cid, qv AS cv FROM {src} "
+            f"WHERE vec_id < {KMEANS_K})"
+        ]
+        prev = f"c{tag}0"
+        for it in range(1, KMEANS_ITERS):
+            t = f"{tag}{it}"
+            parts.append(sc(prev, t))
+            parts.append(
+                f"u{t} AS (SELECT cid, generate_subscripts(qv, 1) AS pos, "
+                f"unnest(qv) AS v FROM a{t}), "
+                f"s{t} AS (SELECT cid, pos, CAST(floor(CAST(sum(v) AS DOUBLE) "
+                f"/ count(*)) AS BIGINT) AS m FROM u{t} GROUP BY cid, pos), "
+                f"c{t} AS (SELECT cid, list(m ORDER BY pos) AS cv "
+                f"FROM s{t} GROUP BY cid)"
+            )
+            prev = f"c{t}"
+        parts.append(sc(prev, f"{tag}F"))
+        return parts, prev
+
+    parts = [
+        _QUANT_CTE.split(", n AS")[0],
+        "qe AS (SELECT vec_id, qv FROM q)",
+    ]
+    code_sel, book_sel, query_sel = [], [], []
+    for m in range(PQ_M):
+        sub = (
+            f"sub{m} AS (SELECT vec_id, list_slice(qv, "
+            f"{m} * (len(qv) // {PQ_M}) + 1, "
+            f"({m} + 1) * (len(qv) // {PQ_M})) AS qv FROM qe)"
+        )
+        parts.append(sub)
+        lp, cent = lloyd(f"p{m}", f"sub{m}")
+        parts.extend(lp)
+        code_sel.append(f"SELECT vec_id, {m} AS m, cid FROM ap{m}F")
+        book_sel.append(
+            f"SELECT {m} AS m, cid, cv, "
+            f"CAST(list_dot_product(cv, cv) AS BIGINT) AS cnorm2 FROM {cent}"
+        )
+        query_sel.append(
+            f"SELECT vec_id AS qid, {m} AS m, qv AS qsub, "
+            f"(SELECT CAST(list_dot_product(e.qv, e.qv) AS BIGINT) FROM qe e "
+            f"WHERE e.vec_id = sub{m}.vec_id) AS n1 "
+            f"FROM sub{m} WHERE vec_id < 10"
+        )
+    parts.append("codes AS (" + " UNION ALL ".join(code_sel) + ")")
+    parts.append("books AS (" + " UNION ALL ".join(book_sel) + ")")
+    parts.append("queries AS (" + " UNION ALL ".join(query_sel) + ")")
+    return "WITH " + ", ".join(parts)
+
+
+def ann_pq_adc_topk_oracle() -> str:
+    return (
+        f"{_pq_cte()}, "
+        "contrib AS (SELECT q.qid, c.vec_id AS vid, q.n1, "
+        "CAST(list_dot_product(q.qsub, b.cv) AS BIGINT) AS dotm, b.cnorm2 "
+        "FROM codes c JOIN books b USING (m, cid) JOIN queries q USING (m) "
+        "WHERE q.qid <> c.vec_id), "
+        "scored AS (SELECT qid, vid, "
+        "CAST(sum(dotm) AS DOUBLE) / sqrt(CAST(any_value(n1) AS DOUBLE) * "
+        "CAST(sum(cnorm2) AS DOUBLE)) AS cos FROM contrib GROUP BY qid, vid) "
+        "SELECT qid, vid, cos FROM (SELECT qid, vid, cos, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM scored) WHERE rn <= 5"
+    )
+
+
 def ann_brute_topk_oracle() -> str:
     return (
         f"WITH {_QUANT_CTE}, "
@@ -711,6 +806,7 @@ QUERIES = {
     "ann_lsh_pairs": ann_lsh_pairs,
     "ann_lsh_recall": ann_lsh_recall,
     "ann_kmeans_cells": ann_kmeans_cells,
+    "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -738,6 +834,7 @@ ORACLES = {
     "ann_ivf_topk": ann_ivf_topk_oracle(),
     "ann_lsh_pairs": ann_lsh_pairs_oracle(),
     "ann_kmeans_cells": ann_kmeans_cells_oracle(),
+    "ann_pq_adc_topk": ann_pq_adc_topk_oracle(),
     "ann_ivf_trained_topk": ann_ivf_trained_topk_oracle(),
     "ann_lsh_recall": ann_lsh_recall_oracle(),
     "text_token_stats": text_token_stats_oracle(),

@@ -109,3 +109,35 @@ def test_containment_catches_doc_inside_doc_that_jaccard_misses(spark):
     assert (1, 2) in cont
     assert (1, 2) not in jac
     assert all(p[0] != 3 and p[1] != 3 for p in cont)
+
+
+def test_pq_adc_recall_against_exact_topk(spark):
+    """PQ ADC ordering sanity on the compression/quality tradeoff
+    (exactness vs the oracle is covered by the gate). The synthetic
+    embeddings are RANDOM vectors — the worst case for product
+    quantization, which earns its recall from cluster structure real
+    embedding corpora have — so the bound here is deliberately loose:
+    far above the ~0.08 a random top-5 would score, far below what PQ
+    delivers on clustered data; widening the candidate list must also
+    help (the rerank-after-PQ deployment pattern)."""
+    from ds_jedai_spark.io.synthetic import register_views
+    from ds_jedai_spark.operators import similarity
+
+    register_views(spark, "/root/testdata/sf0.01")
+    emb = spark.table("embeddings")
+    exact = {
+        (r.qid, r.vid)
+        for r in similarity.brute_topk(emb, n_queries=10, k=5).collect()
+    }
+    approx = {
+        (r.qid, r.vid)
+        for r in similarity.pq_adc_topk(emb, n_queries=10, k=5).collect()
+    }
+    wide = {
+        (r.qid, r.vid)
+        for r in similarity.pq_adc_topk(emb, n_queries=10, k=20).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    recall_wide = len(exact & wide) / len(exact)
+    assert recall >= 0.15, recall
+    assert recall_wide >= recall and recall_wide >= 0.4, (recall, recall_wide)
