@@ -518,3 +518,36 @@ def pq_adc_topk(
         .where(F.col("rn") <= k)
         .select("qid", "vid", "cos")
     )
+
+
+def pq_rerank_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, shortlist: int = 20
+) -> DataFrame:
+    """The standard PQ deployment pattern: ADC scan produces a cheap
+    ``shortlist`` of candidates per query, then ONLY those candidates are
+    reranked with the exact vectors. At corpus scale the exact vectors
+    are fetched for shortlist x queries rows instead of the whole
+    collection — PQ's compression pays for the scan, the rerank restores
+    exact top-k quality within the shortlist."""
+    short = pq_adc_topk(emb, n_queries, shortlist).select("qid", "vid")
+    qe = quantized(emb)
+    queries = qe.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("a"),
+        F.col("norm2").alias("n1"),
+    )
+    base = qe.select(
+        F.col("vec_id").alias("vid"), F.col("qv").alias("b"),
+        F.col("norm2").alias("n2"),
+    )
+    scored = (
+        short.join(F.broadcast(queries), "qid")
+        .join(base, "vid")
+        .withColumn("dot", _dot("a", "b"))
+        .withColumn("cos", _cos())
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "vid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vid", "cos")
+    )

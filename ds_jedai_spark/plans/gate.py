@@ -383,6 +383,8 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                  pl.ORACLES["ann_ivf_multiprobe_topk"]),
                 ("pq_adc", pl.QUERIES["ann_pq_adc_topk"],
                  pl.ORACLES["ann_pq_adc_topk"]),
+                ("pq_rerank", pl.QUERIES["ann_pq_rerank_topk"],
+                 pl.ORACLES["ann_pq_rerank_topk"]),
             ]
         ),
     )

@@ -579,6 +579,36 @@ def ann_pq_adc_topk_oracle() -> str:
     )
 
 
+def ann_pq_rerank_topk(spark, sf_dir):
+    from ds_jedai_spark.operators.similarity import pq_rerank_topk
+
+    return pq_rerank_topk(_emb(spark, sf_dir))
+
+
+def ann_pq_rerank_topk_oracle() -> str:
+    return (
+        f"{_pq_cte()}, "
+        "contrib AS (SELECT q.qid, c.vec_id AS vid, q.n1, "
+        "CAST(list_dot_product(q.qsub, b.cv) AS BIGINT) AS dotm, b.cnorm2 "
+        "FROM codes c JOIN books b USING (m, cid) JOIN queries q USING (m) "
+        "WHERE q.qid <> c.vec_id), "
+        "adc AS (SELECT qid, vid, "
+        "CAST(sum(dotm) AS DOUBLE) / sqrt(CAST(any_value(n1) AS DOUBLE) * "
+        "CAST(sum(cnorm2) AS DOUBLE)) AS acos FROM contrib GROUP BY qid, vid), "
+        "short AS (SELECT qid, vid FROM (SELECT qid, vid, row_number() OVER "
+        "(PARTITION BY qid ORDER BY acos DESC, vid) AS rn FROM adc) WHERE rn <= 20), "
+        "nn AS (SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) "
+        "AS n2 FROM qe), "
+        "rer AS (SELECT s.qid, s.vid, "
+        "CAST(list_dot_product(a.qv, b.qv) AS DOUBLE) / "
+        "sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos "
+        "FROM short s JOIN nn a ON a.vec_id = s.qid "
+        "JOIN nn b ON b.vec_id = s.vid) "
+        "SELECT qid, vid, cos FROM (SELECT qid, vid, cos, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM rer) WHERE rn <= 5"
+    )
+
+
 def ann_brute_topk_oracle() -> str:
     return (
         f"WITH {_QUANT_CTE}, "
@@ -807,6 +837,7 @@ QUERIES = {
     "ann_lsh_recall": ann_lsh_recall,
     "ann_kmeans_cells": ann_kmeans_cells,
     "ann_pq_adc_topk": ann_pq_adc_topk,
+    "ann_pq_rerank_topk": ann_pq_rerank_topk,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -835,6 +866,7 @@ ORACLES = {
     "ann_lsh_pairs": ann_lsh_pairs_oracle(),
     "ann_kmeans_cells": ann_kmeans_cells_oracle(),
     "ann_pq_adc_topk": ann_pq_adc_topk_oracle(),
+    "ann_pq_rerank_topk": ann_pq_rerank_topk_oracle(),
     "ann_ivf_trained_topk": ann_ivf_trained_topk_oracle(),
     "ann_lsh_recall": ann_lsh_recall_oracle(),
     "text_token_stats": text_token_stats_oracle(),

@@ -141,3 +141,30 @@ def test_pq_adc_recall_against_exact_topk(spark):
     recall_wide = len(exact & wide) / len(exact)
     assert recall >= 0.15, recall
     assert recall_wide >= recall and recall_wide >= 0.4, (recall, recall_wide)
+
+
+def test_pq_rerank_improves_on_raw_adc(spark):
+    """Rerank-after-PQ must recover exactly the exact-cosine best among
+    its shortlist — recall at k strictly dominates the raw ADC ordering
+    on the same shortlist."""
+    from ds_jedai_spark.io.synthetic import register_views
+    from ds_jedai_spark.operators import similarity
+
+    register_views(spark, "/root/testdata/sf0.01")
+    emb = spark.table("embeddings")
+    exact = {
+        (r.qid, r.vid)
+        for r in similarity.brute_topk(emb, n_queries=10, k=5).collect()
+    }
+    adc = {
+        (r.qid, r.vid)
+        for r in similarity.pq_adc_topk(emb, n_queries=10, k=5).collect()
+    }
+    rer = {
+        (r.qid, r.vid)
+        for r in similarity.pq_rerank_topk(emb, n_queries=10, k=5).collect()
+    }
+    r_adc = len(exact & adc) / len(exact)
+    r_rer = len(exact & rer) / len(exact)
+    assert r_rer >= r_adc
+    assert r_rer >= 0.4, (r_adc, r_rer)
