@@ -58,6 +58,10 @@ def main() -> None:
         # family whose regressions the batch plans can't catch.
         ("dynamic_progressive_js", pp.dynamic_progressive_js),
         ("events_asof_join", tsp.events_asof_join),
+        # ANN family: banded hyperplane LSH and the PQ shortlist->rerank
+        # chain (train + encode + ADC + exact rerank end-to-end).
+        ("ann_lsh_pairs", pl.QUERIES["ann_lsh_pairs"]),
+        ("ann_pq_rerank", pl.QUERIES["ann_pq_rerank_topk"]),
     ]
     # Best-of-2 per query: single-shot timings on a shared box swing
     # +-40% with ambient load; the minimum of two runs tracks the plan's
