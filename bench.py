@@ -7,6 +7,14 @@ minimum excludes single-shot JVM/codegen warm-up and ambient-load noise
 (measured +-40% on a shared box) but never cached inputs. Round 1-3
 numbers were single-shot and carry that warm-up inside them; compare
 r4+ numbers with each other.
+
+Since round 5 the trained ANN index (PQ codebooks + IVF centroids) is an
+explicit input artifact: its construction is the ``ann_train`` line
+(cleared and retrained per rep), and the ANN search lines run against
+the pinned index — a real index is trained once and queried many times,
+so search latency and build cost are reported as separate numbers.
+r4's ``ann_pq_rerank`` carried the training inside it; compare r5+ ANN
+search numbers with each other.
 """
 
 from __future__ import annotations
@@ -38,6 +46,12 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    def _ann_train(spark, sf_dir):
+        # Build + pin the trained ANN index (4 PQ codebooks + IVF
+        # centroids); eager localCheckpoints, so returning the centroid
+        # frame just counts the pinned artifact.
+        return pl._pinned_ann(spark, sf_dir)["cent"]
+
     # Names stay stable round-over-round even though the driver-gate
     # queries() surface is consolidated (plans/gate.py); bench hits the
     # underlying per-operator plans directly.
@@ -58,8 +72,13 @@ def main() -> None:
         # family whose regressions the batch plans can't catch.
         ("dynamic_progressive_js", pp.dynamic_progressive_js),
         ("events_asof_join", tsp.events_asof_join),
-        # ANN family: banded hyperplane LSH and the PQ shortlist->rerank
-        # chain (train + encode + ADC + exact rerank end-to-end).
+        # ANN family. ann_train is the one-time index build (Lloyd
+        # codebooks + IVF centroids, trained and pinned — a real index
+        # is trained once and queried many times); the search lines
+        # below it run against the pinned artifact, so they measure
+        # encode+scan+rerank, not retraining. ann_lsh_pairs has no
+        # trained artifact (deterministic hyperplanes).
+        ("ann_train", _ann_train),
         ("ann_lsh_pairs", pl.QUERIES["ann_lsh_pairs"]),
         ("ann_pq_rerank", pl.QUERIES["ann_pq_rerank_topk"]),
     ]
@@ -70,10 +89,17 @@ def main() -> None:
     for name, fn in headline:
         best, n = None, 0
         for _ in range(2):
-            # Drop the engine's explicit cross-query materialization so
-            # every rep pays the full pipeline (JVM warm-up is the only
-            # thing min-of-2 is meant to exclude, not cached inputs).
+            # Drop the engine's explicit cross-query caches so every rep
+            # pays the full pipeline (JVM warm-up is the only thing
+            # min-of-2 is meant to exclude): the pinned shingle table
+            # and the sampled theta the spatial queries share. The ONE
+            # allowed cached input is the pinned ANN index — training it
+            # is the separately-timed ann_train line (which clears and
+            # retrains per rep), so the search lines measure search.
             pl._SHINGLE_PIN.clear()
+            giant._THETA_CACHE.clear()
+            if name == "ann_train":
+                pl._ANN_PIN.clear()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()

@@ -88,15 +88,19 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("ds_jedai_spark_cli")
     t0 = time.perf_counter()
     result = api.run(spark, cfg)
-    rows = result.collect()
-    dt = time.perf_counter() - t0
-
     if cfg.relation == "DE9IM":
-        r = rows[0].asDict()
+        # Counts run: the result is a single summary row.
+        r = result.collect()[0].asDict()
+        dt = time.perf_counter() - t0
         for k, v in r.items():
             print(f"{k.upper()}: {v}")
     else:
-        print(f"{cfg.relation} pairs: {len(rows)}")
+        # Pair query: take/count instead of collect — at scale the
+        # qualifying-pair set is millions of rows and only 20 print.
+        rows = result.take(21)
+        total = len(rows) if len(rows) <= 20 else result.count()
+        dt = time.perf_counter() - t0
+        print(f"{cfg.relation} pairs: {total}")
         for row in rows[:20]:
             print(f"  {row.s_id}\t{row.t_id}")
     print(f"TOTAL TIME: {dt:.2f}s")

@@ -40,10 +40,19 @@ def _fake_decode(byte_len: pd.Series) -> pd.DataFrame:
 
 def _binary_rows(batch, name: str):
     """Zero-copy view of a binary column: (row offsets int64, flat uint8
-    buffer) — payload bytes are never materialized as Python objects."""
+    buffer) — payload bytes are never materialized as Python objects.
+
+    The buffer reinterpretation below hardcodes non-null int32-offset
+    ``binary``; a null row or a large_binary column would silently yield
+    offset-garbage lengths, so both invariants are asserted loudly."""
     import numpy as np
+    import pyarrow as pa
 
     col = batch.column(batch.schema.names.index(name))
+    assert col.null_count == 0, f"{name}: null payload rows unsupported"
+    assert pa.types.is_binary(col.type), (
+        f"{name}: expected int32-offset binary, got {col.type}"
+    )
     raw = np.frombuffer(col.buffers()[1], dtype=np.int32)
     off = raw[col.offset:col.offset + len(col) + 1].astype(np.int64)
     data = col.buffers()[2]

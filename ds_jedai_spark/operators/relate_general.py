@@ -767,7 +767,16 @@ def with_general_relations(
             if codes is None:
                 if ga_l is None:
                     ga_l, gb_l = sg_col.to_pylist(), tg_col.to_pylist()
-                if use_lib or not clean:
+                leaves_xy = (
+                    fs is not None
+                    and bool(np.all(np.diff(fs[2]) == 2))
+                    and bool(np.all(np.diff(ft[2]) == 2))
+                )
+                if use_lib or not clean or not leaves_xy:
+                    # The not-leaves_xy arm matters: _ragged_preclassify
+                    # returned None because coords leaves are NOT [x,y]
+                    # pairs, so _row_parts' reshape(-1, 2) would garble
+                    # (or raise on odd length) exactly those rows.
                     ca_l, cb_l = sc_col.to_pylist(), tc_col.to_pylist()
                     fs = ft = None
                 else:

@@ -88,25 +88,84 @@ def build_geometry(gtype: str, parts):
     raise AssertionError(f"unsupported gtype: {gtype}")
 
 
+def _rings_cross(parts) -> bool:
+    """True when any two rings of a multi-ring region properly cross.
+
+    The even-odd sym-diff construction then manufactures intersection
+    vertices in floating point, which can diverge from the engine's exact
+    scaled-integer verifier — those rows must NOT go through GEOS. For
+    standard nesting (holes/islands: boundaries disjoint or touching)
+    the sym-diff is exact, so only crossing pairs are excluded."""
+    from shapely.geometry import LinearRing
+
+    rings = [LinearRing(p) for p in parts]
+    for i in range(len(rings)):
+        for j in range(i + 1, len(rings)):
+            if rings[i].crosses(rings[j]):
+                return True
+    return False
+
+
+def _exact_fallback(gtype: str, parts) -> bool:
+    """Rows the GEOS bridge must hand back to the exact integer path."""
+    return (
+        gtype in ("POLYGON", "MULTIPOLYGON")
+        and len(parts) > 1
+        and _rings_cross(parts)
+    )
+
+
 def relate_batch(ga, ca, gb, cb) -> dict:
     """Vectorized relation flags for aligned lists of (gtype, parts).
 
     Returns {relation: np.ndarray[bool]} with the exact column contract
     of ``relate_general.with_general_relations`` — one GEOS call per
     relation over the whole batch, no per-pair Python in the predicate
-    step.
+    step. Rows whose even-odd regions have CROSSING rings (where the
+    float sym-diff could drift from the exact oracle, see _rings_cross)
+    are computed by the exact scaled-integer path instead.
     """
     import numpy as np
     import shapely
 
+    exact_rows = {
+        i
+        for i in range(len(ga))
+        if _exact_fallback(ga[i], ca[i]) or _exact_fallback(gb[i], cb[i])
+    }
     left = np.array(
-        [build_geometry(g, c) for g, c in zip(ga, ca)], dtype=object
+        [
+            build_geometry(g, c) if i not in exact_rows else None
+            for i, (g, c) in enumerate(zip(ga, ca))
+        ],
+        dtype=object,
     )
     right = np.array(
-        [build_geometry(g, c) for g, c in zip(gb, cb)], dtype=object
+        [
+            build_geometry(g, c) if i not in exact_rows else None
+            for i, (g, c) in enumerate(zip(gb, cb))
+        ],
+        dtype=object,
     )
+    if exact_rows:
+        # GEOS predicates reject None inputs; score placeholder points
+        # and overwrite those rows from the exact path below.
+        from shapely.geometry import Point
+
+        p0 = Point(0.0, 0.0)
+        for i in exact_rows:
+            left[i] = p0
+            right[i] = p0
     shapely.prepare(left)
-    return {
+    res = {
         rel: np.asarray(getattr(shapely, fn)(left, right), dtype=bool)
         for rel, fn in _PRED.items()
     }
+    if exact_rows:
+        from ds_jedai_spark.operators.relate_general import relate_pair
+
+        for i in exact_rows:
+            d = relate_pair(ga[i], ca[i], gb[i], cb[i])
+            for rel in _PRED:
+                res[rel][i] = d[rel]
+    return res

@@ -145,28 +145,73 @@ def _kmeans_update(assign: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_assignments(
+def train_centroids(
     emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
 ) -> DataFrame:
-    """Final (vec_id, qv, cid, d2) after ``iters`` Lloyd rounds (see
-    kmeans_cells for the exactness/scale contract)."""
+    """IVF coarse-quantizer training: (cid, cv) centroids after
+    ``iters - 1`` Lloyd update rounds, seeded from the first k vec_ids
+    (deterministic). The TRAIN step, factored out so deployments can run
+    it once and pin the artifact (``pin_centroids``) instead of
+    retraining inside every search query."""
     qe = quantized(emb).select("vec_id", "qv")
     cent = qe.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
     for _ in range(iters - 1):
         cent = _kmeans_update(_kmeans_assign(qe, cent))
+    return cent
+
+
+def pin_centroids(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    mode: str = "local",
+    table: str = "ivf_centroids_pinned",
+) -> DataFrame:
+    """Train the IVF coarse centroids ONCE and materialize the artifact —
+    the ANN analogue of ``dedup.pin_shingles``. A real index is trained
+    once and reused across every query; without the pin each search
+    replays the full Lloyd lineage per plan branch. ``mode="local"`` is
+    the single-job form (eager localCheckpoint: lineage truncation
+    guarantees reuse where cache substitution fails, see dedup._pin);
+    ``mode="table"`` persists across jobs. No bucketing — centroids are
+    broadcast-sized (k rows) and never meet a shuffle join."""
+    cent = train_centroids(emb, k, iters)
+    if mode == "local":
+        return cent.localCheckpoint()
+    if mode != "table":
+        raise ValueError(f"unknown pin mode: {mode!r}")
+    cent.write.mode("overwrite").saveAsTable(table)
+    return emb.sparkSession.table(table)
+
+
+def kmeans_assignments(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    cent: DataFrame | None = None,
+) -> DataFrame:
+    """Final (vec_id, qv, cid, d2) after ``iters`` Lloyd rounds (see
+    kmeans_cells for the exactness/scale contract). Pass pre-trained
+    ``cent`` (pin_centroids) to skip training and only assign."""
+    qe = quantized(emb).select("vec_id", "qv")
+    if cent is None:
+        cent = train_centroids(emb, k, iters)
     return _kmeans_assign(qe, cent)
 
 
-def ivf_trained_topk(emb: DataFrame, k: int = 3) -> DataFrame:
+def ivf_trained_topk(
+    emb: DataFrame, k: int = 3, cent: DataFrame | None = None
+) -> DataFrame:
     """IVF search over the TRAINED quantizer: assign every vector to its
     Lloyd cell, then cosine top-k restricted to the query's cell — the
     full train -> assign -> search pipeline (ivf_label_topk's cells are
     pre-labeled; these are learned). Same scale shape: the cell id is an
-    equi-join key, one shuffle, AQE splits hot cells."""
+    equi-join key, one shuffle, AQE splits hot cells. Pass pinned
+    ``cent`` to reuse a trained quantizer."""
     qe = quantized(emb)
-    cells = kmeans_assignments(emb).select("vec_id", "cid")
+    cells = kmeans_assignments(emb, cent=cent).select("vec_id", "cid")
     base = qe.join(cells, "vec_id")
     queries = base.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("qid"),
@@ -195,7 +240,10 @@ def ivf_trained_topk(emb: DataFrame, k: int = 3) -> DataFrame:
 
 
 def kmeans_cells(
-    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    cent: DataFrame | None = None,
 ) -> DataFrame:
     """Trained IVF coarse quantizer: Lloyd iterations over the quantized
     integer vectors — (cid, n_vecs, inertia) after ``iters`` assignment
@@ -207,7 +255,7 @@ def kmeans_cells(
     assignment (map-side, no shuffle of the vectors) plus one (cid, pos)
     aggregation — the standard distributed Lloyd step; k stays
     broadcast-sized."""
-    final = kmeans_assignments(emb, k, iters)
+    final = kmeans_assignments(emb, k, iters, cent=cent)
     return final.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vecs"), F.sum("d2").alias("inertia")
     )
@@ -369,20 +417,23 @@ def int8_quantize_stats(emb: DataFrame) -> DataFrame:
     )
 
 
-def ivf_multiprobe_topk(emb: DataFrame, k: int = 3, nprobe: int = 2) -> DataFrame:
+def ivf_multiprobe_topk(
+    emb: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    cent: DataFrame | None = None,
+) -> DataFrame:
     """Multi-probe IVF search: each query scans its ``nprobe`` nearest
     Lloyd cells instead of one — the standard recall/latency knob of an
     IVF index (probing 2 of 8 cells here). Base vectors stay in their
     rank-1 cell, so cells are disjoint and no candidate dedup is needed;
     the probe list is an equi-join key exactly like the single-cell
-    path (one shuffle, AQE splits hot cells)."""
+    path (one shuffle, AQE splits hot cells). Pass pinned ``cent`` to
+    reuse a trained quantizer (same training as ivf_trained_topk)."""
     qe = quantized(emb)
     base_side = qe.select("vec_id", "qv")
-    cent = base_side.where(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
-    )
-    for _ in range(KMEANS_ITERS - 1):
-        cent = _kmeans_update(_kmeans_assign(base_side, cent))
+    if cent is None:
+        cent = train_centroids(emb)
     scored_cells = base_side.crossJoin(F.broadcast(cent)).withColumn(
         "d2", _dist2(F.col("qv"), F.col("cv"))
     )
@@ -456,8 +507,40 @@ def pq_codebooks(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
     return books
 
 
+def pin_codebooks(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    mode: str = "local",
+    table: str = "pq_codebooks_pinned",
+) -> list:
+    """Train the PQ codebooks ONCE and materialize the artifact (the
+    pin_centroids analogue for product quantization). Without the pin,
+    each ADC/rerank query replays all PQ_M Lloyd lineages per plan
+    branch — this is what made the ANN family dominate the bench tail.
+    ``mode="local"`` localCheckpoints each per-sub-block codebook;
+    ``mode="table"`` stacks them into one saved table (m, cid, cv) for
+    reuse across jobs. Codebooks are broadcast-sized (M x k codewords) —
+    no bucketing needed."""
+    books = pq_codebooks(emb, k, iters)
+    if mode == "local":
+        return [b.localCheckpoint() for b in books]
+    if mode != "table":
+        raise ValueError(f"unknown pin mode: {mode!r}")
+    stacked = None
+    for m, b in enumerate(books):
+        bm = b.select(F.lit(m).alias("m"), "cid", "cv")
+        stacked = bm if stacked is None else stacked.unionByName(bm)
+    stacked.write.mode("overwrite").saveAsTable(table)
+    t = emb.sparkSession.table(table)
+    return [
+        t.where(F.col("m") == m).select("cid", "cv") for m in range(PQ_M)
+    ]
+
+
 def pq_adc_topk(
-    emb: DataFrame, n_queries: int = 10, k: int = 5
+    emb: DataFrame, n_queries: int = 10, k: int = 5,
+    books: list | None = None,
 ) -> DataFrame:
     """Product-quantization ADC search: every vector is stored as PQ_M
     one-byte codes (its nearest codeword per sub-block) and queries score
@@ -474,9 +557,11 @@ def pq_adc_topk(
     is a map-side broadcast-join argmin; the scan is one broadcast join
     of queries against the (vec_id, m, cid) code table followed by a
     (qid, vid) partial-aggregated sum — no shuffle of raw vectors
-    anywhere after training."""
+    anywhere after training. Pass pinned ``books`` (pin_codebooks) to
+    reuse a trained index instead of retraining per query."""
     qe = quantized(emb).select("vec_id", "qv", "norm2")
-    books = pq_codebooks(emb)
+    if books is None:
+        books = pq_codebooks(emb)
     # encode: nearest codeword per (vector, sub-block)
     codes = None
     book_rows = None
@@ -535,7 +620,8 @@ def pq_adc_topk(
 
 
 def pq_rerank_topk(
-    emb: DataFrame, n_queries: int = 10, k: int = 5, shortlist: int = 20
+    emb: DataFrame, n_queries: int = 10, k: int = 5, shortlist: int = 20,
+    books: list | None = None,
 ) -> DataFrame:
     """The standard PQ deployment pattern: ADC scan produces a cheap
     ``shortlist`` of candidates per query, then ONLY those candidates are
@@ -543,7 +629,9 @@ def pq_rerank_topk(
     are fetched for shortlist x queries rows instead of the whole
     collection — PQ's compression pays for the scan, the rerank restores
     exact top-k quality within the shortlist."""
-    short = pq_adc_topk(emb, n_queries, shortlist).select("qid", "vid")
+    short = pq_adc_topk(emb, n_queries, shortlist, books=books).select(
+        "qid", "vid"
+    )
     qe = quantized(emb)
     queries = qe.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("qv").alias("a"),

@@ -72,6 +72,27 @@ def _pinned_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SHINGLE_PIN[key]
 
 
+# One trained-artifact pin per (session, sf_dir): a real ANN index is
+# trained once and queried many times, but each search plan would
+# otherwise replay the full Lloyd lineage per plan branch — and the
+# ann_topk gate composite runs the ADC and rerank parts back-to-back, so
+# without the pin the same 4 codebooks train twice in one gate query.
+# Mirrors _SHINGLE_PIN (and dedup.pin_shingles' local/table modes).
+_ANN_PIN: dict[tuple[str, str], dict] = {}
+
+
+def _pinned_ann(spark: SparkSession, sf_dir: str) -> dict:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ANN_PIN:
+        _ANN_PIN.clear()
+        emb = _emb(spark, sf_dir)
+        _ANN_PIN[key] = {
+            "books": similarity.pin_codebooks(emb),
+            "cent": similarity.pin_centroids(emb),
+        }
+    return _ANN_PIN[key]
+
+
 # ------------------------------------------------------------- queries
 
 def dedup_exact(spark, sf_dir):
@@ -417,7 +438,9 @@ def ann_lsh_recall_oracle() -> str:
 def ann_kmeans_cells(spark, sf_dir):
     from ds_jedai_spark.operators.similarity import kmeans_cells
 
-    return kmeans_cells(_emb(spark, sf_dir))
+    return kmeans_cells(
+        _emb(spark, sf_dir), cent=_pinned_ann(spark, sf_dir)["cent"]
+    )
 
 
 def _kmeans_cte() -> str:
@@ -468,7 +491,9 @@ def ann_kmeans_cells_oracle() -> str:
 def ann_ivf_trained_topk(spark, sf_dir):
     from ds_jedai_spark.operators.similarity import ivf_trained_topk
 
-    return ivf_trained_topk(_emb(spark, sf_dir))
+    return ivf_trained_topk(
+        _emb(spark, sf_dir), cent=_pinned_ann(spark, sf_dir)["cent"]
+    )
 
 
 def ann_ivf_trained_topk_oracle() -> str:
@@ -487,7 +512,9 @@ def ann_ivf_trained_topk_oracle() -> str:
 def ann_pq_adc_topk(spark, sf_dir):
     from ds_jedai_spark.operators.similarity import pq_adc_topk
 
-    return pq_adc_topk(_emb(spark, sf_dir))
+    return pq_adc_topk(
+        _emb(spark, sf_dir), books=_pinned_ann(spark, sf_dir)["books"]
+    )
 
 
 def _pq_cte() -> str:
@@ -582,7 +609,9 @@ def ann_pq_adc_topk_oracle() -> str:
 def ann_pq_rerank_topk(spark, sf_dir):
     from ds_jedai_spark.operators.similarity import pq_rerank_topk
 
-    return pq_rerank_topk(_emb(spark, sf_dir))
+    return pq_rerank_topk(
+        _emb(spark, sf_dir), books=_pinned_ann(spark, sf_dir)["books"]
+    )
 
 
 def ann_pq_rerank_topk_oracle() -> str:
@@ -1139,7 +1168,9 @@ ORACLES["media_features"] = media_features_oracle()
 def ann_ivf_multiprobe_topk(spark, sf_dir):
     from ds_jedai_spark.operators.similarity import ivf_multiprobe_topk
 
-    return ivf_multiprobe_topk(_emb(spark, sf_dir))
+    return ivf_multiprobe_topk(
+        _emb(spark, sf_dir), cent=_pinned_ann(spark, sf_dir)["cent"]
+    )
 
 
 def ann_ivf_multiprobe_topk_oracle() -> str:

@@ -168,3 +168,37 @@ def test_pq_rerank_improves_on_raw_adc(spark):
     r_rer = len(exact & rer) / len(exact)
     assert r_rer >= r_adc
     assert r_rer >= 0.4, (r_adc, r_rer)
+
+
+def test_ann_pin_trains_once_and_truncates_lineage(spark):
+    """One training per run: the second query's artifact lookup is a
+    cache hit, and every pinned frame's plan is a checkpoint scan
+    (LogicalRDD) — reusing it CANNOT replay the Lloyd training lineage."""
+    from ds_jedai_spark.plans import pipeline_plans as pl
+
+    pl._ANN_PIN.clear()
+    a1 = pl._pinned_ann(spark, SF)
+    a2 = pl._pinned_ann(spark, SF)
+    assert a1 is a2
+    for frame in [*a1["books"], a1["cent"]]:
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in plan, plan.splitlines()[0]
+
+
+def test_pq_adc_pinned_books_match_retrained(spark):
+    """Search over the pinned codebooks is bit-identical to search that
+    trains inline (the pin changes WHEN training runs, not the math)."""
+    from ds_jedai_spark.operators import similarity
+    from ds_jedai_spark.plans.pipeline_plans import _emb
+
+    emb = _emb(spark, SF)
+    books = similarity.pin_codebooks(emb)
+    got = sorted(
+        similarity.pq_adc_topk(emb, books=books).collect(),
+        key=lambda r: (r.qid, r.vid),
+    )
+    want = sorted(
+        similarity.pq_adc_topk(emb).collect(), key=lambda r: (r.qid, r.vid)
+    )
+    assert [(r.qid, r.vid) for r in got] == [(r.qid, r.vid) for r in want]
+    assert all(abs(a.cos - b.cos) < 1e-12 for a, b in zip(got, want))
