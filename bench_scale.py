@@ -1,0 +1,198 @@
+"""Scale-regression bench: clone-amplified runs of the plan families
+whose 100 TB claims previously lived only as PLANS.md prose. Prints ONE
+JSON line; the artifact (BENCH_SCALE.json) is refreshed per round so
+scale behavior regresses visibly instead of silently.
+
+Entries (inputs from $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1,
+on local[$SPARK_GRAFT_CPUS]; single-shot walls — at these sizes ambient
+noise is small relative to the run):
+
+- giant_counts_x10: source/target boxes cloned 10x with per-clone x
+  offsets (clone i only meets clone i), so true pairs scale exactly
+  10x. Exercises theta sampling, tile explode, the broadcast/shuffle
+  tile join, and the 11-counter aggregation at 10x volume.
+- lsh_x10: the adversarial MinHash-LSH soak — TEN exact clones of every
+  document, so every band bucket holds >= 10 colliding docs and true
+  pairs grow ~45x (10 choose 2 per original pair group). Exercises
+  hot-bucket behavior of the banded equi-join.
+- asof_x16_uniform / asof_x16_hotkey: 16x cloned events through the
+  skew-safe bucket-carry as-of join. The hot variant reassigns 10% of
+  ALL rows to ONE user — the bot-account shape that serializes a
+  per-key unbounded window. GATE: hot wall <= ~2x uniform wall
+  (asof_hot_over_uniform in the output).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ds_jedai_spark.session import get_spark  # noqa: E402
+
+CLONES_SPATIAL = 10
+CLONES_LSH = 10
+CLONES_ASOF = 16
+HOT_FRACTION_MOD = 10  # 1/10 of rows -> the hot user
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    n = fn()
+    return round(time.perf_counter() - t0, 3), n
+
+
+def giant_counts_x10(spark, sf_dir):
+    from ds_jedai_spark.io.synthetic import (
+        load_sql,
+        source_box_sql,
+        target_box_sql,
+    )
+    from ds_jedai_spark.model.tiles import compute_theta
+    from ds_jedai_spark.operators.relate import with_relations
+    from ds_jedai_spark.operators.spatial_join import tile_join
+    from ds_jedai_spark.plans.giant import counts_agg
+
+    source = load_sql(spark, sf_dir, source_box_sql())
+    target = load_sql(spark, sf_dir, target_box_sql())
+    span = source.unionByName(target).agg(
+        F.min("minx").alias("lo"), F.max("maxx").alias("hi")
+    ).first()
+    shift = (span.hi - span.lo) * 2  # gap > domain width: clones disjoint
+
+    def clone(df):
+        rep = spark.range(CLONES_SPATIAL).select(F.col("id").alias("rep"))
+        return df.crossJoin(rep).select(
+            (F.col("id") * CLONES_SPATIAL + F.col("rep")).alias("id"),
+            (F.col("minx") + F.col("rep") * shift).alias("minx"),
+            "miny",
+            (F.col("maxx") + F.col("rep") * shift).alias("maxx"),
+            "maxy",
+        )
+
+    cs, ct = clone(source), clone(target)
+    theta = compute_theta(cs)
+    out = counts_agg(with_relations(tile_join(cs, ct, theta=theta)))
+    row = out.first()
+    return row.verifications
+
+
+def lsh_x10(spark, sf_dir):
+    from ds_jedai_spark.operators import dedup
+    from ds_jedai_spark.plans.pipeline_plans import TAU_JACCARD, _corpus
+
+    corpus = _corpus(spark, sf_dir)
+    rep = spark.range(CLONES_LSH).select(F.col("id").alias("rep"))
+    cloned = corpus.crossJoin(rep).select(
+        (F.col("doc_id") * CLONES_LSH + F.col("rep")).alias("doc_id"),
+        "text",
+    )
+    # Spread before the shingle explode (the single-parquet input would
+    # otherwise hold a handful of partitions and single-thread it) —
+    # same spread the engine's _pinned_shingles path applies.
+    pairs = dedup.minhash_lsh_pairs(
+        cloned.repartition(32), tau=TAU_JACCARD
+    )
+    return pairs.count()
+
+
+def _cloned_events(spark, sf_dir, hot: bool):
+    from ds_jedai_spark.plans.timeseries_plans import _events
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts",
+                                       "event_type", "value")
+    rep = spark.range(CLONES_ASOF).select(F.col("id").alias("rep"))
+    c = ev.crossJoin(rep).select(
+        (F.col("event_id") * CLONES_ASOF + F.col("rep")).alias("event_id"),
+        (F.col("user_id") * CLONES_ASOF + F.col("rep")).alias("user_id"),
+        "ts",
+        "event_type",
+        "value",
+    )
+    if hot:
+        c = c.withColumn(
+            "user_id",
+            F.when(
+                F.pmod(F.col("event_id"), F.lit(HOT_FRACTION_MOD)) == 0,
+                F.lit(-1).cast("long"),
+            ).otherwise(F.col("user_id")),
+        )
+    return c
+
+
+def asof_x16(hot: bool):
+    def q(spark, sf_dir):
+        from ds_jedai_spark.operators.temporal import asof_join
+        from ds_jedai_spark.plans.timeseries_plans import ASOF_BUCKET_US
+
+        ev = _cloned_events(spark, sf_dir, hot)
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+        )
+        return asof_join(
+            clicks, purchases, key="user_id", ts="ts",
+            right_attrs=("purchase_id", "value"),
+            bucket_us=ASOF_BUCKET_US,
+        ).count()
+
+    return q
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or "0.1")
+    spark = get_spark("ds_jedai_spark_bench_scale")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    entries = [
+        ("giant_counts_x10", lambda: giant_counts_x10(spark, sf_dir)),
+        ("lsh_x10", lambda: lsh_x10(spark, sf_dir)),
+        ("asof_x16_uniform", lambda: asof_x16(False)(spark, sf_dir)),
+        ("asof_x16_hotkey", lambda: asof_x16(True)(spark, sf_dir)),
+    ]
+    # Best-of-2 per entry, matching bench.py's protocol: the minimum
+    # excludes one-time view registration / parquet-footer probes and
+    # ambient-load noise, which at these walls can double a single shot
+    # (and would make the hot/uniform gate ratio order-dependent).
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in entries:
+        timings[name], rows[name] = _timed(fn)
+        t2, _ = _timed(fn)
+        timings[name] = min(timings[name], t2)
+        print(f"# {name}: {rows[name]} rows/count in {timings[name]}s",
+              file=sys.stderr)
+
+    ratio = round(timings["asof_x16_hotkey"] / timings["asof_x16_uniform"], 2)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "rows": rows,
+                "asof_hot_over_uniform": ratio,
+                "clones": {
+                    "spatial": CLONES_SPATIAL,
+                    "lsh": CLONES_LSH,
+                    "asof": CLONES_ASOF,
+                },
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

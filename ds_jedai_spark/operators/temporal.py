@@ -8,12 +8,16 @@ Spark-first around ONE hash shuffle each — never a range cross-join:
 
 - as-of join: union-and-window. Tag both sides, hash-partition by the
   equi-key, sort each partition once by timestamp, and carry the most
-  recent right-side attributes forward with last(ignorenulls) over an
+  recent right-side row forward with last(ignorenulls) over an
   unbounded-preceding window. One shuffle by key, no per-row probe, no
   broadcast of the right side — both sides stream at 100 TB. (The
   classic alternative — bucket join + max-per-left — shuffles the right
   side once per candidate bucket; the union form shuffles each row
-  exactly once.)
+  exactly once.) The per-key window cannot be split by AQE, so for raw
+  event volume (where one hot key can hold 10% of the stream) the
+  ``bucket_us`` form replaces it with a two-phase bucket-carry: window
+  within (key, time-bucket), then a per-key carry whose partition is
+  rows = buckets, not events. See ``asof_join``.
 
 - interval join: bucket equi-join. Right-side windows [start, end] are
   exploded onto the fixed-width time buckets they cover (sequence() of
@@ -52,6 +56,7 @@ def asof_join(
     key: str = "user_id",
     ts: str = "ts",
     right_attrs: tuple[str, ...] = (),
+    bucket_us: int | None = None,
 ) -> DataFrame:
     """For each left row, append the right row with the greatest
     ``right.ts <= left.ts`` for the same key (DuckDB/pandas ASOF
@@ -62,52 +67,105 @@ def asof_join(
     row at exactly left.ts matches). Multiple right rows at the same
     (key, ts) would be engine-order nondeterministic — callers needing
     that case must pre-aggregate the right side to one row per (key, ts).
+    The matched right row travels as ONE struct, so a genuinely-NULL
+    attribute on the matched row stays NULL instead of leaking an older
+    row's value (per-attribute last(ignorenulls) would).
+
+    ``bucket_us=None`` is the single-window form: each row shuffles
+    exactly once by ``key``, but the per-key window is unbounded — one
+    hot key (a bot with 10% of the event stream) serializes in a single
+    task, so it is only safe when per-key volume is known-bounded
+    (sessions, per-user trickle).
+
+    ``bucket_us=N`` is the SKEW-SAFE two-phase bucket-carry form for
+    raw event volume:
+
+    1. window within (key, time-bucket) fills each left row from right
+       rows in its own bucket — partitions hold ~rate x N rows no
+       matter how hot the key is;
+    2. each bucket's last right row (max struct) is carried forward
+       with a per-key window over the (key, bucket) summary — that
+       window's partition is rows = BUCKETS per key, not events — and
+       rejoined on (key, bucket); left rows unfilled in phase 1 take
+       the carried row from the latest earlier bucket.
+
+    No plan stage scales with events-per-key: AQE can split the
+    (key, bucket) exchanges where it cannot split a per-key WindowExec.
     """
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
-    tag = F.lit(1)
+    rstruct_t = StructType(
+        [StructField("_rts", right.schema[ts].dataType)]
+        + [
+            StructField(f"asof_{a}", right.schema[a].dataType)
+            for a in right_attrs
+        ]
+    )
     l = left.select(
         key,
         ts,
         F.lit(0).alias("_is_right"),
         *[F.col(c) for c in lcols if c not in (key, ts)],
-        *[F.lit(None).cast(right.schema[a].dataType).alias(f"asof_{a}")
-          for a in right_attrs],
+        F.lit(None).cast(rstruct_t).alias("_r"),
     )
     r = right.select(
         key,
         ts,
-        tag.alias("_is_right"),
+        F.lit(1).alias("_is_right"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in (key, ts)],
-        *[F.col(a).alias(f"asof_{a}") for a in right_attrs],
+        F.struct(
+            F.col(ts).alias("_rts"),
+            *[F.col(a).alias(f"asof_{a}") for a in right_attrs],
+        ).alias("_r"),
     )
     u = l.unionByName(r)
-    # right rows sort before left rows at equal ts => "<=" matches them
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_is_right").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = u.select(
-        "*",
-        *[
-            F.last(f"asof_{a}", ignorenulls=True).over(w).alias(f"_f_{a}")
-            for a in right_attrs
-        ],
-        F.last(F.when(F.col("_is_right") == 1, F.col(ts)), ignorenulls=True)
-        .over(w)
-        .alias("_f_ts"),
-    )
-    return (
-        filled.where(F.col("_is_right") == 0)
-        .select(
+
+    def _out(rows: DataFrame, match) -> DataFrame:
+        return rows.select(
             key,
             ts,
             *[F.col(c) for c in lcols if c not in (key, ts)],
-            *[F.col(f"_f_{a}").alias(f"asof_{a}") for a in right_attrs],
-            F.col("_f_ts").alias("asof_ts"),
+            *[match[f"asof_{a}"].alias(f"asof_{a}") for a in right_attrs],
+            match["_rts"].alias("asof_ts"),
         )
+
+    if bucket_us is None:
+        # right rows sort before left rows at equal ts => "<=" matches
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col(ts).asc(), F.col("_is_right").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = u.withColumn("_f", F.last("_r", ignorenulls=True).over(w))
+        return _out(filled.where(F.col("_is_right") == 0), F.col("_f"))
+
+    u = u.withColumn(
+        "_bkt", F.floor(epoch_us(F.col(ts)) / F.lit(bucket_us)).cast("long")
     )
+    w1 = (
+        Window.partitionBy(key, "_bkt")
+        .orderBy(F.col(ts).asc(), F.col("_is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("_f1", F.last("_r", ignorenulls=True).over(w1))
+    # Bucket summary: one row per (key, bucket) present on EITHER side
+    # (max ignores the null _r of left rows -> _last is null for
+    # right-free buckets), so the rejoin below is a plain inner join.
+    summary = u.groupBy(key, "_bkt").agg(F.max("_r").alias("_last"))
+    wc = (
+        Window.partitionBy(key)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summary.select(
+        key, "_bkt", F.last("_last", ignorenulls=True).over(wc).alias("_c")
+    )
+    joined = filled.where(F.col("_is_right") == 0).join(
+        carry, [key, "_bkt"]
+    )
+    return _out(joined, F.coalesce(F.col("_f1"), F.col("_c")))
 
 
 def interval_join(

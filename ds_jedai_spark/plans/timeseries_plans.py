@@ -27,9 +27,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("events")
 
 
+ASOF_BUCKET_US = 24 * 3600 * 1_000_000  # 1-day carry buckets
+
+
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each click joined to the user's most recent prior-or-equal
-    purchase (backward as-of): one union + one hash shuffle by user."""
+    purchase (backward as-of), via the SKEW-SAFE bucket-carry form: no
+    plan stage scales with events-per-key, so a bot account holding 10%
+    of the stream cannot serialize a task (operators/temporal.py)."""
     ev = _events(spark, sf_dir)
     clicks = ev.where(F.col("event_type") == "click").select(
         "user_id", "ts", F.col("event_id").alias("click_id")
@@ -40,6 +45,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = asof_join(
         clicks, purchases, key="user_id", ts="ts",
         right_attrs=("purchase_id", "value"),
+        bucket_us=ASOF_BUCKET_US,
     )
     return j.select(
         "click_id",

@@ -109,3 +109,70 @@ def test_epoch_us_matches_duckdb_on_ntz(spark):
     )
     duck_us = duckdb.sql(f"SELECT epoch_us(TIMESTAMP '{t}')").fetchone()[0]
     assert spark_us == duck_us
+
+
+def test_asof_bucketed_matches_single_window(frames, spark):
+    """The skew-safe bucket-carry form returns exactly the single-window
+    result, including at bucket boundaries (60 s buckets put the
+    fixture's matches in earlier buckets, same bucket, and no bucket)."""
+    left, right = frames
+    kw = dict(key="user_id", ts="ts", right_attrs=("purchase_id", "value"))
+    plain = {
+        r["click_id"]: (r["asof_purchase_id"], r["asof_value"], r["asof_ts"])
+        for r in asof_join(left, right, **kw).collect()
+    }
+    for bucket_us in (60_000_000, 7 * 60_000_000, 3_600_000_000_000):
+        bucketed = {
+            r["click_id"]: (
+                r["asof_purchase_id"], r["asof_value"], r["asof_ts"]
+            )
+            for r in asof_join(
+                left, right, bucket_us=bucket_us, **kw
+            ).collect()
+        }
+        assert bucketed == plain, bucket_us
+
+
+def test_asof_bucketed_null_attr_on_matched_row(spark):
+    """A genuinely-NULL attribute on the matched right row must come back
+    NULL — not an older row's value (the struct carry guarantees this)."""
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [Row(user_id=1, ts=dt.datetime(2024, 1, 1, 2, 0), click_id=1)]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=dt.datetime(2024, 1, 1, 0, 0),
+                purchase_id=10, value=9.9),
+            Row(user_id=1, ts=dt.datetime(2024, 1, 1, 1, 0),
+                purchase_id=11, value=None),
+        ]
+    )
+    for bucket_us in (None, 60_000_000):
+        out = asof_join(
+            left, right, key="user_id", ts="ts",
+            right_attrs=("purchase_id", "value"), bucket_us=bucket_us,
+        ).collect()
+        assert out[0]["asof_purchase_id"] == 11
+        assert out[0]["asof_value"] is None, bucket_us
+
+
+def test_asof_bucketed_plan_has_no_per_key_event_window(frames):
+    """Plan shape of the skew-safe form: every window over event rows is
+    partitioned by (key, bucket); the only per-key-alone window runs on
+    the bucket SUMMARY (rows = buckets, not events)."""
+    left, right = frames
+    plan = asof_join(
+        left, right, key="user_id", ts="ts",
+        right_attrs=("purchase_id",), bucket_us=60_000_000,
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    windows = re.findall(r"Window .*?windowspecdefinition\(([^)]*)\)", plan)
+    assert windows, plan[:500]
+    # w1 partitions by (user_id, _bkt); the carry window partitions by
+    # user_id but ORDERS by _bkt (it runs on the bucket summary). A
+    # window spec mentioning user_id but never _bkt would be an
+    # unbounded per-key scan over raw events — the shape this form bans.
+    assert [w for w in windows if "user_id" in w and "_bkt" not in w] == []
