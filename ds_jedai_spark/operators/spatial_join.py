@@ -156,6 +156,26 @@ def distance_join(
     )
 
 
+KNN_TILES_PER_SIDE = 8.0
+
+
+def _round_theta(
+    theta: tuple[float, float] | None, r: float
+) -> tuple[float, float] | None:
+    """Coarsen the tile granularity with the round radius so an expanded
+    envelope (side ~2r) explodes to at most ~KNN_TILES_PER_SIDE tiles
+    per side, every round. With a fixed fine theta the final round costs
+    (2*rmax/theta)^2 exploded rows per unresolved source — fine while
+    stragglers are few, pathological for an isolated-cluster corpus.
+    None passes through: tile_join then computes theta from the expanded
+    envelopes themselves (avg width ~2r), which is already radius-
+    proportional."""
+    if theta is None:
+        return None
+    side = 2.0 * r / KNN_TILES_PER_SIDE
+    return (max(theta[0], side), max(theta[1], side))
+
+
 def knn_join_exact(
     source: DataFrame,
     target: DataFrame,
@@ -178,14 +198,18 @@ def knn_join_exact(
     The round count is a STATIC function of (r0, growth, rmax) — no
     driver-side convergence action; each round is one tile equi-join plus
     a per-source window, and the union across rounds covers disjoint
-    source sets. The oracle contract is plain all-pairs kNN."""
+    source sets. Tile granularity coarsens with the radius
+    (``_round_theta``) so exploded tiles per source stay O(1) at every
+    round. The oracle contract is plain all-pairs kNN."""
     from pyspark.sql import Window
 
     rounds: list[DataFrame] = []
     remaining = source
     r = r0
     while True:
-        cand = distance_join(remaining, target, r, theta).where(
+        cand = distance_join(
+            remaining, target, r, _round_theta(theta, r)
+        ).where(
             F.col("s_id") != F.col("t_id")
         )
         w = Window.partitionBy("s_id").orderBy("dist2", "t_id")
