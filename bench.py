@@ -52,11 +52,59 @@ def main() -> None:
         # frame just counts the pinned artifact.
         return pl._pinned_ann(spark, sf_dir)["cent"]
 
+    # Bucketed tile layout: bucketed_layout is the one-time write (the
+    # cost a repeatedly-joined 100 TB reference layer pays once);
+    # bucketed_tile_counts is the REPEAT join over the persisted tables
+    # — the measured shuffle-free number behind the plan test in
+    # tests/test_bucketed.py. Theta travels with the layout artifact.
+    _bt: dict[str, tuple[float, float]] = {}
+
+    def _bucketed_layout(spark, sf_dir):
+        from ds_jedai_spark.io import bucketed as bk
+        from ds_jedai_spark.io.synthetic import (
+            load_sql, source_box_sql, target_box_sql,
+        )
+
+        src = load_sql(spark, sf_dir, source_box_sql())
+        tgt = load_sql(spark, sf_dir, target_box_sql())
+        theta = giant.cached_theta(spark, sf_dir, "source_box", src)
+        bk.persist_tiled(src, "bench_bt_src", theta, buckets=32)
+        bk.persist_tiled(tgt, "bench_bt_tgt", theta, buckets=32)
+        _bt["theta"] = theta
+        return spark.range(1)
+
+    def _bucketed_counts(spark, sf_dir):
+        from ds_jedai_spark.io.bucketed import bucketed_tile_join
+        from ds_jedai_spark.operators.relate import with_relations
+
+        # Disable broadcast: at 100 TB neither side broadcasts, so the
+        # representative repeat-join plan is the co-located SortMergeJoin
+        # over the two bucketed scans — measure THAT, and assert the
+        # bucketing really removed the shuffle.
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            cand = bucketed_tile_join(
+                spark, "bench_bt_src", "bench_bt_tgt", _bt["theta"]
+            )
+            out = giant.counts_agg(with_relations(cand))
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, "expected co-located SMJ"
+            assert "Exchange hashpartitioning" not in plan, (
+                "bucketed join shuffled"
+            )
+            out = out.localCheckpoint()  # materialize under the conf
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        return out
+
     # Names stay stable round-over-round even though the driver-gate
     # queries() surface is consolidated (plans/gate.py); bench hits the
     # underlying per-operator plans directly.
     headline = [
         ("giant_counts", giant.giant_counts),
+        ("bucketed_layout", _bucketed_layout),
+        ("bucketed_tile_counts", _bucketed_counts),
         ("pairs_intersects", giant.relation_pairs("intersects")),
         ("spatiotemporal_pairs", giant.spatiotemporal_pairs),
         ("point_in_box_pairs", giant.point_in_box_pairs),
@@ -68,9 +116,10 @@ def main() -> None:
         ("text_contamination", pl.QUERIES["text_contamination"]),
         ("text_pii_scrub", pl.QUERIES["text_pii_scrub"]),
         ("emb_quantize", pl.QUERIES["emb_quantize"]),
-        # Stateful applyInPandas scan (sequential PQ semantics) — the one
+        # Stateful applyInPandas scans (sequential PQ semantics) — the
         # family whose regressions the batch plans can't catch.
         ("dynamic_progressive_js", pp.dynamic_progressive_js),
+        ("early_stopping_js", pp.early_stopping_js),
         ("events_asof_join", tsp.events_asof_join),
         # ANN family. ann_train is the one-time index build (Lloyd
         # codebooks + IVF centroids, trained and pinned — a real index
