@@ -57,11 +57,20 @@ def asof_join(
     ts: str = "ts",
     right_attrs: tuple[str, ...] = (),
     bucket_us: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, append the right row with the greatest
-    ``right.ts <= left.ts`` for the same key (DuckDB/pandas ASOF
-    backward semantics). Right attributes come back as ``asof_<name>``,
-    NULL when no prior right row exists.
+    """For each left row, append the matching right row for the same
+    key (pandas ``merge_asof`` direction semantics). Right attributes
+    come back as ``asof_<name>``, NULL when no match exists.
+
+    - ``direction="backward"`` (default): greatest ``right.ts <=
+      left.ts`` — DuckDB ``ASOF ... ON l.ts >= r.ts``.
+    - ``direction="forward"``: smallest ``right.ts >= left.ts`` —
+      DuckDB ``ASOF ... ON l.ts <= r.ts``.
+    - ``direction="nearest"``: whichever of the two is closer in time;
+      exact ties resolve backward. Costs one extra window pass over the
+      same shuffle (specs share partition keys, so Catalyst adds a sort
+      per direction, not an exchange).
 
     Ties on (key, ts) across sides resolve right-before-left (a right
     row at exactly left.ts matches). Multiple right rows at the same
@@ -122,6 +131,9 @@ def asof_join(
     )
     u = l.unionByName(r)
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
+
     def _out(rows: DataFrame, match) -> DataFrame:
         return rows.select(
             key,
@@ -131,41 +143,117 @@ def asof_join(
             match["_rts"].alias("asof_ts"),
         )
 
-    if bucket_us is None:
-        # right rows sort before left rows at equal ts => "<=" matches
-        w = (
-            Window.partitionBy(key)
-            .orderBy(F.col(ts).asc(), F.col("_is_right").desc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def _nearest(mb, mf):
+        # closer match wins; exact ties resolve backward (<=)
+        db = epoch_us(F.col(ts)) - epoch_us(mb["_rts"])
+        df_ = epoch_us(mf["_rts"]) - epoch_us(F.col(ts))
+        return (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(db <= df_, mb)
+            .otherwise(mf)
         )
-        filled = u.withColumn("_f", F.last("_r", ignorenulls=True).over(w))
-        return _out(filled.where(F.col("_is_right") == 0), F.col("_f"))
+
+    want_b = direction in ("backward", "nearest")
+    want_f = direction in ("forward", "nearest")
+
+    if bucket_us is None:
+        def over_key(part_cols):
+            # backward: right rows sort BEFORE left rows at equal ts, so
+            # the preceding frame ("<=") includes them; forward: left
+            # rows sort first, so the following frame (">=") does.
+            wb = (
+                Window.partitionBy(*part_cols)
+                .orderBy(F.col(ts).asc(), F.col("_is_right").desc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            wf = (
+                Window.partitionBy(*part_cols)
+                .orderBy(F.col(ts).asc(), F.col("_is_right").asc())
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            return (
+                F.last("_r", ignorenulls=True).over(wb),
+                F.first("_r", ignorenulls=True).over(wf),
+            )
+
+        mb_c, mf_c = over_key([key])
+        filled = u
+        if want_b:
+            filled = filled.withColumn("_fb", mb_c)
+        if want_f:
+            filled = filled.withColumn("_ff", mf_c)
+        match = (
+            _nearest(F.col("_fb"), F.col("_ff"))
+            if direction == "nearest"
+            else F.col("_fb") if direction == "backward"
+            else F.col("_ff")
+        )
+        return _out(filled.where(F.col("_is_right") == 0), match)
 
     u = u.withColumn(
         "_bkt", F.floor(epoch_us(F.col(ts)) / F.lit(bucket_us)).cast("long")
     )
-    w1 = (
+    w1b = (
         Window.partitionBy(key, "_bkt")
         .orderBy(F.col(ts).asc(), F.col("_is_right").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.withColumn("_f1", F.last("_r", ignorenulls=True).over(w1))
+    w1f = (
+        Window.partitionBy(key, "_bkt")
+        .orderBy(F.col(ts).asc(), F.col("_is_right").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = u
+    if want_b:
+        filled = filled.withColumn(
+            "_f1b", F.last("_r", ignorenulls=True).over(w1b)
+        )
+    if want_f:
+        filled = filled.withColumn(
+            "_f1f", F.first("_r", ignorenulls=True).over(w1f)
+        )
     # Bucket summary: one row per (key, bucket) present on EITHER side
-    # (max ignores the null _r of left rows -> _last is null for
-    # right-free buckets), so the rejoin below is a plain inner join.
-    summary = u.groupBy(key, "_bkt").agg(F.max("_r").alias("_last"))
-    wc = (
+    # (max/min ignore the null _r of left rows -> null for right-free
+    # buckets), so the rejoin below is a plain inner join. The carry
+    # windows run over the summary: partitions are buckets, not events.
+    aggs = []
+    if want_b:
+        aggs.append(F.max("_r").alias("_last"))
+    if want_f:
+        aggs.append(F.min("_r").alias("_first"))
+    summary = u.groupBy(key, "_bkt").agg(*aggs)
+    wcb = (
         Window.partitionBy(key)
         .orderBy("_bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    carry = summary.select(
-        key, "_bkt", F.last("_last", ignorenulls=True).over(wc).alias("_c")
+    wcf = (
+        Window.partitionBy(key)
+        .orderBy("_bkt")
+        .rowsBetween(1, Window.unboundedFollowing)
     )
+    carry_cols = [F.col(key), F.col("_bkt")]
+    if want_b:
+        carry_cols.append(
+            F.last("_last", ignorenulls=True).over(wcb).alias("_cb")
+        )
+    if want_f:
+        carry_cols.append(
+            F.first("_first", ignorenulls=True).over(wcf).alias("_cf")
+        )
+    carry = summary.select(*carry_cols)
     joined = filled.where(F.col("_is_right") == 0).join(
         carry, [key, "_bkt"]
     )
-    return _out(joined, F.coalesce(F.col("_f1"), F.col("_c")))
+    mb = F.coalesce(F.col("_f1b"), F.col("_cb")) if want_b else None
+    mf = F.coalesce(F.col("_f1f"), F.col("_cf")) if want_f else None
+    match = (
+        _nearest(mb, mf) if direction == "nearest"
+        else mb if direction == "backward"
+        else mf
+    )
+    return _out(joined, match)
 
 
 def interval_join(

@@ -463,8 +463,19 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
          sp.stream_top_event_types_oracle())
 
     # -- time-series joins (as-of, interval) over the events table
-    keep("events_asof_join", tsp.QUERIES["events_asof_join"],
-         tsp.ORACLES["events_asof_join"])
+    add(
+        "events_asof_join",
+        tagged_union(
+            [
+                ("backward", tsp.QUERIES["events_asof_join"],
+                 tsp.ORACLES["events_asof_join"]),
+                ("forward", tsp.QUERIES["events_asof_forward"],
+                 tsp.ORACLES["events_asof_forward"]),
+                ("nearest", tsp.QUERIES["events_asof_nearest"],
+                 tsp.ORACLES["events_asof_nearest"]),
+            ]
+        ),
+    )
     keep("events_interval_join", tsp.QUERIES["events_interval_join"],
          tsp.ORACLES["events_interval_join"])
 

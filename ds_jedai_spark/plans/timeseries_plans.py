@@ -30,42 +30,83 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 ASOF_BUCKET_US = 24 * 3600 * 1_000_000  # 1-day carry buckets
 
 
-def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Each click joined to the user's most recent prior-or-equal
-    purchase (backward as-of), via the SKEW-SAFE bucket-carry form: no
-    plan stage scales with events-per-key, so a bot account holding 10%
-    of the stream cannot serialize a task (operators/temporal.py)."""
-    ev = _events(spark, sf_dir)
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("click_id")
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
-    )
-    j = asof_join(
-        clicks, purchases, key="user_id", ts="ts",
-        right_attrs=("purchase_id", "value"),
-        bucket_us=ASOF_BUCKET_US,
-    )
-    return j.select(
-        "click_id",
-        "user_id",
-        epoch_us("ts").alias("click_us"),
-        F.col("asof_purchase_id").alias("purchase_id"),
-        F.col("asof_value").alias("purchase_value"),
-        epoch_us("asof_ts").alias("purchase_us"),
-    )
+def _events_asof(direction: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Each click joined to the user's matching purchase (backward /
+        forward / nearest as-of), via the SKEW-SAFE bucket-carry form:
+        no plan stage scales with events-per-key, so a bot account
+        holding 10% of the stream cannot serialize a task
+        (operators/temporal.py)."""
+        ev = _events(spark, sf_dir)
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+        )
+        j = asof_join(
+            clicks, purchases, key="user_id", ts="ts",
+            right_attrs=("purchase_id", "value"),
+            bucket_us=ASOF_BUCKET_US,
+            direction=direction,
+        )
+        return j.select(
+            "click_id",
+            "user_id",
+            epoch_us("ts").alias("click_us"),
+            F.col("asof_purchase_id").alias("purchase_id"),
+            F.col("asof_value").alias("purchase_value"),
+            epoch_us("asof_ts").alias("purchase_us"),
+        )
+
+    return q
 
 
-def events_asof_join_oracle() -> str:
+events_asof_join = _events_asof("backward")
+events_asof_forward = _events_asof("forward")
+events_asof_nearest = _events_asof("nearest")
+
+_ASOF_SRC = (
+    "FROM (SELECT * FROM events WHERE event_type = 'click') l "
+    "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
+)
+
+
+def _asof_oracle(op: str) -> str:
     return (
         "SELECT l.event_id AS click_id, l.user_id, "
         "epoch_us(l.ts) AS click_us, "
         "r.event_id AS purchase_id, r.value AS purchase_value, "
         "epoch_us(r.ts) AS purchase_us "
-        "FROM (SELECT * FROM events WHERE event_type = 'click') l "
-        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
-        "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        f"{_ASOF_SRC}ON l.user_id = r.user_id AND l.ts {op} r.ts"
+    )
+
+
+def events_asof_join_oracle() -> str:
+    return _asof_oracle(">=")
+
+
+def events_asof_forward_oracle() -> str:
+    return _asof_oracle("<=")
+
+
+def events_asof_nearest_oracle() -> str:
+    """Nearest = closer of the backward and forward matches, exact ties
+    backward — composed from the two native DuckDB ASOF directions."""
+    b = _asof_oracle(">=")
+    f = _asof_oracle("<=")
+    pick_b = (
+        "f.purchase_us IS NULL OR (b.purchase_us IS NOT NULL AND "
+        "(b.click_us - b.purchase_us) <= (f.purchase_us - b.click_us))"
+    )
+    sel = ", ".join(
+        f"CASE WHEN {pick_b} THEN b.{c} ELSE f.{c} END AS {c}"
+        for c in ("purchase_id", "purchase_value", "purchase_us")
+    )
+    return (
+        f"WITH b AS ({b}), f AS ({f}) "
+        f"SELECT b.click_id, b.user_id, b.click_us, {sel} "
+        "FROM b JOIN f ON b.click_id = f.click_id"
     )
 
 
@@ -112,10 +153,14 @@ def events_interval_join_oracle() -> str:
 
 QUERIES = {
     "events_asof_join": events_asof_join,
+    "events_asof_forward": events_asof_forward,
+    "events_asof_nearest": events_asof_nearest,
     "events_interval_join": events_interval_join,
 }
 
 ORACLES = {
     "events_asof_join": events_asof_join_oracle(),
+    "events_asof_forward": events_asof_forward_oracle(),
+    "events_asof_nearest": events_asof_nearest_oracle(),
     "events_interval_join": events_interval_join_oracle(),
 }

@@ -176,3 +176,39 @@ def test_asof_bucketed_plan_has_no_per_key_event_window(frames):
     # window spec mentioning user_id but never _bkt would be an
     # unbounded per-key scan over raw events — the shape this form bans.
     assert [w for w in windows if "user_id" in w and "_bkt" not in w] == []
+
+
+def test_asof_forward_and_nearest_semantics(frames, spark):
+    """Forward: smallest right.ts >= left.ts (equal ts matches).
+    Nearest: closer of the two, exact ties backward. Both forms (plain
+    and bucketed) must agree."""
+    left, right = frames
+    kw = dict(key="user_id", ts="ts", right_attrs=("purchase_id",))
+    for bucket_us in (None, 60_000_000, 7 * 60_000_000):
+        fwd = {
+            r["click_id"]: r["asof_purchase_id"]
+            for r in asof_join(
+                left, right, direction="forward", bucket_us=bucket_us, **kw
+            ).collect()
+        }
+        # click 100 @00:10 -> next purchase @00:20 (201); 101 @00:20 ties
+        # forward too; 102 @00:05 -> purchase @00:09 (202); 103: none.
+        assert fwd == {100: 201, 101: 201, 102: 202, 103: None}, bucket_us
+        near = {
+            r["click_id"]: r["asof_purchase_id"]
+            for r in asof_join(
+                left, right, direction="nearest", bucket_us=bucket_us, **kw
+            ).collect()
+        }
+        # 100 @00:10: backward 200 @00:08 (2 min) vs forward 201 @00:20
+        # (10 min) -> 200; 101 exact tie -> backward 201; 102: only
+        # forward exists (202 @00:09, 4 min ahead) -> 202; 103: none.
+        assert near == {100: 200, 101: 201, 102: 202, 103: None}, bucket_us
+
+
+def test_asof_direction_rejects_unknown(frames):
+    left, right = frames
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, direction="sideways")
