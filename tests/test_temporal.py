@@ -212,3 +212,62 @@ def test_asof_direction_rejects_unknown(frames):
 
     with _pytest.raises(ValueError):
         asof_join(left, right, direction="sideways")
+
+
+def test_asof_cross_validates_against_pandas_merge_asof(spark):
+    """Randomized cross-validation: all three directions, plain and
+    bucketed, against pandas.merge_asof (an independent implementation
+    of the same contract). Right (key, ts) pairs are unique per the
+    documented pre-aggregation requirement."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    base = dt.datetime(2024, 1, 1)
+    n_l, n_r = 300, 120
+    lpd = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 8, n_l),
+            "ts": [base + dt.timedelta(seconds=int(s))
+                   for s in rng.integers(0, 500_000, n_l)],
+            "click_id": np.arange(n_l),
+        }
+    )
+    seen = set()
+    rows = []
+    for i in range(n_r * 2):
+        k = int(rng.integers(0, 6))
+        s = int(rng.integers(0, 500_000))
+        if (k, s) in seen:
+            continue
+        seen.add((k, s))
+        rows.append((k, base + dt.timedelta(seconds=s), 1000 + i))
+        if len(rows) == n_r:
+            break
+    rpd = pd.DataFrame(rows, columns=["user_id", "ts", "purchase_id"])
+
+    left = spark.createDataFrame(lpd)
+    right = spark.createDataFrame(rpd)
+    for direction in ("backward", "forward", "nearest"):
+        want_df = pd.merge_asof(
+            lpd.sort_values("ts", kind="stable"),
+            rpd.sort_values("ts", kind="stable"),
+            on="ts",
+            by="user_id",
+            direction=direction,
+        )
+        want = {
+            int(r.click_id): (None if pd.isna(r.purchase_id)
+                              else int(r.purchase_id))
+            for r in want_df.itertuples()
+        }
+        for bucket_us in (None, 3600 * 1_000_000):
+            got = {
+                r["click_id"]: r["asof_purchase_id"]
+                for r in asof_join(
+                    left, right, key="user_id", ts="ts",
+                    right_attrs=("purchase_id",),
+                    direction=direction, bucket_us=bucket_us,
+                ).collect()
+            }
+            assert got == want, (direction, bucket_us)
