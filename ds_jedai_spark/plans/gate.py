@@ -456,7 +456,23 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
     keep("stream_points_in_boxes", sp.stream_points_in_boxes,
          sp.stream_points_in_boxes_oracle())
     keep("stream_sessions", sp.stream_sessions, sp.stream_sessions_oracle())
-    keep("stream_event_pairs", sp.stream_event_pairs, sp.stream_event_pairs_oracle())
+    add(
+        "stream_event_pairs",
+        tagged_union(
+            [
+                ("pairs", sp.stream_event_pairs,
+                 sp.stream_event_pairs_oracle()),
+                # streaming as-of enrichment mapped onto the same
+                # (user_id, a_id, b_id) pair schema — b_id NULL when no
+                # prior purchase exists
+                ("asof",
+                 *mapped(sp.stream_asof, sp.stream_asof_oracle(),
+                         [("user_id", "user_id", None),
+                          ("click_id", "a_id", None),
+                          ("purchase_id", "b_id", None)])),
+            ]
+        ),
+    )
     keep("stream_dedup_counts", sp.stream_dedup_counts,
          sp.stream_dedup_counts_oracle())
     keep("stream_top_event_types", sp.stream_top_event_types,

@@ -91,6 +91,55 @@ def stream_event_pairs_oracle() -> str:
     )
 
 
+def stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming backward as-of enrichment: the click stream joined to
+    each user's most recent prior-or-equal purchase from the STATIC
+    events table — validity-interval form, stateless stream-static join
+    (geostream.stream_asof_enrich)."""
+    from pyspark.sql import functions as F
+
+    from ds_jedai_spark.io.synthetic import register_views
+
+    ev = gs.read_event_stream(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    register_views(spark, sf_dir)
+    purchases = (
+        spark.table("events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            # the stream's ts is relabeled to the (UTC) session zone;
+            # cast the static NTZ side the same way so the range
+            # predicate compares identical instants
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    j = gs.stream_asof_enrich(
+        clicks, purchases, key="user_id", ts="ts",
+        right_attrs=("purchase_id",),
+    )
+    out = j.select(
+        "user_id",
+        "click_id",
+        F.col("asof_purchase_id").alias("purchase_id"),
+    )
+    gs.run_to_table(out, "stream_asof_tbl", "append")
+    return spark.table("stream_asof_tbl")
+
+
+def stream_asof_oracle() -> str:
+    return (
+        "SELECT l.user_id, l.event_id AS click_id, "
+        "r.event_id AS purchase_id "
+        "FROM (SELECT * FROM events WHERE event_type = 'click') l "
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    )
+
+
 def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup (at-least-once replay collapsed by event_id) then
     per-type rollup; two chained stateful operators in one query."""

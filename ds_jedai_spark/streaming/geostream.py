@@ -245,6 +245,51 @@ def run_to_table(sdf: DataFrame, name: str, output_mode: str) -> None:
 PAIR_GAP_MIN = 30
 
 
+def stream_asof_enrich(
+    stream: DataFrame,
+    static_right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    right_attrs: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming BACKWARD as-of enrichment against a static dimension.
+
+    The static side is interval-ized once per micro-batch plan: each
+    right row is valid from its own ``ts`` until the key's next right
+    row (``lead`` window over the bounded dimension — batch, never
+    stream state). The stream then LEFT-joins on the key plus validity
+    containment — a stateless stream-static join, the standard shape
+    for enriching a high-volume stream with a slowly changing
+    dimension: no watermark, no state store; at scale the dimension
+    broadcasts (or hash-joins per micro-batch) and the stream side is
+    never shuffled by event volume per key.
+
+    Semantics match ``operators/temporal.asof_join`` backward: a right
+    row at exactly the stream row's ``ts`` matches; duplicate right
+    (key, ts) rows must be pre-aggregated by the caller. Right
+    attributes come back as ``asof_<name>`` (NULL when no prior row).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc())
+    valid = static_right.select(
+        F.col(key).alias("_rk"),
+        F.col(ts).alias("_v_start"),
+        F.lead(ts).over(w).alias("_v_end"),
+        *[F.col(a).alias(f"asof_{a}") for a in right_attrs],
+    )
+    cond = (
+        (F.col(key) == F.col("_rk"))
+        & (F.col(ts) >= F.col("_v_start"))
+        & (F.col("_v_end").isNull() | (F.col(ts) < F.col("_v_end")))
+    )
+    return (
+        stream.join(valid, cond, "left")
+        .withColumn("asof_ts", F.col("_v_start"))
+        .drop("_rk", "_v_start", "_v_end")
+    )
+
+
 def stream_event_pairs(
     events: DataFrame, max_gap_min: int = PAIR_GAP_MIN, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -209,3 +209,36 @@ def test_kill_and_restart_same_checkpoint_is_exactly_once(
     n_rows = got.count()
     n_distinct = got.select("event_id").distinct().count()
     assert n_rows == n_distinct == expected
+
+
+def test_stream_asof_matches_batch_asof(spark):
+    """The streaming validity-interval enrichment must return exactly
+    the batch backward as-of join on the same inputs (stream == batch
+    contract, left rows without a prior right row included as NULL)."""
+    from pyspark.sql import functions as F
+
+    from ds_jedai_spark.io.synthetic import register_views
+    from ds_jedai_spark.operators.temporal import asof_join
+    from ds_jedai_spark.plans.streaming_plans import stream_asof
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.user_id, r.click_id): r.purchase_id
+        for r in stream_asof(spark, sf).collect()
+    }
+    register_views(spark, sf)
+    ev = spark.table("events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    want = {
+        (r.user_id, r.click_id): r.asof_purchase_id
+        for r in asof_join(
+            clicks, purchases, key="user_id", ts="ts",
+            right_attrs=("purchase_id",),
+        ).collect()
+    }
+    assert len(got) > 0 and got == want
