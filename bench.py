@@ -108,6 +108,9 @@ def main() -> None:
         ("pairs_intersects", giant.relation_pairs("intersects")),
         ("spatiotemporal_pairs", giant.spatiotemporal_pairs),
         ("point_in_box_pairs", giant.point_in_box_pairs),
+        # Iterative radius-expansion kNN — the most complex multi-round
+        # plan in the engine (per-round pinning + theta coarsening).
+        ("knn_exact", giant.knn_exact_pairs),
         # Non-spatial half — regressions here must be visible per round:
         ("dedup_minhash_lsh", pl.QUERIES["dedup_minhash_lsh"]),
         ("progressive_giant_js", pp.progressive_giant_js),

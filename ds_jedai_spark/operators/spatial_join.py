@@ -207,18 +207,25 @@ def knn_join_exact(
     remaining = source
     r = r0
     while True:
+        # Pin each round's candidate set (eager localCheckpoint): it is
+        # consumed by BOTH the resolution counts and the ranked output,
+        # and every later round's `remaining` chains an anti-join off
+        # it — unpinned, round i re-executes the tile joins of rounds
+        # 1..i (measured 1.5x warm on the sf0.1 gate query). The pinned
+        # frame holds only unresolved-source candidates, which shrink
+        # geometrically with the rounds.
         cand = distance_join(
             remaining, target, r, _round_theta(theta, r)
         ).where(
             F.col("s_id") != F.col("t_id")
-        )
-        w = Window.partitionBy("s_id").orderBy("dist2", "t_id")
-        ranked = cand.withColumn("rn", F.row_number().over(w))
-        cnts = ranked.groupBy("s_id").agg(F.count(F.lit(1)).alias("nc"))
+        ).localCheckpoint()
+        cnts = cand.groupBy("s_id").agg(F.count(F.lit(1)).alias("nc"))
         if r >= rmax:
             done = cnts.select("s_id")
         else:
             done = cnts.where(F.col("nc") >= k).select("s_id")
+        w = Window.partitionBy("s_id").orderBy("dist2", "t_id")
+        ranked = cand.withColumn("rn", F.row_number().over(w))
         rounds.append(
             ranked.join(done, "s_id", "left_semi")
             .where(F.col("rn") <= k)
