@@ -20,6 +20,25 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ds_jedai_spark.model.tiles import with_tiles
 
 
+def drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """DROP TABLE IF EXISTS plus removal of an ORPHAN warehouse
+    location. A managed table written by a previous session survives on
+    disk after the in-memory catalog forgets it, and ``saveAsTable``
+    then fails with LOCATION_ALREADY_EXISTS even under
+    mode("overwrite") — every table-mode pin calls this first so
+    artifact rebuilds are idempotent across sessions."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        import os
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(wh[len("file:"):], table.split(".")[-1]),
+            ignore_errors=True,
+        )
+
+
 def persist_tiled(
     df: DataFrame,
     table: str,
@@ -27,6 +46,7 @@ def persist_tiled(
     buckets: int = 32,
 ) -> None:
     """Explode to tiles and save bucketed+sorted by (tx, ty)."""
+    drop_table_and_location(df.sparkSession, table)
     tiled = with_tiles(df, theta)
     (
         tiled.write.mode("overwrite")

@@ -64,6 +64,9 @@ def pin_shingles(
         return _pin(sh)
     if mode != "bucketed":
         raise ValueError(f"unknown pin mode: {mode!r}")
+    from ds_jedai_spark.io.bucketed import drop_table_and_location
+
+    drop_table_and_location(docs.sparkSession, table)
     (
         sh.write.mode("overwrite")
         .bucketBy(buckets, "shingle")

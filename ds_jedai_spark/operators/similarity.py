@@ -182,6 +182,9 @@ def pin_centroids(
         return cent.localCheckpoint()
     if mode != "table":
         raise ValueError(f"unknown pin mode: {mode!r}")
+    from ds_jedai_spark.io.bucketed import drop_table_and_location
+
+    drop_table_and_location(emb.sparkSession, table)
     cent.write.mode("overwrite").saveAsTable(table)
     return emb.sparkSession.table(table)
 
@@ -531,6 +534,9 @@ def pin_codebooks(
     for m, b in enumerate(books):
         bm = b.select(F.lit(m).alias("m"), "cid", "cv")
         stacked = bm if stacked is None else stacked.unionByName(bm)
+    from ds_jedai_spark.io.bucketed import drop_table_and_location
+
+    drop_table_and_location(emb.sparkSession, table)
     stacked.write.mode("overwrite").saveAsTable(table)
     t = emb.sparkSession.table(table)
     return [

@@ -202,3 +202,64 @@ def test_pq_adc_pinned_books_match_retrained(spark):
     )
     assert [(r.qid, r.vid) for r in got] == [(r.qid, r.vid) for r in want]
     assert all(abs(a.cos - b.cos) < 1e-12 for a, b in zip(got, want))
+
+
+def test_ann_pin_table_mode_matches_local(spark):
+    """mode="table" (the multi-job artifact form) must produce the same
+    trained centroids/codebooks as the localCheckpoint form, and search
+    over either must agree."""
+    from ds_jedai_spark.operators import similarity
+    from ds_jedai_spark.plans.pipeline_plans import _emb
+
+    emb = _emb(spark, SF)
+    try:
+        cent_t = similarity.pin_centroids(
+            emb, mode="table", table="cent_pin_test"
+        )
+        cent_l = similarity.pin_centroids(emb)
+        as_set = lambda df: {
+            (r.cid, tuple(r.cv)) for r in df.collect()
+        }
+        assert as_set(cent_t) == as_set(cent_l)
+
+        books_t = similarity.pin_codebooks(
+            emb, mode="table", table="books_pin_test"
+        )
+        got = sorted(
+            similarity.pq_adc_topk(emb, books=books_t).collect(),
+            key=lambda r: (r.qid, r.vid),
+        )
+        want = sorted(
+            similarity.pq_adc_topk(emb).collect(),
+            key=lambda r: (r.qid, r.vid),
+        )
+        assert [(r.qid, r.vid) for r in got] == [
+            (r.qid, r.vid) for r in want
+        ]
+        ivf_t = sorted(
+            similarity.ivf_trained_topk(emb, cent=cent_t).collect(),
+            key=lambda r: (r.qid, r.vid),
+        )
+        ivf_plain = sorted(
+            similarity.ivf_trained_topk(emb).collect(),
+            key=lambda r: (r.qid, r.vid),
+        )
+        assert [(r.qid, r.vid) for r in ivf_t] == [
+            (r.qid, r.vid) for r in ivf_plain
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cent_pin_test")
+        spark.sql("DROP TABLE IF EXISTS books_pin_test")
+
+
+def test_ann_pin_rejects_unknown_mode(spark):
+    from ds_jedai_spark.operators import similarity
+    from ds_jedai_spark.plans.pipeline_plans import _emb
+
+    import pytest as _pytest
+
+    emb = _emb(spark, SF)
+    with _pytest.raises(ValueError):
+        similarity.pin_centroids(emb, mode="nope")
+    with _pytest.raises(ValueError):
+        similarity.pin_codebooks(emb, mode="nope")
