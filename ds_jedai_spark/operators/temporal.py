@@ -217,6 +217,9 @@ def asof_join(
     # (max/min ignore the null _r of left rows -> null for right-free
     # buckets), so the rejoin below is a plain inner join. The carry
     # windows run over the summary: partitions are buckets, not events.
+    # Shuffle volume: the summary groupBy partial-aggregates map-side,
+    # so its exchange moves only per-partition (key, bucket) rows —
+    # events cross the wire in full exactly once (the w1 exchange).
     aggs = []
     if want_b:
         aggs.append(F.max("_r").alias("_last"))
