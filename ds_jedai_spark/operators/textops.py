@@ -293,6 +293,61 @@ MIX_STEP = 13
 MIX_SPAN = 61
 
 
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Sliding-window token chunking — the split-before-embedding step
+    of a RAG / embedding pipeline (pack_sequences assembles whole docs
+    into training sequences; this cuts ONE doc into overlapping
+    windows). One output row per chunk: (doc_id, chunk_id, start_tok,
+    end_tok, n_tok, is_last), token positions in whitespace tokens,
+    stride = chunk_tokens - overlap, last chunk may be short; an empty
+    doc still yields one empty chunk.
+
+    Scale shape: pure JVM column algebra — per-doc token count, a
+    sequence() explode of chunk ids (fan-out = tokens/stride, bounded
+    per row), closed-form start/end. No shuffle at all beyond the scan;
+    integer arithmetic throughout so the DuckDB oracle matches
+    bit-for-bit."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    arr = F.filter(F.split("text", " "), lambda x: x != "")
+    d = docs.select("doc_id", F.size(arr).cast("long").alias("n"))
+    # ceil((n - overlap) / stride), floored at 1; the numerator is
+    # non-negative for n >= 0 (stride > overlap would make it negative
+    # only if overlap > stride - 1 - which the guard above excludes),
+    # so truncating DIV == floor in both engines.
+    nch = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(f"(n - {overlap} + {stride - 1}) DIV {stride}"),
+    )
+    c = d.select(
+        "doc_id",
+        "n",
+        nch.alias("nch"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), nch - 1)
+        ).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    end = F.least(start + chunk_tokens, F.col("n"))
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("start_tok"),
+        end.alias("end_tok"),
+        (end - start).alias("n_tok"),
+        (F.col("chunk_id") == F.col("nch") - 1).cast("long").alias("is_last"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame, budget: int = PACK_BUDGET, n_shards: int = PACK_SHARDS
 ) -> DataFrame:

@@ -421,8 +421,27 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
          pl.ORACLES["text_pii_scrub"])
     keep("text_corpus_split", pl.QUERIES["text_corpus_split"],
          pl.ORACLES["text_corpus_split"])
-    keep("text_pack_sequences", pl.QUERIES["text_pack_sequences"],
-         pl.ORACLES["text_pack_sequences"])
+    add(
+        "text_pack_sequences",
+        tagged_union(
+            [
+                # both mapped onto one 6-bigint schema: (k1, k2) ids +
+                # four measures — no coverage lost, query count kept
+                ("pack",
+                 *mapped(pl.QUERIES["text_pack_sequences"],
+                         pl.ORACLES["text_pack_sequences"],
+                         [("shard", "k1", None), ("seq_id", "k2", None),
+                          ("n_docs", "a", None), ("sum_tokens", "b", None),
+                          ("first_doc", "c", None), ("last_doc", "d", None)])),
+                ("chunk",
+                 *mapped(pl.QUERIES["text_chunking"],
+                         pl.ORACLES["text_chunking"],
+                         [("doc_id", "k1", None), ("chunk_id", "k2", None),
+                          ("start_tok", "a", None), ("end_tok", "b", None),
+                          ("n_tok", "c", None), ("is_last", "d", None)])),
+            ]
+        ),
+    )
     keep("text_mixture_sample", pl.QUERIES["text_mixture_sample"],
          pl.ORACLES["text_mixture_sample"])
     keep("corpus_clean_stats", pl.QUERIES["corpus_clean_stats"],

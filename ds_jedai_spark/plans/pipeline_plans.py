@@ -258,6 +258,29 @@ def text_mixture_sample(spark, sf_dir):
     return textops.mixture_sample(_docs(spark, sf_dir))
 
 
+def text_chunking(spark, sf_dir):
+    return textops.chunk_documents(_docs(spark, sf_dir))
+
+
+def text_chunking_oracle() -> str:
+    ct, ov = textops.CHUNK_TOKENS, textops.CHUNK_OVERLAP
+    st = ct - ov
+    return (
+        "WITH d AS (SELECT doc_id, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) "
+        "AS BIGINT) AS n FROM documents), "
+        f"c AS (SELECT doc_id, n, GREATEST(1, (n - {ov} + {st - 1}) "
+        f"// {st}) AS nch FROM d), "
+        "e AS (SELECT doc_id, n, nch, "
+        "unnest(range(0, nch)) AS chunk_id FROM c) "
+        f"SELECT doc_id, chunk_id, chunk_id * {st} AS start_tok, "
+        f"LEAST(chunk_id * {st} + {ct}, n) AS end_tok, "
+        f"LEAST(chunk_id * {st} + {ct}, n) - chunk_id * {st} AS n_tok, "
+        "CAST(chunk_id = nch - 1 AS BIGINT) AS is_last "
+        "FROM e"
+    )
+
+
 def media_metadata(spark, sf_dir):
     return multimodal.media_metadata(_docs(spark, sf_dir))
 
@@ -875,6 +898,7 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "text_pack_sequences": text_pack_sequences,
+    "text_chunking": text_chunking,
     "text_mixture_sample": text_mixture_sample,
     "corpus_clean_stats": corpus_clean_stats,
     "media_metadata": media_metadata,
@@ -905,6 +929,7 @@ ORACLES = {
     "text_lang_id": text_lang_id_oracle(),
     "text_fingerprint": text_fingerprint_oracle(),
     "text_pack_sequences": text_pack_sequences_oracle(),
+    "text_chunking": text_chunking_oracle(),
     "text_mixture_sample": text_mixture_sample_oracle(),
     "corpus_clean_stats": corpus_clean_stats_oracle(),
     "media_metadata": media_metadata_oracle(),

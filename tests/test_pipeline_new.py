@@ -263,3 +263,49 @@ def test_ann_pin_rejects_unknown_mode(spark):
         similarity.pin_centroids(emb, mode="nope")
     with _pytest.raises(ValueError):
         similarity.pin_codebooks(emb, mode="nope")
+
+
+def test_chunk_documents_invariants(spark):
+    """Sliding-window chunking: chunks tile the doc with the configured
+    stride, consecutive chunks overlap by `overlap` tokens, the union of
+    chunks covers every token, only the last chunk may be short, and an
+    empty doc yields exactly one empty chunk."""
+    from ds_jedai_spark.operators.textops import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(57))),
+            (2, " ".join(f"w{i}" for i in range(32))),   # exactly one chunk
+            (3, " ".join(f"w{i}" for i in range(5))),    # shorter than chunk
+            (4, ""),                                     # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=32, overlap=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in by_doc.values():
+        d.sort(key=lambda r: r.chunk_id)
+    # doc 1 (57 tokens): stride 24 -> chunks [0,32) [24,56) [48,57)
+    got = [(r.start_tok, r.end_tok, r.is_last) for r in by_doc[1]]
+    assert got == [(0, 32, 0), (24, 56, 0), (48, 57, 1)]
+    # full coverage of every token position
+    covered = set()
+    for r in by_doc[1]:
+        covered.update(range(r.start_tok, r.end_tok))
+    assert covered == set(range(57))
+    assert [(r.start_tok, r.end_tok) for r in by_doc[2]] == [(0, 32)]
+    assert [(r.start_tok, r.end_tok) for r in by_doc[3]] == [(0, 5)]
+    assert [(r.start_tok, r.end_tok, r.n_tok, r.is_last)
+            for r in by_doc[4]] == [(0, 0, 0, 1)]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from ds_jedai_spark.operators.textops import chunk_documents
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
