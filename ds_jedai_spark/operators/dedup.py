@@ -261,6 +261,18 @@ def minhash_signatures(d: DataFrame, k: int = 32) -> DataFrame:
     return wide.select("doc_id", sig.alias("s")).select("doc_id", "s.i", "s.h")
 
 
+def _band_table(d: DataFrame, k: int = 32, rows_per_band: int = 4) -> DataFrame:
+    """(doc_id, band, bkey) LSH band keys from the minhash signature —
+    the order-independent band key is the slot-weighted hash sum."""
+    sig = minhash_signatures(d, k)
+    return (
+        sig.withColumn("band", F.col("i") - (F.col("i") % rows_per_band))
+        .withColumn("slot", (F.col("i") % rows_per_band) + 1)
+        .groupBy("doc_id", "band")
+        .agg(F.sum(F.col("h") * F.col("slot")).alias("bkey"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     k: int = 32,
@@ -275,13 +287,7 @@ def minhash_lsh_pairs(
     Jaccard on candidates only.
     """
     d = sh if sh is not None else _pin(shingles(docs))
-    sig = minhash_signatures(d, k)
-    band = _pin(
-        sig.withColumn("band", F.col("i") - (F.col("i") % rows_per_band))
-        .withColumn("slot", (F.col("i") % rows_per_band) + 1)
-        .groupBy("doc_id", "band")
-        .agg(F.sum(F.col("h") * F.col("slot")).alias("bkey"))
-    )
+    band = _pin(_band_table(d, k, rows_per_band))
     a = band.select(F.col("doc_id").alias("d1"), "band", "bkey")
     b = band.select(F.col("doc_id").alias("d2"), "band", "bkey")
     cand = _pin(
@@ -364,4 +370,66 @@ def simhash_pairs(
         cand.withColumn("hamming", ham.cast("long"))
         .where(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
+    )
+
+
+def minhash_lsh_pairs_cross(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    k: int = 32,
+    rows_per_band: int = 4,
+    tau: float = 0.8,
+    sh_a: DataFrame | None = None,
+    sh_b: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH near-dup discovery: candidates are pairs
+    of ONE doc from each corpus whose band keys collide — the
+    INCREMENTAL dedup path (today's batch ``a`` against the persistent
+    indexed corpus ``b``) the self-join form cannot express without
+    paying b x b again.
+
+    100 TB shape: ``b``'s shingle table and band keys are the standing
+    index — pin them bucketed (``pin_shingles(mode="bucketed")``) and
+    only ``a``'s signatures are computed per batch; the collision join,
+    candidate dedup and verification join are all equi-joins carrying
+    ids, and no a x a or b x b pair is ever generated. Output:
+    (d1 from a, d2 from b, jaccard >= tau).
+    """
+    da = sh_a if sh_a is not None else _pin(shingles(docs_a))
+    db = sh_b if sh_b is not None else _pin(shingles(docs_b))
+    band_a = _band_table(da, k, rows_per_band).select(
+        F.col("doc_id").alias("d1"), "band", "bkey"
+    )
+    band_b = _band_table(db, k, rows_per_band).select(
+        F.col("doc_id").alias("d2"), "band", "bkey"
+    )
+    cand = _pin(
+        band_a.join(band_b, ["band", "bkey"]).select("d1", "d2").distinct()
+    )
+    dc_a = da.join(
+        cand.select(F.col("d1").alias("doc_id")).distinct(), "doc_id",
+        "left_semi",
+    ).select(F.col("doc_id").alias("d1"), "shingle")
+    dc_b = db.join(
+        cand.select(F.col("d2").alias("doc_id")).distinct(), "doc_id",
+        "left_semi",
+    ).select(F.col("doc_id").alias("d2"), "shingle")
+    common = (
+        dc_a.join(dc_b, "shingle")
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(cand, ["d1", "d2"])
+    )
+    sz_a = _sizes(da).select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    sz_b = _sizes(db).select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        common.join(sz_a, "d1")
+        .join(sz_b, "d2")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= tau)
+        .select("d1", "d2", "jaccard")
     )

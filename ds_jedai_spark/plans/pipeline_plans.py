@@ -113,6 +113,21 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def dedup_minhash_lsh_cross(spark, sf_dir):
+    """Incremental dedup: the even-doc_id half of the corpus as today's
+    batch against the odd half as the standing index — only cross pairs
+    are generated (dedup.minhash_lsh_pairs_cross). Both sides slice the
+    one pinned shingle table."""
+    sh = _pinned_shingles(spark, sf_dir)
+    return dedup.minhash_lsh_pairs_cross(
+        None,
+        None,
+        tau=TAU_JACCARD,
+        sh_a=sh.where(F.col("doc_id") % 2 == 0),
+        sh_b=sh.where(F.col("doc_id") % 2 == 1),
+    )
+
+
 def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(
         _corpus(spark, sf_dir), MAX_HAMMING, sh=_pinned_shingles(spark, sf_dir)
@@ -382,6 +397,22 @@ def dedup_minhash_lsh_oracle() -> str:
         "FROM band a JOIN band b USING (band, bkey) WHERE a.doc_id < b.doc_id) "
         "SELECT d1, d2, jaccard FROM jac JOIN cand USING (d1, d2) "
         f"WHERE jaccard >= {TAU_JACCARD!r}"
+    )
+
+
+def dedup_minhash_lsh_cross_oracle() -> str:
+    return (
+        f"WITH {_SHINGLE_CTE}, {_MINHASH_WID_CTE}, "
+        f"hx AS (SELECT doc_id, i, min(((2*i+1)*wid + i*i + 7) % {P}) AS h "
+        "FROM dw, (SELECT unnest(range(0, 32)) AS i) r GROUP BY doc_id, i), "
+        "band AS (SELECT doc_id, i - (i % 4) AS band, sum(h * ((i % 4) + 1)) AS bkey "
+        "FROM hx GROUP BY doc_id, band), "
+        "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 "
+        "FROM band a JOIN band b USING (band, bkey) "
+        "WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1) "
+        "SELECT c.d1, c.d2, j.jaccard FROM cand c JOIN jac j "
+        "ON j.d1 = least(c.d1, c.d2) AND j.d2 = greatest(c.d1, c.d2) "
+        f"WHERE j.jaccard >= {TAU_JACCARD!r}"
     )
 
 
@@ -879,6 +910,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_cross": dedup_minhash_lsh_cross,
     "dedup_simhash": dedup_simhash,
     "dedup_containment": dedup_containment,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -910,6 +942,7 @@ ORACLES = {
     "dedup_exact": dedup_exact_oracle(),
     "dedup_ngram_jaccard": dedup_ngram_jaccard_oracle(),
     "dedup_minhash_lsh": dedup_minhash_lsh_oracle(),
+    "dedup_minhash_lsh_cross": dedup_minhash_lsh_cross_oracle(),
     "dedup_simhash": dedup_simhash_oracle(),
     "dedup_containment": dedup_containment_oracle(),
     "dedup_embedding_cosine": dedup_embedding_cosine_oracle(),

@@ -309,3 +309,32 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_minhash_lsh_cross_equals_filtered_self_join(spark):
+    """Cross-corpus LSH on an even/odd split must return exactly the
+    self-join LSH pairs whose two docs fall on opposite sides (with d1
+    from side a, d2 from side b), and never an a x a or b x b pair."""
+    from pyspark.sql import functions as F
+
+    from ds_jedai_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, base + (f" tail{i // 4}" if i % 4 else "")) for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    cross = {
+        (r.d1, r.d2): round(r.jaccard, 12)
+        for r in dedup.minhash_lsh_pairs_cross(a, b, tau=0.5).collect()
+    }
+    assert all(d1 % 2 == 0 and d2 % 2 == 1 for d1, d2 in cross)
+    full = dedup.minhash_lsh_pairs(docs, tau=0.5).collect()
+    want = {}
+    for r in full:
+        if r.d1 % 2 != r.d2 % 2:
+            even, odd = (r.d1, r.d2) if r.d1 % 2 == 0 else (r.d2, r.d1)
+            want[(even, odd)] = round(r.jaccard, 12)
+    assert len(cross) > 0 and cross == want
