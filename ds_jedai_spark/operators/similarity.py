@@ -319,9 +319,12 @@ def lsh_neardup_pairs(emb: DataFrame, tau: float) -> DataFrame:
     # arrays through the collision path multiplied the dedup shuffle by
     # the vector width for rows about to be collapsed (measured 11.7s ->
     # 4.7s warm on the sf0.1 corpus).
+    # Pin the band table: the collision self-join consumes it twice and
+    # cache substitution fails for self-join consumers (see dedup._pin),
+    # so unpinned the 8 hyperplane dot products per vector compute twice.
     bb = qe.selectExpr(
         "vec_id", f"explode(array({structs})) AS bb"
-    ).selectExpr("vec_id", "bb.band", "bb.bucket")
+    ).selectExpr("vec_id", "bb.band", "bb.bucket").localCheckpoint()
     cand = (
         bb.selectExpr("vec_id AS d1", "band", "bucket")
         .join(bb.selectExpr("vec_id AS d2", "band", "bucket"),
