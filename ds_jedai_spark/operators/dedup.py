@@ -433,3 +433,77 @@ def minhash_lsh_pairs_cross(
         .where(F.col("jaccard") >= tau)
         .select("d1", "d2", "jaccard")
     )
+
+
+def minhash_signature_arrays(d: DataFrame, k: int = 32) -> DataFrame:
+    """(doc_id, sig array<long>) — the k minhash components as one
+    array column (the wide form minhash_signatures explodes from)."""
+    dw = d.select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)"
+        ).alias("wid"),
+    )
+    wide = dw.groupBy("doc_id").agg(
+        *[
+            F.min(
+                ((2 * i + 1) * F.col("wid") + (i * i + 7)) % F.lit(MINHASH_P)
+            ).alias(f"h{i}")
+            for i in range(k)
+        ]
+    )
+    return wide.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def minhash_estimate_pairs(
+    docs: DataFrame,
+    k: int = 32,
+    rows_per_band: int = 4,
+    tau: float = 0.8,
+    sh: DataFrame | None = None,
+) -> DataFrame:
+    """Signature-ONLY near-dup discovery: band-collision candidates
+    scored by the unbiased minhash Jaccard estimate — the fraction of
+    matching signature components — with NO shingle-set verification.
+
+    This is the triage tier a production dedup runs between candidate
+    generation and exact verification: the estimate costs one k-element
+    array comparison per pair (reading 2k integers), never the inverted
+    shingle join, so pairs far above or below the threshold can be
+    accepted/dropped without touching the corpus. Estimate granularity
+    is 1/k; E[est] = true Jaccard (per-component collision probability
+    equals the Jaccard index).
+
+    Scale shape: band equi-join carries ids only; signatures rejoin for
+    deduplicated candidates (broadcast at dimension size, hash join
+    beyond). Output: (d1, d2, est >= tau)."""
+    d = sh if sh is not None else _pin(shingles(docs))
+    sig = _pin(minhash_signature_arrays(d, k))
+    band = _pin(_band_table(d, k, rows_per_band))
+    a = band.select(F.col("doc_id").alias("d1"), "band", "bkey")
+    b = band.select(F.col("doc_id").alias("d2"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("s1", "s2", lambda x, y: x == y), lambda m: m
+            )
+        ).cast("double")
+        / F.lit(float(k))
+    )
+    return (
+        cand.join(sig.select(F.col("doc_id").alias("d1"),
+                             F.col("sig").alias("s1")), "d1")
+        .join(sig.select(F.col("doc_id").alias("d2"),
+                         F.col("sig").alias("s2")), "d2")
+        .withColumn("est", est)
+        .where(F.col("est") >= tau)
+        .select("d1", "d2", "est")
+    )

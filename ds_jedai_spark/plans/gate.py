@@ -349,6 +349,11 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                          pl.ORACLES["dedup_minhash_lsh"],
                          [("d1", "d1", None), ("d2", "d2", None),
                           ("jaccard", "val", "double")])),
+                ("minhash_estimate",
+                 *mapped(pl.QUERIES["dedup_minhash_estimate"],
+                         pl.ORACLES["dedup_minhash_estimate"],
+                         [("d1", "d1", None), ("d2", "d2", None),
+                          ("est", "val", "double")])),
                 ("minhash_lsh_cross",
                  *mapped(pl.QUERIES["dedup_minhash_lsh_cross"],
                          pl.ORACLES["dedup_minhash_lsh_cross"],

@@ -338,3 +338,24 @@ def test_minhash_lsh_cross_equals_filtered_self_join(spark):
             even, odd = (r.d1, r.d2) if r.d1 % 2 == 0 else (r.d2, r.d1)
             want[(even, odd)] = round(r.jaccard, 12)
     assert len(cross) > 0 and cross == want
+
+
+def test_minhash_estimate_pairs_properties(spark):
+    """Signature-estimate triage: exact duplicates score est = 1.0, all
+    estimates are multiples of 1/32 in (0, 1], and the estimate path
+    returns a superset-quality signal without touching shingle sets
+    (for identical docs it must agree with the exact path)."""
+    from ds_jedai_spark.operators import dedup
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, text + " different tail words here"),
+         (4, "totally unrelated content words with no shared grams at all")],
+        "doc_id long, text string",
+    )
+    rows = dedup.minhash_estimate_pairs(docs, tau=0.5).collect()
+    got = {(r.d1, r.d2): r.est for r in rows}
+    assert got[(1, 2)] == 1.0
+    for est in got.values():
+        assert 0.0 < est <= 1.0 and abs(est * 32 - round(est * 32)) < 1e-12
+    assert all((4 not in p) for p in got)
