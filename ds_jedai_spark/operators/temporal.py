@@ -267,32 +267,48 @@ def interval_join(
     right_start: str = "w_start",
     right_end: str = "w_end",
     bucket_us: int = 300_000_000,
+    keys: list[tuple[str, str]] | None = None,
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join left rows onto right intervals containing them
+    """Join left rows onto right intervals containing them
     (``start <= left_ts <= end``, closed ends) via bucket equi-join.
 
     Both frames must already carry disjoint column names apart from the
     join mechanics; the result keeps all columns of both. ``bucket_us``
     is the hash-bucket width in microseconds (default 5 min — match it
     to the typical window length so each window explodes to ~2 rows).
+
+    ``keys`` adds (left_col, right_col) equalities to the JOIN
+    condition — at scale this matters twice over: the hash key becomes
+    (key, bucket) instead of bucket alone (without it every key's rows
+    meet every other key's intervals in the same time bucket —
+    quadratic in keys active per bucket), and it makes ``how="left"``
+    correct (a post-join key filter would drop the NULL-extended rows).
+
+    ``how``: "inner" or "left". Left keeps unmatched left rows with
+    NULL right columns — each left row carries exactly one bucket row,
+    so the NULL extension appears exactly once per unmatched row.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unknown how: {how!r}")
+
     def bucket(col):
         # floor division, not cast-truncation: identical bucketing for
         # pre-1970 timestamps too
         return F.floor(epoch_us(col) / F.lit(bucket_us)).cast("long")
 
-    lb = left.withColumn("_bucket", bucket(F.col(left_ts)))
+    lb = left.withColumn("_lbkt", bucket(F.col(left_ts)))
     rb = right.withColumn(
-        "_bucket",
+        "_rbkt",
         F.explode(
             F.sequence(bucket(F.col(right_start)), bucket(F.col(right_end)))
         ),
     )
-    return (
-        lb.join(rb, "_bucket")
-        .where(
-            (F.col(left_ts) >= F.col(right_start))
-            & (F.col(left_ts) <= F.col(right_end))
-        )
-        .drop("_bucket")
+    cond = (
+        (F.col("_lbkt") == F.col("_rbkt"))
+        & (F.col(left_ts) >= F.col(right_start))
+        & (F.col(left_ts) <= F.col(right_end))
     )
+    for lk, rk in keys or []:
+        cond = cond & (F.col(lk) == F.col(rk))
+    return lb.join(rb, cond, how).drop("_lbkt", "_rbkt")

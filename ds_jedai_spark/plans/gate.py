@@ -521,8 +521,17 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
             ]
         ),
     )
-    keep("events_interval_join", tsp.QUERIES["events_interval_join"],
-         tsp.ORACLES["events_interval_join"])
+    add(
+        "events_interval_join",
+        tagged_union(
+            [
+                ("inner", tsp.QUERIES["events_interval_join"],
+                 tsp.ORACLES["events_interval_join"]),
+                ("left", tsp.QUERIES["events_interval_left"],
+                 tsp.ORACLES["events_interval_left"]),
+            ]
+        ),
+    )
 
     return queries, oracles
 

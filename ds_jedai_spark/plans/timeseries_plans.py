@@ -110,32 +110,55 @@ def events_asof_nearest_oracle() -> str:
     )
 
 
-def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clicks landing inside any same-user 6-hour post-error incident
-    window: bucket equi-join + residual range predicate (no range
-    cross-join; each pair meets in exactly one bucket)."""
-    ev = _events(spark, sf_dir)
-    clicks = ev.where(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_user"),
-        "ts",
-    )
-    incidents = ev.where(F.col("event_type") == "error").select(
-        F.col("event_id").alias("error_id"),
-        F.col("user_id").alias("e_user"),
-        F.col("ts").alias("w_start"),
-        F.expr("ts + INTERVAL 6 HOURS").alias("w_end"),
-    )
-    j = interval_join(
-        clicks, incidents,
-        left_ts="ts", right_start="w_start", right_end="w_end",
-        bucket_us=INCIDENT_US,
-    ).where(F.col("c_user") == F.col("e_user"))
-    return j.select(
-        "click_id",
-        "error_id",
-        F.col("c_user").alias("user_id"),
-        (epoch_us("ts") - epoch_us("w_start")).alias("delta_us"),
+def _events_interval(how: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Clicks landing inside any same-user 6-hour post-error
+        incident window: (user, bucket) equi-join + residual range
+        predicate (no range cross-join; each pair meets in exactly one
+        bucket). ``how="left"`` keeps clicks outside every incident
+        window with NULL incident columns."""
+        ev = _events(spark, sf_dir)
+        clicks = ev.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            "ts",
+        )
+        incidents = ev.where(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("w_start"),
+            F.expr("ts + INTERVAL 6 HOURS").alias("w_end"),
+        )
+        j = interval_join(
+            clicks, incidents,
+            left_ts="ts", right_start="w_start", right_end="w_end",
+            bucket_us=INCIDENT_US,
+            keys=[("c_user", "e_user")],
+            how=how,
+        )
+        return j.select(
+            "click_id",
+            "error_id",
+            F.col("c_user").alias("user_id"),
+            (epoch_us("ts") - epoch_us("w_start")).alias("delta_us"),
+        )
+
+    return q
+
+
+events_interval_join = _events_interval("inner")
+events_interval_left = _events_interval("left")
+
+
+def events_interval_left_oracle() -> str:
+    return (
+        "SELECT c.event_id AS click_id, e.event_id AS error_id, "
+        "c.user_id AS user_id, "
+        "epoch_us(c.ts) - epoch_us(e.ts) AS delta_us "
+        "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e "
+        "ON c.user_id = e.user_id AND c.ts >= e.ts "
+        f"AND epoch_us(c.ts) <= epoch_us(e.ts) + {INCIDENT_US}"
     )
 
 
@@ -156,6 +179,7 @@ QUERIES = {
     "events_asof_forward": events_asof_forward,
     "events_asof_nearest": events_asof_nearest,
     "events_interval_join": events_interval_join,
+    "events_interval_left": events_interval_left,
 }
 
 ORACLES = {
@@ -163,4 +187,5 @@ ORACLES = {
     "events_asof_forward": events_asof_forward_oracle(),
     "events_asof_nearest": events_asof_nearest_oracle(),
     "events_interval_join": events_interval_join_oracle(),
+    "events_interval_left": events_interval_left_oracle(),
 }

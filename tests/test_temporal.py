@@ -271,3 +271,36 @@ def test_asof_cross_validates_against_pandas_merge_asof(spark):
                 ).collect()
             }
             assert got == want, (direction, bucket_us)
+
+
+def test_interval_join_left_and_keys(spark):
+    """how="left" keeps unmatched left rows exactly once with NULL right
+    columns; keys=... adds the equality to the JOIN condition (a hash
+    key of (key, bucket)) so cross-key pairs never form."""
+    left = spark.createDataFrame(
+        [
+            Row(uid=1, ts=_ts(15), click_id=1),   # inside user 1's window
+            Row(uid=2, ts=_ts(15), click_id=2),   # same time, other user
+            Row(uid=1, ts=_ts(45), click_id=3),   # outside any window
+        ]
+    )
+    right = spark.createDataFrame(
+        [Row(rid=9, r_uid=1, w_start=_ts(10), w_end=_ts(20))]
+    )
+    out = interval_join(
+        left, right, left_ts="ts", right_start="w_start",
+        right_end="w_end", bucket_us=600_000_000,
+        keys=[("uid", "r_uid")], how="left",
+    ).collect()
+    by_click = {r.click_id: r for r in out}
+    assert len(out) == 3
+    assert by_click[1].rid == 9
+    assert by_click[2].rid is None   # key mismatch -> NULL extension
+    assert by_click[3].rid is None   # time mismatch -> NULL extension
+    plan = interval_join(
+        left, right, left_ts="ts", right_start="w_start",
+        right_end="w_end", bucket_us=600_000_000,
+        keys=[("uid", "r_uid")], how="left",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
