@@ -236,6 +236,14 @@ def knn_join_exact(
         remaining = remaining.join(
             done.withColumnRenamed("s_id", "id"), "id", "left_anti"
         )
+        # Early exit on full resolution: the emptiness probe is one
+        # lightweight job over the pinned candidate lineage, and it
+        # skips entire join rounds that would otherwise run on empty
+        # frames (at sf0.1 round 1 resolves every source; rounds 2-5
+        # were pure fixed cost). The static (r0, growth, rmax) schedule
+        # stays the upper bound — results are identical either way.
+        if remaining.isEmpty():
+            break
         r *= growth
     out = rounds[0]
     for part in rounds[1:]:
