@@ -495,22 +495,70 @@ def _pq_subvectors(qe: DataFrame, m: int) -> DataFrame:
     )
 
 
+def _pq_sub_explode(qe: DataFrame) -> DataFrame:
+    """All PQ_M sub-vectors of each vector in ONE pass: (vec_id, m, qv).
+    One corpus scan instead of PQ_M slice scans — at 100 TB this is the
+    difference between reading the vectors once and M times."""
+    slices = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), "
+        f"m -> slice(qv, m * (size(qv) div {PQ_M}) + 1, "
+        f"size(qv) div {PQ_M}))"
+    )
+    return qe.select(
+        "vec_id", F.posexplode(slices).alias("m", "qv")
+    )
+
+
+def pq_codebooks_stacked(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """All PQ_M Lloyd codebooks trained in ONE stacked lineage:
+    (m, cid, cv). Per-m math is identical to training each sub-block
+    separately (assignment argmin per (vec_id, m); floored means per
+    (m, cid, pos); seeds = first k vec_ids per m) — but the corpus is
+    scanned once per Lloyd round for ALL sub-blocks, not once per
+    sub-block per round."""
+    qe = quantized(emb).select("vec_id", "qv")
+    subs = _pq_sub_explode(qe)
+    cent = subs.where(F.col("vec_id") < k).select(
+        "m", F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    for _ in range(iters - 1):
+        scored = subs.join(F.broadcast(cent), "m").withColumn(
+            "d2", _dist2(F.col("qv"), F.col("cv"))
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+        a = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "m", "qv", "cid")
+        )
+        u = a.select("m", "cid", F.posexplode("qv").alias("pos", "v"))
+        s = u.groupBy("m", "cid", "pos").agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")
+        )
+        mu = s.withColumn(
+            "mu", F.expr("CAST(floor(CAST(s AS DOUBLE) / c) AS BIGINT)")
+        )
+        cent = mu.groupBy("m", "cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "mu"))),
+                lambda x: x["mu"],
+            ).alias("cv")
+        )
+    return cent
+
+
 def pq_codebooks(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
     """One Lloyd codebook per sub-block: list of per-m centroid frames
-    (cid, cv) — the product-quantization training step, reusing the IVF
-    coarse-quantizer machinery per 16-dim slice (integer-exact, floored
-    means, deterministic seeds = first k vec_ids)."""
-    qe = quantized(emb).select("vec_id", "qv")
-    books = []
-    for m in range(PQ_M):
-        sub = _pq_subvectors(qe, m)
-        cent = sub.where(F.col("vec_id") < k).select(
-            F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
-        )
-        for _ in range(iters - 1):
-            cent = _kmeans_update(_kmeans_assign(sub, cent))
-        books.append(cent)
-    return books
+    (cid, cv) — sliced from the single stacked training pass
+    (pq_codebooks_stacked; integer-exact, floored means, deterministic
+    seeds = first k vec_ids)."""
+    stacked = pq_codebooks_stacked(emb, k, iters)
+    return [
+        stacked.where(F.col("m") == m).select("cid", "cv")
+        for m in range(PQ_M)
+    ]
 
 
 def pin_codebooks(
@@ -522,28 +570,27 @@ def pin_codebooks(
 ) -> list:
     """Train the PQ codebooks ONCE and materialize the artifact (the
     pin_centroids analogue for product quantization). Without the pin,
-    each ADC/rerank query replays all PQ_M Lloyd lineages per plan
-    branch — this is what made the ANN family dominate the bench tail.
-    ``mode="local"`` localCheckpoints each per-sub-block codebook;
-    ``mode="table"`` stacks them into one saved table (m, cid, cv) for
-    reuse across jobs. Codebooks are broadcast-sized (M x k codewords) —
-    no bucketing needed."""
-    books = pq_codebooks(emb, k, iters)
+    each ADC/rerank query replays the Lloyd lineage per plan branch —
+    this is what made the ANN family dominate the bench tail. The
+    STACKED (m, cid, cv) frame is materialized once (one localCheckpoint
+    or one saved table), then sliced per m — not one materialization per
+    sub-block. Codebooks are broadcast-sized (M x k codewords) — no
+    bucketing needed."""
     if mode == "local":
-        return [b.localCheckpoint() for b in books]
-    if mode != "table":
-        raise ValueError(f"unknown pin mode: {mode!r}")
-    stacked = None
-    for m, b in enumerate(books):
-        bm = b.select(F.lit(m).alias("m"), "cid", "cv")
-        stacked = bm if stacked is None else stacked.unionByName(bm)
-    from ds_jedai_spark.io.bucketed import drop_table_and_location
+        stacked = pq_codebooks_stacked(emb, k, iters).localCheckpoint()
+    elif mode == "table":
+        from ds_jedai_spark.io.bucketed import drop_table_and_location
 
-    drop_table_and_location(emb.sparkSession, table)
-    stacked.write.mode("overwrite").saveAsTable(table)
-    t = emb.sparkSession.table(table)
+        drop_table_and_location(emb.sparkSession, table)
+        pq_codebooks_stacked(emb, k, iters).write.mode(
+            "overwrite"
+        ).saveAsTable(table)
+        stacked = emb.sparkSession.table(table)
+    else:
+        raise ValueError(f"unknown pin mode: {mode!r}")
     return [
-        t.where(F.col("m") == m).select("cid", "cv") for m in range(PQ_M)
+        stacked.where(F.col("m") == m).select("cid", "cv")
+        for m in range(PQ_M)
     ]
 
 
@@ -571,36 +618,34 @@ def pq_adc_topk(
     qe = quantized(emb).select("vec_id", "qv", "norm2")
     if books is None:
         books = pq_codebooks(emb)
-    # encode: nearest codeword per (vector, sub-block)
-    codes = None
-    book_rows = None
+    stacked_books = None
     for m, cent in enumerate(books):
-        sub = _pq_subvectors(qe, m)
-        a = _kmeans_assign(sub, cent).select(
-            "vec_id", F.lit(m).alias("m"), "cid"
+        bm = cent.select(F.lit(m).alias("m"), "cid", "cv")
+        stacked_books = (
+            bm if stacked_books is None else stacked_books.unionByName(bm)
         )
-        codes = a if codes is None else codes.unionByName(a)
-        b = cent.select(
-            F.lit(m).alias("m"), "cid", "cv",
-            _dot("cv", "cv").alias("cnorm2"),
-        )
-        book_rows = b if book_rows is None else book_rows.unionByName(b)
-    queries = None
-    for m in range(PQ_M):
-        qm = (
-            qe.where(F.col("vec_id") < n_queries)
-            .select("vec_id", "qv", "norm2")
-            .select(
-                F.col("vec_id").alias("qid"),
-                F.lit(m).alias("m"),
-                F.expr(
-                    f"slice(qv, {m} * (size(qv) div {PQ_M}) + 1, "
-                    f"size(qv) div {PQ_M})"
-                ).alias("qsub"),
-                F.col("norm2").alias("n1"),
-            )
-        )
-        queries = qm if queries is None else queries.unionByName(qm)
+    book_rows = stacked_books.select(
+        "m", "cid", "cv", _dot("cv", "cv").alias("cnorm2")
+    )
+    # encode: nearest codeword per (vector, sub-block), ONE corpus pass
+    # for all sub-blocks (broadcast-join argmin keyed by m)
+    subs = _pq_sub_explode(qe.select("vec_id", "qv"))
+    scored_enc = subs.join(F.broadcast(stacked_books), "m").withColumn(
+        "d2", _dist2(F.col("qv"), F.col("cv"))
+    )
+    we = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    codes = (
+        scored_enc.withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+    queries = _pq_sub_explode(
+        qe.where(F.col("vec_id") < n_queries).select("vec_id", "qv")
+    ).join(
+        qe.select("vec_id", F.col("norm2").alias("n1")), "vec_id"
+    ).select(
+        F.col("vec_id").alias("qid"), "m", F.col("qv").alias("qsub"), "n1"
+    )
     contrib = (
         codes.join(F.broadcast(book_rows), ["m", "cid"])
         .join(F.broadcast(queries), "m")
