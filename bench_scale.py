@@ -11,6 +11,9 @@ noise is small relative to the run):
   offsets (clone i only meets clone i), so true pairs scale exactly
   10x. Exercises theta sampling, tile explode, the broadcast/shuffle
   tile join, and the 11-counter aggregation at 10x volume.
+- knn_x10: exact kNN over 10x spatially-offset point clones (result
+  rows = exactly 10x the base 45000 — clone i only neighbors clone i).
+  Exercises theta coarsening, per-round pinning, early-exit schedule.
 - lsh_x10: the adversarial MinHash-LSH soak — TEN exact clones of every
   document, so every band bucket holds >= 10 colliding docs and true
   pairs grow ~45x (10 choose 2 per original pair group). Exercises
@@ -102,6 +105,30 @@ def lsh_x10(spark, sf_dir):
     return pairs.count()
 
 
+def knn_x10(spark, sf_dir):
+    """Exact kNN at 10x: spatially-offset point clones (clone i only
+    neighbors clone i, so true result rows = exactly 10x the base
+    45000). Exercises theta coarsening, per-round pinning and the
+    early-exit schedule at clone scale."""
+    from ds_jedai_spark.io.synthetic import load_sql, point_sql
+    from ds_jedai_spark.operators.spatial_join import knn_join_exact
+
+    pts = load_sql(spark, sf_dir, point_sql())
+    span = pts.agg(
+        F.min("minx").alias("lo"), F.max("maxx").alias("hi")
+    ).first()
+    shift = (span.hi - span.lo) * 2
+    rep = spark.range(CLONES_SPATIAL).select(F.col("id").alias("rep"))
+    c = pts.crossJoin(rep).select(
+        (F.col("id") * CLONES_SPATIAL + F.col("rep")).alias("id"),
+        (F.col("minx") + F.col("rep") * shift).alias("minx"),
+        "miny",
+        (F.col("maxx") + F.col("rep") * shift).alias("maxx"),
+        "maxy",
+    )
+    return knn_join_exact(c, c, k=3, theta=(1.0, 1.0)).count()
+
+
 def _cloned_events(spark, sf_dir, hot: bool):
     from ds_jedai_spark.plans.timeseries_plans import _events
 
@@ -155,6 +182,7 @@ def main() -> None:
 
     entries = [
         ("giant_counts_x10", lambda: giant_counts_x10(spark, sf_dir)),
+        ("knn_x10", lambda: knn_x10(spark, sf_dir)),
         ("lsh_x10", lambda: lsh_x10(spark, sf_dir)),
         ("asof_x16_uniform", lambda: asof_x16(False)(spark, sf_dir)),
         ("asof_x16_hotkey", lambda: asof_x16(True)(spark, sf_dir)),
