@@ -269,6 +269,10 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                 ("csv", rp.sink_roundtrip_counts, rp.sink_roundtrip_counts_oracle()),
                 ("ntriples", rp.ntriples_sink_roundtrip,
                  rp.ntriples_sink_roundtrip_oracle()),
+                ("tsv", rp.tsv_sink_roundtrip,
+                 rp.tsv_sink_roundtrip_oracle()),
+                ("rdf", rp.rdf_sink_roundtrip,
+                 rp.rdf_sink_roundtrip_oracle()),
             ]
         ),
     )

@@ -178,6 +178,98 @@ def ntriples_sink_roundtrip_oracle() -> str:
     return sink_roundtrip_counts_oracle()
 
 
+def tsv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matching-pairs TSV sink round trip (reference exportMatchingPairs:
+    ``s\tt\t1.0`` lines): write, re-read with the TSV schema, aggregate
+    against the direct pairs oracle. Score column correctness (constant
+    "1.0") is pinned by pytest; the gate checks the id round trip."""
+    import tempfile
+
+    from ds_jedai_spark.io.writers import export_matching_pairs_tsv
+    from ds_jedai_spark.plans.giant import relation_pairs
+
+    pairs = relation_pairs("intersects")(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="jedai_tsv_sink_")
+    export_matching_pairs_tsv(pairs, out)
+    back = (
+        spark.read.option("delimiter", "\t")
+        .schema("s_id long, t_id long, score string")
+        .csv(out)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("s_id").alias("min_s"),
+        F.max("s_id").alias("max_s"),
+        F.min("t_id").alias("min_t"),
+        F.max("t_id").alias("max_t"),
+        F.sum(F.col("s_id") + F.col("t_id")).alias("key_sum"),
+    )
+
+
+def tsv_sink_roundtrip_oracle() -> str:
+    return sink_roundtrip_counts_oracle()
+
+
+def rdf_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoSPARQL RDF sink round trip (reference exportRDF: one triple
+    per TRUE relation flag per pair): run the relation-flagged join,
+    write all triples, parse them back, and aggregate — the oracle
+    re-derives the same multiset as a UNION ALL of the 9 per-relation
+    pair queries over the pairs CTE."""
+    import tempfile
+
+    from ds_jedai_spark.io.writers import export_rdf
+    from ds_jedai_spark.operators.relate import with_relations
+    from ds_jedai_spark.operators.spatial_join import tile_join
+    from ds_jedai_spark.io.synthetic import (
+        load_sql,
+        source_box_sql,
+        target_box_sql,
+    )
+    from ds_jedai_spark.plans.giant import cached_theta
+
+    src = load_sql(spark, sf_dir, source_box_sql())
+    tgt = load_sql(spark, sf_dir, target_box_sql())
+    theta = cached_theta(spark, sf_dir, "source_box", src)
+    rel = with_relations(tile_join(src, tgt, theta=theta))
+    out = tempfile.mkdtemp(prefix="jedai_rdf_sink_")
+    export_rdf(rel, out)
+    back = spark.read.text(out).select(
+        F.regexp_extract("value", r"^<(\d+)> <[^>]+> <(\d+)> \.$", 1)
+        .cast("long")
+        .alias("s_id"),
+        F.regexp_extract("value", r"^<(\d+)> <[^>]+> <(\d+)> \.$", 2)
+        .cast("long")
+        .alias("t_id"),
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("s_id").alias("min_s"),
+        F.max("s_id").alias("max_s"),
+        F.min("t_id").alias("min_t"),
+        F.max("t_id").alias("max_t"),
+        F.sum(F.col("s_id") + F.col("t_id")).alias("key_sum"),
+    )
+
+
+def rdf_sink_roundtrip_oracle() -> str:
+    from ds_jedai_spark.io.writers import RELATION_PREDICATES
+    from ds_jedai_spark.plans.giant import _pairs_cte
+    from ds_jedai_spark.operators.relate import relation_predicates
+
+    preds = relation_predicates("s_", "t_")
+    union = " UNION ALL ".join(
+        f"SELECT s_id, t_id FROM pairs WHERE {preds[rel]}"
+        for rel in RELATION_PREDICATES
+    )
+    return (
+        f"{_pairs_cte()}, tr AS ({union}) "
+        "SELECT count(*) AS n_pairs, min(s_id) AS min_s, "
+        "max(s_id) AS max_s, min(t_id) AS min_t, max(t_id) AS max_t, "
+        "CAST(sum(s_id + t_id) AS BIGINT) AS key_sum FROM tr"
+    )
+
+
 def geojson_reader_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same gate through the GeoJSON reader (NDJSON features; truth lives
     in properties, the engine parses only the geometry objects)."""
