@@ -245,6 +245,8 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                  ["verifications", "qp_in_budget", "total_qp", "recall", "precision"]),
                 ("th", pp.theta_stats, pp.theta_stats_oracle(),
                  ["avg_w", "avg_h", "min_w", "min_h", "max_w", "max_h", "n"]),
+                ("blk", giant.total_blocks_stats,
+                 giant.total_blocks_stats_oracle(), ["blocks_total"]),
             ]
         ),
     )

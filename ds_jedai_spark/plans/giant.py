@@ -103,6 +103,53 @@ def relation_pairs_oracle(relation: str) -> str:
     return f"{_pairs_cte()} SELECT s_id, t_id FROM pairs WHERE {preds[relation]}"
 
 
+def total_blocks_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell count of the global source extent under theta — the
+    reference's computeTotalBlocks scalar (utils/readers/
+    GridPartitioner.scala:85-93, mirrored by api._total_blocks), as a
+    one-row oracle-checked query. Theta (avg envelope extents) compares
+    exactly across engines because all coordinates are multiples of
+    1/16 (the io/synthetic exactness contract: the double sum is exact,
+    so avg and floor agree bit-for-bit)."""
+    from ds_jedai_spark.model.tiles import MIN_THETA
+
+    src = load_sql(spark, sf_dir, source_box_sql())
+    agg = src.agg(
+        F.greatest(
+            F.avg(F.col("maxx") - F.col("minx")), F.lit(MIN_THETA)
+        ).alias("tx"),
+        F.greatest(
+            F.avg(F.col("maxy") - F.col("miny")), F.lit(MIN_THETA)
+        ).alias("ty"),
+        F.min("minx").alias("a"),
+        F.max("maxx").alias("b"),
+        F.min("miny").alias("c"),
+        F.max("maxy").alias("d"),
+    )
+    nx = F.floor(F.col("b") / F.col("tx")) - F.floor(F.col("a") / F.col("tx")) + 1
+    ny = F.floor(F.col("d") / F.col("ty")) - F.floor(F.col("c") / F.col("ty")) + 1
+    return agg.select(
+        F.greatest(F.lit(1).cast("long"), (nx * ny).cast("long")).alias(
+            "blocks_total"
+        )
+    )
+
+
+def total_blocks_stats_oracle() -> str:
+    from ds_jedai_spark.model.tiles import MIN_THETA
+
+    return (
+        f"WITH source AS ({source_box_sql()}), "
+        f"th AS (SELECT greatest(avg(maxx - minx), {MIN_THETA!r}) AS tx, "
+        f"greatest(avg(maxy - miny), {MIN_THETA!r}) AS ty, "
+        "min(minx) AS a, max(maxx) AS b, min(miny) AS c, max(maxy) AS d "
+        "FROM source) "
+        "SELECT greatest(1, CAST((floor(b / tx) - floor(a / tx) + 1) * "
+        "(floor(d / ty) - floor(c / ty) + 1) AS BIGINT)) AS blocks_total "
+        "FROM th"
+    )
+
+
 def spatiotemporal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatio-temporal interlinking: envelope intersection AND |Δdays| < 2
     (reference: model/entities/SpatioTemporalEntity.scala:18-28)."""
