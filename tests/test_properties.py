@@ -180,3 +180,34 @@ def test_line_polygon_algebra_laws(pl, tri):
     for r in ("touches", "crosses", "within", "coveredby"):
         if ab[r]:
             assert ab["intersects"], (r, pl, tri)
+
+
+@given(
+    st.integers(min_value=0, max_value=500),
+    st.integers(min_value=2, max_value=64),
+    st.data(),
+)
+@settings(max_examples=300, deadline=None)
+def test_chunk_schedule_laws(n, chunk, data):
+    """The closed-form chunk schedule of textops.chunk_documents (same
+    integer formulas, driver-side): chunks tile [0, n) with no gaps,
+    consecutive starts differ by exactly stride, every non-last chunk is
+    full-size, and the forced single chunk of an empty doc is empty."""
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
+    stride = chunk - overlap
+    nch = max(1, (n - overlap + stride - 1) // stride)
+    chunks = [
+        (i * stride, min(i * stride + chunk, n)) for i in range(nch)
+    ]
+    covered = set()
+    for s, e in chunks:
+        covered.update(range(s, e))
+    assert covered == set(range(n))
+    assert all(
+        b - a == stride
+        for (a, _), (b, _) in zip(chunks, chunks[1:])
+    )
+    for s, e in chunks[:-1]:
+        assert e - s == chunk
+    if n == 0:
+        assert chunks == [(0, 0)]
