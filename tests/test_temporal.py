@@ -304,3 +304,54 @@ def test_interval_join_left_and_keys(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_randomized_against_bruteforce(spark):
+    """Differential test: bucketed interval join (inner and left, with
+    keys) must equal the brute-force cross-join filter on random
+    frames, across bucket widths that slice windows in every way."""
+    import random
+
+    rnd = random.Random(11)
+    left_rows = [
+        Row(uid=rnd.randint(0, 3), ts=_ts(rnd.randint(0, 59)), click_id=i)
+        for i in range(60)
+    ]
+    right_rows = []
+    for j in range(25):
+        s = rnd.randint(0, 50)
+        right_rows.append(
+            Row(rid=100 + j, r_uid=rnd.randint(0, 3),
+                w_start=_ts(s), w_end=_ts(s + rnd.randint(0, 12)))
+        )
+    left = spark.createDataFrame(left_rows)
+    right = spark.createDataFrame(right_rows)
+    want_inner = {
+        (l.click_id, r.rid)
+        for l in left_rows
+        for r in right_rows
+        if l.uid == r.r_uid and r.w_start <= l.ts <= r.w_end
+    }
+    matched = {c for c, _ in want_inner}
+    want_left = want_inner | {
+        (l.click_id, None) for l in left_rows if l.click_id not in matched
+    }
+    for bucket_us in (60_000_000, 5 * 60_000_000, 3_600_000_000):
+        got_inner = {
+            (r.click_id, r.rid)
+            for r in interval_join(
+                left, right, left_ts="ts", right_start="w_start",
+                right_end="w_end", bucket_us=bucket_us,
+                keys=[("uid", "r_uid")],
+            ).collect()
+        }
+        assert got_inner == want_inner, bucket_us
+        got_left = {
+            (r.click_id, r.rid)
+            for r in interval_join(
+                left, right, left_ts="ts", right_start="w_start",
+                right_end="w_end", bucket_us=bucket_us,
+                keys=[("uid", "r_uid")], how="left",
+            ).collect()
+        }
+        assert got_left == want_left, bucket_us
