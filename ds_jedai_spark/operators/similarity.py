@@ -189,6 +189,31 @@ def pin_centroids(
     return emb.sparkSession.table(table)
 
 
+def pin_cells(
+    emb: DataFrame,
+    cent: DataFrame,
+    mode: str = "local",
+    table: str = "ivf_cells_pinned",
+) -> DataFrame:
+    """Materialize the IVF CELL ASSIGNMENTS (vec_id, cid) — the inverted
+    lists of the index. Centroids alone are not the index: without
+    pinned cells every search re-assigns the whole corpus (broadcast
+    argmin over all vectors per query); a real deployment assigns once
+    at build time."""
+    cells = _kmeans_assign(
+        quantized(emb).select("vec_id", "qv"), cent
+    ).select("vec_id", "cid")
+    if mode == "local":
+        return cells.localCheckpoint()
+    if mode != "table":
+        raise ValueError(f"unknown pin mode: {mode!r}")
+    from ds_jedai_spark.io.bucketed import drop_table_and_location
+
+    drop_table_and_location(emb.sparkSession, table)
+    cells.write.mode("overwrite").saveAsTable(table)
+    return emb.sparkSession.table(table)
+
+
 def kmeans_assignments(
     emb: DataFrame,
     k: int = KMEANS_K,
@@ -205,16 +230,21 @@ def kmeans_assignments(
 
 
 def ivf_trained_topk(
-    emb: DataFrame, k: int = 3, cent: DataFrame | None = None
+    emb: DataFrame,
+    k: int = 3,
+    cent: DataFrame | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search over the TRAINED quantizer: assign every vector to its
     Lloyd cell, then cosine top-k restricted to the query's cell — the
     full train -> assign -> search pipeline (ivf_label_topk's cells are
     pre-labeled; these are learned). Same scale shape: the cell id is an
     equi-join key, one shuffle, AQE splits hot cells. Pass pinned
-    ``cent`` to reuse a trained quantizer."""
+    ``cent`` (pin_centroids) and ``cells`` (pin_cells) to reuse the
+    trained+assigned index."""
     qe = quantized(emb)
-    cells = kmeans_assignments(emb, cent=cent).select("vec_id", "cid")
+    if cells is None:
+        cells = kmeans_assignments(emb, cent=cent).select("vec_id", "cid")
     base = qe.join(cells, "vec_id")
     queries = base.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("qid"),
@@ -428,34 +458,39 @@ def ivf_multiprobe_topk(
     k: int = 3,
     nprobe: int = 2,
     cent: DataFrame | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-probe IVF search: each query scans its ``nprobe`` nearest
     Lloyd cells instead of one — the standard recall/latency knob of an
     IVF index (probing 2 of 8 cells here). Base vectors stay in their
     rank-1 cell, so cells are disjoint and no candidate dedup is needed;
     the probe list is an equi-join key exactly like the single-cell
-    path (one shuffle, AQE splits hot cells). Pass pinned ``cent`` to
-    reuse a trained quantizer (same training as ivf_trained_topk)."""
+    path (one shuffle, AQE splits hot cells). Pass pinned ``cent``
+    (pin_centroids) and ``cells`` (pin_cells) to reuse the trained and
+    assigned index — the probe ranking then runs over the QUERY subset
+    only, never re-assigning the corpus."""
     qe = quantized(emb)
-    base_side = qe.select("vec_id", "qv")
     if cent is None:
         cent = train_centroids(emb)
-    scored_cells = base_side.crossJoin(F.broadcast(cent)).withColumn(
+    if cells is None:
+        cells = kmeans_assignments(emb, cent=cent).select("vec_id", "cid")
+    probe_side = qe.where(F.col("vec_id") % 50 == 0).select("vec_id", "qv")
+    scored_cells = probe_side.crossJoin(F.broadcast(cent)).withColumn(
         "d2", _dist2(F.col("qv"), F.col("cv"))
     )
     wc = Window.partitionBy("vec_id").orderBy("d2", "cid")
     ranked = scored_cells.withColumn("rn", F.row_number().over(wc)).select(
         "vec_id", "cid", "rn"
     )
-    base = qe.join(ranked.where(F.col("rn") == 1).select("vec_id", "cid"), "vec_id").select(
+    base = qe.join(cells, "vec_id").select(
         F.col("vec_id").alias("vid"),
         F.col("qv").alias("b"),
         F.col("norm2").alias("n2"),
         F.col("cid").alias("cell"),
     )
-    probes = ranked.where(
-        (F.col("rn") <= nprobe) & (F.col("vec_id") % 50 == 0)
-    ).select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"))
+    probes = ranked.where(F.col("rn") <= nprobe).select(
+        F.col("vec_id").alias("qid"), F.col("cid").alias("cell")
+    )
     queries = (
         qe.where(F.col("vec_id") % 50 == 0)
         .select(
@@ -594,9 +629,59 @@ def pin_codebooks(
     ]
 
 
+def _stack_books(books: list) -> DataFrame:
+    stacked = None
+    for m, cent in enumerate(books):
+        bm = cent.select(F.lit(m).alias("m"), "cid", "cv")
+        stacked = bm if stacked is None else stacked.unionByName(bm)
+    return stacked
+
+
+def pq_codes(emb: DataFrame, books: list) -> DataFrame:
+    """ENCODE: nearest codeword per (vector, sub-block) — (vec_id, m,
+    cid), one corpus pass for all sub-blocks (broadcast-join argmin
+    keyed by m). This is the stored payload of a PQ index; see
+    pin_codes."""
+    qe = quantized(emb).select("vec_id", "qv")
+    subs = _pq_sub_explode(qe)
+    scored = subs.join(F.broadcast(_stack_books(books)), "m").withColumn(
+        "d2", _dist2(F.col("qv"), F.col("cv"))
+    )
+    we = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+
+
+def pin_codes(
+    emb: DataFrame,
+    books: list,
+    mode: str = "local",
+    table: str = "pq_codes_pinned",
+) -> DataFrame:
+    """Materialize the PQ CODE TABLE (vec_id, m, cid) — the index
+    payload. Codebooks alone are not the index: without pinned codes
+    every ADC query re-encodes the entire corpus (a full corpus scan +
+    argmin per query); a real deployment encodes once at build time and
+    queries read M one-byte codes per vector."""
+    c = pq_codes(emb, books)
+    if mode == "local":
+        return c.localCheckpoint()
+    if mode != "table":
+        raise ValueError(f"unknown pin mode: {mode!r}")
+    from ds_jedai_spark.io.bucketed import drop_table_and_location
+
+    drop_table_and_location(emb.sparkSession, table)
+    c.write.mode("overwrite").saveAsTable(table)
+    return emb.sparkSession.table(table)
+
+
 def pq_adc_topk(
     emb: DataFrame, n_queries: int = 10, k: int = 5,
     books: list | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ADC search: every vector is stored as PQ_M
     one-byte codes (its nearest codeword per sub-block) and queries score
@@ -613,32 +698,17 @@ def pq_adc_topk(
     is a map-side broadcast-join argmin; the scan is one broadcast join
     of queries against the (vec_id, m, cid) code table followed by a
     (qid, vid) partial-aggregated sum — no shuffle of raw vectors
-    anywhere after training. Pass pinned ``books`` (pin_codebooks) to
-    reuse a trained index instead of retraining per query."""
+    anywhere after training. Pass pinned ``books`` (pin_codebooks) and
+    ``codes`` (pin_codes) to reuse a trained+encoded index instead of
+    retraining and re-encoding per query."""
     qe = quantized(emb).select("vec_id", "qv", "norm2")
     if books is None:
         books = pq_codebooks(emb)
-    stacked_books = None
-    for m, cent in enumerate(books):
-        bm = cent.select(F.lit(m).alias("m"), "cid", "cv")
-        stacked_books = (
-            bm if stacked_books is None else stacked_books.unionByName(bm)
-        )
-    book_rows = stacked_books.select(
+    book_rows = _stack_books(books).select(
         "m", "cid", "cv", _dot("cv", "cv").alias("cnorm2")
     )
-    # encode: nearest codeword per (vector, sub-block), ONE corpus pass
-    # for all sub-blocks (broadcast-join argmin keyed by m)
-    subs = _pq_sub_explode(qe.select("vec_id", "qv"))
-    scored_enc = subs.join(F.broadcast(stacked_books), "m").withColumn(
-        "d2", _dist2(F.col("qv"), F.col("cv"))
-    )
-    we = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
-    codes = (
-        scored_enc.withColumn("rn", F.row_number().over(we))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "m", "cid")
-    )
+    if codes is None:
+        codes = pq_codes(emb, books)
     queries = _pq_sub_explode(
         qe.where(F.col("vec_id") < n_queries).select("vec_id", "qv")
     ).join(
@@ -676,6 +746,7 @@ def pq_adc_topk(
 def pq_rerank_topk(
     emb: DataFrame, n_queries: int = 10, k: int = 5, shortlist: int = 20,
     books: list | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """The standard PQ deployment pattern: ADC scan produces a cheap
     ``shortlist`` of candidates per query, then ONLY those candidates are
@@ -683,9 +754,9 @@ def pq_rerank_topk(
     are fetched for shortlist x queries rows instead of the whole
     collection — PQ's compression pays for the scan, the rerank restores
     exact top-k quality within the shortlist."""
-    short = pq_adc_topk(emb, n_queries, shortlist, books=books).select(
-        "qid", "vid"
-    )
+    short = pq_adc_topk(
+        emb, n_queries, shortlist, books=books, codes=codes
+    ).select("qid", "vid")
     qe = quantized(emb)
     queries = qe.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("qv").alias("a"),

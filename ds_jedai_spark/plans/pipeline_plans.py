@@ -86,9 +86,15 @@ def _pinned_ann(spark: SparkSession, sf_dir: str) -> dict:
     if key not in _ANN_PIN:
         _ANN_PIN.clear()
         emb = _emb(spark, sf_dir)
+        books = similarity.pin_codebooks(emb)
+        cent = similarity.pin_centroids(emb)
         _ANN_PIN[key] = {
-            "books": similarity.pin_codebooks(emb),
-            "cent": similarity.pin_centroids(emb),
+            "books": books,
+            "cent": cent,
+            # the index PAYLOADS: corpus encoded/assigned once at build
+            # time — searches read codes/cells instead of re-encoding
+            "codes": similarity.pin_codes(emb, books),
+            "cells": similarity.pin_cells(emb, cent),
         }
     return _ANN_PIN[key]
 
@@ -570,8 +576,9 @@ def ann_kmeans_cells_oracle() -> str:
 def ann_ivf_trained_topk(spark, sf_dir):
     from ds_jedai_spark.operators.similarity import ivf_trained_topk
 
+    art = _pinned_ann(spark, sf_dir)
     return ivf_trained_topk(
-        _emb(spark, sf_dir), cent=_pinned_ann(spark, sf_dir)["cent"]
+        _emb(spark, sf_dir), cent=art["cent"], cells=art["cells"]
     )
 
 
@@ -591,8 +598,9 @@ def ann_ivf_trained_topk_oracle() -> str:
 def ann_pq_adc_topk(spark, sf_dir):
     from ds_jedai_spark.operators.similarity import pq_adc_topk
 
+    art = _pinned_ann(spark, sf_dir)
     return pq_adc_topk(
-        _emb(spark, sf_dir), books=_pinned_ann(spark, sf_dir)["books"]
+        _emb(spark, sf_dir), books=art["books"], codes=art["codes"]
     )
 
 
@@ -688,8 +696,9 @@ def ann_pq_adc_topk_oracle() -> str:
 def ann_pq_rerank_topk(spark, sf_dir):
     from ds_jedai_spark.operators.similarity import pq_rerank_topk
 
+    art = _pinned_ann(spark, sf_dir)
     return pq_rerank_topk(
-        _emb(spark, sf_dir), books=_pinned_ann(spark, sf_dir)["books"]
+        _emb(spark, sf_dir), books=art["books"], codes=art["codes"]
     )
 
 
@@ -1253,8 +1262,9 @@ ORACLES["media_features"] = media_features_oracle()
 def ann_ivf_multiprobe_topk(spark, sf_dir):
     from ds_jedai_spark.operators.similarity import ivf_multiprobe_topk
 
+    art = _pinned_ann(spark, sf_dir)
     return ivf_multiprobe_topk(
-        _emb(spark, sf_dir), cent=_pinned_ann(spark, sf_dir)["cent"]
+        _emb(spark, sf_dir), cent=art["cent"], cells=art["cells"]
     )
 
 
