@@ -124,12 +124,14 @@ def main() -> None:
         ("dynamic_progressive_js", pp.dynamic_progressive_js),
         ("early_stopping_js", pp.early_stopping_js),
         ("events_asof_join", tsp.events_asof_join),
-        # ANN family. ann_train is the one-time index build (Lloyd
-        # codebooks + IVF centroids, trained and pinned — a real index
-        # is trained once and queried many times); the search lines
-        # below it run against the pinned artifact, so they measure
-        # encode+scan+rerank, not retraining. ann_lsh_pairs has no
-        # trained artifact (deterministic hyperplanes).
+        # ANN family. ann_train is the one-time index build — Lloyd
+        # codebooks + IVF centroids AND the index payloads (PQ code
+        # table, IVF cell assignments), trained/encoded once and pinned
+        # — a real index is built once and queried many times. The
+        # search lines below it run against the pinned index, so they
+        # measure the scan+rerank, not retraining or re-encoding.
+        # ann_lsh_pairs has no trained artifact (deterministic
+        # hyperplanes).
         ("ann_train", _ann_train),
         ("ann_lsh_pairs", pl.QUERIES["ann_lsh_pairs"]),
         ("ann_pq_rerank", pl.QUERIES["ann_pq_rerank_topk"]),
