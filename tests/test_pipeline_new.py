@@ -180,7 +180,7 @@ def test_ann_pin_trains_once_and_truncates_lineage(spark):
     a1 = pl._pinned_ann(spark, SF)
     a2 = pl._pinned_ann(spark, SF)
     assert a1 is a2
-    for frame in [*a1["books"], a1["cent"]]:
+    for frame in [*a1["books"], a1["cent"], a1["codes"], a1["cells"]]:
         plan = frame._jdf.queryExecution().optimizedPlan().toString()
         assert "LogicalRDD" in plan, plan.splitlines()[0]
 
