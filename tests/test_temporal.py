@@ -355,3 +355,37 @@ def test_interval_join_randomized_against_bruteforce(spark):
             ).collect()
         }
         assert got_left == want_left, bucket_us
+
+
+def test_temporal_joins_pre_1970_timestamps(spark):
+    """Bucketing is floor division, not cast truncation: negative epoch
+    values must land in the right buckets for both the as-of carry and
+    the interval explode (a truncating division would shift pre-1970
+    rows one bucket toward zero and silently drop matches)."""
+    t0 = dt.datetime(1969, 12, 31, 22, 0)   # epoch-negative
+    t1 = dt.datetime(1969, 12, 31, 23, 30)
+    t2 = dt.datetime(1970, 1, 1, 0, 30)
+    left = spark.createDataFrame(
+        [Row(user_id=1, ts=t1, click_id=1), Row(user_id=1, ts=t2, click_id=2)]
+    )
+    right = spark.createDataFrame(
+        [Row(user_id=1, ts=t0, purchase_id=10)]
+    )
+    for bucket_us in (3_600_000_000, 7_200_000_000):
+        out = {
+            r.click_id: r.asof_purchase_id
+            for r in asof_join(
+                left, right, key="user_id", ts="ts",
+                right_attrs=("purchase_id",), bucket_us=bucket_us,
+            ).collect()
+        }
+        assert out == {1: 10, 2: 10}, bucket_us
+    iv = interval_join(
+        left.select("ts", "click_id"),
+        spark.createDataFrame(
+            [Row(rid=9, w_start=t0, w_end=dt.datetime(1970, 1, 1, 1, 0))]
+        ),
+        left_ts="ts", right_start="w_start", right_end="w_end",
+        bucket_us=3_600_000_000,
+    ).collect()
+    assert {r.click_id for r in iv} == {1, 2}
