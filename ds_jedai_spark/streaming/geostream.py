@@ -268,6 +268,12 @@ def stream_asof_enrich(
     row at exactly the stream row's ``ts`` matches; duplicate right
     (key, ts) rows must be pre-aggregated by the caller. Right
     attributes come back as ``asof_<name>`` (NULL when no prior row).
+
+    Skew bound: the lead window is per-key but runs over the STATIC
+    dimension only (rows = right rows per key, e.g. purchases per
+    user), never the stream — the side that meets raw event volume. A
+    dimension whose per-key row count itself rivals event volume should
+    be pre-compacted or routed through the batch bucket-carry form.
     """
     from pyspark.sql import Window
 
