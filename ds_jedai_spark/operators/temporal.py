@@ -58,6 +58,8 @@ def asof_join(
     right_attrs: tuple[str, ...] = (),
     bucket_us: int | None = None,
     direction: str = "backward",
+    tolerance_us: int | None = None,
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """For each left row, append the matching right row for the same
     key (pandas ``merge_asof`` direction semantics). Right attributes
@@ -71,6 +73,15 @@ def asof_join(
       exact ties resolve backward. Costs one extra window pass over the
       same shuffle (specs share partition keys, so Catalyst adds a sort
       per direction, not an exchange).
+
+    ``tolerance_us`` (pandas ``tolerance``): a match farther than this
+    many microseconds from the left row comes back NULL — a pure
+    post-predicate on the already-selected match (the closest candidate
+    per direction), no plan change. ``allow_exact_matches=False``
+    (pandas semantics) excludes right rows at exactly ``left.ts`` —
+    implemented by flipping the tie order inside the window sort, so
+    the cost is identical. Same-ts rows always share a bucket, so both
+    knobs compose with the bucket-carry form unchanged.
 
     Ties on (key, ts) across sides resolve right-before-left (a right
     row at exactly left.ts matches). Multiple right rows at the same
@@ -133,6 +144,24 @@ def asof_join(
 
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction: {direction!r}")
+    # tie order: does a right row at exactly left.ts fall INSIDE the
+    # frame? backward frame is [preceding, current] -> right-first at a
+    # tie includes it; forward frame is [current, following] ->
+    # LEFT-first includes it. allow_exact_matches=False flips both.
+    b_tie = F.col("_is_right").desc() if allow_exact_matches else F.col("_is_right").asc()
+    f_tie = F.col("_is_right").asc() if allow_exact_matches else F.col("_is_right").desc()
+
+    def _tol_b(m):
+        if tolerance_us is None:
+            return m
+        d = epoch_us(F.col(ts)) - epoch_us(m["_rts"])
+        return F.when(d <= F.lit(tolerance_us), m)
+
+    def _tol_f(m):
+        if tolerance_us is None:
+            return m
+        d = epoch_us(m["_rts"]) - epoch_us(F.col(ts))
+        return F.when(d <= F.lit(tolerance_us), m)
 
     def _out(rows: DataFrame, match) -> DataFrame:
         return rows.select(
@@ -158,36 +187,31 @@ def asof_join(
     want_f = direction in ("forward", "nearest")
 
     if bucket_us is None:
-        def over_key(part_cols):
-            # backward: right rows sort BEFORE left rows at equal ts, so
-            # the preceding frame ("<=") includes them; forward: left
-            # rows sort first, so the following frame (">=") does.
-            wb = (
-                Window.partitionBy(*part_cols)
-                .orderBy(F.col(ts).asc(), F.col("_is_right").desc())
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            )
-            wf = (
-                Window.partitionBy(*part_cols)
-                .orderBy(F.col(ts).asc(), F.col("_is_right").asc())
-                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-            )
-            return (
-                F.last("_r", ignorenulls=True).over(wb),
-                F.first("_r", ignorenulls=True).over(wf),
-            )
-
-        mb_c, mf_c = over_key([key])
+        wb = (
+            Window.partitionBy(key)
+            .orderBy(F.col(ts).asc(), b_tie)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(key)
+            .orderBy(F.col(ts).asc(), f_tie)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
         filled = u
         if want_b:
-            filled = filled.withColumn("_fb", mb_c)
+            filled = filled.withColumn(
+                "_fb", F.last("_r", ignorenulls=True).over(wb)
+            )
         if want_f:
-            filled = filled.withColumn("_ff", mf_c)
+            filled = filled.withColumn(
+                "_ff", F.first("_r", ignorenulls=True).over(wf)
+            )
+        mb = _tol_b(F.col("_fb")) if want_b else None
+        mf = _tol_f(F.col("_ff")) if want_f else None
         match = (
-            _nearest(F.col("_fb"), F.col("_ff"))
-            if direction == "nearest"
-            else F.col("_fb") if direction == "backward"
-            else F.col("_ff")
+            _nearest(mb, mf) if direction == "nearest"
+            else mb if direction == "backward"
+            else mf
         )
         return _out(filled.where(F.col("_is_right") == 0), match)
 
@@ -196,12 +220,12 @@ def asof_join(
     )
     w1b = (
         Window.partitionBy(key, "_bkt")
-        .orderBy(F.col(ts).asc(), F.col("_is_right").desc())
+        .orderBy(F.col(ts).asc(), b_tie)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w1f = (
         Window.partitionBy(key, "_bkt")
-        .orderBy(F.col(ts).asc(), F.col("_is_right").asc())
+        .orderBy(F.col(ts).asc(), f_tie)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     filled = u
@@ -249,8 +273,8 @@ def asof_join(
     joined = filled.where(F.col("_is_right") == 0).join(
         carry, [key, "_bkt"]
     )
-    mb = F.coalesce(F.col("_f1b"), F.col("_cb")) if want_b else None
-    mf = F.coalesce(F.col("_f1f"), F.col("_cf")) if want_f else None
+    mb = _tol_b(F.coalesce(F.col("_f1b"), F.col("_cb"))) if want_b else None
+    mf = _tol_f(F.coalesce(F.col("_f1f"), F.col("_cf"))) if want_f else None
     match = (
         _nearest(mb, mf) if direction == "nearest"
         else mb if direction == "backward"

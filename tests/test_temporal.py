@@ -389,3 +389,68 @@ def test_temporal_joins_pre_1970_timestamps(spark):
         bucket_us=3_600_000_000,
     ).collect()
     assert {r.click_id for r in iv} == {1, 2}
+
+
+def test_asof_tolerance_and_exact_matches_vs_pandas(spark):
+    """Differential test of the pandas-parity knobs: every combination
+    of direction x tolerance x allow_exact_matches, plain and bucketed,
+    against pandas.merge_asof on random frames (with deliberate exact
+    ts collisions so allow_exact_matches actually bites)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    base = dt.datetime(2024, 1, 1)
+    secs_l = rng.integers(0, 40_000, 150)
+    lpd = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 5, 150),
+            "ts": [base + dt.timedelta(seconds=int(s)) for s in secs_l],
+            "click_id": np.arange(150),
+        }
+    )
+    seen, rows = set(), []
+    i = 0
+    while len(rows) < 80 and i < 400:
+        i += 1
+        k = int(rng.integers(0, 5))
+        # half the right rows reuse LEFT timestamps -> exact collisions
+        s = int(secs_l[rng.integers(0, 150)]) if i % 2 else int(
+            rng.integers(0, 40_000)
+        )
+        if (k, s) in seen:
+            continue
+        seen.add((k, s))
+        rows.append((k, base + dt.timedelta(seconds=s), 1000 + i))
+    rpd = pd.DataFrame(rows, columns=["user_id", "ts", "purchase_id"])
+    left = spark.createDataFrame(lpd)
+    right = spark.createDataFrame(rpd)
+    for direction in ("backward", "forward", "nearest"):
+        for tol_s in (None, 900):
+            for exact in (True, False):
+                want_df = pd.merge_asof(
+                    lpd.sort_values("ts", kind="stable"),
+                    rpd.sort_values("ts", kind="stable"),
+                    on="ts", by="user_id", direction=direction,
+                    tolerance=(None if tol_s is None
+                               else pd.Timedelta(seconds=tol_s)),
+                    allow_exact_matches=exact,
+                )
+                want = {
+                    int(r.click_id): (None if pd.isna(r.purchase_id)
+                                      else int(r.purchase_id))
+                    for r in want_df.itertuples()
+                }
+                for bucket_us in (None, 3600 * 1_000_000):
+                    got = {
+                        r["click_id"]: r["asof_purchase_id"]
+                        for r in asof_join(
+                            left, right, key="user_id", ts="ts",
+                            right_attrs=("purchase_id",),
+                            direction=direction, bucket_us=bucket_us,
+                            tolerance_us=(None if tol_s is None
+                                          else tol_s * 1_000_000),
+                            allow_exact_matches=exact,
+                        ).collect()
+                    }
+                    assert got == want, (direction, tol_s, exact, bucket_us)
