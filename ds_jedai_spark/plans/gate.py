@@ -524,6 +524,8 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                  tsp.ORACLES["events_asof_forward"]),
                 ("nearest", tsp.QUERIES["events_asof_nearest"],
                  tsp.ORACLES["events_asof_nearest"]),
+                ("backward_tol", tsp.QUERIES["events_asof_tolerance"],
+                 tsp.ORACLES["events_asof_tolerance"]),
             ]
         ),
     )

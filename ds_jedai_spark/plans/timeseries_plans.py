@@ -28,9 +28,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ASOF_BUCKET_US = 24 * 3600 * 1_000_000  # 1-day carry buckets
+ASOF_TOL_US = 7 * 24 * 3600 * 1_000_000  # 7-day match tolerance
 
 
-def _events_asof(direction: str):
+def _events_asof(direction: str, tolerance_us: int | None = None):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Each click joined to the user's matching purchase (backward /
         forward / nearest as-of), via the SKEW-SAFE bucket-carry form:
@@ -49,6 +50,7 @@ def _events_asof(direction: str):
             right_attrs=("purchase_id", "value"),
             bucket_us=ASOF_BUCKET_US,
             direction=direction,
+            tolerance_us=tolerance_us,
         )
         return j.select(
             "click_id",
@@ -65,6 +67,7 @@ def _events_asof(direction: str):
 events_asof_join = _events_asof("backward")
 events_asof_forward = _events_asof("forward")
 events_asof_nearest = _events_asof("nearest")
+events_asof_tolerance = _events_asof("backward", tolerance_us=ASOF_TOL_US)
 
 _ASOF_SRC = (
     "FROM (SELECT * FROM events WHERE event_type = 'click') l "
@@ -84,6 +87,20 @@ def _asof_oracle(op: str) -> str:
 
 def events_asof_join_oracle() -> str:
     return _asof_oracle(">=")
+
+
+def events_asof_tolerance_oracle() -> str:
+    """Backward ASOF with a 7-day tolerance: matches farther than the
+    window null out (all three right-side columns together)."""
+    cond = f"b.click_us - b.purchase_us <= {ASOF_TOL_US}"
+    sel = ", ".join(
+        f"CASE WHEN {cond} THEN b.{c} END AS {c}"
+        for c in ("purchase_id", "purchase_value", "purchase_us")
+    )
+    return (
+        f"WITH b AS ({_asof_oracle('>=')}) "
+        f"SELECT b.click_id, b.user_id, b.click_us, {sel} FROM b"
+    )
 
 
 def events_asof_forward_oracle() -> str:
@@ -178,6 +195,7 @@ QUERIES = {
     "events_asof_join": events_asof_join,
     "events_asof_forward": events_asof_forward,
     "events_asof_nearest": events_asof_nearest,
+    "events_asof_tolerance": events_asof_tolerance,
     "events_interval_join": events_interval_join,
     "events_interval_left": events_interval_left,
 }
@@ -186,6 +204,7 @@ ORACLES = {
     "events_asof_join": events_asof_join_oracle(),
     "events_asof_forward": events_asof_forward_oracle(),
     "events_asof_nearest": events_asof_nearest_oracle(),
+    "events_asof_tolerance": events_asof_tolerance_oracle(),
     "events_interval_join": events_interval_join_oracle(),
     "events_interval_left": events_interval_left_oracle(),
 }
