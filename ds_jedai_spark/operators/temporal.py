@@ -53,7 +53,7 @@ def epoch_us(col: Column | str) -> Column:
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    key: str = "user_id",
+    key: str | list[str] = "user_id",
     ts: str = "ts",
     right_attrs: tuple[str, ...] = (),
     bucket_us: int | None = None,
@@ -114,6 +114,7 @@ def asof_join(
     """
     from pyspark.sql.types import StructField, StructType
 
+    keys = [key] if isinstance(key, str) else list(key)
     lcols = left.columns
     rstruct_t = StructType(
         [StructField("_rts", right.schema[ts].dataType)]
@@ -122,19 +123,20 @@ def asof_join(
             for a in right_attrs
         ]
     )
+    passthrough = [c for c in lcols if c not in (*keys, ts)]
     l = left.select(
-        key,
+        *keys,
         ts,
         F.lit(0).alias("_is_right"),
-        *[F.col(c) for c in lcols if c not in (key, ts)],
+        *[F.col(c) for c in passthrough],
         F.lit(None).cast(rstruct_t).alias("_r"),
     )
     r = right.select(
-        key,
+        *keys,
         ts,
         F.lit(1).alias("_is_right"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
-          for c in lcols if c not in (key, ts)],
+          for c in passthrough],
         F.struct(
             F.col(ts).alias("_rts"),
             *[F.col(a).alias(f"asof_{a}") for a in right_attrs],
@@ -165,9 +167,9 @@ def asof_join(
 
     def _out(rows: DataFrame, match) -> DataFrame:
         return rows.select(
-            key,
+            *keys,
             ts,
-            *[F.col(c) for c in lcols if c not in (key, ts)],
+            *[F.col(c) for c in passthrough],
             *[match[f"asof_{a}"].alias(f"asof_{a}") for a in right_attrs],
             match["_rts"].alias("asof_ts"),
         )
@@ -188,12 +190,12 @@ def asof_join(
 
     if bucket_us is None:
         wb = (
-            Window.partitionBy(key)
+            Window.partitionBy(*keys)
             .orderBy(F.col(ts).asc(), b_tie)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         wf = (
-            Window.partitionBy(key)
+            Window.partitionBy(*keys)
             .orderBy(F.col(ts).asc(), f_tie)
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
@@ -219,12 +221,12 @@ def asof_join(
         "_bkt", F.floor(epoch_us(F.col(ts)) / F.lit(bucket_us)).cast("long")
     )
     w1b = (
-        Window.partitionBy(key, "_bkt")
+        Window.partitionBy(*keys, "_bkt")
         .orderBy(F.col(ts).asc(), b_tie)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w1f = (
-        Window.partitionBy(key, "_bkt")
+        Window.partitionBy(*keys, "_bkt")
         .orderBy(F.col(ts).asc(), f_tie)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
@@ -249,18 +251,18 @@ def asof_join(
         aggs.append(F.max("_r").alias("_last"))
     if want_f:
         aggs.append(F.min("_r").alias("_first"))
-    summary = u.groupBy(key, "_bkt").agg(*aggs)
+    summary = u.groupBy(*keys, "_bkt").agg(*aggs)
     wcb = (
-        Window.partitionBy(key)
+        Window.partitionBy(*keys)
         .orderBy("_bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     wcf = (
-        Window.partitionBy(key)
+        Window.partitionBy(*keys)
         .orderBy("_bkt")
         .rowsBetween(1, Window.unboundedFollowing)
     )
-    carry_cols = [F.col(key), F.col("_bkt")]
+    carry_cols = [*[F.col(c) for c in keys], F.col("_bkt")]
     if want_b:
         carry_cols.append(
             F.last("_last", ignorenulls=True).over(wcb).alias("_cb")
@@ -271,7 +273,7 @@ def asof_join(
         )
     carry = summary.select(*carry_cols)
     joined = filled.where(F.col("_is_right") == 0).join(
-        carry, [key, "_bkt"]
+        carry, [*keys, "_bkt"]
     )
     mb = _tol_b(F.coalesce(F.col("_f1b"), F.col("_cb"))) if want_b else None
     mf = _tol_f(F.coalesce(F.col("_f1f"), F.col("_cf"))) if want_f else None

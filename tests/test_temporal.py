@@ -454,3 +454,59 @@ def test_asof_tolerance_and_exact_matches_vs_pandas(spark):
                         ).collect()
                     }
                     assert got == want, (direction, tol_s, exact, bucket_us)
+
+
+def test_asof_multi_key_vs_pandas(spark):
+    """Composite-key as-of (key=[a, b]): differential against
+    pandas.merge_asof(by=[a, b]) for all three directions, plain and
+    bucketed."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(31)
+    base = dt.datetime(2024, 1, 1)
+    lpd = pd.DataFrame(
+        {
+            "region": rng.integers(0, 3, 120),
+            "device": rng.integers(0, 2, 120),
+            "ts": [base + dt.timedelta(seconds=int(s))
+                   for s in rng.integers(0, 90_000, 120)],
+            "click_id": np.arange(120),
+        }
+    )
+    seen, rows = set(), []
+    for j in range(200):
+        t = (int(rng.integers(0, 3)), int(rng.integers(0, 2)),
+             int(rng.integers(0, 90_000)))
+        if t in seen:
+            continue
+        seen.add(t)
+        rows.append((t[0], t[1], base + dt.timedelta(seconds=t[2]),
+                     1000 + j))
+        if len(rows) == 60:
+            break
+    rpd = pd.DataFrame(rows, columns=["region", "device", "ts",
+                                      "purchase_id"])
+    left = spark.createDataFrame(lpd)
+    right = spark.createDataFrame(rpd)
+    for direction in ("backward", "forward", "nearest"):
+        want_df = pd.merge_asof(
+            lpd.sort_values("ts", kind="stable"),
+            rpd.sort_values("ts", kind="stable"),
+            on="ts", by=["region", "device"], direction=direction,
+        )
+        want = {
+            int(r.click_id): (None if pd.isna(r.purchase_id)
+                              else int(r.purchase_id))
+            for r in want_df.itertuples()
+        }
+        for bucket_us in (None, 3600 * 1_000_000):
+            got = {
+                r["click_id"]: r["asof_purchase_id"]
+                for r in asof_join(
+                    left, right, key=["region", "device"], ts="ts",
+                    right_attrs=("purchase_id",),
+                    direction=direction, bucket_us=bucket_us,
+                ).collect()
+            }
+            assert got == want, (direction, bucket_us)
