@@ -124,6 +124,9 @@ def main() -> None:
         ("dynamic_progressive_js", pp.dynamic_progressive_js),
         ("early_stopping_js", pp.early_stopping_js),
         ("events_asof_join", tsp.events_asof_join),
+        # the two-window-pass direction (backward+forward+pick) — the
+        # heaviest as-of path, regression-visible separately
+        ("events_asof_nearest", tsp.events_asof_nearest),
         # ANN family. ann_train is the one-time index build — Lloyd
         # codebooks + IVF centroids AND the index payloads (PQ code
         # table, IVF cell assignments), trained/encoded once and pinned
