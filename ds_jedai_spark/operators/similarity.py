@@ -327,7 +327,49 @@ def band_buckets_duckdb() -> list[str]:
     return [_band_bucket(b, _duck_dot) for b in range(LSH_BANDS)]
 
 
-def lsh_neardup_pairs(emb: DataFrame, tau: float) -> DataFrame:
+def lsh_band_table(emb: DataFrame) -> DataFrame:
+    """(vec_id, band, bucket) — the exploded LSH band keys of every
+    vector: LSH_BANDS rows per vector, bucket = the band's LSH_BITS
+    hyperplane sign bits packed into an int. Pure map-side column
+    algebra (no shuffle); this is the stored payload of an LSH index
+    (see pin_bands)."""
+    buckets = band_buckets_spark()
+    structs = ", ".join(
+        f"struct({b} AS band, {expr} AS bucket)"
+        for b, expr in enumerate(buckets)
+    )
+    return quantized(emb).selectExpr(
+        "vec_id", f"explode(array({structs})) AS bb"
+    ).selectExpr("vec_id", "bb.band", "bb.bucket")
+
+
+def pin_bands(
+    emb: DataFrame,
+    mode: str = "local",
+    table: str = "lsh_bands_pinned",
+) -> DataFrame:
+    """Materialize the LSH BAND TABLE once — the index payload of the
+    hyperplane-LSH family (the pin_codes analogue). Two reasons to pin:
+    the collision self-join consumes the table twice and cache
+    substitution fails for self-join consumers (see dedup._pin), so
+    unpinned the hyperplane dot products per vector compute twice; and
+    a standing corpus computes its band keys once at ingest, not per
+    search batch. ``mode="table"`` persists across jobs."""
+    bb = lsh_band_table(emb)
+    if mode == "local":
+        return bb.localCheckpoint()
+    if mode != "table":
+        raise ValueError(f"unknown pin mode: {mode!r}")
+    from ds_jedai_spark.io.bucketed import drop_table_and_location
+
+    drop_table_and_location(emb.sparkSession, table)
+    bb.write.mode("overwrite").saveAsTable(table)
+    return emb.sparkSession.table(table)
+
+
+def lsh_neardup_pairs(
+    emb: DataFrame, tau: float, bands: DataFrame | None = None
+) -> DataFrame:
     """Banded random-hyperplane LSH near-dup discovery: a pair is a
     candidate if ANY of the LSH_BANDS bands (LSH_BITS sign bits each,
     deterministic integer hyperplanes) collides, then exact cosine >= tau
@@ -335,12 +377,9 @@ def lsh_neardup_pairs(emb: DataFrame, tau: float) -> DataFrame:
     (band, bucket) rows, the collision join is an equi-join (one shuffle,
     AQE splits hot buckets), and candidate volume shrinks ~2^bits per band
     vs the full cross join. Band/bit counts are tuned to the similarity
-    regime (banding analysis); measured recall at tau=0.4 is ~95%."""
-    buckets = band_buckets_spark()
-    structs = ", ".join(
-        f"struct({b} AS band, {expr} AS bucket)"
-        for b, expr in enumerate(buckets)
-    )
+    regime (banding analysis); measured recall at tau=0.4 is ~95%.
+    Pass pinned ``bands`` (pin_bands) to reuse a standing band table
+    instead of recomputing the hyperplane dots per query."""
     qe = quantized(emb)
     # Collision discovery carries IDS ONLY: the exploded band rows, the
     # equi-join and the (d1, d2) dedup shuffle all move 3 integers per
@@ -349,12 +388,7 @@ def lsh_neardup_pairs(emb: DataFrame, tau: float) -> DataFrame:
     # arrays through the collision path multiplied the dedup shuffle by
     # the vector width for rows about to be collapsed (measured 11.7s ->
     # 4.7s warm on the sf0.1 corpus).
-    # Pin the band table: the collision self-join consumes it twice and
-    # cache substitution fails for self-join consumers (see dedup._pin),
-    # so unpinned the 8 hyperplane dot products per vector compute twice.
-    bb = qe.selectExpr(
-        "vec_id", f"explode(array({structs})) AS bb"
-    ).selectExpr("vec_id", "bb.band", "bb.bucket").localCheckpoint()
+    bb = bands if bands is not None else pin_bands(emb)
     cand = (
         bb.selectExpr("vec_id AS d1", "band", "bucket")
         .join(bb.selectExpr("vec_id AS d2", "band", "bucket"),
@@ -378,6 +412,98 @@ def lsh_neardup_pairs(emb: DataFrame, tau: float) -> DataFrame:
         .withColumn("cos", _cos())
         .where(F.col("cos") >= tau)
         .select("d1", "d2", "cos")
+    )
+
+
+def lsh_neardup_pairs_cross(
+    batch_emb: DataFrame,
+    index_emb: DataFrame,
+    tau: float,
+    index_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-corpus embedding near-dup discovery: candidates are pairs
+    of ONE vector from today's ``batch`` and one from the standing
+    ``index`` whose LSH band keys collide — the INCREMENTAL embedding
+    dedup path (the minhash_lsh_pairs_cross analogue in embedding
+    space). No batch x batch and no index x index pair is ever
+    generated.
+
+    100 TB shape: the index side's band keys are the standing artifact
+    — pass pinned ``index_bands`` (pin_bands; ``mode="table"`` across
+    jobs) so only the batch's hyperplane dots are computed per ingest.
+    The collision join, candidate dedup and the two verification joins
+    are all equi-joins carrying ids; exact cosine >= tau verifies.
+    Output: (d1 from batch, d2 from index, cos)."""
+    # Batch bands are consumed once (no self-join), so no pin needed.
+    band_a = lsh_band_table(batch_emb).select(
+        F.col("vec_id").alias("d1"), "band", "bucket"
+    )
+    bb = index_bands if index_bands is not None else pin_bands(index_emb)
+    band_b = bb.select(F.col("vec_id").alias("d2"), "band", "bucket")
+    cand = (
+        band_a.join(band_b, on=["band", "bucket"])
+        .select("d1", "d2")
+        .distinct()
+    )
+    va = quantized(batch_emb).select(
+        F.col("vec_id").alias("d1"), F.col("qv").alias("a"),
+        F.col("norm2").alias("n1"),
+    )
+    vb = quantized(index_emb).select(
+        F.col("vec_id").alias("d2"), F.col("qv").alias("b"),
+        F.col("norm2").alias("n2"),
+    )
+    return (
+        cand.join(va, "d1")
+        .join(vb, "d2")
+        .withColumn("dot", _dot("a", "b"))
+        .withColumn("cos", _cos())
+        .where(F.col("cos") >= tau)
+        .select("d1", "d2", "cos")
+    )
+
+
+def pq_recall(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    books: list | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Measured recall@k of the PQ search tiers against the exact
+    brute-force top-k — the quality metric a PQ deployment monitors
+    (the ann_lsh_recall analogue). One wide row: truth size, hits of
+    the raw ADC scan, hits of the shortlist+rerank path, and both
+    recall ratios. Rerank recall dominates ADC recall by construction
+    whenever the shortlist covers the true top-k; this query turns
+    that claim into a regressed number. Deterministic throughout
+    (integer-exact scoring, (cos DESC, vid) tie-breaks), so the DuckDB
+    oracle replays it bit-for-bit."""
+    truth = brute_topk(emb, n_queries, k).select("qid", "vid")
+    adc = pq_adc_topk(emb, n_queries, k, books=books, codes=codes).select(
+        "qid", "vid"
+    )
+    rer = pq_rerank_topk(emb, n_queries, k, books=books, codes=codes).select(
+        "qid", "vid"
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    na = truth.join(adc, ["qid", "vid"], "left_semi").agg(
+        F.count(F.lit(1)).alias("adc_found")
+    )
+    nr = truth.join(rer, ["qid", "vid"], "left_semi").agg(
+        F.count(F.lit(1)).alias("rerank_found")
+    )
+    return (
+        nt.crossJoin(na)
+        .crossJoin(nr)
+        .withColumn(
+            "adc_recall",
+            F.expr("CAST(adc_found AS DOUBLE) / CAST(n_truth AS DOUBLE)"),
+        )
+        .withColumn(
+            "rerank_recall",
+            F.expr("CAST(rerank_found AS DOUBLE) / CAST(n_truth AS DOUBLE)"),
+        )
     )
 
 

@@ -379,12 +379,28 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                          pl.ORACLES["dedup_embedding_cosine"],
                          [("v1", "d1", None), ("v2", "d2", None),
                           ("cos", "val", "double")])),
+                ("embedding_cross",
+                 *mapped(pl.QUERIES["dedup_embedding_cross"],
+                         pl.ORACLES["dedup_embedding_cross"],
+                         [("d1", "d1", None), ("d2", "d2", None),
+                          ("cos", "val", "double")])),
             ]
         ),
     )
     keep("dedup_clusters", pl.QUERIES["dedup_clusters"], pl.ORACLES["dedup_clusters"])
-    keep("dedup_semantic_clusters", pl.QUERIES["dedup_semantic_clusters"],
-         pl.ORACLES["dedup_semantic_clusters"])
+    add(
+        "dedup_semantic_clusters",
+        tagged_union(
+            [
+                # allpairs = the labeled O(n^2) oracle baseline; lsh =
+                # the scale path (banded equi-join edges, no cross join)
+                ("allpairs", pl.QUERIES["dedup_semantic_clusters"],
+                 pl.ORACLES["dedup_semantic_clusters"]),
+                ("lsh", pl.QUERIES["dedup_semantic_clusters_lsh"],
+                 pl.ORACLES["dedup_semantic_clusters_lsh"]),
+            ]
+        ),
+    )
 
     # -- ANN family
     add(
@@ -405,7 +421,20 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
         ),
     )
     keep("ann_lsh_pairs", pl.QUERIES["ann_lsh_pairs"], pl.ORACLES["ann_lsh_pairs"])
-    keep("ann_lsh_recall", pl.QUERIES["ann_lsh_recall"], pl.ORACLES["ann_lsh_recall"])
+    add(
+        "ann_recall",
+        wide_join(
+            [
+                ("lsh", pl.QUERIES["ann_lsh_recall"],
+                 pl.ORACLES["ann_lsh_recall"],
+                 ["n_exact", "n_found", "recall"]),
+                ("pq", pl.QUERIES["ann_pq_recall"],
+                 pl.ORACLES["ann_pq_recall"],
+                 ["n_truth", "adc_found", "rerank_found",
+                  "adc_recall", "rerank_recall"]),
+            ]
+        ),
+    )
     keep("ann_kmeans_cells", pl.QUERIES["ann_kmeans_cells"],
          pl.ORACLES["ann_kmeans_cells"])
     keep("emb_quantize", pl.QUERIES["emb_quantize"], pl.ORACLES["emb_quantize"])

@@ -95,6 +95,10 @@ def _pinned_ann(spark: SparkSession, sf_dir: str) -> dict:
             # time — searches read codes/cells instead of re-encoding
             "codes": similarity.pin_codes(emb, books),
             "cells": similarity.pin_cells(emb, cent),
+            # LSH band keys (vec_id, band, bucket): computed once at
+            # build time — LSH searches and the incremental cross-dedup
+            # read the standing band table, not the hyperplane dots
+            "bands": similarity.pin_bands(emb),
         }
     return _ANN_PIN[key]
 
@@ -182,7 +186,28 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 def ann_lsh_pairs(spark, sf_dir):
-    return similarity.lsh_neardup_pairs(_emb(spark, sf_dir), TAU_COS)
+    return similarity.lsh_neardup_pairs(
+        _emb(spark, sf_dir), TAU_COS,
+        bands=_pinned_ann(spark, sf_dir)["bands"],
+    )
+
+
+def dedup_embedding_cross(spark, sf_dir):
+    """Incremental embedding dedup: the even-vec_id half of the corpus
+    as today's batch against the odd half as the standing index — only
+    cross pairs are generated (similarity.lsh_neardup_pairs_cross).
+    The index side's band keys slice the one pinned band table
+    (_pinned_ann["bands"]); only the batch side computes hyperplane
+    dots."""
+    emb = _emb(spark, sf_dir)
+    return similarity.lsh_neardup_pairs_cross(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        TAU_COS,
+        index_bands=_pinned_ann(spark, sf_dir)["bands"].where(
+            F.col("vec_id") % 2 == 1
+        ),
+    )
 
 
 def ann_lsh_recall(spark, sf_dir):
@@ -194,7 +219,9 @@ def ann_lsh_recall(spark, sf_dir):
     exact = similarity.cosine_neardup_pairs(emb, TAU_COS).select(
         F.col("v1").alias("d1"), F.col("v2").alias("d2")
     )
-    lsh = similarity.lsh_neardup_pairs(emb, TAU_COS).select("d1", "d2")
+    lsh = similarity.lsh_neardup_pairs(
+        emb, TAU_COS, bands=_pinned_ann(spark, sf_dir)["bands"]
+    ).select("d1", "d2")
     hit = exact.join(lsh, on=["d1", "d2"], how="left_semi")
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -498,6 +525,23 @@ def ann_lsh_pairs_oracle() -> str:
     )
 
 
+def dedup_embedding_cross_oracle() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, qv, n2, {b} AS band, {expr} AS bucket FROM n"
+        for b, expr in enumerate(similarity.band_buckets_duckdb())
+    )
+    return (
+        f"WITH {_QUANT_CTE}, "
+        f"bk AS ({bands}), "
+        "cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2 "
+        "FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket "
+        "AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1) "
+        "SELECT d1, d2, list_dot_product(x.qv, y.qv) / sqrt(x.n2 * y.n2) AS cos "
+        "FROM cand JOIN n x ON x.vec_id = d1 JOIN n y ON y.vec_id = d2 "
+        f"WHERE list_dot_product(x.qv, y.qv) / sqrt(x.n2 * y.n2) >= {TAU_COS!r}"
+    )
+
+
 def ann_lsh_recall_oracle() -> str:
     bands = " UNION ALL ".join(
         f"SELECT vec_id, qv, n2, {b} AS band, {expr} AS bucket FROM n"
@@ -726,6 +770,53 @@ def ann_pq_rerank_topk_oracle() -> str:
     )
 
 
+def ann_pq_recall(spark, sf_dir):
+    from ds_jedai_spark.operators.similarity import pq_recall
+
+    art = _pinned_ann(spark, sf_dir)
+    return pq_recall(
+        _emb(spark, sf_dir), books=art["books"], codes=art["codes"]
+    )
+
+
+def ann_pq_recall_oracle() -> str:
+    return (
+        f"{_pq_cte()}, "
+        "contrib AS (SELECT q.qid, c.vec_id AS vid, q.n1, "
+        "CAST(list_dot_product(q.qsub, b.cv) AS BIGINT) AS dotm, b.cnorm2 "
+        "FROM codes c JOIN books b USING (m, cid) JOIN queries q USING (m) "
+        "WHERE q.qid <> c.vec_id), "
+        "adcs AS (SELECT qid, vid, "
+        "CAST(sum(dotm) AS DOUBLE) / sqrt(CAST(any_value(n1) AS DOUBLE) * "
+        "CAST(sum(cnorm2) AS DOUBLE)) AS acos FROM contrib GROUP BY qid, vid), "
+        "adck AS (SELECT qid, vid FROM (SELECT qid, vid, row_number() OVER "
+        "(PARTITION BY qid ORDER BY acos DESC, vid) AS rn FROM adcs) WHERE rn <= 5), "
+        "short AS (SELECT qid, vid FROM (SELECT qid, vid, row_number() OVER "
+        "(PARTITION BY qid ORDER BY acos DESC, vid) AS rn FROM adcs) WHERE rn <= 20), "
+        "nn AS (SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) "
+        "AS n2 FROM qe), "
+        "rer AS (SELECT s.qid, s.vid, "
+        "CAST(list_dot_product(a.qv, b.qv) AS DOUBLE) / "
+        "sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos "
+        "FROM short s JOIN nn a ON a.vec_id = s.qid "
+        "JOIN nn b ON b.vec_id = s.vid), "
+        "rerk AS (SELECT qid, vid FROM (SELECT qid, vid, row_number() OVER "
+        "(PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM rer) WHERE rn <= 5), "
+        "tru AS (SELECT qid, vid FROM (SELECT a.vec_id AS qid, "
+        "b.vec_id AS vid, row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+        "CAST(list_dot_product(a.qv, b.qv) AS DOUBLE) / "
+        "sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) DESC, b.vec_id) "
+        "AS rn FROM nn a JOIN nn b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) "
+        "WHERE rn <= 5) "
+        "SELECT nt AS n_truth, naf AS adc_found, nrf AS rerank_found, "
+        "CAST(naf AS DOUBLE) / CAST(nt AS DOUBLE) AS adc_recall, "
+        "CAST(nrf AS DOUBLE) / CAST(nt AS DOUBLE) AS rerank_recall FROM ("
+        "SELECT (SELECT count(*) FROM tru) AS nt, "
+        "(SELECT count(*) FROM tru JOIN adck USING (qid, vid)) AS naf, "
+        "(SELECT count(*) FROM tru JOIN rerk USING (qid, vid)) AS nrf)"
+    )
+
+
 def ann_brute_topk_oracle() -> str:
     return (
         f"WITH {_QUANT_CTE}, "
@@ -949,6 +1040,8 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_containment": dedup_containment,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_cross": dedup_embedding_cross,
+    "ann_pq_recall": ann_pq_recall,
     "dedup_clusters": dedup_clusters,
     "ann_brute_topk": ann_brute_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -982,6 +1075,8 @@ ORACLES = {
     "dedup_simhash": dedup_simhash_oracle(),
     "dedup_containment": dedup_containment_oracle(),
     "dedup_embedding_cosine": dedup_embedding_cosine_oracle(),
+    "dedup_embedding_cross": dedup_embedding_cross_oracle(),
+    "ann_pq_recall": ann_pq_recall_oracle(),
     "dedup_clusters": dedup_clusters_oracle(),
     "ann_brute_topk": ann_brute_topk_oracle(),
     "ann_ivf_topk": ann_ivf_topk_oracle(),
@@ -1229,8 +1324,55 @@ def dedup_semantic_clusters_oracle() -> str:
     )
 
 
+def dedup_semantic_clusters_lsh(spark, sf_dir):
+    """Semantic dedup clustering fed by the LSH candidate generator —
+    the SCALE path: edges come from the banded-hyperplane collision
+    equi-join (exact-cosine-verified, similarity.lsh_neardup_pairs over
+    the pinned band table), not the all-pairs cross join. At 100 TB the
+    all-pairs form is O(n^2) in corpus size; this plan's edge discovery
+    is one equi-join whose candidate volume shrinks ~2^bits per band,
+    at a measured ~95-98% pair recall (the delta is recorded in
+    PLANS.md). Clustering is the same iterative min-label propagation.
+    Plan shape is pinned by tests/test_semantic_lsh.py: no
+    CartesianProduct / nested-loop join anywhere in the edge plan."""
+    pairs = similarity.lsh_neardup_pairs(
+        _emb(spark, sf_dir), TAU_COS,
+        bands=_pinned_ann(spark, sf_dir)["bands"],
+    )
+    return (
+        dedup.duplicate_clusters(pairs, id1="d1", id2="d2")
+        .withColumnRenamed("doc_id", "vec_id")
+    )
+
+
+def dedup_semantic_clusters_lsh_oracle() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, qv, n2, {b} AS band, {expr} AS bucket FROM n"
+        for b, expr in enumerate(similarity.band_buckets_duckdb())
+    )
+    return (
+        f"WITH RECURSIVE {_QUANT_CTE}, "
+        f"bk AS ({bands}), "
+        "cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2 "
+        "FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket "
+        "AND a.vec_id < b.vec_id), "
+        "p AS (SELECT d1 AS v1, d2 AS v2 FROM cand "
+        "JOIN n x ON x.vec_id = d1 JOIN n y ON y.vec_id = d2 "
+        f"WHERE list_dot_product(x.qv, y.qv) / sqrt(x.n2 * y.n2) >= {TAU_COS!r}), "
+        "e AS (SELECT v1 AS a, v2 AS b FROM p UNION ALL "
+        "SELECT v2 AS a, v1 AS b FROM p), "
+        "walk(node, label) AS ("
+        "SELECT a, a FROM (SELECT DISTINCT a FROM e) "
+        "UNION "
+        "SELECT e.a, w.label FROM e JOIN walk w ON e.b = w.node) "
+        "SELECT node AS vec_id, min(label) AS cluster_id FROM walk GROUP BY node"
+    )
+
+
 QUERIES["dedup_semantic_clusters"] = dedup_semantic_clusters
 ORACLES["dedup_semantic_clusters"] = dedup_semantic_clusters_oracle()
+QUERIES["dedup_semantic_clusters_lsh"] = dedup_semantic_clusters_lsh
+ORACLES["dedup_semantic_clusters_lsh"] = dedup_semantic_clusters_lsh_oracle()
 
 
 # ------------------------------------------------------------ media features

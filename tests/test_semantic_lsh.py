@@ -1,0 +1,150 @@
+"""LSH-fed semantic dedup: plan shape, pin reuse, cross-corpus split,
+and PQ recall invariants.
+
+The scale contract under test: no discovery path in the embedding-dedup
+family may contain a cartesian/nested-loop join (the all-pairs cosine
+generator is ONLY the labeled oracle baseline), and the cross-corpus
+path must read the index side from the pinned band table rather than
+re-encoding it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ds_jedai_spark.operators import dedup, similarity
+from ds_jedai_spark.plans import pipeline_plans as pl
+from tests.conftest import SF_SMALL
+
+
+def _emb(spark):
+    return pl._emb(spark, SF_SMALL)
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _no_cartesian(df) -> None:
+    plan = _optimized_plan(df)
+    for bad in ("Join Cross", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, f"quadratic join in plan: {bad}\n{plan}"
+
+
+def test_lsh_neardup_plan_has_no_cartesian(spark):
+    pairs = similarity.lsh_neardup_pairs(_emb(spark), pl.TAU_COS)
+    _no_cartesian(pairs)
+
+
+def test_semantic_clusters_lsh_edges_match_direct_lsh(spark):
+    """The gate's LSH-fed clustering labels every LSH-pair endpoint and
+    respects the edge set: endpoints of a verified pair share a label."""
+    emb = _emb(spark)
+    pairs = similarity.lsh_neardup_pairs(emb, pl.TAU_COS)
+    _no_cartesian(pairs)
+    labels = dedup.duplicate_clusters(pairs, id1="d1", id2="d2")
+    lab = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    edges = pairs.select("d1", "d2").collect()
+    assert edges, "expected LSH pairs at sf0.001"
+    for r in edges:
+        assert lab[r["d1"]] == lab[r["d2"]]
+    # cluster id is the minimum member id (min-label propagation)
+    by_cluster: dict[int, list[int]] = {}
+    for node, c in lab.items():
+        by_cluster.setdefault(c, []).append(node)
+    for c, members in by_cluster.items():
+        assert c == min(members)
+
+
+def test_lsh_recall_vs_allpairs(spark):
+    """LSH pair recall vs the exact all-pairs baseline stays above the
+    banding-analysis floor (the measured delta goes to PLANS.md)."""
+    emb = _emb(spark)
+    exact = {
+        (r["v1"], r["v2"])
+        for r in similarity.cosine_neardup_pairs(emb, pl.TAU_COS)
+        .select("v1", "v2").collect()
+    }
+    got = {
+        (r["d1"], r["d2"])
+        for r in similarity.lsh_neardup_pairs(emb, pl.TAU_COS)
+        .select("d1", "d2").collect()
+    }
+    assert got <= exact  # verification guarantees no false positives
+    assert exact, "expected exact pairs at sf0.001"
+    recall = len(got) / len(exact)
+    assert recall >= 0.8, f"LSH recall collapsed: {recall:.3f}"
+
+
+def test_cross_pairs_read_index_from_pin_not_reencode(spark):
+    """lsh_neardup_pairs_cross must take index candidates from the
+    provided band table: removing a vector's bands from the pin removes
+    all its pairs even though the vector is still in index_emb."""
+    emb = _emb(spark)
+    batch = emb.where(F.col("vec_id") % 2 == 0)
+    index = emb.where(F.col("vec_id") % 2 == 1)
+    bands = similarity.pin_bands(index)
+    full = similarity.lsh_neardup_pairs_cross(
+        batch, index, pl.TAU_COS, index_bands=bands
+    )
+    rows = full.collect()
+    assert rows, "expected cross pairs at sf0.001"
+    victim = rows[0]["d2"]
+    pruned = similarity.lsh_neardup_pairs_cross(
+        batch, index, pl.TAU_COS,
+        index_bands=bands.where(F.col("vec_id") != victim),
+    )
+    got = pruned.select("d2").distinct().collect()
+    assert victim not in {r["d2"] for r in got}
+
+
+def test_cross_pairs_have_no_within_side_pairs(spark):
+    emb = _emb(spark)
+    df = pl.dedup_embedding_cross(spark, SF_SMALL)
+    _no_cartesian(df)
+    for r in df.collect():
+        assert r["d1"] % 2 == 0 and r["d2"] % 2 == 1
+
+
+def test_cross_pairs_equal_filtered_self_join(spark):
+    """Cross output == the (even, odd) slice of the self-join LSH pairs
+    (orientation-normalized): the incremental path loses nothing."""
+    emb = _emb(spark)
+    full = {
+        (r["d1"], r["d2"])
+        for r in similarity.lsh_neardup_pairs(emb, pl.TAU_COS)
+        .select("d1", "d2").collect()
+    }
+    want = {
+        (a, b) if a % 2 == 0 else (b, a)
+        for a, b in full
+        if (a % 2) != (b % 2)
+    }
+    got = {
+        (r["d1"], r["d2"])
+        for r in pl.dedup_embedding_cross(spark, SF_SMALL)
+        .select("d1", "d2").collect()
+    }
+    assert got == want
+
+
+def test_pq_recall_invariants(spark):
+    row = pl.ann_pq_recall(spark, SF_SMALL).collect()[0]
+    assert row["n_truth"] == 50  # 10 queries x k=5
+    assert 0.0 <= row["adc_recall"] <= 1.0
+    assert row["rerank_recall"] >= row["adc_recall"], (
+        "rerank must dominate raw ADC"
+    )
+    # floor calibrated at sf0.001 (measured 0.46 with the 8-codeword,
+    # 4-sub-block toy index; larger corpora score higher)
+    assert row["rerank_recall"] >= 0.3, "PQ rerank recall collapsed"
+
+
+@pytest.mark.parametrize("tag", ["allpairs", "lsh"])
+def test_gate_semantic_cluster_tags_nonempty(spark, tag):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["dedup_semantic_clusters"](spark, SF_SMALL)
+    n = df.where(F.col("q") == tag).count()
+    assert n > 0
