@@ -28,15 +28,21 @@ def drop_table_and_location(spark: SparkSession, table: str) -> None:
     mode("overwrite") — every table-mode pin calls this first so
     artifact rebuilds are idempotent across sessions."""
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    import os
+    import shutil
+
     wh = spark.conf.get("spark.sql.warehouse.dir", "")
     if wh.startswith("file:"):
-        import os
-        import shutil
-
-        shutil.rmtree(
-            os.path.join(wh[len("file:"):], table.split(".")[-1]),
-            ignore_errors=True,
-        )
+        wh = wh[len("file:"):]
+    if not wh or "://" in wh:
+        return  # remote warehouse: nothing to clean locally
+    parts = table.split(".")
+    tbl = parts[-1].lower()
+    # Managed-table layout: <warehouse>/<tbl> for the default database,
+    # <warehouse>/<db>.db/<tbl> for a qualified name.
+    db_dir = f"{parts[-2].lower()}.db" if len(parts) > 1 else None
+    loc = os.path.join(wh, db_dir, tbl) if db_dir else os.path.join(wh, tbl)
+    shutil.rmtree(loc, ignore_errors=True)
 
 
 def persist_tiled(

@@ -49,10 +49,14 @@ def _binary_rows(batch, name: str):
     import pyarrow as pa
 
     col = batch.column(batch.schema.names.index(name))
-    assert col.null_count == 0, f"{name}: null payload rows unsupported"
-    assert pa.types.is_binary(col.type), (
-        f"{name}: expected int32-offset binary, got {col.type}"
-    )
+    # Data-dependent invariants raise (not assert: python -O strips
+    # asserts and the reinterpretation would return garbage lengths).
+    if col.null_count != 0:
+        raise ValueError(f"{name}: null payload rows unsupported")
+    if not pa.types.is_binary(col.type):
+        raise TypeError(
+            f"{name}: expected int32-offset binary, got {col.type}"
+        )
     raw = np.frombuffer(col.buffers()[1], dtype=np.int32)
     off = raw[col.offset:col.offset + len(col) + 1].astype(np.int64)
     data = col.buffers()[2]

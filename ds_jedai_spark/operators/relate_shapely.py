@@ -89,19 +89,25 @@ def build_geometry(gtype: str, parts):
 
 
 def _rings_cross(parts) -> bool:
-    """True when any two rings of a multi-ring region properly cross.
+    """True when any two rings of a multi-ring region intersect at all.
 
-    The even-odd sym-diff construction then manufactures intersection
-    vertices in floating point, which can diverge from the engine's exact
-    scaled-integer verifier — those rows must NOT go through GEOS. For
-    standard nesting (holes/islands: boundaries disjoint or touching)
-    the sym-diff is exact, so only crossing pairs are excluded."""
+    The even-odd sym-diff construction manufactures intersection
+    vertices in floating point, which can diverge from the engine's
+    exact scaled-integer verifier — those rows must NOT go through GEOS.
+    Only strict nesting (rings pairwise disjoint: holes/islands) is
+    guaranteed float-exact, so ANY intersecting pair — proper cross,
+    point touch, or collinear dim-1 overlap (which ``crosses`` alone
+    misses: it is False for segment-overlap intersections) — falls back
+    to the exact integer path. ``shapely.prepare`` caches the left
+    ring's tree across the inner loop; first hit short-circuits."""
+    import shapely
     from shapely.geometry import LinearRing
 
     rings = [LinearRing(p) for p in parts]
     for i in range(len(rings)):
+        shapely.prepare(rings[i])
         for j in range(i + 1, len(rings)):
-            if rings[i].crosses(rings[j]):
+            if rings[i].intersects(rings[j]):
                 return True
     return False
 

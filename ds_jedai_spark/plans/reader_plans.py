@@ -104,19 +104,33 @@ def ntriples_reader_counts_oracle() -> str:
     return wkt_reader_counts_oracle()
 
 
+
+def _sink_dir(spark: SparkSession, name: str) -> str:
+    """Fixed per-application scratch dir for sink round trips: the
+    writers run mode("overwrite"), so repeated gate invocations reuse
+    one directory instead of leaking a fresh mkdtemp per run."""
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"jedai_{name}_{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(out, exist_ok=True)
+    return out
+
+
 def sink_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV pair sink under the oracle gate: write the qualifying
     intersecting pairs with writers.export_csv_pairs, read the files
     back, and report count + key extrema — the oracle computes the same
     directly from the pairs CTE, so the write/rescan round trip must be
     lossless."""
-    import tempfile
-
     from ds_jedai_spark.io.writers import export_csv_pairs
     from ds_jedai_spark.plans.giant import relation_pairs
 
     pairs = relation_pairs("intersects")(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="jedai_sink_")
+    out = _sink_dir(spark, "sink_csv")
     export_csv_pairs(pairs, out)
     back = (
         spark.read.option("header", True)
@@ -148,13 +162,11 @@ def ntriples_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-Triples sink round trip: qualifying pairs out through
     export_ntriples, parsed back with the same regex surface the reader
     uses, aggregated against the direct pairs oracle."""
-    import tempfile
-
     from ds_jedai_spark.io.writers import export_ntriples
     from ds_jedai_spark.plans.giant import relation_pairs
 
     pairs = relation_pairs("intersects")(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="jedai_nt_sink_")
+    out = _sink_dir(spark, "sink_nt")
     export_ntriples(pairs, out)
     back = spark.read.text(out).select(
         F.regexp_extract("value", r"^<(\d+)> <[^>]+> <(\d+)> \.$", 1)
@@ -183,13 +195,11 @@ def tsv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``s\tt\t1.0`` lines): write, re-read with the TSV schema, aggregate
     against the direct pairs oracle. Score column correctness (constant
     "1.0") is pinned by pytest; the gate checks the id round trip."""
-    import tempfile
-
     from ds_jedai_spark.io.writers import export_matching_pairs_tsv
     from ds_jedai_spark.plans.giant import relation_pairs
 
     pairs = relation_pairs("intersects")(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="jedai_tsv_sink_")
+    out = _sink_dir(spark, "sink_tsv")
     export_matching_pairs_tsv(pairs, out)
     back = (
         spark.read.option("delimiter", "\t")
@@ -216,8 +226,6 @@ def rdf_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write all triples, parse them back, and aggregate — the oracle
     re-derives the same multiset as a UNION ALL of the 9 per-relation
     pair queries over the pairs CTE."""
-    import tempfile
-
     from ds_jedai_spark.io.writers import export_rdf
     from ds_jedai_spark.operators.relate import with_relations
     from ds_jedai_spark.operators.spatial_join import tile_join
@@ -232,7 +240,7 @@ def rdf_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = load_sql(spark, sf_dir, target_box_sql())
     theta = cached_theta(spark, sf_dir, "source_box", src)
     rel = with_relations(tile_join(src, tgt, theta=theta))
-    out = tempfile.mkdtemp(prefix="jedai_rdf_sink_")
+    out = _sink_dir(spark, "sink_rdf")
     export_rdf(rel, out)
     back = spark.read.text(out).select(
         F.regexp_extract("value", r"^<(\d+)> <[^>]+> <(\d+)> \.$", 1)
