@@ -2,13 +2,18 @@
 
     python -m ds_jedai_spark.cli -conf conf.yaml [-export PATH]
     python -m ds_jedai_spark.cli -pipeline <query|list> [-data DIR] [-limit N]
+    python -m ds_jedai_spark.cli -op asof|interval|chunk -left L.parquet \
+        [-right R.parquet] [-key k1,k2] [-direction nearest] \
+        [-tolerance-us N] [-bucket-us auto|none|N] [-out OUT.parquet] ...
 
 The first form prints the same summary the reference logs (reference:
 experiments/GiantExp.scala:104-127 — verifications, qualifying pairs, the
 9 relation counts, total time). The second runs any named engine query
 (the driver-gate surface: spatial, progressive, dedup/ANN/text/media,
-streaming) against a testdata directory — the beyond-reference pipeline
-operators are first-class from the shell, not just from the gate.
+streaming) against a testdata directory. The third runs the temporal /
+pipeline OPERATORS on arbitrary user parquet with user-chosen keys,
+directions, tolerances and chunk sizes — as-of enrichment, interval
+joins and RAG chunking from the shell, writing parquet with -out.
 """
 
 from __future__ import annotations
@@ -52,6 +57,133 @@ def _run_pipeline(name: str, data_dir: str, limit: int) -> int:
     return 0
 
 
+def _print_or_write(df, out: str | None, limit: int, t0: float) -> int:
+    if out:
+        df.write.mode("overwrite").parquet(out)
+        n = df.sparkSession.read.parquet(out).count()
+        print(f"wrote {n} rows to {out}")
+        print(f"TOTAL TIME: {time.perf_counter() - t0:.2f}s")
+        return 0
+    rows = df.take(limit + 1)
+    total = len(rows) if len(rows) <= limit else df.count()
+    print("\t".join(df.columns))
+    for row in rows[:limit]:
+        print("\t".join(str(v) for v in row))
+    if total > limit:
+        print(f"... ({total} rows total)")
+    print(f"TOTAL TIME: {time.perf_counter() - t0:.2f}s")
+    return 0
+
+
+def _run_op(args) -> int:
+    """User-parquet temporal/pipeline operators: asof | interval | chunk.
+
+    The -pipeline surface runs the NAMED gate queries on testdata; this
+    runs the operators themselves on arbitrary parquet with user-chosen
+    keys/directions/tolerances — the shell surface for as-of
+    enrichment, interval joins, and RAG chunking."""
+    from ds_jedai_spark.session import get_spark
+
+    spark = get_spark("ds_jedai_spark_cli")
+
+    def _read(path: str, ts_cols: tuple[str, ...]) -> object:
+        # Mirror io.synthetic.register_views' TIMESTAMP(NANOS) handling:
+        # nanosAsLong is harmless for normal files, and any named
+        # timestamp column that comes back as long is restored.
+        from pyspark.sql import functions as F, types as T
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for c in ts_cols:
+            if c in df.columns and isinstance(
+                df.schema[c].dataType, T.LongType
+            ):
+                df = df.withColumn(
+                    c, F.timestamp_micros(F.expr(f"{c} div 1000"))
+                )
+        return df
+
+    t0 = time.perf_counter()
+    try:
+        if args.op == "asof":
+            from ds_jedai_spark.operators.temporal import asof_join
+
+            if not (args.left and args.right):
+                print("-op asof needs -left and -right parquet paths",
+                      file=sys.stderr)
+                return 2
+            bucket: int | str | None
+            bucket = (
+                "auto" if args.bucket_us == "auto"
+                else int(args.bucket_us) if args.bucket_us else None
+            )
+            df = asof_join(
+                _read(args.left, (args.ts,)),
+                _read(args.right, (args.ts,)),
+                key=args.key.split(","),
+                ts=args.ts,
+                right_attrs=tuple(
+                    a for a in (args.right_attrs or "").split(",") if a
+                ),
+                bucket_us=bucket,
+                direction=args.direction,
+                tolerance_us=args.tolerance_us,
+                allow_exact_matches=not args.no_exact_matches,
+            )
+        elif args.op == "interval":
+            from ds_jedai_spark.operators.temporal import interval_join
+
+            if not (args.left and args.right):
+                print("-op interval needs -left and -right parquet paths",
+                      file=sys.stderr)
+                return 2
+            keys = [
+                tuple(p.split("=", 1)) for p in
+                (args.keys.split(",") if args.keys else [])
+            ]
+            ldf = _read(args.left, (args.ts,))
+            rdf = _read(args.right, (args.right_start, args.right_end))
+            # interval_join needs disjoint column names: prefix colliding
+            # right columns (r_<name>) and remap the right-side refs.
+            ren = {
+                c: f"r_{c}" for c in rdf.columns if c in ldf.columns
+            }
+            for old, new in ren.items():
+                rdf = rdf.withColumnRenamed(old, new)
+            keys = [(lk, ren.get(rk, rk)) for lk, rk in keys]
+            df = interval_join(
+                ldf,
+                rdf,
+                left_ts=args.ts,
+                right_start=ren.get(args.right_start, args.right_start),
+                right_end=ren.get(args.right_end, args.right_end),
+                bucket_us=(
+                    int(args.bucket_us)
+                    if args.bucket_us not in (None, "auto")
+                    else 300_000_000
+                ),
+                keys=keys or None,
+                how=args.how,
+            )
+        elif args.op == "chunk":
+            from ds_jedai_spark.operators.textops import chunk_documents
+
+            if not args.left:
+                print("-op chunk needs -left parquet path", file=sys.stderr)
+                return 2
+            df = chunk_documents(
+                _read(args.left, ()),
+                chunk_tokens=args.chunk_tokens,
+                overlap=args.overlap,
+            )
+        else:
+            print(f"unknown op {args.op!r}", file=sys.stderr)
+            return 2
+        return _print_or_write(df, args.out, args.limit, t0)
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="ds_jedai_spark")
     ap.add_argument("-conf", default=None, help="YAML configuration file")
@@ -68,12 +200,56 @@ def main(argv: list[str] | None = None) -> int:
         help="testdata dir for -pipeline (default: $TESTDATA_DIR)",
     )
     ap.add_argument("-limit", type=int, default=20, help="rows to print (-pipeline)")
+    ap.add_argument(
+        "-op",
+        default=None,
+        choices=["asof", "interval", "chunk"],
+        help="run a temporal/pipeline operator on user parquet",
+    )
+    ap.add_argument("-left", default=None, help="left/input parquet path (-op)")
+    ap.add_argument("-right", default=None, help="right parquet path (-op)")
+    ap.add_argument("-key", default="user_id",
+                    help="asof: comma-separated by-keys")
+    ap.add_argument("-keys", default=None,
+                    help="interval: comma-separated lcol=rcol equalities")
+    ap.add_argument("-ts", default="ts", help="left timestamp column")
+    ap.add_argument("-right-attrs", dest="right_attrs", default=None,
+                    help="asof: comma-separated right columns to append")
+    ap.add_argument("-direction", default="backward",
+                    choices=["backward", "forward", "nearest"])
+    ap.add_argument("-tolerance-us", dest="tolerance_us", type=int,
+                    default=None, help="asof: max match distance in µs")
+    ap.add_argument("-no-exact-matches", dest="no_exact_matches",
+                    action="store_true",
+                    help="asof: exclude right rows at exactly left.ts")
+    ap.add_argument("-bucket-us", dest="bucket_us", default="auto",
+                    help="bucket width in µs; 'auto' (default for asof) "
+                         "derives a skew-safe width, 'none' disables")
+    ap.add_argument("-right-start", dest="right_start", default="w_start")
+    ap.add_argument("-right-end", dest="right_end", default="w_end")
+    ap.add_argument("-how", default="inner", choices=["inner", "left"])
+    ap.add_argument("-chunk-tokens", dest="chunk_tokens", type=int,
+                    default=None, help="chunk: window size in tokens")
+    ap.add_argument("-overlap", type=int, default=None,
+                    help="chunk: overlapping tokens between windows")
+    ap.add_argument("-out", default=None,
+                    help="write the result as parquet instead of printing")
     args = ap.parse_args(argv)
 
+    if args.op is not None:
+        if args.bucket_us == "none":
+            args.bucket_us = None
+        if args.chunk_tokens is None:
+            from ds_jedai_spark.operators.textops import CHUNK_TOKENS
+            args.chunk_tokens = CHUNK_TOKENS
+        if args.overlap is None:
+            from ds_jedai_spark.operators.textops import CHUNK_OVERLAP
+            args.overlap = CHUNK_OVERLAP
+        return _run_op(args)
     if args.pipeline is not None:
         return _run_pipeline(args.pipeline, args.data, args.limit)
     if args.conf is None:
-        ap.error("one of -conf or -pipeline is required")
+        ap.error("one of -conf, -pipeline or -op is required")
 
     from ds_jedai_spark import api
     from ds_jedai_spark.config import load_config

@@ -50,13 +50,42 @@ def epoch_us(col: Column | str) -> Column:
     )
 
 
+ASOF_AUTO_TARGET_ROWS = 65_536
+
+
+def auto_bucket_us(
+    right: DataFrame, ts: str = "ts",
+    target_rows: int = ASOF_AUTO_TARGET_ROWS,
+) -> int | None:
+    """Heuristic bucket width for the skew-safe as-of form: the widest
+    bucket such that even a key owning the ENTIRE right stream holds at
+    most ~``target_rows`` rows per (key, bucket) window partition —
+    ``span_us * target / n_rows``. One cheap count+min/max aggregate on
+    the right side (a scan with a 1-row result; no shuffle of data
+    rows); worst-case-safe because any single key's rate is bounded by
+    the global rate. Returns None (single-window form) when the stream
+    is small enough that one key could hold it all anyway."""
+    r = right.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(ts).alias("lo"),
+        F.max(ts).alias("hi"),
+    ).first()
+    if not r["n"] or r["n"] <= target_rows:
+        return None
+    delta = r["hi"] - r["lo"]
+    span = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+    if span <= 0:
+        return None
+    return max(1, span * target_rows // r["n"])
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
     key: str | list[str] = "user_id",
     ts: str = "ts",
     right_attrs: tuple[str, ...] = (),
-    bucket_us: int | None = None,
+    bucket_us: int | str | None = None,
     direction: str = "backward",
     tolerance_us: int | None = None,
     allow_exact_matches: bool = True,
@@ -94,8 +123,11 @@ def asof_join(
     ``bucket_us=None`` is the single-window form: each row shuffles
     exactly once by ``key``, but the per-key window is unbounded — one
     hot key (a bot with 10% of the event stream) serializes in a single
-    task, so it is only safe when per-key volume is known-bounded
-    (sessions, per-user trickle).
+    task. UNSAFE UNDER KEY SKEW: use it only when per-key volume is
+    known-bounded (sessions, per-user trickle). For raw event-scale
+    inputs pass an explicit width or ``bucket_us="auto"``, which derives
+    a worst-case-safe width from one cheap count+span aggregate on the
+    right side (see auto_bucket_us; choice recorded in PLANS.md).
 
     ``bucket_us=N`` is the SKEW-SAFE two-phase bucket-carry form for
     raw event volume:
@@ -114,6 +146,10 @@ def asof_join(
     """
     from pyspark.sql.types import StructField, StructType
 
+    if bucket_us == "auto":
+        bucket_us = auto_bucket_us(right, ts)
+    elif isinstance(bucket_us, str):
+        raise ValueError(f"bucket_us must be an int, None, or 'auto': {bucket_us!r}")
     keys = [key] if isinstance(key, str) else list(key)
     lcols = left.columns
     rstruct_t = StructType(

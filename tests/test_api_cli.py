@@ -160,3 +160,65 @@ def test_cli_pipeline_list_and_unknown(capsys):
     assert "giant_counts_variants" in out and len(out) <= 50
 
     assert cli.main(["-pipeline", "nope_such_query"]) == 2
+
+
+def test_cli_op_surface(spark, tmp_path, capsys, monkeypatch):
+    """-op asof/interval/chunk e2e: user parquet in, user-chosen knobs,
+    parquet out — the temporal/pipeline operators from the shell."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    ev = str(tmp_path / "ev.parquet")
+    from ds_jedai_spark.io.synthetic import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", ["events"])
+    spark.table("events").write.mode("overwrite").parquet(ev)
+
+    # as-of with a tolerance + nearest direction, written to parquet
+    out = str(tmp_path / "asof_out.parquet")
+    rc = cli.main([
+        "-op", "asof", "-left", ev, "-right", ev,
+        "-key", "user_id", "-ts", "ts",
+        "-right-attrs", "event_type,value",
+        "-direction", "nearest", "-tolerance-us", "3600000000",
+        "-out", out,
+    ])
+    assert rc == 0
+    back = spark.read.parquet(out)
+    assert back.count() == spark.read.parquet(ev).count()
+    assert "asof_event_type" in back.columns and "asof_value" in back.columns
+    # self-as-of with exact matches allowed: every row matches itself
+    assert back.where(F.col("asof_ts") == F.col("ts")).count() == back.count()
+
+    # interval join with colliding right columns (CLI auto-prefixes)
+    rc = cli.main([
+        "-op", "interval", "-left", ev, "-right", ev,
+        "-ts", "ts", "-right-start", "ts", "-right-end", "ts",
+        "-keys", "user_id=user_id", "-how", "inner",
+        "-out", str(tmp_path / "iv.parquet"),
+    ])
+    assert rc == 0
+    iv = spark.read.parquet(str(tmp_path / "iv.parquet"))
+    # degenerate [ts, ts] self-intervals on the same key: >= one
+    # self-match per row
+    assert iv.count() >= back.count()
+    assert "r_ts" in iv.columns
+
+    # chunking documents with custom window/overlap
+    docs = str(tmp_path / "docs.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.mode(
+        "overwrite"
+    ).parquet(docs)
+    rc = cli.main([
+        "-op", "chunk", "-left", docs,
+        "-chunk-tokens", "16", "-overlap", "4", "-limit", "2",
+    ])
+    assert rc == 0
+    txt = capsys.readouterr().out
+    assert "doc_id\tchunk_id" in txt
+
+    # bad usage: missing -right
+    assert cli.main(["-op", "asof", "-left", ev]) == 2

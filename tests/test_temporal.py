@@ -510,3 +510,58 @@ def test_asof_multi_key_vs_pandas(spark):
                 ).collect()
             }
             assert got == want, (direction, bucket_us)
+
+
+def test_auto_bucket_us_heuristic(spark):
+    from ds_jedai_spark.operators.temporal import auto_bucket_us
+
+    # tiny frame: single-window form is fine
+    small = spark.createDataFrame(
+        [Row(user_id=1, ts=_ts(m)) for m in range(10)]
+    )
+    assert auto_bucket_us(small, "ts") is None
+
+    # forced-small target: span 9 min / 10 rows * 4 target rows
+    b = auto_bucket_us(small, "ts", target_rows=4)
+    span_us = 9 * 60 * 1_000_000
+    assert b == span_us * 4 // 10
+
+    # degenerate: every row at one instant -> no usable span
+    flat = spark.createDataFrame(
+        [Row(user_id=i, ts=_ts(7)) for i in range(6)]
+    )
+    assert auto_bucket_us(flat, "ts", target_rows=2) is None
+
+
+def test_asof_auto_matches_explicit_forms(frames, spark):
+    from ds_jedai_spark.operators.temporal import auto_bucket_us
+
+    left, right = frames
+    want = sorted(
+        map(tuple, asof_join(
+            left, right, right_attrs=("purchase_id",)
+        ).collect())
+    )
+    got = sorted(
+        map(tuple, asof_join(
+            left, right, right_attrs=("purchase_id",), bucket_us="auto"
+        ).collect())
+    )
+    assert got == want
+
+    # and with a forced bucketed route (monkey-free: call the heuristic
+    # with a small target and pass its width explicitly)
+    b = auto_bucket_us(right, "ts", target_rows=2)
+    assert b is not None and b > 0
+    got_b = sorted(
+        map(tuple, asof_join(
+            left, right, right_attrs=("purchase_id",), bucket_us=b
+        ).collect())
+    )
+    assert got_b == want
+
+
+def test_asof_rejects_unknown_bucket_string(frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="bucket_us"):
+        asof_join(left, right, bucket_us="yes")
