@@ -15,6 +15,12 @@ the pinned index — a real index is trained once and queried many times,
 so search latency and build cost are reported as separate numbers.
 r4's ``ann_pq_rerank`` carried the training inside it; compare r5+ ANN
 search numbers with each other.
+
+Since round 6 the pinned index also carries the LSH band table
+(pin_bands), so ``ann_train`` includes the one-time hyperplane band
+computation and ``ann_lsh_pairs`` (and the cross embedding dedup) read
+the standing band table — r5's ``ann_lsh_pairs`` built its band table
+inside the search; compare r6+ LSH numbers with each other.
 """
 
 from __future__ import annotations
@@ -133,8 +139,10 @@ def main() -> None:
         # — a real index is built once and queried many times. The
         # search lines below it run against the pinned index, so they
         # measure the scan+rerank, not retraining or re-encoding.
-        # ann_lsh_pairs has no trained artifact (deterministic
-        # hyperplanes).
+        # Since r6 the pin also carries the LSH band table, so
+        # ann_lsh_pairs measures collision join + verify over the
+        # standing band keys (the hyperplanes themselves are
+        # deterministic; their per-vector dots are part of the build).
         ("ann_train", _ann_train),
         ("ann_lsh_pairs", pl.QUERIES["ann_lsh_pairs"]),
         ("ann_pq_rerank", pl.QUERIES["ann_pq_rerank_topk"]),

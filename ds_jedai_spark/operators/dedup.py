@@ -296,14 +296,25 @@ def minhash_lsh_pairs(
         .select("d1", "d2")
         .distinct()
     )
-    # Verify candidates only: restrict shingle sets to candidate docs first.
-    cand_docs = (
-        cand.select(F.col("d1").alias("doc_id"))
-        .union(cand.select(F.col("d2")))
-        .distinct()
+    # Verify candidates only, keyed BY PAIR (not by shingle): attach
+    # d1's shingles to each candidate pair, then count common shingles
+    # with one (d2, shingle) equi-join. The alternative — the inverted
+    # per-shingle self-join over candidate docs, post-filtered by cand —
+    # squares every posting list (sum over shingles of cnt(s)^2 rows),
+    # which detonates in exactly the hot case LSH must survive: clone
+    # cliques put >= clique-size docs in EVERY shared bucket (measured
+    # on the 10x-clone lsh_x10 soak: the pair-keyed form moves
+    # |cand| x |sh(d1)| + common rows, linear in candidates).
+    common = (
+        cand.join(d.select(F.col("doc_id").alias("d1x"), "shingle"),
+                  F.col("d1") == F.col("d1x"))
+        .drop("d1x")
+        .join(d.select(F.col("doc_id").alias("d2"), "shingle"),
+              ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
     )
-    dc = d.join(cand_docs, "doc_id", "left_semi")
-    verified = _with_jaccard(_overlap(dc).join(cand, ["d1", "d2"]), d)
+    verified = _with_jaccard(common, d)
     return verified.where(F.col("jaccard") >= tau).select("d1", "d2", "jaccard")
 
 
@@ -406,19 +417,16 @@ def minhash_lsh_pairs_cross(
     cand = _pin(
         band_a.join(band_b, ["band", "bkey"]).select("d1", "d2").distinct()
     )
-    dc_a = da.join(
-        cand.select(F.col("d1").alias("doc_id")).distinct(), "doc_id",
-        "left_semi",
-    ).select(F.col("doc_id").alias("d1"), "shingle")
-    dc_b = db.join(
-        cand.select(F.col("d2").alias("doc_id")).distinct(), "doc_id",
-        "left_semi",
-    ).select(F.col("doc_id").alias("d2"), "shingle")
+    # Pair-keyed verification (see minhash_lsh_pairs): linear in
+    # candidates instead of squaring hot posting lists.
     common = (
-        dc_a.join(dc_b, "shingle")
+        cand.join(da.select(F.col("doc_id").alias("d1x"), "shingle"),
+                  F.col("d1") == F.col("d1x"))
+        .drop("d1x")
+        .join(db.select(F.col("doc_id").alias("d2"), "shingle"),
+              ["d2", "shingle"])
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("common"))
-        .join(cand, ["d1", "d2"])
     )
     sz_a = _sizes(da).select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     sz_b = _sizes(db).select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
