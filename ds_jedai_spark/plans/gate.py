@@ -417,6 +417,11 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                  pl.ORACLES["ann_pq_adc_topk"]),
                 ("pq_rerank", pl.QUERIES["ann_pq_rerank_topk"],
                  pl.ORACLES["ann_pq_rerank_topk"]),
+                # streaming search against the same pinned index: the
+                # online-retrieval shape, row-identical to ivf_trained
+                # (so it shares that oracle)
+                ("stream_ivf", sp.stream_ann_topk,
+                 pl.ORACLES["ann_ivf_trained_topk"]),
             ]
         ),
     )

@@ -181,3 +181,35 @@ def stream_top_event_types_oracle() -> str:
         "SELECT date_trunc('hour', ts) AS win_start, event_type, "
         "count(*) AS n FROM events GROUP BY 1, 2)) WHERE rk <= 3"
     )
+
+
+def stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF top-k against the pinned index: query vectors
+    arrive as a file stream, the centroids ride inside a map-side
+    literal expression, the cell payload is the stream-static join's
+    standing side, one complete-mode aggregation assembles top-k.
+    Row-identical to the batch ``ivf_trained_topk`` (same oracle)."""
+    from pyspark.sql import functions as F
+
+    from ds_jedai_spark.operators.similarity import quantized
+    from ds_jedai_spark.plans import pipeline_plans as pl
+
+    art = pl._pinned_ann(spark, sf_dir)
+    qe = quantized(pl._emb(spark, sf_dir))
+    candidates = qe.join(art["cells"], "vec_id").select(
+        F.col("vec_id").alias("vid"),
+        F.col("cid").alias("cell"),
+        F.col("qv").alias("b"),
+        F.col("norm2").alias("n2"),
+    )
+    top = gs.stream_ann_ivf_topk(
+        gs.embedding_stream(spark, sf_dir),
+        art["cent"].collect(),
+        candidates,
+    )
+    gs.run_to_table(top, "stream_ann_topk_tbl", "complete")
+    return (
+        spark.table("stream_ann_topk_tbl")
+        .select("qid", F.explode("topk").alias("t"))
+        .select("qid", F.col("t.vid").alias("vid"), F.col("t.cos").alias("cos"))
+    )

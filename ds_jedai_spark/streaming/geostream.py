@@ -337,3 +337,86 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_id"])
     )
     return dedup.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def embedding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream over the testdata embeddings table — the ONLINE-QUERY side
+    of a similarity-search deployment (queries arrive continuously; the
+    index is the standing artifact)."""
+    return event_stream(spark, sf_dir, glob="embeddings.parquet")
+
+
+def stream_ann_ivf_topk(
+    qstream: DataFrame,
+    cent_rows: list,
+    candidates: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """Streaming ANN search against a pinned IVF index: top-k neighbors
+    for each query vector ARRIVING AS A STREAM — the online-retrieval
+    shape (a recommender / RAG service answering queries continuously
+    while the index stands still).
+
+    Plan (one stateful operator, legal streaming composition):
+
+    1. cell ASSIGNMENT is a pure map-side expression: the trained
+       centroids (``cent_rows``, the collected pin_centroids artifact —
+       KMEANS_K rows, bounded by construction) are embedded as a literal
+       array and argmin-ed per query with ``array_min`` over
+       (d2, cid) structs — bit-identical to the batch
+       ``_kmeans_assign`` tie-break (ORDER BY d2, cid), no aggregation,
+       no state.
+    2. stream-static EQUI-JOIN on the cell id against ``candidates``
+       (vid, cell, b, n2 — the pinned cell assignments joined with the
+       quantized vectors): the static side is broadcast/hashed per
+       micro-batch; the stream side never shuffles by anything except
+       the join key.
+    3. one complete-mode aggregation per qid assembles top-k:
+       ``array_sort`` over (negated cos, vid) structs reproduces the
+       batch (cos DESC, vid ASC) tie-break exactly — negation of a
+       double is exact, so ordering is bit-identical.
+
+    Output: (qid, topk array<struct<negcos, vid, cos>>); explode + drop
+    negcos downstream. Matches batch ``ivf_trained_topk`` row-for-row
+    (pinned by tests/test_streaming.py)."""
+    from ds_jedai_spark.operators.similarity import _cos, _dot, quantized
+
+    qe = quantized(qstream).where(F.col("vec_id") % 50 == 0)
+    cent_lit = "array(" + ", ".join(
+        "named_struct('cid', CAST(%d AS BIGINT), 'cv', array(%s))"
+        % (r["cid"], ", ".join(f"CAST({int(v)} AS BIGINT)" for v in r["cv"]))
+        for r in cent_rows
+    ) + ")"
+    assign = (
+        f"array_min(transform({cent_lit}, c -> named_struct("
+        "'d2', aggregate(zip_with(qv, c.cv, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (x, y) -> x + y), "
+        "'cid', c.cid))).cid"
+    )
+    q = qe.select(
+        F.col("vec_id").alias("qid"),
+        F.col("qv").alias("a"),
+        F.col("norm2").alias("n1"),
+        F.expr(assign).alias("cell"),
+    )
+    scored = (
+        q.join(candidates, "cell")
+        .where(F.col("qid") != F.col("vid"))
+        .withColumn("dot", _dot("a", "b"))
+        .withColumn("cos", _cos())
+    )
+    return scored.groupBy("qid").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("cos")).alias("negcos"),
+                        F.col("vid").alias("vid"),
+                        F.col("cos").alias("cos"),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("topk")
+    )

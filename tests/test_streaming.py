@@ -242,3 +242,24 @@ def test_stream_asof_matches_batch_asof(spark):
         ).collect()
     }
     assert len(got) > 0 and got == want
+
+
+def test_stream_ann_topk_matches_batch_ivf(spark):
+    """Streaming IVF search row-identical to the batch search over the
+    same pinned index — cell-assignment literal, stream-static join and
+    complete-mode top-k assembly reproduce (cos DESC, vid) exactly."""
+    from ds_jedai_spark.operators.similarity import ivf_trained_topk
+    from ds_jedai_spark.plans import pipeline_plans as pl
+    from ds_jedai_spark.plans import streaming_plans as sp
+    from tests.conftest import SF_SMALL
+
+    got = sorted(
+        map(tuple, sp.stream_ann_topk(spark, SF_SMALL).collect())
+    )
+    art = pl._pinned_ann(spark, SF_SMALL)
+    want = sorted(
+        map(tuple, ivf_trained_topk(
+            pl._emb(spark, SF_SMALL), cent=art["cent"], cells=art["cells"]
+        ).collect())
+    )
+    assert got == want and len(got) > 0
