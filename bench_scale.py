@@ -24,6 +24,13 @@ noise is small relative to the run):
   document, so every band bucket holds >= 10 colliding docs and true
   pairs grow ~45x (10 choose 2 per original pair group). Exercises
   hot-bucket behavior of the banded equi-join.
+- emb_lsh_x10 / semantic_cluster_x10: 10 exact clones of every
+  embedding vector (true pairs = exactly 45 x n, every clone group one
+  cluster) through the hyperplane-LSH near-dup path and its
+  connected-components composition, with CORPUS-SCALED parameters
+  (similarity.auto_lsh_params at the tau=0.9 near-dup regime). This is
+  the soak that caught the fixed-parameter quadratic (4 buckets/band
+  at any corpus size -> ~400s at 10x; auto policy -> seconds).
 - asof_x16_uniform / asof_x16_hotkey: 16x cloned events through the
   skew-safe bucket-carry as-of join. The hot variant reassigns 10% of
   ALL rows to ONE user — the bot-account shape that serializes a
@@ -186,6 +193,61 @@ def bucketed_x10(theta):
     return q
 
 
+def _cloned_embeddings(spark, sf_dir):
+    from ds_jedai_spark.plans.pipeline_plans import _emb
+
+    emb = _emb(spark, sf_dir)
+    rep = spark.range(CLONES_LSH).select(F.col("id").alias("rep"))
+    return emb.crossJoin(rep).select(
+        (F.col("vec_id") * CLONES_LSH + F.col("rep")).alias("vec_id"),
+        "label",
+        "embedding",
+    ).repartition(32)
+
+
+EMB_TAU_NEARDUP = 0.9  # production near-dup regime (gate's 0.4 is the
+#                        toy-corpus setting; see auto_lsh_params)
+
+
+def emb_lsh_x10(spark, sf_dir):
+    """Embedding-LSH soak: 10 exact clones of every vector (cos = 1.0
+    within each clone group, so true pairs = exactly 45 x n) through
+    the banded-hyperplane path with CORPUS-SCALED parameters
+    (auto_lsh_params). This is the regression that caught the
+    fixed-parameter quadratic: at 8 bands x 2 bits the 10x corpus kept
+    only 4 buckets per band and the collision join detonated to ~400s;
+    the auto policy (more bits, logarithmically more bands) runs it in
+    seconds with identical output."""
+    from ds_jedai_spark.operators.similarity import (
+        auto_lsh_params,
+        lsh_neardup_pairs,
+    )
+
+    cloned = _cloned_embeddings(spark, sf_dir)
+    bands, bits = auto_lsh_params(cloned.count(), EMB_TAU_NEARDUP)
+    return lsh_neardup_pairs(
+        cloned, EMB_TAU_NEARDUP, n_bands=bands, n_bits=bits
+    ).count()
+
+
+def semantic_cluster_x10(spark, sf_dir):
+    """End-to-end semantic dedup at 10x: LSH pair discovery (auto
+    params) feeding connected-components — every clone group must
+    resolve to one cluster (nodes counted = all cloned vectors)."""
+    from ds_jedai_spark.operators.dedup import duplicate_clusters
+    from ds_jedai_spark.operators.similarity import (
+        auto_lsh_params,
+        lsh_neardup_pairs,
+    )
+
+    cloned = _cloned_embeddings(spark, sf_dir)
+    bands, bits = auto_lsh_params(cloned.count(), EMB_TAU_NEARDUP)
+    pairs = lsh_neardup_pairs(
+        cloned, EMB_TAU_NEARDUP, n_bands=bands, n_bits=bits
+    )
+    return duplicate_clusters(pairs, id1="d1", id2="d2").count()
+
+
 def _cloned_events(spark, sf_dir, hot: bool):
     from ds_jedai_spark.plans.timeseries_plans import _events
 
@@ -243,6 +305,8 @@ def main() -> None:
         ("bucketed_x10", lambda: bucketed_x10(bt_theta)(spark, sf_dir)),
         ("knn_x10", lambda: knn_x10(spark, sf_dir)),
         ("lsh_x10", lambda: lsh_x10(spark, sf_dir)),
+        ("emb_lsh_x10", lambda: emb_lsh_x10(spark, sf_dir)),
+        ("semantic_cluster_x10", lambda: semantic_cluster_x10(spark, sf_dir)),
         ("asof_x16_uniform", lambda: asof_x16(False)(spark, sf_dir)),
         ("asof_x16_hotkey", lambda: asof_x16(True)(spark, sf_dir)),
     ]

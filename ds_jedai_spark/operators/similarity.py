@@ -299,13 +299,51 @@ LSH_BITS = 2  # tuned for the tau=0.4 regime: p_bit≈0.63 -> recall≈0.98
 _PLANE_W = "(((2 * {j} + 3) * (i + 1) * 40503) % 1000003 - 500001)"
 
 
-def _band_bucket(band: int, dot_of_plane) -> str:
-    bits = []
-    for r in range(LSH_BITS):
-        j = band * LSH_BITS + r
+def auto_lsh_params(
+    n: int, tau: float, target_bucket: int = 32, recall: float = 0.9
+) -> tuple[int, int]:
+    """Corpus-size-scaled hyperplane-LSH parameters (bands, bits).
+
+    The default (LSH_BANDS=8, LSH_BITS=2) gives 2^2 = 4 buckets per
+    band — fine for a toy corpus, but bucket population grows with n
+    while the bucket COUNT stays fixed, so the collision join's
+    candidate volume grows ~n^2/2^bits: at 10x the corpus the equi-join
+    is quadratic all over again (measured: the 10x-clone soak detonated
+    from ~3s to ~400s before this policy existed). A real deployment
+    scales bits with corpus size and spends bands to buy the recall
+    back:
+
+    - ``bits = round(log2(n / target_bucket))`` keeps expected bucket
+      population ~constant as n grows (finer buckets keep winning while
+      exact verification dominates the wall: the 10x soak measured
+      22.8s / 7.7s / 4.8s at target 256 / 64 / 32 — bands grow only
+      logarithmically as bits rise);
+    - ``bands = ceil(ln(1-recall) / ln(1 - p^bits))`` with
+      p = 1 - acos(tau)/pi (the random-hyperplane agreement probability
+      at the similarity threshold) restores the recall target.
+
+    The standard LSH exponent applies: candidates ~ n^(1+rho) with
+    rho = ln(p_tau)/ln(p_random); tau near 0.4 sits close to the
+    random-pair agreement (0.63 vs 0.5) and filters weakly no matter
+    the parameters — production near-dup regimes (tau >= 0.8, p >= 0.86)
+    are where the banding prunes hard. Clamped to [2, 16] bits (bucket
+    keys stay comfortably in int64)."""
+    import math
+
+    p = 1.0 - math.acos(tau) / math.pi
+    bits = max(2, min(16, round(math.log2(max(2.0, n / target_bucket)))))
+    pb = p ** bits
+    bands = max(1, math.ceil(math.log(1.0 - recall) / math.log(1.0 - pb)))
+    return bands, bits
+
+
+def _band_bucket(band: int, dot_of_plane, bits: int = LSH_BITS) -> str:
+    parts = []
+    for r in range(bits):
+        j = band * bits + r
         dot = dot_of_plane(_PLANE_W.format(j=j))
-        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << r} ELSE 0 END)")
-    return "(" + " + ".join(bits) + ")"
+        parts.append(f"(CASE WHEN {dot} >= 0 THEN {1 << r} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
 
 
 def _spark_dot(w: str) -> str:
@@ -319,21 +357,28 @@ def _duck_dot(w: str) -> str:
     return f"list_dot_product(qv, list_transform(range(0, len(qv)), i -> {w}))"
 
 
-def band_buckets_spark() -> list[str]:
-    return [_band_bucket(b, _spark_dot) for b in range(LSH_BANDS)]
+def band_buckets_spark(
+    bands: int = LSH_BANDS, bits: int = LSH_BITS
+) -> list[str]:
+    return [_band_bucket(b, _spark_dot, bits) for b in range(bands)]
 
 
-def band_buckets_duckdb() -> list[str]:
-    return [_band_bucket(b, _duck_dot) for b in range(LSH_BANDS)]
+def band_buckets_duckdb(
+    bands: int = LSH_BANDS, bits: int = LSH_BITS
+) -> list[str]:
+    return [_band_bucket(b, _duck_dot, bits) for b in range(bands)]
 
 
-def lsh_band_table(emb: DataFrame) -> DataFrame:
+def lsh_band_table(
+    emb: DataFrame, bands: int = LSH_BANDS, bits: int = LSH_BITS
+) -> DataFrame:
     """(vec_id, band, bucket) — the exploded LSH band keys of every
-    vector: LSH_BANDS rows per vector, bucket = the band's LSH_BITS
+    vector: ``bands`` rows per vector, bucket = the band's ``bits``
     hyperplane sign bits packed into an int. Pure map-side column
     algebra (no shuffle); this is the stored payload of an LSH index
-    (see pin_bands)."""
-    buckets = band_buckets_spark()
+    (see pin_bands). Size the parameters to the corpus with
+    auto_lsh_params — the defaults are the toy-corpus setting."""
+    buckets = band_buckets_spark(bands, bits)
     structs = ", ".join(
         f"struct({b} AS band, {expr} AS bucket)"
         for b, expr in enumerate(buckets)
@@ -347,6 +392,8 @@ def pin_bands(
     emb: DataFrame,
     mode: str = "local",
     table: str = "lsh_bands_pinned",
+    bands: int = LSH_BANDS,
+    bits: int = LSH_BITS,
 ) -> DataFrame:
     """Materialize the LSH BAND TABLE once — the index payload of the
     hyperplane-LSH family (the pin_codes analogue). Two reasons to pin:
@@ -355,7 +402,7 @@ def pin_bands(
     unpinned the hyperplane dot products per vector compute twice; and
     a standing corpus computes its band keys once at ingest, not per
     search batch. ``mode="table"`` persists across jobs."""
-    bb = lsh_band_table(emb)
+    bb = lsh_band_table(emb, bands, bits)
     if mode == "local":
         return bb.localCheckpoint()
     if mode != "table":
@@ -368,7 +415,11 @@ def pin_bands(
 
 
 def lsh_neardup_pairs(
-    emb: DataFrame, tau: float, bands: DataFrame | None = None
+    emb: DataFrame,
+    tau: float,
+    bands: DataFrame | None = None,
+    n_bands: int = LSH_BANDS,
+    n_bits: int = LSH_BITS,
 ) -> DataFrame:
     """Banded random-hyperplane LSH near-dup discovery: a pair is a
     candidate if ANY of the LSH_BANDS bands (LSH_BITS sign bits each,
@@ -388,7 +439,9 @@ def lsh_neardup_pairs(
     # arrays through the collision path multiplied the dedup shuffle by
     # the vector width for rows about to be collapsed (measured 11.7s ->
     # 4.7s warm on the sf0.1 corpus).
-    bb = bands if bands is not None else pin_bands(emb)
+    bb = bands if bands is not None else pin_bands(
+        emb, bands=n_bands, bits=n_bits
+    )
     cand = (
         bb.selectExpr("vec_id AS d1", "band", "bucket")
         .join(bb.selectExpr("vec_id AS d2", "band", "bucket"),
@@ -420,6 +473,8 @@ def lsh_neardup_pairs_cross(
     index_emb: DataFrame,
     tau: float,
     index_bands: DataFrame | None = None,
+    n_bands: int = LSH_BANDS,
+    n_bits: int = LSH_BITS,
 ) -> DataFrame:
     """Cross-corpus embedding near-dup discovery: candidates are pairs
     of ONE vector from today's ``batch`` and one from the standing
@@ -435,10 +490,12 @@ def lsh_neardup_pairs_cross(
     are all equi-joins carrying ids; exact cosine >= tau verifies.
     Output: (d1 from batch, d2 from index, cos)."""
     # Batch bands are consumed once (no self-join), so no pin needed.
-    band_a = lsh_band_table(batch_emb).select(
+    band_a = lsh_band_table(batch_emb, n_bands, n_bits).select(
         F.col("vec_id").alias("d1"), "band", "bucket"
     )
-    bb = index_bands if index_bands is not None else pin_bands(index_emb)
+    bb = index_bands if index_bands is not None else pin_bands(
+        index_emb, bands=n_bands, bits=n_bits
+    )
     band_b = bb.select(F.col("vec_id").alias("d2"), "band", "bucket")
     cand = (
         band_a.join(band_b, on=["band", "bucket"])

@@ -148,3 +148,61 @@ def test_gate_semantic_cluster_tags_nonempty(spark, tag):
     df = entry.queries()["dedup_semantic_clusters"](spark, SF_SMALL)
     n = df.where(F.col("q") == tag).count()
     assert n > 0
+
+
+def test_auto_lsh_params_policy():
+    from ds_jedai_spark.operators.similarity import auto_lsh_params
+
+    b1, k1 = auto_lsh_params(2_000, 0.9)
+    b2, k2 = auto_lsh_params(20_000, 0.9)
+    b3, k3 = auto_lsh_params(2_000_000, 0.9)
+    assert k1 <= k2 <= k3 <= 16  # bits grow with corpus size, capped
+    assert all(b >= 1 for b in (b1, b2, b3))
+    # a tighter threshold needs fewer bands at the same bits
+    bl, kl = auto_lsh_params(20_000, 0.95)
+    bh, kh = auto_lsh_params(20_000, 0.8)
+    assert kl == kh == k2 and bl <= b2 <= bh
+    # tiny corpus floors at 2 bits
+    assert auto_lsh_params(10, 0.9)[1] == 2
+
+
+def test_lsh_scaled_params_exact_clones_complete(spark):
+    """With corpus-scaled parameters, exact clones (cos = 1.0) are
+    always found — identical vectors share every band bucket no matter
+    the (bands, bits) choice — and every reported pair still passes
+    exact verification (subset of the brute-force pairs)."""
+    from ds_jedai_spark.operators.similarity import (
+        auto_lsh_params,
+        cosine_neardup_pairs,
+        lsh_neardup_pairs,
+    )
+
+    emb = _emb(spark)
+    clones = 3
+    rep = spark.range(clones).select(F.col("id").alias("rep"))
+    cloned = emb.crossJoin(rep).select(
+        (F.col("vec_id") * clones + F.col("rep")).alias("vec_id"),
+        "label",
+        "embedding",
+    )
+    n = cloned.count()
+    bands, bits = auto_lsh_params(n, 0.9)
+    got = {
+        (r["d1"], r["d2"])
+        for r in lsh_neardup_pairs(cloned, 0.9, n_bands=bands, n_bits=bits)
+        .select("d1", "d2").collect()
+    }
+    exact = {
+        (r["v1"], r["v2"])
+        for r in cosine_neardup_pairs(cloned, 0.9)
+        .select("v1", "v2").collect()
+    }
+    assert got <= exact
+    base = emb.count()
+    clone_pairs = {
+        (v * clones + i, v * clones + j)
+        for v in range(base)
+        for i in range(clones)
+        for j in range(i + 1, clones)
+    }
+    assert clone_pairs <= got  # cos=1.0 pairs always collide
