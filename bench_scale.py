@@ -31,6 +31,9 @@ noise is small relative to the run):
   (similarity.auto_lsh_params at the tau=0.9 near-dup regime). This is
   the soak that caught the fixed-parameter quadratic (4 buckets/band
   at any corpus size -> ~400s at 10x; auto policy -> seconds).
+- ivf_x10: trained-IVF build + search at 10x with corpus-scaled cell
+  count (auto_ivf_cells ~ sqrt(n); the fixed k=8 default is the toy
+  setting whose per-query scan cost grows O(n/8)).
 - asof_x16_uniform / asof_x16_hotkey: 16x cloned events through the
   skew-safe bucket-carry as-of join. The hot variant reassigns 10% of
   ALL rows to ONE user — the bot-account shape that serializes a
@@ -248,6 +251,29 @@ def semantic_cluster_x10(spark, sf_dir):
     return duplicate_clusters(pairs, id1="d1", id2="d2").count()
 
 
+def ivf_x10(spark, sf_dir):
+    """Trained-IVF soak at 10x with CORPUS-SCALED cell count
+    (auto_ivf_cells ~ sqrt(n)): build the index (Lloyd train + assign,
+    pinned) over the cloned corpus, then search top-3 for the query
+    subset. The fixed k=8 default leaves per-query scan cost O(n/8) —
+    the sqrt policy is what a growing corpus deploys; identical search
+    semantics (same argmin/tie-break lineage, just more cells)."""
+    from ds_jedai_spark.operators.similarity import (
+        auto_ivf_cells,
+        ivf_trained_topk,
+        kmeans_assignments,
+        train_centroids,
+    )
+
+    cloned = _cloned_embeddings(spark, sf_dir)
+    cells_n = auto_ivf_cells(cloned.count())
+    cent = train_centroids(cloned, k=cells_n).localCheckpoint()
+    cells = kmeans_assignments(cloned, cent=cent).select(
+        "vec_id", "cid"
+    ).localCheckpoint()
+    return ivf_trained_topk(cloned, cent=cent, cells=cells).count()
+
+
 def _cloned_events(spark, sf_dir, hot: bool):
     from ds_jedai_spark.plans.timeseries_plans import _events
 
@@ -307,6 +333,7 @@ def main() -> None:
         ("lsh_x10", lambda: lsh_x10(spark, sf_dir)),
         ("emb_lsh_x10", lambda: emb_lsh_x10(spark, sf_dir)),
         ("semantic_cluster_x10", lambda: semantic_cluster_x10(spark, sf_dir)),
+        ("ivf_x10", lambda: ivf_x10(spark, sf_dir)),
         ("asof_x16_uniform", lambda: asof_x16(False)(spark, sf_dir)),
         ("asof_x16_hotkey", lambda: asof_x16(True)(spark, sf_dir)),
     ]

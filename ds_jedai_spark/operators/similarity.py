@@ -107,6 +107,24 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 
 
+def auto_ivf_cells(
+    n: int, min_cells: int = KMEANS_K, max_cells: int = 65536
+) -> int:
+    """Corpus-size-scaled IVF cell count: ``cells ~ sqrt(n)``.
+
+    The fixed default (KMEANS_K = 8) is the toy-corpus setting — cell
+    population grows ~n/8 with the corpus while the cell COUNT stays
+    put, so per-query scan cost is O(n) in disguise. The sqrt policy
+    balances the two per-query terms (assignment scans ``cells``
+    centroids, the cell scan reads ~``nprobe * n/cells`` candidates),
+    the standard IVF sizing rule. The gate keeps k=8: its sf0.01
+    corpus is the toy regime and the DuckDB oracle unrolls exactly
+    that Lloyd lineage."""
+    import math
+
+    return max(min_cells, min(max_cells, round(math.sqrt(max(1, n)))))
+
+
 def _dist2(qcol, ccol):
     return F.aggregate(
         F.zip_with(qcol, ccol, lambda a, b: (a - b) * (a - b)),

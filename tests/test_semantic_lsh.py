@@ -206,3 +206,52 @@ def test_lsh_scaled_params_exact_clones_complete(spark):
         for j in range(i + 1, clones)
     }
     assert clone_pairs <= got  # cos=1.0 pairs always collide
+
+
+def test_auto_ivf_cells_policy_and_clone_neighbors(spark):
+    from ds_jedai_spark.operators.similarity import (
+        auto_ivf_cells,
+        ivf_trained_topk,
+        kmeans_assignments,
+        train_centroids,
+    )
+
+    assert auto_ivf_cells(100) == 10
+    assert auto_ivf_cells(20_000) == 141
+    assert auto_ivf_cells(4) == 8      # floors at the toy default
+    assert auto_ivf_cells(10**12) == 65536  # capped
+
+    # clones land in the same cell (identical vectors assign
+    # identically) and dominate each other's top-k at cos = 1.0
+    emb = _emb(spark)
+    clones = 3
+    rep = spark.range(clones).select(F.col("id").alias("rep"))
+    cloned = emb.crossJoin(rep).select(
+        (F.col("vec_id") * clones + F.col("rep")).alias("vec_id"),
+        "label",
+        "embedding",
+    )
+    cells_n = auto_ivf_cells(cloned.count())
+    cent = train_centroids(cloned, k=cells_n).localCheckpoint()
+    cells = kmeans_assignments(cloned, cent=cent).select(
+        "vec_id", "cid"
+    ).localCheckpoint()
+    cellmap = {r["vec_id"]: r["cid"] for r in cells.collect()}
+    base = emb.count()
+    for v in range(0, base, 97):
+        group = {cellmap[v * clones + i] for i in range(clones)}
+        assert len(group) == 1, f"clones of {v} split across cells"
+    top = ivf_trained_topk(cloned, cent=cent, cells=cells)
+    rows = top.collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, nbrs in by_q.items():
+        # the query's 2 sibling clones are exact matches; top-k must
+        # lead with cos = 1.0 entries
+        assert nbrs[0:2] and all(
+            abs(n["cos"] - 1.0) < 1e-12 for n in sorted(
+                nbrs, key=lambda x: -x["cos"]
+            )[: clones - 1]
+        )
