@@ -251,6 +251,26 @@ def semantic_cluster_x10(spark, sf_dir):
     return duplicate_clusters(pairs, id1="d1", id2="d2").count()
 
 
+def simhash_x10(spark, sf_dir):
+    """Two-word SimHash soak at 10x: exact document clones share
+    identical fingerprints (hamming 0), so true pairs >= 45 x n. The
+    words=2 scale form bands 64 fingerprint bits into 4 x 16-bit keys —
+    65536 buckets per band vs the 32-bit default's 256, closing the
+    same fixed-parameter quadratic the LSH families had."""
+    from ds_jedai_spark.operators import dedup
+    from ds_jedai_spark.plans.pipeline_plans import MAX_HAMMING, _corpus
+
+    corpus = _corpus(spark, sf_dir)
+    rep = spark.range(CLONES_LSH).select(F.col("id").alias("rep"))
+    cloned = corpus.crossJoin(rep).select(
+        (F.col("doc_id") * CLONES_LSH + F.col("rep")).alias("doc_id"),
+        "text",
+    )
+    return dedup.simhash_pairs(
+        cloned.repartition(32), MAX_HAMMING, words=2
+    ).count()
+
+
 def ivf_x10(spark, sf_dir):
     """Trained-IVF soak at 10x with CORPUS-SCALED cell count
     (auto_ivf_cells ~ sqrt(n)): build the index (Lloyd train + assign,
@@ -334,6 +354,7 @@ def main() -> None:
         ("emb_lsh_x10", lambda: emb_lsh_x10(spark, sf_dir)),
         ("semantic_cluster_x10", lambda: semantic_cluster_x10(spark, sf_dir)),
         ("ivf_x10", lambda: ivf_x10(spark, sf_dir)),
+        ("simhash_x10", lambda: simhash_x10(spark, sf_dir)),
         ("asof_x16_uniform", lambda: asof_x16(False)(spark, sf_dir)),
         ("asof_x16_hotkey", lambda: asof_x16(True)(spark, sf_dir)),
     ]

@@ -318,11 +318,23 @@ def minhash_lsh_pairs(
     return verified.where(F.col("jaccard") >= tau).select("d1", "d2", "jaccard")
 
 
-def simhash_fingerprints(d: DataFrame, bits: int = 32) -> DataFrame:
+# Knuth multiplicative hash per fingerprint WORD: (wid + c) * m. Both
+# products stay inside int64 for 28-bit shingle ids (< 2^59.3), so Spark
+# and DuckDB agree bit-for-bit. Extra words extend the fingerprint for
+# the scale form (simhash_pairs words=2) without ever touching bit 63
+# of a single value (HUGEINT-vs-wraparound divergence risk).
+_SIMHASH_WORDS = ((1, 2654435761), (12345, 2246822519))
+
+
+def simhash_fingerprints(
+    d: DataFrame, bits: int = 32, word: int = 0
+) -> DataFrame:
     """(doc_id, fp) — per-bit majority sign over multiplicative-hash bits.
 
-    bit_j(w) = bit (j+8) of w * 2654435761 — a Knuth multiplicative hash;
-    the +8 offset skips the poorly-mixed low product bits. (A plain
+    bit_j(w) = bit (j+8) of (w + c) * m — a Knuth multiplicative hash
+    (``word`` selects the (c, m) family: word 0 is the gate default,
+    word 1 extends the fingerprint to 64 bits for the scale form); the
+    +8 offset skips the poorly-mixed low product bits. (A plain
     ``parity((w+1)*odd_j mod P)`` family is degenerate: below the modulus
     the parity is independent of j and every bit collapses.)
 
@@ -331,13 +343,14 @@ def simhash_fingerprints(d: DataFrame, bits: int = 32) -> DataFrame:
     Knuth multiply must stay inside int64 in BOTH engines ((2^28) *
     2654435761 < 2^63; a 48-bit id would overflow, which Java wraps but
     DuckDB widens to HUGEINT — a silent cross-engine divergence)."""
+    c, m = _SIMHASH_WORDS[word]
     dw = d.select(
         "doc_id",
         F.expr(
             "CAST(conv(substring(md5(shingle), 1, 7), 16, 10) AS BIGINT)"
         ).alias("wid"),
     )
-    parity = F.expr("shiftright((wid + 1) * 2654435761, j + 8) % 2")
+    parity = F.expr(f"shiftright((wid + {c}) * {m}, j + 8) % 2")
     contrib = parity * 2 - 1
     per_bit = (
         dw.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))))
@@ -354,29 +367,68 @@ def simhash_fingerprints(d: DataFrame, bits: int = 32) -> DataFrame:
 
 
 def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 2, sh: DataFrame | None = None
+    docs: DataFrame,
+    max_hamming: int = 2,
+    sh: DataFrame | None = None,
+    words: int = 1,
 ) -> DataFrame:
-    """SimHash near-dup: byte-banded candidate join + hamming verify.
+    """SimHash near-dup: banded candidate join + hamming verify.
 
-    32-bit fingerprint split into 4 byte-wide bands; a pair is a candidate
-    when any band matches (standard simhash blocking: hamming <= 3 implies
-    at least one of 4 bands is untouched)."""
+    ``words=1`` (gate default): 32-bit fingerprint split into 4
+    byte-wide bands; a pair is a candidate when any band matches
+    (standard simhash blocking: hamming <= 3 implies at least one of 4
+    bands is untouched).
+
+    ``words=2`` is the SCALE form: a 64-bit fingerprint carried as TWO
+    32-bit words (second Knuth hash family; a single 64-bit value would
+    touch bit 63, where Java wraparound and DuckDB HUGEINT widening
+    diverge), split into 4 bands of 16 bits — 65536 buckets per band
+    instead of 256. Fixed 8-bit bands are the same quadratic trap as
+    the fixed-parameter hyperplane LSH (bucket population ~n/256 grows
+    with the corpus, candidates ~n^2/256); the 16-bit bands keep the
+    same any-band-untouched guarantee (4 bands > max_hamming) with
+    256x finer blocking. Hamming is over all 64 bits, so words=2 is a
+    strictly finer similarity test at the same threshold."""
+    if words not in (1, 2):
+        raise ValueError(f"words must be 1 or 2: {words!r}")
     d = sh if sh is not None else _pin(shingles(docs))
-    fp = simhash_fingerprints(d)
+    fp = simhash_fingerprints(d).withColumnRenamed("fp", "fp0")
+    if words == 2:
+        fp = fp.join(
+            simhash_fingerprints(d, word=1).withColumnRenamed("fp", "fp1"),
+            "doc_id",
+        )
+    nibble = (
+        "shiftright(fp0, k * 8) % 256"
+        if words == 1
+        else "CASE WHEN k < 2 THEN shiftright(fp0, k * 16) % 65536 "
+             "ELSE shiftright(fp1, (k - 2) * 16) % 65536 END"
+    )
     nib = _pin(
         fp.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(3)))).withColumn(
-            "nibble", F.expr("shiftright(fp, k * 8) % 256")
+            "nibble", F.expr(nibble)
         )
     )
-    a = nib.select(F.col("doc_id").alias("d1"), F.col("fp").alias("fp1"), "k", "nibble")
-    b = nib.select(F.col("doc_id").alias("d2"), F.col("fp").alias("fp2"), "k", "nibble")
+    fcols = [f"fp{w}" for w in range(words)]
+    a = nib.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(c).alias(f"{c}_1") for c in fcols], "k", "nibble",
+    )
+    b = nib.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(c).alias(f"{c}_2") for c in fcols], "k", "nibble",
+    )
     cand = (
         a.join(b, ["k", "nibble"])
         .where(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", "fp1", "fp2")
+        .select("d1", "d2",
+                *[F.col(f"{c}_1") for c in fcols],
+                *[F.col(f"{c}_2") for c in fcols])
         .distinct()
     )
-    ham = F.bit_count(F.expr("fp1 ^ fp2"))
+    ham = F.bit_count(F.expr("fp0_1 ^ fp0_2"))
+    if words == 2:
+        ham = ham + F.bit_count(F.expr("fp1_1 ^ fp1_2"))
     return (
         cand.withColumn("hamming", ham.cast("long"))
         .where(F.col("hamming") <= max_hamming)

@@ -436,7 +436,7 @@ def lsh_neardup_pairs(
     emb: DataFrame,
     tau: float,
     bands: DataFrame | None = None,
-    n_bands: int = LSH_BANDS,
+    n_bands: int | str = LSH_BANDS,
     n_bits: int = LSH_BITS,
 ) -> DataFrame:
     """Banded random-hyperplane LSH near-dup discovery: a pair is a
@@ -448,7 +448,11 @@ def lsh_neardup_pairs(
     vs the full cross join. Band/bit counts are tuned to the similarity
     regime (banding analysis); measured recall at tau=0.4 is ~95%.
     Pass pinned ``bands`` (pin_bands) to reuse a standing band table
-    instead of recomputing the hyperplane dots per query."""
+    instead of recomputing the hyperplane dots per query; pass
+    ``n_bands="auto"`` to size (bands, bits) to the corpus with
+    auto_lsh_params (one count on the input)."""
+    if n_bands == "auto":
+        n_bands, n_bits = auto_lsh_params(emb.count(), tau)
     qe = quantized(emb)
     # Collision discovery carries IDS ONLY: the exploded band rows, the
     # equi-join and the (d1, d2) dedup shuffle all move 3 integers per
@@ -491,7 +495,7 @@ def lsh_neardup_pairs_cross(
     index_emb: DataFrame,
     tau: float,
     index_bands: DataFrame | None = None,
-    n_bands: int = LSH_BANDS,
+    n_bands: int | str = LSH_BANDS,
     n_bits: int = LSH_BITS,
 ) -> DataFrame:
     """Cross-corpus embedding near-dup discovery: candidates are pairs
@@ -507,6 +511,8 @@ def lsh_neardup_pairs_cross(
     The collision join, candidate dedup and the two verification joins
     are all equi-joins carrying ids; exact cosine >= tau verifies.
     Output: (d1 from batch, d2 from index, cos)."""
+    if n_bands == "auto":
+        n_bands, n_bits = auto_lsh_params(index_emb.count(), tau)
     # Batch bands are consumed once (no self-join), so no pin needed.
     band_a = lsh_band_table(batch_emb, n_bands, n_bits).select(
         F.col("vec_id").alias("d1"), "band", "bucket"

@@ -255,3 +255,47 @@ def test_auto_ivf_cells_policy_and_clone_neighbors(spark):
                 nbrs, key=lambda x: -x["cos"]
             )[: clones - 1]
         )
+
+
+def test_simhash_two_word_scale_form(spark):
+    """words=2 (64-bit, 16-bit bands) is exact within its guarantee:
+    its output is the full hamming64 <= max set — a strict refinement
+    of the 32-bit form — and exact clones (hamming 0) are complete."""
+    from ds_jedai_spark.operators import dedup
+    from ds_jedai_spark.plans.pipeline_plans import _corpus
+    from tests.conftest import SF_SMALL
+
+    corpus = _corpus(spark, SF_SMALL)
+    clones = 3
+    rep = spark.range(clones).select(F.col("id").alias("rep"))
+    cloned = corpus.crossJoin(rep).select(
+        (F.col("doc_id") * clones + F.col("rep")).alias("doc_id"), "text"
+    )
+    w1 = {
+        (r["d1"], r["d2"])
+        for r in dedup.simhash_pairs(cloned, 2).select("d1", "d2").collect()
+    }
+    w2 = {
+        (r["d1"], r["d2"])
+        for r in dedup.simhash_pairs(cloned, 2, words=2)
+        .select("d1", "d2").collect()
+    }
+    # 64-bit hamming <= h implies the word-0 32-bit hamming <= h
+    assert w2 <= w1
+    # docs too short to shingle have no fingerprint at all — clone
+    # completeness applies to the shingled docs
+    from ds_jedai_spark.operators.textops import shingles
+
+    shingled = {
+        r["doc_id"] for r in shingles(corpus).select("doc_id")
+        .distinct().collect()
+    }
+    clone_pairs = {
+        (v * clones + i, v * clones + j)
+        for v in shingled
+        for i in range(clones)
+        for j in range(i + 1, clones)
+    }
+    assert clone_pairs and clone_pairs <= w2  # identical fps band-match
+    with pytest.raises(ValueError, match="words"):
+        dedup.simhash_pairs(cloned, 2, words=3)
