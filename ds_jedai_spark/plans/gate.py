@@ -365,6 +365,14 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                          pl.ORACLES["dedup_minhash_lsh_cross"],
                          [("d1", "d1", None), ("d2", "d2", None),
                           ("jaccard", "val", "double")])),
+                # the same incremental dedup as a foreachBatch STREAM
+                # (even half arrives as micro-batches, odd half is the
+                # standing index) — same semantics, same oracle
+                ("minhash_lsh_stream",
+                 *mapped(sp.stream_dedup_cross,
+                         pl.ORACLES["dedup_minhash_lsh_cross"],
+                         [("d1", "d1", None), ("d2", "d2", None),
+                          ("jaccard", "val", "double")])),
                 ("simhash",
                  *mapped(pl.QUERIES["dedup_simhash"], pl.ORACLES["dedup_simhash"],
                          [("d1", "d1", None), ("d2", "d2", None),

@@ -213,3 +213,26 @@ def stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.explode("topk").alias("t"))
         .select("qid", F.col("t.vid").alias("vid"), F.col("t.cos").alias("cos"))
     )
+
+
+def stream_dedup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest: the even-doc_id half of the corpus
+    arrives as a document stream and each micro-batch is deduplicated
+    against the standing odd-half shingle index (foreachBatch over
+    minhash_lsh_pairs_cross). Same semantics as the batch cross query,
+    so it shares its oracle."""
+    from pyspark.sql import functions as F
+
+    from ds_jedai_spark.io.bucketed import drop_table_and_location
+    from ds_jedai_spark.plans import pipeline_plans as pl
+
+    sh = pl._pinned_shingles(spark, sf_dir)
+    stream = gs.corpus_stream(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
+    drop_table_and_location(spark, "stream_dedup_cross_tbl")
+    gs.stream_incremental_dedup(
+        stream,
+        sh.where(F.col("doc_id") % 2 == 1),
+        pl.TAU_JACCARD,
+        "stream_dedup_cross_tbl",
+    )
+    return spark.table("stream_dedup_cross_tbl")

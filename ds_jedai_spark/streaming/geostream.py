@@ -420,3 +420,87 @@ def stream_ann_ivf_topk(
             k,
         ).alias("topk")
     )
+
+
+def corpus_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form of the dedup corpus (textops.CORPUS_SQL): the
+    documents stream unioned with its injected exact-dup (+1e6 ids) and
+    truncated near-dup (+2e6 ids) slices — three scans of the same file
+    source, each row delivered exactly once per slice."""
+    raw = event_stream(spark, sf_dir, glob="documents.parquet")
+    a = raw.select("doc_id", "text")
+    b = raw.where("doc_id % 7 = 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    c = raw.where("doc_id % 11 = 0").select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, "
+            "CAST(floor(CAST(3 * length(text) AS DOUBLE) / 4.0) AS INT))"
+        ).alias("text"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def stream_incremental_dedup(
+    docs_stream: DataFrame,
+    index_sh: DataFrame,
+    tau: float,
+    out_table: str,
+) -> None:
+    """Incremental near-dup INGEST: each arriving micro-batch of
+    documents is deduplicated against the STANDING shingle index with
+    the cross-corpus MinHash-LSH path, and the verified pairs are
+    appended to ``out_table`` — the canonical production ingest loop
+    (foreachBatch turns every micro-batch into a batch plan, so the
+    whole cross-dedup machinery — banded collision equi-join,
+    pair-keyed verification — runs unchanged per batch).
+
+    Per-batch results are INDEPENDENT (each pair couples one batch doc
+    with the static index; no batch x batch pairs exist by
+    construction), so the appended union is invariant to how the stream
+    splits into micro-batches (pytest-pinned with maxFilesPerTrigger=1).
+    At 100 TB: the index side is the bucketed standing shingle table
+    (pin_shingles mode="bucketed"), each day's crawl streams through,
+    and state is zero — no watermark, no state store; exactly-once
+    lands on the sink's append atomicity exactly like any foreachBatch
+    pipeline."""
+    import tempfile
+    import os
+
+    from ds_jedai_spark.operators import dedup
+
+    spark = docs_stream.sparkSession
+
+    def on_batch(batch_df: DataFrame, _bid: int) -> None:
+        pairs = dedup.minhash_lsh_pairs_cross(
+            batch_df, None, tau=tau, sh_b=index_sh
+        )
+        pairs.write.mode("append").saveAsTable(out_table)
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(),
+        f"jedai_ckpt_dedup_{spark.sparkContext.applicationId}_{out_table}",
+    )
+    # Fresh checkpoint per invocation: the caller drops/recreates the
+    # sink table, so a surviving checkpoint would mark every source file
+    # processed and this run would append nothing.
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    before = spark.conf.get("spark.sql.shuffle.partitions", None)
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(4, cores)))
+    try:
+        q = (
+            docs_stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if before is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", before)

@@ -263,3 +263,39 @@ def test_stream_ann_topk_matches_batch_ivf(spark):
         ).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_incremental_dedup_invariant_to_batching(spark, tmp_path):
+    """foreachBatch incremental dedup appends the SAME pair set no
+    matter how the stream splits into micro-batches: per-batch results
+    couple batch docs with the static index only."""
+    from ds_jedai_spark.io.bucketed import drop_table_and_location
+    from ds_jedai_spark.operators import dedup
+    from ds_jedai_spark.plans import pipeline_plans as pl
+
+    corpus = pl._corpus(spark, "/root/testdata/sf0.001")
+    even = corpus.where(F.col("doc_id") % 2 == 0)
+    odd = corpus.where(F.col("doc_id") % 2 == 1)
+    index_sh = dedup.pin_shingles(odd)
+
+    want = sorted(
+        map(tuple, dedup.minhash_lsh_pairs_cross(
+            even, None, tau=pl.TAU_JACCARD, sh_b=index_sh
+        ).collect())
+    )
+    assert want, "expected cross pairs at sf0.001"
+
+    # split the batch side into several files, stream one file per
+    # micro-batch
+    docs_dir = str(tmp_path / "docs_stream")
+    even.repartition(4).write.mode("overwrite").parquet(docs_dir)
+    stream = gs.event_stream(
+        spark, docs_dir, maxFilesPerTrigger="1"
+    ).select("doc_id", "text")
+    drop_table_and_location(spark, "t_stream_dedup_inv")
+    gs.stream_incremental_dedup(
+        stream, index_sh, pl.TAU_JACCARD, "t_stream_dedup_inv"
+    )
+    got = sorted(map(tuple, spark.table("t_stream_dedup_inv").collect()))
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS t_stream_dedup_inv")
