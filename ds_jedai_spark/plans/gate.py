@@ -392,6 +392,13 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                          pl.ORACLES["dedup_embedding_cross"],
                          [("d1", "d1", None), ("d2", "d2", None),
                           ("cos", "val", "double")])),
+                # the same embedding ingest as a foreachBatch STREAM
+                # against the standing pinned band table — same oracle
+                ("embedding_stream",
+                 *mapped(sp.stream_embedding_cross,
+                         pl.ORACLES["dedup_embedding_cross"],
+                         [("d1", "d1", None), ("d2", "d2", None),
+                          ("cos", "val", "double")])),
             ]
         ),
     )

@@ -236,3 +236,30 @@ def stream_dedup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_dedup_cross_tbl",
     )
     return spark.table("stream_dedup_cross_tbl")
+
+
+def stream_embedding_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding-dedup ingest: even-vec_id vectors arrive
+    as a stream and each micro-batch is checked against the standing
+    odd-half pinned band table (foreachBatch over
+    lsh_neardup_pairs_cross). Same semantics as the batch
+    dedup_embedding_cross, so it shares its oracle."""
+    from pyspark.sql import functions as F
+
+    from ds_jedai_spark.io.bucketed import drop_table_and_location
+    from ds_jedai_spark.plans import pipeline_plans as pl
+
+    art = pl._pinned_ann(spark, sf_dir)
+    emb = pl._emb(spark, sf_dir)
+    stream = gs.embedding_stream(spark, sf_dir).where(
+        F.col("vec_id") % 2 == 0
+    )
+    drop_table_and_location(spark, "stream_emb_cross_tbl")
+    gs.stream_incremental_embedding_dedup(
+        stream,
+        emb.where(F.col("vec_id") % 2 == 1),
+        art["bands"].where(F.col("vec_id") % 2 == 1),
+        pl.TAU_COS,
+        "stream_emb_cross_tbl",
+    )
+    return spark.table("stream_emb_cross_tbl")

@@ -504,3 +504,54 @@ def stream_incremental_dedup(
             spark.conf.unset("spark.sql.shuffle.partitions")
         else:
             spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def stream_incremental_embedding_dedup(
+    emb_stream: DataFrame,
+    index_emb: DataFrame,
+    index_bands: DataFrame,
+    tau: float,
+    out_table: str,
+) -> None:
+    """Embedding-space incremental ingest (the stream_incremental_dedup
+    mirror): each micro-batch of arriving vectors is near-dup-checked
+    against the STANDING LSH band-table index via
+    lsh_neardup_pairs_cross — only the batch computes hyperplane dots;
+    the index side reads the pinned band table. Zero streaming state;
+    per-batch results couple batch vectors with the index only, so the
+    appended union is invariant to the micro-batch split."""
+    import os
+    import shutil
+    import tempfile
+
+    from ds_jedai_spark.operators import similarity
+
+    spark = emb_stream.sparkSession
+
+    def on_batch(batch_df: DataFrame, _bid: int) -> None:
+        pairs = similarity.lsh_neardup_pairs_cross(
+            batch_df, index_emb, tau, index_bands=index_bands
+        )
+        pairs.write.mode("append").saveAsTable(out_table)
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(),
+        f"jedai_ckpt_embdedup_{spark.sparkContext.applicationId}_{out_table}",
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    before = spark.conf.get("spark.sql.shuffle.partitions", None)
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(4, cores)))
+    try:
+        q = (
+            emb_stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if before is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", before)

@@ -299,3 +299,23 @@ def test_stream_incremental_dedup_invariant_to_batching(spark, tmp_path):
     got = sorted(map(tuple, spark.table("t_stream_dedup_inv").collect()))
     assert got == want
     spark.sql("DROP TABLE IF EXISTS t_stream_dedup_inv")
+
+
+def test_stream_embedding_dedup_matches_batch_cross(spark):
+    """Streaming embedding ingest == the batch cross query (same pinned
+    band table, same even/odd split)."""
+    from ds_jedai_spark.plans import pipeline_plans as pl
+    from ds_jedai_spark.plans import streaming_plans as sp
+
+    got = sorted(
+        map(tuple, sp.stream_embedding_cross(
+            spark, "/root/testdata/sf0.001"
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, pl.dedup_embedding_cross(
+            spark, "/root/testdata/sf0.001"
+        ).collect())
+    )
+    assert got == want and len(got) > 0
+    spark.sql("DROP TABLE IF EXISTS stream_emb_cross_tbl")
