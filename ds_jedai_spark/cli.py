@@ -12,8 +12,10 @@ experiments/GiantExp.scala:104-127 — verifications, qualifying pairs, the
 (the driver-gate surface: spatial, progressive, dedup/ANN/text/media,
 streaming) against a testdata directory. The third runs the temporal /
 pipeline OPERATORS on arbitrary user parquet with user-chosen keys,
-directions, tolerances and chunk sizes — as-of enrichment, interval
-joins and RAG chunking from the shell, writing parquet with -out.
+directions, tolerances, thresholds and chunk sizes — as-of enrichment,
+interval joins, RAG chunking, MinHash near-dup dedup (self or
+batch-vs-corpus incremental) and embedding near-dup (corpus-scaled LSH
+parameters) from the shell, writing parquet with -out.
 """
 
 from __future__ import annotations
@@ -73,6 +75,28 @@ def _print_or_write(df, out: str | None, limit: int, t0: float) -> int:
         print(f"... ({total} rows total)")
     print(f"TOTAL TIME: {time.perf_counter() - t0:.2f}s")
     return 0
+
+
+def _docs_frame(df, args):
+    """Normalize a user document frame to (doc_id, text)."""
+    from pyspark.sql import functions as F
+
+    if args.id_col != "doc_id":
+        df = df.withColumnRenamed(args.id_col, "doc_id")
+    if args.text_col != "text":
+        df = df.withColumnRenamed(args.text_col, "text")
+    return df.select("doc_id", F.col("text").cast("string"))
+
+
+def _emb_frame(df, args):
+    """Normalize a user embedding frame to (vec_id, label, embedding)."""
+    from pyspark.sql import functions as F
+
+    if args.id_col != "doc_id" and args.id_col in df.columns:
+        df = df.withColumnRenamed(args.id_col, "vec_id")
+    if "label" not in df.columns:
+        df = df.withColumn("label", F.lit(0).cast("long"))
+    return df.select("vec_id", "label", "embedding")
 
 
 def _run_op(args) -> int:
@@ -165,6 +189,43 @@ def _run_op(args) -> int:
                 keys=keys or None,
                 how=args.how,
             )
+        elif args.op == "dedup":
+            from ds_jedai_spark.operators.dedup import (
+                minhash_lsh_pairs,
+                minhash_lsh_pairs_cross,
+            )
+
+            if not args.left:
+                print("-op dedup needs -left parquet path", file=sys.stderr)
+                return 2
+            left = _docs_frame(_read(args.left, ()), args)
+            tau = args.tau if args.tau is not None else 0.8
+            if args.right:
+                # incremental: batch (left) vs standing corpus (right)
+                df = minhash_lsh_pairs_cross(
+                    left, _docs_frame(_read(args.right, ()), args), tau=tau
+                )
+            else:
+                df = minhash_lsh_pairs(left, tau=tau)
+        elif args.op == "emb-dedup":
+            from ds_jedai_spark.operators.similarity import (
+                lsh_neardup_pairs,
+                lsh_neardup_pairs_cross,
+            )
+
+            if not args.left:
+                print("-op emb-dedup needs -left parquet path",
+                      file=sys.stderr)
+                return 2
+            left = _emb_frame(_read(args.left, ()), args)
+            tau = args.tau if args.tau is not None else 0.9
+            if args.right:
+                df = lsh_neardup_pairs_cross(
+                    left, _emb_frame(_read(args.right, ()), args), tau,
+                    n_bands="auto",
+                )
+            else:
+                df = lsh_neardup_pairs(left, tau, n_bands="auto")
         elif args.op == "chunk":
             from ds_jedai_spark.operators.textops import chunk_documents
 
@@ -203,9 +264,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "-op",
         default=None,
-        choices=["asof", "interval", "chunk"],
+        choices=["asof", "interval", "chunk", "dedup", "emb-dedup"],
         help="run a temporal/pipeline operator on user parquet",
     )
+    ap.add_argument("-tau", type=float, default=None,
+                    help="dedup: similarity threshold (jaccard/cosine)")
+    ap.add_argument("-id-col", dest="id_col", default="doc_id",
+                    help="dedup: id column name in the input parquet")
+    ap.add_argument("-text-col", dest="text_col", default="text",
+                    help="dedup: text column name in the input parquet")
     ap.add_argument("-left", default=None, help="left/input parquet path (-op)")
     ap.add_argument("-right", default=None, help="right parquet path (-op)")
     ap.add_argument("-key", default="user_id",

@@ -222,3 +222,56 @@ def test_cli_op_surface(spark, tmp_path, capsys, monkeypatch):
 
     # bad usage: missing -right
     assert cli.main(["-op", "asof", "-left", ev]) == 2
+
+
+def test_cli_op_dedup_surface(spark, tmp_path, monkeypatch):
+    """-op dedup / emb-dedup on user parquet: self and incremental
+    (batch-vs-corpus) forms, custom column names, threshold knob."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    renamed = str(tmp_path / "mydocs.parquet")
+    docs.select(
+        F.col("doc_id").alias("id"), F.col("text").alias("body"), "source"
+    ).write.mode("overwrite").parquet(renamed)
+    out = str(tmp_path / "pairs.parquet")
+    rc = cli.main([
+        "-op", "dedup", "-left", renamed,
+        "-id-col", "id", "-text-col", "body", "-tau", "0.8",
+        "-out", out,
+    ])
+    assert rc == 0
+    pairs = spark.read.parquet(out)
+    assert set(pairs.columns) == {"d1", "d2", "jaccard"}
+    assert pairs.where(F.col("jaccard") < 0.8).count() == 0
+
+    # incremental: even half as batch vs odd half as corpus
+    even = str(tmp_path / "even.parquet")
+    odd = str(tmp_path / "odd.parquet")
+    docs.where("doc_id % 2 = 0").write.mode("overwrite").parquet(even)
+    docs.where("doc_id % 2 = 1").write.mode("overwrite").parquet(odd)
+    out2 = str(tmp_path / "cross.parquet")
+    rc = cli.main(["-op", "dedup", "-left", even, "-right", odd,
+                   "-out", out2])
+    assert rc == 0
+    cross = spark.read.parquet(out2)
+    for r in cross.collect():
+        assert r["d1"] % 2 == 0 and r["d2"] % 2 == 1
+
+    # embedding near-dup with auto-scaled LSH params
+    emb = str(tmp_path / "emb.parquet")
+    spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).write.mode("overwrite").parquet(emb)
+    out3 = str(tmp_path / "embpairs.parquet")
+    rc = cli.main(["-op", "emb-dedup", "-left", emb, "-tau", "0.4",
+                   "-out", out3])
+    assert rc == 0
+    ep = spark.read.parquet(out3)
+    assert set(ep.columns) == {"d1", "d2", "cos"}
+    assert ep.count() > 0
+    assert ep.where(F.col("cos") < 0.4).count() == 0
