@@ -269,6 +269,45 @@ def corpus_split(docs: DataFrame) -> DataFrame:
     )
 
 
+SHUFFLE_SHARDS = 8
+SHUFFLE_CHECK_MOD = 1_000_003
+
+
+def corpus_shuffle(docs: DataFrame, shards: int = SHUFFLE_SHARDS) -> DataFrame:
+    """Deterministic training-order shuffle: every doc gets a
+    reproducible (shard, pos) — the read order a training run consumes
+    (shards round-robin, positions within each shard).
+
+    The permutation key is the md5 of the doc id (stable across engines
+    and runs; no RNG state to carry), and the order is materialized as
+    a ROW_NUMBER per shard — NOT a global sort: a total order over
+    100 TB is one giant range exchange, while per-shard order with
+    round-robin shard reads gives the same statistical shuffle with
+    ``shards`` independent window partitions (the pack_sequences
+    sharding pattern; size ``shards`` so a shard fits one task).
+    Output: (shard, n_docs, checksum) summary — the checksum
+    sum(pos * (doc_id + 1)) mod P is order-SENSITIVE, so the gate hash
+    pins the exact permutation, not just membership."""
+    h = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) "
+        "AS BIGINT)"
+    )
+    d = docs.select("doc_id", h.alias("h")).withColumn(
+        "shard", F.col("h") % shards
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    pos = F.row_number().over(w).cast("long")
+    term = (pos * (F.col("doc_id") + 1)) % SHUFFLE_CHECK_MOD
+    return (
+        d.select("shard", term.alias("term"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("term") % SHUFFLE_CHECK_MOD).alias("checksum"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Positional document fingerprint: sum of per-position token-id terms
     mod P — order-sensitive via the position weight yet order-independent

@@ -484,8 +484,25 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
          pl.ORACLES["text_contamination"])
     keep("text_pii_scrub", pl.QUERIES["text_pii_scrub"],
          pl.ORACLES["text_pii_scrub"])
-    keep("text_corpus_split", pl.QUERIES["text_corpus_split"],
-         pl.ORACLES["text_corpus_split"])
+    add(
+        "text_corpus_split",
+        tagged_union(
+            [
+                # split assignment and the deterministic training-order
+                # shuffle, mapped onto one (k, v1, v2) schema
+                ("split",
+                 *mapped(pl.QUERIES["text_corpus_split"],
+                         pl.ORACLES["text_corpus_split"],
+                         [("split", "k", "string"), ("n_docs", "v1", None),
+                          ("n_words", "v2", None)])),
+                ("shuffle",
+                 *mapped(pl.QUERIES["text_corpus_shuffle"],
+                         pl.ORACLES["text_corpus_shuffle"],
+                         [("shard", "k", "string"), ("n_docs", "v1", None),
+                          ("checksum", "v2", None)])),
+            ]
+        ),
+    )
     add(
         "text_pack_sequences",
         tagged_union(

@@ -253,6 +253,30 @@ def text_repetition(spark, sf_dir):
     return textops.repetition(_docs(spark, sf_dir))
 
 
+def text_corpus_shuffle(spark, sf_dir):
+    return textops.corpus_shuffle(_docs(spark, sf_dir))
+
+
+def text_corpus_shuffle_oracle() -> str:
+    from ds_jedai_spark.operators.textops import (
+        SHUFFLE_CHECK_MOD,
+        SHUFFLE_SHARDS,
+    )
+
+    return (
+        "WITH d AS (SELECT doc_id, CAST(('0x' || substr("
+        "md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h "
+        "FROM documents), "
+        f"sh AS (SELECT doc_id, h, h % {SHUFFLE_SHARDS} AS shard FROM d), "
+        "p AS (SELECT shard, doc_id, CAST(row_number() OVER ("
+        "PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos FROM sh) "
+        "SELECT shard, count(*) AS n_docs, "
+        f"CAST(sum((pos * (doc_id + 1)) % {SHUFFLE_CHECK_MOD}) "
+        f"% {SHUFFLE_CHECK_MOD} AS BIGINT) AS checksum "
+        "FROM p GROUP BY shard"
+    )
+
+
 def text_corpus_split(spark, sf_dir):
     return textops.corpus_split(_docs(spark, sf_dir))
 
@@ -1055,6 +1079,7 @@ QUERIES = {
     "text_quality": text_quality,
     "text_repetition": text_repetition,
     "text_corpus_split": text_corpus_split,
+    "text_corpus_shuffle": text_corpus_shuffle,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "text_pack_sequences": text_pack_sequences,
@@ -1090,6 +1115,7 @@ ORACLES = {
     "text_quality": text_quality_oracle(),
     "text_repetition": text_repetition_oracle(),
     "text_corpus_split": text_corpus_split_oracle(),
+    "text_corpus_shuffle": text_corpus_shuffle_oracle(),
     "text_lang_id": text_lang_id_oracle(),
     "text_fingerprint": text_fingerprint_oracle(),
     "text_pack_sequences": text_pack_sequences_oracle(),
