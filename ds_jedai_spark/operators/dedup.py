@@ -326,6 +326,77 @@ def minhash_lsh_pairs(
 _SIMHASH_WORDS = ((1, 2654435761), (12345, 2246822519))
 
 
+def minhash_progressive_pairs(
+    docs: DataFrame,
+    budget: int = 50,
+    k: int = 32,
+    rows_per_band: int = 4,
+    sh: DataFrame | None = None,
+) -> DataFrame:
+    """PROGRESSIVE (budgeted) near-dup verification — the reference's
+    progressive paradigm (ProgressiveGIAnt.scala:26: rank candidates by
+    a cheap weight, verify only the top ``budget``) applied to the
+    dedup family: band-collision candidates are ranked by the
+    signature-estimate Jaccard (one k-element comparison per pair, no
+    corpus access), and ONLY the top ``budget`` of them pay the exact
+    shingle verification. The triage that matters when the verification
+    budget, not candidate generation, is the bottleneck of a 100 TB
+    dedup pass.
+
+    Deterministic schedule: (est DESC, d1, d2) — the same tie-break
+    discipline as the spatial progressive plans. The global top-k is a
+    TakeOrderedAndProject (driver merges ``budget`` rows); for
+    cluster-scale budgets compose with the local-budget split exactly
+    as operators/progressive.py does. Output: (d1, d2, est, jaccard)
+    for scheduled pairs that share at least one shingle (a scheduled
+    pair with none has Jaccard 0 and drops out, matching the exact
+    join's domain)."""
+    d = sh if sh is not None else _pin(shingles(docs))
+    sig = _pin(minhash_signature_arrays(d, k))
+    band = _pin(_band_table(d, k, rows_per_band))
+    a = band.select(F.col("doc_id").alias("d1"), "band", "bkey")
+    b = band.select(F.col("doc_id").alias("d2"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("s1", "s2", lambda x, y: x == y), lambda m: m
+            )
+        ).cast("double")
+        / F.lit(float(k))
+    )
+    sched = _pin(
+        cand.join(sig.select(F.col("doc_id").alias("d1"),
+                             F.col("sig").alias("s1")), "d1")
+        .join(sig.select(F.col("doc_id").alias("d2"),
+                         F.col("sig").alias("s2")), "d2")
+        .withColumn("est", est)
+        .select("d1", "d2", "est")
+        .orderBy(F.desc("est"), "d1", "d2")
+        .limit(budget)
+    )
+    common = (
+        sched.select("d1", "d2")
+        .join(d.select(F.col("doc_id").alias("d1x"), "shingle"),
+              F.col("d1") == F.col("d1x"))
+        .drop("d1x")
+        .join(d.select(F.col("doc_id").alias("d2"), "shingle"),
+              ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        _with_jaccard(common, d)
+        .join(sched, ["d1", "d2"])
+        .select("d1", "d2", "est", "jaccard")
+    )
+
+
 def simhash_fingerprints(
     d: DataFrame, bits: int = 32, word: int = 0
 ) -> DataFrame:

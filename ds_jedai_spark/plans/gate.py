@@ -360,6 +360,13 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                          pl.ORACLES["dedup_minhash_estimate"],
                          [("d1", "d1", None), ("d2", "d2", None),
                           ("est", "val", "double")])),
+                # budgeted verification: top-50 by signature estimate,
+                # exact jaccard on just those (progressive paradigm)
+                ("progressive",
+                 *mapped(pl.QUERIES["dedup_progressive"],
+                         pl.ORACLES["dedup_progressive"],
+                         [("d1", "d1", None), ("d2", "d2", None),
+                          ("jaccard", "val", "double")])),
                 ("minhash_lsh_cross",
                  *mapped(pl.QUERIES["dedup_minhash_lsh_cross"],
                          pl.ORACLES["dedup_minhash_lsh_cross"],

@@ -146,6 +146,36 @@ def dedup_minhash_estimate(spark, sf_dir):
     )
 
 
+PROG_DEDUP_BUDGET = 50
+
+
+def dedup_progressive(spark, sf_dir):
+    return dedup.minhash_progressive_pairs(
+        _corpus(spark, sf_dir),
+        budget=PROG_DEDUP_BUDGET,
+        sh=_pinned_shingles(spark, sf_dir),
+    )
+
+
+def dedup_progressive_oracle() -> str:
+    return (
+        f"WITH {_SHINGLE_CTE}, {_MINHASH_WID_CTE}, "
+        f"hx AS (SELECT doc_id, i, min(((2*i+1)*wid + i*i + 7) % {P}) AS h "
+        "FROM dw, (SELECT unnest(range(0, 32)) AS i) r GROUP BY doc_id, i), "
+        "band AS (SELECT doc_id, i - (i % 4) AS band, sum(h * ((i % 4) + 1)) AS bkey "
+        "FROM hx GROUP BY doc_id, band), "
+        "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 "
+        "FROM band a JOIN band b USING (band, bkey) WHERE a.doc_id < b.doc_id), "
+        "est AS (SELECT c.d1, c.d2, "
+        "CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS DOUBLE) / 32.0 AS est "
+        "FROM cand c JOIN hx a ON a.doc_id = c.d1 "
+        "JOIN hx b ON b.doc_id = c.d2 AND b.i = a.i GROUP BY 1, 2), "
+        "sched AS (SELECT d1, d2, est FROM (SELECT *, row_number() OVER ("
+        f"ORDER BY est DESC, d1, d2) AS rn FROM est) WHERE rn <= {PROG_DEDUP_BUDGET}) "
+        "SELECT s.d1, s.d2, s.est, j.jaccard FROM sched s JOIN jac j USING (d1, d2)"
+    )
+
+
 def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(
         _corpus(spark, sf_dir), MAX_HAMMING, sh=_pinned_shingles(spark, sf_dir)
@@ -1061,6 +1091,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_cross": dedup_minhash_lsh_cross,
     "dedup_minhash_estimate": dedup_minhash_estimate,
+    "dedup_progressive": dedup_progressive,
     "dedup_simhash": dedup_simhash,
     "dedup_containment": dedup_containment,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1097,6 +1128,7 @@ ORACLES = {
     "dedup_minhash_lsh": dedup_minhash_lsh_oracle(),
     "dedup_minhash_lsh_cross": dedup_minhash_lsh_cross_oracle(),
     "dedup_minhash_estimate": dedup_minhash_estimate_oracle(),
+    "dedup_progressive": dedup_progressive_oracle(),
     "dedup_simhash": dedup_simhash_oracle(),
     "dedup_containment": dedup_containment_oracle(),
     "dedup_embedding_cosine": dedup_embedding_cosine_oracle(),

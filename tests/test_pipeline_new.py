@@ -405,3 +405,31 @@ def test_corpus_shuffle_partition_properties(spark):
     assert any(rv[s] != a[s][1] for s in rv), (
         "reversed order produced identical checksums - not order-sensitive"
     )
+
+
+def test_minhash_progressive_budget_semantics(spark):
+    """Budgeted dedup: at most `budget` verifications, schedule ==
+    top-budget by (est DESC, d1, d2), and growing the budget only adds
+    pairs (monotone schedule prefix)."""
+    from ds_jedai_spark.operators import dedup
+    from ds_jedai_spark.plans.pipeline_plans import _corpus
+
+    corpus = _corpus(spark, "/root/testdata/sf0.001")
+    sh = dedup.pin_shingles(corpus)
+    small = dedup.minhash_progressive_pairs(corpus, budget=10, sh=sh)
+    rows_small = small.collect()
+    assert 0 < len(rows_small) <= 10
+    big = dedup.minhash_progressive_pairs(corpus, budget=40, sh=sh)
+    rows_big = big.collect()
+    assert len(rows_small) <= len(rows_big) <= 40
+    key = lambda r: (r["d1"], r["d2"])
+    assert {key(r) for r in rows_small} <= {key(r) for r in rows_big}
+    # every verified pair's exact jaccard is consistent with the full
+    # estimate-free path where both report it
+    exact = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(corpus, 0.0, sh=sh).collect()
+    }
+    for r in rows_big:
+        assert abs(exact[key(r)] - r["jaccard"]) < 1e-12
+        assert 0.0 <= r["est"] <= 1.0
