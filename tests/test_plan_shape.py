@@ -158,3 +158,58 @@ def test_pipeline_text_ops_have_no_single_task_stages(spark):
             f"unpartitioned window in pack plan: {head}"
         )
     assert "SinglePartition" not in plan
+
+
+def test_progressive_dedup_plan_is_take_ordered(spark):
+    """The budgeted schedule must be a TakeOrderedAndProject (global
+    top-k merge of `budget` rows), not a full sort."""
+    from ds_jedai_spark.operators import dedup
+    from ds_jedai_spark.plans.pipeline_plans import _corpus
+
+    corpus = _corpus(spark, "/root/testdata/sf0.001")
+    sh = dedup.pin_shingles(corpus)
+    sig = dedup._pin(dedup.minhash_signature_arrays(sh, 32))
+    band = dedup._pin(dedup._band_table(sh, 32, 4))
+    from pyspark.sql import functions as F
+
+    a = band.select(F.col("doc_id").alias("d1"), "band", "bkey")
+    b = band.select(F.col("doc_id").alias("d2"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"]).where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2").distinct()
+        .join(sig.select(F.col("doc_id").alias("d1"),
+                         F.col("sig").alias("s1")), "d1")
+        .join(sig.select(F.col("doc_id").alias("d2"),
+                         F.col("sig").alias("s2")), "d2")
+        .withColumn("est", F.lit(0.5))
+        .orderBy(F.desc("est"), "d1", "d2").limit(50)
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cross_dedup_plans_have_no_cartesian(spark):
+    """Neither incremental ingest path (document or embedding space)
+    may plan a cartesian/nested-loop join."""
+    from ds_jedai_spark.operators import dedup, similarity
+    from ds_jedai_spark.plans import pipeline_plans as pl
+    from pyspark.sql import functions as F
+
+    corpus = pl._corpus(spark, "/root/testdata/sf0.001")
+    sh = dedup.pin_shingles(corpus)
+    doc_pairs = dedup.minhash_lsh_pairs_cross(
+        None, None, tau=0.8,
+        sh_a=sh.where(F.col("doc_id") % 2 == 0),
+        sh_b=sh.where(F.col("doc_id") % 2 == 1),
+    )
+    emb = pl._emb(spark, "/root/testdata/sf0.001")
+    emb_pairs = similarity.lsh_neardup_pairs_cross(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        0.4,
+    )
+    for df in (doc_pairs, emb_pairs):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for bad in ("Join Cross", "CartesianProduct",
+                    "BroadcastNestedLoopJoin"):
+            assert bad not in plan, f"{bad} in cross-dedup plan"
