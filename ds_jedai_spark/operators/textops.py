@@ -288,6 +288,24 @@ def corpus_shuffle(docs: DataFrame, shards: int = SHUFFLE_SHARDS) -> DataFrame:
     Output: (shard, n_docs, checksum) summary — the checksum
     sum(pos * (doc_id + 1)) mod P is order-SENSITIVE, so the gate hash
     pins the exact permutation, not just membership."""
+    p = corpus_shuffle_positions(docs, shards)
+    term = (F.col("pos") * (F.col("doc_id") + 1)) % SHUFFLE_CHECK_MOD
+    return (
+        p.select("shard", term.alias("term"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("term") % SHUFFLE_CHECK_MOD).alias("checksum"),
+        )
+    )
+
+
+def corpus_shuffle_positions(
+    docs: DataFrame, shards: int = SHUFFLE_SHARDS
+) -> DataFrame:
+    """Per-doc (doc_id, shard, pos) of the deterministic shuffle — the
+    frame a training run actually reads (corpus_shuffle aggregates it
+    into the gate's order-sensitive per-shard summary)."""
     h = F.expr(
         "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) "
         "AS BIGINT)"
@@ -296,15 +314,8 @@ def corpus_shuffle(docs: DataFrame, shards: int = SHUFFLE_SHARDS) -> DataFrame:
         "shard", F.col("h") % shards
     )
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
-    pos = F.row_number().over(w).cast("long")
-    term = (pos * (F.col("doc_id") + 1)) % SHUFFLE_CHECK_MOD
-    return (
-        d.select("shard", term.alias("term"))
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            (F.sum("term") % SHUFFLE_CHECK_MOD).alias("checksum"),
-        )
+    return d.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
     )
 
 
