@@ -226,6 +226,31 @@ def _run_op(args) -> int:
                 )
             else:
                 df = lsh_neardup_pairs(left, tau, n_bands="auto")
+        elif args.op == "ann":
+            from pyspark.sql import functions as F
+
+            from ds_jedai_spark.operators.similarity import (
+                auto_ivf_cells,
+                brute_topk,
+                ivf_trained_topk,
+                kmeans_assignments,
+                train_centroids,
+            )
+
+            if not args.left:
+                print("-op ann needs -left parquet path", file=sys.stderr)
+                return 2
+            corpus = _emb_frame(_read(args.left, ()), args)
+            k = args.k
+            if args.method == "brute":
+                df = brute_topk(corpus, n_queries=args.n_queries, k=k)
+            else:
+                cells_n = auto_ivf_cells(corpus.count())
+                cent = train_centroids(corpus, k=cells_n).localCheckpoint()
+                cells = kmeans_assignments(corpus, cent=cent).select(
+                    "vec_id", "cid"
+                ).localCheckpoint()
+                df = ivf_trained_topk(corpus, k=k, cent=cent, cells=cells)
         elif args.op == "chunk":
             from ds_jedai_spark.operators.textops import chunk_documents
 
@@ -264,9 +289,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "-op",
         default=None,
-        choices=["asof", "interval", "chunk", "dedup", "emb-dedup"],
+        choices=["asof", "interval", "chunk", "dedup", "emb-dedup", "ann"],
         help="run a temporal/pipeline operator on user parquet",
     )
+    ap.add_argument("-k", type=int, default=5,
+                    help="ann: neighbors per query")
+    ap.add_argument("-n-queries", dest="n_queries", type=int, default=10,
+                    help="ann (brute): query ids are vec_id < N")
+    ap.add_argument("-method", default="ivf", choices=["brute", "ivf"],
+                    help="ann: exact brute force or auto-sized trained IVF")
     ap.add_argument("-tau", type=float, default=None,
                     help="dedup: similarity threshold (jaccard/cosine)")
     ap.add_argument("-id-col", dest="id_col", default="doc_id",

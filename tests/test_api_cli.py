@@ -275,3 +275,32 @@ def test_cli_op_dedup_surface(spark, tmp_path, monkeypatch):
     assert set(ep.columns) == {"d1", "d2", "cos"}
     assert ep.count() > 0
     assert ep.where(F.col("cos") < 0.4).count() == 0
+
+
+def test_cli_op_ann(spark, tmp_path, monkeypatch):
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    emb = str(tmp_path / "emb.parquet")
+    spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).write.mode("overwrite").parquet(emb)
+
+    out = str(tmp_path / "brute.parquet")
+    assert cli.main(["-op", "ann", "-left", emb, "-method", "brute",
+                     "-k", "4", "-n-queries", "6", "-out", out]) == 0
+    res = spark.read.parquet(out)
+    assert set(res.columns) == {"qid", "vid", "cos"}
+    counts = {r["qid"]: r["n"] for r in
+              res.groupBy("qid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == set(range(6)) and all(v == 4 for v in counts.values())
+
+    out2 = str(tmp_path / "ivf.parquet")
+    assert cli.main(["-op", "ann", "-left", emb, "-method", "ivf",
+                     "-k", "3", "-out", out2]) == 0
+    res2 = spark.read.parquet(out2)
+    assert res2.count() > 0
+    assert res2.groupBy("qid").count().agg(F.max("count")).first()[0] <= 3
