@@ -34,11 +34,13 @@ noise is small relative to the run):
 - ivf_x10: trained-IVF build + search at 10x with corpus-scaled cell
   count (auto_ivf_cells ~ sqrt(n); the fixed k=8 default is the toy
   setting whose per-query scan cost grows O(n/8)).
-- asof_x16_uniform / asof_x16_hotkey: 16x cloned events through the
-  skew-safe bucket-carry as-of join. The hot variant reassigns 10% of
-  ALL rows to ONE user — the bot-account shape that serializes a
-  per-key unbounded window. GATE: hot wall <= ~2x uniform wall
-  (asof_hot_over_uniform in the output).
+- asof_x16_uniform / asof_x16_hotkey / asof_x16_hotkey_auto: 16x
+  cloned events through the skew-safe bucket-carry as-of join. The hot
+  variants reassign 10% of ALL rows to ONE user — the bot-account
+  shape that serializes a per-key unbounded window; the `_auto` line
+  uses the engine's own bucket_us="auto" heuristic instead of the
+  explicit width, so the policy itself is regressed under skew.
+  GATE: hot wall <= ~2x uniform wall (asof_hot_over_uniform).
 """
 
 from __future__ import annotations
@@ -318,7 +320,7 @@ def _cloned_events(spark, sf_dir, hot: bool):
     return c
 
 
-def asof_x16(hot: bool):
+def asof_x16(hot: bool, bucket: object = "explicit"):
     def q(spark, sf_dir):
         from ds_jedai_spark.operators.temporal import asof_join
         from ds_jedai_spark.plans.timeseries_plans import ASOF_BUCKET_US
@@ -333,7 +335,7 @@ def asof_x16(hot: bool):
         return asof_join(
             clicks, purchases, key="user_id", ts="ts",
             right_attrs=("purchase_id", "value"),
-            bucket_us=ASOF_BUCKET_US,
+            bucket_us=ASOF_BUCKET_US if bucket == "explicit" else bucket,
         ).count()
 
     return q
@@ -357,6 +359,10 @@ def main() -> None:
         ("simhash_x10", lambda: simhash_x10(spark, sf_dir)),
         ("asof_x16_uniform", lambda: asof_x16(False)(spark, sf_dir)),
         ("asof_x16_hotkey", lambda: asof_x16(True)(spark, sf_dir)),
+        # the engine's own bucket heuristic under the hot-key shape —
+        # regresses that bucket_us="auto" stays skew-safe end-to-end
+        ("asof_x16_hotkey_auto",
+         lambda: asof_x16(True, bucket="auto")(spark, sf_dir)),
     ]
     # Best-of-2 per entry, matching bench.py's protocol: the minimum
     # excludes one-time view registration / parquet-footer probes and

@@ -251,6 +251,22 @@ def _run_op(args) -> int:
                     "vec_id", "cid"
                 ).localCheckpoint()
                 df = ivf_trained_topk(corpus, k=k, cent=cent, cells=cells)
+        elif args.op == "shuffle":
+            from ds_jedai_spark.operators.textops import (
+                SHUFFLE_SHARDS,
+                corpus_shuffle_positions,
+            )
+
+            if not args.left:
+                print("-op shuffle needs -left parquet path", file=sys.stderr)
+                return 2
+            d0 = _read(args.left, ())
+            if args.id_col != "doc_id":
+                d0 = d0.withColumnRenamed(args.id_col, "doc_id")
+            df = corpus_shuffle_positions(
+                d0.select("doc_id"),
+                shards=args.shards or SHUFFLE_SHARDS,
+            )
         elif args.op == "chunk":
             from ds_jedai_spark.operators.textops import chunk_documents
 
@@ -289,9 +305,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "-op",
         default=None,
-        choices=["asof", "interval", "chunk", "dedup", "emb-dedup", "ann"],
+        choices=["asof", "interval", "chunk", "dedup", "emb-dedup", "ann",
+                 "shuffle"],
         help="run a temporal/pipeline operator on user parquet",
     )
+    ap.add_argument("-shards", type=int, default=None,
+                    help="shuffle: number of training shards")
     ap.add_argument("-k", type=int, default=5,
                     help="ann: neighbors per query")
     ap.add_argument("-n-queries", dest="n_queries", type=int, default=10,

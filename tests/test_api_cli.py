@@ -304,3 +304,31 @@ def test_cli_op_ann(spark, tmp_path, monkeypatch):
     res2 = spark.read.parquet(out2)
     assert res2.count() > 0
     assert res2.groupBy("qid").count().agg(F.max("count")).first()[0] <= 3
+
+
+def test_cli_op_shuffle(spark, tmp_path, monkeypatch):
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    docs = str(tmp_path / "d.parquet")
+    spark.range(100).select(F.col("id").alias("my_id")).write.mode(
+        "overwrite"
+    ).parquet(docs)
+    out = str(tmp_path / "shuffled.parquet")
+    assert cli.main(["-op", "shuffle", "-left", docs, "-id-col", "my_id",
+                     "-shards", "4", "-out", out]) == 0
+    res = spark.read.parquet(out)
+    assert res.count() == 100
+    assert set(res.columns) == {"doc_id", "shard", "pos"}
+    # positions are 1..n within each shard
+    from pyspark.sql import functions as SF
+    per = res.groupBy("shard").agg(
+        SF.count(SF.lit(1)).alias("n"), SF.max("pos").alias("mx"),
+        SF.min("pos").alias("mn"),
+    ).collect()
+    assert len(per) == 4
+    for r in per:
+        assert r["mn"] == 1 and r["mx"] == r["n"]
