@@ -119,6 +119,9 @@ def main() -> None:
         ("knn_exact", giant.knn_exact_pairs),
         # Non-spatial half — regressions here must be visible per round:
         ("dedup_minhash_lsh", pl.QUERIES["dedup_minhash_lsh"]),
+        # budgeted verification (estimate-ranked top-50) — the
+        # progressive paradigm on the dedup side, new in r6
+        ("dedup_progressive", pl.QUERIES["dedup_progressive"]),
         ("progressive_giant_js", pp.progressive_giant_js),
         ("topk_cf", pp.topk_cf),
         ("text_token_stats", pl.QUERIES["text_token_stats"]),
