@@ -72,6 +72,8 @@ def auto_bucket_us(
     ).first()
     if not r["n"] or r["n"] <= target_rows:
         return None
+    if r["lo"] is None or r["hi"] is None:  # all-null event times
+        return None
     delta = r["hi"] - r["lo"]
     span = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
     if span <= 0:
