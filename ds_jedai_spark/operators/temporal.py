@@ -62,9 +62,19 @@ def auto_bucket_us(
     most ~``target_rows`` rows per (key, bucket) window partition —
     ``span_us * target / n_rows``. One cheap count+min/max aggregate on
     the right side (a scan with a 1-row result; no shuffle of data
-    rows); worst-case-safe because any single key's rate is bounded by
-    the global rate. Returns None (single-window form) when the stream
-    is small enough that one key could hold it all anyway."""
+    rows); under a roughly time-uniform arrival rate this is
+    worst-case-safe in KEY skew, because any single key's rate is
+    bounded by the global rate.
+
+    The bound assumes rate uniformity IN TIME: the width divides the
+    span by total rows, so a temporal burst (90% of events inside one
+    flash minute of a year-long span) still lands in one bucket and a
+    hot key inside the burst re-creates the big partition. For bursty
+    streams size the bucket from the PEAK rate instead (bucket_us ~
+    target_rows / peak_rows_per_us) or pass an explicit width; deriving
+    that from a per-bucket count quantile costs one extra aggregate.
+    Returns None (single-window form) when the stream is small enough
+    that one key could hold it all anyway."""
     r = right.agg(
         F.count(F.lit(1)).alias("n"),
         F.min(ts).alias("lo"),

@@ -442,6 +442,41 @@ def corpus_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).unionByName(c)
 
 
+def _drain_foreach_batch(stream: DataFrame, on_batch, ckpt_key: str) -> None:
+    """Drain a foreachBatch ingest stream with availableNow: fresh
+    checkpoint per invocation (callers drop/recreate their sink table,
+    so a surviving checkpoint would mark every source file processed),
+    and the shuffle-partition scoping run_to_table documents (state/
+    shuffle tasks sized to the core count for the drain, restored
+    after)."""
+    import os
+    import shutil
+    import tempfile
+
+    spark = stream.sparkSession
+    ckpt = os.path.join(
+        tempfile.gettempdir(),
+        f"jedai_ckpt_{ckpt_key}_{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    before = spark.conf.get("spark.sql.shuffle.partitions", None)
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(4, cores)))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if before is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
 def stream_incremental_dedup(
     docs_stream: DataFrame,
     index_sh: DataFrame,
@@ -465,12 +500,7 @@ def stream_incremental_dedup(
     and state is zero — no watermark, no state store; exactly-once
     lands on the sink's append atomicity exactly like any foreachBatch
     pipeline."""
-    import tempfile
-    import os
-
     from ds_jedai_spark.operators import dedup
-
-    spark = docs_stream.sparkSession
 
     def on_batch(batch_df: DataFrame, _bid: int) -> None:
         pairs = dedup.minhash_lsh_pairs_cross(
@@ -478,32 +508,7 @@ def stream_incremental_dedup(
         )
         pairs.write.mode("append").saveAsTable(out_table)
 
-    ckpt = os.path.join(
-        tempfile.gettempdir(),
-        f"jedai_ckpt_dedup_{spark.sparkContext.applicationId}_{out_table}",
-    )
-    # Fresh checkpoint per invocation: the caller drops/recreates the
-    # sink table, so a surviving checkpoint would mark every source file
-    # processed and this run would append nothing.
-    import shutil
-
-    shutil.rmtree(ckpt, ignore_errors=True)
-    before = spark.conf.get("spark.sql.shuffle.partitions", None)
-    cores = spark.sparkContext.defaultParallelism
-    spark.conf.set("spark.sql.shuffle.partitions", str(max(4, cores)))
-    try:
-        q = (
-            docs_stream.writeStream.foreachBatch(on_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        if before is None:
-            spark.conf.unset("spark.sql.shuffle.partitions")
-        else:
-            spark.conf.set("spark.sql.shuffle.partitions", before)
+    _drain_foreach_batch(docs_stream, on_batch, f"dedup_{out_table}")
 
 
 def stream_incremental_embedding_dedup(
@@ -520,13 +525,7 @@ def stream_incremental_embedding_dedup(
     the index side reads the pinned band table. Zero streaming state;
     per-batch results couple batch vectors with the index only, so the
     appended union is invariant to the micro-batch split."""
-    import os
-    import shutil
-    import tempfile
-
     from ds_jedai_spark.operators import similarity
-
-    spark = emb_stream.sparkSession
 
     def on_batch(batch_df: DataFrame, _bid: int) -> None:
         pairs = similarity.lsh_neardup_pairs_cross(
@@ -534,24 +533,4 @@ def stream_incremental_embedding_dedup(
         )
         pairs.write.mode("append").saveAsTable(out_table)
 
-    ckpt = os.path.join(
-        tempfile.gettempdir(),
-        f"jedai_ckpt_embdedup_{spark.sparkContext.applicationId}_{out_table}",
-    )
-    shutil.rmtree(ckpt, ignore_errors=True)
-    before = spark.conf.get("spark.sql.shuffle.partitions", None)
-    cores = spark.sparkContext.defaultParallelism
-    spark.conf.set("spark.sql.shuffle.partitions", str(max(4, cores)))
-    try:
-        q = (
-            emb_stream.writeStream.foreachBatch(on_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        if before is None:
-            spark.conf.unset("spark.sql.shuffle.partitions")
-        else:
-            spark.conf.set("spark.sql.shuffle.partitions", before)
+    _drain_foreach_batch(emb_stream, on_batch, f"embdedup_{out_table}")
