@@ -187,10 +187,17 @@ def duplicate_clusters(
 ) -> DataFrame:
     """Connected components over the duplicate-pair graph: cluster id =
     the minimum doc_id reachable from a node. Iterative min-label
-    propagation — each round is one distributed join+aggregate, with an
-    early-exit action per round and localCheckpoint to truncate lineage.
-    Near-dup clusters have tiny diameters, so this converges in a few
-    rounds; at 100 TB each round is a single shuffle keyed by doc id.
+    propagation WITH POINTER DOUBLING — each round (a) takes the min
+    label over graph neighbors, then (b) adopts the current label of
+    the node one's label points at (label-of-label), so label reach
+    roughly doubles per round and convergence is O(log diameter)
+    rounds, not O(diameter): a 30,000-link drifted near-dup chain
+    resolves inside the default 15 rounds where pure propagation would
+    silently stop short. Each round is two distributed joins + one
+    aggregate with an early-exit action and localCheckpoint lineage
+    truncation; at 100 TB each round shuffles by doc id. Raises if the
+    budget is exhausted before the fixpoint — a wrong clustering must
+    never be returned quietly.
     """
     e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -200,6 +207,7 @@ def duplicate_clusters(
             F.col("a").alias("node"), F.col("a").alias("label")
         )
     ).localCheckpoint()
+    changed = 1
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -211,13 +219,25 @@ def duplicate_clusters(
             .groupBy("a")
             .agg(F.min("blabel").alias("nlabel"))
         )
+        prop = labels.join(nbr, labels["node"] == nbr["a"], "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                "label"
+            ),
+        )
+        # pointer doubling: every label is itself a node id, so adopt
+        # that node's current label too (min keeps correctness: labels
+        # only ever decrease toward the component minimum)
+        hop = prop.select(
+            F.col("node").alias("label"), F.col("label").alias("ll")
+        )
         new = (
-            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            prop.join(hop, on="label", how="left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
-                    "label"
-                ),
+                F.least(
+                    F.col("label"), F.coalesce("ll", "label")
+                ).alias("label"),
             )
             .localCheckpoint()
         )
@@ -230,6 +250,11 @@ def duplicate_clusters(
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds "
+            f"(component diameter > ~2^{max_iter}); raise max_iter"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

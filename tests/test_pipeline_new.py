@@ -433,3 +433,25 @@ def test_minhash_progressive_budget_semantics(spark):
     for r in rows_big:
         assert abs(exact[key(r)] - r["jaccard"]) < 1e-12
         assert 0.0 <= r["est"] <= 1.0
+
+
+def test_duplicate_clusters_long_chain_pointer_doubling(spark):
+    """A 300-link chain (diameter far beyond the 15-round budget of
+    pure min propagation) must converge via pointer doubling, labeling
+    every node with the chain minimum; and non-convergence must raise
+    rather than silently return wrong labels."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from ds_jedai_spark.operators.dedup import duplicate_clusters
+
+    n = 300
+    pairs = spark.createDataFrame(
+        [Row(d1=i, d2=i + 1) for i in range(n)]
+    )
+    labels = duplicate_clusters(pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert len(got) == n + 1 and set(got.values()) == {0}
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iter=2)
