@@ -260,6 +260,33 @@ def duplicate_clusters(
     )
 
 
+def dedup_apply(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Materialize the deduplicated corpus — the stage that actually
+    shrinks the data after pair discovery + clustering.
+
+    Keeps every doc that is either unclustered (no near-duplicate found)
+    or its cluster's representative; ``duplicate_clusters`` labels with
+    the component-minimum doc id, so the representative is exactly the
+    row with ``cluster_id == doc_id``. All ``docs`` columns pass
+    through, plus ``cluster_id`` (-1 for docs with no near-duplicate),
+    so downstream stages can count how much each survivor stands for.
+
+    Scale: one LEFT equi-join on doc_id. ``clusters`` holds only docs
+    that appear in some duplicate pair — tiny relative to a 100 TB
+    corpus, so Catalyst broadcasts it; the corpus side never shuffles.
+    """
+    return (
+        docs.join(clusters, "doc_id", "left")
+        .where(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .withColumn(
+            "cluster_id", F.coalesce("cluster_id", F.lit(-1).cast("long"))
+        )
+    )
+
+
 def minhash_signatures(d: DataFrame, k: int = 32) -> DataFrame:
     """(doc_id, i, h) minhash signatures with closed-form hash family
     h_i(w) = ((2i+1)*w + i*i + 7) mod P over md5-derived shingle ids.

@@ -409,7 +409,19 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
             ]
         ),
     )
-    keep("dedup_clusters", pl.QUERIES["dedup_clusters"], pl.ORACLES["dedup_clusters"])
+    add(
+        "dedup_clusters",
+        tagged_union(
+            [
+                ("clusters", pl.QUERIES["dedup_clusters"],
+                 pl.ORACLES["dedup_clusters"]),
+                # the dedup OUTPUT: one representative per cluster +
+                # every unclustered doc (cluster_id = -1)
+                ("survivors", pl.QUERIES["dedup_survivors"],
+                 pl.ORACLES["dedup_survivors"]),
+            ]
+        ),
+    )
     add(
         "dedup_semantic_clusters",
         tagged_union(

@@ -203,6 +203,20 @@ def dedup_clusters(spark, sf_dir):
     )
 
 
+def dedup_survivors(spark, sf_dir):
+    """The deduplicated corpus itself: cluster the exact n-gram-Jaccard
+    duplicate graph, then keep one representative per cluster plus all
+    unclustered docs (cluster_id = -1). The user-facing OUTPUT of the
+    dedup pipeline, not just its pair/cluster diagnostics."""
+    docs = _corpus(spark, sf_dir)
+    clusters = dedup.duplicate_clusters(
+        dedup.ngram_jaccard_pairs(
+            docs, TAU_JACCARD, sh=_pinned_shingles(spark, sf_dir)
+        )
+    )
+    return dedup.dedup_apply(docs, clusters).select("doc_id", "cluster_id")
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     return similarity.cosine_neardup_pairs(_emb(spark, sf_dir), TAU_COS)
 
@@ -466,6 +480,28 @@ def dedup_clusters_oracle() -> str:
         "UNION "
         "SELECT e.a, w.label FROM e JOIN walk w ON e.b = w.node) "
         "SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node"
+    )
+
+
+def dedup_survivors_oracle() -> str:
+    # Same transitive closure as dedup_clusters_oracle, then the apply
+    # step: keep unclustered docs and each cluster's min-id
+    # representative (the label IS the component-minimum id).
+    return (
+        f"WITH RECURSIVE {_SHINGLE_CTE}, "
+        f"p AS (SELECT d1, d2 FROM jac WHERE jaccard >= {TAU_JACCARD!r}), "
+        "e AS (SELECT d1 AS a, d2 AS b FROM p UNION ALL "
+        "SELECT d2 AS a, d1 AS b FROM p), "
+        "walk(node, label) AS ("
+        "SELECT a, a FROM (SELECT DISTINCT a FROM e) "
+        "UNION "
+        "SELECT e.a, w.label FROM e JOIN walk w ON e.b = w.node), "
+        "cl AS (SELECT node AS doc_id, min(label) AS cluster_id "
+        "FROM walk GROUP BY node) "
+        "SELECT c.doc_id, "
+        "coalesce(cl.cluster_id, CAST(-1 AS BIGINT)) AS cluster_id "
+        "FROM corpus c LEFT JOIN cl USING (doc_id) "
+        "WHERE cl.cluster_id IS NULL OR cl.cluster_id = c.doc_id"
     )
 
 
@@ -1098,6 +1134,7 @@ QUERIES = {
     "dedup_embedding_cross": dedup_embedding_cross,
     "ann_pq_recall": ann_pq_recall,
     "dedup_clusters": dedup_clusters,
+    "dedup_survivors": dedup_survivors,
     "ann_brute_topk": ann_brute_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_pairs": ann_lsh_pairs,
@@ -1135,6 +1172,7 @@ ORACLES = {
     "dedup_embedding_cross": dedup_embedding_cross_oracle(),
     "ann_pq_recall": ann_pq_recall_oracle(),
     "dedup_clusters": dedup_clusters_oracle(),
+    "dedup_survivors": dedup_survivors_oracle(),
     "ann_brute_topk": ann_brute_topk_oracle(),
     "ann_ivf_topk": ann_ivf_topk_oracle(),
     "ann_lsh_pairs": ann_lsh_pairs_oracle(),

@@ -455,3 +455,26 @@ def test_duplicate_clusters_long_chain_pointer_doubling(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         duplicate_clusters(pairs, max_iter=2)
+
+
+def test_dedup_apply_materializes_survivor_corpus(spark):
+    """dedup_apply keeps exactly one representative (the cluster-min
+    doc) per duplicate cluster plus all unclustered docs, passes the
+    corpus columns through, and tags singletons with cluster_id = -1."""
+    from pyspark.sql import Row
+
+    from ds_jedai_spark.operators.dedup import dedup_apply, duplicate_clusters
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{i}") for i in range(10)]
+    )
+    # two clusters {1,2,3} and {7,9}; 0,4,5,6,8 are singletons
+    pairs = spark.createDataFrame(
+        [Row(d1=1, d2=2), Row(d1=2, d2=3), Row(d1=7, d2=9)]
+    )
+    out = dedup_apply(docs, duplicate_clusters(pairs)).collect()
+    got = {r["doc_id"]: (r["cluster_id"], r["text"]) for r in out}
+    assert set(got) == {0, 1, 4, 5, 6, 7, 8}
+    assert got[1] == (1, "t1") and got[7] == (7, "t7")
+    for s in (0, 4, 5, 6, 8):
+        assert got[s] == (-1, f"t{s}")
