@@ -127,6 +127,10 @@ def main() -> None:
         ("text_token_stats", pl.QUERIES["text_token_stats"]),
         ("text_contamination", pl.QUERIES["text_contamination"]),
         ("text_pii_scrub", pl.QUERIES["text_pii_scrub"]),
+        # cross-document substring dedup (duplicated >=8-word spans,
+        # keep-first scrub) — gram groupBy + islands merge + array
+        # rebuild, new in r6
+        ("text_span_scrub", pl.QUERIES["text_span_scrub"]),
         ("emb_quantize", pl.QUERIES["emb_quantize"]),
         # Stateful applyInPandas scans (sequential PQ semantics) — the
         # family whose regressions the batch plans can't catch.

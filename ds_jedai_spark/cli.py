@@ -319,6 +319,21 @@ def _run_op(args) -> int:
                 chunk_tokens=args.chunk_tokens,
                 overlap=args.overlap,
             )
+        elif args.op in ("dupspans", "scrub"):
+            from ds_jedai_spark.operators.textops import (
+                duplicated_spans,
+                scrubbed_corpus,
+            )
+
+            if not args.left:
+                print(f"-op {args.op} needs -left parquet path",
+                      file=sys.stderr)
+                return 2
+            d0 = _docs_frame(_read(args.left, ()), args)
+            if args.op == "dupspans":
+                df = duplicated_spans(d0, k=args.span_words)
+            else:
+                df = scrubbed_corpus(d0, k=args.span_words)
         else:
             print(f"unknown op {args.op!r}", file=sys.stderr)
             return 2
@@ -347,7 +362,7 @@ def main(argv: list[str] | None = None) -> int:
         "-op",
         default=None,
         choices=["asof", "interval", "chunk", "dedup", "emb-dedup", "ann",
-                 "shuffle"],
+                 "shuffle", "dupspans", "scrub"],
         help="run a temporal/pipeline operator on user parquet",
     )
     ap.add_argument("-shards", type=int, default=None,
@@ -386,6 +401,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-right-start", dest="right_start", default="w_start")
     ap.add_argument("-right-end", dest="right_end", default="w_end")
     ap.add_argument("-how", default="inner", choices=["inner", "left"])
+    ap.add_argument("-span-words", dest="span_words", type=int, default=8,
+                    help="dupspans/scrub: min duplicated run length in "
+                         "words (Lee-et-al k)")
     ap.add_argument("-chunk-tokens", dest="chunk_tokens", type=int,
                     default=None, help="chunk: window size in tokens")
     ap.add_argument("-overlap", type=int, default=None,

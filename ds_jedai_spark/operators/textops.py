@@ -535,3 +535,164 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         F.length(clean).cast("bigint").alias("len_clean"),
         F.md5(clean.cast("binary")).alias("clean_md5"),
     )
+
+
+# ------------------------------------------------------------------
+# Cross-document substring-level dedup (duplicated k-gram spans).
+#
+# Document-level dedup (operators/dedup.py) removes whole near-copies;
+# this pass finds REPEATED SUBSTRINGS — boilerplate headers, license
+# blocks, quoted passages — that survive document dedup because the
+# host documents differ (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better": remove any >= k-token substring that
+# occurs more than once in the corpus, keeping one occurrence).
+#
+# Scale shape (the whole family is blocked equi-join, never all-pairs):
+#   1. positional k-grams per doc — map-only explode, O(total tokens);
+#   2. one groupBy(gram) with map-side partial agg -> occurrence count
+#      + canonical (minimum (doc_id, pos)) occurrence; grams with
+#      count < min_count die here, so only the duplicated sliver — a
+#      tiny fraction of a real corpus — survives;
+#   3. equi-join positions back to the surviving grams, drop each
+#      gram's canonical occurrence (the kept copy);
+#   4. per-doc gaps-and-islands window merges overlapping/adjacent
+#      redundant gram starts into maximal spans — partitioned by
+#      doc_id, so no window partition outgrows a document.
+# At 100 TB the gram shuffle is the dominant term and is linear in
+# corpus size; a production run would key step 2/3 by a 128-bit digest
+# of the gram (md5 works in both engines) instead of the gram string to
+# cap shuffle width — kept as the string here so the DuckDB oracle
+# replays the exact join key.
+
+
+def gram_positions(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, gram): '_'-joined word k-grams with their 1-based
+    start position on the empty-filtered token array. Unlike
+    ``shingles`` this keeps positions and intra-doc repeats — span
+    detection needs every occurrence, not the distinct gram set."""
+    arr = F.filter(F.split("text", " "), lambda w: w != "")
+    t = docs.select("doc_id", arr.alias("arr"))
+    gram = F.when(
+        F.size(F.col("arr")) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("arr")) - (k - 1)),
+            lambda i: F.concat_ws(
+                "_", *[F.element_at(F.col("arr"), i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return t.select(
+        "doc_id", F.posexplode(gram).alias("pos0", "gram")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+
+
+def duplicated_spans(
+    docs: DataFrame, k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Maximal redundant substring spans: (doc_id, span_start, span_end,
+    n_grams), word positions inclusive, covering every occurrence of
+    every k-gram that appears >= min_count times in the corpus EXCEPT
+    the gram's canonical first occurrence (minimum (doc_id, pos)) — the
+    copy a keep-one scrub retains. n_grams counts the merged redundant
+    gram starts inside the span.
+
+    Spans from overlapping or ADJACENT (gap 0) redundant grams merge:
+    a repeated run of length L >> k appears as L-k+1 duplicated grams
+    and must come out as ONE span, not L-k+1."""
+    g = gram_positions(docs, k)
+    dup = (
+        g.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+        )
+        .where(F.col("n_occ") >= min_count)
+        .select("gram", "first_occ")
+    )
+    red = g.join(dup, "gram").where(
+        ~(
+            (F.col("doc_id") == F.col("first_occ.doc_id"))
+            & (F.col("pos") == F.col("first_occ.pos"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    covered_end = F.col("pos") + F.lit(k - 1)
+    prev_end = F.max(covered_end).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        red.select("doc_id", "pos", covered_end.alias("end"))
+        .withColumn("island", F.sum(is_new).over(w))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )
+
+
+def scrub_duplicated_spans(
+    docs: DataFrame, k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Keep-first substring scrub: rebuild each document's text with all
+    redundant duplicated spans removed (one occurrence of every
+    duplicated run survives, at its corpus-first position). Returns
+    (doc_id, n_words, n_dropped, len_clean, clean_md5) — the md5 pins
+    the full scrubbed byte stream for the oracle, as in ``pii_scrub``.
+
+    The span set is collected per doc and applied ARRAY-NATIVE: one
+    left equi-join on doc_id (the span side holds only docs with
+    redundant text — tiny next to the corpus, broadcastable), then a
+    JVM array filter keeps words outside every span. The corpus text is
+    never word-exploded or re-sorted; whitespace normalizes to single
+    spaces (positions index the empty-filtered token array)."""
+    t, kept = _scrub_kept(docs, k, min_count)
+    return t.select(
+        "doc_id",
+        F.size("arr").cast("bigint").alias("n_words"),
+        (F.size("arr") - F.size(kept)).cast("bigint").alias("n_dropped"),
+        F.length(F.concat_ws(" ", kept)).cast("bigint").alias("len_clean"),
+        F.md5(F.concat_ws(" ", kept).cast("binary")).alias("clean_md5"),
+    )
+
+
+def scrubbed_corpus(
+    docs: DataFrame, k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """The user-facing scrub OUTPUT: (doc_id, text) with every redundant
+    duplicated span removed (keep-first). ``scrub_duplicated_spans``
+    emits the audit stats/md5 the gate hashes; this emits the corpus a
+    training run would actually consume downstream."""
+    t, kept = _scrub_kept(docs, k, min_count)
+    return t.select("doc_id", F.concat_ws(" ", kept).alias("text"))
+
+
+def _scrub_kept(docs: DataFrame, k: int, min_count: int):
+    """Shared scrub core: (frame with doc_id/arr/sp, kept-words column)."""
+    spans = duplicated_spans(docs, k, min_count)
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.array(F.col("span_start"), F.col("span_end"))
+        ).alias("sp")
+    )
+    arr = F.filter(F.split("text", " "), lambda w: w != "")
+    t = docs.join(sp, "doc_id", "left").select(
+        "doc_id",
+        arr.alias("arr"),
+        F.coalesce(
+            "sp", F.array().cast("array<array<bigint>>")
+        ).alias("sp"),
+    )
+    kept = F.filter(
+        F.col("arr"),
+        lambda w, i: ~F.exists(
+            F.col("sp"),
+            lambda s: (i + 1 >= s.getItem(0)) & (i + 1 <= s.getItem(1)),
+        ),
+    )
+    return t, kept

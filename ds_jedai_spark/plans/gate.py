@@ -499,8 +499,37 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
             ],
         ),
     )
-    keep("text_contamination", pl.QUERIES["text_contamination"],
-         pl.ORACLES["text_contamination"])
+    add(
+        "text_contamination",
+        tagged_union(
+            [
+                # benchmark decontamination + cross-document substring
+                # dedup (Lee-et-al duplicated >=8-word spans, keep-first
+                # scrub), mapped onto one (doc_id, a, b, x, s) schema
+                ("contam",
+                 *mapped(pl.QUERIES["text_contamination"],
+                         pl.ORACLES["text_contamination"],
+                         [("doc_id", "doc_id", None),
+                          ("n_grams", "a", None), ("n_hit", "b", None),
+                          ("hit_frac", "x", None),
+                          ("contaminated", "s", "string")])),
+                ("dupspans",
+                 *mapped(pl.QUERIES["text_dup_spans"],
+                         pl.ORACLES["text_dup_spans"],
+                         [("doc_id", "doc_id", None),
+                          ("span_start", "a", None), ("span_end", "b", None),
+                          ("n_grams", "x", "double"),
+                          ("n_grams", "s", "string")])),
+                ("spanscrub",
+                 *mapped(pl.QUERIES["text_span_scrub"],
+                         pl.ORACLES["text_span_scrub"],
+                         [("doc_id", "doc_id", None),
+                          ("n_dropped", "a", None), ("len_clean", "b", None),
+                          ("n_words", "x", "double"),
+                          ("clean_md5", "s", None)])),
+            ]
+        ),
+    )
     keep("text_pii_scrub", pl.QUERIES["text_pii_scrub"],
          pl.ORACLES["text_pii_scrub"])
     add(

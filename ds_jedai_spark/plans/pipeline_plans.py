@@ -1525,3 +1525,89 @@ def ann_ivf_multiprobe_topk_oracle() -> str:
 
 QUERIES["ann_ivf_multiprobe_topk"] = ann_ivf_multiprobe_topk
 ORACLES["ann_ivf_multiprobe_topk"] = ann_ivf_multiprobe_topk_oracle()
+
+
+# ------------------------------ substring-level dedup (duplicated spans)
+
+DUPSPAN_K = 8  # Lee-et-al-style min duplicated run length, in words
+
+# Shared oracle prefix: positional k-grams over the empty-filtered word
+# array, occurrence counts + canonical-first key per gram (doc_id*1e9+pos
+# orders exactly like the Spark min(struct(doc_id,pos)) because pos is
+# always < 1e9), redundant occurrences, and the per-doc gaps-and-islands
+# merge into maximal spans.
+_DUPSPAN_CTE = (
+    "warr AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS arr FROM documents), "
+    "g0 AS (SELECT doc_id, unnest(list_transform("
+    f"range(1, CASE WHEN len(arr) >= {DUPSPAN_K} THEN len(arr) - "
+    f"{DUPSPAN_K - 2} ELSE 1 END), "
+    "i -> {'pos': i, 'gram': array_to_string("
+    f"arr[i:i+{DUPSPAN_K - 1}], '_')}})) AS pg FROM warr), "
+    "g AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM g0), "
+    "dup AS (SELECT gram, min(doc_id * 1000000000 + pos) AS fk FROM g "
+    "GROUP BY gram HAVING count(*) >= 2), "
+    "red AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram) "
+    "WHERE g.doc_id * 1000000000 + g.pos <> dup.fk), "
+    "isl AS (SELECT doc_id, pos, "
+    f"pos + {DUPSPAN_K - 1} AS e, CASE WHEN "
+    f"max(pos + {DUPSPAN_K - 1}) OVER w IS NULL OR pos > "
+    f"max(pos + {DUPSPAN_K - 1}) OVER w + 1 THEN 1 ELSE 0 END AS nw "
+    "FROM red WINDOW w AS (PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+    "num AS (SELECT doc_id, pos, e, sum(nw) OVER "
+    "(PARTITION BY doc_id ORDER BY pos) AS island FROM isl), "
+    "spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, "
+    "CAST(max(e) AS BIGINT) AS span_end, count(*) AS n_grams "
+    "FROM num GROUP BY doc_id, island)"
+)
+
+
+def text_dup_spans(spark, sf_dir):
+    """Cross-document substring dedup: maximal redundant >=8-word spans
+    (Lee et al. 2022 keep-one semantics) over the documents table."""
+    return textops.duplicated_spans(_docs(spark, sf_dir), DUPSPAN_K).select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        "n_grams",
+    )
+
+
+def text_dup_spans_oracle() -> str:
+    return (
+        f"WITH {_DUPSPAN_CTE} "
+        "SELECT doc_id, span_start, span_end, n_grams FROM spans"
+    )
+
+
+def text_span_scrub(spark, sf_dir):
+    """Keep-first substring scrub output: per-doc word drop counts plus
+    the md5 of the scrubbed byte stream."""
+    return textops.scrub_duplicated_spans(_docs(spark, sf_dir), DUPSPAN_K)
+
+
+def text_span_scrub_oracle() -> str:
+    return (
+        f"WITH {_DUPSPAN_CTE}, "
+        "spl AS (SELECT doc_id, list([span_start, span_end]) AS sp "
+        "FROM spans GROUP BY doc_id), "
+        "j AS (SELECT w.doc_id, w.arr, "
+        "coalesce(spl.sp, CAST([] AS BIGINT[][])) AS sp "
+        "FROM warr w LEFT JOIN spl USING (doc_id)), "
+        # coalesce: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+        "k AS (SELECT doc_id, arr, coalesce(array_to_string(list_filter(arr, "
+        "(x, i) -> len(list_filter(sp, s -> i >= s[1] AND i <= s[2])) = 0"
+        "), ' '), '') AS clean FROM j) "
+        "SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_words, "
+        "CAST(len(arr) - len(string_split(clean, ' ')) + "
+        "CASE WHEN clean = '' THEN 1 ELSE 0 END AS BIGINT) AS n_dropped, "
+        "CAST(length(clean) AS BIGINT) AS len_clean, "
+        "md5(clean) AS clean_md5 FROM k"
+    )
+
+
+QUERIES["text_dup_spans"] = text_dup_spans
+ORACLES["text_dup_spans"] = text_dup_spans_oracle()
+QUERIES["text_span_scrub"] = text_span_scrub
+ORACLES["text_span_scrub"] = text_span_scrub_oracle()

@@ -332,3 +332,47 @@ def test_cli_op_shuffle(spark, tmp_path, monkeypatch):
     assert len(per) == 4
     for r in per:
         assert r["mn"] == 1 and r["mx"] == r["n"]
+
+
+def test_cli_op_dupspans_and_scrub(spark, tmp_path, monkeypatch):
+    """-op dupspans finds redundant duplicated runs on user parquet with
+    custom column names; -op scrub emits the keep-first-scrubbed corpus
+    (doc_id, text) with the redundant copies gone."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    boiler = "q w e r t y u i"
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, f"alpha {boiler} beta"), (2, f"g1 g2 {boiler} g3"),
+         (3, "all unique words in this one here now")],
+        "id long, body string",
+    ).write.mode("overwrite").parquet(docs)
+
+    out = str(tmp_path / "spans.parquet")
+    assert cli.main(["-op", "dupspans", "-left", docs,
+                     "-id-col", "id", "-text-col", "body",
+                     "-out", out]) == 0
+    spans = spark.read.parquet(out)
+    assert [tuple(r) for r in spans.collect()] == [(2, 3, 10, 1)]
+
+    out2 = str(tmp_path / "clean.parquet")
+    assert cli.main(["-op", "scrub", "-left", docs,
+                     "-id-col", "id", "-text-col", "body",
+                     "-out", out2]) == 0
+    clean = {r["doc_id"]: r["text"]
+             for r in spark.read.parquet(out2).collect()}
+    assert clean[1] == f"alpha {boiler} beta"      # canonical copy kept
+    assert clean[2] == "g1 g2 g3"                  # redundant copy gone
+    assert clean[3] == "all unique words in this one here now"
+
+    # shorter runs dedup'd once -span-words drops below the run length
+    out3 = str(tmp_path / "spans5.parquet")
+    assert cli.main(["-op", "dupspans", "-left", docs,
+                     "-id-col", "id", "-text-col", "body",
+                     "-span-words", "5", "-out", out3]) == 0
+    s5 = spark.read.parquet(out3)
+    assert s5.where("doc_id = 2").count() >= 1

@@ -478,3 +478,90 @@ def test_dedup_apply_materializes_survivor_corpus(spark):
     assert got[1] == (1, "t1") and got[7] == (7, "t7")
     for s in (0, 4, 5, 6, 8):
         assert got[s] == (-1, f"t{s}")
+
+
+def _span_docs(spark, rows):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows]
+    )
+
+
+def test_duplicated_spans_keep_first_and_merge(spark):
+    """Canonical (corpus-first) occurrence is never flagged; overlapping
+    and adjacent redundant grams merge into one maximal span."""
+    from ds_jedai_spark.operators.textops import duplicated_spans
+
+    boiler = "q w e r t y u i"  # exactly k=8 words
+    docs = _span_docs(
+        spark,
+        [
+            (1, f"alpha {boiler} beta"),          # canonical at pos 2
+            (2, f"g1 g2 {boiler} g3"),            # redundant at pos 3
+            (3, f"{boiler} {boiler}"),            # two adjacent copies
+            (4, "short doc"),                     # < k words: no grams
+            (5, "all words here are one of a kind nothing repeated"),
+        ],
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end): r.n_grams
+        for r in duplicated_spans(docs, k=8).collect()
+    }
+    # doc1 keeps its copy; doc2 loses words 3..10; doc3 loses 1..16 as
+    # ONE merged span (grams at pos 1 and 9, junction grams unique)
+    assert got == {(2, 3, 10): 1, (3, 1, 16): 2}
+
+
+def test_duplicated_spans_intra_document_repeat(spark):
+    """A run repeated only WITHIN one doc is still dedup'd (occurrence
+    count, not distinct-doc count) — first copy kept."""
+    from ds_jedai_spark.operators.textops import duplicated_spans
+
+    run = "a b c d e f g h"
+    docs = _span_docs(spark, [(7, f"{run} mid1 mid2 {run}")])
+    got = [
+        (r.span_start, r.span_end) for r in duplicated_spans(docs, 8).collect()
+    ]
+    assert got == [(11, 18)]
+
+
+def test_scrub_duplicated_spans_rebuilds_text(spark):
+    """Scrub drops exactly the redundant span words, normalizes
+    whitespace, and leaves span-free docs byte-identical (md5 of the
+    single-space-joined token stream)."""
+    import hashlib
+
+    from ds_jedai_spark.operators.textops import scrub_duplicated_spans
+
+    boiler = "q w e r t y u i"
+    docs = _span_docs(
+        spark,
+        [
+            (1, f"alpha {boiler} beta"),
+            (2, f"g1 g2 {boiler} g3"),
+            (3, f"{boiler} {boiler}"),
+        ],
+    )
+    got = {r.doc_id: r for r in scrub_duplicated_spans(docs, 8).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (got[1].n_dropped, got[1].clean_md5) == (0, md5(f"alpha {boiler} beta"))
+    assert (got[2].n_dropped, got[2].clean_md5) == (8, md5("g1 g2 g3"))
+    assert (got[3].n_dropped, got[3].n_words, got[3].len_clean, got[3].clean_md5) == (
+        16, 16, 0, md5(""))
+
+
+def test_duplicated_spans_long_run_single_span(spark):
+    """A duplicated run of length L >> k surfaces as ONE span of exactly
+    L words in the copy (L-k+1 overlapping grams merged), never as
+    L-k+1 spans — the tiling law of the islands merge."""
+    from ds_jedai_spark.operators.textops import duplicated_spans
+
+    for L in (9, 17, 40):
+        run = " ".join(f"w{i}" for i in range(L))
+        docs = _span_docs(spark, [(1, f"{run} tailone"), (2, f"lead {run}")])
+        spans = duplicated_spans(docs, k=8).collect()
+        assert len(spans) == 1
+        (s,) = spans
+        assert (s.doc_id, s.span_start, s.span_end, s.n_grams) == (
+            2, 2, L + 1, L - 8 + 1)

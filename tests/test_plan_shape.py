@@ -213,3 +213,29 @@ def test_cross_dedup_plans_have_no_cartesian(spark):
         for bad in ("Join Cross", "CartesianProduct",
                     "BroadcastNestedLoopJoin"):
             assert bad not in plan, f"{bad} in cross-dedup plan"
+
+
+def test_duplicated_spans_plan_is_blocked_equijoin(spark):
+    """Substring dedup must stay a gram-keyed equi-join + doc-partitioned
+    window: no cartesian/nested-loop anywhere, no unpartitioned window
+    (the islands merge keys on doc_id), no single-partition exchange of
+    the gram stream."""
+    from ds_jedai_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * j) % 13}" for j in range(20)))
+         for i in range(1, 200)],
+        "doc_id long, text string",
+    )
+    spans = textops.duplicated_spans(docs, k=8)
+    scrub = textops.scrub_duplicated_spans(docs, k=8)
+    for df in (spans, scrub):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                    "SinglePartition"):
+            assert bad not in plan, f"{bad} in duplicated-spans plan"
+        for frag in plan.split("windowspecdefinition(")[1:]:
+            head = frag.split(",")[0]
+            assert "#" in head and "ASC" not in head.split("#")[0], (
+                f"unpartitioned window in spans plan: {head}"
+            )
