@@ -77,14 +77,32 @@ def _print_or_write(df, out: str | None, limit: int, t0: float) -> int:
     return 0
 
 
+def _guard_rename(df, src: str, dst: str):
+    """withColumnRenamed onto a frame that ALREADY carries the target
+    name produces two same-named columns and ambiguous-reference
+    AnalysisExceptions far downstream — refuse up front with guidance
+    instead (the user must say which column wins)."""
+    if src == dst:
+        return df
+    if dst in df.columns:
+        raise SystemExit(
+            f"input already has a {dst!r} column while -id-col/-text-col "
+            f"names {src!r}; drop or rename one of them (got columns "
+            f"{df.columns})"
+        )
+    if src not in df.columns:
+        raise SystemExit(
+            f"column {src!r} not found in input (got columns {df.columns})"
+        )
+    return df.withColumnRenamed(src, dst)
+
+
 def _docs_frame(df, args):
     """Normalize a user document frame to (doc_id, text)."""
     from pyspark.sql import functions as F
 
-    if args.id_col != "doc_id":
-        df = df.withColumnRenamed(args.id_col, "doc_id")
-    if args.text_col != "text":
-        df = df.withColumnRenamed(args.text_col, "text")
+    df = _guard_rename(df, args.id_col, "doc_id")
+    df = _guard_rename(df, args.text_col, "text")
     return df.select("doc_id", F.col("text").cast("string"))
 
 
@@ -96,7 +114,7 @@ def _emb_frame(df, args):
         # -id-col names the id column (its default "doc_id" applies to
         # document frames; embeddings accept it or any explicit name)
         if args.id_col in df.columns:
-            df = df.withColumnRenamed(args.id_col, "vec_id")
+            df = _guard_rename(df, args.id_col, "vec_id")
         else:
             raise SystemExit(
                 f"embedding input needs a 'vec_id' column or -id-col "

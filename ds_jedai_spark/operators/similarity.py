@@ -50,10 +50,19 @@ def _cos():
     )
 
 
-def brute_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
-    """Exact cosine top-k: small broadcast query set vs all vectors."""
+def brute_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, query_pred=None
+) -> DataFrame:
+    """Exact cosine top-k: small broadcast query set vs all vectors.
+
+    The default query set is ``vec_id < n_queries`` (the gate's dense-id
+    convention, oracle-replayed); user surfaces with offset/hashed ids
+    pass their own ``query_pred`` (CLI: the n smallest ids actually
+    present — see cli._ann_query_pred)."""
     qe = quantized(emb)
-    queries = qe.where(F.col("vec_id") < n_queries).select(
+    if query_pred is None:
+        query_pred = F.col("vec_id") < n_queries
+    queries = qe.where(query_pred).select(
         F.col("vec_id").alias("qid"), F.col("qv").alias("a"), F.col("norm2").alias("n1")
     )
     base = qe.select(
@@ -167,12 +176,21 @@ def train_centroids(
     emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
 ) -> DataFrame:
     """IVF coarse-quantizer training: (cid, cv) centroids after
-    ``iters - 1`` Lloyd update rounds, seeded from the first k vec_ids
+    ``iters - 1`` Lloyd update rounds, seeded from the k SMALLEST vec_ids
     (deterministic). The TRAIN step, factored out so deployments can run
     it once and pin the artifact (``pin_centroids``) instead of
-    retraining inside every search query."""
+    retraining inside every search query.
+
+    Seeding is by rank, not by the literal ``vec_id < k`` threshold:
+    offset / hashed / sparse id spaces (real user parquet) would give
+    that predicate ZERO seeds and every downstream search would silently
+    return nothing. ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject (top-k per partition + driver merge of k-row
+    heads — no global sort), and on dense 0..n-1 ids it selects exactly
+    the same seeds as the old threshold, so the oracle-replayed Lloyd
+    lineage is unchanged there."""
     qe = quantized(emb).select("vec_id", "qv")
-    cent = qe.where(F.col("vec_id") < k).select(
+    cent = qe.orderBy("vec_id").limit(k).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
     for _ in range(iters - 1):
