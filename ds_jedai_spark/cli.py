@@ -81,7 +81,13 @@ def _guard_rename(df, src: str, dst: str):
     """withColumnRenamed onto a frame that ALREADY carries the target
     name produces two same-named columns and ambiguous-reference
     AnalysisExceptions far downstream — refuse up front with guidance
-    instead (the user must say which column wins)."""
+    instead (the user must say which column wins). The missing-column
+    check runs FIRST so it also fires when src == dst (the default
+    -id-col on a frame that lacks it entirely)."""
+    if src not in df.columns:
+        raise SystemExit(
+            f"column {src!r} not found in input (got columns {df.columns})"
+        )
     if src == dst:
         return df
     if dst in df.columns:
@@ -90,11 +96,30 @@ def _guard_rename(df, src: str, dst: str):
             f"names {src!r}; drop or rename one of them (got columns "
             f"{df.columns})"
         )
-    if src not in df.columns:
-        raise SystemExit(
-            f"column {src!r} not found in input (got columns {df.columns})"
-        )
     return df.withColumnRenamed(src, dst)
+
+
+def _ann_query_pred(corpus, n: int):
+    """Query-set predicate for -op ann: the n SMALLEST vec_ids actually
+    PRESENT in the corpus. The gate's literal ``vec_id < n`` convention
+    only works on dense 0..n-1 ids; on user parquet with offset/hashed/
+    sparse id spaces it selects nothing and the whole search silently
+    wrote 0 rows. ``orderBy().limit(n)`` compiles to
+    TakeOrderedAndProject (per-partition top-n + driver merge of n-row
+    heads — no global sort), and n is CLI-small (default 10), so the
+    collected ids embed as a literal isin list. Raises instead of
+    returning an always-false predicate when the corpus is empty."""
+    from pyspark.sql import functions as F
+
+    ids = [r["vec_id"] for r in
+           corpus.select("vec_id").orderBy("vec_id").limit(n).collect()]
+    if not ids:
+        raise SystemExit(
+            "-op ann: input has no vectors — the query/seed set would be "
+            "empty and the search would write 0 rows; check -left and "
+            "-id-col"
+        )
+    return F.col("vec_id").isin(ids)
 
 
 def _docs_frame(df, args):
@@ -281,8 +306,6 @@ def _run_op(args) -> int:
             else:
                 df = lsh_neardup_pairs(left, tau, n_bands="auto")
         elif args.op == "ann":
-            from pyspark.sql import functions as F
-
             from ds_jedai_spark.operators.similarity import (
                 auto_ivf_cells,
                 brute_topk,
@@ -296,19 +319,27 @@ def _run_op(args) -> int:
                 return 2
             corpus = _emb_frame(_read(args.left, ()), args)
             k = args.k
+            # id-space-safe query set: the n smallest ids PRESENT (raises
+            # on an empty corpus instead of writing 0 rows) — both paths;
+            # the gate's literal vec_id < n is the dense-id testdata
+            # convention only.
+            pred = _ann_query_pred(corpus, args.n_queries)
             if args.method == "brute":
-                df = brute_topk(corpus, n_queries=args.n_queries, k=k)
+                df = brute_topk(corpus, k=k, query_pred=pred)
             else:
-                cells_n = auto_ivf_cells(corpus.count())
+                n_corpus = corpus.count()
+                cells_n = auto_ivf_cells(n_corpus)
                 cent = train_centroids(corpus, k=cells_n).localCheckpoint()
+                if not cent.take(1):
+                    raise SystemExit(
+                        "-op ann: IVF centroid training produced no seeds "
+                        f"(corpus rows: {n_corpus}); check -left/-id-col"
+                    )
                 cells = kmeans_assignments(corpus, cent=cent).select(
                     "vec_id", "cid"
                 ).localCheckpoint()
-                # same query convention as brute: first -n-queries ids
-                # (the gate's % 50 sample is a testdata artifact)
                 df = ivf_trained_topk(
-                    corpus, k=k, cent=cent, cells=cells,
-                    query_pred=F.col("vec_id") < args.n_queries,
+                    corpus, k=k, cent=cent, cells=cells, query_pred=pred,
                 )
         elif args.op == "shuffle":
             from ds_jedai_spark.operators.textops import (
@@ -319,9 +350,7 @@ def _run_op(args) -> int:
             if not args.left:
                 print("-op shuffle needs -left parquet path", file=sys.stderr)
                 return 2
-            d0 = _read(args.left, ())
-            if args.id_col != "doc_id":
-                d0 = d0.withColumnRenamed(args.id_col, "doc_id")
+            d0 = _guard_rename(_read(args.left, ()), args.id_col, "doc_id")
             df = corpus_shuffle_positions(
                 d0.select("doc_id"),
                 shards=args.shards or SHUFFLE_SHARDS,

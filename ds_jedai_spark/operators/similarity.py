@@ -57,8 +57,9 @@ def brute_topk(
 
     The default query set is ``vec_id < n_queries`` (the gate's dense-id
     convention, oracle-replayed); user surfaces with offset/hashed ids
-    pass their own ``query_pred`` (CLI: the n smallest ids actually
-    present — see cli._ann_query_pred)."""
+    pass their own ``query_pred`` — the CLI passes the n smallest ids
+    actually present via ``cli._ann_query_pred`` (which raises on an
+    empty corpus instead of silently writing 0 rows)."""
     qe = quantized(emb)
     if query_pred is None:
         query_pred = F.col("vec_id") < n_queries

@@ -306,6 +306,64 @@ def test_cli_op_ann(spark, tmp_path, monkeypatch):
     assert res2.groupBy("qid").count().agg(F.max("count")).first()[0] <= 3
 
 
+def test_cli_op_ann_offset_ids(spark, tmp_path, monkeypatch):
+    """-op ann on user parquet whose vec_ids are OFFSET (no id < n
+    exists): both methods must return the full top-k for the n smallest
+    ids actually present — the silent 'wrote 0 rows' failure mode of the
+    literal vec_id < n query predicate."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = str(tmp_path / "emb_off.parquet")
+    base.withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    ).write.mode("overwrite").parquet(emb)
+    smallest = [r["vec_id"] for r in
+                base.select((F.col("vec_id") + 1_000_000).alias("vec_id"))
+                .orderBy("vec_id").limit(6).collect()]
+
+    out = str(tmp_path / "brute_off.parquet")
+    assert cli.main(["-op", "ann", "-left", emb, "-method", "brute",
+                     "-k", "4", "-n-queries", "6", "-out", out]) == 0
+    res = spark.read.parquet(out)
+    counts = {r["qid"]: r["n"] for r in
+              res.groupBy("qid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == set(smallest)
+    assert all(v == 4 for v in counts.values())
+
+    out2 = str(tmp_path / "ivf_off.parquet")
+    assert cli.main(["-op", "ann", "-left", emb, "-method", "ivf",
+                     "-k", "3", "-n-queries", "6", "-out", out2]) == 0
+    res2 = spark.read.parquet(out2)
+    assert res2.count() > 0
+    assert set(r["qid"] for r in res2.select("qid").distinct().collect()) \
+        <= set(smallest)
+    assert res2.groupBy("qid").count().agg(F.max("count")).first()[0] <= 3
+
+
+def test_cli_op_ann_empty_corpus_raises(spark, tmp_path, monkeypatch):
+    """Pathological input (zero vectors) errors loudly instead of
+    training fine and writing 0 rows."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    empty = str(tmp_path / "empty.parquet")
+    spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).where("vec_id < 0").write.mode("overwrite").parquet(empty)
+    for method in ("brute", "ivf"):
+        with pytest.raises(SystemExit, match="no vectors"):
+            cli.main(["-op", "ann", "-left", empty, "-method", method,
+                      "-out", str(tmp_path / "nope.parquet")])
+
+
 def test_cli_op_shuffle(spark, tmp_path, monkeypatch):
     import ds_jedai_spark.session as session
     from ds_jedai_spark import cli
@@ -332,6 +390,34 @@ def test_cli_op_shuffle(spark, tmp_path, monkeypatch):
     assert len(per) == 4
     for r in per:
         assert r["mn"] == 1 and r["mx"] == r["n"]
+
+
+def test_cli_op_shuffle_guard(spark, tmp_path, monkeypatch):
+    """-op shuffle routes through _guard_rename: a pre-existing doc_id
+    column alongside -id-col refuses with guidance (not a silent
+    duplicate column), and a missing default doc_id gives the guided
+    error instead of a raw AnalysisException."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    clash = str(tmp_path / "clash.parquet")
+    spark.range(10).select(
+        F.col("id").alias("my_id"), (F.col("id") * 2).alias("doc_id")
+    ).write.mode("overwrite").parquet(clash)
+    with pytest.raises(SystemExit, match="already has a 'doc_id'"):
+        cli.main(["-op", "shuffle", "-left", clash, "-id-col", "my_id",
+                  "-out", str(tmp_path / "no1.parquet")])
+
+    noid = str(tmp_path / "noid.parquet")
+    spark.range(10).select(F.col("id").alias("other")).write.mode(
+        "overwrite"
+    ).parquet(noid)
+    with pytest.raises(SystemExit, match="not found in input"):
+        cli.main(["-op", "shuffle", "-left", noid,
+                  "-out", str(tmp_path / "no2.parquet")])
 
 
 def test_cli_op_dupspans_and_scrub(spark, tmp_path, monkeypatch):
