@@ -447,8 +447,18 @@ def pin_bands(
     substitution fails for self-join consumers (see dedup._pin), so
     unpinned the hyperplane dot products per vector compute twice; and
     a standing corpus computes its band keys once at ingest, not per
-    search batch. ``mode="table"`` persists across jobs."""
-    bb = lsh_band_table(emb, bands, bits)
+    search batch. ``mode="table"`` persists across jobs.
+
+    The pin is stamped with its own (bands, bits) as the literal
+    columns ``lsh_bands`` / ``lsh_bits``: a batch joined against a pin
+    must hash with the SAME hyperplane parameters or the collision join
+    silently finds near-zero candidates, so the parameters travel WITH
+    the artifact (they RLE-compress to nothing in parquet) and
+    ``lsh_neardup_pairs_cross`` recovers or cross-checks them instead
+    of trusting the caller's defaults."""
+    bb = lsh_band_table(emb, bands, bits).withColumn(
+        "lsh_bands", F.lit(int(bands))
+    ).withColumn("lsh_bits", F.lit(int(bits)))
     if mode == "local":
         return bb.localCheckpoint()
     if mode != "table":
@@ -541,11 +551,36 @@ def lsh_neardup_pairs_cross(
     Output: (d1 from batch, d2 from index, cos)."""
     if index_bands is None and n_bands == "auto":
         n_bands, n_bits = auto_lsh_params(index_emb.count(), tau)
-    elif index_bands is not None and n_bands == "auto":
-        # pinned index bands fix the parameters; only the batch side's
-        # table is built, with the same (bands, bits) the pin used —
-        # callers pass explicit ints when the pin was non-default
-        n_bands, n_bits = LSH_BANDS, LSH_BITS
+    elif index_bands is not None:
+        # A pinned index fixes the hyperplane parameters: the batch side
+        # MUST hash with the pin's (bands, bits) or the collision join
+        # silently finds near-zero candidates (recall collapse with no
+        # error). pin_bands stamps them on the artifact; recover them
+        # under 'auto', and cross-check explicit ints against the stamp.
+        meta = None
+        if {"lsh_bands", "lsh_bits"} <= set(index_bands.columns):
+            r = index_bands.select("lsh_bands", "lsh_bits").first()
+            if r is not None:
+                meta = (int(r["lsh_bands"]), int(r["lsh_bits"]))
+        if n_bands == "auto":
+            if meta is None:
+                raise ValueError(
+                    "index_bands carries no (lsh_bands, lsh_bits) stamp, "
+                    "so n_bands='auto' cannot recover the pin's "
+                    "parameters — rebuild the pin with pin_bands() or "
+                    "pass the explicit (n_bands, n_bits) it was built "
+                    "with; guessing defaults would silently collapse "
+                    "recall"
+                )
+            n_bands, n_bits = meta
+        elif meta is not None and meta != (n_bands, n_bits):
+            raise ValueError(
+                f"index_bands was pinned with (bands, bits)={meta} but "
+                f"the batch side would hash with ({n_bands}, {n_bits}) — "
+                "mismatched hyperplanes silently collapse recall; pass "
+                "the pin's parameters (or n_bands='auto' to read the "
+                "stamp)"
+            )
     # Batch bands are consumed once (no self-join), so no pin needed.
     band_a = lsh_band_table(batch_emb, n_bands, n_bits).select(
         F.col("vec_id").alias("d1"), "band", "bucket"

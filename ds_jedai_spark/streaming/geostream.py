@@ -528,8 +528,12 @@ def stream_incremental_embedding_dedup(
     from ds_jedai_spark.operators import similarity
 
     def on_batch(batch_df: DataFrame, _bid: int) -> None:
+        # n_bands="auto": the pin's own (lsh_bands, lsh_bits) stamp is
+        # authoritative — the batch must hash with the pin's hyperplane
+        # parameters, whatever they were at build time.
         pairs = similarity.lsh_neardup_pairs_cross(
-            batch_df, index_emb, tau, index_bands=index_bands
+            batch_df, index_emb, tau, index_bands=index_bands,
+            n_bands="auto",
         )
         pairs.write.mode("append").saveAsTable(out_table)
 

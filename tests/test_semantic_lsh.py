@@ -299,3 +299,38 @@ def test_simhash_two_word_scale_form(spark):
     assert clone_pairs and clone_pairs <= w2  # identical fps band-match
     with pytest.raises(ValueError, match="words"):
         dedup.simhash_pairs(cloned, 2, words=3)
+
+
+def test_cross_pairs_pin_metadata_guard(spark):
+    """A pinned band table carries its own (bands, bits) stamp: a
+    NON-DEFAULT pin + n_bands='auto' recovers the pin's parameters (same
+    pairs as passing them explicitly); explicit ints that contradict the
+    stamp raise; a stamp-less pin + 'auto' raises instead of silently
+    hashing the batch with default hyperplanes (recall collapse)."""
+    emb = _emb(spark)
+    batch = emb.where(F.col("vec_id") % 2 == 0)
+    index = emb.where(F.col("vec_id") % 2 == 1)
+    nd_bands, nd_bits = 12, 3  # non-default (defaults are 8, 2)
+    pin = similarity.pin_bands(index, bands=nd_bands, bits=nd_bits)
+    assert {"lsh_bands", "lsh_bits"} <= set(pin.columns)
+
+    explicit = similarity.lsh_neardup_pairs_cross(
+        batch, index, pl.TAU_COS, index_bands=pin,
+        n_bands=nd_bands, n_bits=nd_bits,
+    ).collect()
+    assert explicit, "expected cross pairs at sf0.001"
+    auto = similarity.lsh_neardup_pairs_cross(
+        batch, index, pl.TAU_COS, index_bands=pin, n_bands="auto",
+    ).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
+
+    with pytest.raises(ValueError, match="pinned with"):
+        similarity.lsh_neardup_pairs_cross(
+            batch, index, pl.TAU_COS, index_bands=pin,
+        ).collect()
+
+    bare = pin.select("vec_id", "band", "bucket")  # stamp-less legacy pin
+    with pytest.raises(ValueError, match="no .lsh_bands"):
+        similarity.lsh_neardup_pairs_cross(
+            batch, index, pl.TAU_COS, index_bands=bare, n_bands="auto",
+        ).collect()
