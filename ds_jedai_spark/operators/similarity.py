@@ -836,12 +836,18 @@ def pq_codebooks_stacked(
     """All PQ_M Lloyd codebooks trained in ONE stacked lineage:
     (m, cid, cv). Per-m math is identical to training each sub-block
     separately (assignment argmin per (vec_id, m); floored means per
-    (m, cid, pos); seeds = first k vec_ids per m) — but the corpus is
-    scanned once per Lloyd round for ALL sub-blocks, not once per
-    sub-block per round."""
+    (m, cid, pos); seeds = the k SMALLEST vec_ids present, per m) — but
+    the corpus is scanned once per Lloyd round for ALL sub-blocks, not
+    once per sub-block per round.
+
+    Seeding is rank-based like train_centroids (identical to the old
+    ``vec_id < k`` threshold on dense 0..n-1 ids, non-empty on offset/
+    hashed id spaces): a broadcast semi-join of the k-row TakeOrdered
+    head against the exploded sub-vectors."""
     qe = quantized(emb).select("vec_id", "qv")
     subs = _pq_sub_explode(qe)
-    cent = subs.where(F.col("vec_id") < k).select(
+    seed_ids = qe.orderBy("vec_id").limit(k).select("vec_id")
+    cent = subs.join(F.broadcast(seed_ids), "vec_id").select(
         "m", F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
     for _ in range(iters - 1):

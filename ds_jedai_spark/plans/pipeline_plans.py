@@ -681,7 +681,12 @@ def _kmeans_cte() -> str:
     parts = [
         _QUANT_CTE.split(", n AS")[0],  # just the q CTE
         "qe AS (SELECT vec_id, qv FROM q)",
-        f"c0 AS (SELECT vec_id AS cid, qv AS cv FROM qe WHERE vec_id < {KMEANS_K})",
+        # rank-based seeding (k SMALLEST ids present), matching
+        # similarity.train_centroids' orderBy().limit(k): identical to
+        # the old vec_id < k threshold on dense 0..n-1 ids, but the
+        # bit-identical-replay contract now holds on sparse ids too
+        f"c0 AS (SELECT vec_id AS cid, qv AS cv FROM qe "
+        f"ORDER BY vec_id LIMIT {KMEANS_K})",
     ]
     prev = "c0"
     for it in range(1, KMEANS_ITERS):
@@ -762,8 +767,10 @@ def _pq_cte() -> str:
             )
 
         parts = [
+            # rank-based seeds (k smallest ids present), matching
+            # similarity.pq_codebooks_stacked — see _kmeans_cte's c0
             f"c{tag}0 AS (SELECT vec_id AS cid, qv AS cv FROM {src} "
-            f"WHERE vec_id < {KMEANS_K})"
+            f"ORDER BY vec_id LIMIT {KMEANS_K})"
         ]
         prev = f"c{tag}0"
         for it in range(1, KMEANS_ITERS):
