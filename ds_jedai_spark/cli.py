@@ -237,8 +237,9 @@ def _run_op(args) -> int:
                 return 2
             if args.bucket_us is None:
                 print("-op interval requires a bucket width "
-                      "(-bucket-us N or the default 'auto' = 5 min); "
-                      "'none' only applies to asof", file=sys.stderr)
+                      "(-bucket-us N or the default 'auto', which derives "
+                      "it from the p95 interval length); 'none' only "
+                      "applies to asof", file=sys.stderr)
                 return 2
             keys = [
                 tuple(p.split("=", 1)) for p in
@@ -263,7 +264,7 @@ def _run_op(args) -> int:
                 bucket_us=(
                     int(args.bucket_us)
                     if args.bucket_us != "auto"
-                    else 300_000_000
+                    else "auto"
                 ),
                 keys=keys or None,
                 how=args.how,

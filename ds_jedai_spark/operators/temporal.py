@@ -333,6 +333,39 @@ def asof_join(
     return _out(joined, match)
 
 
+INTERVAL_AUTO_QUANTILE = 0.95
+
+
+def auto_interval_bucket_us(
+    right: DataFrame,
+    right_start: str = "w_start",
+    right_end: str = "w_end",
+    quantile: float = INTERVAL_AUTO_QUANTILE,
+) -> int:
+    """Derived bucket width for interval_join: a HIGH quantile (p95) of
+    the right-side interval lengths — the auto_bucket_us analogue for
+    the interval form. A window explodes onto ``len/width + 1`` bucket
+    rows, so width ~ p95(len) keeps ~95% of windows at <= 2 rows while
+    only the long tail pays proportionally; sizing from the MEAN would
+    let a skewed tail (a few year-long windows among 5-minute ones)
+    look fine on average while those windows explode to thousands of
+    rows each, and a FIXED default does the same the moment real window
+    lengths diverge from it. One approx-percentile aggregate on the
+    right side (a scan with a 1-row result, no data-row shuffle);
+    approximation only moves the width a little, never correctness —
+    the residual range predicate recovers exact matches at any width.
+    Falls back to 5 minutes when the right side is empty or all-null."""
+    q = right.select(
+        F.percentile_approx(
+            epoch_us(F.col(right_end)) - epoch_us(F.col(right_start)),
+            F.lit(quantile),
+        ).alias("q")
+    ).first()["q"]
+    if q is None or q <= 0:
+        return 300_000_000
+    return int(q)
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -340,7 +373,7 @@ def interval_join(
     left_ts: str = "ts",
     right_start: str = "w_start",
     right_end: str = "w_end",
-    bucket_us: int = 300_000_000,
+    bucket_us: int | str = "auto",
     keys: list[tuple[str, str]] | None = None,
     how: str = "inner",
 ) -> DataFrame:
@@ -349,8 +382,11 @@ def interval_join(
 
     Both frames must already carry disjoint column names apart from the
     join mechanics; the result keeps all columns of both. ``bucket_us``
-    is the hash-bucket width in microseconds (default 5 min — match it
-    to the typical window length so each window explodes to ~2 rows).
+    is the hash-bucket width in microseconds; the default ``"auto"``
+    derives it from the p95 right-side interval length (one cheap
+    aggregate, see auto_interval_bucket_us) so each window explodes to
+    ~2 bucket rows whatever the data's window scale — pass an explicit
+    width to pin the plan (e.g. for the oracle-replayed gate queries).
 
     ``keys`` adds (left_col, right_col) equalities to the JOIN
     condition — at scale this matters twice over: the hash key becomes
@@ -365,6 +401,10 @@ def interval_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unknown how: {how!r}")
+    if bucket_us == "auto":
+        bucket_us = auto_interval_bucket_us(right, right_start, right_end)
+    elif isinstance(bucket_us, str):
+        raise ValueError(f"bucket_us must be an int or 'auto': {bucket_us!r}")
 
     def bucket(col):
         # floor division, not cast-truncation: identical bucketing for

@@ -565,3 +565,52 @@ def test_asof_rejects_unknown_bucket_string(frames):
     left, right = frames
     with pytest.raises(ValueError, match="bucket_us"):
         asof_join(left, right, bucket_us="yes")
+
+
+def test_interval_join_auto_bucket(spark):
+    """bucket_us='auto' (the default) derives the width from the p95
+    right-side interval length and produces the same matches as any
+    explicit width (the residual range predicate makes results
+    width-invariant); non-'auto' strings raise."""
+    from ds_jedai_spark.operators.temporal import auto_interval_bucket_us
+
+    left = spark.createDataFrame(
+        [Row(ts=_ts(m), click_id=m) for m in range(0, 59, 3)]
+    )
+    # 18 ten-minute windows and 2 ~55-minute outliers: p95 sits at the
+    # short-window scale, so the tail pays len/width rows and the bulk
+    # explodes to ~2 rows each
+    right = spark.createDataFrame(
+        [Row(error_id=i, w_start=_ts(i * 3), w_end=_ts(i * 3 + 10))
+         for i in range(16)]
+        + [Row(error_id=100, w_start=_ts(0), w_end=_ts(55)),
+           Row(error_id=101, w_start=_ts(2), w_end=_ts(58))]
+    )
+    width = auto_interval_bucket_us(right)
+    assert 300_000_000 <= width <= 3_600_000_000  # ~10 min scale, not 55
+    auto_rows = sorted(
+        (r["click_id"], r["error_id"])
+        for r in interval_join(
+            left, right, left_ts="ts",
+            right_start="w_start", right_end="w_end",
+        ).collect()
+    )
+    explicit_rows = sorted(
+        (r["click_id"], r["error_id"])
+        for r in interval_join(
+            left, right, left_ts="ts",
+            right_start="w_start", right_end="w_end",
+            bucket_us=123_456_789,
+        ).collect()
+    )
+    assert auto_rows == explicit_rows and auto_rows
+
+    with pytest.raises(ValueError, match="int or 'auto'"):
+        interval_join(
+            left, right, left_ts="ts",
+            right_start="w_start", right_end="w_end", bucket_us="none",
+        )
+
+    # degenerate right side: falls back instead of dividing by zero
+    empty = right.where("error_id < 0")
+    assert auto_interval_bucket_us(empty) == 300_000_000
