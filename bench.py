@@ -157,9 +157,32 @@ def main() -> None:
     # Best-of-2 per query: single-shot timings on a shared box swing
     # +-40% with ambient load; the minimum of two runs tracks the plan's
     # actual cost round-over-round far more stably.
+    #
+    # Ambient-load canary: a FIXED JVM-only probe (modular sum over
+    # range(5e9) in 32 partitions — pure whole-stage codegen, no I/O, no
+    # Python, ~0.6s with ~150ms of real compute per task so task-dispatch
+    # jitter doesn't dominate; measured quiet-box spread ~11%) is timed
+    # before every rep. Its cost is a property of the BOX, not the
+    # engine — so a rep whose probe deviates >20% from the run's median
+    # probe ran under ambient load, and its query timing is flagged
+    # rather than trusted. Round-over-round deltas on flagged queries
+    # (or between rounds whose probe medians differ) are noise until a
+    # quiet re-run agrees; r6->r8 moved +-25-43% on untouched code,
+    # which this canary makes falsifiable.
+    def _probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 5 * 10**9, 1, 32).selectExpr(
+            "sum(id % 1000)"
+        ).collect()
+        return time.perf_counter() - t0
+
+    _probe()  # codegen warm-up of the probe plan itself
     timings: dict[str, float] = {}
+    probes: list[float] = []
+    rep_probes: dict[str, list[float]] = {}
     for name, fn in headline:
         best, n = None, 0
+        rep_probes[name] = []
         for _ in range(2):
             # Drop the engine's explicit cross-query caches so every rep
             # pays the full pipeline (JVM warm-up is the only thing
@@ -172,14 +195,24 @@ def main() -> None:
             giant._THETA_CACHE.clear()
             if name == "ann_train":
                 pl._ANN_PIN.clear()
+            p = _probe()
+            probes.append(p)
+            rep_probes[name].append(p)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        print(f"# {name}: {n} rows in {timings[name]}s "
+              f"(probes {[round(p, 3) for p in rep_probes[name]]})",
+              file=sys.stderr)
 
+    med = sorted(probes)[len(probes) // 2]
+    flagged = sorted(
+        name for name, ps in rep_probes.items()
+        if any(abs(p - med) > 0.2 * med for p in ps)
+    )
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -188,6 +221,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "probe_sec": {
+                    "median": round(med, 3),
+                    "min": round(min(probes), 3),
+                    "max": round(max(probes), 3),
+                    "n": len(probes),
+                    "flagged_queries": flagged,
+                },
                 "sf": sf,
             }
         )
