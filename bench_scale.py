@@ -41,6 +41,21 @@ noise is small relative to the run):
   uses the engine's own bucket_us="auto" heuristic instead of the
   explicit width, so the policy itself is regressed under skew.
   GATE: hot wall <= ~2x uniform wall (asof_hot_over_uniform).
+- giant_skew_x10_uniform / giant_skew_x10_hot: the spatial COMPUTE-skew
+  soak — the 10x corpus plus one dense cell holding ~10% of all
+  candidate pairs on a few hundred targets in one tile, through the
+  skew-split two-path join (well_balanced_candidates). The z-score
+  firing and the union + round-robin plan shape are asserted inline.
+  GATE: hot wall <= ~2x uniform wall (giant_skew_hot_over_uniform).
+- stream_ingest_x10 / batch_ingest_x10: micro-batched incremental
+  dedup ingest (4 micro-batches against the standing pinned shingle
+  index) vs the identical pairs in one batch plan — the orchestration
+  overhead of the streaming ingest loop (stream_over_batch_ingest).
+- interval_x10_fixed / interval_x10_auto: 6-hour windows through
+  interval_join with the legacy fixed 300s bucket (each window explodes
+  onto ~73 bucket rows) vs bucket_us="auto" (p95-derived width, ~2
+  rows) — regresses the derived-width policy's win on long intervals
+  (interval_fixed_over_auto).
 """
 
 from __future__ import annotations
@@ -320,6 +335,180 @@ def _cloned_events(spark, sf_dir, hot: bool):
     return c
 
 
+N_HOT_SRC = 3000
+N_HOT_TGT = 300
+
+
+def _skew_boxes(spark, sf_dir, hot: bool):
+    """10x-clone corpus, optionally plus ONE dense cell: N_HOT_SRC
+    stacked small sources x N_HOT_TGT stacked small targets in a single
+    tile-sized spot of clone 0's domain — ~900k candidate pairs (~10% of
+    the 10x corpus total) concentrated on a few hundred hot targets in
+    one tile. This is the compute-skew shape AQE cannot split (the
+    skewed work is VERIFICATION inside one tile's partition, not
+    shuffle bytes) and the reference's WellBalanced linker exists for
+    (WellBalancedDistributedInterlinking.scala:33-92)."""
+    cs, ct = _cloned_boxes(spark, sf_dir)
+    if not hot:
+        return cs, ct
+    ref = cs.agg(F.min("minx").alias("x"), F.min("miny").alias("y")).first()
+    x0, y0 = float(ref["x"]), float(ref["y"])
+
+    def stacked(n, id_base, w):
+        jitter = (F.col("id") % 16).cast("double") / 320.0
+        return spark.range(n).select(
+            (F.lit(id_base) + F.col("id")).alias("id"),
+            (F.lit(x0) + jitter).alias("minx"),
+            (F.lit(y0) + jitter).alias("miny"),
+            (F.lit(x0) + jitter + F.lit(w)).alias("maxx"),
+            (F.lit(y0) + jitter + F.lit(w)).alias("maxy"),
+        )
+
+    return (
+        cs.unionByName(stacked(N_HOT_SRC, 10**9, 0.05)),
+        ct.unionByName(stacked(N_HOT_TGT, 2 * 10**9, 0.05)),
+    )
+
+
+def giant_skew_x10(hot: bool):
+    """GIA.nt counts through the skew-split two-path join over the
+    adversarial corpus. The hot entry also PINS the balanced plan shape
+    (union of the cheap branch with a round-robin-repartitioned skew
+    branch) and proves the z-score actually fired — otherwise the soak
+    would time the plain join and call it balanced."""
+
+    def q(spark, sf_dir):
+        from ds_jedai_spark.model.tiles import compute_theta
+        from ds_jedai_spark.operators.loadbalance import (
+            skew_targets,
+            well_balanced_candidates,
+        )
+        from ds_jedai_spark.operators.relate import with_relations
+        from ds_jedai_spark.operators.spatial_join import tile_join
+        from ds_jedai_spark.plans.giant import counts_agg
+
+        cs, ct = _skew_boxes(spark, sf_dir, hot)
+        theta = compute_theta(cs)
+        # pin the candidate stream ourselves so the z-score probe below
+        # reuses the materialization (well_balanced_candidates re-pins —
+        # a partition copy, not a join recompute)
+        cand = tile_join(cs, ct, theta=theta).localCheckpoint()
+        n_skew = skew_targets(cand).count()  # run in BOTH entries so the
+        # hot/uniform wall ratio compares identical plans
+        if hot:
+            assert n_skew >= N_HOT_TGT, (
+                f"z-score did not fire on the hot cell ({n_skew} skew "
+                "targets) — the soak would time the plain join"
+            )
+        bal = well_balanced_candidates(cand, skew_parts=32)
+        out = counts_agg(with_relations(bal))
+        if hot:
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "Union" in plan and "roundrobin" in plan.lower(), (
+                "expected two-path union with round-robin skew branch"
+            )
+        return out.first().verifications
+
+    return q
+
+
+INTERVAL_WINDOW_HOURS = 6
+
+
+def interval_x10(bucket):
+    """Long-interval soak: 16x-cloned click events joined onto 6-hour
+    error windows per user. With the legacy FIXED 300s bucket every
+    window explodes onto ~73 bucket rows; bucket_us='auto' derives the
+    width from the p95 window length (~2 rows per window) — the policy
+    the round-6/7 reviews demanded a derived form for."""
+
+    def q(spark, sf_dir):
+        from ds_jedai_spark.operators.temporal import interval_join
+
+        ev = _cloned_events(spark, sf_dir, hot=False)
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        errors = ev.where(F.col("event_type") == "error").select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("w_start"),
+            F.expr(
+                f"ts + INTERVAL {INTERVAL_WINDOW_HOURS} HOURS"
+            ).alias("w_end"),
+            F.col("event_id").alias("error_id"),
+        )
+        return interval_join(
+            clicks, errors, left_ts="ts",
+            right_start="w_start", right_end="w_end",
+            bucket_us=bucket,
+            keys=[("user_id", "e_user")],
+        ).count()
+
+    return q
+
+
+def _ingest_parts(spark, sf_dir, tmp_dir: str):
+    """Shared setup for the ingest soak: 10x-cloned documents split into
+    an arriving batch (even ids, written as an 8-file parquet directory
+    so the stream splits into micro-batches) and a standing index (odd
+    ids, pinned shingle table) — built once, untimed, like the
+    bucketed layout."""
+    from ds_jedai_spark.operators import dedup
+    from ds_jedai_spark.plans.pipeline_plans import _corpus
+
+    corpus = _corpus(spark, sf_dir)
+    rep = spark.range(CLONES_LSH).select(F.col("id").alias("rep"))
+    cloned = corpus.crossJoin(rep).select(
+        (F.col("doc_id") * CLONES_LSH + F.col("rep")).alias("doc_id"),
+        "text",
+    )
+    batch = cloned.where(F.col("doc_id") % 2 == 0)
+    index = cloned.where(F.col("doc_id") % 2 == 1).repartition(32)
+    batch.repartition(8).write.mode("overwrite").parquet(tmp_dir)
+    index_sh = dedup.pin_shingles(index)
+    return {"dir": tmp_dir, "index_sh": index_sh}
+
+
+def stream_ingest_x10(parts):
+    """Micro-batched incremental-dedup INGEST wall at 10x: the cloned
+    batch documents arrive as a 4-micro-batch file stream
+    (maxFilesPerTrigger=2 over 8 files) and each micro-batch runs the
+    cross-corpus MinHash-LSH path against the standing pinned shingle
+    index. The comparable batch number is batch_ingest_x10 — the same
+    pairs in one batch plan; the stream/batch ratio is the micro-batch
+    orchestration overhead a production ingest pays."""
+
+    def q(spark, sf_dir):
+        from ds_jedai_spark.io.bucketed import drop_table_and_location
+        from ds_jedai_spark.plans.pipeline_plans import TAU_JACCARD
+        from ds_jedai_spark.streaming import geostream as gs
+
+        stream = gs.event_stream(
+            spark, parts["dir"], maxFilesPerTrigger="2"
+        ).repartition(32)
+        drop_table_and_location(spark, "scale_stream_ingest_tbl")
+        gs.stream_incremental_dedup(
+            stream, parts["index_sh"], TAU_JACCARD,
+            "scale_stream_ingest_tbl",
+        )
+        return spark.table("scale_stream_ingest_tbl").count()
+
+    return q
+
+
+def batch_ingest_x10(parts):
+    def q(spark, sf_dir):
+        from ds_jedai_spark.operators import dedup
+        from ds_jedai_spark.plans.pipeline_plans import TAU_JACCARD
+
+        batch = spark.read.parquet(parts["dir"]).repartition(32)
+        return dedup.minhash_lsh_pairs_cross(
+            batch, None, tau=TAU_JACCARD, sh_b=parts["index_sh"]
+        ).count()
+
+    return q
+
+
 def asof_x16(hot: bool, bucket: object = "explicit"):
     def q(spark, sf_dir):
         from ds_jedai_spark.operators.temporal import asof_join
@@ -347,22 +536,41 @@ def main() -> None:
     spark = get_spark("ds_jedai_spark_bench_scale")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    import tempfile
+
     bt_theta = bucketed_x10_setup(spark, sf_dir)
+    ingest = _ingest_parts(spark, sf_dir, tempfile.mkdtemp(prefix="ingest_"))
     entries = [
         ("giant_counts_x10", lambda: giant_counts_x10(spark, sf_dir)),
         ("bucketed_x10", lambda: bucketed_x10(bt_theta)(spark, sf_dir)),
         ("knn_x10", lambda: knn_x10(spark, sf_dir)),
+        # the reference's flagship balancing concern under an adversarial
+        # hot tile (~10% of all candidates on a few hundred targets in
+        # one spot) — the skew-split two-path union plan is pinned inline
+        # and the z-score firing asserted; GATE: hot wall <= ~2x uniform
+        ("giant_skew_x10_uniform",
+         lambda: giant_skew_x10(False)(spark, sf_dir)),
+        ("giant_skew_x10_hot", lambda: giant_skew_x10(True)(spark, sf_dir)),
         ("lsh_x10", lambda: lsh_x10(spark, sf_dir)),
         ("emb_lsh_x10", lambda: emb_lsh_x10(spark, sf_dir)),
         ("semantic_cluster_x10", lambda: semantic_cluster_x10(spark, sf_dir)),
         ("ivf_x10", lambda: ivf_x10(spark, sf_dir)),
         ("simhash_x10", lambda: simhash_x10(spark, sf_dir)),
+        # micro-batched ingest vs the same pairs in one batch plan
+        ("stream_ingest_x10", lambda: stream_ingest_x10(ingest)(spark, sf_dir)),
+        ("batch_ingest_x10", lambda: batch_ingest_x10(ingest)(spark, sf_dir)),
         ("asof_x16_uniform", lambda: asof_x16(False)(spark, sf_dir)),
         ("asof_x16_hotkey", lambda: asof_x16(True)(spark, sf_dir)),
         # the engine's own bucket heuristic under the hot-key shape —
         # regresses that bucket_us="auto" stays skew-safe end-to-end
         ("asof_x16_hotkey_auto",
          lambda: asof_x16(True, bucket="auto")(spark, sf_dir)),
+        # 6-hour windows vs the legacy fixed 300s bucket: the fixed form
+        # explodes every window onto ~73 bucket rows; 'auto' derives the
+        # width from the p95 window length
+        ("interval_x10_fixed",
+         lambda: interval_x10(300_000_000)(spark, sf_dir)),
+        ("interval_x10_auto", lambda: interval_x10("auto")(spark, sf_dir)),
     ]
     # Best-of-2 per entry, matching bench.py's protocol: the minimum
     # excludes one-time view registration / parquet-footer probes and
@@ -378,6 +586,15 @@ def main() -> None:
               file=sys.stderr)
 
     ratio = round(timings["asof_x16_hotkey"] / timings["asof_x16_uniform"], 2)
+    skew_ratio = round(
+        timings["giant_skew_x10_hot"] / timings["giant_skew_x10_uniform"], 2
+    )
+    ingest_ratio = round(
+        timings["stream_ingest_x10"] / timings["batch_ingest_x10"], 2
+    )
+    interval_ratio = round(
+        timings["interval_x10_fixed"] / timings["interval_x10_auto"], 2
+    )
     print(
         json.dumps(
             {
@@ -387,6 +604,9 @@ def main() -> None:
                 "queries": timings,
                 "rows": rows,
                 "asof_hot_over_uniform": ratio,
+                "giant_skew_hot_over_uniform": skew_ratio,
+                "stream_over_batch_ingest": ingest_ratio,
+                "interval_fixed_over_auto": interval_ratio,
                 "clones": {
                     "spatial": CLONES_SPATIAL,
                     "lsh": CLONES_LSH,
