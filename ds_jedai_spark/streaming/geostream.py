@@ -497,9 +497,18 @@ def stream_incremental_dedup(
     splits into micro-batches (pytest-pinned with maxFilesPerTrigger=1).
     At 100 TB: the index side is the bucketed standing shingle table
     (pin_shingles mode="bucketed"), each day's crawl streams through,
-    and state is zero — no watermark, no state store; exactly-once
-    lands on the sink's append atomicity exactly like any foreachBatch
-    pipeline."""
+    and state is zero — no watermark, no state store.
+
+    Delivery guarantee: AT-LEAST-ONCE, not exactly-once. The checkpoint
+    makes every micro-batch processed, but foreachBatch + blind
+    ``append`` re-appends a batch that failed after a partial write and
+    was retried (and Spark re-runs the last batch after a restart).
+    A production sink upgrades this to exactly-once by making the write
+    idempotent on the batch id — overwrite a per-``batch_id`` partition
+    (``partitionOverwriteMode=dynamic``) or MERGE on (batch_id, d1, d2)
+    in a transactional table format. The testdata drains here run
+    availableNow once into a fresh table, where at-least-once and
+    exactly-once coincide."""
     from ds_jedai_spark.operators import dedup
 
     def on_batch(batch_df: DataFrame, _bid: int) -> None:
@@ -524,7 +533,10 @@ def stream_incremental_embedding_dedup(
     lsh_neardup_pairs_cross — only the batch computes hyperplane dots;
     the index side reads the pinned band table. Zero streaming state;
     per-batch results couple batch vectors with the index only, so the
-    appended union is invariant to the micro-batch split."""
+    appended union is invariant to the micro-batch split. Same
+    at-least-once delivery caveat as stream_incremental_dedup: blind
+    append re-appends a retried batch; idempotence on the batch id is
+    the production upgrade."""
     from ds_jedai_spark.operators import similarity
 
     def on_batch(batch_df: DataFrame, _bid: int) -> None:
