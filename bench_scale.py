@@ -41,16 +41,27 @@ noise is small relative to the run):
   uses the engine's own bucket_us="auto" heuristic instead of the
   explicit width, so the policy itself is regressed under skew.
   GATE: hot wall <= ~2x uniform wall (asof_hot_over_uniform).
-- giant_skew_x10_uniform / giant_skew_x10_hot: the spatial COMPUTE-skew
-  soak — the 10x corpus plus one dense cell holding ~10% of all
-  candidate pairs on a few hundred targets in one tile, through the
-  skew-split two-path join (well_balanced_candidates). The z-score
-  firing and the union + round-robin plan shape are asserted inline.
-  GATE: hot wall <= ~2x uniform wall (giant_skew_hot_over_uniform).
+- giant_skew_x10_uniform / giant_skew_x10_hot (+ the _plain pair): the
+  spatial COMPUTE-skew soak — the 10x corpus plus one dense cell
+  holding ~1.2M candidate pairs on a few hundred targets in one tile.
+  The balanced entries run the skew-split two-path join
+  (well_balanced_candidates) with the z-score firing and the union +
+  round-robin plan shape asserted inline; the _plain entries run the
+  ordinary tile join with broadcast DISABLED (the 100 TB SMJ shape).
+  Measured finding: AQE + row-level probe parallelism absorb the dense
+  cell on the plain path (hot ~= uniform), so tile-density skew needs
+  no manual intervention at box-algebra verification cost — the
+  two-path operator is reference-parity insurance for
+  expensive-verification workloads, and these entries bound its
+  overhead. GATES: giant_skew_plain_hot_over_uniform <= ~2x and
+  giant_skew_hot_over_uniform <= ~2.5x.
 - stream_ingest_x10 / batch_ingest_x10: micro-batched incremental
   dedup ingest (4 micro-batches against the standing pinned shingle
   index) vs the identical pairs in one batch plan — the orchestration
   overhead of the streaming ingest loop (stream_over_batch_ingest).
+- pq_auto_recall: PQ trained with corpus-scaled auto_pq_params and a
+  deployment-sized rerank shortlist; the rerank recall floor (0.70) is
+  asserted inline so a silently-degrading PQ tier fails the soak.
 - interval_x10_fixed / interval_x10_auto: 6-hour windows through
   interval_join with the legacy fixed 300s bucket (each window explodes
   onto ~73 bucket rows) vs bucket_us="auto" (p95-derived width, ~2
@@ -311,6 +322,39 @@ def ivf_x10(spark, sf_dir):
     return ivf_trained_topk(cloned, cent=cent, cells=cells).count()
 
 
+PQ_RECALL_FLOOR = 0.70
+PQ_SHORTLIST = 50
+
+
+def pq_auto_recall(spark, sf_dir):
+    """Corpus-scaled PQ quality gate at sf0.1: train with
+    auto_pq_params (8-dim sub-blocks, codewords ~ n/64 — the toy
+    defaults are PQ_M=4 / 8 codewords) and a deployment-sized rerank
+    shortlist, then ASSERT the rerank recall floor. This is the
+    regression that catches a silently-degrading PQ tier: the gate's
+    oracle-replayed pq_recall pins exact numbers at sf0.01 toy params,
+    while this entry pins that the SCALED policy keeps real retrieval
+    quality (measured 0.78 at sf0.1; floor 0.70). Returns
+    round(recall * 1000) as the recorded row value."""
+    from ds_jedai_spark.operators import similarity as S
+    from ds_jedai_spark.plans.pipeline_plans import _emb
+
+    emb = _emb(spark, sf_dir).localCheckpoint()
+    n = emb.count()
+    dim = len(emb.select("embedding").first()["embedding"])
+    m, k = S.auto_pq_params(n, dim)
+    books = S.pin_codebooks(emb, k=k, m=m)
+    codes = S.pin_codes(emb, books)
+    r = S.pq_recall(
+        emb, books=books, codes=codes, shortlist=PQ_SHORTLIST
+    ).first()
+    assert r["rerank_recall"] >= PQ_RECALL_FLOOR, (
+        f"auto-PQ rerank recall collapsed: {r['rerank_recall']:.3f} < "
+        f"{PQ_RECALL_FLOOR} (m={m}, k={k}, shortlist={PQ_SHORTLIST})"
+    )
+    return round(r["rerank_recall"] * 1000)
+
+
 def _cloned_events(spark, sf_dir, hot: bool):
     from ds_jedai_spark.plans.timeseries_plans import _events
 
@@ -368,6 +412,41 @@ def _skew_boxes(spark, sf_dir, hot: bool):
         cs.unionByName(stacked(N_HOT_SRC, 10**9, 0.05)),
         ct.unionByName(stacked(N_HOT_TGT, 2 * 10**9, 0.05)),
     )
+
+
+def giant_skew_x10_plain(hot: bool):
+    """The PLAIN engine path over the skew corpus with broadcast
+    DISABLED — the 100 TB shape (neither side broadcasts, the tile join
+    is an SMJ, the hot tile's pairs land in one shuffle partition).
+    Measured finding this soak regresses: row-level probe parallelism +
+    AQE absorb the dense cell (hot ~= uniform wall, 9.8M vs 8.6M pairs)
+    — the engine needs NO manual intervention for tile-density skew at
+    box-algebra verification cost; the two-path split below is the
+    reference-parity insurance for expensive-verification workloads and
+    its overhead is what the balanced entries bound."""
+
+    def q(spark, sf_dir):
+        from ds_jedai_spark.model.tiles import compute_theta
+        from ds_jedai_spark.operators.relate import with_relations
+        from ds_jedai_spark.operators.spatial_join import tile_join
+        from ds_jedai_spark.plans.giant import counts_agg
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            cs, ct = _skew_boxes(spark, sf_dir, hot)
+            theta = compute_theta(cs)
+            out = counts_agg(
+                with_relations(tile_join(cs, ct, theta=theta))
+            )
+            v = out.first().verifications
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, "expected the no-broadcast SMJ"
+            return v
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    return q
 
 
 def giant_skew_x10(hot: bool):
@@ -551,10 +630,20 @@ def main() -> None:
         ("giant_skew_x10_uniform",
          lambda: giant_skew_x10(False)(spark, sf_dir)),
         ("giant_skew_x10_hot", lambda: giant_skew_x10(True)(spark, sf_dir)),
+        # the same hot corpus through the PLAIN no-broadcast SMJ — pins
+        # the measured finding that AQE + row-level probe parallelism
+        # absorb the dense tile without the two-path split
+        ("giant_skew_x10_hot_plain",
+         lambda: giant_skew_x10_plain(True)(spark, sf_dir)),
+        ("giant_skew_x10_uniform_plain",
+         lambda: giant_skew_x10_plain(False)(spark, sf_dir)),
         ("lsh_x10", lambda: lsh_x10(spark, sf_dir)),
         ("emb_lsh_x10", lambda: emb_lsh_x10(spark, sf_dir)),
         ("semantic_cluster_x10", lambda: semantic_cluster_x10(spark, sf_dir)),
         ("ivf_x10", lambda: ivf_x10(spark, sf_dir)),
+        # corpus-scaled PQ params + deployment shortlist with the rerank
+        # recall floor ASSERTED (value recorded = recall x 1000)
+        ("pq_auto_recall", lambda: pq_auto_recall(spark, sf_dir)),
         ("simhash_x10", lambda: simhash_x10(spark, sf_dir)),
         # micro-batched ingest vs the same pairs in one batch plan
         ("stream_ingest_x10", lambda: stream_ingest_x10(ingest)(spark, sf_dir)),
@@ -589,6 +678,10 @@ def main() -> None:
     skew_ratio = round(
         timings["giant_skew_x10_hot"] / timings["giant_skew_x10_uniform"], 2
     )
+    skew_plain_ratio = round(
+        timings["giant_skew_x10_hot_plain"]
+        / timings["giant_skew_x10_uniform_plain"], 2
+    )
     ingest_ratio = round(
         timings["stream_ingest_x10"] / timings["batch_ingest_x10"], 2
     )
@@ -605,6 +698,7 @@ def main() -> None:
                 "rows": rows,
                 "asof_hot_over_uniform": ratio,
                 "giant_skew_hot_over_uniform": skew_ratio,
+                "giant_skew_plain_hot_over_uniform": skew_plain_ratio,
                 "stream_over_batch_ingest": ingest_ratio,
                 "interval_fixed_over_auto": interval_ratio,
                 "clones": {

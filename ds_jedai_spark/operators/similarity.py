@@ -618,6 +618,7 @@ def pq_recall(
     k: int = 5,
     books: list | None = None,
     codes: DataFrame | None = None,
+    shortlist: int = 20,
 ) -> DataFrame:
     """Measured recall@k of the PQ search tiers against the exact
     brute-force top-k — the quality metric a PQ deployment monitors
@@ -632,7 +633,11 @@ def pq_recall(
     # ONE ADC scan: the shortlist frame serves both tiers (its top-k
     # prefix IS the raw-ADC answer; the rerank reads the same rows) —
     # pinned because two consumers would otherwise replay the scan.
-    shortlist = 20
+    # ``shortlist`` is the recall/latency knob (rerank reads exactly
+    # shortlist x queries exact vectors): the 20 default is the gate's
+    # oracle-replayed setting; deployments scale it with k (measured at
+    # sf0.1: 20 -> 0.56 rerank recall, 50 -> 0.78 — see the
+    # pq_auto_recall soak in bench_scale.py).
     short_scored = pq_adc_topk(
         emb, n_queries, shortlist, books=books, codes=codes
     ).localCheckpoint()
@@ -806,24 +811,45 @@ def ivf_multiprobe_topk(
 PQ_M = 4  # sub-blocks per vector (64-dim corpus -> 16-dim sub-vectors)
 
 
-def _pq_subvectors(qe: DataFrame, m: int) -> DataFrame:
-    """Sub-block m of each quantized vector (dims are split evenly)."""
-    return qe.select(
-        "vec_id",
-        F.expr(
-            f"slice(qv, {m} * (size(qv) div {PQ_M}) + 1, size(qv) div {PQ_M})"
-        ).alias("qv"),
-    )
+def auto_pq_params(
+    n: int, dim: int, target_codeword_pop: int = 64
+) -> tuple[int, int]:
+    """Corpus-scaled PQ parameters (M sub-blocks, k codewords each).
+
+    The fixed defaults (PQ_M=4, KMEANS_K=8 codewords) are the
+    toy-corpus / oracle-replay setting: 8 codewords quantize a growing
+    corpus ever more coarsely (reconstruction error — and with it ADC
+    ranking quality — degrades as vectors-per-codeword grows ~n/8),
+    while 16-dim sub-vectors under-use the M-fold product structure.
+    The deployment policy mirrors standard PQ sizing:
+
+    - ``M = dim / 8`` (8-dim sub-vectors — the conventional block size;
+      falls back to the first of (16, 4, 2, 1) dividing dim, since the
+      slice layout silently drops remainder dims otherwise);
+    - ``k ~ n / target_codeword_pop`` holds vectors-per-codeword
+      constant as the corpus grows, clamped to [KMEANS_K, 256] — 256 =
+      one BYTE per code, the storage contract that makes PQ's
+      compression ratio (M bytes per vector) possible.
+
+    Training cost stays linear: assignment is a broadcast argmin over
+    M x k codewords and codebooks remain broadcast-sized."""
+    m = None
+    for sub in (8, 16, 4, 2, 1):
+        if dim % sub == 0:
+            m = max(1, dim // sub)
+            break
+    k = max(KMEANS_K, min(256, round(n / max(1, target_codeword_pop))))
+    return m, k
 
 
-def _pq_sub_explode(qe: DataFrame) -> DataFrame:
-    """All PQ_M sub-vectors of each vector in ONE pass: (vec_id, m, qv).
-    One corpus scan instead of PQ_M slice scans — at 100 TB this is the
+def _pq_sub_explode(qe: DataFrame, m: int = PQ_M) -> DataFrame:
+    """All ``m`` sub-vectors of each vector in ONE pass: (vec_id, m, qv).
+    One corpus scan instead of m slice scans — at 100 TB this is the
     difference between reading the vectors once and M times."""
     slices = F.expr(
-        f"transform(sequence(0, {PQ_M - 1}), "
-        f"m -> slice(qv, m * (size(qv) div {PQ_M}) + 1, "
-        f"size(qv) div {PQ_M}))"
+        f"transform(sequence(0, {m - 1}), "
+        f"m -> slice(qv, m * (size(qv) div {m}) + 1, "
+        f"size(qv) div {m}))"
     )
     return qe.select(
         "vec_id", F.posexplode(slices).alias("m", "qv")
@@ -831,7 +857,8 @@ def _pq_sub_explode(qe: DataFrame) -> DataFrame:
 
 
 def pq_codebooks_stacked(
-    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+    m: int = PQ_M,
 ) -> DataFrame:
     """All PQ_M Lloyd codebooks trained in ONE stacked lineage:
     (m, cid, cv). Per-m math is identical to training each sub-block
@@ -845,7 +872,7 @@ def pq_codebooks_stacked(
     hashed id spaces): a broadcast semi-join of the k-row TakeOrdered
     head against the exploded sub-vectors."""
     qe = quantized(emb).select("vec_id", "qv")
-    subs = _pq_sub_explode(qe)
+    subs = _pq_sub_explode(qe, m)
     seed_ids = qe.orderBy("vec_id").limit(k).select("vec_id")
     cent = subs.join(F.broadcast(seed_ids), "vec_id").select(
         "m", F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
@@ -876,15 +903,20 @@ def pq_codebooks_stacked(
     return cent
 
 
-def pq_codebooks(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+def pq_codebooks(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+    m: int = PQ_M,
+):
     """One Lloyd codebook per sub-block: list of per-m centroid frames
     (cid, cv) — sliced from the single stacked training pass
     (pq_codebooks_stacked; integer-exact, floored means, deterministic
-    seeds = first k vec_ids)."""
-    stacked = pq_codebooks_stacked(emb, k, iters)
+    seeds = first k vec_ids). Downstream functions recover M as
+    ``len(books)``, so auto-sized codebooks (auto_pq_params) flow
+    through encode/ADC/rerank unchanged."""
+    stacked = pq_codebooks_stacked(emb, k, iters, m)
     return [
-        stacked.where(F.col("m") == m).select("cid", "cv")
-        for m in range(PQ_M)
+        stacked.where(F.col("m") == mi).select("cid", "cv")
+        for mi in range(m)
     ]
 
 
@@ -894,6 +926,7 @@ def pin_codebooks(
     iters: int = KMEANS_ITERS,
     mode: str = "local",
     table: str = "pq_codebooks_pinned",
+    m: int = PQ_M,
 ) -> list:
     """Train the PQ codebooks ONCE and materialize the artifact (the
     pin_centroids analogue for product quantization). Without the pin,
@@ -904,20 +937,20 @@ def pin_codebooks(
     sub-block. Codebooks are broadcast-sized (M x k codewords) — no
     bucketing needed."""
     if mode == "local":
-        stacked = pq_codebooks_stacked(emb, k, iters).localCheckpoint()
+        stacked = pq_codebooks_stacked(emb, k, iters, m).localCheckpoint()
     elif mode == "table":
         from ds_jedai_spark.io.bucketed import drop_table_and_location
 
         drop_table_and_location(emb.sparkSession, table)
-        pq_codebooks_stacked(emb, k, iters).write.mode(
+        pq_codebooks_stacked(emb, k, iters, m).write.mode(
             "overwrite"
         ).saveAsTable(table)
         stacked = emb.sparkSession.table(table)
     else:
         raise ValueError(f"unknown pin mode: {mode!r}")
     return [
-        stacked.where(F.col("m") == m).select("cid", "cv")
-        for m in range(PQ_M)
+        stacked.where(F.col("m") == mi).select("cid", "cv")
+        for mi in range(m)
     ]
 
 
@@ -933,9 +966,9 @@ def pq_codes(emb: DataFrame, books: list) -> DataFrame:
     """ENCODE: nearest codeword per (vector, sub-block) — (vec_id, m,
     cid), one corpus pass for all sub-blocks (broadcast-join argmin
     keyed by m). This is the stored payload of a PQ index; see
-    pin_codes."""
+    pin_codes. M is recovered as ``len(books)``."""
     qe = quantized(emb).select("vec_id", "qv")
-    subs = _pq_sub_explode(qe)
+    subs = _pq_sub_explode(qe, len(books))
     scored = subs.join(F.broadcast(_stack_books(books)), "m").withColumn(
         "d2", _dist2(F.col("qv"), F.col("cv"))
     )
@@ -1002,7 +1035,8 @@ def pq_adc_topk(
     if codes is None:
         codes = pq_codes(emb, books)
     queries = _pq_sub_explode(
-        qe.where(F.col("vec_id") < n_queries).select("vec_id", "qv")
+        qe.where(F.col("vec_id") < n_queries).select("vec_id", "qv"),
+        len(books),
     ).join(
         qe.select("vec_id", F.col("norm2").alias("n1")), "vec_id"
     ).select(

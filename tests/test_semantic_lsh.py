@@ -334,3 +334,40 @@ def test_cross_pairs_pin_metadata_guard(spark):
         similarity.lsh_neardup_pairs_cross(
             batch, index, pl.TAU_COS, index_bands=bare, n_bands="auto",
         ).collect()
+
+
+def test_auto_pq_params_policy():
+    """M always divides dim (the slice layout drops remainder dims
+    otherwise); k holds vectors-per-codeword ~constant, clamped to
+    [KMEANS_K, 256] (one-byte codes)."""
+    from ds_jedai_spark.operators.similarity import KMEANS_K, auto_pq_params
+
+    for dim in (64, 768, 1536, 100, 12, 7):
+        m, k = auto_pq_params(50_000, dim)
+        assert dim % m == 0, (dim, m)
+        assert m >= 1
+    assert auto_pq_params(64, 64) == (8, KMEANS_K)        # tiny corpus
+    assert auto_pq_params(10**8, 768)[1] == 256           # byte-code cap
+    m, k = auto_pq_params(6400, 64)
+    assert (m, k) == (8, 100)                             # n/64 codewords
+
+
+def test_pq_pipeline_with_auto_params(spark):
+    """The whole encode/ADC/rerank chain runs at a non-default (m, k):
+    M is recovered from len(books), codes cover all m sub-blocks, and
+    rerank recall with a scaled shortlist is at least as good as the
+    gate's toy setting."""
+    from ds_jedai_spark.operators import similarity as S
+
+    emb = _emb(spark).localCheckpoint()
+    n = emb.count()
+    dim = len(emb.select("embedding").first()["embedding"])
+    m, k = S.auto_pq_params(n, dim)
+    assert (m, k) != (S.PQ_M, S.KMEANS_K)
+    books = S.pin_codebooks(emb, k=k, m=m)
+    assert len(books) == m
+    codes = S.pin_codes(emb, books)
+    assert codes.select("m").distinct().count() == m
+    r = S.pq_recall(emb, books=books, codes=codes, shortlist=50).first()
+    r0 = S.pq_recall(emb).first()
+    assert r["rerank_recall"] >= r0["rerank_recall"]
