@@ -102,17 +102,19 @@ def _point_in_ring(p: Pt, ring: list[Pt]) -> int:
 
 
 def _point_in_polygon(p: Pt, rings: list[list[Pt]]) -> int:
-    """2 interior, 1 boundary, 0 exterior — outer ring first, then holes."""
-    loc = _point_in_ring(p, rings[0])
-    if loc != 2:
-        return loc
-    for hole in rings[1:]:
-        hloc = _point_in_ring(p, hole)
-        if hloc == 1:
+    """2 interior, 1 boundary, 0 exterior — EVEN-ODD over all rings
+    (matching relate_poly.point_location), so one code path serves
+    POLYGON-with-holes AND flattened MULTIPOLYGON ring lists. The
+    previous outer-ring-first form silently classified a point inside
+    any part but the first of a multipolygon as exterior."""
+    inside = 0
+    for r in rings:
+        loc = _point_in_ring(p, r)
+        if loc == 1:
             return 1
-        if hloc == 2:
-            return 0
-    return 2
+        if loc == 2:
+            inside ^= 1
+    return 2 if inside else 0
 
 
 def _segments(parts: list[list[Pt]]) -> list[tuple[Pt, Pt]]:

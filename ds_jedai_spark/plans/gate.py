@@ -208,6 +208,14 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                  giant.triangle_triangle_counts_oracle(),
                  ["verifications", "n_intersects", "n_touches", "n_overlaps",
                   "n_covers", "n_contains", "n_equals"]),
+                # end-to-end ingest -> tile join -> relate_poly over
+                # hole/concave/multipolygon WKT against BY-CONSTRUCTION
+                # truth flags (fixtures/wkt_holes_*.tsv)
+                ("hp", rp.wkt_hole_relate_counts,
+                 rp.wkt_hole_relate_counts_oracle(),
+                 ["verifications", "n_intersects", "n_contains", "n_within",
+                  "n_covers", "n_coveredby", "n_equals", "n_touches",
+                  "n_overlaps", "n_crosses", "n_disjoint"]),
             ]
         ),
     )

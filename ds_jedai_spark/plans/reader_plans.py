@@ -82,6 +82,75 @@ def wkt_reader_counts_oracle() -> str:
     )
 
 
+HOLES_SRC = str(
+    Path(__file__).resolve().parents[2] / "fixtures" / "wkt_holes_source.tsv"
+)
+HOLES_TGT = str(
+    Path(__file__).resolve().parents[2] / "fixtures" / "wkt_holes_target.tsv"
+)
+
+_HOLE_RELS = (
+    "intersects", "contains", "within", "covers", "coveredby",
+    "equals", "touches", "overlaps", "crosses", "disjoint",
+)
+
+
+def wkt_hole_relate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end EXACT DE-9IM over ingested hole/concave/multipolygon
+    WKT (the reference's IntersectionMatrixTest.scala:29-38 pattern run
+    through the full chain): delimited scan -> WKT parse -> validity
+    filter -> tile join -> relate_general (which routes these
+    non-convex shapes through relate_poly's scaled-integer classifier)
+    -> the 11 counters.
+
+    The fixture (scripts/make_holes_fixture.py) places one source and
+    one target per 128-unit grid cell so the tile join yields exactly
+    the within-cell pairs, every one of which has INTERSECTING ENVELOPES
+    while the true relation is often 'disjoint' (target inside a hole /
+    concavity / multipolygon gap) — the pairs an envelope approximation
+    answers wrong by construction. The oracle reads the fixture's
+    hand-derived truth flags, which the engine never sees."""
+    from ds_jedai_spark.io.readers import read_wkt_delimited
+    from ds_jedai_spark.operators.relate_general import with_general_relations
+
+    src = read_wkt_delimited(
+        spark, HOLES_SRC, id_field="id", geom_field="wkt"
+    ).withColumn("id", F.col("id").cast("long"))
+    tgt = read_wkt_delimited(
+        spark, HOLES_TGT, id_field="id", geom_field="wkt"
+    ).withColumn("id", F.col("id").cast("long"))
+    cand = tile_join(
+        src, tgt, theta=(8.0, 8.0),
+        source_extra=("gtype", "coords"), target_extra=("gtype", "coords"),
+    )
+    v = with_general_relations(cand)
+    return v.agg(
+        F.count(F.lit(1)).alias("verifications"),
+        *[F.count(F.when(F.col(f"r_{r}"), True)).alias(f"n_{r}")
+          for r in _HOLE_RELS],
+    )
+
+
+def wkt_hole_relate_counts_oracle() -> str:
+    env = (
+        "s.minx <= t.maxx AND t.minx <= s.maxx AND "
+        "s.miny <= t.maxy AND t.miny <= s.maxy"
+    )
+    flag_sums = ", ".join(
+        f"COALESCE(CAST(sum(t.f_{r}) AS BIGINT), 0) AS n_{r}"
+        for r in _HOLE_RELS
+    )
+    return (
+        f"WITH s AS (SELECT CAST(id AS BIGINT) AS id, minx, miny, maxx, "
+        f"maxy FROM read_csv('{HOLES_SRC}', delim='\t', header=true) "
+        f"WHERE valid = 1), "
+        f"t AS (SELECT * FROM read_csv('{HOLES_TGT}', delim='\t', "
+        f"header=true) WHERE valid = 1) "
+        f"SELECT count(*) AS verifications, {flag_sums} "
+        f"FROM s JOIN t ON {env}"
+    )
+
+
 NT_FIXTURE = str(
     Path(__file__).resolve().parents[2] / "fixtures" / "nt_source.nt"
 )

@@ -202,3 +202,31 @@ def test_ragged_arity_buckets_match_exact_path(spark):
         )
         got = {rel: r[f"r_{rel}"] for rel in RELATIONS}
         assert got == exact, (r["s_gtype"], r["t_gtype"], got, exact)
+
+
+def test_point_in_any_multipolygon_part_even_odd():
+    """_point_in_polygon is even-odd over ALL rings: a point inside the
+    SECOND part of a flattened multipolygon is interior (the old
+    outer-ring-first form called it exterior), holes stay exterior, and
+    hole boundaries stay boundary."""
+    mp = [
+        [(0.0, 0.0), (6.0, 0.0), (6.0, 6.0), (0.0, 6.0), (0.0, 0.0)],
+        [(10.0, 0.0), (16.0, 0.0), (16.0, 6.0), (10.0, 6.0), (10.0, 0.0)],
+    ]
+    d = relate_pair("MULTIPOLYGON", mp, "POINT", [[(12.0, 3.0)]])
+    assert d["contains"] and d["covers"] and d["intersects"]
+    assert not d["disjoint"]
+    d2 = relate_pair("MULTIPOLYGON", mp, "POINT", [[(8.0, 3.0)]])  # gap
+    assert d2["disjoint"]
+    donut = [
+        [(0.0, 0.0), (16.0, 0.0), (16.0, 16.0), (0.0, 16.0), (0.0, 0.0)],
+        [(4.0, 4.0), (12.0, 4.0), (12.0, 12.0), (4.0, 12.0), (4.0, 4.0)],
+    ]
+    assert relate_pair("POLYGON", donut, "POINT", [[(8.0, 8.0)]])["disjoint"]
+    on_hole = relate_pair("POLYGON", donut, "POINT", [[(4.0, 8.0)]])
+    assert on_hole["touches"] and on_hole["covers"] and not on_hole["contains"]
+    # MULTIPOINT with one point in the solid and one in a hole: crosses
+    mixed = relate_pair(
+        "POLYGON", donut, "MULTIPOINT", [[(8.0, 2.0)], [(8.0, 8.0)]]
+    )
+    assert mixed["intersects"] and mixed["crosses"] and not mixed["coveredby"]
