@@ -477,11 +477,44 @@ def _drain_foreach_batch(stream: DataFrame, on_batch, ckpt_key: str) -> None:
             spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+def _batch_sink(pairs: DataFrame, bid: int, out_table: str,
+                idempotent: bool) -> None:
+    """Write one micro-batch's results. ``idempotent=False`` is the
+    blind append (at-least-once under retry). ``idempotent=True`` lands
+    the batch in its own ``_batch_id`` partition via DYNAMIC partition
+    overwrite: a retried batch overwrites exactly its own partition, so
+    replays converge to one copy — exactly-once at the sink without a
+    transactional table format. The partition column is part of the
+    table schema; readers select it away (or keep it as lineage)."""
+    from pyspark.sql import functions as F
+
+    if not idempotent:
+        pairs.write.mode("append").saveAsTable(out_table)
+        return
+    spark = pairs.sparkSession
+    out = pairs.withColumn("_batch_id", F.lit(int(bid)))
+    if not spark.catalog.tableExists(out_table):
+        out.write.partitionBy("_batch_id").saveAsTable(out_table)
+    else:
+        # the session conf, not the writer option: insertInto ignores
+        # the per-writer option and would STATIC-overwrite the whole
+        # table (wiping every other batch) — measured, not theoretical
+        before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").insertInto(out_table)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", before
+            )
+
+
 def stream_incremental_dedup(
     docs_stream: DataFrame,
     index_sh: DataFrame,
     tau: float,
     out_table: str,
+    idempotent: bool = False,
 ) -> None:
     """Incremental near-dup INGEST: each arriving micro-batch of
     documents is deduplicated against the STANDING shingle index with
@@ -499,23 +532,22 @@ def stream_incremental_dedup(
     (pin_shingles mode="bucketed"), each day's crawl streams through,
     and state is zero — no watermark, no state store.
 
-    Delivery guarantee: AT-LEAST-ONCE, not exactly-once. The checkpoint
-    makes every micro-batch processed, but foreachBatch + blind
-    ``append`` re-appends a batch that failed after a partial write and
-    was retried (and Spark re-runs the last batch after a restart).
-    A production sink upgrades this to exactly-once by making the write
-    idempotent on the batch id — overwrite a per-``batch_id`` partition
-    (``partitionOverwriteMode=dynamic``) or MERGE on (batch_id, d1, d2)
-    in a transactional table format. The testdata drains here run
-    availableNow once into a fresh table, where at-least-once and
-    exactly-once coincide."""
+    Delivery guarantee: the default blind append is AT-LEAST-ONCE, not
+    exactly-once — the checkpoint makes every micro-batch processed,
+    but a batch that failed after a partial write and was retried (or
+    the last batch re-run after a restart) appends twice. Pass
+    ``idempotent=True`` for the exactly-once sink: each batch lands in
+    its own ``_batch_id`` partition via dynamic partition overwrite, so
+    replays converge to one copy (see _batch_sink). The testdata drains
+    run availableNow once into a fresh table, where both coincide; the
+    gate keeps the append form (stable output schema)."""
     from ds_jedai_spark.operators import dedup
 
-    def on_batch(batch_df: DataFrame, _bid: int) -> None:
+    def on_batch(batch_df: DataFrame, bid: int) -> None:
         pairs = dedup.minhash_lsh_pairs_cross(
             batch_df, None, tau=tau, sh_b=index_sh
         )
-        pairs.write.mode("append").saveAsTable(out_table)
+        _batch_sink(pairs, bid, out_table, idempotent)
 
     _drain_foreach_batch(docs_stream, on_batch, f"dedup_{out_table}")
 
@@ -526,6 +558,7 @@ def stream_incremental_embedding_dedup(
     index_bands: DataFrame,
     tau: float,
     out_table: str,
+    idempotent: bool = False,
 ) -> None:
     """Embedding-space incremental ingest (the stream_incremental_dedup
     mirror): each micro-batch of arriving vectors is near-dup-checked
@@ -534,12 +567,12 @@ def stream_incremental_embedding_dedup(
     the index side reads the pinned band table. Zero streaming state;
     per-batch results couple batch vectors with the index only, so the
     appended union is invariant to the micro-batch split. Same
-    at-least-once delivery caveat as stream_incremental_dedup: blind
-    append re-appends a retried batch; idempotence on the batch id is
-    the production upgrade."""
+    delivery-guarantee contract as stream_incremental_dedup: blind
+    append (default) is at-least-once under retry; ``idempotent=True``
+    switches to the per-batch-id dynamic-overwrite sink."""
     from ds_jedai_spark.operators import similarity
 
-    def on_batch(batch_df: DataFrame, _bid: int) -> None:
+    def on_batch(batch_df: DataFrame, bid: int) -> None:
         # n_bands="auto": the pin's own (lsh_bands, lsh_bits) stamp is
         # authoritative — the batch must hash with the pin's hyperplane
         # parameters, whatever they were at build time.
@@ -547,6 +580,6 @@ def stream_incremental_embedding_dedup(
             batch_df, index_emb, tau, index_bands=index_bands,
             n_bands="auto",
         )
-        pairs.write.mode("append").saveAsTable(out_table)
+        _batch_sink(pairs, bid, out_table, idempotent)
 
     _drain_foreach_batch(emb_stream, on_batch, f"embdedup_{out_table}")

@@ -319,3 +319,68 @@ def test_stream_embedding_dedup_matches_batch_cross(spark):
     )
     assert got == want and len(got) > 0
     spark.sql("DROP TABLE IF EXISTS stream_emb_cross_tbl")
+
+
+def test_idempotent_batch_sink_converges_under_retry(spark):
+    """The exactly-once sink: replaying a batch id overwrites exactly
+    its own partition (no duplicates), other batches' partitions stay;
+    the default append sink duplicates on replay — the at-least-once
+    behavior the docstrings state."""
+    from ds_jedai_spark.io.bucketed import drop_table_and_location
+    from ds_jedai_spark.streaming.geostream import _batch_sink
+
+    pairs0 = spark.createDataFrame(
+        [(1, 10, 0.9), (2, 20, 0.8)], "d1 long, d2 long, jaccard double"
+    )
+    pairs1 = spark.createDataFrame(
+        [(3, 30, 0.7)], "d1 long, d2 long, jaccard double"
+    )
+    drop_table_and_location(spark, "t_idem_sink")
+    _batch_sink(pairs0, 0, "t_idem_sink", idempotent=True)
+    _batch_sink(pairs1, 1, "t_idem_sink", idempotent=True)
+    _batch_sink(pairs0, 0, "t_idem_sink", idempotent=True)  # retry of 0
+    got = spark.table("t_idem_sink")
+    assert got.count() == 3
+    assert sorted(
+        (r["d1"], r["_batch_id"]) for r in got.collect()
+    ) == [(1, 0), (2, 0), (3, 1)]
+
+    drop_table_and_location(spark, "t_app_sink")
+    _batch_sink(pairs0, 0, "t_app_sink", idempotent=False)
+    _batch_sink(pairs0, 0, "t_app_sink", idempotent=False)  # retry dupes
+    assert spark.table("t_app_sink").count() == 4
+
+
+def test_stream_incremental_dedup_idempotent_mode_matches_append(
+    spark, tmp_path
+):
+    """The idempotent ingest loop produces the same PAIRS as the append
+    loop (only the _batch_id lineage column is extra)."""
+    from pyspark.sql import functions as F
+
+    from ds_jedai_spark.io.bucketed import drop_table_and_location
+    from ds_jedai_spark.operators import dedup
+    from ds_jedai_spark.plans.pipeline_plans import TAU_JACCARD, _corpus
+    from ds_jedai_spark.streaming import geostream as gs
+    from tests.conftest import SF_SMALL
+
+    corpus = _corpus(spark, SF_SMALL)
+    docs_dir = str(tmp_path / "docs_idem")
+    corpus.where(F.col("doc_id") % 2 == 0).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(docs_dir)
+    index_sh = dedup.pin_shingles(corpus.where(F.col("doc_id") % 2 == 1))
+
+    for table, idem in (("t_ing_app", False), ("t_ing_idem", True)):
+        drop_table_and_location(spark, table)
+        stream = gs.event_stream(spark, docs_dir, maxFilesPerTrigger="1")
+        gs.stream_incremental_dedup(
+            stream, index_sh, TAU_JACCARD, table, idempotent=idem
+        )
+    app = spark.table("t_ing_app").select("d1", "d2", "jaccard")
+    idem = spark.table("t_ing_idem").select("d1", "d2", "jaccard")
+    assert "_batch_id" in spark.table("t_ing_idem").columns
+    assert sorted(map(tuple, app.collect())) == sorted(
+        map(tuple, idem.collect())
+    )
+    assert app.count() > 0
