@@ -309,9 +309,13 @@ def _run_op(args) -> int:
         elif args.op == "ann":
             from ds_jedai_spark.operators.similarity import (
                 auto_ivf_cells,
+                auto_pq_params,
                 brute_topk,
                 ivf_trained_topk,
                 kmeans_assignments,
+                pin_codebooks,
+                pin_codes,
+                pq_rerank_topk,
                 train_centroids,
             )
 
@@ -321,12 +325,22 @@ def _run_op(args) -> int:
             corpus = _emb_frame(_read(args.left, ()), args)
             k = args.k
             # id-space-safe query set: the n smallest ids PRESENT (raises
-            # on an empty corpus instead of writing 0 rows) — both paths;
-            # the gate's literal vec_id < n is the dense-id testdata
-            # convention only.
+            # on an empty corpus instead of writing 0 rows) — all
+            # methods; the gate's literal vec_id < n is the dense-id
+            # testdata convention only.
             pred = _ann_query_pred(corpus, args.n_queries)
             if args.method == "brute":
                 df = brute_topk(corpus, k=k, query_pred=pred)
+            elif args.method == "pq":
+                n_corpus = corpus.count()
+                dim = len(corpus.select("embedding").first()["embedding"])
+                m, kk = auto_pq_params(n_corpus, dim)
+                books = pin_codebooks(corpus, k=kk, m=m)
+                codes = pin_codes(corpus, books)
+                df = pq_rerank_topk(
+                    corpus, k=k, shortlist=max(20, 10 * k),
+                    books=books, codes=codes, query_pred=pred,
+                )
             else:
                 n_corpus = corpus.count()
                 cells_n = auto_ivf_cells(n_corpus)
@@ -419,8 +433,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="ann: neighbors per query")
     ap.add_argument("-n-queries", dest="n_queries", type=int, default=10,
                     help="ann (brute): query ids are vec_id < N")
-    ap.add_argument("-method", default="ivf", choices=["brute", "ivf"],
-                    help="ann: exact brute force or auto-sized trained IVF")
+    ap.add_argument("-method", default="ivf",
+                    choices=["brute", "ivf", "pq"],
+                    help="ann: exact brute force, auto-sized trained IVF, "
+                         "or auto-sized PQ with shortlist rerank")
     ap.add_argument("-tau", type=float, default=None,
                     help="dedup: similarity threshold (jaccard/cosine)")
     ap.add_argument("-id-col", dest="id_col", default="doc_id",

@@ -1007,6 +1007,7 @@ def pq_adc_topk(
     emb: DataFrame, n_queries: int = 10, k: int = 5,
     books: list | None = None,
     codes: DataFrame | None = None,
+    query_pred=None,
 ) -> DataFrame:
     """Product-quantization ADC search: every vector is stored as PQ_M
     one-byte codes (its nearest codeword per sub-block) and queries score
@@ -1025,7 +1026,10 @@ def pq_adc_topk(
     (qid, vid) partial-aggregated sum — no shuffle of raw vectors
     anywhere after training. Pass pinned ``books`` (pin_codebooks) and
     ``codes`` (pin_codes) to reuse a trained+encoded index instead of
-    retraining and re-encoding per query."""
+    retraining and re-encoding per query. The default query set is the
+    gate's dense-id ``vec_id < n_queries`` convention; user surfaces
+    pass ``query_pred`` (the CLI passes cli._ann_query_pred, like the
+    brute/IVF paths)."""
     qe = quantized(emb).select("vec_id", "qv", "norm2")
     if books is None:
         books = pq_codebooks(emb)
@@ -1034,8 +1038,10 @@ def pq_adc_topk(
     )
     if codes is None:
         codes = pq_codes(emb, books)
+    if query_pred is None:
+        query_pred = F.col("vec_id") < n_queries
     queries = _pq_sub_explode(
-        qe.where(F.col("vec_id") < n_queries).select("vec_id", "qv"),
+        qe.where(query_pred).select("vec_id", "qv"),
         len(books),
     ).join(
         qe.select("vec_id", F.col("norm2").alias("n1")), "vec_id"
@@ -1074,6 +1080,7 @@ def pq_rerank_topk(
     books: list | None = None,
     codes: DataFrame | None = None,
     short: DataFrame | None = None,
+    query_pred=None,
 ) -> DataFrame:
     """The standard PQ deployment pattern: ADC scan produces a cheap
     ``shortlist`` of candidates per query, then ONLY those candidates are
@@ -1083,10 +1090,13 @@ def pq_rerank_topk(
     exact top-k quality within the shortlist."""
     if short is None:  # pass a precomputed ADC shortlist to avoid rescans
         short = pq_adc_topk(
-            emb, n_queries, shortlist, books=books, codes=codes
+            emb, n_queries, shortlist, books=books, codes=codes,
+            query_pred=query_pred,
         ).select("qid", "vid")
     qe = quantized(emb)
-    queries = qe.where(F.col("vec_id") < n_queries).select(
+    if query_pred is None:
+        query_pred = F.col("vec_id") < n_queries
+    queries = qe.where(query_pred).select(
         F.col("vec_id").alias("qid"), F.col("qv").alias("a"),
         F.col("norm2").alias("n1"),
     )

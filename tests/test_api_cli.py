@@ -344,6 +344,15 @@ def test_cli_op_ann_offset_ids(spark, tmp_path, monkeypatch):
         <= set(smallest)
     assert res2.groupBy("qid").count().agg(F.max("count")).first()[0] <= 3
 
+    out3 = str(tmp_path / "pq_off.parquet")
+    assert cli.main(["-op", "ann", "-left", emb, "-method", "pq",
+                     "-k", "3", "-n-queries", "6", "-out", out3]) == 0
+    res3 = spark.read.parquet(out3)
+    assert res3.count() > 0
+    assert set(r["qid"] for r in res3.select("qid").distinct().collect()) \
+        <= set(smallest)
+    assert res3.groupBy("qid").count().agg(F.max("count")).first()[0] <= 3
+
 
 def test_cli_op_ann_empty_corpus_raises(spark, tmp_path, monkeypatch):
     """Pathological input (zero vectors) errors loudly instead of
