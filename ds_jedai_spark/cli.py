@@ -306,6 +306,59 @@ def _run_op(args) -> int:
                 )
             else:
                 df = lsh_neardup_pairs(left, tau, n_bands="auto")
+        elif args.op == "ann-build":
+            # Build the FULL ANN index ONCE and persist every artifact
+            # as a table under -index PREFIX — the deployment shape the
+            # API's pin_* table modes support (train once, query many):
+            # IVF centroids + cell assignments, PQ codebooks + codes
+            # (auto-sized to the corpus), and the stamped LSH band
+            # table. `-op ann -index PREFIX` then searches without
+            # retraining.
+            from pyspark.sql import functions as F
+
+            from ds_jedai_spark.operators.similarity import (
+                auto_ivf_cells,
+                auto_lsh_params,
+                auto_pq_params,
+                pin_bands,
+                pin_cells,
+                pin_centroids,
+                pin_codebooks,
+                pin_codes,
+            )
+
+            if not (args.left and args.index):
+                print("-op ann-build needs -left parquet and -index PREFIX",
+                      file=sys.stderr)
+                return 2
+            corpus = _emb_frame(_read(args.left, ()), args)
+            n_corpus = corpus.count()
+            if n_corpus == 0:
+                raise SystemExit(
+                    "-op ann-build: input has no vectors; check -left/-id-col"
+                )
+            dim = len(corpus.select("embedding").first()["embedding"])
+            p = args.index
+            cells_n = auto_ivf_cells(n_corpus)
+            cent = pin_centroids(
+                corpus, k=cells_n, mode="table", table=f"{p}_cent"
+            )
+            pin_cells(corpus, cent, mode="table", table=f"{p}_cells")
+            m, kk = auto_pq_params(n_corpus, dim)
+            books = pin_codebooks(
+                corpus, k=kk, m=m, mode="table", table=f"{p}_books"
+            )
+            pin_codes(corpus, books, mode="table", table=f"{p}_codes")
+            bands, bits = auto_lsh_params(n_corpus, args.tau or 0.9)
+            pin_bands(
+                corpus, mode="table", table=f"{p}_bands",
+                bands=bands, bits=bits,
+            )
+            df = spark.createDataFrame(
+                [(n_corpus, dim, cells_n, m, kk, bands, bits)],
+                "n_vectors long, dim int, ivf_cells int, pq_m int, "
+                "pq_k int, lsh_bands int, lsh_bits int",
+            ).withColumn("index_prefix", F.lit(p))
         elif args.op == "ann":
             from ds_jedai_spark.operators.similarity import (
                 auto_ivf_cells,
@@ -329,30 +382,55 @@ def _run_op(args) -> int:
             # methods; the gate's literal vec_id < n is the dense-id
             # testdata convention only.
             pred = _ann_query_pred(corpus, args.n_queries)
+            if args.index and args.method == "brute":
+                print("-method brute does not use an index; drop -index",
+                      file=sys.stderr)
+                return 2
             if args.method == "brute":
                 df = brute_topk(corpus, k=k, query_pred=pred)
             elif args.method == "pq":
-                n_corpus = corpus.count()
-                dim = len(corpus.select("embedding").first()["embedding"])
-                m, kk = auto_pq_params(n_corpus, dim)
-                books = pin_codebooks(corpus, k=kk, m=m)
-                codes = pin_codes(corpus, books)
+                if args.index:
+                    from pyspark.sql import functions as F
+                    stacked = spark.table(f"{args.index}_books")
+                    n_m = stacked.agg(
+                        F.countDistinct("m").alias("m")
+                    ).first()["m"]
+                    books = [
+                        stacked.where(F.col("m") == mi).select("cid", "cv")
+                        for mi in range(n_m)
+                    ]
+                    codes = spark.table(f"{args.index}_codes")
+                else:
+                    n_corpus = corpus.count()
+                    dim = len(
+                        corpus.select("embedding").first()["embedding"]
+                    )
+                    m, kk = auto_pq_params(n_corpus, dim)
+                    books = pin_codebooks(corpus, k=kk, m=m)
+                    codes = pin_codes(corpus, books)
                 df = pq_rerank_topk(
                     corpus, k=k, shortlist=max(20, 10 * k),
                     books=books, codes=codes, query_pred=pred,
                 )
             else:
-                n_corpus = corpus.count()
-                cells_n = auto_ivf_cells(n_corpus)
-                cent = train_centroids(corpus, k=cells_n).localCheckpoint()
-                if not cent.take(1):
-                    raise SystemExit(
-                        "-op ann: IVF centroid training produced no seeds "
-                        f"(corpus rows: {n_corpus}); check -left/-id-col"
-                    )
-                cells = kmeans_assignments(corpus, cent=cent).select(
-                    "vec_id", "cid"
-                ).localCheckpoint()
+                if args.index:
+                    cent = spark.table(f"{args.index}_cent")
+                    cells = spark.table(f"{args.index}_cells")
+                else:
+                    n_corpus = corpus.count()
+                    cells_n = auto_ivf_cells(n_corpus)
+                    cent = train_centroids(
+                        corpus, k=cells_n
+                    ).localCheckpoint()
+                    if not cent.take(1):
+                        raise SystemExit(
+                            "-op ann: IVF centroid training produced no "
+                            f"seeds (corpus rows: {n_corpus}); check "
+                            "-left/-id-col"
+                        )
+                    cells = kmeans_assignments(corpus, cent=cent).select(
+                        "vec_id", "cid"
+                    ).localCheckpoint()
                 df = ivf_trained_topk(
                     corpus, k=k, cent=cent, cells=cells, query_pred=pred,
                 )
@@ -424,9 +502,13 @@ def main(argv: list[str] | None = None) -> int:
         "-op",
         default=None,
         choices=["asof", "interval", "chunk", "dedup", "emb-dedup", "ann",
-                 "shuffle", "dupspans", "scrub"],
+                 "ann-build", "shuffle", "dupspans", "scrub"],
         help="run a temporal/pipeline operator on user parquet",
     )
+    ap.add_argument("-index", default=None,
+                    help="ann: table prefix of a persisted index — build "
+                         "it with -op ann-build, search with -op ann "
+                         "(skips retraining)")
     ap.add_argument("-shards", type=int, default=None,
                     help="shuffle: number of training shards")
     ap.add_argument("-k", type=int, default=5,

@@ -471,3 +471,48 @@ def test_cli_op_dupspans_and_scrub(spark, tmp_path, monkeypatch):
                      "-span-words", "5", "-out", out3]) == 0
     s5 = spark.read.parquet(out3)
     assert s5.where("doc_id = 2").count() >= 1
+
+
+def test_cli_ann_build_then_search_index(spark, tmp_path, monkeypatch):
+    """-op ann-build persists the full index (IVF cent/cells, PQ
+    books/codes, stamped LSH bands) as tables; -op ann -index searches
+    against them WITHOUT retraining and matches the inline-training
+    results bit for bit (training is deterministic)."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    emb = str(tmp_path / "emb.parquet")
+    spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).write.mode("overwrite").parquet(emb)
+
+    out_b = str(tmp_path / "build.parquet")
+    assert cli.main(["-op", "ann-build", "-left", emb,
+                     "-index", "t_cli_idx", "-out", out_b]) == 0
+    summary = spark.read.parquet(out_b).first()
+    assert summary["n_vectors"] > 0 and summary["dim"] > 0
+    for suffix in ("cent", "cells", "books", "codes", "bands"):
+        assert spark.catalog.tableExists(f"t_cli_idx_{suffix}"), suffix
+    assert {"lsh_bands", "lsh_bits"} <= set(
+        spark.table("t_cli_idx_bands").columns
+    )
+
+    for method in ("ivf", "pq"):
+        out_i = str(tmp_path / f"{method}_idx.parquet")
+        out_n = str(tmp_path / f"{method}_noidx.parquet")
+        assert cli.main(["-op", "ann", "-left", emb, "-method", method,
+                         "-k", "3", "-n-queries", "5",
+                         "-index", "t_cli_idx", "-out", out_i]) == 0
+        assert cli.main(["-op", "ann", "-left", emb, "-method", method,
+                         "-k", "3", "-n-queries", "5", "-out", out_n]) == 0
+        got = sorted(map(tuple, spark.read.parquet(out_i).collect()))
+        want = sorted(map(tuple, spark.read.parquet(out_n).collect()))
+        assert got == want and got, method
+
+    # brute rejects -index loudly (it has nothing to reuse)
+    assert cli.main(["-op", "ann", "-left", emb, "-method", "brute",
+                     "-index", "t_cli_idx",
+                     "-out", str(tmp_path / "no.parquet")]) == 2
