@@ -269,6 +269,26 @@ def _run_op(args) -> int:
                 keys=keys or None,
                 how=args.how,
             )
+        elif args.op == "dedup-build":
+            # Persist the standing corpus' shingle table BUCKETED by the
+            # join key (pin_shingles mode="bucketed") — the multi-job
+            # index a daily incremental dedup joins against with no
+            # Exchange on the index side. Search with
+            # `-op dedup -right corpus.parquet -index TBL`.
+            from ds_jedai_spark.operators.dedup import pin_shingles
+
+            if not (args.left and args.index):
+                print("-op dedup-build needs -left parquet and -index "
+                      "TABLE", file=sys.stderr)
+                return 2
+            docs = _docs_frame(_read(args.left, ()), args)
+            sh = pin_shingles(docs, mode="bucketed", table=args.index)
+            from pyspark.sql import functions as F
+
+            df = sh.agg(
+                F.count(F.lit(1)).alias("n_shingles"),
+                F.countDistinct("doc_id").alias("n_docs"),
+            ).withColumn("index_table", F.lit(args.index))
         elif args.op == "dedup":
             from ds_jedai_spark.operators.dedup import (
                 minhash_lsh_pairs,
@@ -280,7 +300,16 @@ def _run_op(args) -> int:
                 return 2
             left = _docs_frame(_read(args.left, ()), args)
             tau = args.tau if args.tau is not None else 0.8
-            if args.right:
+            if args.index:
+                # incremental vs the PERSISTED bucketed shingle table
+                # (dedup-build): the shingle index carries everything the
+                # cross path needs (band keys, verification sets, sizes),
+                # so only the batch side shingles per ingest and no
+                # -right re-read of the corpus is required
+                df = minhash_lsh_pairs_cross(
+                    left, None, tau=tau, sh_b=spark.table(args.index)
+                )
+            elif args.right:
                 # incremental: batch (left) vs standing corpus (right)
                 df = minhash_lsh_pairs_cross(
                     left, _docs_frame(_read(args.right, ()), args), tau=tau
@@ -299,10 +328,21 @@ def _run_op(args) -> int:
                 return 2
             left = _emb_frame(_read(args.left, ()), args)
             tau = args.tau if args.tau is not None else 0.9
+            if args.index and not args.right:
+                print("-op emb-dedup -index needs -right (the index "
+                      "corpus for verification)", file=sys.stderr)
+                return 2
             if args.right:
+                # -index reuses the ann-build band table; its
+                # (lsh_bands, lsh_bits) stamp fixes the batch side's
+                # hyperplane parameters (n_bands='auto' reads it)
+                bands = (
+                    spark.table(f"{args.index}_bands")
+                    if args.index else None
+                )
                 df = lsh_neardup_pairs_cross(
                     left, _emb_frame(_read(args.right, ()), args), tau,
-                    n_bands="auto",
+                    index_bands=bands, n_bands="auto",
                 )
             else:
                 df = lsh_neardup_pairs(left, tau, n_bands="auto")
@@ -501,14 +541,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "-op",
         default=None,
-        choices=["asof", "interval", "chunk", "dedup", "emb-dedup", "ann",
-                 "ann-build", "shuffle", "dupspans", "scrub"],
+        choices=["asof", "interval", "chunk", "dedup", "dedup-build",
+                 "emb-dedup", "ann", "ann-build", "shuffle", "dupspans",
+                 "scrub"],
         help="run a temporal/pipeline operator on user parquet",
     )
     ap.add_argument("-index", default=None,
-                    help="ann: table prefix of a persisted index — build "
-                         "it with -op ann-build, search with -op ann "
-                         "(skips retraining)")
+                    help="persisted-index name: -op ann-build/-op ann use "
+                         "it as a table prefix (IVF/PQ/LSH artifacts); "
+                         "-op dedup-build/-op dedup as the bucketed "
+                         "shingle table; -op emb-dedup reads "
+                         "<prefix>_bands")
     ap.add_argument("-shards", type=int, default=None,
                     help="shuffle: number of training shards")
     ap.add_argument("-k", type=int, default=5,

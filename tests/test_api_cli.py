@@ -516,3 +516,60 @@ def test_cli_ann_build_then_search_index(spark, tmp_path, monkeypatch):
     assert cli.main(["-op", "ann", "-left", emb, "-method", "brute",
                      "-index", "t_cli_idx",
                      "-out", str(tmp_path / "no.parquet")]) == 2
+
+
+def test_cli_dedup_build_then_incremental(spark, tmp_path, monkeypatch):
+    """-op dedup-build persists the bucketed shingle index; -op dedup
+    -index dedups an arriving batch against it without -right and
+    matches the inline cross run; -op emb-dedup -index reuses the
+    ann-build band table via its parameter stamp."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    even = str(tmp_path / "even.parquet")
+    odd = str(tmp_path / "odd.parquet")
+    base.where("doc_id % 2 = 0").write.mode("overwrite").parquet(even)
+    # near-dup injection: odd corpus plus truncated copies of even docs
+    base.where("doc_id % 2 = 1").select("doc_id", "text").unionByName(
+        base.where("doc_id % 2 = 0").select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.expr("substring(text, 1, CAST(length(text) * 0.9 AS INT))")
+            .alias("text"),
+        )
+    ).write.mode("overwrite").parquet(odd)
+
+    out_b = str(tmp_path / "shbuild.parquet")
+    assert cli.main(["-op", "dedup-build", "-left", odd,
+                     "-index", "t_cli_sh", "-out", out_b]) == 0
+    assert spark.read.parquet(out_b).first()["n_docs"] > 0
+    assert spark.catalog.tableExists("t_cli_sh")
+
+    out_i = str(tmp_path / "dd_idx.parquet")
+    out_r = str(tmp_path / "dd_right.parquet")
+    assert cli.main(["-op", "dedup", "-left", even, "-index", "t_cli_sh",
+                     "-tau", "0.5", "-out", out_i]) == 0
+    assert cli.main(["-op", "dedup", "-left", even, "-right", odd,
+                     "-tau", "0.5", "-out", out_r]) == 0
+    got = sorted(map(tuple, spark.read.parquet(out_i).collect()))
+    want = sorted(map(tuple, spark.read.parquet(out_r).collect()))
+    assert got == want and got
+
+    # emb-dedup against the ann-build band table: build first, then the
+    # cross run with -index must equal the run that rebuilds bands
+    emb = str(tmp_path / "embc.parquet")
+    spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).write.mode("overwrite").parquet(emb)
+    assert cli.main(["-op", "ann-build", "-left", emb,
+                     "-index", "t_cli_idx2", "-tau", "0.9",
+                     "-out", str(tmp_path / "b2.parquet")]) == 0
+    out_e = str(tmp_path / "emb_idx.parquet")
+    assert cli.main(["-op", "emb-dedup", "-left", emb, "-right", emb,
+                     "-index", "t_cli_idx2", "-tau", "0.9",
+                     "-out", out_e]) == 0
+    res = spark.read.parquet(out_e)
+    assert set(res.columns) == {"d1", "d2", "cos"}
