@@ -16,6 +16,13 @@ directions, tolerances, thresholds and chunk sizes — as-of enrichment,
 interval joins, RAG chunking, MinHash near-dup dedup (self or
 batch-vs-corpus incremental) and embedding near-dup (corpus-scaled LSH
 parameters) from the shell, writing parquet with -out.
+
+Build-once / query-many: `-op ann-build -index P` persists the full
+auto-sized ANN index (IVF centroids+cells, PQ codebooks+codes, stamped
+LSH bands) as tables; `-op ann -method ivf|pq -index P` searches it
+without retraining. `-op dedup-build -index T` persists the bucketed
+shingle index; `-op dedup -index T` / `-op emb-dedup -index P` run the
+incremental paths against the standing artifacts.
 """
 
 from __future__ import annotations
