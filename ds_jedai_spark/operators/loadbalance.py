@@ -92,19 +92,24 @@ def segment_group_units(seg_cand: DataFrame) -> DataFrame:
 
 
 def well_balanced_candidates(
-    cand: DataFrame, z: float = Z_SCORE, skew_parts: int | None = None
+    cand: DataFrame, z: float = Z_SCORE, skew_parts: int | None = None,
+    pinned: bool = False,
 ) -> DataFrame:
     """Split candidates into cheap / skew branches and reunite them.
 
     The skew branch is round-robin repartitioned (reference :58-92 uses a
     HashPartitioner over a fresh key) so its verification work spreads
     evenly; the cheap branch keeps its partitioning. Same rows out.
+    Pass ``pinned=True`` when the caller already materialized ``cand``
+    (localCheckpoint / table) — re-pinning here would copy every
+    candidate partition a second time for nothing.
     """
     # Eager localCheckpoint, not persist(): cand feeds a self-referential
     # consumer pair (joins against an aggregate of itself), where cache
     # substitution misses and silently recomputes per branch — see
     # dedup._pin for the measured evidence.
-    cand = cand.localCheckpoint()
+    if not pinned:
+        cand = cand.localCheckpoint()
     ids = F.broadcast(skew_targets(cand, z).select("t_id"))
     cheap = cand.join(ids, on="t_id", how="left_anti")
     skew = cand.join(ids, on="t_id", how="left_semi")
