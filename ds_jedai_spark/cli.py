@@ -411,6 +411,7 @@ def _run_op(args) -> int:
                 auto_ivf_cells,
                 auto_pq_params,
                 brute_topk,
+                ivf_multiprobe_topk,
                 ivf_trained_topk,
                 kmeans_assignments,
                 pin_codebooks,
@@ -478,9 +479,17 @@ def _run_op(args) -> int:
                     cells = kmeans_assignments(corpus, cent=cent).select(
                         "vec_id", "cid"
                     ).localCheckpoint()
-                df = ivf_trained_topk(
-                    corpus, k=k, cent=cent, cells=cells, query_pred=pred,
-                )
+                if args.nprobe > 1:
+                    # recall/latency knob: scan the nprobe nearest cells
+                    df = ivf_multiprobe_topk(
+                        corpus, k=k, nprobe=args.nprobe,
+                        cent=cent, cells=cells, query_pred=pred,
+                    )
+                else:
+                    df = ivf_trained_topk(
+                        corpus, k=k, cent=cent, cells=cells,
+                        query_pred=pred,
+                    )
         elif args.op == "shuffle":
             from ds_jedai_spark.operators.textops import (
                 SHUFFLE_SHARDS,
@@ -563,6 +572,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="shuffle: number of training shards")
     ap.add_argument("-k", type=int, default=5,
                     help="ann: neighbors per query")
+    ap.add_argument("-nprobe", type=int, default=1,
+                    help="ann (ivf): probe the N nearest cells per query "
+                         "(recall/latency knob; 1 = single-cell)")
     ap.add_argument("-n-queries", dest="n_queries", type=int, default=10,
                     help="ann (brute): query ids are vec_id < N")
     ap.add_argument("-method", default="ivf",

@@ -750,6 +750,7 @@ def ivf_multiprobe_topk(
     nprobe: int = 2,
     cent: DataFrame | None = None,
     cells: DataFrame | None = None,
+    query_pred=None,
 ) -> DataFrame:
     """Multi-probe IVF search: each query scans its ``nprobe`` nearest
     Lloyd cells instead of one — the standard recall/latency knob of an
@@ -759,13 +760,17 @@ def ivf_multiprobe_topk(
     path (one shuffle, AQE splits hot cells). Pass pinned ``cent``
     (pin_centroids) and ``cells`` (pin_cells) to reuse the trained and
     assigned index — the probe ranking then runs over the QUERY subset
-    only, never re-assigning the corpus."""
+    only, never re-assigning the corpus. The default query set is the
+    gate's dense-id ``% 50`` sample; user surfaces pass ``query_pred``
+    (the CLI passes cli._ann_query_pred)."""
     qe = quantized(emb)
     if cent is None:
         cent = train_centroids(emb)
     if cells is None:
         cells = kmeans_assignments(emb, cent=cent).select("vec_id", "cid")
-    probe_side = qe.where(F.col("vec_id") % 50 == 0).select("vec_id", "qv")
+    if query_pred is None:
+        query_pred = F.col("vec_id") % 50 == 0
+    probe_side = qe.where(query_pred).select("vec_id", "qv")
     scored_cells = probe_side.crossJoin(F.broadcast(cent)).withColumn(
         "d2", _dist2(F.col("qv"), F.col("cv"))
     )
@@ -783,7 +788,7 @@ def ivf_multiprobe_topk(
         F.col("vec_id").alias("qid"), F.col("cid").alias("cell")
     )
     queries = (
-        qe.where(F.col("vec_id") % 50 == 0)
+        qe.where(query_pred)
         .select(
             F.col("vec_id").alias("qid"),
             F.col("qv").alias("a"),

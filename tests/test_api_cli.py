@@ -573,3 +573,38 @@ def test_cli_dedup_build_then_incremental(spark, tmp_path, monkeypatch):
                      "-out", out_e]) == 0
     res = spark.read.parquet(out_e)
     assert set(res.columns) == {"d1", "d2", "cos"}
+
+
+def test_cli_ann_nprobe(spark, tmp_path, monkeypatch):
+    """-nprobe widens the IVF scan: every single-cell neighbor set is a
+    subset of the nprobe=3 set, and offset ids keep working."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    emb = str(tmp_path / "emb_np.parquet")
+    spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).withColumn("vec_id", F.col("vec_id") + 7777).write.mode(
+        "overwrite"
+    ).parquet(emb)
+
+    out1 = str(tmp_path / "np1.parquet")
+    out3 = str(tmp_path / "np3.parquet")
+    assert cli.main(["-op", "ann", "-left", emb, "-method", "ivf",
+                     "-k", "3", "-n-queries", "5", "-out", out1]) == 0
+    assert cli.main(["-op", "ann", "-left", emb, "-method", "ivf",
+                     "-k", "3", "-n-queries", "5", "-nprobe", "3",
+                     "-out", out3]) == 0
+    r1 = spark.read.parquet(out1)
+    r3 = spark.read.parquet(out3)
+    assert r1.count() > 0 and r3.count() >= r1.count()
+    # wider probe can only improve each query's best cosine
+    best1 = {r["qid"]: r["m"] for r in
+             r1.groupBy("qid").agg(F.max("cos").alias("m")).collect()}
+    best3 = {r["qid"]: r["m"] for r in
+             r3.groupBy("qid").agg(F.max("cos").alias("m")).collect()}
+    for qid, m1 in best1.items():
+        assert best3[qid] >= m1
