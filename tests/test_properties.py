@@ -211,3 +211,83 @@ def test_chunk_schedule_laws(n, chunk, data):
         assert e - s == chunk
     if n == 0:
         assert chunks == [(0, 0)]
+
+
+@st.composite
+def donuts(draw):
+    """Axis-aligned donut: outer lattice rect + a hole strictly inside.
+    Returns (parts, outer, hole) with rects as (x1, y1, x2, y2)."""
+    x1 = draw(st.integers(-40, 20)) / 16.0
+    y1 = draw(st.integers(-40, 20)) / 16.0
+    w = draw(st.integers(4, 24)) / 16.0
+    h = draw(st.integers(4, 24)) / 16.0
+    x2, y2 = x1 + w, y1 + h
+    hx1 = x1 + draw(st.integers(1, int(w * 16) - 2)) / 16.0
+    hy1 = y1 + draw(st.integers(1, int(h * 16) - 2)) / 16.0
+    hx2 = hx1 + draw(st.integers(1, int((x2 - hx1) * 16) - 1)) / 16.0
+    hy2 = hy1 + draw(st.integers(1, int((y2 - hy1) * 16) - 1)) / 16.0
+    parts = [
+        [[x1, y1], [x2, y1], [x2, y2], [x1, y2], [x1, y1]],
+        [[hx1, hy1], [hx2, hy1], [hx2, hy2], [hx1, hy2], [hx1, hy1]],
+    ]
+    return parts, (x1, y1, x2, y2), (hx1, hy1, hx2, hy2)
+
+
+def _rect_loc(p, rect):
+    """2 interior / 1 boundary / 0 exterior of a closed rect — pure
+    interval comparison, no ray casting (independent of the engine)."""
+    x, y = p
+    x1, y1, x2, y2 = rect
+    if not (x1 <= x <= x2 and y1 <= y <= y2):
+        return 0
+    if x in (x1, x2) or y in (y1, y2):
+        return 1
+    return 2
+
+
+@given(donuts(), points())
+@settings(max_examples=300, deadline=None)
+def test_point_vs_donut_matches_interval_algebra(donut, pt):
+    """POLYGON-with-hole vs POINT across the whole lattice space: the
+    engine's region classification must equal the interval-algebra
+    truth (interior = inside outer AND strictly outside hole; boundary
+    = on either ring; the hole's inside is EXTERIOR)."""
+    parts, outer, hole = donut
+    p = tuple(pt[0][0])
+    lo, lh = _rect_loc(p, outer), _rect_loc(p, hole)
+    if lo in (0, 1):
+        want = lo                      # outer ring decides
+    elif lh == 1:
+        want = 1                       # on the hole ring
+    elif lh == 2:
+        want = 0                       # inside the hole: exterior
+    else:
+        want = 2
+    d = relate_pair("POLYGON", parts, "POINT", pt)
+    assert d["contains"] == (want == 2)
+    assert d["touches"] == (want == 1)
+    assert d["covers"] == (want in (1, 2))
+    assert d["disjoint"] == (want == 0)
+    assert d["intersects"] == (want != 0)
+
+
+@given(donuts(), donuts(), points())
+@settings(max_examples=300, deadline=None)
+def test_point_vs_multipolygon_matches_interval_algebra(d1, d2, pt):
+    """MULTIPOLYGON (two independent donut parts, arbitrary relative
+    placement — may overlap, under even-odd the overlap is exterior) vs
+    POINT: engine == interval-algebra truth via even-odd parity."""
+    parts = d1[0] + d2[0]
+    p = tuple(pt[0][0])
+    rects = [d1[1], d1[2], d2[1], d2[2]]
+    locs = [_rect_loc(p, r) for r in rects]
+    if 1 in locs:
+        want = 1
+    else:
+        want = 2 if sum(1 for loc in locs if loc == 2) % 2 == 1 else 0
+    d = relate_pair("MULTIPOLYGON", parts, "POINT", pt)
+    assert d["contains"] == (want == 2)
+    assert d["touches"] == (want == 1)
+    assert d["covers"] == (want in (1, 2))
+    assert d["disjoint"] == (want == 0)
+    assert d["intersects"] == (want != 0)
