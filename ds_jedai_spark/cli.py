@@ -323,6 +323,28 @@ def _run_op(args) -> int:
                 )
             else:
                 df = minhash_lsh_pairs(left, tau=tau)
+        elif args.op == "dedup-apply":
+            # The full dedup pipeline in one command: MinHash-LSH pair
+            # discovery -> connected-component clustering (pointer
+            # doubling) -> materialize the SURVIVING corpus (one
+            # representative per cluster + all unclustered docs,
+            # cluster_id = -1 for the latter). The output is the
+            # deduplicated corpus itself, not pair diagnostics.
+            from ds_jedai_spark.operators.dedup import (
+                dedup_apply,
+                duplicate_clusters,
+                minhash_lsh_pairs,
+            )
+
+            if not args.left:
+                print("-op dedup-apply needs -left parquet path",
+                      file=sys.stderr)
+                return 2
+            docs = _docs_frame(_read(args.left, ()), args)
+            tau = args.tau if args.tau is not None else 0.8
+            pairs = minhash_lsh_pairs(docs, tau=tau)
+            clusters = duplicate_clusters(pairs)
+            df = dedup_apply(docs, clusters)
         elif args.op == "emb-dedup":
             from ds_jedai_spark.operators.similarity import (
                 lsh_neardup_pairs,
@@ -558,8 +580,8 @@ def main(argv: list[str] | None = None) -> int:
         "-op",
         default=None,
         choices=["asof", "interval", "chunk", "dedup", "dedup-build",
-                 "emb-dedup", "ann", "ann-build", "shuffle", "dupspans",
-                 "scrub"],
+                 "dedup-apply", "emb-dedup", "ann", "ann-build",
+                 "shuffle", "dupspans", "scrub"],
         help="run a temporal/pipeline operator on user parquet",
     )
     ap.add_argument("-index", default=None,

@@ -608,3 +608,41 @@ def test_cli_ann_nprobe(spark, tmp_path, monkeypatch):
              r3.groupBy("qid").agg(F.max("cos").alias("m")).collect()}
     for qid, m1 in best1.items():
         assert best3[qid] >= m1
+
+
+def test_cli_dedup_apply(spark, tmp_path, monkeypatch):
+    """-op dedup-apply writes the deduplicated corpus: near-dup copies
+    collapse to one representative, unclustered docs pass through with
+    cluster_id = -1, and every surviving clustered doc is its cluster's
+    minimum id."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    docs = str(tmp_path / "docs_apply.parquet")
+    # exact copies of every 5th doc at +100000 ids: guaranteed clusters
+    base.unionByName(
+        base.where("doc_id % 5 = 0").select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    ).write.mode("overwrite").parquet(docs)
+
+    out = str(tmp_path / "surv.parquet")
+    assert cli.main(["-op", "dedup-apply", "-left", docs,
+                     "-tau", "0.8", "-out", out]) == 0
+    surv = spark.read.parquet(out)
+    n_in = spark.read.parquet(docs).count()
+    assert 0 < surv.count() < n_in          # something was removed
+    assert set(surv.columns) == {"doc_id", "text", "cluster_id"}
+    # no injected copy survives while its original is present
+    ids = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    assert not any(i >= 100000 and i - 100000 in ids for i in ids)
+    # clustered survivors are their cluster's representative
+    assert surv.where(
+        (F.col("cluster_id") != -1) & (F.col("cluster_id") != F.col("doc_id"))
+    ).count() == 0
