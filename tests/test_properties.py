@@ -291,3 +291,129 @@ def test_point_vs_multipolygon_matches_interval_algebra(d1, d2, pt):
     assert d["covers"] == (want in (1, 2))
     assert d["disjoint"] == (want == 0)
     assert d["intersects"] == (want != 0)
+
+
+def _rects_strict_overlap(a, b):
+    """Open-interior intersection of two rects (strict interval overlap)."""
+    ax1, ay1, ax2, ay2 = a
+    bx1, by1, bx2, by2 = b
+    return ax1 < bx2 and bx1 < ax2 and ay1 < by2 and by1 < ay2
+
+
+def _rects_touch_or_overlap(a, b):
+    ax1, ay1, ax2, ay2 = a
+    bx1, by1, bx2, by2 = b
+    return ax1 <= bx2 and bx1 <= ax2 and ay1 <= by2 and by1 <= ay2
+
+
+def _rect_inside(a, b):
+    """Closed rect a within closed rect b."""
+    ax1, ay1, ax2, ay2 = a
+    bx1, by1, bx2, by2 = b
+    return bx1 <= ax1 and ax2 <= bx2 and by1 <= ay1 and ay2 <= by2
+
+
+def _donut_rect_flags(outer, hole, t):
+    r"""Independent DE-9IM of (donut s, rect t) by pure interval algebra:
+    s interior = outer° \ closure(hole), s closure = closure(outer) \
+    hole°. No ray casting, no segment classification."""
+    tx1, ty1, tx2, ty2 = t
+    ox1, oy1, ox2, oy2 = outer
+    # t° ∩ s° nonempty: the open rect R = t° ∩ outer° exists and is not
+    # entirely inside closure(hole) (a rect R inside the closed hole has
+    # its bounds within the hole's bounds)
+    ii = False
+    if _rects_strict_overlap(t, outer):
+        r = (max(tx1, ox1), max(ty1, oy1), min(tx2, ox2), min(ty2, oy2))
+        ii = not _rect_inside(r, hole)
+    # closure ∩ closure: C = t̄ ∩ outer̄ nonempty and not entirely inside
+    # the OPEN hole
+    inter = False
+    if _rects_touch_or_overlap(t, outer):
+        c = (max(tx1, ox1), max(ty1, oy1), min(tx2, ox2), min(ty2, oy2))
+        hx1, hy1, hx2, hy2 = hole
+        c_in_open_hole = (hx1 < c[0] and c[2] < hx2
+                          and hy1 < c[1] and c[3] < hy2)
+        inter = not c_in_open_hole
+    # covers(s, t): t̄ ⊆ outer̄ and t̄ misses the open hole
+    covers = _rect_inside(t, outer) and not _rects_strict_overlap(t, hole)
+    # coveredby(s, t): closure(s) ⊆ t̄ — a rect containing the annulus
+    # closure must contain outer's corners, hence all of outer̄
+    coveredby = _rect_inside(outer, t)
+    d = {
+        "intersects": inter,
+        "disjoint": not inter,
+        "covers": covers,
+        "coveredby": coveredby,
+        "contains": covers and ii,
+        "within": coveredby and ii,
+        "equals": covers and coveredby,
+        "touches": inter and not ii,
+        "overlaps": ii and not covers and not coveredby,
+        "crosses": False,
+    }
+    return d
+
+
+@st.composite
+def rects(draw):
+    x1 = draw(st.integers(-48, 44)) / 16.0
+    y1 = draw(st.integers(-48, 44)) / 16.0
+    w = draw(st.integers(1, 40)) / 16.0
+    h = draw(st.integers(1, 40)) / 16.0
+    return (x1, y1, x1 + w, y1 + h)
+
+
+def _rect_parts(r):
+    x1, y1, x2, y2 = r
+    return [[[x1, y1], [x2, y1], [x2, y2], [x1, y2], [x1, y1]]]
+
+
+@given(donuts(), rects())
+@settings(max_examples=300, deadline=None)
+def test_rect_vs_donut_full_de9im_matches_interval_algebra(donut, t):
+    """POLYGON-with-hole vs rectangle POLYGON: ALL TEN DE-9IM flags from
+    the exact sub-segment classifier (relate_poly) must equal pure
+    interval algebra over (outer, hole, target) — the independent model
+    covering boundary-touching, hole-straddling, annulus-inside,
+    hole-inside and containment cases across the lattice space."""
+    parts, outer, hole = donut
+    want = _donut_rect_flags(outer, hole, t)
+    got = relate_pair("POLYGON", parts, "POLYGON", _rect_parts(t))
+    assert got == want, (outer, hole, t, got, want)
+
+
+@given(rects(), rects(), rects())
+@settings(max_examples=300, deadline=None)
+def test_rect_vs_disjoint_multipolygon_matches_interval_algebra(a, b, t):
+    """Two-part MULTIPOLYGON (disjoint, non-touching rects) vs rect:
+    union algebra — II if either part strictly overlaps; covered iff
+    inside ONE part (a connected rect cannot span a gap); s ⊆ t̄ iff
+    both parts are."""
+    from hypothesis import assume
+
+    ax1, ay1, ax2, ay2 = a
+    # shift b fully right of a with a gap so the parts never touch
+    w = b[2] - b[0]
+    bx1 = ax2 + 1 / 16.0 + (b[0] % 2)  # small deterministic gap
+    b = (bx1, b[1], bx1 + w, b[3])
+    assume(not _rects_touch_or_overlap(a, b))
+    parts = _rect_parts(a) + _rect_parts(b)
+    ii = _rects_strict_overlap(t, a) or _rects_strict_overlap(t, b)
+    inter = _rects_touch_or_overlap(t, a) or _rects_touch_or_overlap(t, b)
+    covers = _rect_inside(t, a) or _rect_inside(t, b)
+    coveredby = _rect_inside(a, t) and _rect_inside(b, t)
+    want = {
+        "intersects": inter,
+        "disjoint": not inter,
+        "covers": covers,
+        "coveredby": coveredby,
+        "contains": covers and ii,
+        "within": coveredby and ii,
+        "equals": covers and coveredby,
+        "touches": inter and not ii,
+        "overlaps": ii and not covers and not coveredby,
+        "crosses": False,
+    }
+    got = relate_pair("MULTIPOLYGON", parts, "POLYGON", _rect_parts(t))
+    assert got == want, (a, b, t, got, want)
