@@ -417,3 +417,67 @@ def test_rect_vs_disjoint_multipolygon_matches_interval_algebra(a, b, t):
     }
     got = relate_pair("MULTIPOLYGON", parts, "POLYGON", _rect_parts(t))
     assert got == want, (a, b, t, got, want)
+
+
+def _donut_point_loc(p, outer, hole):
+    lo = _rect_loc(p, outer)
+    if lo in (0, 1):
+        return lo
+    lh = _rect_loc(p, hole)
+    if lh == 1:
+        return 1
+    return 0 if lh == 2 else 2
+
+
+@st.composite
+def hsegments(draw):
+    cy = draw(st.integers(-48, 48)) / 16.0
+    x1 = draw(st.integers(-48, 40)) / 16.0
+    x2 = x1 + draw(st.integers(1, 48)) / 16.0
+    return (x1, x2, cy)
+
+
+@given(donuts(), hsegments())
+@settings(max_examples=300, deadline=None)
+def test_hsegment_vs_donut_matches_arrangement(donut, seg):
+    """Horizontal LINESTRING vs polygon-with-hole: flags from a 1-D
+    arrangement (cut the segment at the rects' x-bounds, classify each
+    open piece by its midpoint and each cut point directly) must equal
+    the engine's sub-segment classifier. Covers collinear-on-boundary,
+    through-the-hole, chord, and tangent cases."""
+    parts, outer, hole = donut
+    tx1, tx2, cy = seg
+    cuts = sorted(
+        {tx1, tx2}
+        | {x for x in (outer[0], outer[2], hole[0], hole[2])
+           if tx1 < x < tx2}
+    )
+    locs_pts = [_donut_point_loc((x, cy), outer, hole) for x in cuts]
+    locs_mid = [
+        _donut_point_loc(((a + b) / 2.0, cy), outer, hole)
+        for a, b in zip(cuts, cuts[1:])
+    ]
+    has_in = 2 in locs_mid
+    has_out = 0 in locs_mid
+    has_on = 1 in locs_mid or 1 in locs_pts
+    inter = has_in or has_on
+    line_coveredby = inter and not has_out
+    want = {
+        "intersects": inter,
+        "disjoint": not inter,
+        # orientation (s=polygon, t=line): polygon covers/contains the
+        # line when the line is covered by / within the polygon
+        "covers": line_coveredby,
+        "contains": line_coveredby and has_in,
+        "within": False,
+        "coveredby": False,
+        "equals": False,
+        "touches": inter and not has_in,
+        "crosses": has_in and has_out,
+        "overlaps": False,
+    }
+    got = relate_pair(
+        "POLYGON", parts, "LINESTRING",
+        [[[tx1, cy], [tx2, cy]]],
+    )
+    assert got == want, (outer, hole, seg, got, want)
