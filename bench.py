@@ -140,6 +140,9 @@ def main() -> None:
         # the two-window-pass direction (backward+forward+pick) — the
         # heaviest as-of path, regression-visible separately
         ("events_asof_nearest", tsp.events_asof_nearest),
+        # bucket-equi-join interval join (r9: derived-width default) —
+        # new line in r9, so r9 totals gain ~0.5s vs r8 by construction
+        ("events_interval", tsp.events_interval_join),
         # ANN family. ann_train is the one-time index build — Lloyd
         # codebooks + IVF centroids AND the index payloads (PQ code
         # table, IVF cell assignments), trained/encoded once and pinned
