@@ -20,12 +20,18 @@ SOURCE = [
     (2, "POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))"),
     (3, "LINESTRING (0 5, 9 5)"),
     (4, "POINT (5 5)"),
+    # non-convex coverage through the -conf path: a donut overlapping
+    # the plain polygons and a point sitting in its hole
+    (5, "POLYGON ((2 2, 9 2, 9 9, 2 9, 2 2), "
+        "(4 4, 7 4, 7 7, 4 7, 4 4))"),
 ]
 TARGET = [
     (10, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),
     (11, "LINESTRING (2 0, 2 9)"),
     (12, "POINT (4 4)"),
     (13, "POLYGON ((6 6, 8 6, 8 8, 6 8, 6 6))"),
+    (14, "MULTIPOLYGON (((0 8, 1 8, 1 9, 0 9, 0 8)), "
+        "((5 5, 6 5, 6 6, 5 6, 5 5)))"),
 ]
 
 
