@@ -535,8 +535,11 @@ def _run_op(args) -> int:
             if not args.left:
                 print("-op chunk needs -left parquet path", file=sys.stderr)
                 return 2
+            # _docs_frame: honor -id-col/-text-col and give the guided
+            # missing/colliding-column errors (chunk previously read the
+            # raw frame and ignored both flags)
             df = chunk_documents(
-                _read(args.left, ()),
+                _docs_frame(_read(args.left, ()), args),
                 chunk_tokens=args.chunk_tokens,
                 overlap=args.overlap,
             )

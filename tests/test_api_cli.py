@@ -226,6 +226,20 @@ def test_cli_op_surface(spark, tmp_path, capsys, monkeypatch):
     txt = capsys.readouterr().out
     assert "doc_id\tchunk_id" in txt
 
+    # chunk honors -id-col/-text-col (previously silently ignored)
+    docs2 = str(tmp_path / "docs_custom.parquet")
+    spark.read.parquet(docs).selectExpr(
+        "doc_id AS my_id", "text AS body"
+    ).write.mode("overwrite").parquet(docs2)
+    rc = cli.main([
+        "-op", "chunk", "-left", docs2, "-id-col", "my_id",
+        "-text-col", "body", "-chunk-tokens", "16", "-limit", "2",
+    ])
+    assert rc == 0
+    assert "doc_id\tchunk_id" in capsys.readouterr().out
+    with pytest.raises(SystemExit, match="not found in input"):
+        cli.main(["-op", "chunk", "-left", docs2, "-limit", "1"])
+
     # bad usage: missing -right
     assert cli.main(["-op", "asof", "-left", ev]) == 2
 
