@@ -281,8 +281,19 @@ def relate_polygon_polygon(pa, pb) -> dict[str, bool]:
     contact = a_in or a_on or b_in or b_on
     inter = contact or loc_a == 2 or loc_b == 2
     ii = a_in or b_in or loc_a == 2 or loc_b == 2
-    covers = inter and not b_out and loc_b != 0
-    coveredby = inter and not a_out and loc_a != 0
+    # covers(a, b) = closure(b) ⊆ closure-region(a). Two witnesses can
+    # refute it: a piece of B's boundary outside A's region (b_out), OR
+    # a piece of A's OWN boundary strictly inside B's interior (a_in) —
+    # A's boundary has A-exterior on one side, so a neighborhood of it
+    # inside B° puts B-interior points outside A (the donut-hole leak:
+    # B's boundary never exits A while A's hole ring runs through B's
+    # interior and B's interior fills the hole). Sufficiency: B's
+    # interior is connected per part, so any escape from A's region
+    # crosses A's boundary inside B° (-> a_in) or shows up on B's own
+    # boundary (-> b_out); a disconnected-part escape is caught by that
+    # part's boundary (b_out).
+    covers = inter and not b_out and not a_in and loc_b != 0
+    coveredby = inter and not a_out and not b_in and loc_a != 0
 
     d = {k: False for k in _ALL}
     d["intersects"] = inter

@@ -481,3 +481,86 @@ def test_hsegment_vs_donut_matches_arrangement(donut, seg):
         [[[tx1, cy], [tx2, cy]]],
     )
     assert got == want, (outer, hole, seg, got, want)
+
+
+def _de9im_flags_by_exact_sampling(loc_s, loc_t, bbox):
+    """EXACT DE-9IM for axis-aligned regions whose boundaries lie on the
+    1/16 lattice, by dense sampling: every nonempty piece of the joint
+    arrangement contains a 1/32-offset cell center (2-D pieces: all
+    region widths are >= 1/16), a lattice-edge midpoint (1-D boundary
+    pieces lie ON lattice lines with length >= 1/16), or a lattice
+    vertex (0-D crossing points sit on the lattice). Classifying those
+    three sample families against both regions therefore decides every
+    intersection-matrix cell exactly — no topology code at all."""
+    x1, y1, x2, y2 = bbox
+    nx = int(round((x2 - x1) * 16)) + 2
+    ny = int(round((y2 - y1) * 16)) + 2
+    cells = set()
+    for i in range(-1, nx):
+        for j in range(-1, ny):
+            vx, vy = x1 + i / 16.0, y1 + j / 16.0
+            for p in (
+                (vx, vy),                          # lattice vertex
+                (vx + 1 / 32.0, vy),               # horizontal edge mid
+                (vx, vy + 1 / 32.0),               # vertical edge mid
+                (vx + 1 / 32.0, vy + 1 / 32.0),    # cell center
+            ):
+                cells.add((loc_s(p), loc_t(p)))
+    has = lambda a, b: (a, b) in cells  # noqa: E731
+    ii = has(2, 2)
+    inter = ii or has(2, 1) or has(1, 2) or has(1, 1)
+    covers = inter and not has(0, 2) and not has(0, 1)
+    coveredby = inter and not has(2, 0) and not has(1, 0)
+    return {
+        "intersects": inter,
+        "disjoint": not inter,
+        "covers": covers,
+        "coveredby": coveredby,
+        "contains": covers and ii,
+        "within": coveredby and ii,
+        "equals": covers and coveredby,
+        "touches": inter and not ii,
+        "overlaps": ii and not covers and not coveredby,
+        "crosses": False,
+    }
+
+
+@st.composite
+def small_donuts(draw):
+    """Compact donuts (outer <= 12/16 wide) so the exact sampling grid
+    stays small; placed near the origin so pairs overlap often."""
+    x1 = draw(st.integers(-8, 8)) / 16.0
+    y1 = draw(st.integers(-8, 8)) / 16.0
+    w = draw(st.integers(4, 12)) / 16.0
+    h = draw(st.integers(4, 12)) / 16.0
+    x2, y2 = x1 + w, y1 + h
+    hx1 = x1 + draw(st.integers(1, int(w * 16) - 2)) / 16.0
+    hy1 = y1 + draw(st.integers(1, int(h * 16) - 2)) / 16.0
+    hx2 = hx1 + draw(st.integers(1, int((x2 - hx1) * 16) - 1)) / 16.0
+    hy2 = hy1 + draw(st.integers(1, int((y2 - hy1) * 16) - 1)) / 16.0
+    parts = [
+        [[x1, y1], [x2, y1], [x2, y2], [x1, y2], [x1, y1]],
+        [[hx1, hy1], [hx2, hy1], [hx2, hy2], [hx1, hy2], [hx1, hy1]],
+    ]
+    return parts, (x1, y1, x2, y2), (hx1, hy1, hx2, hy2)
+
+
+@given(small_donuts(), small_donuts())
+@settings(max_examples=60, deadline=None)
+def test_donut_vs_donut_full_de9im_matches_exact_sampling(da, db):
+    """POLYGON-with-hole vs POLYGON-with-hole — the hardest
+    polygon-polygon corner (shared hole boundaries, donut-in-hole,
+    hole-straddling) — against the exact-sampling DE-9IM model."""
+    pa, oa, ha = da
+    pb, ob, hb = db
+    bbox = (
+        min(oa[0], ob[0]), min(oa[1], ob[1]),
+        max(oa[2], ob[2]), max(oa[3], ob[3]),
+    )
+    want = _de9im_flags_by_exact_sampling(
+        lambda p: _donut_point_loc(p, oa, ha),
+        lambda p: _donut_point_loc(p, ob, hb),
+        bbox,
+    )
+    got = relate_pair("POLYGON", pa, "POLYGON", pb)
+    assert got == want, (oa, ha, ob, hb, got, want)
