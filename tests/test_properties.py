@@ -564,3 +564,77 @@ def test_donut_vs_donut_full_de9im_matches_exact_sampling(da, db):
     )
     got = relate_pair("POLYGON", pa, "POLYGON", pb)
     assert got == want, (oa, ha, ob, hb, got, want)
+
+
+def _eo_loc(p, rings):
+    """Independent even-odd locator for AXIS-ALIGNED rings: boundary if
+    p lies on any edge, else parity of vertical-edge crossings of the
+    rightward ray (half-open rule — exact off the boundary)."""
+    px, py = p
+    crossings = 0
+    for r in rings:
+        for (x1, y1), (x2, y2) in zip(r, r[1:]):
+            if y1 == y2:  # horizontal edge
+                if py == y1 and min(x1, x2) <= px <= max(x1, x2):
+                    return 1
+            else:  # vertical edge
+                if px == x1 and min(y1, y2) <= py <= max(y1, y2):
+                    return 1
+                if x1 > px and (min(y1, y2) <= py < max(y1, y2)):
+                    crossings += 1
+    return 2 if crossings % 2 else 0
+
+
+@st.composite
+def rectilinear_shapes(draw):
+    """A random concave rectilinear template (C / L / T / plus / donut)
+    scaled and placed on the lattice near the origin."""
+    kind = draw(st.integers(0, 4))
+    ox = draw(st.integers(-8, 8)) / 16.0
+    oy = draw(st.integers(-8, 8)) / 16.0
+    u = draw(st.integers(1, 3)) / 16.0  # unit arm width
+
+    def ring(pts):
+        return [[ox + x * u, oy + y * u] for x, y in pts] + [
+            [ox + pts[0][0] * u, oy + pts[0][1] * u]
+        ]
+
+    if kind == 0:    # C (opens right)
+        parts = [ring([(0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (3, 3),
+                       (3, 4), (0, 4)])]
+    elif kind == 1:  # L
+        parts = [ring([(0, 0), (3, 0), (3, 1), (1, 1), (1, 4), (0, 4)])]
+    elif kind == 2:  # T
+        parts = [ring([(1, 0), (2, 0), (2, 3), (3, 3), (3, 4), (0, 4),
+                       (0, 3), (1, 3)])]
+    elif kind == 3:  # plus
+        parts = [ring([(1, 0), (2, 0), (2, 1), (3, 1), (3, 2), (2, 2),
+                       (2, 3), (1, 3), (1, 2), (0, 2), (0, 1), (1, 1)])]
+    else:            # donut
+        parts = [ring([(0, 0), (4, 0), (4, 4), (0, 4)]),
+                 ring([(1, 1), (3, 1), (3, 3), (1, 3)])]
+    xs = [x for part in parts for x, _ in part]
+    ys = [y for part in parts for _, y in part]
+    return parts, (min(xs), min(ys), max(xs), max(ys))
+
+
+@given(rectilinear_shapes(), rectilinear_shapes())
+@settings(max_examples=60, deadline=None)
+def test_rectilinear_vs_rectilinear_full_de9im_matches_exact_sampling(
+    sa, sb
+):
+    """Random concave rectilinear shapes (C/L/T/plus/donut) against each
+    other: the exact-sampling DE-9IM model (with an independent
+    crossing-number locator) must match the engine's sub-segment
+    classifier — the concave polygon-polygon space beyond donuts."""
+    pa, ea = sa
+    pb, eb = sb
+    bbox = (
+        min(ea[0], eb[0]), min(ea[1], eb[1]),
+        max(ea[2], eb[2]), max(ea[3], eb[3]),
+    )
+    want = _de9im_flags_by_exact_sampling(
+        lambda p: _eo_loc(p, pa), lambda p: _eo_loc(p, pb), bbox,
+    )
+    got = relate_pair("POLYGON", pa, "POLYGON", pb)
+    assert got == want, (pa, pb, got, want)
