@@ -589,7 +589,7 @@ def _eo_loc(p, rings):
 def rectilinear_shapes(draw):
     """A random concave rectilinear template (C / L / T / plus / donut)
     scaled and placed on the lattice near the origin."""
-    kind = draw(st.integers(0, 4))
+    kind = draw(st.integers(0, 5))
     ox = draw(st.integers(-8, 8)) / 16.0
     oy = draw(st.integers(-8, 8)) / 16.0
     u = draw(st.integers(1, 3)) / 16.0  # unit arm width
@@ -610,9 +610,13 @@ def rectilinear_shapes(draw):
     elif kind == 3:  # plus
         parts = [ring([(1, 0), (2, 0), (2, 1), (3, 1), (3, 2), (2, 2),
                        (2, 3), (1, 3), (1, 2), (0, 2), (0, 1), (1, 1)])]
-    else:            # donut
+    elif kind == 4:  # donut
         parts = [ring([(0, 0), (4, 0), (4, 4), (0, 4)]),
                  ring([(1, 1), (3, 1), (3, 3), (1, 3)])]
+    else:            # island-in-hole (3-ring even-odd nesting)
+        parts = [ring([(0, 0), (6, 0), (6, 6), (0, 6)]),
+                 ring([(1, 1), (5, 1), (5, 5), (1, 5)]),
+                 ring([(2, 2), (4, 2), (4, 4), (2, 4)])]
     xs = [x for part in parts for x, _ in part]
     ys = [y for part in parts for _, y in part]
     return parts, (min(xs), min(ys), max(xs), max(ys))
