@@ -515,6 +515,19 @@ def _run_op(args) -> int:
                         corpus, k=k, cent=cent, cells=cells,
                         query_pred=pred,
                     )
+        elif args.op == "quantize":
+            # symmetric int8 quantization stats per vector — the 4x
+            # memory-reduction pre-pass of a vector corpus (exact
+            # integer error metric; see int8_quantize_stats)
+            from ds_jedai_spark.operators.similarity import (
+                int8_quantize_stats,
+            )
+
+            if not args.left:
+                print("-op quantize needs -left parquet path",
+                      file=sys.stderr)
+                return 2
+            df = int8_quantize_stats(_emb_frame(_read(args.left, ()), args))
         elif args.op == "shuffle":
             from ds_jedai_spark.operators.textops import (
                 SHUFFLE_SHARDS,
@@ -587,7 +600,7 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         choices=["asof", "interval", "chunk", "dedup", "dedup-build",
                  "dedup-apply", "emb-dedup", "ann", "ann-build",
-                 "shuffle", "dupspans", "scrub"],
+                 "quantize", "shuffle", "dupspans", "scrub"],
         help="run a temporal/pipeline operator on user parquet",
     )
     ap.add_argument("-index", default=None,

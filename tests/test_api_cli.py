@@ -693,3 +693,22 @@ def test_cli_emb_dedup_self_with_index(spark, tmp_path, monkeypatch):
                      "-out", out]) == 0
     res = spark.read.parquet(out)
     assert set(res.columns) == {"d1", "d2", "cos"}
+
+
+def test_cli_op_quantize(spark, tmp_path, monkeypatch):
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    emb = str(tmp_path / "emb_q.parquet")
+    spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).write.mode("overwrite").parquet(emb)
+    out = str(tmp_path / "q.parquet")
+    assert cli.main(["-op", "quantize", "-left", emb, "-out", out]) == 0
+    res = spark.read.parquet(out)
+    assert set(res.columns) == {"vec_id", "maxabs", "sse"}
+    assert res.count() == spark.read.parquet(emb).count()
+    assert res.where("sse < 0").count() == 0

@@ -642,3 +642,11 @@ def test_rectilinear_vs_rectilinear_full_de9im_matches_exact_sampling(
     )
     got = relate_pair("POLYGON", pa, "POLYGON", pb)
     assert got == want, (pa, pb, got, want)
+
+
+@given(small_donuts())
+@settings(max_examples=100, deadline=None)
+def test_wkt_roundtrip_polygon_with_hole(donut):
+    parts = donut[0]
+    parsed = parse_wkt(format_wkt("POLYGON", parts))
+    assert parsed is not None and parsed == ("POLYGON", parts)
