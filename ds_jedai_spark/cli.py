@@ -342,7 +342,10 @@ def _run_op(args) -> int:
                 return 2
             docs = _docs_frame(_read(args.left, ()), args)
             tau = args.tau if args.tau is not None else 0.8
-            pairs = minhash_lsh_pairs(docs, tau=tau)
+            # -index: reuse the persisted bucketed shingle table
+            # (dedup-build over the same corpus) instead of re-shingling
+            sh = spark.table(args.index) if args.index else None
+            pairs = minhash_lsh_pairs(docs, tau=tau, sh=sh)
             clusters = duplicate_clusters(pairs)
             df = dedup_apply(docs, clusters)
         elif args.op == "emb-dedup":
