@@ -19,10 +19,14 @@ parameters) from the shell, writing parquet with -out.
 
 Build-once / query-many: `-op ann-build -index P` persists the full
 auto-sized ANN index (IVF centroids+cells, PQ codebooks+codes, stamped
-LSH bands) as tables; `-op ann -method ivf|pq -index P` searches it
-without retraining. `-op dedup-build -index T` persists the bucketed
-shingle index; `-op dedup -index T` / `-op emb-dedup -index P` run the
-incremental paths against the standing artifacts.
+LSH bands) as tables; `-op ann -method brute|ivf|pq [-nprobe N]
+[-index P]` searches it without retraining. `-op dedup-build -index T`
+persists the bucketed shingle index; `-op dedup|dedup-apply -index T` /
+`-op emb-dedup -index P` run the incremental / end-to-end dedup paths
+against the standing artifacts. `-op dedup-apply` writes the
+DEDUPLICATED corpus itself (pairs -> connected components -> one
+survivor per cluster); `-op quantize` emits exact int8 quantization
+stats per vector.
 """
 
 from __future__ import annotations
