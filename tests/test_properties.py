@@ -650,3 +650,99 @@ def test_wkt_roundtrip_polygon_with_hole(donut):
     parts = donut[0]
     parsed = parse_wkt(format_wkt("POLYGON", parts))
     assert parsed is not None and parsed == ("POLYGON", parts)
+
+
+def _seg_rect_flags(p, q, rect):
+    """Independent (rect polygon s, segment t) DE-9IM via exact rational
+    Liang-Barsky clipping: the clip interval [t0, t1] of the segment
+    inside the closed rect decides in/on/out, with collinear-edge runs
+    and corner tangencies classified from the exact clip endpoints."""
+    from fractions import Fraction as Fr
+
+    x1, y1, x2, y2 = rect
+    px, py = Fr(p[0]), Fr(p[1])
+    dx, dy = Fr(q[0]) - px, Fr(q[1]) - py
+    t0, t1 = Fr(0), Fr(1)
+    for num, den in (
+        (px - Fr(x1), -dx), (Fr(x2) - px, dx),
+        (py - Fr(y1), -dy), (Fr(y2) - py, dy),
+    ):
+        # den * t <= num keeps s(t) inside this half-plane
+        if den == 0:
+            if num < 0:
+                t0, t1 = Fr(1), Fr(0)  # entirely outside
+                break
+        elif den < 0:
+            t0 = max(t0, num / den)
+        else:
+            t1 = min(t1, num / den)
+
+    def on_bnd(t):
+        x, y = px + t * dx, py + t * dy
+        return (
+            (x in (Fr(x1), Fr(x2)) and Fr(y1) <= y <= Fr(y2))
+            or (y in (Fr(y1), Fr(y2)) and Fr(x1) <= x <= Fr(x2))
+        )
+
+    if t0 > t1:
+        has_in = has_on = False
+        has_out = True
+    else:
+        collinear_edge = (
+            (dx == 0 and px in (Fr(x1), Fr(x2)))
+            or (dy == 0 and py in (Fr(y1), Fr(y2)))
+        )
+        if collinear_edge:
+            has_in = False
+            has_on = True  # the whole clip lies on the edge
+        else:
+            has_in = t0 < t1
+            has_on = on_bnd(t0) or on_bnd(t1)
+        has_out = t0 > 0 or t1 < 1
+    inter = has_in or has_on
+    line_cov = inter and not has_out
+    return {
+        "intersects": inter,
+        "disjoint": not inter,
+        "covers": line_cov,
+        "contains": line_cov and has_in,
+        "within": False,
+        "coveredby": False,
+        "equals": False,
+        "touches": inter and not has_in,
+        "crosses": has_in and has_out,
+        "overlaps": False,
+    }
+
+
+@st.composite
+def segments(draw):
+    a = (draw(lattice), draw(lattice))
+    b = (draw(lattice), draw(lattice))
+    if a == b:
+        b = (b[0] + 1 / 16.0, b[1] + 1 / 16.0)
+    return a, b
+
+
+@given(boxes(), segments())
+@settings(max_examples=400, deadline=None)
+def test_segment_vs_box_matches_rational_clipping(box, seg):
+    """Arbitrary (diagonal) lattice segments vs boxes: the engine's
+    line-polygon path must match exact rational Liang-Barsky clipping —
+    chords, tangents, corner grazes, collinear edge runs, containment."""
+    (x1, y1), (x2a, y2a) = box[0][0], box[0][2]
+    rect = (x1, y1, x2a, y2a)
+    p, q = seg
+    want = _seg_rect_flags(p, q, rect)
+    got = relate_pair("POLYGON", box, "LINESTRING", [[list(p), list(q)]])
+    assert got == want, (rect, seg, got, want)
+    # same truth through the GENERAL scaled-integer classifier (the
+    # path every non-rectangular polygon takes; relate_pair used the
+    # rect closed form above)
+    from ds_jedai_spark.operators import relate_poly
+
+    raw = relate_poly.relate_line_polygon([[list(p), list(q)]], box)
+    gen = dict(raw)
+    gen["contains"], gen["within"] = raw["within"], raw["contains"]
+    gen["covers"], gen["coveredby"] = raw["coveredby"], raw["covers"]
+    assert gen == want, ("general", rect, seg, gen, want)
