@@ -724,6 +724,329 @@ def segments(draw):
     return a, b
 
 
+# ---------------------------------------------------------------------------
+# Non-axis-aligned polygon x polygon: an independent EXACT truth model by
+# rational arrangement sampling (the rotated/sheared input class the
+# rectilinear suites above cannot reach).
+#
+# Model: build the arrangement of BOTH polygons' edge sets with
+# fractions.Fraction arithmetic.  Every cell of the joint DE-9IM
+# classification is witnessed by one of three exact sample families:
+#   * arrangement vertices (polygon vertices + pairwise edge
+#     intersections + collinear-overlap endpoints) — all 0-D pieces;
+#   * midpoints of the sub-segments each edge is cut into — every 1-D
+#     piece (sub-segments have constant location on their open part);
+#   * a perpendicular offset of each midpoint by an exact safe epsilon
+#     (half the rational distance to the nearest edge along the ray) —
+#     every 2-D face, since every face of a segment arrangement is
+#     adjacent to some sub-segment.
+# Classifying those samples against both polygons with an exact even-odd
+# locator decides every DE-9IM cell, hence all ten predicates, with no
+# shared code with the engine (relate_poly uses scaled-integer
+# homogeneous arithmetic; this model uses Fraction arithmetic and a
+# different sampling scheme).  Reference contract:
+# src/test/scala/IntersectionMatrixTest.scala:29-38 (optimized == naive
+# on arbitrary WKT).
+# ---------------------------------------------------------------------------
+
+from fractions import Fraction as _Fr
+
+
+def _fr_rings(parts):
+    out = []
+    for part in parts:
+        r = [(_Fr(p[0]), _Fr(p[1])) for p in part]
+        if r[0] != r[-1]:
+            r.append(r[0])
+        out.append(r)
+    return out
+
+
+def _fr_edges(rings):
+    return [
+        (r[i], r[i + 1])
+        for r in rings
+        for i in range(len(r) - 1)
+        if r[i] != r[i + 1]
+    ]
+
+
+def _fr_cross(o, a, b):
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+
+def _fr_on_seg(p, a, b):
+    if _fr_cross(a, b, p) != 0:
+        return False
+    return (
+        min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+        and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])
+    )
+
+
+def _fr_loc(p, rings):
+    """2 interior / 1 boundary / 0 exterior — exact rational even-odd."""
+    px, py = p
+    crossings = 0
+    for r in rings:
+        for i in range(len(r) - 1):
+            a, b = r[i], r[i + 1]
+            if a == b:
+                continue
+            if _fr_on_seg(p, a, b):
+                return 1
+            if (a[1] > py) != (b[1] > py):
+                xi = a[0] + (py - a[1]) * (b[0] - a[0]) / (b[1] - a[1])
+                if xi > px:
+                    crossings += 1
+    return 2 if crossings % 2 else 0
+
+
+def _fr_cut_params(p, q, edges):
+    """Sorted exact params t in [0,1] where segment (p,q) meets any edge."""
+    d = (q[0] - p[0], q[1] - p[1])
+    ts = {_Fr(0), _Fr(1)}
+    for a, b in edges:
+        e = (b[0] - a[0], b[1] - a[1])
+        den = d[0] * e[1] - d[1] * e[0]
+        if den != 0:
+            t = ((a[0] - p[0]) * e[1] - (a[1] - p[1]) * e[0]) / den
+            u = ((a[0] - p[0]) * d[1] - (a[1] - p[1]) * d[0]) / den
+            if 0 <= t <= 1 and 0 <= u <= 1:
+                ts.add(t)
+        elif _fr_cross(p, q, a) == 0:  # collinear overlap
+            for c in (a, b):
+                t = (
+                    (c[0] - p[0]) / d[0] if d[0] != 0
+                    else (c[1] - p[1]) / d[1]
+                )
+                if 0 <= t <= 1:
+                    ts.add(t)
+    return sorted(ts)
+
+
+def _fr_side_sample(m, n, edges):
+    """m + eps*n for an exact eps > 0 small enough that the open offset
+    segment meets no edge — a representative of the adjacent face."""
+    tmin = None
+    for a, b in edges:
+        e = (b[0] - a[0], b[1] - a[1])
+        den = n[0] * e[1] - n[1] * e[0]
+        if den != 0:
+            t = ((a[0] - m[0]) * e[1] - (a[1] - m[1]) * e[0]) / den
+            u = ((a[0] - m[0]) * n[1] - (a[1] - m[1]) * n[0]) / den
+            if t > 0 and 0 <= u <= 1 and (tmin is None or t < tmin):
+                tmin = t
+        elif _fr_cross(a, b, m) == 0:  # edge along the ray's line
+            nn = n[0] * n[0] + n[1] * n[1]
+            for c in (a, b):
+                t = ((c[0] - m[0]) * n[0] + (c[1] - m[1]) * n[1]) / nn
+                if t > 0 and (tmin is None or t < tmin):
+                    tmin = t
+    eps = tmin / 2 if tmin is not None else _Fr(1)
+    return (m[0] + eps * n[0], m[1] + eps * n[1])
+
+
+def _arrangement_de9im(pa, pb):
+    """Independent exact DE-9IM flags of (polygon a, polygon b) — both
+    arbitrary simple even-odd ring lists with rational vertices."""
+    ra, rb = _fr_rings(pa), _fr_rings(pb)
+    all_edges = _fr_edges(ra) + _fr_edges(rb)
+    cells = set()
+
+    def visit(p):
+        cells.add((_fr_loc(p, ra), _fr_loc(p, rb)))
+
+    for p, q in all_edges:
+        ts = _fr_cut_params(p, q, all_edges)
+        d = (q[0] - p[0], q[1] - p[1])
+        for t in ts:
+            visit((p[0] + t * d[0], p[1] + t * d[1]))
+        for t0, t1 in zip(ts, ts[1:]):
+            tm = (t0 + t1) / 2
+            m = (p[0] + tm * d[0], p[1] + tm * d[1])
+            visit(m)
+            visit(_fr_side_sample(m, (-d[1], d[0]), all_edges))
+            visit(_fr_side_sample(m, (d[1], -d[0]), all_edges))
+
+    has = cells.__contains__
+    ii = has((2, 2))
+    inter = ii or has((2, 1)) or has((1, 2)) or has((1, 1))
+    covers = inter and not has((0, 2)) and not has((0, 1))
+    coveredby = inter and not has((2, 0)) and not has((1, 0))
+    return {
+        "intersects": inter,
+        "disjoint": not inter,
+        "covers": covers,
+        "coveredby": coveredby,
+        "contains": covers and ii,
+        "within": coveredby and ii,
+        "equals": covers and coveredby,
+        "touches": inter and not ii,
+        "overlaps": ii and not covers and not coveredby,
+        "crosses": False,
+    }
+
+
+# Template shapes in small-integer coordinates: convex (triangle, quad)
+# exercise the convex fast path through relate_pair; concave (L, C) and
+# the donut force the general scaled-integer classifier.
+_POLY_TEMPLATES = [
+    [[(0, 0), (4, 0), (0, 3)]],
+    [[(0, 0), (5, 1), (6, 4), (1, 3)]],
+    [[(0, 0), (4, 0), (4, 2), (2, 2), (2, 5), (0, 5)]],
+    [[(0, 0), (6, 0), (6, 6), (0, 6)], [(2, 2), (4, 2), (4, 4), (2, 4)]],
+    [[(0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (3, 3), (3, 4), (0, 4)]],
+]
+
+
+def _apply_map16(m, parts, shift=(0, 0)):
+    """Integer linear map + translation, divided by 16: every output
+    coordinate is n/16 for integer n, hence an EXACT dyadic float — the
+    engine's scaled-integer path and the Fraction truth model see
+    bit-identical inputs."""
+    a, b, c, d, tx, ty = m
+    sx, sy = shift
+    out = []
+    for part in parts:
+        ring = [
+            [
+                (a * (x + sx) + b * (y + sy) + tx) / 16.0,
+                (c * (x + sx) + d * (y + sy) + ty) / 16.0,
+            ]
+            for x, y in part
+        ]
+        ring.append(list(ring[0]))
+        out.append(ring)
+    return out
+
+
+@st.composite
+def dyadic_maps(draw):
+    from hypothesis import assume
+
+    a = draw(st.integers(-8, 8))
+    b = draw(st.integers(-8, 8))
+    c = draw(st.integers(-8, 8))
+    d = draw(st.integers(-8, 8))
+    assume(a * d - b * c != 0)
+    tx = draw(st.integers(-32, 32))
+    ty = draw(st.integers(-32, 32))
+    return (a, b, c, d, tx, ty)
+
+
+@given(
+    st.integers(0, len(_POLY_TEMPLATES) - 1), dyadic_maps(),
+    st.integers(0, len(_POLY_TEMPLATES) - 1), dyadic_maps(),
+)
+@settings(max_examples=150, deadline=None)
+def test_affine_polygon_pairs_match_arrangement_model(ia, ma, ib, mb):
+    """Rotated/sheared/reflected polygon x polygon in general position:
+    all ten DE-9IM flags from the engine (both the relate_pair dispatch
+    — convex fast path included — and the general scaled-integer
+    classifier directly) must equal the rational arrangement-sampling
+    truth model."""
+    from ds_jedai_spark.operators import relate_poly
+
+    pa = _apply_map16(ma, _POLY_TEMPLATES[ia])
+    pb = _apply_map16(mb, _POLY_TEMPLATES[ib])
+    want = _arrangement_de9im(pa, pb)
+    got = relate_pair("POLYGON", pa, "POLYGON", pb)
+    assert got == want, (ma, mb, ia, ib, got, want)
+    gen = relate_poly.relate_polygon_polygon(pa, pb)
+    assert gen == want, ("general", ma, mb, ia, ib, gen, want)
+
+
+@given(
+    st.integers(0, len(_POLY_TEMPLATES) - 1),
+    st.integers(0, len(_POLY_TEMPLATES) - 1),
+    dyadic_maps(),
+    st.integers(-6, 6),
+    st.integers(-6, 6),
+)
+@settings(max_examples=150, deadline=None)
+def test_sheared_contact_polygon_pairs_match_arrangement_model(
+    ia, ib, m, dx, dy
+):
+    """Contact-rich non-axis-aligned pairs: both templates under the SAME
+    affine map, the second shifted by integer template units — shared
+    edges, shared vertices, edge-on-edge slides and containment survive
+    the shear, exercising the degenerate branches of the general
+    classifier off the axis-aligned lattice."""
+    from ds_jedai_spark.operators import relate_poly
+
+    pa = _apply_map16(m, _POLY_TEMPLATES[ia])
+    pb = _apply_map16(m, _POLY_TEMPLATES[ib], shift=(dx, dy))
+    want = _arrangement_de9im(pa, pb)
+    got = relate_pair("POLYGON", pa, "POLYGON", pb)
+    assert got == want, (m, ia, ib, dx, dy, got, want)
+    gen = relate_poly.relate_polygon_polygon(pa, pb)
+    assert gen == want, ("general", m, ia, ib, dx, dy, gen, want)
+
+
+def _chain_flags_by_arrangement(chain_parts, poly_parts):
+    """Independent line x polygon flags: classify the chain's exact
+    sub-segment midpoints and cut points against the polygon (line-side
+    classification fully determines the mixed-dimension flags)."""
+    rings = _fr_rings(poly_parts)
+    edges = _fr_edges(rings)
+    has_in = has_on = has_out = False
+    for part in chain_parts:
+        pts = [(_Fr(p[0]), _Fr(p[1])) for p in part]
+        for p, q in zip(pts, pts[1:]):
+            if p == q:
+                continue
+            ts = _fr_cut_params(p, q, edges)
+            d = (q[0] - p[0], q[1] - p[1])
+            for t0, t1 in zip(ts, ts[1:]):
+                tm = (t0 + t1) / 2
+                loc = _fr_loc((p[0] + tm * d[0], p[1] + tm * d[1]), rings)
+                if loc == 2:
+                    has_in = True
+                elif loc == 1:
+                    has_on = True
+                else:
+                    has_out = True
+            if not has_on:
+                for t in ts:
+                    if _fr_loc((p[0] + t * d[0], p[1] + t * d[1]), rings) == 1:
+                        has_on = True
+                        break
+    inter = has_in or has_on
+    d = {
+        k: False
+        for k in (
+            "intersects", "contains", "within", "covers", "coveredby",
+            "equals", "touches", "overlaps", "crosses", "disjoint",
+        )
+    }
+    d["intersects"] = inter
+    d["coveredby"] = inter and not has_out
+    d["within"] = d["coveredby"] and has_in
+    d["crosses"] = has_in and has_out
+    d["touches"] = inter and not has_in
+    d["disjoint"] = not inter
+    return d
+
+
+@given(
+    polylines(),
+    st.integers(0, len(_POLY_TEMPLATES) - 1),
+    dyadic_maps(),
+)
+@settings(max_examples=200, deadline=None)
+def test_chain_vs_affine_polygon_matches_arrangement_model(
+    chain, ip, m
+):
+    """Arbitrary lattice polylines vs rotated/sheared polygons (concave
+    and holed included): the exact line-polygon classifier must match
+    the rational sub-segment truth model."""
+    poly = _apply_map16(m, _POLY_TEMPLATES[ip])
+    want = _chain_flags_by_arrangement(chain, poly)
+    got = relate_pair("MULTILINESTRING", chain, "POLYGON", poly)
+    assert got == want, (chain, m, ip, got, want)
+
+
 @given(boxes(), segments())
 @settings(max_examples=400, deadline=None)
 def test_segment_vs_box_matches_rational_clipping(box, seg):
