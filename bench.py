@@ -166,12 +166,13 @@ def main() -> None:
     # Python, ~0.6s with ~150ms of real compute per task so task-dispatch
     # jitter doesn't dominate; measured quiet-box spread ~11%) is timed
     # before every rep. Its cost is a property of the BOX, not the
-    # engine — so a rep whose probe deviates >20% from the run's median
-    # probe ran under ambient load, and its query timing is flagged
-    # rather than trusted. Round-over-round deltas on flagged queries
-    # (or between rounds whose probe medians differ) are noise until a
-    # quiet re-run agrees; r6->r8 moved +-25-43% on untouched code,
-    # which this canary makes falsifiable.
+    # engine — so a rep whose probe runs >20% above the run's median
+    # probe ran under ambient load and its timing only overestimates.
+    # Since r11 such reps are RETRIED (up to 3 extra reps) and the
+    # published number is the min over quiet reps; a query stays in
+    # flagged_queries only when no quiet rep was obtainable at all
+    # ("retried, still loaded"). r6->r8 moved +-25-43% on untouched
+    # code, which this canary + retry makes falsifiable.
     def _probe() -> float:
         t0 = time.perf_counter()
         spark.range(0, 5 * 10**9, 1, 32).selectExpr(
@@ -180,42 +181,76 @@ def main() -> None:
         return time.perf_counter() - t0
 
     _probe()  # codegen warm-up of the probe plan itself
-    timings: dict[str, float] = {}
+
+    def _run_rep(name, fn):
+        """One full rep: clear the cross-query caches, probe the box,
+        time the query. Returns (probe_sec, query_sec, rows)."""
+        # Drop the engine's explicit cross-query caches so every rep
+        # pays the full pipeline (JVM warm-up is the only thing
+        # min-of-reps is meant to exclude): the pinned shingle table
+        # and the sampled theta the spatial queries share. The ONE
+        # allowed cached input is the pinned ANN index — training it
+        # is the separately-timed ann_train line (which clears and
+        # retrains per rep), so the search lines measure search.
+        pl._SHINGLE_PIN.clear()
+        giant._THETA_CACHE.clear()
+        if name == "ann_train":
+            pl._ANN_PIN.clear()
+        p = _probe()
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        return p, time.perf_counter() - t0, n
+
+    # Pass 1: best-of-2 with a probe before every rep.
+    reps: dict[str, list[tuple[float, float]]] = {}
     probes: list[float] = []
-    rep_probes: dict[str, list[float]] = {}
+    rows: dict[str, int] = {}
     for name, fn in headline:
-        best, n = None, 0
-        rep_probes[name] = []
+        reps[name] = []
         for _ in range(2):
-            # Drop the engine's explicit cross-query caches so every rep
-            # pays the full pipeline (JVM warm-up is the only thing
-            # min-of-2 is meant to exclude): the pinned shingle table
-            # and the sampled theta the spatial queries share. The ONE
-            # allowed cached input is the pinned ANN index — training it
-            # is the separately-timed ann_train line (which clears and
-            # retrains per rep), so the search lines measure search.
-            pl._SHINGLE_PIN.clear()
-            giant._THETA_CACHE.clear()
-            if name == "ann_train":
-                pl._ANN_PIN.clear()
-            p = _probe()
+            p, dt, n = _run_rep(name, fn)
             probes.append(p)
-            rep_probes[name].append(p)
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s "
-              f"(probes {[round(p, 3) for p in rep_probes[name]]})",
+            reps[name].append((p, dt))
+            rows[name] = n
+
+    # Pass 2 (since r11): retry-on-flagged-probe. The pass-1 probe
+    # median is the box's quiet cost; a rep whose probe ran >20% ABOVE
+    # it ran under ambient load and its timing only overestimates (a
+    # BELOW-median probe means a quieter-than-median box — trustworthy).
+    # A query none of whose reps were quiet gets up to 3 retry reps;
+    # the published timing is the min over quiet reps, and the flag
+    # survives only if no quiet rep was obtainable ("retried, still
+    # loaded"). BENCH_r10's exhibit: 7/24 queries flagged with ±25%
+    # phantom swings on a zero-line diff.
+    med = sorted(probes)[len(probes) // 2]
+    quiet = lambda p: p <= 1.2 * med  # noqa: E731
+    retried: dict[str, int] = {}
+    for name, fn in headline:
+        if any(quiet(p) for p, _ in reps[name]):
+            continue
+        for attempt in range(3):
+            p, dt, n = _run_rep(name, fn)
+            probes.append(p)
+            reps[name].append((p, dt))
+            rows[name] = n
+            retried[name] = attempt + 1
+            if quiet(p):
+                break
+
+    timings: dict[str, float] = {}
+    flagged: list[str] = []
+    for name, _ in headline:
+        qs = [dt for p, dt in reps[name] if quiet(p)]
+        if not qs:
+            flagged.append(name)
+            qs = [dt for _, dt in reps[name]]
+        timings[name] = round(min(qs), 3)
+        print(f"# {name}: {rows[name]} rows in {timings[name]}s "
+              f"(probes {[round(p, 3) for p, _ in reps[name]]}"
+              f"{', RETRIED, STILL LOADED' if name in flagged else ''})",
               file=sys.stderr)
 
-    med = sorted(probes)[len(probes) // 2]
-    flagged = sorted(
-        name for name, ps in rep_probes.items()
-        if any(abs(p - med) > 0.2 * med for p in ps)
-    )
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -229,7 +264,8 @@ def main() -> None:
                     "min": round(min(probes), 3),
                     "max": round(max(probes), 3),
                     "n": len(probes),
-                    "flagged_queries": flagged,
+                    "flagged_queries": sorted(flagged),
+                    "retried_queries": retried,
                 },
                 "sf": sf,
             }
