@@ -227,6 +227,18 @@ def run(spark: SparkSession, cfg: JedaiConfig) -> DataFrame:
             sched.select("s_id", "t_id"), on=["s_id", "t_id"], how="left_semi"
         )
 
+    if not cfg.progressive_algorithm:
+        # Full-verification path: auto-engage the skew-split join when
+        # per-pair verification is expensive (progressive paths are
+        # budget-bounded, so the split never pays there). YAML override:
+        # configurations: {loadBalancer: AUTO|ON|OFF}.
+        from ds_jedai_spark.operators.loadbalance import auto_balance
+
+        cand, _ = auto_balance(
+            cand, source, target,
+            mode=str(cfg.extra.get("loadBalancer", "AUTO")),
+        )
+
     verified = with_general_relations(cand)
 
     if cfg.relation == "DE9IM":

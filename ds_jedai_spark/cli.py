@@ -5,6 +5,8 @@
     python -m ds_jedai_spark.cli -op asof|interval|chunk -left L.parquet \
         [-right R.parquet] [-key k1,k2] [-direction nearest] \
         [-tolerance-us N] [-bucket-us auto|none|N] [-out OUT.parquet] ...
+    python -m ds_jedai_spark.cli -op relate -left s.tsv -right t.tsv \
+        [-relation DE9IM|intersects|...] [-id-col id] [-geom-col wkt]
 
 The first form prints the same summary the reference logs (reference:
 experiments/GiantExp.scala:104-127 — verifications, qualifying pairs, the
@@ -27,6 +29,12 @@ against the standing artifacts. `-op dedup-apply` writes the
 DEDUPLICATED corpus itself (pairs -> connected components -> one
 survivor per cluster); `-op quantize` emits exact int8 quantization
 stats per vector.
+
+The flagship without a YAML: `-op relate` runs the full tile join +
+exact DE-9IM verification (api.run — theta sampling, ref-point dedup,
+the auto skew dispatcher) on two arbitrary WKT/parquet datasets;
+`-relation DE9IM` prints the GiantExp counts row, a single predicate
+prints the qualifying (s_id, t_id) pairs.
 """
 
 from __future__ import annotations
@@ -214,7 +222,35 @@ def _run_op(args) -> int:
 
     t0 = time.perf_counter()
     try:
-        if args.op == "asof":
+        if args.op == "relate":
+            # Flagship convenience: tile join + exact relate on arbitrary
+            # user WKT (tsv/csv/geojson/nt) or engine parquet, no YAML —
+            # `-op relate -left s.tsv -right t.tsv -relation intersects`.
+            from ds_jedai_spark import api
+            from ds_jedai_spark.config import (
+                RELATIONS,
+                DatasetSpec,
+                JedaiConfig,
+            )
+
+            if not (args.left and args.right):
+                print("-op relate needs -left and -right (WKT tsv/csv/"
+                      "geojson/nt or engine parquet)", file=sys.stderr)
+                return 2
+            rel = args.relation.upper()
+            if rel not in RELATIONS:
+                print(f"-op relate: unknown relation {rel!r}; choose "
+                      f"from {sorted(RELATIONS)}", file=sys.stderr)
+                return 2
+            cfg = JedaiConfig(
+                source=DatasetSpec(path=args.left, id_field=args.id_col,
+                                   geom_field=args.geom_col),
+                target=DatasetSpec(path=args.right, id_field=args.id_col,
+                                   geom_field=args.geom_col),
+                relation=rel,
+            )
+            df = api.run(spark, cfg)
+        elif args.op == "asof":
             from ds_jedai_spark.operators.temporal import asof_join
 
             if not (args.left and args.right):
@@ -605,9 +641,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "-op",
         default=None,
-        choices=["asof", "interval", "chunk", "dedup", "dedup-build",
-                 "dedup-apply", "emb-dedup", "ann", "ann-build",
-                 "quantize", "shuffle", "dupspans", "scrub"],
+        choices=["relate", "asof", "interval", "chunk", "dedup",
+                 "dedup-build", "dedup-apply", "emb-dedup", "ann",
+                 "ann-build", "quantize", "shuffle", "dupspans", "scrub"],
         help="run a temporal/pipeline operator on user parquet",
     )
     ap.add_argument("-index", default=None,
@@ -631,8 +667,15 @@ def main(argv: list[str] | None = None) -> int:
                          "or auto-sized PQ with shortlist rerank")
     ap.add_argument("-tau", type=float, default=None,
                     help="dedup: similarity threshold (jaccard/cosine)")
-    ap.add_argument("-id-col", dest="id_col", default="doc_id",
-                    help="dedup: id column name in the input parquet")
+    ap.add_argument("-relation", default="DE9IM",
+                    help="relate: DE9IM (counts row) or a single "
+                         "predicate (intersects/contains/...) emitting "
+                         "qualifying pairs")
+    ap.add_argument("-geom-col", dest="geom_col", default="wkt",
+                    help="relate: WKT geometry column/field name")
+    ap.add_argument("-id-col", dest="id_col", default=None,
+                    help="id column name in the input (default: doc_id "
+                         "for dedup/text ops, id for relate)")
     ap.add_argument("-text-col", dest="text_col", default="text",
                     help="dedup: text column name in the input parquet")
     ap.add_argument("-left", default=None, help="left/input parquet path (-op)")
@@ -669,6 +712,8 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     if args.op is not None:
+        if args.id_col is None:
+            args.id_col = "id" if args.op == "relate" else "doc_id"
         if args.bucket_us == "none":
             args.bucket_us = None
         if args.chunk_tokens is None:

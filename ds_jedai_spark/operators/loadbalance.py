@@ -91,6 +91,66 @@ def segment_group_units(seg_cand: DataFrame) -> DataFrame:
     )
 
 
+# Auto-dispatch threshold: avg per-pair verification cost proxy
+# (mean source vertices x mean target vertices). The skew-split's
+# candidate materialization + double join costs ~2x at box-algebra
+# verification cost (5x5 = 25, measured in BENCH_SCALE giant_skew_x10),
+# so it only pays when exact relate dominates — relate_poly is
+# O(V_s * V_t) integer arithmetic per pair, which overtakes the split
+# overhead around ~8x8-vertex geometries on the sf0.1 corpus.
+VERTEX_COST_THRESHOLD = 64.0
+
+
+def estimate_pair_cost(source: DataFrame, target: DataFrame,
+                       sample: int = 50_000) -> float:
+    """Average per-pair verification cost proxy: the product of the two
+    inputs' mean vertex counts, each from a bounded LIMIT sample (reads a
+    handful of files at 100 TB — never a full scan, and never an action
+    over the exploded candidate set)."""
+
+    def mean_verts(df: DataFrame) -> float:
+        if "coords" not in df.columns:
+            return 5.0  # envelope-only input: every geometry is a box
+        row = (
+            df.select(
+                F.expr("aggregate(coords, 0, (a, p) -> a + size(p))").alias("v")
+            )
+            .limit(sample)
+            .agg(F.avg("v").alias("m"))
+            .first()
+        )
+        return float(row["m"] or 0.0)
+
+    return mean_verts(source) * mean_verts(target)
+
+
+def auto_balance(
+    cand: DataFrame,
+    source: DataFrame,
+    target: DataFrame,
+    mode: str = "AUTO",
+    z: float = Z_SCORE,
+    skew_parts: int | None = None,
+    threshold: float = VERTEX_COST_THRESHOLD,
+) -> tuple[DataFrame, bool]:
+    """Route candidates through the skew-split join only when per-pair
+    verification is expensive enough to pay for it.
+
+    ``mode``: ``AUTO`` (estimate, engage above ``threshold``), ``ON``
+    (always split), ``OFF`` (never). Returns (candidates, engaged).
+    The estimate never touches ``cand`` — the cheap route keeps the
+    single-pass streaming plan (no materialization is introduced).
+    Reference: WellBalancedDistributedInterlinking.scala:33-92 applies
+    the split unconditionally; the dispatch is this engine's addition.
+    """
+    mode = (mode or "AUTO").upper()
+    if mode == "OFF":
+        return cand, False
+    if mode != "ON" and estimate_pair_cost(source, target) < threshold:
+        return cand, False
+    return well_balanced_candidates(cand, z=z, skew_parts=skew_parts), True
+
+
 def well_balanced_candidates(
     cand: DataFrame, z: float = Z_SCORE, skew_parts: int | None = None,
     pinned: bool = False,

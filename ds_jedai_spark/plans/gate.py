@@ -630,8 +630,21 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
             ]
         ),
     )
-    keep("stream_dedup_counts", sp.stream_dedup_counts,
-         sp.stream_dedup_counts_oracle())
+    add(
+        "stream_dedup_counts",
+        tagged_union(
+            [
+                ("dedup", sp.stream_dedup_counts,
+                 sp.stream_dedup_counts_oracle()),
+                # r11: exactly-once sink — a deliberately replayed
+                # micro-batch through the idempotent per-batch-id
+                # dynamic-overwrite sink must still match the oracle's
+                # single-copy counts (an append sink would double it)
+                ("idempotent", sp.stream_idempotent_counts,
+                 sp.stream_dedup_counts_oracle()),
+            ]
+        ),
+    )
     keep("stream_top_event_types", sp.stream_top_event_types,
          sp.stream_top_event_types_oracle())
 

@@ -152,6 +152,52 @@ def stream_dedup_counts_oracle() -> str:
     return "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
 
 
+def stream_idempotent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once sink proof, oracle-gated: the events table is split
+    into a 4-file source directory and streamed in 2 micro-batches;
+    each batch's raw rows land through the ``idempotent=True``
+    per-batch-id dynamic-overwrite sink (geostream._batch_sink), then
+    one batch is deliberately REPLAYED — the retry-after-partial-write
+    failure shape. The read-back per-type counts must hash-match the
+    oracle's single-copy answer: under the blind append the replayed
+    batch would double its rows; under the idempotent sink the replay
+    overwrites exactly its own partition and converges."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ds_jedai_spark.io.bucketed import drop_table_and_location
+    from ds_jedai_spark.io.synthetic import register_views
+
+    register_views(spark, sf_dir)
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"jedai_idem_src_{spark.sparkContext.applicationId}",
+    )
+    spark.table("events").select("event_id", "event_type").repartition(
+        4
+    ).write.mode("overwrite").parquet(src)
+    stream = gs.event_stream(spark, src, maxFilesPerTrigger="2")
+    drop_table_and_location(spark, "stream_idem_tbl")
+    captured: dict[int, DataFrame] = {}
+
+    def on_batch(df: DataFrame, bid: int) -> None:
+        df = df.localCheckpoint()
+        captured[int(bid)] = df
+        gs._batch_sink(df, bid, "stream_idem_tbl", idempotent=True)
+
+    gs._drain_foreach_batch(stream, on_batch, "idem_counts")
+    # Simulated retry: replay the first micro-batch through the sink.
+    bid = min(captured)
+    gs._batch_sink(captured[bid], bid, "stream_idem_tbl", idempotent=True)
+    return (
+        spark.table("stream_idem_tbl")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def stream_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed top-k: the watermarked streaming rollup drained to its
     complete table, then ranked per window (top 3 event types by count)

@@ -712,3 +712,99 @@ def test_cli_op_quantize(spark, tmp_path, monkeypatch):
     assert set(res.columns) == {"vec_id", "maxabs", "sse"}
     assert res.count() == spark.read.parquet(emb).count()
     assert res.where("sse < 0").count() == 0
+
+
+def test_load_balancer_dispatch_routes_and_matches(spark, conf_path):
+    """Auto skew-split dispatch: the 5-vertex-box corpus estimates cheap
+    (plain route), high-vertex polygons estimate expensive (split
+    route), ON/OFF force both, and every route returns the identical
+    DE9IM counts row."""
+    import dataclasses
+
+    from ds_jedai_spark.operators import loadbalance as lb
+
+    cfg = load_config(conf_path)
+    # The test corpus is boxes/lines/points (<= 5 vertices a side):
+    # AUTO must estimate below threshold and keep the plain path.
+    src = api.read_dataset(spark, cfg.source)
+    tgt = api.read_dataset(spark, cfg.target)
+    est = lb.estimate_pair_cost(src, tgt)
+    assert 0 < est < lb.VERTEX_COST_THRESHOLD
+    # A 16-gon-ish corpus must estimate above threshold.
+    many = spark.createDataFrame(
+        [(1, [[[float(i), float(i % 3)] for i in range(17)]])],
+        "id long, coords array<array<array<double>>>",
+    )
+    assert lb.estimate_pair_cost(many, many) > lb.VERTEX_COST_THRESHOLD
+
+    # auto_balance routing flags on the real candidate set.
+    theta = api.compute_theta(src, cfg.theta_granularity)
+    cand = api.tile_join(
+        src, tgt, theta=theta,
+        source_extra=("gtype", "coords"), target_extra=("gtype", "coords"),
+    )
+    _, engaged = lb.auto_balance(cand, src, tgt, mode="AUTO")
+    assert not engaged
+    _, engaged = lb.auto_balance(cand, src, tgt, mode="ON")
+    assert engaged
+    _, engaged = lb.auto_balance(cand, many, many, mode="AUTO")
+    assert engaged
+    _, engaged = lb.auto_balance(cand, many, many, mode="OFF")
+    assert not engaged
+
+    # End-to-end: all three modes produce the identical counts row.
+    want = api.run(spark, cfg).first().asDict()
+    for mode in ("ON", "OFF"):
+        forced = dataclasses.replace(
+            cfg, extra={**cfg.extra, "loadBalancer": mode}
+        )
+        assert api.run(spark, forced).first().asDict() == want, mode
+
+
+def test_cli_op_relate(spark, tmp_path, capsys, monkeypatch):
+    """-op relate e2e: the flagship tile join + exact relate on user WKT
+    TSVs without a YAML — DE9IM counts row, single-predicate pairs
+    (equal to the -conf path), guards, and parquet -out."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    d = tmp_path
+    _write_tsv(d / "s.tsv", SOURCE)
+    _write_tsv(d / "t.tsv", TARGET)
+
+    # DE9IM counts row equals the -conf/api path on the same data
+    cfg = parse_config({
+        "source": {"path": str(d / "s.tsv"), "realIdField": "id",
+                   "geometryField": "wkt"},
+        "target": {"path": str(d / "t.tsv"), "realIdField": "id",
+                   "geometryField": "wkt"},
+        "relation": "DE9IM",
+    })
+    want = api.run(spark, cfg).first().asDict()
+    rc = cli.main(["-op", "relate", "-left", str(d / "s.tsv"),
+                   "-right", str(d / "t.tsv")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    header, row = out.splitlines()[0].split("\t"), out.splitlines()[1].split("\t")
+    assert dict(zip(header, (int(v) for v in row))) == want
+
+    # single predicate emits qualifying pairs, written to parquet
+    pq = str(d / "relate_pairs.parquet")
+    rc = cli.main(["-op", "relate", "-left", str(d / "s.tsv"),
+                   "-right", str(d / "t.tsv"),
+                   "-relation", "intersects", "-out", pq])
+    assert rc == 0
+    got = {(r.s_id, r.t_id) for r in spark.read.parquet(pq).collect()}
+    import dataclasses
+    pairs_cfg = dataclasses.replace(cfg, relation="INTERSECTS")
+    exp = {(r.s_id, r.t_id) for r in api.run(spark, pairs_cfg).collect()}
+    assert got == exp and got
+
+    # guards: missing -right, unknown relation
+    assert cli.main(["-op", "relate", "-left", str(d / "s.tsv")]) == 2
+    assert cli.main(["-op", "relate", "-left", str(d / "s.tsv"),
+                     "-right", str(d / "t.tsv"),
+                     "-relation", "nope"]) == 2
