@@ -58,10 +58,26 @@ noise is small relative to the run):
   across runs — the balanced path's candidate checkpoint makes this
   entry I/O-sensitive; trust the ratio only on runs whose probe_sec
   flags are clear).
-- stream_ingest_x10 / batch_ingest_x10: micro-batched incremental
-  dedup ingest (4 micro-batches against the standing pinned shingle
-  index) vs the identical pairs in one batch plan — the orchestration
-  overhead of the streaming ingest loop (stream_over_batch_ingest).
+- giant_skew_x10_auto (r11): the verification-cost dispatcher
+  (loadbalance.auto_balance) over the hot corpus — must keep the plain
+  path on the box-algebra corpus (estimate 5x5=25 < threshold 64);
+  decision + estimate recorded under "skew_auto".
+- giant_counts_x100 / lsh_x50 (r11): the second scale decade,
+  single-rep. giant_counts_x100: 2M x 15M boxes, 86,344,200 pairs,
+  pure streaming plan, no-broadcast plan law asserted, rows == exactly
+  10x the x10 entry. lsh_x50: the largest exact-clone factor that fits
+  this box's shuffle disk (c=100 measured ENOSPC — exact-clone cliques
+  make TRUE OUTPUT, hence shuffle volume, quadratic in c); 10,160,750
+  pairs = 26.6x the x10 entry's output work, exact row law
+  pairs = base*c^2 + n*C(c,2) asserted inline. Fit math in the entry
+  docstrings.
+- stream_ingest_x10 / stream_ingest_x10_batched / batch_ingest_x10:
+  micro-batched incremental dedup ingest (4 micro-batches / 1
+  amortized micro-batch against the standing pinned shingle index) vs
+  the identical pairs in one batch plan. maxFilesPerTrigger is the
+  amortization knob: the per-trigger fixed cost times the batch count
+  is the overhead, so the _batched variant bounds the knob's best case
+  (stream_over_batch_ingest vs stream_batched_over_batch_ingest).
 - pq_auto_recall: PQ trained with corpus-scaled auto_pq_params and a
   deployment-sized rerank shortlist; the rerank recall floor (0.70) is
   asserted inline so a silently-degrading PQ tier fails the soak.
@@ -155,7 +171,7 @@ def knn_x10(spark, sf_dir):
     return knn_join_exact(c, c, k=3, theta=(1.0, 1.0)).count()
 
 
-def _cloned_boxes(spark, sf_dir):
+def _cloned_boxes(spark, sf_dir, clones: int = CLONES_SPATIAL):
     from ds_jedai_spark.io.synthetic import (
         load_sql,
         source_box_sql,
@@ -170,9 +186,9 @@ def _cloned_boxes(spark, sf_dir):
     shift = (span.hi - span.lo) * 2
 
     def clone(df):
-        rep = spark.range(CLONES_SPATIAL).select(F.col("id").alias("rep"))
+        rep = spark.range(clones).select(F.col("id").alias("rep"))
         return df.crossJoin(rep).select(
-            (F.col("id") * CLONES_SPATIAL + F.col("rep")).alias("id"),
+            (F.col("id") * clones + F.col("rep")).alias("id"),
             (F.col("minx") + F.col("rep") * shift).alias("minx"),
             "miny",
             (F.col("maxx") + F.col("rep") * shift).alias("maxx"),
@@ -180,6 +196,87 @@ def _cloned_boxes(spark, sf_dir):
         )
 
     return clone(source), clone(target)
+
+
+CLONES_DECADE = 100
+CLONES_LSH_DECADE = 50
+
+
+def giant_counts_x100(spark, sf_dir):
+    """The second scale decade: 2M x 15M boxes (100 clones), 86,344,200
+    true pairs — pure streaming plan (tile explode -> join -> codegen
+    box algebra -> one 9-counter Exchange), nothing materialized.
+
+    Fit math for the 128 GiB box: the exploded tile-join shuffle is
+    ~2M*avg_tiles + 15M*avg_tiles rows x ~50 B = 1-2 GB; the 86M
+    verified pairs stream straight into the partial aggregates (no
+    pair materialization), so memory is flat in the clone factor.
+    Plan law asserted inline: at 100x neither side may broadcast —
+    the exploded source must stay on a shuffle join (the 100 TB
+    shape), catching a broadcast-threshold flip or an AQE plan
+    surprise at the new decade. Row law asserted in main():
+    verifications == exactly 10x the x10 entry."""
+    from ds_jedai_spark.model.tiles import compute_theta
+    from ds_jedai_spark.operators.relate import with_relations
+    from ds_jedai_spark.operators.spatial_join import tile_join
+    from ds_jedai_spark.plans.giant import counts_agg
+
+    cs, ct = _cloned_boxes(spark, sf_dir, clones=CLONES_DECADE)
+    theta = compute_theta(cs)
+    out = counts_agg(with_relations(tile_join(cs, ct, theta=theta)))
+    v = out.first().verifications
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, (
+        "100x tile join picked a broadcast — threshold flip at the "
+        "second scale decade"
+    )
+    return v
+
+
+def lsh_x50(spark, sf_dir):
+    """MinHash-LSH at the largest clone factor that FITS THIS BOX (50).
+    Exact-clone cliques make the TRUE OUTPUT quadratic in the clone
+    factor — qualifying pairs obey pairs(c) = base_pairs*c^2 +
+    n_docs*C(c,2) exactly (identical signatures collide identically,
+    verification Jaccard is exact) — so the binding resource is not
+    memory but SHUFFLE DISK for the verification join (~pairs x ~51
+    common shingles rows). Measured fit math, sf0.1 (6,170 docs, 1,041
+    base pairs, ~51 shingles/doc; 79 GB free disk):
+      c=100: 40,951,500 pairs -> ~2.1 B verification join rows ->
+             >60 GB spill = ENOSPC on this box (measured r11);
+      c=50:  10,160,750 pairs (26.6x the x10 entry's output work,
+             every band bucket holding >= 50 colliding docs) ->
+             ~520 M join rows -> ~12 GB peak shuffle: safe margin.
+    Memory is flat in c throughout (pinned shingle table ~0.3 GB,
+    candidate pin ~0.3 GB, everything else streams); a cluster with
+    real shuffle disk runs the same plan at c=100+ unchanged — and a
+    production 100 TB pass caps the clique quadratic structurally by
+    running exact-hash dedup BEFORE MinHash (the pipeline's dedup_exact
+    stage), which collapses identical docs to one representative.
+    The exact row law is asserted inline."""
+    from ds_jedai_spark.operators import dedup
+    from ds_jedai_spark.plans.pipeline_plans import TAU_JACCARD, _corpus
+
+    corpus = _corpus(spark, sf_dir)
+    n = corpus.count()
+    base = dedup.minhash_lsh_pairs(
+        corpus.repartition(32), tau=TAU_JACCARD
+    ).count()
+    c = CLONES_LSH_DECADE
+    rep = spark.range(c).select(F.col("id").alias("rep"))
+    cloned = corpus.crossJoin(rep).select(
+        (F.col("doc_id") * c + F.col("rep")).alias("doc_id"),
+        "text",
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        cloned.repartition(32), tau=TAU_JACCARD
+    ).count()
+    want = base * c**2 + n * c * (c - 1) // 2
+    assert pairs == want, (
+        f"x{c} LSH row law broke: {pairs} != {base}*{c}^2 + {n}*C({c},2) "
+        f"= {want}"
+    )
+    return pairs
 
 
 def bucketed_x10_setup(spark, sf_dir):
@@ -494,6 +591,42 @@ def giant_skew_x10(hot: bool):
     return q
 
 
+AUTO_DECISION: dict[str, object] = {}
+
+
+def giant_skew_x10_auto(spark, sf_dir):
+    """The r11 dispatcher over the hot corpus: api-level auto_balance
+    estimates per-pair verification cost from bounded input samples and
+    must pick the PLAIN path on the box-algebra corpus (5x5-vertex cost
+    25 < threshold 64 — the regime where the split's ~2x overhead,
+    bounded by the balanced entries above, buys nothing). Wall should
+    track giant_skew_x10_hot_plain, not giant_skew_x10_hot; the
+    decision + estimate are recorded in the JSON (skew_auto)."""
+    from ds_jedai_spark.model.tiles import compute_theta
+    from ds_jedai_spark.operators.loadbalance import (
+        auto_balance,
+        estimate_pair_cost,
+    )
+    from ds_jedai_spark.operators.relate import with_relations
+    from ds_jedai_spark.operators.spatial_join import tile_join
+    from ds_jedai_spark.plans.giant import counts_agg
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cs, ct = _skew_boxes(spark, sf_dir, hot=True)
+        cand = tile_join(cs, ct, theta=compute_theta(cs))
+        routed, engaged = auto_balance(cand, cs, ct, mode="AUTO")
+        assert not engaged, (
+            "dispatcher engaged the skew split on the box-algebra corpus"
+        )
+        AUTO_DECISION["engaged"] = engaged
+        AUTO_DECISION["est_pair_cost"] = round(estimate_pair_cost(cs, ct), 1)
+        return counts_agg(with_relations(routed)).first().verifications
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 INTERVAL_WINDOW_HOURS = 6
 
 
@@ -551,29 +684,37 @@ def _ingest_parts(spark, sf_dir, tmp_dir: str):
     return {"dir": tmp_dir, "index_sh": index_sh}
 
 
-def stream_ingest_x10(parts):
+def stream_ingest_x10(parts, files_per_trigger: int = 2):
     """Micro-batched incremental-dedup INGEST wall at 10x: the cloned
-    batch documents arrive as a 4-micro-batch file stream
-    (maxFilesPerTrigger=2 over 8 files) and each micro-batch runs the
+    batch documents arrive as a file stream split into micro-batches
+    (``files_per_trigger`` over 8 files) and each micro-batch runs the
     cross-corpus MinHash-LSH path against the standing pinned shingle
     index. The comparable batch number is batch_ingest_x10 — the same
     pairs in one batch plan; the stream/batch ratio is the micro-batch
-    orchestration overhead a production ingest pays."""
+    orchestration overhead a production ingest pays.
+
+    maxFilesPerTrigger IS the amortization knob: each micro-batch pays
+    a fixed planning + band-join + sink-commit cost, so overhead ~
+    n_batches x fixed_cost. The default entry (2 files -> 4 batches)
+    measured ~2.9x its batch twin; the _batched variant (8 files -> 1
+    batch) bounds the knob's best case. Latency trades the other way —
+    fewer, larger triggers mean later first results; see PLANS.md
+    ("Streaming ingest amortization")."""
 
     def q(spark, sf_dir):
         from ds_jedai_spark.io.bucketed import drop_table_and_location
         from ds_jedai_spark.plans.pipeline_plans import TAU_JACCARD
         from ds_jedai_spark.streaming import geostream as gs
 
+        table = f"scale_stream_ingest_tbl_f{files_per_trigger}"
         stream = gs.event_stream(
-            spark, parts["dir"], maxFilesPerTrigger="2"
+            spark, parts["dir"], maxFilesPerTrigger=str(files_per_trigger)
         ).repartition(32)
-        drop_table_and_location(spark, "scale_stream_ingest_tbl")
+        drop_table_and_location(spark, table)
         gs.stream_incremental_dedup(
-            stream, parts["index_sh"], TAU_JACCARD,
-            "scale_stream_ingest_tbl",
+            stream, parts["index_sh"], TAU_JACCARD, table,
         )
-        return spark.table("scale_stream_ingest_tbl").count()
+        return spark.table(table).count()
 
     return q
 
@@ -640,6 +781,13 @@ def main() -> None:
          lambda: giant_skew_x10_plain(True)(spark, sf_dir)),
         ("giant_skew_x10_uniform_plain",
          lambda: giant_skew_x10_plain(False)(spark, sf_dir)),
+        # r11: the verification-cost dispatcher must keep the plain path
+        # on the box corpus (decision + estimate recorded in skew_auto)
+        ("giant_skew_x10_auto", lambda: giant_skew_x10_auto(spark, sf_dir)),
+        # r11: the second scale decade (single-shot — fit math and the
+        # exact row laws live in the entry docstrings / asserts)
+        ("giant_counts_x100", lambda: giant_counts_x100(spark, sf_dir)),
+        ("lsh_x50", lambda: lsh_x50(spark, sf_dir)),
         ("lsh_x10", lambda: lsh_x10(spark, sf_dir)),
         ("emb_lsh_x10", lambda: emb_lsh_x10(spark, sf_dir)),
         ("semantic_cluster_x10", lambda: semantic_cluster_x10(spark, sf_dir)),
@@ -650,6 +798,9 @@ def main() -> None:
         ("simhash_x10", lambda: simhash_x10(spark, sf_dir)),
         # micro-batched ingest vs the same pairs in one batch plan
         ("stream_ingest_x10", lambda: stream_ingest_x10(ingest)(spark, sf_dir)),
+        # the amortization knob's best case: all 8 files in ONE trigger
+        ("stream_ingest_x10_batched",
+         lambda: stream_ingest_x10(ingest, files_per_trigger=8)(spark, sf_dir)),
         ("batch_ingest_x10", lambda: batch_ingest_x10(ingest)(spark, sf_dir)),
         ("asof_x16_uniform", lambda: asof_x16(False)(spark, sf_dir)),
         ("asof_x16_hotkey", lambda: asof_x16(True)(spark, sf_dir)),
@@ -679,6 +830,10 @@ def main() -> None:
         return time.perf_counter() - t0
 
     _probe()  # codegen warm-up of the probe plan
+    # The x100 decade entries run ONE rep: their walls are minutes, so
+    # ambient noise is small relative to the run and a second rep would
+    # double the most expensive part of the refresh for nothing.
+    single_rep = {"giant_counts_x100", "lsh_x50"}
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     probes: list[float] = []
@@ -686,13 +841,20 @@ def main() -> None:
     for name, fn in entries:
         rep_probes[name] = [_probe()]
         timings[name], rows[name] = _timed(fn)
-        rep_probes[name].append(_probe())
-        t2, _ = _timed(fn)
-        timings[name] = min(timings[name], t2)
+        if name not in single_rep:
+            rep_probes[name].append(_probe())
+            t2, _ = _timed(fn)
+            timings[name] = min(timings[name], t2)
         probes.extend(rep_probes[name])
         print(f"# {name}: {rows[name]} rows/count in {timings[name]}s "
               f"(probes {[round(p, 3) for p in rep_probes[name]]})",
               file=sys.stderr)
+    # Cross-entry row law of the scale decade: clone i only meets clone
+    # i, so true pairs scale EXACTLY with the clone factor.
+    assert rows["giant_counts_x100"] == 10 * rows["giant_counts_x10"], (
+        "x100 decade row law broke: "
+        f"{rows['giant_counts_x100']} != 10 * {rows['giant_counts_x10']}"
+    )
     med = sorted(probes)[len(probes) // 2]
     flagged = sorted(
         name for name, ps in rep_probes.items()
@@ -710,6 +872,9 @@ def main() -> None:
     ingest_ratio = round(
         timings["stream_ingest_x10"] / timings["batch_ingest_x10"], 2
     )
+    ingest_batched_ratio = round(
+        timings["stream_ingest_x10_batched"] / timings["batch_ingest_x10"], 2
+    )
     interval_ratio = round(
         timings["interval_x10_fixed"] / timings["interval_x10_auto"], 2
     )
@@ -725,6 +890,7 @@ def main() -> None:
                 "giant_skew_hot_over_uniform": skew_ratio,
                 "giant_skew_plain_hot_over_uniform": skew_plain_ratio,
                 "stream_over_batch_ingest": ingest_ratio,
+                "stream_batched_over_batch_ingest": ingest_batched_ratio,
                 "interval_fixed_over_auto": interval_ratio,
                 "probe_sec": {
                     "median": round(med, 3),
@@ -733,10 +899,12 @@ def main() -> None:
                     "n": len(probes),
                     "flagged_queries": flagged,
                 },
+                "skew_auto": AUTO_DECISION,
                 "clones": {
                     "spatial": CLONES_SPATIAL,
                     "lsh": CLONES_LSH,
                     "asof": CLONES_ASOF,
+                    "decade": CLONES_DECADE,
                 },
                 "sf": sf,
             }
