@@ -32,7 +32,9 @@ DEFAULT_DATE_PATTERN = "yyyy-MM-dd HH:mm:ss"
 
 
 class ConfigError(ValueError):
-    pass
+    """Invalid configuration document (unknown enum value, missing
+    required section, malformed dataset spec) — the hard-error contract
+    of the reference's ConfigurationParser."""
 
 
 @dataclass

@@ -24,7 +24,17 @@ Intersection parameters t along one segment are raw (tn, td) integer
 pairs ordered by exact cross-multiplication — no rational objects
 anywhere. Even-odd semantics make one code path serve
 POLYGON-with-holes and MULTIPOLYGON (flattened ring lists, standard
-validity assumed). Complexity O(|A|·|B|) per pair — this is the
+validity assumed). "Standard validity" is load-bearing for one input
+class: two rings of the SAME geometry sharing a COLLINEAR boundary run
+(forbidden by OGC validity — rings may touch at points, never along
+lines). Coincident edge passes cancel under even-odd, so such a run is
+a slit/seam rather than true region boundary, and the boundary-witness
+inferences below (a_in/b_in as interior-interior evidence) would
+overcount there — measured in r11 by the non-axis-aligned property
+suite (tests/test_properties.py::_rings_share_collinear_run). Parts
+overlapping in 2-D WITHOUT coincident edges are handled exactly; the
+point/multipoint paths are parity-pure and correct even for such
+degenerate inputs. Complexity O(|A|·|B|) per pair — this is the
 engine's slow path, reached only after tile filtering; boxes / points /
 segments keep their closed forms.
 """

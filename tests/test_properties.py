@@ -1069,3 +1069,85 @@ def test_segment_vs_box_matches_rational_clipping(box, seg):
     gen["contains"], gen["within"] = raw["within"], raw["contains"]
     gen["covers"], gen["coveredby"] = raw["coveredby"], raw["covers"]
     assert gen == want, ("general", rect, seg, gen, want)
+
+
+@given(points(), st.integers(0, len(_POLY_TEMPLATES) - 1), dyadic_maps())
+@settings(max_examples=300, deadline=None)
+def test_point_vs_affine_polygon_matches_rational_locator(pt, ip, m):
+    """POINT vs rotated/sheared polygons (concave + holed): the engine's
+    point classification must equal the rational even-odd locator, in
+    both argument orders."""
+    poly = _apply_map16(m, _POLY_TEMPLATES[ip])
+    p = (_Fr(pt[0][0][0]), _Fr(pt[0][0][1]))
+    loc = _fr_loc(p, _fr_rings(poly))
+    d = relate_pair("POINT", pt, "POLYGON", poly)
+    assert d["intersects"] == (loc != 0)
+    assert d["disjoint"] == (loc == 0)
+    assert d["within"] == (loc == 2)
+    assert d["coveredby"] == (loc != 0)
+    assert d["touches"] == (loc == 1)
+    assert not d["contains"] and not d["covers"] and not d["overlaps"]
+    s = relate_pair("POLYGON", poly, "POINT", pt)
+    assert s["contains"] == (loc == 2) and s["covers"] == (loc != 0)
+    assert s["touches"] == (loc == 1) and s["intersects"] == (loc != 0)
+
+
+def _rings_share_collinear_run(parts):
+    """True when two DIFFERENT rings of one geometry share a collinear
+    boundary run of positive length. Under even-odd those coincident
+    edge passes cancel (the run is a slit or a seam, not true region
+    boundary) — an input class standard OGC validity forbids (rings may
+    touch at points, never along lines) and relate_poly documents as
+    out of contract: its boundary-witness inferences assume every ring
+    edge is true boundary."""
+    rings = _fr_rings(parts)
+    per_ring = [_fr_edges([r]) for r in rings]
+    for i in range(len(per_ring)):
+        for j in range(i + 1, len(per_ring)):
+            for p, q in per_ring[i]:
+                for a, b in per_ring[j]:
+                    if _fr_cross(p, q, a) != 0 or _fr_cross(p, q, b) != 0:
+                        continue
+                    # collinear: positive-length 1-D overlap?
+                    axis = 0 if p[0] != q[0] else 1
+                    lo1, hi1 = sorted((p[axis], q[axis]))
+                    lo2, hi2 = sorted((a[axis], b[axis]))
+                    if min(hi1, hi2) > max(lo1, lo2):
+                        return True
+    return False
+
+
+@given(
+    st.integers(0, len(_POLY_TEMPLATES) - 1),
+    st.integers(0, len(_POLY_TEMPLATES) - 1),
+    st.integers(0, len(_POLY_TEMPLATES) - 1),
+    dyadic_maps(),
+    dyadic_maps(),
+    st.integers(-4, 4),
+    st.integers(-4, 4),
+)
+@settings(max_examples=60, deadline=None)
+def test_affine_multipolygon_evenodd_matches_arrangement_model(
+    ia, ib, ic, ma, mb, dx, dy
+):
+    """Sheared MULTIPOLYGON whose two parts may OVERLAP in 2-D (even-odd:
+    the overlap region is exterior — the semantics one code path serves
+    for holes and multi parts alike) vs an independently-mapped polygon:
+    engine == arrangement model. Parts sharing a COLLINEAR boundary run
+    are excluded — coincident edge passes cancel under even-odd, which
+    standard validity forbids and relate_poly's boundary-witness
+    inferences do not model (found by this suite in r11; see
+    _rings_share_collinear_run)."""
+    from hypothesis import assume
+
+    from ds_jedai_spark.operators import relate_poly
+
+    pa = (_apply_map16(ma, _POLY_TEMPLATES[ia])
+          + _apply_map16(ma, _POLY_TEMPLATES[ib], shift=(dx, dy)))
+    assume(not _rings_share_collinear_run(pa))
+    pb = _apply_map16(mb, _POLY_TEMPLATES[ic])
+    want = _arrangement_de9im(pa, pb)
+    got = relate_pair("MULTIPOLYGON", pa, "POLYGON", pb)
+    assert got == want, (ma, mb, ia, ib, ic, dx, dy, got, want)
+    gen = relate_poly.relate_polygon_polygon(pa, pb)
+    assert gen == want, ("general", ma, mb, ia, ib, ic, dx, dy, gen, want)
