@@ -248,6 +248,9 @@ def _run_op(args) -> int:
                 target=DatasetSpec(path=args.right, id_field=args.id_col,
                                    geom_field=args.geom_col),
                 relation=rel,
+                # -export works like the -conf form: RDF flags for
+                # DE9IM, CSV pairs for a single predicate
+                export_path=args.export,
             )
             df = api.run(spark, cfg)
         elif args.op == "asof":

@@ -125,8 +125,24 @@ def _segments(parts: list[list[Pt]]) -> list[tuple[Pt, Pt]]:
     return out
 
 
-def _line_endpoints(parts: list[list[Pt]]) -> set[Pt]:
-    return {tuple(part[i]) for part in parts for i in (0, -1)}
+def _line_boundary(parts: list[list[Pt]]) -> set[Pt]:
+    """OGC mod-2 boundary of a (multi)linestring: the points occurring
+    as a chain endpoint an ODD number of times (JTS
+    Mod2BoundaryNodeRule — the rule the reference inherits through JTS
+    relate, model/IM.scala:13). Shared path vertices (endpoint degree
+    2) and the start point of a closed ring part are INTERIOR, not
+    boundary; a part's endpoint landing mid-segment of another part
+    still counts only its endpoint occurrences (SFS MultiCurve rule).
+    r11 fix: the previous endpoint-SET rule classified degree-2 chain
+    vertices as boundary, turning JTS crosses into touches whenever the
+    other line passed through such a vertex."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for part in parts:
+        c[tuple(part[0])] += 1
+        c[tuple(part[-1])] += 1
+    return {p for p, n in c.items() if n % 2 == 1}
 
 
 def _is_rect(parts: list[list[Pt]]) -> bool:
@@ -165,7 +181,7 @@ def _relate_point_line(p: Pt, parts) -> dict[str, bool]:
     on = any(_on_segment(p, s[0], s[1]) for s in segs)
     if not on:
         return _finish(d)
-    boundary = p in _line_endpoints(parts)
+    boundary = p in _line_boundary(parts)
     d["intersects"] = True
     if boundary:
         d["touches"] = True
@@ -191,10 +207,30 @@ def _relate_point_polygon(p: Pt, rings) -> dict[str, bool]:
 
 
 def _relate_line_line(pa, pb) -> dict[str, bool]:
+    from fractions import Fraction as Fr
+
     d = _false()
     sa, sb = _segments(pa), _segments(pb)
-    ea, eb = _line_endpoints(pa), _line_endpoints(pb)
-    any_int = proper_interior = collinear = False
+    ea, eb = _line_boundary(pa), _line_boundary(pb)
+    # Exact-rational boundary sets: contact points that are PROPER
+    # segment crossings have rational (non-lattice) coordinates, and a
+    # proper cross can still land exactly on another part's
+    # odd-multiplicity endpoint — boundary under the Mod2 rule, so NOT
+    # interior-interior evidence (r11 fix; previously every proper
+    # cross counted as ii).
+    eaf = {(Fr(x), Fr(y)) for x, y in ea}
+    ebf = {(Fr(x), Fr(y)) for x, y in eb}
+
+    def _cross_point(a1, a2, b1, b2):
+        ax, ay = Fr(a1[0]), Fr(a1[1])
+        dx, dy = Fr(a2[0]) - ax, Fr(a2[1]) - ay
+        bx, by = Fr(b1[0]), Fr(b1[1])
+        ex, ey = Fr(b2[0]) - bx, Fr(b2[1]) - by
+        den = dx * ey - dy * ex
+        t = ((bx - ax) * ey - (by - ay) * ex) / den
+        return (ax + t * dx, ay + t * dy)
+
+    any_int = interior_contact = collinear = False
     touch_pts: set[Pt] = set()
     for s1 in sa:
         for s2 in sb:
@@ -205,8 +241,9 @@ def _relate_line_line(pa, pb) -> dict[str, bool]:
             if coll:
                 collinear = True
             if proper:
-                # crossing point interior to both unless it is a global endpoint
-                proper_interior = True
+                cp = _cross_point(s1[0], s1[1], s2[0], s2[1])
+                if cp not in eaf and cp not in ebf:
+                    interior_contact = True
             else:
                 for p in (s1[0], s1[1], s2[0], s2[1]):
                     if _on_segment(p, s2[0], s2[1]) and _on_segment(p, s1[0], s1[1]):
@@ -214,7 +251,7 @@ def _relate_line_line(pa, pb) -> dict[str, bool]:
     if not any_int:
         return _finish(d)
     d["intersects"] = True
-    ii = proper_interior or collinear or any(
+    ii = interior_contact or collinear or any(
         p not in ea and p not in eb for p in touch_pts
     )
     if not ii:
@@ -331,7 +368,7 @@ def _relate_points_line(pts: list[Pt], parts) -> dict[str, bool]:
     """Point-set vs line: per-point location aggregation (dim 0 vs 1)."""
     d = _false()
     segs = _segments(parts)
-    ends = _line_endpoints(parts)
+    ends = _line_boundary(parts)
     n_interior = n_boundary = n_off = 0
     for p in pts:
         if any(_on_segment(p, a, b) for a, b in segs):

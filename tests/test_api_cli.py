@@ -808,3 +808,54 @@ def test_cli_op_relate(spark, tmp_path, capsys, monkeypatch):
     assert cli.main(["-op", "relate", "-left", str(d / "s.tsv"),
                      "-right", str(d / "t.tsv"),
                      "-relation", "nope"]) == 2
+
+
+def test_load_balancer_auto_plan_shapes(spark, tmp_path, conf_path):
+    """Plan-level dispatch pins: on the cheap (box) corpus the AUTO
+    route's physical plan is union-free — the dispatcher must not
+    introduce the skew-split materialization; on a high-vertex comb
+    corpus AUTO engages and the two-path union appears, with results
+    equal to the forced-OFF run."""
+    import dataclasses
+
+    cfg = load_config(conf_path)
+    auto = dataclasses.replace(cfg, extra={"loadBalancer": "AUTO"})
+    out = api.run(spark, auto)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan, "cheap route grew a skew-split union"
+
+    # 19-vertex combs: mean vertex product ~361 > 64 -> AUTO engages.
+    def comb(ox, oy):
+        teeth = [f"{ox + i} {oy + (2 if i % 2 else 0)}" for i in range(8)]
+        ring = ", ".join(
+            [f"{ox} {oy}"] + teeth
+            + [f"{ox + 7} {oy - 1}", f"{ox} {oy - 1}", f"{ox} {oy}"]
+        )
+        return f"POLYGON (({ring}))"
+
+    rows = [(i, comb(i * 2, 0)) for i in range(12)]
+    _write_tsv(tmp_path / "combs_s.tsv", rows)
+    _write_tsv(tmp_path / "combs_t.tsv", [(100 + i, comb(i * 2 + 1, 1))
+                                          for i in range(12)])
+    doc = {
+        "source": {"path": str(tmp_path / "combs_s.tsv"),
+                   "realIdField": "id", "geometryField": "wkt"},
+        "target": {"path": str(tmp_path / "combs_t.tsv"),
+                   "realIdField": "id", "geometryField": "wkt"},
+        "relation": "DE9IM",
+    }
+    base = parse_config(doc)
+    from ds_jedai_spark.operators import loadbalance as lb
+
+    src = api.read_dataset(spark, base.source)
+    tgt = api.read_dataset(spark, base.target)
+    assert lb.estimate_pair_cost(src, tgt) > lb.VERTEX_COST_THRESHOLD
+    eng = api.run(
+        spark, dataclasses.replace(base, extra={"loadBalancer": "AUTO"})
+    )
+    plan = eng._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan, "AUTO did not engage on the comb corpus"
+    off = api.run(
+        spark, dataclasses.replace(base, extra={"loadBalancer": "OFF"})
+    )
+    assert eng.first().asDict() == off.first().asDict()

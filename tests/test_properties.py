@@ -1151,3 +1151,147 @@ def test_affine_multipolygon_evenodd_matches_arrangement_model(
     assert got == want, (ma, mb, ia, ib, ic, dx, dy, got, want)
     gen = relate_poly.relate_polygon_polygon(pa, pb)
     assert gen == want, ("general", ma, mb, ia, ib, ic, dx, dy, gen, want)
+
+
+# ---------------------------------------------------------------------------
+# Line x line: independent truth model under OGC/JTS semantics (the
+# Mod2 boundary-node rule the reference inherits through JTS relate).
+# The engine classifies sub-segment contacts; the model instead derives
+# every flag from first principles: boundary(L) = chain endpoints with
+# odd multiplicity, interior(L) = L minus boundary, dim(II) from exact
+# pairwise segment intersections, coverage by rational cut-midpoint
+# membership. Rational arithmetic throughout.
+# ---------------------------------------------------------------------------
+
+
+def _fr_chain_segments(parts):
+    out = []
+    for part in parts:
+        pts = [(_Fr(p[0]), _Fr(p[1])) for p in part]
+        for a, b in zip(pts, pts[1:]):
+            if a != b:
+                out.append((a, b))
+    return out
+
+
+def _fr_mod2_boundary(parts):
+    from collections import Counter
+
+    c = Counter()
+    for part in parts:
+        c[(_Fr(part[0][0]), _Fr(part[0][1]))] += 1
+        c[(_Fr(part[-1][0]), _Fr(part[-1][1]))] += 1
+    return {p for p, n in c.items() if n % 2 == 1}
+
+
+def _line_line_flags_by_rational_model(pa, pb):
+    sa, sb = _fr_chain_segments(pa), _fr_chain_segments(pb)
+    bda, bdb = _fr_mod2_boundary(pa), _fr_mod2_boundary(pb)
+
+    def on_line(p, segs):
+        return any(_fr_on_seg(p, a, b) for a, b in segs)
+
+    # pairwise intersections: contact points + 1-dim collinear overlap
+    pts = set()
+    ii1 = False
+    any_contact = False
+    for a1, a2 in sa:
+        d = (a2[0] - a1[0], a2[1] - a1[1])
+        for b1, b2 in sb:
+            e = (b2[0] - b1[0], b2[1] - b1[1])
+            den = d[0] * e[1] - d[1] * e[0]
+            if den != 0:
+                t = ((b1[0] - a1[0]) * e[1] - (b1[1] - a1[1]) * e[0]) / den
+                u = ((b1[0] - a1[0]) * d[1] - (b1[1] - a1[1]) * d[0]) / den
+                if 0 <= t <= 1 and 0 <= u <= 1:
+                    any_contact = True
+                    pts.add((a1[0] + t * d[0], a1[1] + t * d[1]))
+            elif _fr_cross(a1, a2, b1) == 0:  # collinear
+                axis = 0 if d[0] != 0 else 1
+                lo1, hi1 = sorted((a1[axis], a2[axis]))
+                lo2, hi2 = sorted((b1[axis], b2[axis]))
+                lo, hi = max(lo1, lo2), min(hi1, hi2)
+                if lo <= hi:
+                    any_contact = True
+                    if lo < hi:
+                        ii1 = True
+                    for c in (b1, b2, a1, a2):
+                        if _fr_on_seg(c, a1, a2) and _fr_on_seg(c, b1, b2):
+                            pts.add(c)
+    ii0 = any(p not in bda and p not in bdb for p in pts)
+    ii = ii0 or ii1
+
+    def covered(src_parts, dst_segs):
+        # every rational cut point and sub-segment midpoint of src on dst
+        dst_edges = list(dst_segs)
+        for part in src_parts:
+            cps = [(_Fr(p[0]), _Fr(p[1])) for p in part]
+            for p, q in zip(cps, cps[1:]):
+                if p == q:
+                    if not on_line(p, dst_edges):
+                        return False
+                    continue
+                ts = _fr_cut_params(p, q, dst_edges)
+                d = (q[0] - p[0], q[1] - p[1])
+                for t in ts:
+                    if not on_line((p[0] + t * d[0], p[1] + t * d[1]),
+                                   dst_edges):
+                        return False
+                for t0, t1 in zip(ts, ts[1:]):
+                    tm = (t0 + t1) / 2
+                    if not on_line((p[0] + tm * d[0], p[1] + tm * d[1]),
+                                   dst_edges):
+                        return False
+        return True
+
+    a_in_b = any_contact and covered(pa, sb)
+    b_in_a = any_contact and covered(pb, sa)
+    return {
+        "intersects": any_contact,
+        "disjoint": not any_contact,
+        "equals": a_in_b and b_in_a,
+        "within": a_in_b,
+        "coveredby": a_in_b,
+        "contains": b_in_a,
+        "covers": b_in_a,
+        "touches": any_contact and not ii,
+        "crosses": ii0 and not ii1,
+        "overlaps": ii1 and not a_in_b and not b_in_a,
+    }
+
+
+_small = st.integers(-4, 4).map(lambda v: v / 16.0)
+
+
+@st.composite
+def incident_chains(draw):
+    """1-3 chain parts, 2-4 vertices each, coordinates from a SMALL pool
+    so shared endpoints, T-junctions, degree-2 path vertices, collinear
+    overlaps and closed-ring parts are all frequent."""
+    n = draw(st.integers(1, 3))
+    parts = []
+    for _ in range(n):
+        k = draw(st.integers(2, 4))
+        raw = [[draw(_small), draw(_small)] for _ in range(k)]
+        pts = [raw[0]]
+        for p in raw[1:]:
+            if p != pts[-1]:
+                pts.append(p)
+        if len(pts) < 2:
+            pts.append([pts[-1][0] + 1 / 16.0, pts[-1][1]])
+        parts.append(pts)
+    return parts
+
+
+@given(incident_chains(), incident_chains())
+@settings(max_examples=400, deadline=None)
+def test_line_line_matches_rational_jts_model(pa, pb):
+    """MULTILINESTRING x MULTILINESTRING against the independent rational
+    JTS-semantics model — degree-2 path vertices and closed rings are
+    interior under the Mod2 rule (crosses, not touches, when the other
+    line passes through), proper crossings landing on an odd endpoint
+    are boundary contact. The r11 suite that drove the Mod2 fix in
+    relate_general._line_boundary / _relate_line_line."""
+    want = _line_line_flags_by_rational_model(pa, pb)
+    got = relate_pair("MULTILINESTRING", pa, "MULTILINESTRING", pb)
+    assert got == want, (pa, pb, got, want)
