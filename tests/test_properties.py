@@ -1295,3 +1295,79 @@ def test_line_line_matches_rational_jts_model(pa, pb):
     want = _line_line_flags_by_rational_model(pa, pb)
     got = relate_pair("MULTILINESTRING", pa, "MULTILINESTRING", pb)
     assert got == want, (pa, pb, got, want)
+
+
+@st.composite
+def multipoints(draw):
+    """2-5 points from the small pool (frequent vertex/edge/boundary
+    incidences), as MULTIPOINT parts [[p], [p], ...]."""
+    k = draw(st.integers(2, 5))
+    return [[[draw(_small), draw(_small)]] for _ in range(k)]
+
+
+def _points_line_flags_by_rational_model(pts_parts, chain_parts):
+    segs = _fr_chain_segments(chain_parts)
+    bd = _fr_mod2_boundary(chain_parts)
+    n_int = n_bd = n_off = 0
+    for part in pts_parts:
+        p = (_Fr(part[0][0]), _Fr(part[0][1]))
+        if any(_fr_on_seg(p, a, b) for a, b in segs):
+            if p in bd:
+                n_bd += 1
+            else:
+                n_int += 1
+        else:
+            n_off += 1
+    inter = n_int + n_bd > 0
+    d = {k: False for k in (
+        "intersects", "contains", "within", "covers", "coveredby",
+        "equals", "touches", "overlaps", "crosses", "disjoint")}
+    d["intersects"] = inter
+    d["disjoint"] = not inter
+    d["coveredby"] = inter and n_off == 0
+    d["within"] = n_off == 0 and n_int > 0
+    d["crosses"] = n_int > 0 and n_off > 0
+    d["touches"] = inter and n_int == 0
+    return d
+
+
+@given(multipoints(), incident_chains())
+@settings(max_examples=400, deadline=None)
+def test_multipoint_vs_chain_matches_rational_model(pts, chain):
+    """MULTIPOINT vs incidence-rich chains: per-point location under the
+    Mod2 boundary rule (degree-2 path vertices are line INTERIOR, so a
+    point there is within, not touching)."""
+    want = _points_line_flags_by_rational_model(pts, chain)
+    got = relate_pair("MULTIPOINT", pts, "MULTILINESTRING", chain)
+    assert got == want, (pts, chain, got, want)
+
+
+@given(multipoints(), st.integers(0, len(_POLY_TEMPLATES) - 1),
+       dyadic_maps())
+@settings(max_examples=300, deadline=None)
+def test_multipoint_vs_affine_polygon_matches_rational_model(pts, ip, m):
+    """MULTIPOINT vs rotated/sheared polygons (concave + holed): the
+    per-point aggregation must equal the rational even-odd locator."""
+    poly = _apply_map16(m, _POLY_TEMPLATES[ip])
+    rings = _fr_rings(poly)
+    n_in = n_on = n_out = 0
+    for part in pts:
+        loc = _fr_loc((_Fr(part[0][0]), _Fr(part[0][1])), rings)
+        if loc == 2:
+            n_in += 1
+        elif loc == 1:
+            n_on += 1
+        else:
+            n_out += 1
+    inter = n_in + n_on > 0
+    want = {k: False for k in (
+        "intersects", "contains", "within", "covers", "coveredby",
+        "equals", "touches", "overlaps", "crosses", "disjoint")}
+    want["intersects"] = inter
+    want["disjoint"] = not inter
+    want["coveredby"] = inter and n_out == 0
+    want["within"] = n_out == 0 and n_in > 0
+    want["crosses"] = n_in > 0 and n_out > 0
+    want["touches"] = inter and n_in == 0
+    got = relate_pair("MULTIPOINT", pts, "POLYGON", poly)
+    assert got == want, (pts, ip, m, got, want)
