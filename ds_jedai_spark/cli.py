@@ -244,9 +244,11 @@ def _run_op(args) -> int:
                 return 2
             cfg = JedaiConfig(
                 source=DatasetSpec(path=args.left, id_field=args.id_col,
-                                   geom_field=args.geom_col),
+                                   geom_field=args.geom_col,
+                                   date_field=args.date_col),
                 target=DatasetSpec(path=args.right, id_field=args.id_col,
-                                   geom_field=args.geom_col),
+                                   geom_field=args.geom_col,
+                                   date_field=args.date_col),
                 relation=rel,
                 # -export works like the -conf form: RDF flags for
                 # DE9IM, CSV pairs for a single predicate
@@ -676,6 +678,10 @@ def main(argv: list[str] | None = None) -> int:
                          "qualifying pairs")
     ap.add_argument("-geom-col", dest="geom_col", default="wkt",
                     help="relate: WKT geometry column/field name")
+    ap.add_argument("-date-col", dest="date_col", default=None,
+                    help="relate: date column on BOTH sides enables the "
+                         "reference's spatio-temporal qualifier "
+                         "(|days between| < 2)")
     ap.add_argument("-id-col", dest="id_col", default=None,
                     help="id column name in the input (default: doc_id "
                          "for dedup/text ops, id for relate)")

@@ -859,3 +859,73 @@ def test_load_balancer_auto_plan_shapes(spark, tmp_path, conf_path):
         spark, dataclasses.replace(base, extra={"loadBalancer": "OFF"})
     )
     assert eng.first().asDict() == off.first().asDict()
+
+
+def test_cli_op_relate_parquet_and_dates(spark, tmp_path, capsys,
+                                         monkeypatch):
+    """-op relate on engine row-format parquet inputs, and -date-col
+    enabling the spatio-temporal qualifier (equal to the -conf
+    dateField path)."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    d = tmp_path
+    _write_tsv(d / "s.tsv", SOURCE)
+    _write_tsv(d / "t.tsv", TARGET)
+    # engine row-format parquet round-trip: same counts as the TSVs
+    cfg = parse_config({
+        "source": {"path": str(d / "s.tsv"), "realIdField": "id",
+                   "geometryField": "wkt"},
+        "target": {"path": str(d / "t.tsv"), "realIdField": "id",
+                   "geometryField": "wkt"},
+        "relation": "DE9IM",
+    })
+    api.read_dataset(spark, cfg.source).write.parquet(str(d / "s.parquet"))
+    api.read_dataset(spark, cfg.target).write.parquet(str(d / "t.parquet"))
+    want = api.run(spark, cfg).first().asDict()
+    rc = cli.main(["-op", "relate", "-left", str(d / "s.parquet"),
+                   "-right", str(d / "t.parquet")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    hdr, row = out.splitlines()[0].split("\t"), out.splitlines()[1].split("\t")
+    assert dict(zip(hdr, (int(v) for v in row))) == want
+
+    # -date-col: |days between| < 2 qualifier, equal to the -conf path
+    def with_dates(rows, base_day):
+        return [(i, w, f"2020-01-{base_day + (i % 3):02d} 00:00:00")
+                for i, w in rows]
+
+    def write_dated(path, rows):
+        with open(path, "w") as f:
+            f.write("id\twkt\td\n")
+            for i, w, ts in rows:
+                f.write(f"{i}\t{w}\t{ts}\n")
+
+    write_dated(d / "sd.tsv", with_dates(SOURCE, 10))
+    write_dated(d / "td.tsv", with_dates(TARGET, 12))
+    doc = {
+        "source": {"path": str(d / "sd.tsv"), "realIdField": "id",
+                   "geometryField": "wkt", "dateField": "d"},
+        "target": {"path": str(d / "td.tsv"), "realIdField": "id",
+                   "geometryField": "wkt", "dateField": "d"},
+        "relation": "INTERSECTS",
+    }
+    exp = {(r.s_id, r.t_id)
+           for r in api.run(spark, parse_config(doc)).collect()}
+    pq = str(d / "st_pairs.parquet")
+    rc = cli.main(["-op", "relate", "-left", str(d / "sd.tsv"),
+                   "-right", str(d / "td.tsv"), "-relation", "intersects",
+                   "-date-col", "d", "-out", pq])
+    assert rc == 0
+    got = {(r.s_id, r.t_id) for r in spark.read.parquet(pq).collect()}
+    # the date windows overlap partially, so the qualifier must both
+    # keep some pairs and drop some
+    import dataclasses
+    allp = {(r.s_id, r.t_id)
+            for r in api.run(
+                spark, dataclasses.replace(cfg, relation="INTERSECTS")
+            ).collect()}
+    assert got == exp and got and got < allp
