@@ -159,7 +159,14 @@ def run(spark: SparkSession, cfg: JedaiConfig) -> DataFrame:
         source = with_fine_envelopes(source)
         target = with_fine_envelopes(target)
 
-    theta = compute_theta(source, cfg.theta_granularity)
+    # Target-side degenerate-theta guard (model/tiles.floor_theta): a
+    # source whose domain collapses to a point cannot produce a sane
+    # granularity for targets spanning a real domain.
+    from ds_jedai_spark.model.tiles import floor_theta
+
+    theta = floor_theta(
+        compute_theta(source, cfg.theta_granularity), target
+    )
     fine = ("fine_envs",) if decomposed else ()
     extras = ("gtype", "coords") + fine + (("ts",) if cfg.source.date_field else ())
     textras = ("gtype", "coords") + fine + (("ts",) if cfg.target.date_field else ())

@@ -27,17 +27,55 @@ from pyspark.sql import DataFrame, functions as F
 MIN_THETA = 1e-9
 
 
+# Degenerate-theta guard: a point-dominated source has avg extent ~0,
+# which would set theta near MIN_THETA and explode ANY positive-extent
+# geometry into ~extent/1e-9 tiles per axis (measured: a 4-unit box ->
+# 1.6e19 tiles -> executor OOM in the sequence/explode; found by the
+# r11 end-to-end fuzz). Flooring theta at domain_extent/GRID_CAP bounds
+# the global grid at GRID_CAP cells per axis — a coarser theta is
+# always CORRECT (more candidates, never missed pairs), and on normal
+# corpora (avg extent ~domain/125 in the testdata) the floor
+# (domain/512) never binds, so existing plans and oracles are
+# unchanged.
+GRID_CAP = 512
+
+
 def compute_theta(source: DataFrame, mode: str = "avg") -> tuple[float, float]:
     """Tile granularity from the source envelope extents. Modes mirror the
     reference ThetaOption enum (TileGranularities.scala:21-47):
-    avg (recommended), min, max, avg2 (avg x 0.5)."""
+    avg (recommended), min, max, avg2 (avg x 0.5) — floored at
+    domain_extent/GRID_CAP (see the guard note above; one pass, the
+    domain min/max ride in the same aggregate)."""
     w, h = F.col("maxx") - F.col("minx"), F.col("maxy") - F.col("miny")
     agg = {"avg": F.avg, "avg2": F.avg, "min": F.min, "max": F.max}[mode]
-    row = source.agg(agg(w).alias("tx"), agg(h).alias("ty")).collect()[0]
+    row = source.agg(
+        agg(w).alias("tx"), agg(h).alias("ty"),
+        (F.max("maxx") - F.min("minx")).alias("dw"),
+        (F.max("maxy") - F.min("miny")).alias("dh"),
+    ).collect()[0]
     scale = 0.5 if mode == "avg2" else 1.0
     return (
-        max((row["tx"] or MIN_THETA) * scale, MIN_THETA),
-        max((row["ty"] or MIN_THETA) * scale, MIN_THETA),
+        max((row["tx"] or MIN_THETA) * scale, (row["dw"] or 0.0) / GRID_CAP,
+            MIN_THETA),
+        max((row["ty"] or MIN_THETA) * scale, (row["dh"] or 0.0) / GRID_CAP,
+            MIN_THETA),
+    )
+
+
+def floor_theta(theta: tuple[float, float], other: DataFrame) -> tuple[float, float]:
+    """Floor an already-computed theta by ANOTHER dataset's domain
+    extents (one pruned min/max pass): the cross-dataset degenerate —
+    a zero-extent source domain (all geometries stacked at one spot)
+    joined against targets spanning a real domain — slips past the
+    source-side floor, and the target side would still explode. Called
+    by api.run on the target frame; a coarser theta is always correct."""
+    row = other.agg(
+        (F.max("maxx") - F.min("minx")).alias("dw"),
+        (F.max("maxy") - F.min("miny")).alias("dh"),
+    ).collect()[0]
+    return (
+        max(theta[0], (row["dw"] or 0.0) / GRID_CAP),
+        max(theta[1], (row["dh"] or 0.0) / GRID_CAP),
     )
 
 

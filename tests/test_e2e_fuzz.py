@@ -12,7 +12,7 @@ zero-count a pair. Reference contract: experiments/GiantExp.scala
 (counts row) on arbitrary inputs."""
 
 import pytest
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 from ds_jedai_spark import api
 from ds_jedai_spark.config import DatasetSpec, JedaiConfig
@@ -68,8 +68,24 @@ def _write(path, rows):
             f.write(f"{i}\t{format_wkt(gt, parts)}\n")
 
 
+_POINTS_ONLY = [("POINT", [[[i / 16.0, (i * 3 % 7) / 16.0]]])
+                for i in range(6)]
+_BOXES = [("POLYGON", [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0],
+                        [0.0, 0.0]]]),
+          ("POLYGON", [[[-2.0, -2.0], [1.0, -2.0], [1.0, 1.0], [-2.0, 1.0],
+                        [-2.0, -2.0]]])]
+_STACKED = [("POINT", [[[0.25, 0.25]]])] * 4
+
+
 @pytest.mark.usefixtures("spark")
 @given(dataset(), dataset())
+# regression pins for the r11 degenerate-theta finds: an all-point
+# source (avg extent 0 -> theta would be MIN_THETA and a 4-unit box
+# would explode to ~1.6e19 tiles, executor OOM) and a zero-domain
+# stacked source vs real-domain targets (the cross-dataset case
+# floor_theta guards)
+@example(src=_POINTS_ONLY, tgt=_BOXES)
+@example(src=_STACKED, tgt=_BOXES)
 @settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_de9im_counts_match_brute_force(spark, tmp_path_factory, src, tgt):
