@@ -77,6 +77,30 @@ _BOXES = [("POLYGON", [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0],
 _STACKED = [("POINT", [[[0.25, 0.25]]])] * 4
 
 
+def _brute_counts(src, tgt):
+    want = {f"n_{r}": 0 for r in RELATIONS if r != "disjoint"}
+    want["qualifying_pairs"] = 0
+    for gs, ps in src:
+        for gt_, pt_ in tgt:
+            rel = relate_pair(gs, ps, gt_, pt_)
+            if rel["intersects"]:
+                want["qualifying_pairs"] += 1
+            for r in RELATIONS:
+                if r != "disjoint" and rel[r]:
+                    want[f"n_{r}"] += 1
+    return want
+
+
+def _cfg(d, **kw):
+    return JedaiConfig(
+        source=DatasetSpec(path=str(d / "s.tsv"), id_field="id",
+                           geom_field="wkt"),
+        target=DatasetSpec(path=str(d / "t.tsv"), id_field="id",
+                           geom_field="wkt"),
+        **kw,
+    )
+
+
 @pytest.mark.usefixtures("spark")
 @given(dataset(), dataset())
 # regression pins for the r11 degenerate-theta finds: an all-point
@@ -92,23 +116,87 @@ def test_de9im_counts_match_brute_force(spark, tmp_path_factory, src, tgt):
     d = tmp_path_factory.mktemp("fuzz")
     _write(d / "s.tsv", src)
     _write(d / "t.tsv", tgt)
-    cfg = JedaiConfig(
-        source=DatasetSpec(path=str(d / "s.tsv"), id_field="id",
-                           geom_field="wkt"),
-        target=DatasetSpec(path=str(d / "t.tsv"), id_field="id",
-                           geom_field="wkt"),
-        relation="DE9IM",
-    )
-    got = api.run(spark, cfg).first().asDict()
-    want = {f"n_{r}": 0 for r in RELATIONS if r != "disjoint"}
-    want["qualifying_pairs"] = 0
-    for gs, ps in src:
-        for gt_, pt_ in tgt:
-            rel = relate_pair(gs, ps, gt_, pt_)
-            if rel["intersects"]:
-                want["qualifying_pairs"] += 1
-            for r in RELATIONS:
-                if r != "disjoint" and rel[r]:
-                    want[f"n_{r}"] += 1
+    got = api.run(spark, _cfg(d, relation="DE9IM")).first().asDict()
+    want = _brute_counts(src, tgt)
     got.pop("verifications")  # plan-dependent candidate count
     assert got == want, (src, tgt, got, want)
+
+
+# Every non-default api.run route: the decomposed fine-envelope
+# pre-filter, the sampled-quantile partitioned join, the forced
+# skew-split verification join, and the single-relation pairs output.
+# All are exact (conservative filters / plan-only changes), so each
+# must reproduce the same brute force as the default route.
+_PATHS = [
+    {"relation": "DE9IM", "entity_type": "DECOMPOSED_ENTITY"},
+    {"relation": "DE9IM", "grid_type": "KDBTREE", "partitions": 16},
+    {"relation": "DE9IM", "extra": {"loadBalancer": "ON"}},
+    {"relation": "TOUCHES"},
+    {"relation": "WITHIN"},
+    {"relation": "OVERLAPS"},
+    {"relation": "CROSSES"},
+]
+
+
+@pytest.mark.usefixtures("spark")
+@given(dataset(), dataset(), st.integers(0, len(_PATHS) - 1))
+@example(src=_POINTS_ONLY, tgt=_BOXES, variant=1)  # degenerate theta,
+@example(src=_STACKED, tgt=_BOXES, variant=0)      # non-default joins
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_variant_paths_match_brute_force(spark, tmp_path_factory, src,
+                                         tgt, variant):
+    d = tmp_path_factory.mktemp("fuzzv")
+    _write(d / "s.tsv", src)
+    _write(d / "t.tsv", tgt)
+    kw = _PATHS[variant]
+    out = api.run(spark, _cfg(d, **kw))
+    want = _brute_counts(src, tgt)
+    if kw["relation"] == "DE9IM":
+        got = out.first().asDict()
+        got.pop("verifications")
+        assert got == want, (src, tgt, kw, got, want)
+    else:
+        rel = kw["relation"].lower()
+        got_pairs = {(int(r.s_id), int(r.t_id)) for r in out.collect()}
+        want_pairs = {
+            (i, j)
+            for i, (gs, ps) in enumerate(src)
+            for j, (gt_, pt_) in enumerate(tgt)
+            if relate_pair(gs, ps, gt_, pt_)[rel]
+        }
+        assert got_pairs == want_pairs, (src, tgt, rel, got_pairs,
+                                         want_pairs)
+
+
+# Progressive algorithms are budget-bounded SUBSET selectors; with a
+# budget (or per-entity k) at least the candidate count they must
+# degenerate to full verification. EARLY_STOPPING is excluded — it may
+# legitimately stop short by design. Budget 200000 also exercises the
+# LARGE_BUDGET local-budget dispatch (api.LARGE_BUDGET = 100000).
+_PROG = [
+    ("PROGRESSIVE_GIANT", 50_000),
+    ("PROGRESSIVE_GIANT", 200_000),  # local_budget_top dispatch
+    ("TOPK", 50_000),
+    ("RECIPROCAL_TOPK", 50_000),
+    ("RANDOM", 50_000),
+    ("DYNAMIC_PROGRESSIVE_GIANT", 50_000),
+]
+
+
+@pytest.mark.usefixtures("spark")
+@given(dataset(), dataset(), st.integers(0, len(_PROG) - 1))
+@settings(max_examples=18, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_progressive_full_budget_is_full_verification(
+        spark, tmp_path_factory, src, tgt, variant):
+    d = tmp_path_factory.mktemp("fuzzp")
+    _write(d / "s.tsv", src)
+    _write(d / "t.tsv", tgt)
+    alg, budget = _PROG[variant]
+    got = api.run(spark, _cfg(
+        d, relation="DE9IM", progressive_algorithm=alg, budget=budget,
+    )).first().asDict()
+    want = _brute_counts(src, tgt)
+    got.pop("verifications")
+    assert got == want, (src, tgt, alg, got, want)
