@@ -213,6 +213,12 @@ def fine_envelopes(
         edges = list(zip(part, part[1:]))
         if closed and part[0] != part[-1]:
             edges.append((part[-1], part[0]))
+        if not edges and part:
+            # Isolated vertex (a MULTIPOINT member): a zero-length
+            # self-edge lands the point in its slice box — without it a
+            # multipoint produced NO fine envelopes and the decomposed
+            # pre-filter dropped every true pair (r11 e2e fuzz find).
+            edges = [(part[0], part[0])]
         for (x1, y1), (x2, y2) in edges:
             a = x1 if horiz else y1
             b = x2 if horiz else y2

@@ -30,11 +30,16 @@ from pyspark.sql import DataFrame, functions as F
 Z_SCORE = 3.0
 
 # Sample stddev from exact integer sums; sqrt is correctly rounded IEEE so
-# the whole expression is reproducible across engines.
+# the whole expression is reproducible across engines. The greatest()
+# guard makes n == 1 yield stddev 0 (then cost == mean, so z > 3 is
+# false and nothing is skew) instead of an ANSI DIVIDE_BY_ZERO — Spark 4
+# defaults spark.sql.ansi.enabled=true, and a single-target candidate
+# set reached this through the AUTO dispatcher (found by the r11 e2e
+# fuzz). For n > 1 the value is unchanged in both engines.
 MEAN_SQL = "(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))"
 STD_SQL = (
     "sqrt((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) "
-    "/ CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"
+    "/ CAST(n AS DOUBLE)) / greatest(CAST(n - 1 AS DOUBLE), 1.0))"
 )
 
 
