@@ -206,6 +206,11 @@ _PATHS = [
     {"relation": "WITHIN"},
     {"relation": "OVERLAPS"},
     {"relation": "CROSSES"},
+    # theta modes: "min" collapses to 0 whenever ANY point row exists
+    # (the domain/GRID_CAP floor is what keeps this from exploding)
+    {"relation": "DE9IM", "theta_granularity": "min"},
+    {"relation": "DE9IM", "theta_granularity": "max"},
+    {"relation": "DE9IM", "theta_granularity": "avg2"},
 ]
 
 
@@ -242,6 +247,52 @@ def test_variant_paths_match_brute_force(spark, tmp_path_factory, src,
         }
         assert got_pairs == want_pairs, (src, tgt, rel, got_pairs,
                                          want_pairs)
+
+
+def _write_dated(path, rows, days):
+    with open(path, "w") as f:
+        f.write("id\twkt\tdt\n")
+        for i, (gt, parts) in enumerate(rows):
+            f.write(f"{i}\t{_fmt(gt, parts)}\t"
+                    f"2020-01-{days[i]:02d} 00:00:00\n")
+
+
+@pytest.mark.usefixtures("spark")
+@given(dataset(), dataset(), st.integers(0, 5), st.integers(0, 5))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_spatiotemporal_counts_match_brute_force(
+        spark, tmp_path_factory, src, tgt, sseed, tseed):
+    """The spatio-temporal route: both sides dated, candidates must pass
+    |datediff| < 2 days before verification (reference GiantExp's
+    spatiotemporal qualifier)."""
+    d = tmp_path_factory.mktemp("fuzzt")
+    sdays = [(sseed + 3 * i) % 6 + 1 for i in range(len(src))]
+    tdays = [(tseed + 2 * i) % 6 + 1 for i in range(len(tgt))]
+    _write_dated(d / "s.tsv", src, sdays)
+    _write_dated(d / "t.tsv", tgt, tdays)
+    cfg = JedaiConfig(
+        source=DatasetSpec(path=str(d / "s.tsv"), id_field="id",
+                           geom_field="wkt", date_field="dt"),
+        target=DatasetSpec(path=str(d / "t.tsv"), id_field="id",
+                           geom_field="wkt", date_field="dt"),
+        relation="DE9IM",
+    )
+    got = api.run(spark, cfg).first().asDict()
+    got.pop("verifications")
+    want = {f"n_{r}": 0 for r in RELATIONS if r != "disjoint"}
+    want["qualifying_pairs"] = 0
+    for i, (gs, ps) in enumerate(src):
+        for j, (gt_, pt_) in enumerate(tgt):
+            if abs(sdays[i] - tdays[j]) >= 2:
+                continue
+            rel = relate_pair(gs, ps, gt_, pt_)
+            if rel["intersects"]:
+                want["qualifying_pairs"] += 1
+            for r in RELATIONS:
+                if r != "disjoint" and rel[r]:
+                    want[f"n_{r}"] += 1
+    assert got == want, (src, tgt, sdays, tdays, got, want)
 
 
 # Progressive algorithms are budget-bounded SUBSET selectors; with a
