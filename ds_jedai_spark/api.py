@@ -67,6 +67,8 @@ def _total_blocks(df: DataFrame, theta: tuple[float, float]) -> int:
         F.min("minx").alias("a"), F.max("maxx").alias("b"),
         F.min("miny").alias("c"), F.max("maxy").alias("d"),
     ).first()
+    if r.a is None:  # empty input: no extent, one (vacuous) block
+        return 1
     import math
 
     nx = math.floor(r.b / tx) - math.floor(r.a / tx) + 1

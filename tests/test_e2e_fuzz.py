@@ -249,6 +249,31 @@ def test_variant_paths_match_brute_force(spark, tmp_path_factory, src,
                                          want_pairs)
 
 
+@pytest.mark.parametrize("alg", [None, "PROGRESSIVE_GIANT", "TOPK",
+                                 "RECIPROCAL_TOPK", "RANDOM",
+                                 "DYNAMIC_PROGRESSIVE_GIANT",
+                                 "EARLY_STOPPING"])
+def test_empty_and_invalid_inputs_yield_zero(spark, tmp_path, alg):
+    """Header-only and all-invalid-WKT inputs must produce a zero counts
+    row on every route — the empty extent previously crashed
+    _total_blocks (None/float TypeError) on the progressive routes."""
+    _write(tmp_path / "s.tsv", [])
+    _write(tmp_path / "t.tsv", _BOXES)
+    with open(tmp_path / "s2.tsv", "w") as f:
+        f.write("id\twkt\n0\tGARBAGE (1 2)\n1\tPOINT EMPTY\n")
+    kw = {"progressive_algorithm": alg, "budget": 100} if alg else {}
+    for src_name in ("s.tsv", "s2.tsv"):
+        cfg = _cfg(tmp_path, relation="DE9IM", **kw)
+        cfg.source.path = str(tmp_path / src_name)
+        row = api.run(spark, cfg).first().asDict()
+        assert row["qualifying_pairs"] == 0 and row["n_intersects"] == 0
+    # empty TARGET side too
+    cfg = _cfg(tmp_path, relation="DE9IM", **kw)
+    cfg.source.path, cfg.target.path = cfg.target.path, cfg.source.path
+    row = api.run(spark, cfg).first().asDict()
+    assert row["qualifying_pairs"] == 0
+
+
 def _write_dated(path, rows, days):
     with open(path, "w") as f:
         f.write("id\twkt\tdt\n")
