@@ -320,6 +320,27 @@ def test_spatiotemporal_counts_match_brute_force(
     assert got == want, (src, tgt, sdays, tdays, got, want)
 
 
+@pytest.mark.usefixtures("spark")
+@given(dataset(), dataset())
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_early_stopping_is_subset_of_brute_force(spark, tmp_path_factory,
+                                                 src, tgt):
+    """EARLY_STOPPING may legitimately stop short, so the law is weaker:
+    every count must be <= brute force, and with <= one batch of
+    candidates (batch_size 100 > 9x9) nothing can be cut, so counts are
+    exactly brute force."""
+    d = tmp_path_factory.mktemp("fuzze")
+    _write(d / "s.tsv", src)
+    _write(d / "t.tsv", tgt)
+    got = api.run(spark, _cfg(
+        d, relation="DE9IM", progressive_algorithm="EARLY_STOPPING",
+    )).first().asDict()
+    want = _brute_counts(src, tgt)
+    got.pop("verifications")
+    assert got == want, (src, tgt, got, want)
+
+
 # Progressive algorithms are budget-bounded SUBSET selectors; with a
 # budget (or per-entity k) at least the candidate count they must
 # degenerate to full verification. EARLY_STOPPING is excluded — it may
