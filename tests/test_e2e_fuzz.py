@@ -320,6 +320,66 @@ def test_spatiotemporal_counts_match_brute_force(
     assert got == want, (src, tgt, sdays, tdays, got, want)
 
 
+def _geojson_geom(gt, parts):
+    if gt == "POINT":
+        return {"type": "Point", "coordinates": parts[0][0]}
+    if gt == "LINESTRING":
+        return {"type": "LineString", "coordinates": parts[0]}
+    if gt == "POLYGON":
+        return {"type": "Polygon", "coordinates": parts}
+    if gt == "MULTIPOINT":
+        return {"type": "MultiPoint", "coordinates": [p[0] for p in parts]}
+    if gt == "MULTILINESTRING":
+        return {"type": "MultiLineString", "coordinates": parts}
+    if gt == "MULTIPOLYGON":  # generator emits one ring per polygon
+        return {"type": "MultiPolygon", "coordinates": [[r] for r in parts]}
+    raise AssertionError(gt)
+
+
+def _write_geojson(path, rows):
+    import json
+
+    with open(path, "w") as f:
+        for i, (gt, parts) in enumerate(rows):
+            f.write(json.dumps({
+                "type": "Feature", "geometry": _geojson_geom(gt, parts),
+                "properties": {"id": i},
+            }) + "\n")
+
+
+def _write_nt(path, rows):
+    with open(path, "w") as f:
+        for i, (gt, parts) in enumerate(rows):
+            f.write(f"<urn:g:{i}> "
+                    "<http://www.opengis.net/ont/geosparql#asWKT> "
+                    f'"{_fmt(gt, parts)}" .\n')
+
+
+@pytest.mark.usefixtures("spark")
+@given(dataset(), dataset())
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_geojson_and_ntriples_readers_match_brute_force(
+        spark, tmp_path_factory, src, tgt):
+    """Same brute-force law through the OTHER ingestion formats: GeoJSON
+    feature lines on the source side, RDF N-Triples on the target side
+    (api.read_dataset extension dispatch)."""
+    d = tmp_path_factory.mktemp("fuzzr")
+    _write_geojson(d / "s.geojson", src)
+    _write_nt(d / "t.nt", tgt)
+    cfg = JedaiConfig(
+        source=DatasetSpec(path=str(d / "s.geojson"), id_field="id",
+                           geom_field="geometry"),
+        target=DatasetSpec(path=str(d / "t.nt"), id_field="id",
+                           geom_field="wkt"),
+        relation="DE9IM",
+    )
+    got = api.run(spark, cfg).first().asDict()
+    want = _brute_counts(src, tgt)
+    got.pop("verifications")
+    assert got == want, (src, tgt, got, want)
+
+
 @pytest.mark.usefixtures("spark")
 @given(dataset(), dataset())
 @settings(max_examples=8, deadline=None,
