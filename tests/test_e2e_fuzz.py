@@ -320,6 +320,60 @@ def test_spatiotemporal_counts_match_brute_force(
     assert got == want, (src, tgt, sdays, tdays, got, want)
 
 
+@pytest.mark.usefixtures("spark")
+@given(dataset(), dataset(), st.booleans())
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_export_sinks_roundtrip_brute_force(spark, tmp_path_factory, src,
+                                            tgt, rdf):
+    """api.run's export wiring: DE9IM exports one GeoSPARQL triple per
+    true relation flag per pair; single-relation exports a CSV pair
+    file. Read the files back and compare against brute force."""
+    import glob
+    import re
+
+    d = tmp_path_factory.mktemp("fuzzx")
+    _write(d / "s.tsv", src)
+    _write(d / "t.tsv", tgt)
+    out = str(d / "out")
+    if rdf:
+        api.run(spark, _cfg(d, relation="DE9IM", export_path=out)).first()
+        got = set()
+        for f in glob.glob(out + "/part-*"):
+            for line in open(f):
+                m = re.match(
+                    r"<(\d+)> <http://www\.opengis\.net/ont/geosparql#"
+                    r"(?:sf|eh)(\w+)> <(\d+)> \.", line.strip())
+                assert m, line
+                got.add((int(m.group(1)), m.group(2).lower(),
+                         int(m.group(3))))
+        want = {
+            (i, r, j)
+            for i, (gs, ps) in enumerate(src)
+            for j, (gt_, pt_) in enumerate(tgt)
+            for r, v in relate_pair(gs, ps, gt_, pt_).items()
+            if v and r != "disjoint"
+        }
+    else:
+        api.run(spark, _cfg(d, relation="INTERSECTS",
+                            export_path=out)).count()
+        got = set()
+        for f in glob.glob(out + "/part-*.csv"):
+            lines = open(f).read().splitlines()
+            for line in lines:
+                if line == "s_id,t_id":
+                    continue
+                a, b = line.split(",")
+                got.add((int(a), int(b)))
+        want = {
+            (i, j)
+            for i, (gs, ps) in enumerate(src)
+            for j, (gt_, pt_) in enumerate(tgt)
+            if relate_pair(gs, ps, gt_, pt_)["intersects"]
+        }
+    assert got == want, (src, tgt, rdf, got, want)
+
+
 def _geojson_geom(gt, parts):
     if gt == "POINT":
         return {"type": "Point", "coordinates": parts[0][0]}
