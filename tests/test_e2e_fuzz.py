@@ -181,7 +181,7 @@ def _cfg(d, **kw):
 @example(src=_POINTS_ONLY, tgt=_BOXES)
 @example(src=_STACKED, tgt=_BOXES)
 @example(src=_HOLED, tgt=_HOLED)
-@settings(max_examples=20, deadline=None,
+@settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_de9im_counts_match_brute_force(spark, tmp_path_factory, src, tgt):
     d = tmp_path_factory.mktemp("fuzz")
@@ -222,7 +222,7 @@ _PATHS = [
 # boxes for them and the decomposed pre-filter dropped true pairs
 @example(src=[("POINT", [[[0.0, 0.0]]])],
          tgt=[("MULTIPOINT", [[[0.0, 0.0]], [[0.0, 0.0625]]])], variant=0)
-@settings(max_examples=25, deadline=None,
+@settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_variant_paths_match_brute_force(spark, tmp_path_factory, src,
                                          tgt, variant):
@@ -284,7 +284,7 @@ def _write_dated(path, rows, days):
 
 @pytest.mark.usefixtures("spark")
 @given(dataset(), dataset(), st.integers(0, 5), st.integers(0, 5))
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_spatiotemporal_counts_match_brute_force(
         spark, tmp_path_factory, src, tgt, sseed, tseed):
@@ -322,7 +322,7 @@ def test_spatiotemporal_counts_match_brute_force(
 
 @pytest.mark.usefixtures("spark")
 @given(dataset(), dataset(), st.booleans())
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_export_sinks_roundtrip_brute_force(spark, tmp_path_factory, src,
                                             tgt, rdf):
@@ -411,7 +411,7 @@ def _write_nt(path, rows):
 
 @pytest.mark.usefixtures("spark")
 @given(dataset(), dataset())
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_geojson_and_ntriples_readers_match_brute_force(
         spark, tmp_path_factory, src, tgt):
@@ -436,7 +436,7 @@ def test_geojson_and_ntriples_readers_match_brute_force(
 
 @pytest.mark.usefixtures("spark")
 @given(dataset(), dataset())
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_early_stopping_is_subset_of_brute_force(spark, tmp_path_factory,
                                                  src, tgt):
@@ -472,7 +472,7 @@ _PROG = [
 
 @pytest.mark.usefixtures("spark")
 @given(dataset(), dataset(), st.integers(0, len(_PROG) - 1))
-@settings(max_examples=18, deadline=None,
+@settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_progressive_full_budget_is_full_verification(
         spark, tmp_path_factory, src, tgt, variant):
