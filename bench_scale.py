@@ -855,10 +855,32 @@ def main() -> None:
         "x100 decade row law broke: "
         f"{rows['giant_counts_x100']} != 10 * {rows['giant_counts_x10']}"
     )
+    # Same retry-on-flagged-probe protocol as bench.py (r11): only an
+    # ABOVE-median probe means ambient load (below-median = quieter box,
+    # trustworthy); a loaded entry gets up to 2 retries and the flag
+    # survives only if no quiet rep was obtainable. The x100 decade
+    # entries stay single-shot — their minutes-long walls amortize
+    # ambient noise and a retry would double the refresh's expensive
+    # tail, so an above-median probe there keeps the honest flag.
     med = sorted(probes)[len(probes) // 2]
+
+    def _loaded(ps: list[float]) -> bool:
+        return all(p > 1.2 * med for p in ps)
+
+    for name, fn in entries:
+        if not _loaded(rep_probes[name]) or name in single_rep:
+            continue
+        for _ in range(2):
+            p = _probe()
+            rep_probes[name].append(p)
+            t2, _ = _timed(fn)
+            timings[name] = min(timings[name], t2)
+            print(f"# retry {name}: {t2}s (probe {round(p, 3)})",
+                  file=sys.stderr)
+            if p <= 1.2 * med:
+                break
     flagged = sorted(
-        name for name, ps in rep_probes.items()
-        if any(abs(p - med) > 0.2 * med for p in ps)
+        name for name, ps in rep_probes.items() if _loaded(ps)
     )
 
     ratio = round(timings["asof_x16_hotkey"] / timings["asof_x16_uniform"], 2)
