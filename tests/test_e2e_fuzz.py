@@ -171,20 +171,36 @@ def _cfg(d, **kw):
     )
 
 
+def _shift(rows, dx, dy):
+    """Translate every coordinate — offsets are lattice multiples so
+    exactness (and the scaled-integer relate) is preserved."""
+    return [
+        (gt, [[[x + dx, y + dy] for x, y in part] for part in parts])
+        for gt, parts in rows
+    ]
+
+
 @pytest.mark.usefixtures("spark")
-@given(dataset(), dataset())
+@given(dataset(), dataset(),
+       # wide-domain stress: far-from-origin and negative domains hit
+       # the floor(x/theta) tile indices and the ref-point dedup at
+       # realistic geographic magnitudes
+       st.sampled_from([(0.0, 0.0), (4096.0, -4096.0),
+                        (-4096.0, 4096.0), (262144.0, 262144.0)]))
 # regression pins for the r11 degenerate-theta finds: an all-point
 # source (avg extent 0 -> theta would be MIN_THETA and a 4-unit box
 # would explode to ~1.6e19 tiles, executor OOM) and a zero-domain
 # stacked source vs real-domain targets (the cross-dataset case
 # floor_theta guards)
-@example(src=_POINTS_ONLY, tgt=_BOXES)
-@example(src=_STACKED, tgt=_BOXES)
-@example(src=_HOLED, tgt=_HOLED)
+@example(src=_POINTS_ONLY, tgt=_BOXES, off=(0.0, 0.0))
+@example(src=_STACKED, tgt=_BOXES, off=(0.0, 0.0))
+@example(src=_HOLED, tgt=_HOLED, off=(0.0, 0.0))
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
-def test_de9im_counts_match_brute_force(spark, tmp_path_factory, src, tgt):
+def test_de9im_counts_match_brute_force(spark, tmp_path_factory, src, tgt,
+                                        off):
     d = tmp_path_factory.mktemp("fuzz")
+    src, tgt = _shift(src, *off), _shift(tgt, *off)
     _write(d / "s.tsv", src)
     _write(d / "t.tsv", tgt)
     got = api.run(spark, _cfg(d, relation="DE9IM")).first().asDict()
