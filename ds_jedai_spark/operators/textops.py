@@ -132,7 +132,12 @@ def token_stats(docs: DataFrame) -> DataFrame:
             F.regexp_extract_all("text", F.lit(BPE_SPLIT_RE), F.lit(0))
         ).cast("long").alias("n_subtokens"),
         F.length("text").cast("long").alias("n_chars"),
-        (F.size(arr) * F.lit(100.0) / F.length("text")).alias("words_per_100_chars"),
+        # empty text would be an ANSI DIVIDE_BY_ZERO (Spark 4 raises on
+        # double/0 too); an empty doc has 0 words per anything
+        F.when(
+            F.length("text") > 0,
+            F.size(arr) * F.lit(100.0) / F.length("text"),
+        ).otherwise(F.lit(0.0)).alias("words_per_100_chars"),
     )
 
 

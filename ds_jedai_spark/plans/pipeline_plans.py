@@ -951,8 +951,9 @@ def text_token_stats_oracle() -> str:
         "AS n_words, "
         f"CAST(len(regexp_extract_all(text, '{textops.BPE_SPLIT_RE.replace(chr(39), chr(39)*2)}')) AS BIGINT) "
         "AS n_subtokens, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CASE WHEN length(text) > 0 THEN "
         "len(list_filter(string_split(text, ' '), x -> x <> '')) * 100.0 / length(text) "
-        "AS words_per_100_chars FROM documents"
+        "ELSE 0.0 END AS words_per_100_chars FROM documents"
     )
 
 

@@ -565,3 +565,24 @@ def test_duplicated_spans_long_run_single_span(spark):
         (s,) = spans
         assert (s.doc_id, s.span_start, s.span_end, s.n_grams) == (
             2, 2, L + 1, L - 8 + 1)
+
+
+def test_token_stats_empty_and_degenerate_docs(spark):
+    """Empty text was an ANSI DIVIDE_BY_ZERO in words_per_100_chars
+    (Spark 4 raises on double/0 too); empty docs now report 0. Zero-word
+    docs drop out of the exploded-word aggregates by construction."""
+    from ds_jedai_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "a b a"), (3, "...")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textops.token_stats(docs).collect()}
+    assert got[0].words_per_100_chars == 0.0 and got[0].n_words == 0
+    assert got[1].n_words == 0 and got[1].words_per_100_chars == 0.0
+    assert got[2].n_words == 3
+    # word-exploded aggregates: empty docs absent, never a zero divisor
+    q = textops.quality(docs)
+    assert {r.doc_id for r in q.collect()} <= {1, 2, 3}
+    r = textops.repetition(docs)
+    assert all(row.n_words >= 1 for row in r.collect())
