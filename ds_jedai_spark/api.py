@@ -53,8 +53,13 @@ def read_dataset(spark: SparkSession, spec) -> DataFrame:
     if ext == ".nt":
         return readers.read_ntriples(spark, spec.path)
     if ext == ".parquet":
-        # Engine row-format parquet: zero-parse fast path.
-        return readers.read_parquet_dataset(spark, spec.path, id_field=spec.id_field)
+        # Engine row-format parquet: zero-parse fast path; plain user
+        # parquet with a WKT column parses via the geom_field fallback.
+        return readers.read_parquet_dataset(
+            spark, spec.path, id_field=spec.id_field,
+            geom_field=spec.geom_field, date_field=spec.date_field,
+            date_pattern=spec.date_pattern,
+        )
     raise ValueError(f"unsupported dataset extension: {spec.path}")
 
 

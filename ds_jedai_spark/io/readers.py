@@ -282,17 +282,42 @@ def read_parquet_dataset(
     spark: SparkSession,
     path: str,
     id_field: str = "id",
+    geom_field: str | None = None,
+    date_field: str | None = None,
+    date_pattern: str = DEFAULT_DATE_PATTERN,
 ) -> DataFrame:
     """Engine-native parquet ingestion: a dataset already in the row
     format (gtype/coords/envelope columns) loads with zero parsing — the
     fast path for data previously exported by this engine or prepared
-    upstream. Column pruning and predicate pushdown apply directly."""
+    upstream. Column pruning and predicate pushdown apply directly.
+
+    Fallback: a parquet that is NOT in row format but carries a WKT
+    string column (``geom_field``) parses like the delimited readers —
+    so `-op relate -left data.parquet -geom-col wkt` works on plain
+    user tables, not only engine exports."""
     df = spark.read.parquet(path)
     cols = {"gtype", "coords", "minx", "miny", "maxx", "maxy"}
     missing = cols - set(df.columns)
+    if missing and geom_field and geom_field in df.columns:
+        keep = [F.col(id_field).alias("id"),
+                F.col(geom_field).cast("string").alias("wkt")]
+        typed_ts = date_field is not None and df.schema[
+            date_field
+        ].dataType.typeName() in ("timestamp", "timestamp_ntz", "date")
+        if typed_ts:
+            # already a temporal type: no string round-trip (an ANSI
+            # to_timestamp would choke on the fractional seconds a
+            # cast-to-string carries)
+            keep.append(F.col(date_field).cast("timestamp").alias("ts"))
+        elif date_field is not None:
+            keep.append(F.col(date_field).cast("string").alias("ts_raw"))
+        return _finish(df.select(*keep),
+                       None if typed_ts else date_field, date_pattern)
     if missing:
         raise ValueError(
             f"parquet dataset missing row-format columns: {sorted(missing)}"
+            + (f" and no WKT column {geom_field!r} to parse" if geom_field
+               else "")
         )
     if id_field != "id":
         df = df.withColumnRenamed(id_field, "id")

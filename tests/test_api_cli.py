@@ -929,3 +929,74 @@ def test_cli_op_relate_parquet_and_dates(spark, tmp_path, capsys,
                 spark, dataclasses.replace(cfg, relation="INTERSECTS")
             ).collect()}
     assert got == exp and got and got < allp
+
+
+def test_cli_op_relate_plain_wkt_parquet(spark, tmp_path, capsys,
+                                         monkeypatch):
+    """-op relate on PLAIN user parquet (id + WKT string column, not the
+    engine row format) parses via the geom_field fallback and matches
+    the TSV path; a typed timestamp date column feeds the temporal
+    qualifier without a string round-trip."""
+    import datetime
+
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    d = tmp_path
+    _write_tsv(d / "s.tsv", SOURCE)
+    _write_tsv(d / "t.tsv", TARGET)
+    cfg = parse_config({
+        "source": {"path": str(d / "s.tsv"), "realIdField": "id",
+                   "geometryField": "wkt"},
+        "target": {"path": str(d / "t.tsv"), "realIdField": "id",
+                   "geometryField": "wkt"},
+        "relation": "DE9IM",
+    })
+    want = api.run(spark, cfg).first().asDict()
+
+    def write_plain(path, rows, ts=False):
+        df = spark.createDataFrame(
+            [(i, w, datetime.datetime(2020, 1, 1 + (i % 3)))
+             for i, w in rows],
+            "id long, wkt string, dt timestamp",
+        )
+        if not ts:
+            df = df.drop("dt")
+        df.write.parquet(str(path))
+
+    write_plain(d / "sp.parquet", SOURCE)
+    write_plain(d / "tp.parquet", TARGET)
+    rc = cli.main(["-op", "relate", "-left", str(d / "sp.parquet"),
+                   "-right", str(d / "tp.parquet")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    hdr, row = out.splitlines()[0].split("\t"), out.splitlines()[1].split("\t")
+    assert dict(zip(hdr, (int(v) for v in row))) == want
+
+    # typed timestamp -date-col engages the |days|<2 qualifier
+    write_plain(d / "sd.parquet", SOURCE, ts=True)
+    write_plain(d / "td.parquet", TARGET, ts=True)
+    pq = str(d / "pairs.parquet")
+    rc = cli.main(["-op", "relate", "-left", str(d / "sd.parquet"),
+                   "-right", str(d / "td.parquet"),
+                   "-relation", "intersects", "-date-col", "dt",
+                   "-out", pq])
+    assert rc == 0
+    got = {(int(r.s_id), int(r.t_id))
+           for r in spark.read.parquet(pq).collect()}
+    allp = {(int(r.s_id), int(r.t_id)) for r in api.run(
+        spark,
+        parse_config({
+            "source": {"path": str(d / "s.tsv"), "realIdField": "id",
+                       "geometryField": "wkt"},
+            "target": {"path": str(d / "t.tsv"), "realIdField": "id",
+                       "geometryField": "wkt"},
+            "relation": "INTERSECTS",
+        }),
+    ).collect()}
+    # every dated pair is a spatial pair; same-cycle dates (both sides
+    # use day = 1 + i%3) keep at least the id-aligned matches
+    assert got and got <= allp
