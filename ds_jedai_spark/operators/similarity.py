@@ -45,8 +45,19 @@ def _dot(a: str, b: str):
 
 
 def _cos():
-    return F.col("dot").cast("double") / F.sqrt(
-        F.col("n1").cast("double") * F.col("n2").cast("double")
+    # Zero-norm guard: an embedding whose every |component| < 1/QUANT
+    # quantizes to the zero vector (norm2 = 0), and Spark 4 ANSI raises
+    # DIVIDE_BY_ZERO on double division — define cos = 0 instead (a
+    # zero vector has no direction). CASE short-circuits, so the
+    # division is never evaluated on the degenerate row. The DuckDB
+    # oracles keep the raw form: the gate corpus cannot contain zero
+    # vectors (generator emits integer-valued quantized components).
+    return F.when(
+        (F.col("n1") == 0) | (F.col("n2") == 0), F.lit(0.0)
+    ).otherwise(
+        F.col("dot").cast("double") / F.sqrt(
+            F.col("n1").cast("double") * F.col("n2").cast("double")
+        )
     )
 
 
@@ -1068,8 +1079,14 @@ def pq_adc_topk(
     scored = contrib.groupBy("qid", "vid", "n1").agg(
         F.sum("dotm").alias("adot"), F.sum("cnorm2").alias("an2")
     )
-    cos = F.col("adot").cast("double") / F.sqrt(
-        F.col("n1").cast("double") * F.col("an2").cast("double")
+    # same zero-norm ANSI guard as _cos (an2 sums per-subspace centroid
+    # norms, so an all-zero-codeword assignment also yields 0)
+    cos = F.when(
+        (F.col("n1") == 0) | (F.col("an2") == 0), F.lit(0.0)
+    ).otherwise(
+        F.col("adot").cast("double") / F.sqrt(
+            F.col("n1").cast("double") * F.col("an2").cast("double")
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "vid")
     return (
