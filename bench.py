@@ -180,11 +180,41 @@ def main() -> None:
         ).collect()
         return time.perf_counter() - t0
 
-    _probe()  # codegen warm-up of the probe plan itself
+    # Python-worker canary (r12): the JVM probe is blind to the resource
+    # the applyInPandas stateful queries are bound on — Python-worker
+    # dispatch, Arrow round-trips, and pandas compute share the box's
+    # cores with everything else running on it. BENCH_r11's exhibit:
+    # dynamic_progressive_js +108% on untouched code under quiet JVM
+    # probes. This probe is a FIXED 32-group applyInPandas scan (3.2M
+    # rows through Arrow, a real pandas reduction per group, ~0.4s
+    # quiet) timed before every rep; a rep counts as quiet only when
+    # BOTH probes ran at most 20% above their respective run medians.
+    import pandas as _pd
+
+    def _py_probe_fn(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+        s = pdf["id"].to_numpy()
+        return _pd.DataFrame({"g": [int(pdf["g"].iloc[0])],
+                              "v": [float((s * s % 1000).sum())]})
+
+    def _py_probe() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 3_200_000, 1, 32)
+            .selectExpr("id", "id % 32 AS g")
+            .groupBy("g")
+            .applyInPandas(_py_probe_fn, "g long, v double")
+            .selectExpr("sum(v)")
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    _probe()  # codegen warm-up of the probe plans themselves
+    _py_probe()
 
     def _run_rep(name, fn):
-        """One full rep: clear the cross-query caches, probe the box,
-        time the query. Returns (probe_sec, query_sec, rows)."""
+        """One full rep: clear the cross-query caches, probe the box
+        (JVM + Python worker), time the query. Returns
+        (jvm_probe_sec, py_probe_sec, query_sec, rows)."""
         # Drop the engine's explicit cross-query caches so every rep
         # pays the full pipeline (JVM warm-up is the only thing
         # min-of-reps is meant to exclude): the pinned shingle table
@@ -197,21 +227,24 @@ def main() -> None:
         if name == "ann_train":
             pl._ANN_PIN.clear()
         p = _probe()
+        pp_ = _py_probe()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
-        return p, time.perf_counter() - t0, n
+        return p, pp_, time.perf_counter() - t0, n
 
-    # Pass 1: best-of-2 with a probe before every rep.
-    reps: dict[str, list[tuple[float, float]]] = {}
+    # Pass 1: best-of-2 with both probes before every rep.
+    reps: dict[str, list[tuple[float, float, float]]] = {}
     probes: list[float] = []
+    py_probes: list[float] = []
     rows: dict[str, int] = {}
     for name, fn in headline:
         reps[name] = []
         for _ in range(2):
-            p, dt, n = _run_rep(name, fn)
+            p, pp_, dt, n = _run_rep(name, fn)
             probes.append(p)
-            reps[name].append((p, dt))
+            py_probes.append(pp_)
+            reps[name].append((p, pp_, dt))
             rows[name] = n
 
     # Pass 2 (since r11): retry-on-flagged-probe. The pass-1 probe
@@ -224,30 +257,35 @@ def main() -> None:
     # loaded"). BENCH_r10's exhibit: 7/24 queries flagged with ±25%
     # phantom swings on a zero-line diff.
     med = sorted(probes)[len(probes) // 2]
-    quiet = lambda p: p <= 1.2 * med  # noqa: E731
+    py_med = sorted(py_probes)[len(py_probes) // 2]
+    # A rep is quiet only when BOTH canaries are quiet: a loaded Python
+    # worker pool with an idle JVM (r11's blind spot) now flags the rep.
+    quiet = lambda p, pp_: p <= 1.2 * med and pp_ <= 1.2 * py_med  # noqa: E731
     retried: dict[str, int] = {}
     for name, fn in headline:
-        if any(quiet(p) for p, _ in reps[name]):
+        if any(quiet(p, pp_) for p, pp_, _ in reps[name]):
             continue
         for attempt in range(3):
-            p, dt, n = _run_rep(name, fn)
+            p, pp_, dt, n = _run_rep(name, fn)
             probes.append(p)
-            reps[name].append((p, dt))
+            py_probes.append(pp_)
+            reps[name].append((p, pp_, dt))
             rows[name] = n
             retried[name] = attempt + 1
-            if quiet(p):
+            if quiet(p, pp_):
                 break
 
     timings: dict[str, float] = {}
     flagged: list[str] = []
     for name, _ in headline:
-        qs = [dt for p, dt in reps[name] if quiet(p)]
+        qs = [dt for p, pp_, dt in reps[name] if quiet(p, pp_)]
         if not qs:
             flagged.append(name)
-            qs = [dt for _, dt in reps[name]]
+            qs = [dt for _, _, dt in reps[name]]
         timings[name] = round(min(qs), 3)
         print(f"# {name}: {rows[name]} rows in {timings[name]}s "
-              f"(probes {[round(p, 3) for p, _ in reps[name]]}"
+              f"(jvm probes {[round(p, 3) for p, _, _ in reps[name]]}, "
+              f"py probes {[round(pp_, 3) for _, pp_, _ in reps[name]]}"
               f"{', RETRIED, STILL LOADED' if name in flagged else ''})",
               file=sys.stderr)
 
@@ -266,6 +304,12 @@ def main() -> None:
                     "n": len(probes),
                     "flagged_queries": sorted(flagged),
                     "retried_queries": retried,
+                },
+                "py_probe_sec": {
+                    "median": round(py_med, 3),
+                    "min": round(min(py_probes), 3),
+                    "max": round(max(py_probes), 3),
+                    "n": len(py_probes),
                 },
                 "sf": sf,
             }

@@ -832,22 +832,33 @@ def main() -> None:
     _probe()  # codegen warm-up of the probe plan
     # The x100 decade entries run ONE rep: their walls are minutes, so
     # ambient noise is small relative to the run and a second rep would
-    # double the most expensive part of the refresh for nothing.
+    # double the most expensive part of the refresh for nothing. Their
+    # single shot is BRACKETED by a probe on each side (r12): a loaded
+    # box during the minutes-long run shows up in the trailing probe,
+    # so a decade number taken under load is flagged in decade_probes
+    # rather than silently trusted.
     single_rep = {"giant_counts_x100", "lsh_x50"}
-    timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     probes: list[float] = []
-    rep_probes: dict[str, list[float]] = {}
+    reps: dict[str, list[tuple[float, float]]] = {}  # (probe, timing)
+    decade_probes: dict[str, list[float]] = {}
     for name, fn in entries:
-        rep_probes[name] = [_probe()]
-        timings[name], rows[name] = _timed(fn)
-        if name not in single_rep:
-            rep_probes[name].append(_probe())
+        p = _probe()
+        probes.append(p)
+        t1, rows[name] = _timed(fn)
+        reps[name] = [(p, t1)]
+        if name in single_rep:
+            p_after = _probe()
+            probes.append(p_after)
+            decade_probes[name] = [round(p, 3), round(p_after, 3)]
+        else:
+            p2 = _probe()
+            probes.append(p2)
             t2, _ = _timed(fn)
-            timings[name] = min(timings[name], t2)
-        probes.extend(rep_probes[name])
-        print(f"# {name}: {rows[name]} rows/count in {timings[name]}s "
-              f"(probes {[round(p, 3) for p in rep_probes[name]]})",
+            reps[name].append((p2, t2))
+        print(f"# {name}: {rows[name]} rows/count in "
+              f"{min(t for _, t in reps[name])}s "
+              f"(probes {[round(q, 3) for q, _ in reps[name]]})",
               file=sys.stderr)
     # Cross-entry row law of the scale decade: clone i only meets clone
     # i, so true pairs scale EXACTLY with the clone factor.
@@ -855,33 +866,50 @@ def main() -> None:
         "x100 decade row law broke: "
         f"{rows['giant_counts_x100']} != 10 * {rows['giant_counts_x10']}"
     )
-    # Same retry-on-flagged-probe protocol as bench.py (r11): only an
-    # ABOVE-median probe means ambient load (below-median = quieter box,
-    # trustworthy); a loaded entry gets up to 2 retries and the flag
-    # survives only if no quiet rep was obtainable. The x100 decade
-    # entries stay single-shot — their minutes-long walls amortize
-    # ambient noise and a retry would double the refresh's expensive
-    # tail, so an above-median probe there keeps the honest flag.
+    # Same retry-on-flagged-probe protocol as bench.py (r11; aligned
+    # r12): only an ABOVE-median probe means ambient load (below-median
+    # = quieter box, trustworthy); a loaded entry gets up to 2 retries,
+    # retry probes COUNT toward the published probe stats, the
+    # published timing is the min over QUIET reps (falling back to all
+    # reps only when none was quiet), and the flag survives only if no
+    # quiet rep was obtainable. The x100 decade entries stay
+    # single-shot — their minutes-long walls amortize ambient noise and
+    # a retry would double the refresh's expensive tail, so an
+    # above-median bracket probe there keeps the honest flag.
     med = sorted(probes)[len(probes) // 2]
 
-    def _loaded(ps: list[float]) -> bool:
-        return all(p > 1.2 * med for p in ps)
+    def _quiet(p: float) -> bool:
+        return p <= 1.2 * med
 
     for name, fn in entries:
-        if not _loaded(rep_probes[name]) or name in single_rep:
+        if name in single_rep or any(_quiet(p) for p, _ in reps[name]):
             continue
         for _ in range(2):
             p = _probe()
-            rep_probes[name].append(p)
+            probes.append(p)
             t2, _ = _timed(fn)
-            timings[name] = min(timings[name], t2)
+            reps[name].append((p, t2))
             print(f"# retry {name}: {t2}s (probe {round(p, 3)})",
                   file=sys.stderr)
-            if p <= 1.2 * med:
+            if _quiet(p):
                 break
-    flagged = sorted(
-        name for name, ps in rep_probes.items() if _loaded(ps)
-    )
+    timings: dict[str, float] = {}
+    flagged: list[str] = []
+    for name, _ in entries:
+        quiet_ts = [t for p, t in reps[name] if _quiet(p)]
+        if not quiet_ts:
+            if name not in single_rep:
+                flagged.append(name)
+            quiet_ts = [t for _, t in reps[name]]
+        timings[name] = round(min(quiet_ts), 3)
+    # A decade entry is flagged from its BRACKET: both probes loaded
+    # means its one timing was taken under ambient load end-to-end (a
+    # quiet trailing probe clears a loaded start — the minutes-long run
+    # outlived the load spike).
+    for name, br in decade_probes.items():
+        if all(not _quiet(p) for p in br):
+            flagged.append(name)
+    flagged = sorted(flagged)
 
     ratio = round(timings["asof_x16_hotkey"] / timings["asof_x16_uniform"], 2)
     skew_ratio = round(
@@ -920,6 +948,7 @@ def main() -> None:
                     "max": round(max(probes), 3),
                     "n": len(probes),
                     "flagged_queries": flagged,
+                    "decade_probes": decade_probes,
                 },
                 "skew_auto": AUTO_DECISION,
                 "clones": {
