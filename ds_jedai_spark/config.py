@@ -24,6 +24,7 @@ PROGRESSIVE_ALGS = {
     "RECIPROCAL_TOPK", "RANDOM", "EARLY_STOPPING",
 }
 GRID_TYPES = {"KDBTREE", "QUADTREE", "TILES"}
+LOAD_BALANCERS = {"AUTO", "ON", "OFF"}
 ENTITY_TYPES = {
     "SPATIAL_ENTITY", "SPATIOTEMPORAL_ENTITY", "PREPARED_ENTITY",
     "DECOMPOSED_ENTITY", "INDEXED_DECOMPOSED_ENTITY",
@@ -106,6 +107,12 @@ def parse_config(doc: dict) -> JedaiConfig:
         return v
 
     budget = conf.get("budget")
+    extra = {k: v for k, v in conf.items()}
+    if "loadBalancer" in conf:
+        # Consumed from `extra` by api.run's auto_balance dispatch; a typo
+        # ('on ', 'ALWAYS') would otherwise silently behave as AUTO — hold
+        # it to the same hard-error contract as every other enum.
+        extra["loadBalancer"] = enum("loadBalancer", LOAD_BALANCERS, None)
     return JedaiConfig(
         source=_dataset(doc["source"], "source"),
         target=_dataset(doc["target"], "target"),
@@ -120,7 +127,7 @@ def parse_config(doc: dict) -> JedaiConfig:
         budget=int(budget) if budget is not None else None,
         entity_type=enum("entityType", ENTITY_TYPES, "SPATIAL_ENTITY"),
         export_path=conf.get("exportPath"),
-        extra={k: v for k, v in conf.items()},
+        extra=extra,
     )
 
 

@@ -296,14 +296,23 @@ def read_parquet_dataset(
     so `-op relate -left data.parquet -geom-col wkt` works on plain
     user tables, not only engine exports."""
     df = spark.read.parquet(path)
+    if date_field is not None and date_field not in df.columns:
+        raise ValueError(
+            f"date column {date_field!r} not in parquet dataset "
+            f"{path!r} (columns: {df.columns})"
+        )
+
+    def _is_temporal(name: str) -> bool:
+        return df.schema[name].dataType.typeName() in (
+            "timestamp", "timestamp_ntz", "date"
+        )
+
     cols = {"gtype", "coords", "minx", "miny", "maxx", "maxy"}
     missing = cols - set(df.columns)
     if missing and geom_field and geom_field in df.columns:
         keep = [F.col(id_field).alias("id"),
                 F.col(geom_field).cast("string").alias("wkt")]
-        typed_ts = date_field is not None and df.schema[
-            date_field
-        ].dataType.typeName() in ("timestamp", "timestamp_ntz", "date")
+        typed_ts = date_field is not None and _is_temporal(date_field)
         if typed_ts:
             # already a temporal type: no string round-trip (an ANSI
             # to_timestamp would choke on the fractional seconds a
@@ -321,4 +330,15 @@ def read_parquet_dataset(
         )
     if id_field != "id":
         df = df.withColumnRenamed(id_field, "id")
+    if date_field is not None and date_field != "ts":
+        # Honor -date-col on the row-format fast path too: surface the
+        # named column as the engine's `ts` (temporal types cast
+        # directly; strings parse with the configured pattern) instead
+        # of failing later as a missing-ts AnalysisException in the
+        # temporal filter.
+        df = df.drop("ts") if "ts" in df.columns else df
+        ts = (F.col(date_field).cast("timestamp") if _is_temporal(date_field)
+              else F.to_timestamp(F.col(date_field).cast("string"),
+                                  date_pattern))
+        df = df.withColumn("ts", ts).drop(date_field)
     return df

@@ -111,16 +111,27 @@ def estimate_pair_cost(source: DataFrame, target: DataFrame,
     """Average per-pair verification cost proxy: the product of the two
     inputs' mean vertex counts, each from a bounded LIMIT sample (reads a
     handful of files at 100 TB — never a full scan, and never an action
-    over the exploded candidate set)."""
+    over the exploded candidate set).
+
+    Determinism: the averaged rows are the ``sample/10`` SMALLEST
+    xxhash64(id) rows within the LIMIT-bounded superset (the same
+    rank-based convention as the ANN seeding). The superset itself is
+    stable whenever the scan's partition order is (true for all the
+    engine's readers on a fixed file listing), and when it does shift
+    the smallest-hash subset overlaps heavily — so the AUTO dispatch
+    does not flip plan shape run-to-run on corpora near the threshold,
+    without paying a full scan for an exact deterministic sample."""
 
     def mean_verts(df: DataFrame) -> float:
         if "coords" not in df.columns:
             return 5.0  # envelope-only input: every geometry is a box
+        sub = df.select(
+            F.xxhash64(F.col("id").cast("string")).alias("h"),
+            F.expr("aggregate(coords, 0, (a, p) -> a + size(p))").alias("v"),
+        ).limit(sample)
         row = (
-            df.select(
-                F.expr("aggregate(coords, 0, (a, p) -> a + size(p))").alias("v")
-            )
-            .limit(sample)
+            sub.orderBy("h")
+            .limit(max(1, sample // 10))
             .agg(F.avg("v").alias("m"))
             .first()
         )
@@ -149,6 +160,11 @@ def auto_balance(
     the split unconditionally; the dispatch is this engine's addition.
     """
     mode = (mode or "AUTO").upper()
+    if mode not in ("AUTO", "ON", "OFF"):
+        # parse_config already hard-errors on YAML typos; this guards
+        # programmatic callers to the same contract instead of silently
+        # treating an unknown mode as AUTO.
+        raise ValueError(f"loadBalancer mode {mode!r} not in AUTO/ON/OFF")
     if mode == "OFF":
         return cand, False
     if mode != "ON" and estimate_pair_cost(source, target) < threshold:

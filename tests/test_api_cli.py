@@ -61,6 +61,20 @@ def test_yaml_roundtrip_and_validation(conf_path):
     with pytest.raises(ConfigError):
         parse_config({"source": {"path": "x"}, "target": {"path": "y"},
                       "configurations": {"mainWF": "BAD"}})
+    # loadBalancer holds the same hard-error contract as the other enums
+    # (a typo silently behaving as AUTO was the r11 advice item)...
+    with pytest.raises(ConfigError, match="loadBalancer"):
+        parse_config({"source": {"path": "x"}, "target": {"path": "y"},
+                      "configurations": {"loadBalancer": "ALWAYS"}})
+    # ...and valid values are case-normalized into extra.
+    ok = parse_config({"source": {"path": "x"}, "target": {"path": "y"},
+                       "configurations": {"loadBalancer": "off"}})
+    assert ok.extra["loadBalancer"] == "OFF"
+    # Programmatic callers bypass parse_config; auto_balance guards too.
+    from ds_jedai_spark.operators.loadbalance import auto_balance
+
+    with pytest.raises(ValueError, match="loadBalancer"):
+        auto_balance(None, None, None, mode="ALWAYS")
 
 
 def test_de9im_run_matches_brute_force(spark, conf_path):

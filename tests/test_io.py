@@ -233,6 +233,46 @@ def test_read_parquet_dataset_roundtrip(spark, tmp_path):
         read_parquet_dataset(spark, bad)
 
 
+def test_read_parquet_dataset_date_field(spark, tmp_path):
+    """-date-col on parquet: a missing column errors with guidance on
+    BOTH paths, and the row-format fast path surfaces the named column
+    as `ts` instead of ignoring it."""
+    import datetime
+
+    import pytest
+
+    from ds_jedai_spark.io.readers import read_parquet_dataset, read_wkt_delimited
+
+    src = tmp_path / "src.tsv"
+    src.write_text("id\twkt\n1\tPOINT (1.5 2.5)\n2\tPOINT (3 4)\n")
+    parsed = read_wkt_delimited(spark, str(src), id_field="id", geom_field="wkt")
+    out = str(tmp_path / "rowfmt.parquet")
+    parsed.selectExpr(
+        "*", "timestamp'2024-03-01 10:00:00' + make_interval(0,0,0,0,0,0,"
+        "cast(id as int)) AS event_time"
+    ).write.parquet(out)
+
+    # row-format fast path honors -date-col: event_time becomes ts
+    got = read_parquet_dataset(spark, out, date_field="event_time")
+    assert "ts" in got.columns and "event_time" not in got.columns
+    rows = {r.id: r.ts for r in got.select("id", "ts").collect()}
+    assert rows["2"] == datetime.datetime(2024, 3, 1, 10, 0, 2)
+
+    # missing date column: guided error, not a bare KeyError (fast path)
+    with pytest.raises(ValueError, match="date column 'nope'"):
+        read_parquet_dataset(spark, out, date_field="nope")
+    # ...and on the WKT-fallback path too
+    wkt_out = str(tmp_path / "wkt.parquet")
+    spark.createDataFrame(
+        [("1", "POINT (1 2)")], "doc_id string, geom string"
+    ).write.parquet(wkt_out)
+    with pytest.raises(ValueError, match="date column 'nope'"):
+        read_parquet_dataset(
+            spark, wkt_out, id_field="doc_id", geom_field="geom",
+            date_field="nope",
+        )
+
+
 def test_geojson_export_roundtrip(spark, tmp_path):
     """export_geojson -> read_geojson reproduces the row format exactly
     for every geometry type the WKT fixture exercises."""
