@@ -20,6 +20,7 @@ from ds_jedai_spark.model.geometry import (
     flatten_collection_wkt,
     valid_geometries,
     with_parsed_geometry,
+    with_parsed_geometry_wkb,
 )
 
 DEFAULT_DATE_PATTERN = "yyyy-MM-dd HH:mm:ss"
@@ -278,6 +279,39 @@ def read_geojson_collection(
     )
 
 
+def _geoparquet_primary_column(path: str) -> str | None:
+    """GeoParquet footer sniff: the spec stores a JSON document under the
+    ``geo`` key of the file's key-value metadata naming the
+    primary_column. Driver-side, one file's footer only (a directory
+    reads its first part file) — purely an auto-detection convenience;
+    an explicit geom_field never needs it."""
+    import glob
+    import json
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        p = path
+        if os.path.isdir(p):
+            hits = sorted(
+                glob.glob(os.path.join(p, "*.parquet"))
+            ) or sorted(
+                glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+            )
+            if not hits:
+                return None
+            p = hits[0]
+        meta = pq.read_schema(p).metadata or {}
+        geo = meta.get(b"geo")
+        if not geo:
+            return None
+        col = json.loads(geo.decode("utf-8")).get("primary_column")
+        return col if isinstance(col, str) else None
+    except Exception:
+        return None
+
+
 def read_parquet_dataset(
     spark: SparkSession,
     path: str,
@@ -291,10 +325,17 @@ def read_parquet_dataset(
     fast path for data previously exported by this engine or prepared
     upstream. Column pruning and predicate pushdown apply directly.
 
-    Fallback: a parquet that is NOT in row format but carries a WKT
-    string column (``geom_field``) parses like the delimited readers —
-    so `-op relate -left data.parquet -geom-col wkt` works on plain
-    user tables, not only engine exports."""
+    Fallbacks for plain user parquet (reference-era surface:
+    utils/readers/Reader.scala:85-168 via Sedona readers):
+
+    - **GeoParquet / WKB**: a binary geometry column parses through
+      model/geometry.parse_wkb (ISO + EWKB, any endianness) inside the
+      same Arrow batch path as the WKT readers. The column is found by
+      ``geom_field``, else the GeoParquet ``geo`` footer metadata's
+      primary_column, else a binary column named ``geometry``.
+    - **WKT string column** (``geom_field``): parses like the delimited
+      readers — so `-op relate -left data.parquet -geom-col wkt` works
+      on plain user tables, not only engine exports."""
     df = spark.read.parquet(path)
     if date_field is not None and date_field not in df.columns:
         raise ValueError(
@@ -309,9 +350,30 @@ def read_parquet_dataset(
 
     cols = {"gtype", "coords", "minx", "miny", "maxx", "maxy"}
     missing = cols - set(df.columns)
-    if missing and geom_field and geom_field in df.columns:
+    if missing:
+        gcol = geom_field if geom_field in df.columns else None
+        if gcol is None:
+            # geom_field absent (or not passed): fall through to
+            # GeoParquet auto-detection — `-op relate` on a GeoParquet
+            # file works with zero flags even though the CLI's
+            # -geom-col default is 'wkt'.
+            gcol = _geoparquet_primary_column(path)
+            if gcol not in df.columns:
+                gcol = "geometry" if "geometry" in df.columns else None
+        if gcol is None:
+            raise ValueError(
+                f"parquet dataset missing row-format columns: "
+                f"{sorted(missing)}"
+                + (f" and no geometry column {geom_field!r} to parse"
+                   if geom_field else
+                   " and no GeoParquet/WKB/WKT geometry column detected"
+                   " (pass geom_field)")
+            )
+        is_wkb = df.schema[gcol].dataType.typeName() == "binary"
+        geom_alias = "wkb" if is_wkb else "wkt"
         keep = [F.col(id_field).alias("id"),
-                F.col(geom_field).cast("string").alias("wkt")]
+                (F.col(gcol) if is_wkb
+                 else F.col(gcol).cast("string")).alias(geom_alias)]
         typed_ts = date_field is not None and _is_temporal(date_field)
         if typed_ts:
             # already a temporal type: no string round-trip (an ANSI
@@ -320,14 +382,17 @@ def read_parquet_dataset(
             keep.append(F.col(date_field).cast("timestamp").alias("ts"))
         elif date_field is not None:
             keep.append(F.col(date_field).cast("string").alias("ts_raw"))
-        return _finish(df.select(*keep),
-                       None if typed_ts else date_field, date_pattern)
-    if missing:
-        raise ValueError(
-            f"parquet dataset missing row-format columns: {sorted(missing)}"
-            + (f" and no WKT column {geom_field!r} to parse" if geom_field
-               else "")
-        )
+        sel = df.select(*keep)
+        if is_wkb:
+            out = valid_geometries(
+                with_parsed_geometry_wkb(sel, "wkb")
+            ).drop("wkb")
+            if date_field is not None and not typed_ts:
+                out = out.withColumn(
+                    "ts", F.to_timestamp("ts_raw", date_pattern)
+                ).drop("ts_raw")
+            return out
+        return _finish(sel, None if typed_ts else date_field, date_pattern)
     if id_field != "id":
         df = df.withColumnRenamed(id_field, "id")
     if date_field is not None and date_field != "ts":

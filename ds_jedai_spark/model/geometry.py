@@ -137,6 +137,201 @@ def parse_wkt(s: str) -> tuple[str, list[list[list[float]]]] | None:
     return None
 
 
+# --- WKB (GeoParquet's at-rest geometry encoding) ---------------------
+#
+# The reference era ingested binary geometry via Sedona's readers
+# (reference utils/readers/Reader.scala:85-168); the modern equivalent
+# surface is GeoParquet, whose geometry column is ISO/EWKB binary. The
+# parser mirrors parse_wkt's contract exactly: same (gtype, parts)
+# output, same validity rules, None for malformed/empty/collection.
+
+_WKB_BASE_TYPES = {
+    1: "POINT", 2: "LINESTRING", 3: "POLYGON",
+    4: "MULTIPOINT", 5: "MULTILINESTRING", 6: "MULTIPOLYGON",
+    7: "GEOMETRYCOLLECTION",
+}
+
+
+def _wkb_header(buf: bytes, off: int) -> tuple[str, int, int, int]:
+    """Read (endianness, base type, extra-dims-per-point, new offset).
+    Handles ISO WKB (type + 1000/2000/3000 for Z/M/ZM) and EWKB flag
+    bits (0x80000000 Z, 0x40000000 M, 0x20000000 embedded SRID)."""
+    import struct
+
+    bo = buf[off]
+    if bo not in (0, 1):
+        raise ValueError("bad byte order")
+    e = "<" if bo == 1 else ">"
+    (t,) = struct.unpack_from(e + "I", buf, off + 1)
+    off += 5
+    extra = int(bool(t & 0x80000000)) + int(bool(t & 0x40000000))
+    if t & 0x20000000:  # EWKB SRID: 4 bytes to skip
+        off += 4
+    t &= 0x1FFFFFFF
+    iso, base = divmod(t, 1000)
+    if iso in (1, 2):
+        extra += 1
+    elif iso == 3:
+        extra += 2
+    elif iso != 0:
+        raise ValueError("bad ISO dimension code")
+    return e, base, extra, off
+
+
+def _wkb_points(
+    buf: bytes, e: str, extra: int, n: int, off: int
+) -> tuple[list[list[float]], int]:
+    import struct
+
+    dim = 2 + extra
+    vals = struct.unpack_from(e + "d" * (dim * n), buf, off)
+    pts = [[vals[i * dim], vals[i * dim + 1]] for i in range(n)]
+    if not all(np.isfinite(p[0]) and np.isfinite(p[1]) for p in pts):
+        raise ValueError("non-finite coordinate")
+    return pts, off + 8 * dim * n
+
+
+def _wkb_count(buf: bytes, e: str, off: int) -> tuple[int, int]:
+    import struct
+
+    (n,) = struct.unpack_from(e + "I", buf, off)
+    return n, off + 4
+
+
+def _parse_wkb_geom(
+    buf: bytes, off: int
+) -> tuple[str | None, list[list[list[float]]], int]:
+    """One geometry (recursive for MULTI*); (None, [], off) marks a
+    structurally-sound but engine-invalid geometry (empty, open ring,
+    collection) so the caller can still resync — malformed bytes raise."""
+    e, base, extra, off = _wkb_header(buf, off)
+    name = _WKB_BASE_TYPES.get(base)
+    if name is None:
+        raise ValueError(f"unknown WKB type {base}")
+    if base == 1:  # POINT: bare coords, no count
+        try:
+            pts, off = _wkb_points(buf, e, extra, 1, off)
+        except ValueError:
+            # NaN-coordinate point = the WKB "POINT EMPTY" convention:
+            # consume and drop, like WKT EMPTY
+            off += 8 * (2 + extra)
+            return None, [], off
+        return name, [pts], off
+    if base == 2:  # LINESTRING
+        n, off = _wkb_count(buf, e, off)
+        pts, off = _wkb_points(buf, e, extra, n, off)
+        return (name, [pts], off) if n >= 2 else (None, [], off)
+    if base == 3:  # POLYGON: rings as parts
+        nr, off = _wkb_count(buf, e, off)
+        rings = []
+        ok = nr > 0
+        for _ in range(nr):
+            n, off = _wkb_count(buf, e, off)
+            pts, off = _wkb_points(buf, e, extra, n, off)
+            if len(pts) < 4 or pts[0] != pts[-1]:
+                ok = False
+            rings.append(pts)
+        return (name, rings, off) if ok else (None, [], off)
+    if base == 7:  # collection: dropped at load, like the reference
+        n, off = _wkb_count(buf, e, off)
+        for _ in range(n):
+            _, _, off = _parse_wkb_geom(buf, off)
+        return None, [], off
+    # MULTI*: each member is a full nested WKB geometry
+    n, off = _wkb_count(buf, e, off)
+    member = {"MULTIPOINT": "POINT", "MULTILINESTRING": "LINESTRING",
+              "MULTIPOLYGON": "POLYGON"}[name]
+    parts: list[list[list[float]]] = []
+    ok = n > 0
+    for _ in range(n):
+        g, sub, off = _parse_wkb_geom(buf, off)
+        if g != member:
+            ok = False
+        parts.extend(sub)
+    return (name, parts, off) if ok and parts else (None, [], off)
+
+
+def parse_wkb(buf) -> tuple[str, list[list[list[float]]]] | None:
+    """Parse WKB bytes → (gtype, parts); None for malformed / empty /
+    unsupported — the exact contract of parse_wkt, so both geometry
+    encodings land in the identical row format."""
+    if buf is None:
+        return None
+    try:
+        b = bytes(buf)
+        gtype, parts, off = _parse_wkb_geom(b, 0)
+        if gtype is None or off != len(b):
+            return None
+        return gtype, parts
+    except Exception:
+        return None
+
+
+def format_wkb(gtype: str, parts: list[list[list[float]]]) -> bytes:
+    """Serialize the row format to little-endian ISO WKB 2D (the
+    GeoParquet default encoding) — the sink-side mirror of parse_wkb,
+    also used to generate test fixtures."""
+    import struct
+
+    codes = {v: k for k, v in _WKB_BASE_TYPES.items()}
+
+    def pts(seq):
+        return b"".join(struct.pack("<dd", x, y) for x, y in seq)
+
+    def simple(code, body):
+        return struct.pack("<BI", 1, code) + body
+
+    if gtype == "POINT":
+        return simple(1, pts(parts[0]))
+    if gtype == "LINESTRING":
+        return simple(2, struct.pack("<I", len(parts[0])) + pts(parts[0]))
+    if gtype == "POLYGON":
+        body = struct.pack("<I", len(parts))
+        for ring in parts:
+            body += struct.pack("<I", len(ring)) + pts(ring)
+        return simple(3, body)
+    if gtype == "MULTIPOINT":
+        body = struct.pack("<I", len(parts))
+        for part in parts:
+            body += simple(1, pts(part))
+        return simple(4, body)
+    if gtype == "MULTILINESTRING":
+        body = struct.pack("<I", len(parts))
+        for part in parts:
+            body += simple(2, struct.pack("<I", len(part)) + pts(part))
+        return simple(5, body)
+    if gtype == "MULTIPOLYGON":
+        # The flattened ring list loses polygon grouping; re-group by the
+        # outer-ring-first convention (a ring strictly inside the current
+        # polygon's outer ring is a hole, else it starts a new polygon).
+        polys: list[list[list[list[float]]]] = []
+        for ring in parts:
+            if polys and _ring_inside(ring, polys[-1][0]):
+                polys[-1].append(ring)
+            else:
+                polys.append([ring])
+        body = struct.pack("<I", len(polys))
+        for rings in polys:
+            pbody = struct.pack("<I", len(rings))
+            for ring in rings:
+                pbody += struct.pack("<I", len(ring)) + pts(ring)
+            body += simple(3, pbody)
+        return simple(6, body)
+    raise ValueError(f"format_wkb: unsupported {gtype}")
+
+
+def _ring_inside(inner: list[list[float]], outer: list[list[float]]) -> bool:
+    """Envelope containment test for hole-vs-new-polygon grouping (the
+    row format stores MULTIPOLYGON rings flattened, outer ring first per
+    polygon — same convention parse_wkt emits)."""
+    ixs = [p[0] for p in inner]
+    iys = [p[1] for p in inner]
+    oxs = [p[0] for p in outer]
+    oys = [p[1] for p in outer]
+    return (min(oxs) <= min(ixs) and max(ixs) <= max(oxs)
+            and min(oys) <= min(iys) and max(iys) <= max(oys))
+
+
 def flatten_collection_wkt(s: str) -> list[str]:
     """Split a GEOMETRYCOLLECTION into member WKTs (reference
     utils/geometryUtils/GeometryUtils.scala:26-37 flattens members and
@@ -260,17 +455,27 @@ def with_parsed_geometry(df: DataFrame, wkt_col: str = "wkt") -> DataFrame:
     pandas->Arrow (measured 262k rows/s end-to-end on local[32] with
     parse_wkt itself only 12.5us/row); transport, not parsing, was the
     ingest bottleneck — same lesson as the verifier (PLANS.md §7)."""
+    return _with_parsed(df, wkt_col, parse_wkt)
+
+
+def with_parsed_geometry_wkb(df: DataFrame, wkb_col: str = "wkb") -> DataFrame:
+    """WKB-binary twin of with_parsed_geometry: same Arrow transport,
+    same NULL-gtype contract for undecodable rows, parse_wkb per row."""
+    return _with_parsed(df, wkb_col, parse_wkb)
+
+
+def _with_parsed(df: DataFrame, col: str, parse_fn) -> DataFrame:
     names = [f.name for f in df.schema]
-    i_wkt = names.index(wkt_col)
+    i_geom = names.index(col)
 
     def run(batches):
         import pyarrow as pa
 
         for batch in batches:
-            wkts = batch.column(i_wkt).to_pylist()
-            acc = GeometryAccumulator(len(wkts))
-            for s in wkts:
-                parsed = parse_wkt(s)
+            raws = batch.column(i_geom).to_pylist()
+            acc = GeometryAccumulator(len(raws))
+            for s in raws:
+                parsed = parse_fn(s)
                 if parsed is None:
                     acc.add_invalid()
                 else:

@@ -269,6 +269,8 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                  rp.geojson_reader_counts_oracle()),
                 ("ntriples", rp.ntriples_reader_counts,
                  rp.ntriples_reader_counts_oracle()),
+                ("wkb", rp.wkb_reader_counts,
+                 rp.wkb_reader_counts_oracle()),
             ]
         ),
     )

@@ -82,6 +82,33 @@ def wkt_reader_counts_oracle() -> str:
     )
 
 
+WKB_FIXTURE = str(
+    Path(__file__).resolve().parents[2] / "fixtures" / "geo_source_wkb.parquet"
+)
+
+
+def wkb_reader_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same gate through the GeoParquet/WKB reader: the parquet fixture
+    (scripts/make_wkb_fixture.py) embeds the identical entity set as the
+    WKT fixture, geometry as ISO-WKB binary, detection via the GeoParquet
+    `geo` footer metadata (no geom_field passed) — all four §2.1 geometry
+    readers must land on identical counts, and the oracle reads only the
+    fixture's ground-truth columns, which the engine never touches."""
+    from ds_jedai_spark.io.readers import read_parquet_dataset
+
+    src = read_parquet_dataset(spark, WKB_FIXTURE).withColumn(
+        "id", F.col("id").cast("long")
+    )
+    return _reader_counts(src)
+
+
+def wkb_reader_counts_oracle() -> str:
+    return _reader_counts_oracle(
+        f"SELECT CAST(id AS BIGINT) AS id, gtype, minx, miny, maxx, maxy "
+        f"FROM read_parquet('{WKB_FIXTURE}') WHERE valid = 1"
+    )
+
+
 HOLES_SRC = str(
     Path(__file__).resolve().parents[2] / "fixtures" / "wkt_holes_source.tsv"
 )

@@ -824,6 +824,78 @@ def test_cli_op_relate(spark, tmp_path, capsys, monkeypatch):
                      "-relation", "nope"]) == 2
 
 
+def _write_geoparquet(path, rows):
+    """Write (id, wkt) rows as a GeoParquet file: WKB binary `geometry`
+    column + `geo` footer metadata naming it (scripts/make_wkb_fixture.py
+    convention)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ds_jedai_spark.model.geometry import format_wkb, parse_wkt
+
+    table = pa.table({
+        "id": pa.array([str(i) for i, _ in rows], pa.string()),
+        "geometry": pa.array(
+            [format_wkb(*parse_wkt(w)) for _, w in rows], pa.binary()
+        ),
+    }).replace_schema_metadata({
+        b"geo": json.dumps({"version": "1.0.0",
+                            "primary_column": "geometry",
+                            "columns": {"geometry": {"encoding": "WKB"}}}
+                           ).encode()
+    })
+    pq.write_table(table, str(path))
+
+
+def test_cli_op_relate_geoparquet(spark, tmp_path, capsys, monkeypatch):
+    """-op relate on GeoParquet/WKB inputs with ZERO extra flags (the
+    geometry column auto-detected from the geo footer metadata) lands on
+    the identical DE9IM counts row as the same entities through the WKT
+    TSV path."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    d = tmp_path
+    _write_tsv(d / "s.tsv", SOURCE)
+    _write_tsv(d / "t.tsv", TARGET)
+    _write_geoparquet(d / "s_geo.parquet", SOURCE)
+    _write_geoparquet(d / "t_geo.parquet", TARGET)
+
+    cfg = parse_config({
+        "source": {"path": str(d / "s.tsv"), "realIdField": "id",
+                   "geometryField": "wkt"},
+        "target": {"path": str(d / "t.tsv"), "realIdField": "id",
+                   "geometryField": "wkt"},
+        "relation": "DE9IM",
+    })
+    want = api.run(spark, cfg).first().asDict()
+    rc = cli.main(["-op", "relate", "-left", str(d / "s_geo.parquet"),
+                   "-right", str(d / "t_geo.parquet")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    hdr, row = out.splitlines()[0].split("\t"), out.splitlines()[1].split("\t")
+    assert dict(zip(hdr, (int(v) for v in row))) == want
+
+    # single predicate: WKB pairs == WKT pairs
+    import dataclasses
+    pairs_cfg = dataclasses.replace(cfg, relation="CONTAINS")
+    exp = {(int(r.s_id), int(r.t_id))
+           for r in api.run(spark, pairs_cfg).collect()}
+    pq_out = str(d / "geo_pairs.parquet")
+    rc = cli.main(["-op", "relate", "-left", str(d / "s_geo.parquet"),
+                   "-right", str(d / "t_geo.parquet"),
+                   "-relation", "contains", "-out", pq_out])
+    assert rc == 0
+    got = {(int(r.s_id), int(r.t_id))
+           for r in spark.read.parquet(pq_out).collect()}
+    assert got == exp and got
+
+
 def test_load_balancer_auto_plan_shapes(spark, tmp_path, conf_path):
     """Plan-level dispatch pins: on the cheap (box) corpus the AUTO
     route's physical plan is union-free — the dispatcher must not

@@ -233,6 +233,85 @@ def test_read_parquet_dataset_roundtrip(spark, tmp_path):
         read_parquet_dataset(spark, bad)
 
 
+def test_parse_wkb_contract():
+    """parse_wkb mirrors parse_wkt's contract exactly: identical
+    (gtype, parts) for every fixture entity (differential over the whole
+    WKT fixture via the format_wkb round trip), plus the binary-level
+    variants WKT has no spelling for (endianness, ISO Z/M, EWKB SRID
+    flags, NaN empty points, truncation, trailing bytes)."""
+    import csv
+    import math
+    import struct
+
+    from ds_jedai_spark.model.geometry import format_wkb, parse_wkb, parse_wkt
+    from ds_jedai_spark.plans.reader_plans import FIXTURE
+
+    n_valid = 0
+    for row in csv.DictReader(open(FIXTURE), delimiter="\t"):
+        parsed = parse_wkt(row["wkt"])
+        if parsed is None:
+            continue
+        n_valid += 1
+        assert parse_wkb(format_wkb(*parsed)) == parsed, row["id"]
+    assert n_valid > 300  # the fixture is mostly valid entities
+
+    # big-endian
+    be = struct.pack(">BIdd", 0, 1, 3.0, 4.0)
+    assert parse_wkb(be) == ("POINT", [[[3.0, 4.0]]])
+    # ISO Z (1001) and ZM (3002) codes: Z/M ordinates skipped
+    assert parse_wkb(struct.pack("<BIddd", 1, 1001, 1.0, 2.0, 9.0)) == (
+        "POINT", [[[1.0, 2.0]]]
+    )
+    zm_line = struct.pack("<BII", 1, 3002, 2) + struct.pack(
+        "<dddddddd", 0, 0, 8, 8, 1, 1, 8, 8
+    )
+    assert parse_wkb(zm_line) == ("LINESTRING", [[[0.0, 0.0], [1.0, 1.0]]])
+    # EWKB Z + embedded SRID flags
+    ez = struct.pack("<BIIddd", 1, 1 | 0x80000000 | 0x20000000,
+                     4326, 1.0, 2.0, 9.0)
+    assert parse_wkb(ez) == ("POINT", [[[1.0, 2.0]]])
+    # WKB POINT EMPTY convention (NaN coords) drops like WKT EMPTY
+    assert parse_wkb(struct.pack("<BIdd", 1, 1, math.nan, math.nan)) is None
+    # GeometryCollection drops at load, like the WKT reader
+    gc = struct.pack("<BII", 1, 7, 1) + struct.pack("<BIdd", 1, 1, 1.0, 2.0)
+    assert parse_wkb(gc) is None
+    # malformed: truncation, trailing garbage, unknown type, open ring
+    assert parse_wkb(be[:-3]) is None
+    assert parse_wkb(be + b"\x00") is None
+    assert parse_wkb(struct.pack("<BIdd", 1, 99, 1.0, 2.0)) is None
+    open_ring = struct.pack("<BIII", 1, 3, 1, 4) + struct.pack(
+        "<" + "d" * 8, 0, 0, 4, 0, 4, 4, 9, 9
+    )
+    assert parse_wkb(open_ring) is None
+    assert parse_wkb(None) is None
+
+
+def test_read_parquet_wkb_geoparquet(spark, tmp_path):
+    """GeoParquet/WKB ingestion lands on the identical row format as the
+    WKT reader over the same entity set — auto-detected from the `geo`
+    footer metadata (no geom_field passed), and again via an explicit
+    geom_field naming the binary column."""
+    from pyspark.sql import functions as F
+
+    from ds_jedai_spark.io.readers import read_parquet_dataset, read_wkt_delimited
+    from ds_jedai_spark.plans.reader_plans import FIXTURE, WKB_FIXTURE
+
+    key = ["id", "gtype", "coords", "minx", "miny", "maxx", "maxy"]
+    want = sorted(
+        tuple(r) for r in read_wkt_delimited(
+            spark, FIXTURE, id_field="id", geom_field="wkt"
+        ).select(key).collect()
+    )
+    got_auto = read_parquet_dataset(spark, WKB_FIXTURE).withColumn(
+        "id", F.col("id").cast("string")
+    )
+    assert sorted(tuple(r) for r in got_auto.select(key).collect()) == want
+    got_named = read_parquet_dataset(
+        spark, WKB_FIXTURE, geom_field="geometry"
+    ).withColumn("id", F.col("id").cast("string"))
+    assert sorted(tuple(r) for r in got_named.select(key).collect()) == want
+
+
 def test_read_parquet_dataset_date_field(spark, tmp_path):
     """-date-col on parquet: a missing column errors with guidance on
     BOTH paths, and the row-format fast path surfaces the named column
