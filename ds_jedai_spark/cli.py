@@ -228,7 +228,9 @@ def _run_op(args) -> int:
             # `-op relate -left s.tsv -right t.tsv -relation intersects`.
             from ds_jedai_spark import api
             from ds_jedai_spark.config import (
+                PROGRESSIVE_ALGS,
                 RELATIONS,
+                WEIGHT_FUNCS,
                 DatasetSpec,
                 JedaiConfig,
             )
@@ -242,6 +244,19 @@ def _run_op(args) -> int:
                 print(f"-op relate: unknown relation {rel!r}; choose "
                       f"from {sorted(RELATIONS)}", file=sys.stderr)
                 return 2
+            # -algorithm/-budget: the six progressive algorithms through
+            # the YAML-free path (the reference exposes these via
+            # ConfigurationParser.scala:107-160)
+            alg = args.algorithm.upper() if args.algorithm else None
+            if alg is not None and alg not in PROGRESSIVE_ALGS:
+                print(f"-op relate: unknown -algorithm {alg!r}; choose "
+                      f"from {sorted(PROGRESSIVE_ALGS)}", file=sys.stderr)
+                return 2
+            wf = args.main_wf.upper()
+            if wf not in WEIGHT_FUNCS:
+                print(f"-op relate: unknown -main-wf {wf!r}; choose "
+                      f"from {sorted(WEIGHT_FUNCS)}", file=sys.stderr)
+                return 2
             cfg = JedaiConfig(
                 source=DatasetSpec(path=args.left, id_field=args.id_col,
                                    geom_field=args.geom_col,
@@ -250,6 +265,9 @@ def _run_op(args) -> int:
                                    geom_field=args.geom_col,
                                    date_field=args.date_col),
                 relation=rel,
+                progressive_algorithm=alg,
+                budget=args.budget,
+                main_wf=wf,
                 # -export works like the -conf form: RDF flags for
                 # DE9IM, CSV pairs for a single predicate
                 export_path=args.export,
@@ -676,6 +694,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="relate: DE9IM (counts row) or a single "
                          "predicate (intersects/contains/...) emitting "
                          "qualifying pairs")
+    ap.add_argument("-algorithm", default=None,
+                    help="relate: progressive algorithm "
+                         "(progressive_giant, dynamic_progressive_giant, "
+                         "topk, reciprocal_topk, random, early_stopping); "
+                         "pair with -budget N. Default: full verification")
+    ap.add_argument("-main-wf", dest="main_wf", default="JS",
+                    help="relate: progressive weighting function "
+                         "(CF, JS, MBRO, PEARSON_X2, ISP)")
     ap.add_argument("-geom-col", dest="geom_col", default="wkt",
                     help="relate: WKT geometry column/field name")
     ap.add_argument("-date-col", dest="date_col", default=None,

@@ -824,6 +824,54 @@ def test_cli_op_relate(spark, tmp_path, capsys, monkeypatch):
                      "-relation", "nope"]) == 2
 
 
+def test_cli_op_relate_progressive(spark, tmp_path, capsys, monkeypatch):
+    """-op relate -algorithm/-budget/-main-wf: the YAML-free path pins
+    equal to the -conf route for a static and a stateful progressive
+    algorithm, and unknown values are guided errors."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    d = tmp_path
+    _write_tsv(d / "s.tsv", SOURCE)
+    _write_tsv(d / "t.tsv", TARGET)
+
+    for alg, wf in (("PROGRESSIVE_GIANT", "JS"),
+                    ("EARLY_STOPPING", "MBRO")):
+        cfg = parse_config({
+            "source": {"path": str(d / "s.tsv"), "realIdField": "id",
+                       "geometryField": "wkt"},
+            "target": {"path": str(d / "t.tsv"), "realIdField": "id",
+                       "geometryField": "wkt"},
+            "relation": "DE9IM",
+            "configurations": {"progressiveAlgorithm": alg, "budget": 7,
+                               "mainWF": wf},
+        })
+        want = api.run(spark, cfg).first().asDict()
+        rc = cli.main(["-op", "relate", "-left", str(d / "s.tsv"),
+                       "-right", str(d / "t.tsv"),
+                       "-algorithm", alg.lower(), "-budget", "7",
+                       "-main-wf", wf.lower()])
+        assert rc == 0
+        out = capsys.readouterr().out
+        hdr, row = (out.splitlines()[0].split("\t"),
+                    out.splitlines()[1].split("\t"))
+        got = dict(zip(hdr, (int(v) for v in row)))
+        assert got == want, (alg, got, want)
+        assert got["verifications"] <= (7 if alg != "EARLY_STOPPING"
+                                        else got["verifications"])
+
+    # guards: unknown algorithm / weighting function
+    assert cli.main(["-op", "relate", "-left", str(d / "s.tsv"),
+                     "-right", str(d / "t.tsv"),
+                     "-algorithm", "nope"]) == 2
+    assert cli.main(["-op", "relate", "-left", str(d / "s.tsv"),
+                     "-right", str(d / "t.tsv"),
+                     "-main-wf", "nope"]) == 2
+
+
 def _write_geoparquet(path, rows):
     """Write (id, wkt) rows as a GeoParquet file: WKB binary `geometry`
     column + `geo` footer metadata naming it (scripts/make_wkb_fixture.py
