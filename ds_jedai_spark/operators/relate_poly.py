@@ -23,18 +23,20 @@ previous fractions.Fraction implementation at a fraction of the cost
 Intersection parameters t along one segment are raw (tn, td) integer
 pairs ordered by exact cross-multiplication — no rational objects
 anywhere. Even-odd semantics make one code path serve
-POLYGON-with-holes and MULTIPOLYGON (flattened ring lists, standard
-validity assumed). "Standard validity" is load-bearing for one input
-class: two rings of the SAME geometry sharing a COLLINEAR boundary run
-(forbidden by OGC validity — rings may touch at points, never along
-lines). Coincident edge passes cancel under even-odd, so such a run is
-a slit/seam rather than true region boundary, and the boundary-witness
-inferences below (a_in/b_in as interior-interior evidence) would
-overcount there — measured in r11 by the non-axis-aligned property
-suite (tests/test_properties.py::_rings_share_collinear_run). Parts
-overlapping in 2-D WITHOUT coincident edges are handled exactly; the
-point/multipoint paths are parity-pure and correct even for such
-degenerate inputs. Complexity O(|A|·|B|) per pair — this is the
+POLYGON-with-holes and MULTIPOLYGON (flattened ring lists). Inputs need
+NOT be OGC-valid: rings of one geometry sharing a COLLINEAR boundary
+run (forbidden by validity but common in shapefile-converted data) are
+handled by a seam-cancellation normalization (``normalize_rings``)
+ahead of classification — coincident edge passes cancel under even-odd,
+so such a run is a slit/seam rather than true region boundary, and the
+boundary-witness inferences below (a_in/b_in as interior-interior
+evidence) would overcount without it (measured in r11 by the
+non-axis-aligned property suite; normalized since r12, matching JTS's
+noding behavior on the same inputs). Parts overlapping in 2-D without
+coincident edges cancel pointwise under the same parity rule. The
+point/multipoint paths keep the raw-edge locator convention: a point
+exactly ON a cancelled seam reports boundary (measure-zero, only on
+invalid input). Complexity O(|A|·|B|) per pair — this is the
 engine's slow path, reached only after tile filtering; boxes / points /
 segments keep their closed forms.
 """
@@ -99,6 +101,105 @@ def _edges(rings: list[list[IPt]]) -> list[tuple[IPt, IPt]]:
         (r[i], r[i + 1]) for r in rings for i in range(len(r) - 1)
         if r[i] != r[i + 1]
     ]
+
+
+def normalize_rings(rings: list[list[IPt]]) -> list[list[IPt]]:
+    """Cancel same-geometry boundary seams under even-odd semantics.
+
+    Rings of one geometry sharing a COLLINEAR run (forbidden by OGC
+    validity — rings may touch at points, never along lines — but
+    present in real shapefile-converted data, and answered by JTS after
+    noding) make that run a slit or seam: crossing it flips even-odd
+    parity an even number of times, so it is NOT region boundary.
+    classify_boundary's witness inferences assume every edge is true
+    boundary, so seams must be removed first (r11 measured the
+    overcount; r12 turns the documented exclusion into handled input).
+
+    Method, exact on the integer lattice: bucket edges by their
+    infinite line (reduced direction + cross constant — only same-line
+    edges can overlap), split each bucket's edges at every endpoint
+    projection falling inside them (overlap endpoints of collinear
+    integer segments are themselves integer points, so no rational
+    vertices appear), drop even-multiplicity sub-segments — the parity
+    of any ray crossing is preserved — and stitch the kept sub-segments
+    back into closed walks (cancellation removes edges in pairs, so
+    every vertex keeps even degree and an Eulerian cycle decomposition
+    exists; even-odd location is indifferent to the walk structure).
+    Geometries with no coincident run return UNCHANGED — the valid-input
+    common case pays one linear bucketing pass, no arrangement.
+    """
+    import bisect
+    from collections import Counter, defaultdict
+    from math import gcd
+
+    buckets: dict = defaultdict(list)
+    for a, b in _edges(rings):
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        g = gcd(abs(dx), abs(dy))
+        dxr, dyr = dx // g, dy // g
+        if dxr < 0 or (dxr == 0 and dyr < 0):
+            dxr, dyr = -dxr, -dyr
+        buckets[(dxr, dyr, dxr * a[1] - dyr * a[0])].append((a, b))
+
+    changed = False
+    kept: list[tuple[IPt, IPt]] = []
+    for (dxr, dyr, _c), lst in buckets.items():
+        if len(lst) == 1:
+            kept.append(lst[0])
+            continue
+        # 1-D scalar along the shared line: s = p . (dxr, dyr) is
+        # strictly monotone on the line, and integer.
+        pt_of: dict[int, IPt] = {}
+        iv = []
+        for a, b in lst:
+            sa = a[0] * dxr + a[1] * dyr
+            sb = b[0] * dxr + b[1] * dyr
+            pt_of[sa], pt_of[sb] = a, b
+            iv.append((min(sa, sb), max(sa, sb)))
+        cuts = sorted(pt_of)
+        cnt: Counter = Counter()
+        for lo, hi in iv:
+            i0 = bisect.bisect_left(cuts, lo)
+            i1 = bisect.bisect_right(cuts, hi)
+            for u, v in zip(cuts[i0:i1], cuts[i0 + 1:i1]):
+                cnt[(u, v)] += 1
+        if all(k == 1 for k in cnt.values()):
+            kept.extend(lst)  # collinear but disjoint: keep unsplit
+            continue
+        changed = True
+        for (u, v), k in cnt.items():
+            if k % 2:
+                kept.append((pt_of[u], pt_of[v]))
+
+    if not changed:
+        return rings
+
+    # Eulerian stitch: every vertex has even degree, so greedy cycle
+    # extraction can only close at its start vertex; leftover edges at
+    # visited vertices start their own cycles in later iterations.
+    adj: dict = defaultdict(list)
+    for idx, (a, b) in enumerate(kept):
+        adj[a].append((b, idx))
+        adj[b].append((a, idx))
+    used = [False] * len(kept)
+    out: list[list[IPt]] = []
+    for idx0, (a0, b0) in enumerate(kept):
+        if used[idx0]:
+            continue
+        used[idx0] = True
+        walk = [a0, b0]
+        cur = b0
+        while cur != a0:
+            for nb, i in adj[cur]:
+                if not used[i]:
+                    used[i] = True
+                    walk.append(nb)
+                    cur = nb
+                    break
+            else:  # unreachable: degrees are even by construction
+                raise AssertionError("odd degree in seam rebuild")
+        out.append(walk)
+    return out
 
 
 def _hpt(p: IPt) -> HPt:
@@ -262,7 +363,7 @@ def interior_point(rings: list[list[IPt]]) -> HPt | None:
 def relate_line_polygon(line_parts, poly_parts) -> dict[str, bool]:
     """Exact line × polygon flags (dim 1 vs dim 2)."""
     chains_i, poly_i = _scale_parts(line_parts, poly_parts)
-    rings = _rings(poly_i)
+    rings = normalize_rings(_rings(poly_i))
     segs = [
         (c[i], c[i + 1]) for c in chains_i for i in range(len(c) - 1)
     ]
@@ -281,7 +382,8 @@ def relate_line_polygon(line_parts, poly_parts) -> dict[str, bool]:
 def relate_polygon_polygon(pa, pb) -> dict[str, bool]:
     """Exact polygon × polygon flags (simple polygons w/ holes, multi)."""
     pa_i, pb_i = _scale_parts(pa, pb)
-    ra, rb = _rings(pa_i), _rings(pb_i)
+    ra = normalize_rings(_rings(pa_i))
+    rb = normalize_rings(_rings(pb_i))
     a_in, a_on, a_out = classify_boundary(_edges(ra), rb)
     b_in, b_on, b_out = classify_boundary(_edges(rb), ra)
     ip_a, ip_b = interior_point(ra), interior_point(rb)

@@ -847,10 +847,68 @@ def _fr_side_sample(m, n, edges):
     return (m[0] + eps * n[0], m[1] + eps * n[1])
 
 
+def _fr_cancel_seams(rings):
+    """Even-odd seam cancellation on Fraction rings: rings of ONE
+    geometry sharing a collinear run make that run a slit/seam (crossing
+    it flips parity twice), so it is not true region boundary. Split
+    every edge at the endpoints of collinear overlapping edges, drop
+    even-multiplicity sub-segments (ray-crossing parity is preserved),
+    and stitch the rest back into closed walks. Independent of the
+    engine's integer-lattice normalize_rings: Fraction arithmetic,
+    pairwise O(E^2) collinearity scan, no line bucketing."""
+    from collections import Counter, defaultdict
+
+    edges = _fr_edges(rings)
+    cnt = Counter()
+    for p, q in edges:
+        d = (q[0] - p[0], q[1] - p[1])
+        ts = {_Fr(0), _Fr(1)}
+        for a, b in edges:
+            den = d[0] * (b[1] - a[1]) - d[1] * (b[0] - a[0])
+            if den == 0 and _fr_cross(p, q, a) == 0:
+                for c in (a, b):
+                    t = (
+                        (c[0] - p[0]) / d[0] if d[0] != 0
+                        else (c[1] - p[1]) / d[1]
+                    )
+                    if 0 < t < 1:
+                        ts.add(t)
+        tl = sorted(ts)
+        for t0, t1 in zip(tl, tl[1:]):
+            u = (p[0] + t0 * d[0], p[1] + t0 * d[1])
+            v = (p[0] + t1 * d[0], p[1] + t1 * d[1])
+            cnt[(min(u, v), max(u, v))] += 1
+    if all(k == 1 for k in cnt.values()):
+        return rings
+    kept = [k for k, v in cnt.items() if v % 2 == 1]
+    adj = defaultdict(list)
+    for idx, (a, b) in enumerate(kept):
+        adj[a].append((b, idx))
+        adj[b].append((a, idx))
+    used = [False] * len(kept)
+    walks = []
+    for idx0, (a0, b0) in enumerate(kept):
+        if used[idx0]:
+            continue
+        used[idx0] = True
+        walk = [a0, b0]
+        cur = b0
+        while cur != a0:
+            nxt = next((b, i) for b, i in adj[cur] if not used[i])
+            used[nxt[1]] = True
+            walk.append(nxt[0])
+            cur = nxt[0]
+        walks.append(walk)
+    return walks
+
+
 def _arrangement_de9im(pa, pb):
     """Independent exact DE-9IM flags of (polygon a, polygon b) — both
-    arbitrary simple even-odd ring lists with rational vertices."""
-    ra, rb = _fr_rings(pa), _fr_rings(pb)
+    arbitrary even-odd ring lists with rational vertices; same-geometry
+    collinear seams cancel first (the even-odd REGION is what the flags
+    describe, and a seam is not part of its boundary)."""
+    ra = _fr_cancel_seams(_fr_rings(pa))
+    rb = _fr_cancel_seams(_fr_rings(pb))
     all_edges = _fr_edges(ra) + _fr_edges(rb)
     cells = set()
 
@@ -1092,31 +1150,6 @@ def test_point_vs_affine_polygon_matches_rational_locator(pt, ip, m):
     assert s["touches"] == (loc == 1) and s["intersects"] == (loc != 0)
 
 
-def _rings_share_collinear_run(parts):
-    """True when two DIFFERENT rings of one geometry share a collinear
-    boundary run of positive length. Under even-odd those coincident
-    edge passes cancel (the run is a slit or a seam, not true region
-    boundary) — an input class standard OGC validity forbids (rings may
-    touch at points, never along lines) and relate_poly documents as
-    out of contract: its boundary-witness inferences assume every ring
-    edge is true boundary."""
-    rings = _fr_rings(parts)
-    per_ring = [_fr_edges([r]) for r in rings]
-    for i in range(len(per_ring)):
-        for j in range(i + 1, len(per_ring)):
-            for p, q in per_ring[i]:
-                for a, b in per_ring[j]:
-                    if _fr_cross(p, q, a) != 0 or _fr_cross(p, q, b) != 0:
-                        continue
-                    # collinear: positive-length 1-D overlap?
-                    axis = 0 if p[0] != q[0] else 1
-                    lo1, hi1 = sorted((p[axis], q[axis]))
-                    lo2, hi2 = sorted((a[axis], b[axis]))
-                    if min(hi1, hi2) > max(lo1, lo2):
-                        return True
-    return False
-
-
 @given(
     st.integers(0, len(_POLY_TEMPLATES) - 1),
     st.integers(0, len(_POLY_TEMPLATES) - 1),
@@ -1134,17 +1167,14 @@ def test_affine_multipolygon_evenodd_matches_arrangement_model(
     the overlap region is exterior — the semantics one code path serves
     for holes and multi parts alike) vs an independently-mapped polygon:
     engine == arrangement model. Parts sharing a COLLINEAR boundary run
-    are excluded — coincident edge passes cancel under even-odd, which
-    standard validity forbids and relate_poly's boundary-witness
-    inferences do not model (found by this suite in r11; see
-    _rings_share_collinear_run)."""
-    from hypothesis import assume
-
+    are INCLUDED since r12 — both the engine (normalize_rings) and the
+    truth model (_fr_cancel_seams) cancel the seam, matching JTS's
+    noding behavior on such OGC-invalid inputs (r11 excluded them via a
+    generator filter)."""
     from ds_jedai_spark.operators import relate_poly
 
     pa = (_apply_map16(ma, _POLY_TEMPLATES[ia])
           + _apply_map16(ma, _POLY_TEMPLATES[ib], shift=(dx, dy)))
-    assume(not _rings_share_collinear_run(pa))
     pb = _apply_map16(mb, _POLY_TEMPLATES[ic])
     want = _arrangement_de9im(pa, pb)
     got = relate_pair("MULTIPOLYGON", pa, "POLYGON", pb)

@@ -205,3 +205,56 @@ def test_sorted_params_matches_fraction_order(pairs):
     for a, b in zip(got, got[1:]):
         mn, md = _mid(a, b)
         assert Fraction(mn, md) == (Fraction(*a) + Fraction(*b)) / 2
+
+
+def test_normalize_rings_seam_cancellation():
+    """Same-geometry collinear seams cancel under even-odd: adjacent
+    parts fuse (seam becomes interior), duplicated regions annihilate,
+    partial overlaps cancel only the shared run — and valid input
+    returns the identical object (zero-cost common path)."""
+    from ds_jedai_spark.operators.relate_poly import (
+        _rings,
+        normalize_rings,
+        point_location,
+        relate_polygon_polygon,
+    )
+
+    # valid input: unchanged, same object
+    donut = _rings([
+        [(0, 0), (6, 0), (6, 6), (0, 6)],
+        [(2, 2), (4, 2), (4, 4), (2, 4)],
+    ])
+    assert normalize_rings(donut) is donut
+
+    # two unit squares sharing an edge: seam at x=1 becomes interior
+    two = _rings([
+        [(0, 0), (1, 0), (1, 1), (0, 1)],
+        [(1, 0), (2, 0), (2, 1), (1, 1)],
+    ])
+    fused = normalize_rings(two)
+    assert point_location((2, 1, 2), fused) == 2  # (1, 0.5): interior now
+    assert point_location((0, 1, 2), fused) == 1  # (0, 0.5): true boundary
+
+    # duplicated square annihilates: empty region
+    assert normalize_rings(_rings([
+        [(0, 0), (1, 0), (1, 1), (0, 1)],
+        [(0, 0), (1, 0), (1, 1), (0, 1)],
+    ])) == []
+
+    # partial collinear overlap cancels only the shared run
+    partial = normalize_rings(_rings([
+        [(0, 0), (2, 0), (2, 1), (0, 1)],
+        [(1, 1), (2, 1), (2, 2), (1, 2)],
+    ]))
+    assert point_location((3, 2, 2), partial) == 2  # (1.5, 1): seam -> interior
+    assert point_location((1, 2, 2), partial) == 1  # (0.5, 1): still boundary
+
+    # e2e through relate_polygon_polygon: the fused L covers a sliver
+    # crossing the (former) seam; the annihilated pair is disjoint
+    A = [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]],
+         [[1.0, 0.0], [2.0, 0.0], [2.0, 1.0], [1.0, 1.0], [1.0, 0.0]]]
+    B = [[[0.5, 0.25], [1.5, 0.25], [1.5, 0.75], [0.5, 0.75], [0.5, 0.25]]]
+    d = relate_polygon_polygon(A, B)
+    assert d["contains"] and d["covers"] and not d["touches"]
+    gone = [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]] * 2
+    assert relate_polygon_polygon(gone, B)["disjoint"]
