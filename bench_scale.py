@@ -62,13 +62,14 @@ noise is small relative to the run):
   (loadbalance.auto_balance) over the hot corpus — must keep the plain
   path on the box-algebra corpus (estimate 5x5=25 < threshold 64);
   decision + estimate recorded under "skew_auto".
-- giant_counts_x100 / lsh_x50 (r11): the second scale decade,
-  single-rep. giant_counts_x100: 2M x 15M boxes, 86,344,200 pairs,
-  pure streaming plan, no-broadcast plan law asserted, rows == exactly
-  10x the x10 entry. lsh_x50: the largest exact-clone factor that fits
-  this box's shuffle disk (c=100 measured ENOSPC — exact-clone cliques
-  make TRUE OUTPUT, hence shuffle volume, quadratic in c); 10,160,750
-  pairs = 26.6x the x10 entry's output work, exact row law
+- giant_counts_x100 / lsh_x100 (r11 decade; LSH completed to c=100 in
+  r12): the second scale decade, single-rep, probe-BRACKETED (one probe
+  each side of the run — decade_probes). giant_counts_x100: 2M x 15M
+  boxes, 86,344,200 pairs, pure streaming plan, no-broadcast plan law
+  asserted, rows == exactly 10x the x10 entry. lsh_x100: 40,951,500
+  pairs — exact-clone cliques make TRUE OUTPUT, hence shuffle volume,
+  quadratic in c; c=100 was ENOSPC in r11 with gram strings and fits
+  since the hashed-gram verification (r12); exact row law
   pairs = base*c^2 + n*C(c,2) asserted inline. Fit math in the entry
   docstrings.
 - stream_ingest_x10 / stream_ingest_x10_batched / batch_ingest_x10:
@@ -199,7 +200,7 @@ def _cloned_boxes(spark, sf_dir, clones: int = CLONES_SPATIAL):
 
 
 CLONES_DECADE = 100
-CLONES_LSH_DECADE = 50
+CLONES_LSH_DECADE = 100
 
 
 def giant_counts_x100(spark, sf_dir):
@@ -233,24 +234,21 @@ def giant_counts_x100(spark, sf_dir):
     return v
 
 
-def lsh_x50(spark, sf_dir):
-    """MinHash-LSH at the largest clone factor that FITS THIS BOX (50).
+def lsh_x100(spark, sf_dir):
+    """MinHash-LSH at the FULL second scale decade (100 exact clones).
     Exact-clone cliques make the TRUE OUTPUT quadratic in the clone
     factor — qualifying pairs obey pairs(c) = base_pairs*c^2 +
     n_docs*C(c,2) exactly (identical signatures collide identically,
-    verification Jaccard is exact) — so the binding resource is not
-    memory but SHUFFLE DISK for the verification join (~pairs x ~51
-    common shingles rows). Measured fit math, sf0.1 (6,170 docs, 1,041
-    base pairs, ~51 shingles/doc; 79 GB free disk):
-      c=100: 40,951,500 pairs -> ~2.1 B verification join rows ->
-             >60 GB spill = ENOSPC on this box (measured r11);
-      c=50:  10,160,750 pairs (26.6x the x10 entry's output work,
-             every band bucket holding >= 50 colliding docs) ->
-             ~520 M join rows -> ~12 GB peak shuffle: safe margin.
+    verification Jaccard over hashed grams is exact) — so the binding
+    resource is not memory but SHUFFLE DISK for the verification join
+    (~pairs x ~51 common shingles rows). c=100 measured ENOSPC in r11
+    with gram STRINGS in the verification stream (>60 GB spill on 79 GB
+    free disk); r12's hashed-gram verification (dedup._hashed_shingles:
+    8-byte ids instead of ~30-byte strings) halves that stream and the
+    full decade fits — 40,951,500 pairs, ~2.1 B verification join rows.
     Memory is flat in c throughout (pinned shingle table ~0.3 GB,
-    candidate pin ~0.3 GB, everything else streams); a cluster with
-    real shuffle disk runs the same plan at c=100+ unchanged — and a
-    production 100 TB pass caps the clique quadratic structurally by
+    candidate pin ~0.6 GB, everything else streams); a production
+    100 TB pass additionally caps the clique quadratic structurally by
     running exact-hash dedup BEFORE MinHash (the pipeline's dedup_exact
     stage), which collapses identical docs to one representative.
     The exact row law is asserted inline."""
@@ -787,7 +785,7 @@ def main() -> None:
         # r11: the second scale decade (single-shot — fit math and the
         # exact row laws live in the entry docstrings / asserts)
         ("giant_counts_x100", lambda: giant_counts_x100(spark, sf_dir)),
-        ("lsh_x50", lambda: lsh_x50(spark, sf_dir)),
+        ("lsh_x100", lambda: lsh_x100(spark, sf_dir)),
         ("lsh_x10", lambda: lsh_x10(spark, sf_dir)),
         ("emb_lsh_x10", lambda: emb_lsh_x10(spark, sf_dir)),
         ("semantic_cluster_x10", lambda: semantic_cluster_x10(spark, sf_dir)),
@@ -837,7 +835,7 @@ def main() -> None:
     # box during the minutes-long run shows up in the trailing probe,
     # so a decade number taken under load is flagged in decade_probes
     # rather than silently trusted.
-    single_rep = {"giant_counts_x100", "lsh_x50"}
+    single_rep = {"giant_counts_x100", "lsh_x100"}
     rows: dict[str, int] = {}
     probes: list[float] = []
     reps: dict[str, list[tuple[float, float]]] = {}  # (probe, timing)

@@ -110,6 +110,30 @@ def _overlap(d: DataFrame, max_df: int | None = None) -> DataFrame:
     )
 
 
+def _hashed_shingles(d: DataFrame) -> DataFrame:
+    """Verification representation of a shingle table: grams replaced by
+    the md5-derived 48-bit ids the minhash signatures already use
+    (map-side projection, bit-identical in Spark and DuckDB).
+
+    Why: the LSH verification join's shuffle payload is (d1, d2,
+    shingle) x ~|sh(d1)| rows per candidate pair — the binding resource
+    of the clone-clique scale soaks (BENCH_SCALE lsh decade: c=100
+    measured ENOSPC on 79 GB disk with gram STRINGS in r11). An 8-byte
+    long per gram instead of a ~30-byte string roughly halves that
+    stream; Jaccard over hashed grams is exact up to 48-bit collisions
+    (expected colliding gram pairs ~ V^2 / 2^49: ~2e-4 for the 3e5
+    distinct grams of the sf0.1 corpus, ~5e-3 at 1e7 grams — and a
+    collision shifts one pair's count by 1, not the threshold set, on
+    any realistic corpus). The column keeps the name ``shingle`` so
+    every downstream join/size helper is representation-agnostic."""
+    return d.select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)"
+        ).alias("shingle"),
+    )
+
+
 def _pair_common(cand: DataFrame, da: DataFrame, db: DataFrame) -> DataFrame:
     """Pair-keyed common-shingle counts for a candidate set: attach
     d1's shingles per pair, count matches with one (d2, shingle)
@@ -368,8 +392,11 @@ def minhash_lsh_pairs(
     )
     # Pair-keyed verification (see _pair_common): measured 25.4s ->
     # 7.8s on the 10x-clone lsh_x10 soak vs the inverted self-join,
-    # whose posting-list squaring detonates on clone cliques.
-    verified = _with_jaccard(_pair_common(cand, d, d), d)
+    # whose posting-list squaring detonates on clone cliques. Verified
+    # over hashed grams (_hashed_shingles) since r12 — halves the
+    # verification shuffle, the disk bound of the scale decade.
+    dv = _hashed_shingles(d)
+    verified = _with_jaccard(_pair_common(cand, dv, dv), dv)
     return verified.where(F.col("jaccard") >= tau).select("d1", "d2", "jaccard")
 
 
@@ -435,8 +462,9 @@ def minhash_progressive_pairs(
         .orderBy(F.desc("est"), "d1", "d2")
         .limit(budget)
     )
+    dv = _hashed_shingles(d)
     return (
-        _with_jaccard(_pair_common(sched, d, d), d)
+        _with_jaccard(_pair_common(sched, dv, dv), dv)
         .join(sched, ["d1", "d2"])
         .select("d1", "d2", "est", "jaccard")
     )
@@ -585,9 +613,10 @@ def minhash_lsh_pairs_cross(
     cand = _pin(
         band_a.join(band_b, ["band", "bkey"]).select("d1", "d2").distinct()
     )
-    common = _pair_common(cand, da, db)
-    sz_a = _sizes(da).select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    sz_b = _sizes(db).select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    dva, dvb = _hashed_shingles(da), _hashed_shingles(db)
+    common = _pair_common(cand, dva, dvb)
+    sz_a = _sizes(dva).select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    sz_b = _sizes(dvb).select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     return (
         common.join(sz_a, "d1")
         .join(sz_b, "d2")
