@@ -128,3 +128,32 @@ def geojson_lines(entities: DataFrame) -> DataFrame:
 def export_geojson(entities: DataFrame, path: str) -> None:
     """NDJSON GeoJSON feature export (splittable on re-read)."""
     geojson_lines(entities).write.mode("overwrite").text(path)
+
+
+def export_geoparquet(entities: DataFrame, path: str) -> None:
+    """WKB-parquet export from the engine row format: id + a binary
+    ``geometry`` column (little-endian ISO WKB via model/geometry.
+    format_wkb) — the inverse of read_parquet_dataset's WKB path, which
+    re-detects the binary ``geometry`` column by name. A distributed
+    write cannot stamp the GeoParquet ``geo`` footer JSON (Spark's
+    parquet writer owns the footer), so interoperability rests on the
+    standard column name + WKB encoding, which GeoPandas/GDAL also
+    accept. Arrow-batched; export is off the hot path by design."""
+    import pandas as pd
+
+    from ds_jedai_spark.model.geometry import format_wkb
+
+    def run(batches):
+        for pdf in batches:
+            wkbs = [
+                format_wkb(g, c) for g, c in zip(pdf["gtype"], pdf["coords"])
+            ]
+            yield pd.DataFrame({"id": pdf["id"].astype(str),
+                                "geometry": wkbs})
+
+    (
+        entities.select("id", "gtype", "coords")
+        .mapInPandas(run, "id string, geometry binary")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -450,6 +450,55 @@ def test_geojson_and_ntriples_readers_match_brute_force(
     assert got == want, (src, tgt, got, want)
 
 
+def _write_wkb_parquet(path, rows):
+    """GeoParquet-shaped file: binary WKB `geometry` + `geo` footer
+    metadata (format_wkb is the engine's sink-side mirror; parse_wkb is
+    what the reader exercises)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ds_jedai_spark.model.geometry import format_wkb
+
+    table = pa.table({
+        "id": pa.array([str(i) for i in range(len(rows))], pa.string()),
+        "geometry": pa.array(
+            [format_wkb(gt, parts) for gt, parts in rows], pa.binary()
+        ),
+    }).replace_schema_metadata({
+        b"geo": json.dumps({"version": "1.0.0",
+                            "primary_column": "geometry"}).encode()
+    })
+    pq.write_table(table, str(path))
+
+
+@pytest.mark.usefixtures("spark")
+@given(dataset(), dataset())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_wkb_parquet_reader_matches_brute_force(
+        spark, tmp_path_factory, src, tgt):
+    """Same brute-force law through the GeoParquet/WKB ingestion path
+    (r12): binary WKB geometry on the source side, auto-detected from
+    the geo footer metadata (geom_field deliberately left at a name the
+    file lacks); WKT TSV on the target side."""
+    d = tmp_path_factory.mktemp("fuzzw")
+    _write_wkb_parquet(d / "s.parquet", src)
+    _write(d / "t.tsv", tgt)
+    cfg = JedaiConfig(
+        source=DatasetSpec(path=str(d / "s.parquet"), id_field="id",
+                           geom_field="wkt"),
+        target=DatasetSpec(path=str(d / "t.tsv"), id_field="id",
+                           geom_field="wkt"),
+        relation="DE9IM",
+    )
+    got = api.run(spark, cfg).first().asDict()
+    want = _brute_counts(src, tgt)
+    got.pop("verifications")
+    assert got == want, (src, tgt, got, want)
+
+
 @pytest.mark.usefixtures("spark")
 @given(dataset(), dataset())
 @settings(max_examples=5, deadline=None,

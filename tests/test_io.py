@@ -312,6 +312,26 @@ def test_read_parquet_wkb_geoparquet(spark, tmp_path):
     assert sorted(tuple(r) for r in got_named.select(key).collect()) == want
 
 
+def test_export_geoparquet_roundtrip(spark, tmp_path):
+    """export_geoparquet -> read_parquet_dataset reproduces the row
+    format exactly for every geometry type the WKT fixture exercises
+    (binary `geometry` column detected by name on re-read)."""
+    from pyspark.sql import functions as F
+
+    from ds_jedai_spark.io.readers import read_parquet_dataset, read_wkt_delimited
+    from ds_jedai_spark.io.writers import export_geoparquet
+    from ds_jedai_spark.plans.reader_plans import FIXTURE
+
+    src = read_wkt_delimited(spark, FIXTURE, id_field="id", geom_field="wkt")
+    out = str(tmp_path / "export_wkb.parquet")
+    export_geoparquet(src, out)
+    back = read_parquet_dataset(spark, out)
+    key = ["id", "gtype", "coords", "minx", "miny", "maxx", "maxy"]
+    assert sorted(tuple(r) for r in back.select(key).collect()) == sorted(
+        tuple(r) for r in src.select(key).collect()
+    )
+
+
 def test_read_parquet_dataset_date_field(spark, tmp_path):
     """-date-col on parquet: a missing column errors with guidance on
     BOTH paths, and the row-format fast path surfaces the named column
