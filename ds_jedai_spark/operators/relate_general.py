@@ -84,39 +84,6 @@ def _seg_intersect(a1: Pt, a2: Pt, b1: Pt, b2: Pt) -> tuple[bool, bool, bool]:
     return touch, False, False
 
 
-def _point_in_ring(p: Pt, ring: list[Pt]) -> int:
-    """2 inside, 1 on boundary, 0 outside (ray cast, exact on boundary)."""
-    x, y = p
-    inside = False
-    n = len(ring)
-    for i in range(n - 1):
-        a, b = ring[i], ring[i + 1]
-        if _on_segment(p, a, b):
-            return 1
-        if (a[1] > y) != (b[1] > y):
-            # exact rational comparison: x < ax + (y-ay)*(bx-ax)/(by-ay)
-            t = (y - a[1]) * (b[0] - a[0]) - (x - a[0]) * (b[1] - a[1])
-            if (t > 0) != (b[1] < a[1]):
-                inside = not inside
-    return 2 if inside else 0
-
-
-def _point_in_polygon(p: Pt, rings: list[list[Pt]]) -> int:
-    """2 interior, 1 boundary, 0 exterior — EVEN-ODD over all rings
-    (matching relate_poly.point_location), so one code path serves
-    POLYGON-with-holes AND flattened MULTIPOLYGON ring lists. The
-    previous outer-ring-first form silently classified a point inside
-    any part but the first of a multipolygon as exterior."""
-    inside = 0
-    for r in rings:
-        loc = _point_in_ring(p, r)
-        if loc == 1:
-            return 1
-        if loc == 2:
-            inside ^= 1
-    return 2 if inside else 0
-
-
 def _segments(parts: list[list[Pt]]) -> list[tuple[Pt, Pt]]:
     out = []
     for part in parts:
@@ -192,18 +159,10 @@ def _relate_point_line(p: Pt, parts) -> dict[str, bool]:
 
 
 def _relate_point_polygon(p: Pt, rings) -> dict[str, bool]:
-    d = _false()
-    loc = _point_in_polygon(p, rings)
-    if loc == 0:
-        return _finish(d)
-    d["intersects"] = True
-    if loc == 1:
-        d["touches"] = True
-        d["coveredby"] = True
-    else:
-        d["within"] = True
-        d["coveredby"] = True
-    return _finish(d)
+    # Same seam-normalized locator as the point-SET path (r12); the
+    # single-point flag algebra is the n_in/n_on degenerate of it
+    # (crosses needs points on both sides, impossible with one).
+    return _relate_points_polygon([tuple(p)], rings)
 
 
 def _relate_line_line(pa, pb) -> dict[str, bool]:
@@ -389,11 +348,24 @@ def _relate_points_line(pts: list[Pt], parts) -> dict[str, bool]:
 
 
 def _relate_points_polygon(pts: list[Pt], rings) -> dict[str, bool]:
-    """Point-set vs polygon region (dim 0 vs 2)."""
+    """Point-set vs polygon region (dim 0 vs 2).
+
+    Locates on the SEAM-NORMALIZED scaled-integer rings (relate_poly.
+    normalize_rings, r12) so a point exactly on a cancelled collinear
+    seam of an OGC-invalid multipolygon answers interior/exterior —
+    the same region the polygon×polygon and line×polygon paths see,
+    matching JTS after noding. Valid polygons normalize to themselves
+    and the location math is the identical even-odd parity either way."""
+    from ds_jedai_spark.operators import relate_poly
+
+    pt_parts, poly_parts = relate_poly._scale_parts(
+        [[list(p)] for p in pts], rings
+    )
+    nr = relate_poly.normalize_rings(relate_poly._rings(poly_parts))
     d = _false()
     n_in = n_on = n_out = 0
-    for p in pts:
-        loc = _point_in_polygon(p, rings)
+    for part in pt_parts:
+        loc = relate_poly.point_location(relate_poly._hpt(part[0]), nr)
         if loc == 2:
             n_in += 1
         elif loc == 1:

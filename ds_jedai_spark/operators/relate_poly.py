@@ -34,9 +34,9 @@ evidence) would overcount without it (measured in r11 by the
 non-axis-aligned property suite; normalized since r12, matching JTS's
 noding behavior on the same inputs). Parts overlapping in 2-D without
 coincident edges cancel pointwise under the same parity rule. The
-point/multipoint paths keep the raw-edge locator convention: a point
-exactly ON a cancelled seam reports boundary (measure-zero, only on
-invalid input). Complexity O(|A|·|B|) per pair — this is the
+point/multipoint×polygon paths locate on the same normalized rings
+(relate_general._relate_points_polygon), so every pair type sees one
+region. Complexity O(|A|·|B|) per pair — this is the
 engine's slow path, reached only after tile filtering; boxes / points /
 segments keep their closed forms.
 """

@@ -276,15 +276,34 @@ def test_point_vs_donut_matches_interval_algebra(donut, pt):
 def test_point_vs_multipolygon_matches_interval_algebra(d1, d2, pt):
     """MULTIPOLYGON (two independent donut parts, arbitrary relative
     placement — may overlap, under even-odd the overlap is exterior) vs
-    POINT: engine == interval-algebra truth via even-odd parity."""
+    POINT: engine == interval-algebra truth via NEIGHBORHOOD even-odd
+    parity. The two donuts may share collinear ring runs (up to being
+    identical); under even-odd those seams cancel (r12
+    seam-normalization), so the truth is derived from the REGION, not
+    the raw rings: sample the strict-containment parity in the four
+    quadrants around p (all lattice coordinates are multiples of 1/16,
+    so a 2^-20 offset stays inside p's arrangement cell and every
+    comparison is exact float arithmetic) — interior iff all four
+    parities are odd, exterior iff all even, boundary otherwise."""
     parts = d1[0] + d2[0]
     p = tuple(pt[0][0])
     rects = [d1[1], d1[2], d2[1], d2[2]]
-    locs = [_rect_loc(p, r) for r in rects]
-    if 1 in locs:
-        want = 1
+
+    def par(q):
+        return sum(
+            1 for (x1, y1, x2, y2) in rects
+            if x1 < q[0] < x2 and y1 < q[1] < y2
+        ) % 2
+
+    eps = 2.0 ** -20
+    quad = [par((p[0] + sx * eps, p[1] + sy * eps))
+            for sx in (-1, 1) for sy in (-1, 1)]
+    if all(v == 1 for v in quad):
+        want = 2
+    elif all(v == 0 for v in quad):
+        want = 0
     else:
-        want = 2 if sum(1 for loc in locs if loc == 2) % 2 == 1 else 0
+        want = 1
     d = relate_pair("MULTIPOLYGON", parts, "POINT", pt)
     assert d["contains"] == (want == 2)
     assert d["touches"] == (want == 1)

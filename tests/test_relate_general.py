@@ -230,3 +230,28 @@ def test_point_in_any_multipolygon_part_even_odd():
         "POLYGON", donut, "MULTIPOINT", [[(8.0, 2.0)], [(8.0, 8.0)]]
     )
     assert mixed["intersects"] and mixed["crosses"] and not mixed["coveredby"]
+
+
+def test_point_on_cancelled_seam_is_interior():
+    """A point exactly ON a same-geometry collinear seam locates against
+    the NORMALIZED region (r12): interior for fused adjacent parts,
+    exterior for a fully cancelled (duplicated) region — consistent
+    with the polygon x polygon answers on the same inputs."""
+    two = [
+        [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)],
+        [(1.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 1.0), (1.0, 0.0)],
+    ]
+    on_seam = relate_pair("MULTIPOLYGON", two, "POINT", [[(1.0, 0.5)]])
+    assert on_seam["contains"] and not on_seam["touches"]
+    # the fused outline is still true boundary
+    on_rim = relate_pair("MULTIPOLYGON", two, "POINT", [[(0.0, 0.5)]])
+    assert on_rim["touches"] and on_rim["covers"] and not on_rim["contains"]
+    gone = [
+        [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)],
+    ] * 2
+    assert relate_pair("MULTIPOLYGON", gone, "POINT",
+                       [[(0.5, 0.5)]])["disjoint"]
+    # MULTIPOINT straddling seam-interior and outside: crosses
+    mixed = relate_pair("MULTIPOLYGON", two, "MULTIPOINT",
+                        [[(1.0, 0.5)], [(5.0, 5.0)]])
+    assert mixed["intersects"] and mixed["crosses"] and not mixed["touches"]
