@@ -273,6 +273,44 @@ def _run_op(args) -> int:
                 export_path=args.export,
             )
             df = api.run(spark, cfg)
+        elif args.op == "convert":
+            # Format conversion through the full reader/writer surface:
+            # any supported geometry dataset (WKT tsv/csv, GeoJSON,
+            # N-Triples, engine row-format parquet, GeoParquet/WKB,
+            # WKT-column parquet) -> the engine row format, written as
+            # row-format parquet (zero-parse re-reads), GeoParquet/WKB,
+            # or NDJSON GeoJSON. The ingest-side converter a user runs
+            # ONCE so every later job takes the parquet fast path.
+            from ds_jedai_spark import api
+            from ds_jedai_spark.config import DatasetSpec
+            from ds_jedai_spark.io import writers
+
+            if not (args.left and args.out):
+                print("-op convert needs -left (input dataset) and -out",
+                      file=sys.stderr)
+                return 2
+            if args.to not in ("rowparquet", "geoparquet", "geojson"):
+                print(f"-op convert: unknown -to {args.to!r}; choose "
+                      "from rowparquet/geoparquet/geojson",
+                      file=sys.stderr)
+                return 2
+            src = api.read_dataset(spark, DatasetSpec(
+                path=args.left, id_field=args.id_col,
+                geom_field=args.geom_col, date_field=args.date_col,
+            ))
+            if args.to == "rowparquet":
+                src.write.mode("overwrite").parquet(args.out)
+                back = spark.read.parquet(args.out)
+            elif args.to == "geoparquet":
+                writers.export_geoparquet(src, args.out)
+                back = spark.read.parquet(args.out)
+            else:
+                writers.export_geojson(src, args.out)
+                back = spark.read.text(args.out)
+            print(f"wrote {back.count()} entities to {args.out} "
+                  f"({args.to})")
+            print(f"TOTAL TIME: {time.perf_counter() - t0:.2f}s")
+            return 0
         elif args.op == "asof":
             from ds_jedai_spark.operators.temporal import asof_join
 
@@ -664,7 +702,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "-op",
         default=None,
-        choices=["relate", "asof", "interval", "chunk", "dedup",
+        choices=["relate", "convert", "asof", "interval", "chunk", "dedup",
                  "dedup-build", "dedup-apply", "emb-dedup", "ann",
                  "ann-build", "quantize", "shuffle", "dupspans", "scrub"],
         help="run a temporal/pipeline operator on user parquet",
@@ -703,7 +741,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="relate: progressive weighting function "
                          "(CF, JS, MBRO, PEARSON_X2, ISP)")
     ap.add_argument("-geom-col", dest="geom_col", default="wkt",
-                    help="relate: WKT geometry column/field name")
+                    help="relate/convert: WKT geometry column/field name "
+                         "(GeoParquet/WKB auto-detects)")
+    ap.add_argument("-to", default="rowparquet",
+                    help="convert: output format — rowparquet (engine "
+                         "zero-parse), geoparquet (WKB binary), geojson "
+                         "(NDJSON features)")
     ap.add_argument("-date-col", dest="date_col", default=None,
                     help="relate: date column on BOTH sides enables the "
                          "reference's spatio-temporal qualifier "
@@ -748,7 +791,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.op is not None:
         if args.id_col is None:
-            args.id_col = "id" if args.op == "relate" else "doc_id"
+            args.id_col = ("id" if args.op in ("relate", "convert")
+                           else "doc_id")
         if args.bucket_us == "none":
             args.bucket_us = None
         if args.chunk_tokens is None:

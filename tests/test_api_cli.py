@@ -897,6 +897,48 @@ def _write_geoparquet(path, rows):
     pq.write_table(table, str(path))
 
 
+def test_cli_op_convert(spark, tmp_path, capsys, monkeypatch):
+    """-op convert: WKT TSV -> geoparquet -> rowparquet -> geojson, the
+    row format identical at every hop; guards for missing -out and an
+    unknown -to."""
+    from pyspark.sql import functions as F
+
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+    from ds_jedai_spark.io.readers import read_geojson, read_wkt_delimited
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    d = tmp_path
+    _write_tsv(d / "s.tsv", SOURCE)
+    key = ["id", "gtype", "coords", "minx", "miny", "maxx", "maxy"]
+    want = sorted(
+        tuple(r) for r in read_wkt_delimited(
+            spark, str(d / "s.tsv"), id_field="id", geom_field="wkt"
+        ).select(key).collect()
+    )
+
+    geo = str(d / "s_geo.parquet")
+    assert cli.main(["-op", "convert", "-left", str(d / "s.tsv"),
+                     "-to", "geoparquet", "-out", geo]) == 0
+    assert "5 entities" in capsys.readouterr().out
+    rowp = str(d / "s_row.parquet")
+    assert cli.main(["-op", "convert", "-left", geo,
+                     "-to", "rowparquet", "-out", rowp]) == 0
+    got = spark.read.parquet(rowp).select(key).collect()
+    assert sorted(tuple(r) for r in got) == want
+    gj = str(d / "s.geojson_dir")
+    assert cli.main(["-op", "convert", "-left", rowp,
+                     "-to", "geojson", "-out", gj]) == 0
+    back = read_geojson(spark, gj).withColumn("id", F.col("id"))
+    assert sorted(tuple(r) for r in back.select(key).collect()) == want
+
+    assert cli.main(["-op", "convert", "-left", str(d / "s.tsv")]) == 2
+    assert cli.main(["-op", "convert", "-left", str(d / "s.tsv"),
+                     "-to", "nope", "-out", str(d / "x")]) == 2
+
+
 def test_cli_op_relate_geoparquet(spark, tmp_path, capsys, monkeypatch):
     """-op relate on GeoParquet/WKB inputs with ZERO extra flags (the
     geometry column auto-detected from the geo footer metadata) lands on
