@@ -258,3 +258,57 @@ def test_normalize_rings_seam_cancellation():
     assert d["contains"] and d["covers"] and not d["touches"]
     gone = [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]] * 2
     assert relate_polygon_polygon(gone, B)["disjoint"]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6),
+                  st.integers(1, 6), st.integers(1, 6)),
+        min_size=2, max_size=4,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_normalize_rings_preserves_region_fuzz(rects, dup_first):
+    """Adversarial seam soup: overlapping rectangles on a small integer
+    lattice (duplicates, partial collinear runs, T-junctions, multi-way
+    seams — multiplicities 3+). normalize_rings must preserve the
+    even-odd REGION exactly: at every lattice and half-lattice probe,
+    point_location on the normalized rings equals the neighborhood
+    even-odd parity truth (four quadrant samples at +-1/4, which stay
+    inside the probe's arrangement cell because every edge lies on the
+    integer lattice) — interior iff all four odd, exterior iff all
+    even, boundary otherwise."""
+    from ds_jedai_spark.operators.relate_poly import (
+        _rings,
+        normalize_rings,
+        point_location,
+    )
+
+    rs = [(x, y, x + w, y + h) for x, y, w, h in rects]
+    if dup_first:
+        rs.append(rs[0])
+    rings = _rings([
+        [(x1, y1), (x2, y1), (x2, y2), (x1, y2)] for x1, y1, x2, y2 in rs
+    ])
+    norm = normalize_rings(rings)
+
+    def par(qx, qy):
+        return sum(
+            1 for x1, y1, x2, y2 in rs if x1 < qx < x2 and y1 < qy < y2
+        ) % 2
+
+    for ix in range(-2, 27):           # lattice + half steps over [-1, 13]
+        for iy in range(-2, 27):
+            qx, qy = ix / 2.0, iy / 2.0
+            quad = [par(qx + sx / 4.0, qy + sy / 4.0)
+                    for sx in (-1, 1) for sy in (-1, 1)]
+            if all(v == 1 for v in quad):
+                want = 2
+            elif all(v == 0 for v in quad):
+                want = 0
+            else:
+                want = 1
+            # probes are half-integers: scale by 2 for integer lattice
+            got = point_location((ix, iy, 2), norm)
+            assert got == want, (rs, (qx, qy), got, want)
