@@ -1064,8 +1064,10 @@ def test_sheared_contact_polygon_pairs_match_arrangement_model(
 def _chain_flags_by_arrangement(chain_parts, poly_parts):
     """Independent line x polygon flags: classify the chain's exact
     sub-segment midpoints and cut points against the polygon (line-side
-    classification fully determines the mixed-dimension flags)."""
-    rings = _fr_rings(poly_parts)
+    classification fully determines the mixed-dimension flags).
+    Same-geometry collinear seams of the polygon cancel first (r12) —
+    the flags describe the even-odd REGION."""
+    rings = _fr_cancel_seams(_fr_rings(poly_parts))
     edges = _fr_edges(rings)
     has_in = has_on = has_out = False
     for part in chain_parts:
@@ -1122,6 +1124,30 @@ def test_chain_vs_affine_polygon_matches_arrangement_model(
     want = _chain_flags_by_arrangement(chain, poly)
     got = relate_pair("MULTILINESTRING", chain, "POLYGON", poly)
     assert got == want, (chain, m, ip, got, want)
+
+
+@given(
+    polylines(),
+    st.integers(0, len(_POLY_TEMPLATES) - 1),
+    st.integers(0, len(_POLY_TEMPLATES) - 1),
+    dyadic_maps(),
+    st.integers(-4, 4),
+    st.integers(-4, 4),
+)
+@settings(max_examples=120, deadline=None)
+def test_chain_vs_seamed_multipolygon_matches_arrangement_model(
+    chain, ia, ib, m, dx, dy
+):
+    """Polylines vs a sheared MULTIPOLYGON whose parts may share
+    collinear boundary runs (seams): the engine's line x polygon path
+    normalizes the polygon's rings (r12), and the truth model cancels
+    seams in Fraction arithmetic — a chain riding exactly along a fused
+    seam must classify as interior, not boundary."""
+    pa = (_apply_map16(m, _POLY_TEMPLATES[ia])
+          + _apply_map16(m, _POLY_TEMPLATES[ib], shift=(dx, dy)))
+    want = _chain_flags_by_arrangement(chain, pa)
+    got = relate_pair("MULTILINESTRING", chain, "MULTIPOLYGON", pa)
+    assert got == want, (chain, m, ia, ib, dx, dy, got, want)
 
 
 @given(boxes(), segments())
