@@ -311,6 +311,63 @@ def _run_op(args) -> int:
                   f"({args.to})")
             print(f"TOTAL TIME: {time.perf_counter() - t0:.2f}s")
             return 0
+        elif args.op in ("knn", "distance"):
+            # Spatial distance / exact-kNN joins on arbitrary point
+            # datasets (any reader format), completing the YAML-free
+            # spatial surface next to -op relate. Both operators are
+            # point-to-point by contract (expanded-MBR tile join /
+            # iterative radius expansion, operators/spatial_join.py);
+            # non-point input errors with guidance.
+            from pyspark.sql import functions as F
+
+            from ds_jedai_spark import api
+            from ds_jedai_spark.config import DatasetSpec
+            from ds_jedai_spark.operators.spatial_join import (
+                distance_join,
+                knn_join_exact,
+            )
+
+            if not (args.left and args.right):
+                print(f"-op {args.op} needs -left and -right point "
+                      "datasets", file=sys.stderr)
+                return 2
+            if args.op == "distance" and args.tau is None:
+                print("-op distance needs -tau <radius>", file=sys.stderr)
+                return 2
+
+            def _read_points(path: str):
+                df = api.read_dataset(spark, DatasetSpec(
+                    path=path, id_field=args.id_col,
+                    geom_field=args.geom_col,
+                ))
+                bad = df.where(
+                    "minx != maxx OR miny != maxy"
+                ).limit(1).count()
+                if bad:
+                    raise SystemExit(
+                        f"-op {args.op}: {path} contains non-point "
+                        "geometries; the distance/kNN joins are "
+                        "point-to-point (reduce to centroids upstream, "
+                        "or use -op relate for region predicates)"
+                    )
+                return df
+
+            s, t = _read_points(args.left), _read_points(args.right)
+            if args.op == "distance":
+                df = distance_join(s, t, radius=float(args.tau))
+            else:
+                # exact kNN: the final round's radius must reach the
+                # whole domain, so derive it from the joint extent (one
+                # cheap 4-column aggregate)
+                env = ("minx", "miny", "maxx", "maxy")
+                r = (
+                    s.select(*env).unionByName(t.select(*env))
+                    .agg(F.min("minx").alias("a"), F.max("maxx").alias("b"),
+                         F.min("miny").alias("c"), F.max("maxy").alias("d"))
+                    .first()
+                )
+                diam = max(r.b - r.a, r.d - r.c, 0.0) * 1.415 + 1.0
+                df = knn_join_exact(s, t, k=args.k, rmax=max(256.0, diam))
         elif args.op == "asof":
             from ds_jedai_spark.operators.temporal import asof_join
 
@@ -702,9 +759,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "-op",
         default=None,
-        choices=["relate", "convert", "asof", "interval", "chunk", "dedup",
-                 "dedup-build", "dedup-apply", "emb-dedup", "ann",
-                 "ann-build", "quantize", "shuffle", "dupspans", "scrub"],
+        choices=["relate", "convert", "knn", "distance", "asof", "interval",
+                 "chunk", "dedup", "dedup-build", "dedup-apply", "emb-dedup",
+                 "ann", "ann-build", "quantize", "shuffle", "dupspans",
+                 "scrub"],
         help="run a temporal/pipeline operator on user parquet",
     )
     ap.add_argument("-index", default=None,
@@ -716,7 +774,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-shards", type=int, default=None,
                     help="shuffle: number of training shards")
     ap.add_argument("-k", type=int, default=5,
-                    help="ann: neighbors per query")
+                    help="ann / spatial knn: neighbors per query/source")
     ap.add_argument("-nprobe", type=int, default=1,
                     help="ann (ivf): probe the N nearest cells per query "
                          "(recall/latency knob; 1 = single-cell)")
@@ -727,7 +785,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="ann: exact brute force, auto-sized trained IVF, "
                          "or auto-sized PQ with shortlist rerank")
     ap.add_argument("-tau", type=float, default=None,
-                    help="dedup: similarity threshold (jaccard/cosine)")
+                    help="dedup: similarity threshold (jaccard/cosine); "
+                         "distance: the join radius")
     ap.add_argument("-relation", default="DE9IM",
                     help="relate: DE9IM (counts row) or a single "
                          "predicate (intersects/contains/...) emitting "
@@ -791,7 +850,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.op is not None:
         if args.id_col is None:
-            args.id_col = ("id" if args.op in ("relate", "convert")
+            args.id_col = ("id" if args.op in ("relate", "convert",
+                                               "knn", "distance")
                            else "doc_id")
         if args.bucket_us == "none":
             args.bucket_us = None

@@ -939,6 +939,76 @@ def test_cli_op_convert(spark, tmp_path, capsys, monkeypatch):
                      "-to", "nope", "-out", str(d / "x")]) == 2
 
 
+def test_cli_op_knn_distance(spark, tmp_path, monkeypatch):
+    """-op knn / -op distance on user point TSVs: results equal a
+    pure-Python brute force; non-point input and a missing -tau are
+    guided errors."""
+    import math
+
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    d = tmp_path
+    rng_pts = [(i, (i * 7) % 13 / 2.0, (i * 5) % 11 / 2.0) for i in range(12)]
+    tgt_pts = [(100 + i, (i * 3) % 9 / 2.0, (i * 7) % 10 / 2.0)
+               for i in range(9)]
+
+    def write_pts(path, rows):
+        with open(path, "w") as f:
+            f.write("id\twkt\n")
+            for i, x, y in rows:
+                f.write(f"{i}\tPOINT ({x} {y})\n")
+
+    write_pts(d / "a.tsv", rng_pts)
+    write_pts(d / "b.tsv", tgt_pts)
+
+    # distance join vs brute force
+    out = str(d / "dist.parquet")
+    assert cli.main(["-op", "distance", "-left", str(d / "a.tsv"),
+                     "-right", str(d / "b.tsv"), "-tau", "2.0",
+                     "-out", out]) == 0
+    got = {(int(r.s_id), int(r.t_id))
+           for r in spark.read.parquet(out).collect()}
+    want = {(i, j) for i, x1, y1 in rng_pts for j, x2, y2 in tgt_pts
+            if (x1 - x2) ** 2 + (y1 - y2) ** 2 <= 4.0}
+    assert got == want and got
+
+    # exact kNN vs brute force (distance ties broken by engine rank —
+    # compare the per-source kth-distance multiset instead of ids)
+    out2 = str(d / "knn.parquet")
+    assert cli.main(["-op", "knn", "-left", str(d / "a.tsv"),
+                     "-right", str(d / "b.tsv"), "-k", "3",
+                     "-out", out2]) == 0
+    rows = spark.read.parquet(out2).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(int(r.s_id), []).append(int(r.t_id))
+    xy = {j: (x, y) for j, x, y in tgt_pts}
+    for i, x1, y1 in rng_pts:
+        assert len(by_src[i]) == 3, (i, by_src.get(i))
+        # every reported neighbor lies within the true kth distance
+        # (distance ties may break either way; the distance multiset
+        # is what exactness pins)
+        kth = sorted(
+            math.hypot(x1 - x2, y1 - y2) for _, x2, y2 in tgt_pts
+        )[2]
+        for j in by_src[i]:
+            x2, y2 = xy[j]
+            assert math.hypot(x1 - x2, y1 - y2) <= kth + 1e-9, (i, j)
+
+    # guards
+    assert cli.main(["-op", "distance", "-left", str(d / "a.tsv"),
+                     "-right", str(d / "b.tsv")]) == 2
+    with open(d / "poly.tsv", "w") as f:
+        f.write("id\twkt\n1\tPOLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))\n")
+    with pytest.raises(SystemExit, match="non-point"):
+        cli.main(["-op", "knn", "-left", str(d / "poly.tsv"),
+                  "-right", str(d / "b.tsv"), "-k", "2"])
+
+
 def test_cli_op_relate_geoparquet(spark, tmp_path, capsys, monkeypatch):
     """-op relate on GeoParquet/WKB inputs with ZERO extra flags (the
     geometry column auto-detected from the geo footer metadata) lands on
