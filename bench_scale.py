@@ -234,6 +234,33 @@ def giant_counts_x100(spark, sf_dir):
     return v
 
 
+def giant_counts_x1000(spark, sf_dir):
+    """The THIRD scale decade (r12): 20M x 150M boxes (1000 clones),
+    863,442,000 true pairs — the same pure streaming plan, nothing
+    materialized, memory and disk FLAT (df unchanged across the run;
+    measured 491 s standalone). The 86M->863M decade costs ~26x rather
+    than 10x on this box because the exploded-tile shuffle (~680M rows)
+    crosses the in-memory->spill transition — a per-box constant, not a
+    plan property; a cluster whose aggregate memory holds the shuffle
+    stays linear on the identical plan. Row law asserted in main():
+    verifications == exactly 10x the x100 entry (clone i only meets
+    clone i)."""
+    from ds_jedai_spark.model.tiles import compute_theta
+    from ds_jedai_spark.operators.relate import with_relations
+    from ds_jedai_spark.operators.spatial_join import tile_join
+    from ds_jedai_spark.plans.giant import counts_agg
+
+    cs, ct = _cloned_boxes(spark, sf_dir, clones=1000)
+    theta = compute_theta(cs)
+    out = counts_agg(with_relations(tile_join(cs, ct, theta=theta)))
+    v = out.first().verifications
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, (
+        "1000x tile join picked a broadcast at the third scale decade"
+    )
+    return v
+
+
 def lsh_x100(spark, sf_dir):
     """MinHash-LSH at the FULL second scale decade (100 exact clones).
     Exact-clone cliques make the TRUE OUTPUT quadratic in the clone
@@ -785,6 +812,7 @@ def main() -> None:
         # r11: the second scale decade (single-shot — fit math and the
         # exact row laws live in the entry docstrings / asserts)
         ("giant_counts_x100", lambda: giant_counts_x100(spark, sf_dir)),
+        ("giant_counts_x1000", lambda: giant_counts_x1000(spark, sf_dir)),
         ("lsh_x100", lambda: lsh_x100(spark, sf_dir)),
         ("lsh_x10", lambda: lsh_x10(spark, sf_dir)),
         ("emb_lsh_x10", lambda: emb_lsh_x10(spark, sf_dir)),
@@ -835,7 +863,7 @@ def main() -> None:
     # box during the minutes-long run shows up in the trailing probe,
     # so a decade number taken under load is flagged in decade_probes
     # rather than silently trusted.
-    single_rep = {"giant_counts_x100", "lsh_x100"}
+    single_rep = {"giant_counts_x100", "giant_counts_x1000", "lsh_x100"}
     rows: dict[str, int] = {}
     probes: list[float] = []
     reps: dict[str, list[tuple[float, float]]] = {}  # (probe, timing)
@@ -863,6 +891,10 @@ def main() -> None:
     assert rows["giant_counts_x100"] == 10 * rows["giant_counts_x10"], (
         "x100 decade row law broke: "
         f"{rows['giant_counts_x100']} != 10 * {rows['giant_counts_x10']}"
+    )
+    assert rows["giant_counts_x1000"] == 10 * rows["giant_counts_x100"], (
+        "x1000 decade row law broke: "
+        f"{rows['giant_counts_x1000']} != 10 * {rows['giant_counts_x100']}"
     )
     # Same retry-on-flagged-probe protocol as bench.py (r11; aligned
     # r12): only an ABOVE-median probe means ambient load (below-median
