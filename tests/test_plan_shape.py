@@ -239,3 +239,16 @@ def test_duplicated_spans_plan_is_blocked_equijoin(spark):
             assert "#" in head and "ASC" not in head.split("#")[0], (
                 f"unpartitioned window in spans plan: {head}"
             )
+
+
+def test_wkb_scan_prunes_to_id_and_geometry(spark):
+    """The GeoParquet/WKB reader's parquet scan reads ONLY the id and
+    binary geometry columns — the fixture's truth columns (gtype, valid,
+    envelopes) never leave the footer (the select precedes mapInArrow,
+    so pruning reaches the scan)."""
+    from ds_jedai_spark.io.readers import read_parquet_dataset
+    from ds_jedai_spark.plans.reader_plans import WKB_FIXTURE
+
+    df = read_parquet_dataset(spark, WKB_FIXTURE)
+    plan = plan_of(df)
+    assert "ReadSchema: struct<id:bigint,geometry:binary>" in plan
