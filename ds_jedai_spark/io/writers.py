@@ -106,23 +106,36 @@ def geojson_lines(entities: DataFrame) -> DataFrame:
             return {"type": "MultiPolygon", "coordinates": [[r] for r in parts]}
         return None
 
+    # A ts column round-trips through properties (read back with
+    # read_geojson(date_field="ts")); the default date pattern both
+    # sides share makes the export/ingest loop lossless to the second.
+    has_ts = "ts" in entities.columns
+
     def run(batches):
         import pandas as pd
 
         for pdf in batches:
             lines = []
-            for rid, gtype, coords in zip(pdf["id"], pdf["gtype"], pdf["coords"]):
+            tss = (pdf["ts"] if has_ts
+                   else pd.Series([None] * len(pdf)))
+            for rid, gtype, coords, ts in zip(
+                pdf["id"], pdf["gtype"], pdf["coords"], tss
+            ):
                 geom = to_feature(gtype, coords)
                 if geom is None:
                     continue
+                props = {"id": str(rid)}
+                if ts is not None and ts == ts:  # skip NULL/NaT
+                    props["ts"] = ts.strftime("%Y-%m-%d %H:%M:%S")
                 lines.append(json.dumps({
                     "type": "Feature",
                     "geometry": geom,
-                    "properties": {"id": str(rid)},
+                    "properties": props,
                 }))
             yield pd.DataFrame({"value": lines})
 
-    return entities.select("id", "gtype", "coords").mapInPandas(run, "value string")
+    cols = ["id", "gtype", "coords"] + (["ts"] if has_ts else [])
+    return entities.select(*cols).mapInPandas(run, "value string")
 
 
 def export_geojson(entities: DataFrame, path: str) -> None:

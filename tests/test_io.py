@@ -387,3 +387,30 @@ def test_geojson_export_roundtrip(spark, tmp_path):
     got = sorted(tuple(r) for r in back.select(key).collect())
     want = sorted(tuple(r) for r in src.select(key).collect())
     assert got == want and len(got) > 300
+
+
+def test_geojson_export_carries_ts(spark, tmp_path):
+    """export_geojson round-trips a ts column through feature properties
+    (read back with date_field='ts')."""
+    import datetime
+
+    from ds_jedai_spark.io.readers import read_geojson, read_wkt_delimited
+    from ds_jedai_spark.io.writers import export_geojson
+
+    src = tmp_path / "s.tsv"
+    src.write_text(
+        "id\twkt\td\n"
+        "1\tPOINT (1 2)\t2024-03-01 10:00:01\n"
+        "2\tPOINT (3 4)\t2024-03-02 11:30:00\n"
+    )
+    parsed = read_wkt_delimited(
+        spark, str(src), id_field="id", geom_field="wkt", date_field="d"
+    )
+    out = str(tmp_path / "ts.geojson")
+    export_geojson(parsed, out)
+    back = read_geojson(spark, out, date_field="ts")
+    rows = {r.id: r.ts for r in back.select("id", "ts").collect()}
+    assert rows == {
+        "1": datetime.datetime(2024, 3, 1, 10, 0, 1),
+        "2": datetime.datetime(2024, 3, 2, 11, 30, 0),
+    }
