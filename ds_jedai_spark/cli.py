@@ -366,7 +366,8 @@ def _run_op(args) -> int:
                          F.min("miny").alias("c"), F.max("maxy").alias("d"))
                     .first()
                 )
-                diam = max(r.b - r.a, r.d - r.c, 0.0) * 1.415 + 1.0
+                diam = (max(r.b - r.a, r.d - r.c, 0.0) * 1.415 + 1.0
+                        if r.a is not None else 1.0)  # empty input
                 df = knn_join_exact(s, t, k=args.k, rmax=max(256.0, diam))
         elif args.op == "asof":
             from ds_jedai_spark.operators.temporal import asof_join
