@@ -257,6 +257,19 @@ def _run_op(args) -> int:
                 print(f"-op relate: unknown -main-wf {wf!r}; choose "
                       f"from {sorted(WEIGHT_FUNCS)}", file=sys.stderr)
                 return 2
+            from ds_jedai_spark.config import ENTITY_TYPES, GRID_TYPES
+
+            grid = args.grid_type.upper()
+            if grid not in GRID_TYPES:
+                print(f"-op relate: unknown -grid-type {grid!r}; choose "
+                      f"from {sorted(GRID_TYPES)}", file=sys.stderr)
+                return 2
+            etype = args.entity_type.upper()
+            if etype not in ENTITY_TYPES:
+                print(f"-op relate: unknown -entity-type {etype!r}; "
+                      f"choose from {sorted(ENTITY_TYPES)}",
+                      file=sys.stderr)
+                return 2
             cfg = JedaiConfig(
                 source=DatasetSpec(path=args.left, id_field=args.id_col,
                                    geom_field=args.geom_col,
@@ -268,6 +281,9 @@ def _run_op(args) -> int:
                 progressive_algorithm=alg,
                 budget=args.budget,
                 main_wf=wf,
+                grid_type=grid,
+                partitions=args.partitions,
+                entity_type=etype,
                 # -export works like the -conf form: RDF flags for
                 # DE9IM, CSV pairs for a single predicate
                 export_path=args.export,
@@ -800,6 +816,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-main-wf", dest="main_wf", default="JS",
                     help="relate: progressive weighting function "
                          "(CF, JS, MBRO, PEARSON_X2, ISP)")
+    ap.add_argument("-grid-type", dest="grid_type", default="TILES",
+                    help="relate: TILES (default), or KDBTREE/QUADTREE "
+                         "for the sampled spatial-partitioner join")
+    ap.add_argument("-partitions", type=int, default=None,
+                    help="relate: partition count for -grid-type "
+                         "kdbtree/quadtree")
+    ap.add_argument("-entity-type", dest="entity_type",
+                    default="SPATIAL_ENTITY",
+                    help="relate: SPATIAL_ENTITY (default) or "
+                         "DECOMPOSED_ENTITY / INDEXED_DECOMPOSED_ENTITY "
+                         "for the fine-envelope pre-filter")
     ap.add_argument("-geom-col", dest="geom_col", default="wkt",
                     help="relate/convert: WKT geometry column/field name "
                          "(GeoParquet/WKB auto-detects)")

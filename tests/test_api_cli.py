@@ -872,6 +872,46 @@ def test_cli_op_relate_progressive(spark, tmp_path, capsys, monkeypatch):
                      "-main-wf", "nope"]) == 2
 
 
+def test_cli_op_relate_grid_and_entity(spark, tmp_path, capsys, monkeypatch):
+    """-grid-type/-partitions/-entity-type on the YAML-free path pin
+    equal to the -conf route (KDBTREE partitioned join + decomposed
+    fine-envelope pre-filter), and unknown values are guided errors."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    d = tmp_path
+    _write_tsv(d / "s.tsv", SOURCE)
+    _write_tsv(d / "t.tsv", TARGET)
+    cfg = parse_config({
+        "source": {"path": str(d / "s.tsv"), "realIdField": "id",
+                   "geometryField": "wkt"},
+        "target": {"path": str(d / "t.tsv"), "realIdField": "id",
+                   "geometryField": "wkt"},
+        "relation": "DE9IM",
+        "configurations": {"gridType": "KDBTREE", "partitions": 16,
+                           "entityType": "DECOMPOSED_ENTITY"},
+    })
+    want = api.run(spark, cfg).first().asDict()
+    rc = cli.main(["-op", "relate", "-left", str(d / "s.tsv"),
+                   "-right", str(d / "t.tsv"),
+                   "-grid-type", "kdbtree", "-partitions", "16",
+                   "-entity-type", "decomposed_entity"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    hdr, row = out.splitlines()[0].split("\t"), out.splitlines()[1].split("\t")
+    assert dict(zip(hdr, (int(v) for v in row))) == want
+
+    assert cli.main(["-op", "relate", "-left", str(d / "s.tsv"),
+                     "-right", str(d / "t.tsv"),
+                     "-grid-type", "nope"]) == 2
+    assert cli.main(["-op", "relate", "-left", str(d / "s.tsv"),
+                     "-right", str(d / "t.tsv"),
+                     "-entity-type", "nope"]) == 2
+
+
 def _write_geoparquet(path, rows):
     """Write (id, wkt) rows as a GeoParquet file: WKB binary `geometry`
     column + `geo` footer metadata naming it (scripts/make_wkb_fixture.py
