@@ -184,6 +184,12 @@ def _wkb_points(
     import struct
 
     dim = 2 + extra
+    # Bound-check BEFORE building the unpack format: a crafted count
+    # (e.g. 2^32-1 points) would otherwise allocate a multi-GB format
+    # string ahead of struct's own buffer check — an ingestion path fed
+    # untrusted files must fail on the 4-byte count, not on memory.
+    if off + 8 * dim * n > len(buf):
+        raise ValueError("truncated WKB point array")
     vals = struct.unpack_from(e + "d" * (dim * n), buf, off)
     pts = [[vals[i * dim], vals[i * dim + 1]] for i in range(n)]
     if not all(np.isfinite(p[0]) and np.isfinite(p[1]) for p in pts):

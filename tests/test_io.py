@@ -286,6 +286,42 @@ def test_parse_wkb_contract():
     assert parse_wkb(None) is None
 
 
+def test_parse_wkb_hostile_bytes():
+    """Untrusted-input robustness: parse_wkb never raises and never
+    balloons memory — arbitrary bytes, bit-flipped valid WKB, and
+    crafted huge point counts (a 2^32-1 LINESTRING count must fail on
+    the 4-byte count, not allocate a multi-GB unpack format) all return
+    None or a well-formed (gtype, parts)."""
+    import random
+    import struct
+
+    from ds_jedai_spark.model.geometry import format_wkb, parse_wkb, parse_wkt
+
+    rng = random.Random(99)
+    for _ in range(500):
+        buf = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 80)))
+        out = parse_wkb(buf)
+        assert out is None or (isinstance(out, tuple) and len(out) == 2)
+
+    base = format_wkb(*parse_wkt(
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    ))
+    for _ in range(500):
+        b = bytearray(base)
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        out = parse_wkb(bytes(b))
+        assert out is None or (isinstance(out, tuple) and len(out) == 2)
+
+    # crafted memory bombs: huge element counts with tiny buffers
+    bomb_line = struct.pack("<BII", 1, 2, 0xFFFFFFFF) + b"\x00" * 64
+    assert parse_wkb(bomb_line) is None
+    bomb_poly = struct.pack("<BIII", 1, 3, 1, 0x7FFFFFFF) + b"\x00" * 64
+    assert parse_wkb(bomb_poly) is None
+    bomb_multi = struct.pack("<BII", 1, 6, 0xFFFFFFFF) + b"\x00" * 16
+    assert parse_wkb(bomb_multi) is None
+
+
 def test_read_parquet_wkb_geoparquet(spark, tmp_path):
     """GeoParquet/WKB ingestion lands on the identical row format as the
     WKT reader over the same entity set — auto-detected from the `geo`
