@@ -338,6 +338,25 @@ def _ring_inside(inner: list[list[float]], outer: list[list[float]]) -> bool:
             and min(oys) <= min(iys) and max(iys) <= max(oys))
 
 
+def parse_geom_text(s: str) -> tuple[str, list[list[list[float]]]] | None:
+    """Parse a geometry TEXT cell: WKT, or hex-encoded WKB (the PostGIS
+    ``COPY``/``geometry::text`` export format, optionally ``\\x``/``0x``
+    prefixed). Unambiguous dispatch: hex WKB begins with the endian
+    byte's hex ('00'/'01'); WKT begins with a letter. Same contract as
+    parse_wkt — None for malformed/empty/collection."""
+    if s is None:
+        return None
+    t = s.strip()
+    if t[:2] in ("\\x", "\\X", "0x", "0X"):
+        t = t[2:]
+    if t[:2] in ("00", "01"):
+        try:
+            return parse_wkb(bytes.fromhex(t))
+        except ValueError:
+            return None
+    return parse_wkt(s)
+
+
 def flatten_collection_wkt(s: str) -> list[str]:
     """Split a GEOMETRYCOLLECTION into member WKTs (reference
     utils/geometryUtils/GeometryUtils.scala:26-37 flattens members and
@@ -460,8 +479,12 @@ def with_parsed_geometry(df: DataFrame, wkt_col: str = "wkt") -> DataFrame:
     wall time converting per-row nested Python lists back through
     pandas->Arrow (measured 262k rows/s end-to-end on local[32] with
     parse_wkt itself only 12.5us/row); transport, not parsing, was the
-    ingest bottleneck — same lesson as the verifier (PLANS.md §7)."""
-    return _with_parsed(df, wkt_col, parse_wkt)
+    ingest bottleneck — same lesson as the verifier (PLANS.md §7).
+
+    Cells parse as WKT or hex-encoded WKB (``parse_geom_text``), so
+    PostGIS COPY exports ingest through every delimited/text reader
+    with no flag."""
+    return _with_parsed(df, wkt_col, parse_geom_text)
 
 
 def with_parsed_geometry_wkb(df: DataFrame, wkb_col: str = "wkb") -> DataFrame:

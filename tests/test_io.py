@@ -450,3 +450,47 @@ def test_geojson_export_carries_ts(spark, tmp_path):
         "1": datetime.datetime(2024, 3, 1, 10, 0, 1),
         "2": datetime.datetime(2024, 3, 2, 11, 30, 0),
     }
+
+
+def test_read_delimited_hex_wkb(spark, tmp_path):
+    """Hex-encoded WKB cells (the PostGIS COPY export format) ingest
+    through the delimited reader with no flag — identical row format as
+    the same entities in WKT; \\x / 0x prefixes and an EWKB SRID flag
+    accepted; malformed hex drops like malformed WKT."""
+    import struct
+
+    from ds_jedai_spark.io.readers import read_wkt_delimited
+    from ds_jedai_spark.model.geometry import format_wkb, parse_wkt
+
+    wkts = [
+        "POINT (1.5 2.5)",
+        "LINESTRING (0 0, 3 3, 6 0)",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+        "((5 5, 6 5, 6 6, 5 6, 5 5)))",
+    ]
+    hexes = [format_wkb(*parse_wkt(w)).hex() for w in wkts]
+    # EWKB with an embedded SRID for the point, plus prefix variants
+    ewkb_pt = struct.pack("<BIIdd", 1, 1 | 0x20000000, 4326, 1.5, 2.5).hex()
+    src_wkt = tmp_path / "wkt.tsv"
+    src_hex = tmp_path / "hex.tsv"
+    with open(src_wkt, "w") as f:
+        f.write("id\twkt\n")
+        for i, w in enumerate(wkts):
+            f.write(f"{i}\t{w}\n")
+    with open(src_hex, "w") as f:
+        f.write("id\twkt\n")
+        f.write(f"0\t\\x{ewkb_pt}\n")          # PostGIS COPY prefix
+        f.write(f"1\t0x{hexes[1]}\n")
+        f.write(f"2\t{hexes[2]}\n")
+        f.write(f"3\t{hexes[3].upper()}\n")     # case-insensitive hex
+        f.write("9\t01ZZ\n")                    # malformed: dropped
+
+    key = ["id", "gtype", "coords", "minx", "miny", "maxx", "maxy"]
+    want = sorted(tuple(r) for r in read_wkt_delimited(
+        spark, str(src_wkt), id_field="id", geom_field="wkt"
+    ).select(key).collect())
+    got = sorted(tuple(r) for r in read_wkt_delimited(
+        spark, str(src_hex), id_field="id", geom_field="wkt"
+    ).select(key).collect())
+    assert got == want and len(got) == 4
