@@ -169,7 +169,7 @@ def knn_x10(spark, sf_dir):
         (F.col("maxx") + F.col("rep") * shift).alias("maxx"),
         "maxy",
     )
-    return knn_join_exact(c, c, k=3, theta=(1.0, 1.0)).count()
+    return knn_join_exact(c, c, k=3, theta=(1.0, 1.0), self_join=True).count()
 
 
 def _cloned_boxes(spark, sf_dir, clones: int = CLONES_SPATIAL):

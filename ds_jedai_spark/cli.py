@@ -384,7 +384,15 @@ def _run_op(args) -> int:
                 )
                 diam = (max(r.b - r.a, r.d - r.c, 0.0) * 1.415 + 1.0
                         if r.a is not None else 1.0)  # empty input
-                df = knn_join_exact(s, t, k=args.k, rmax=max(256.0, diam))
+                # Same-id exclusion is a self-join convention only: two
+                # independent datasets with overlapping id spaces keep
+                # same-id pairs (consistent with -op distance).
+                same = os.path.realpath(args.left) == os.path.realpath(
+                    args.right
+                )
+                df = knn_join_exact(
+                    s, t, k=args.k, rmax=max(256.0, diam), self_join=same
+                )
         elif args.op == "asof":
             from ds_jedai_spark.operators.temporal import asof_join
 

@@ -351,12 +351,23 @@ def read_parquet_dataset(
     cols = {"gtype", "coords", "minx", "miny", "maxx", "maxy"}
     missing = cols - set(df.columns)
     if missing:
+        if (geom_field is not None and geom_field != "wkt"
+                and geom_field not in df.columns):
+            # An EXPLICIT geometry column that isn't there is a user
+            # error (likely a -geom-col typo) — falling through to
+            # auto-detection would silently parse a different column
+            # than the one named. Only None and the CLI's 'wkt' default
+            # may auto-detect.
+            raise ValueError(
+                f"geometry column {geom_field!r} not in parquet dataset "
+                f"{path!r} (columns: {df.columns})"
+            )
         gcol = geom_field if geom_field in df.columns else None
         if gcol is None:
-            # geom_field absent (or not passed): fall through to
-            # GeoParquet auto-detection — `-op relate` on a GeoParquet
-            # file works with zero flags even though the CLI's
-            # -geom-col default is 'wkt'.
+            # geom_field not passed (or the 'wkt' default is absent):
+            # fall through to GeoParquet auto-detection — `-op relate`
+            # on a GeoParquet file works with zero flags even though
+            # the CLI's -geom-col default is 'wkt'.
             gcol = _geoparquet_primary_column(path)
             if gcol not in df.columns:
                 gcol = "geometry" if "geometry" in df.columns else None
@@ -406,4 +417,11 @@ def read_parquet_dataset(
               else F.to_timestamp(F.col(date_field).cast("string"),
                                   date_pattern))
         df = df.withColumn("ts", ts).drop(date_field)
+    elif date_field == "ts" and not _is_temporal("ts"):
+        # -date-col ts on a row-format table whose ts column is a
+        # STRING: parse it like any other named date column so the
+        # temporal operators downstream get a real timestamp.
+        df = df.withColumn(
+            "ts", F.to_timestamp(F.col("ts").cast("string"), date_pattern)
+        )
     return df

@@ -86,6 +86,8 @@ def geojson_lines(entities: DataFrame) -> DataFrame:
     batched; export is off the hot path by design."""
     import json
 
+    from ds_jedai_spark.model.geometry import regroup_rings
+
     def to_feature(gtype: str, parts) -> dict | None:
         parts = [[list(map(float, p)) for p in part] for part in parts]
         if gtype == "POINT":
@@ -99,11 +101,11 @@ def geojson_lines(entities: DataFrame) -> DataFrame:
         if gtype == "MULTILINESTRING":
             return {"type": "MultiLineString", "coordinates": parts}
         if gtype == "MULTIPOLYGON":
-            # Row-format multipolygon parts are rings, outer ring first per
-            # polygon; without hole metadata each ring exports as its own
-            # polygon (true for engine-ingested multipolygons, whose holes
-            # are rejected at parse; see model/geometry.parse_wkt).
-            return {"type": "MultiPolygon", "coordinates": [[r] for r in parts]}
+            # Row-format multipolygon parts are flattened rings, shell
+            # first per polygon; recover the OGC per-polygon grouping
+            # with the exact nesting test (model/geometry.regroup_rings)
+            # so hole-bearing multipolygons export structurally correct.
+            return {"type": "MultiPolygon", "coordinates": regroup_rings(parts)}
         return None
 
     # A ts column round-trips through properties (read back with

@@ -307,15 +307,7 @@ def format_wkb(gtype: str, parts: list[list[list[float]]]) -> bytes:
             body += simple(2, struct.pack("<I", len(part)) + pts(part))
         return simple(5, body)
     if gtype == "MULTIPOLYGON":
-        # The flattened ring list loses polygon grouping; re-group by the
-        # outer-ring-first convention (a ring strictly inside the current
-        # polygon's outer ring is a hole, else it starts a new polygon).
-        polys: list[list[list[list[float]]]] = []
-        for ring in parts:
-            if polys and _ring_inside(ring, polys[-1][0]):
-                polys[-1].append(ring)
-            else:
-                polys.append([ring])
+        polys = regroup_rings(parts)
         body = struct.pack("<I", len(polys))
         for rings in polys:
             pbody = struct.pack("<I", len(rings))
@@ -326,16 +318,54 @@ def format_wkb(gtype: str, parts: list[list[list[float]]]) -> bytes:
     raise ValueError(f"format_wkb: unsupported {gtype}")
 
 
-def _ring_inside(inner: list[list[float]], outer: list[list[float]]) -> bool:
-    """Envelope containment test for hole-vs-new-polygon grouping (the
-    row format stores MULTIPOLYGON rings flattened, outer ring first per
-    polygon — same convention parse_wkt emits)."""
-    ixs = [p[0] for p in inner]
-    iys = [p[1] for p in inner]
-    oxs = [p[0] for p in outer]
-    oys = [p[1] for p in outer]
-    return (min(oxs) <= min(ixs) and max(ixs) <= max(oxs)
-            and min(oys) <= min(iys) and max(iys) <= max(oys))
+def regroup_rings(
+    parts: list[list[list[float]]],
+) -> list[list[list[list[float]]]]:
+    """Re-group a flattened MULTIPOLYGON ring list into per-polygon ring
+    groups (shell first), for OGC-structured sinks (WKB, GeoJSON).
+
+    The row format stores rings flattened in original order (shell, its
+    holes, next shell, ...; model docstring above), so grouping is
+    sequential: a ring joins the CURRENT polygon as a hole iff a
+    representative point of it is INTERIOR to that polygon's region —
+    even-odd over the rings grouped so far, decided by the exact
+    scaled-integer locator (operators/relate_poly.point_location), never
+    a bbox heuristic. Testing the accumulated region (not the shell
+    alone) makes the two adversarial shapes group right: an island
+    inside a hole reads even-odd EXTERIOR (inside shell, inside hole) →
+    new polygon; a sibling nested in a U-shaped shell's bbox but outside
+    its region reads exterior → new polygon.
+    """
+    from ds_jedai_spark.operators.relate_poly import (
+        _rings,
+        _scale_parts,
+        point_location,
+    )
+
+    polys: list[list[list[list[float]]]] = []
+    for ring in parts:
+        if polys:
+            sring, spoly = _scale_parts([ring], polys[-1])
+            region = _rings(spoly)
+            # Probe vertices until one is off the region boundary; a
+            # ring whose every vertex sits ON the boundary (degenerate
+            # seam contact) falls back to the first edge's midpoint.
+            probes = [(x, y, 1) for x, y in sring[0]]
+            a = sring[0][0]
+            for b in sring[0][1:]:
+                if b != a:
+                    probes.append((a[0] + b[0], a[1] + b[1], 2))
+                    break
+            loc = 1
+            for p in probes:
+                loc = point_location(p, region)
+                if loc != 1:
+                    break
+            if loc == 2:
+                polys[-1].append(ring)
+                continue
+        polys.append([ring])
+    return polys
 
 
 def parse_geom_text(s: str) -> tuple[str, list[list[list[float]]]] | None:

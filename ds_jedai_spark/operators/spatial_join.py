@@ -184,8 +184,15 @@ def knn_join_exact(
     r0: float = 1.0,
     growth: float = 4.0,
     rmax: float = 256.0,
+    self_join: bool = False,
 ) -> DataFrame:
     """EXACT k-nearest-neighbors join via iterative radius expansion.
+
+    ``self_join=True`` excludes same-id pairs — a SELF-join convention
+    (an entity is trivially its own nearest neighbor). It is opt-in:
+    for two independent datasets whose id spaces happen to overlap, a
+    same-id target can be a true nearest neighbor and must stay in
+    (matching -op distance, which never drops such pairs).
 
     Round i runs the expanded-MBR distance join at radius r0 * growth^i
     for the still-unresolved sources only. A source is resolved once it
@@ -216,9 +223,10 @@ def knn_join_exact(
         # geometrically with the rounds.
         cand = distance_join(
             remaining, target, r, _round_theta(theta, r)
-        ).where(
-            F.col("s_id") != F.col("t_id")
-        ).localCheckpoint()
+        )
+        if self_join:
+            cand = cand.where(F.col("s_id") != F.col("t_id"))
+        cand = cand.localCheckpoint()
         cnts = cand.groupBy("s_id").agg(F.count(F.lit(1)).alias("nc"))
         if r >= rmax:
             done = cnts.select("s_id")

@@ -675,7 +675,7 @@ def knn_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ds_jedai_spark.operators.spatial_join import knn_join_exact
 
     pts = load_sql(spark, sf_dir, point_sql())
-    return knn_join_exact(pts, pts, k=KNN_K, theta=(1.0, 1.0))
+    return knn_join_exact(pts, pts, k=KNN_K, theta=(1.0, 1.0), self_join=True)
 
 
 def knn_exact_pairs_oracle() -> str:

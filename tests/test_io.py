@@ -494,3 +494,52 @@ def test_read_delimited_hex_wkb(spark, tmp_path):
         spark, str(src_hex), id_field="id", geom_field="wkt"
     ).select(key).collect())
     assert got == want and len(got) == 4
+
+
+def test_read_parquet_explicit_geom_col_typo_raises(spark, tmp_path):
+    """An EXPLICIT geom_field that isn't in the table is a user error
+    (ADVICE r12): no silent fall-through to footer/'geometry'
+    auto-detection. None and the CLI 'wkt' default still auto-detect."""
+    import pytest
+
+    from ds_jedai_spark.io.readers import read_parquet_dataset
+    from ds_jedai_spark.model.geometry import format_wkb, parse_wkt
+
+    wkb = format_wkb(*parse_wkt("POINT (1.5 2.5)"))
+    path = str(tmp_path / "geo.parquet")
+    spark.createDataFrame(
+        [(1, bytearray(wkb))], "id int, geometry binary"
+    ).write.parquet(path)
+
+    with pytest.raises(ValueError, match="'geometrie'"):
+        read_parquet_dataset(spark, path, geom_field="geometrie")
+    # auto-detection still works with no / default geom_field
+    for gf in (None, "wkt"):
+        got = read_parquet_dataset(spark, path, geom_field=gf)
+        assert [(r.id, r.gtype) for r in got.collect()] == [(1, "POINT")]
+
+
+def test_read_parquet_rowformat_string_ts_parses(spark, tmp_path):
+    """Row-format fast path with -date-col ts on a STRING ts column:
+    the column must parse to a real timestamp (ADVICE r12), same as any
+    other named date column."""
+    from ds_jedai_spark.io.readers import (
+        read_parquet_dataset,
+        read_wkt_delimited,
+    )
+
+    src = tmp_path / "src.tsv"
+    src.write_text("id\twkt\n1\tPOINT (1.5 2.5)\n")
+    parsed = read_wkt_delimited(
+        spark, str(src), id_field="id", geom_field="wkt"
+    ).withColumn("ts", F.lit("2024-03-01 10:30:00"))
+    out = str(tmp_path / "rowfmt.parquet")
+    parsed.write.parquet(out)
+
+    back = read_parquet_dataset(spark, out, date_field="ts")
+    assert back.schema["ts"].dataType.typeName().startswith("timestamp")
+    row = back.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("s")).first()
+    assert row.s == "2024-03-01 10:30:00"
+    # without -date-col the string column passes through untouched
+    plain = read_parquet_dataset(spark, out)
+    assert plain.schema["ts"].dataType.typeName() == "string"

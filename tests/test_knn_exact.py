@@ -42,7 +42,7 @@ def test_knn_exact_isolated_points(spark):
     final round made pathological. Results must still be the true kNN."""
     coords = [(i * 97.0, (i * i % 7) * 91.0) for i in range(12)]
     pts = _points(spark, coords)
-    out = knn_join_exact(pts, pts, k=2, theta=(1.0, 1.0), rmax=2048.0)
+    out = knn_join_exact(pts, pts, k=2, theta=(1.0, 1.0), rmax=2048.0, self_join=True)
     got = {}
     for row in out.collect():
         got.setdefault(row.s_id, set()).add(row.t_id)
@@ -79,3 +79,20 @@ def test_round_theta_passthrough_and_floor(spark):
     assert tx == ty == 2 * 256.0 / KNN_TILES_PER_SIDE
     # small radii keep the caller's finer granularity
     assert _round_theta((1.0, 1.0), 1.0) == (1.0, 1.0)
+
+def test_knn_cross_dataset_keeps_same_id_pairs(spark):
+    """Two independent datasets with overlapping id spaces: a same-id
+    target that IS the nearest neighbor must stay in (the s_id != t_id
+    exclusion is a self-join convention, opt-in via self_join=True —
+    ADVICE r12). Source id 0 sits exactly on target id 0."""
+    src = _points(spark, [(0.0, 0.0), (100.0, 0.0)])
+    tgt = _points(spark, [(0.0, 0.0), (0.5, 0.0), (100.0, 0.25)])
+    out = knn_join_exact(src, tgt, k=1, theta=(1.0, 1.0), rmax=512.0)
+    got = {r.s_id: (r.t_id, r.dist2) for r in out.collect()}
+    assert got == {0: (0, 0.0), 1: (2, 0.0625)}
+    # the self-join convention still excludes the identity pair
+    self_out = knn_join_exact(
+        src, src, k=1, theta=(1.0, 1.0), rmax=512.0, self_join=True
+    )
+    got_self = {r.s_id: r.t_id for r in self_out.collect()}
+    assert got_self == {0: 1, 1: 0}
