@@ -15,6 +15,7 @@ general-path DE-9IM verifier (Arrow-batched) for arbitrary WKT geometry.
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -52,6 +53,16 @@ def read_dataset(spark: SparkSession, spec) -> DataFrame:
         )
     if ext == ".nt":
         return readers.read_ntriples(spark, spec.path)
+    if ext == ".shp" or (
+        os.path.isdir(spec.path)
+        and glob.glob(os.path.join(spec.path, "*.shp"))
+    ):
+        from ds_jedai_spark.io.shapefile import read_shapefile
+
+        return read_shapefile(
+            spark, spec.path, id_field=spec.id_field,
+            date_field=spec.date_field, date_pattern=spec.date_pattern,
+        )
     if ext == ".parquet":
         # Engine row-format parquet: zero-parse fast path; plain user
         # parquet with a WKT column parses via the geom_field fallback.
@@ -60,7 +71,38 @@ def read_dataset(spark: SparkSession, spec) -> DataFrame:
             geom_field=spec.geom_field, date_field=spec.date_field,
             date_pattern=spec.date_pattern,
         )
-    raise ValueError(f"unsupported dataset extension: {spec.path}")
+    raise ValueError(
+        f"unsupported dataset extension: {spec.path} "
+        "(tsv/csv/json/geojson/nt/shp/parquet, or a directory of .shp)"
+    )
+
+
+def _check_crs(source: DataFrame, target: DataFrame, strict: bool) -> None:
+    """Warn — or raise under the strictCrs flag — when source and target
+    declare DIFFERENT coordinate reference systems (the GeoParquet
+    footer CRS the readers carry as column metadata on gtype). Unknown
+    CRS (no footer) never participates in the comparison; the reference
+    is CRS-naive, so parity is unaffected."""
+
+    def crs_of(df: DataFrame) -> str | None:
+        try:
+            return df.schema["gtype"].metadata.get("crs")
+        except (KeyError, AttributeError, TypeError):
+            return None
+
+    a, b = crs_of(source), crs_of(target)
+    if a is not None and b is not None and a != b:
+        msg = (
+            f"source and target declare different CRS ({a!r} vs {b!r}); "
+            "spatial predicates assume shared planar coordinates — "
+            "reproject one side upstream (configurations.strictCrs: true "
+            "turns this warning into an error)"
+        )
+        if strict:
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, UserWarning, stacklevel=2)
 
 
 def _total_blocks(df: DataFrame, theta: tuple[float, float]) -> int:
@@ -156,6 +198,7 @@ def run(spark: SparkSession, cfg: JedaiConfig) -> DataFrame:
     DE9IM or the qualifying (s_id, t_id) pairs for a single relation."""
     source = read_dataset(spark, cfg.source)
     target = read_dataset(spark, cfg.target)
+    _check_crs(source, target, strict=bool(cfg.extra.get("strictCrs")))
 
     decomposed = cfg.entity_type in (
         "DECOMPOSED_ENTITY", "INDEXED_DECOMPOSED_ENTITY"

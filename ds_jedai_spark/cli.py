@@ -237,7 +237,7 @@ def _run_op(args) -> int:
 
             if not (args.left and args.right):
                 print("-op relate needs -left and -right (WKT tsv/csv/"
-                      "geojson/nt or engine parquet)", file=sys.stderr)
+                      "geojson/nt/shapefile or engine parquet)", file=sys.stderr)
                 return 2
             rel = args.relation.upper()
             if rel not in RELATIONS:
@@ -292,8 +292,8 @@ def _run_op(args) -> int:
         elif args.op == "convert":
             # Format conversion through the full reader/writer surface:
             # any supported geometry dataset (WKT tsv/csv, GeoJSON,
-            # N-Triples, engine row-format parquet, GeoParquet/WKB,
-            # WKT-column parquet) -> the engine row format, written as
+            # N-Triples, ESRI Shapefile, engine row-format parquet,
+            # GeoParquet/WKB, WKT-column parquet) -> the engine row format, written as
             # row-format parquet (zero-parse re-reads), GeoParquet/WKB,
             # or NDJSON GeoJSON. The ingest-side converter a user runs
             # ONCE so every later job takes the parquet fast path.
@@ -318,7 +318,16 @@ def _run_op(args) -> int:
                 src.write.mode("overwrite").parquet(args.out)
                 back = spark.read.parquet(args.out)
             elif args.to == "geoparquet":
-                writers.export_geoparquet(src, args.out)
+                # Propagate the input's CRS (GeoParquet footer PROJJSON
+                # the reader carried as gtype column metadata) into the
+                # output footer, so convert round-trips CRS declarations.
+                import json as _json
+
+                meta = (src.schema["gtype"].metadata
+                        if "gtype" in src.columns else None) or {}
+                crs = (_json.loads(meta["crs_projjson"])
+                       if meta.get("crs_projjson") else None)
+                writers.export_geoparquet(src, args.out, crs=crs)
                 back = spark.read.parquet(args.out)
             else:
                 writers.export_geojson(src, args.out)

@@ -279,12 +279,34 @@ def read_geojson_collection(
     )
 
 
-def _geoparquet_primary_column(path: str) -> str | None:
+def crs_identifier(crs: dict | str | None, present: bool) -> str | None:
+    """Normalize a GeoParquet column ``crs`` value to a comparable
+    identifier string. PROJJSON carries the authority code under
+    ``id``; a crs key that is present-but-null, or absent entirely,
+    means the spec default OGC:CRS84. ``present=False`` (no geo footer
+    at all) is UNKNOWN — None, never compared."""
+    if not present:
+        return None
+    if crs is None:
+        return "OGC:CRS84"
+    if isinstance(crs, str):
+        return crs
+    cid = crs.get("id") or {}
+    auth, code = cid.get("authority"), cid.get("code")
+    if auth is not None and code is not None:
+        return f"{auth}:{code}"
+    name = crs.get("name")
+    return str(name) if name else "OGC:CRS84"
+
+
+def _geoparquet_geo_meta(path: str) -> tuple[str | None, dict | None]:
     """GeoParquet footer sniff: the spec stores a JSON document under the
     ``geo`` key of the file's key-value metadata naming the
-    primary_column. Driver-side, one file's footer only (a directory
-    reads its first part file) — purely an auto-detection convenience;
-    an explicit geom_field never needs it."""
+    primary_column (and per-column metadata such as ``crs``).
+    Returns (primary_column, that column's metadata dict). Driver-side,
+    one file's footer only (a directory reads its first part file) —
+    auto-detection plus CRS awareness; an explicit geom_field never
+    needs the column name."""
     import glob
     import json
     import os
@@ -300,16 +322,20 @@ def _geoparquet_primary_column(path: str) -> str | None:
                 glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
             )
             if not hits:
-                return None
+                return None, None
             p = hits[0]
         meta = pq.read_schema(p).metadata or {}
         geo = meta.get(b"geo")
         if not geo:
-            return None
-        col = json.loads(geo.decode("utf-8")).get("primary_column")
-        return col if isinstance(col, str) else None
+            return None, None
+        doc = json.loads(geo.decode("utf-8"))
+        col = doc.get("primary_column")
+        if not isinstance(col, str):
+            return None, None
+        colmeta = (doc.get("columns") or {}).get(col)
+        return col, (colmeta if isinstance(colmeta, dict) else {})
     except Exception:
-        return None
+        return None, None
 
 
 def read_parquet_dataset(
@@ -363,12 +389,13 @@ def read_parquet_dataset(
                 f"{path!r} (columns: {df.columns})"
             )
         gcol = geom_field if geom_field in df.columns else None
+        geo_col, geo_colmeta = _geoparquet_geo_meta(path)
         if gcol is None:
             # geom_field not passed (or the 'wkt' default is absent):
             # fall through to GeoParquet auto-detection — `-op relate`
             # on a GeoParquet file works with zero flags even though
             # the CLI's -geom-col default is 'wkt'.
-            gcol = _geoparquet_primary_column(path)
+            gcol = geo_col
             if gcol not in df.columns:
                 gcol = "geometry" if "geometry" in df.columns else None
         if gcol is None:
@@ -380,6 +407,26 @@ def read_parquet_dataset(
                    " and no GeoParquet/WKB/WKT geometry column detected"
                    " (pass geom_field)")
             )
+        # CRS awareness (read side): when the GeoParquet footer covers
+        # the column being parsed, carry its CRS on the result (column
+        # metadata on gtype) so api.run can warn on source/target CRS
+        # mismatch. No footer -> unknown -> no metadata, never compared.
+        crs_id = None
+        crs_raw = None
+        if geo_colmeta is not None and gcol == geo_col:
+            crs_raw = geo_colmeta.get("crs")
+            crs_id = crs_identifier(crs_raw, present=True)
+
+        def _with_crs(out: DataFrame) -> DataFrame:
+            if crs_id is None:
+                return out
+            import json as _json
+
+            meta = {"crs": crs_id}
+            if isinstance(crs_raw, dict):
+                meta["crs_projjson"] = _json.dumps(crs_raw)
+            return out.withMetadata("gtype", meta)
+
         is_wkb = df.schema[gcol].dataType.typeName() == "binary"
         geom_alias = "wkb" if is_wkb else "wkt"
         keep = [F.col(id_field).alias("id"),
@@ -402,8 +449,10 @@ def read_parquet_dataset(
                 out = out.withColumn(
                     "ts", F.to_timestamp("ts_raw", date_pattern)
                 ).drop("ts_raw")
-            return out
-        return _finish(sel, None if typed_ts else date_field, date_pattern)
+            return _with_crs(out)
+        return _with_crs(
+            _finish(sel, None if typed_ts else date_field, date_pattern)
+        )
     if id_field != "id":
         df = df.withColumnRenamed(id_field, "id")
     if date_field is not None and date_field != "ts":

@@ -1,0 +1,466 @@
+"""Distributed ESRI Shapefile (.shp / .shx / .dbf / .prj) reader.
+
+Format: the public ESRI Shapefile Technical Description (July 1998).
+Reference parity: the reference *intended* to ingest shapefiles via
+Sedona's ShapefileReader but its dispatch is dead code (reference
+utils/readers/Reader.scala:150-155 returns null), while its benchmark
+corpus (TIGER layers, config/SPATIAL-HADOOP/d1.yaml:1-19) ships as
+shapefiles in the wild — so this engine implements the format natively,
+landing in the same row format as every other reader.
+
+Scale design (the interesting part — a .shp is not splittable by byte
+offset alone):
+
+- The DRIVER reads only the tiny sidecars: the .shx record index
+  (8 bytes/record) and the .dbf header (field layout), plus the 100-byte
+  .shp header, and plans byte-range SPLITS of the .shp (default 64 MB).
+- EXECUTORS do one ranged read per split and Arrow-batch parsing
+  (GeometryAccumulator transport, like the WKT/WKB/GeoJSON readers), so
+  a single 2 GB file (the format's hard cap) parallelizes ~32-ways and
+  a many-file corpus gets one-or-more splits per file.
+- Record offsets come from .shx when present, so a corrupt record stays
+  isolated (its neighbors still parse); without .shx the file is one
+  sequential split and a corrupt record HEADER ends that file's chain.
+- .dbf attributes are fixed-width records at computable offsets
+  (header + i * record_size), so each split slices exactly its own
+  attribute rows with one ranged read — no join between the two files.
+
+Paths must be executor-readable (local / NFS / fused HDFS); for object
+stores, run `-op convert` once from a mounted copy.
+
+Per-record malformation (bad counts, unclosed rings, non-finite
+coordinates, truncation) drops the row exactly like an unparseable WKT
+cell: None -> add_invalid -> filtered by valid_geometries. A file whose
+.shp header lacks the 9994 magic is a hard user error.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import re
+import struct
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DEFAULT_DATE_PATTERN = "yyyy-MM-dd HH:mm:ss"
+SHP_MAGIC = 9994
+DEFAULT_SPLIT_BYTES = 64 << 20
+
+# base xy layout per shape type: Z (+10) and M (+20) variants append
+# range/value sections AFTER the xy data, which the parser ignores.
+_SHAPE_KIND = {1: "POINT", 3: "LINE", 5: "POLY", 8: "MPOINT"}
+
+
+def _kind(t: int) -> str | None:
+    return _SHAPE_KIND.get(t if t < 10 else t - 10 if t < 20 else t - 20)
+
+
+def parse_shape(content: bytes) -> tuple[str, list[list[list[float]]]] | None:
+    """Parse one .shp record's CONTENT (after the 8-byte record header)
+    into the engine's (gtype, parts) — the same contract as parse_wkt /
+    parse_wkb: None for null / malformed / empty shapes. Never raises
+    on hostile bytes (fuzz-pinned)."""
+    try:
+        (t,) = struct.unpack_from("<i", content, 0)
+        kind = _kind(t)
+        if kind is None:
+            return None
+        if kind == "POINT":
+            x, y = struct.unpack_from("<dd", content, 4)
+            if not (np.isfinite(x) and np.isfinite(y)):
+                return None
+            return "POINT", [[[x, y]]]
+        if kind == "MPOINT":
+            (n,) = struct.unpack_from("<i", content, 36)
+            if n < 1 or 40 + 16 * n > len(content):
+                return None
+            vals = struct.unpack_from(f"<{2 * n}d", content, 40)
+            if not all(np.isfinite(v) for v in vals):
+                return None
+            return "MULTIPOINT", [[[vals[2 * i], vals[2 * i + 1]]]
+                                  for i in range(n)]
+        # LINE / POLY: bbox(32) numParts numPoints parts[] points[]
+        np_, npts = struct.unpack_from("<ii", content, 36)
+        base = 44 + 4 * np_
+        if np_ < 1 or npts < 1 or base + 16 * npts > len(content):
+            return None
+        starts = struct.unpack_from(f"<{np_}i", content, 44)
+        if starts[0] != 0 or any(
+            starts[i] >= starts[i + 1] for i in range(np_ - 1)
+        ) or starts[-1] >= npts:
+            return None
+        vals = struct.unpack_from(f"<{2 * npts}d", content, base)
+        if not all(np.isfinite(v) for v in vals):
+            return None
+        bounds = list(starts) + [npts]
+        parts = [
+            [[vals[2 * i], vals[2 * i + 1]] for i in range(a, b)]
+            for a, b in zip(bounds, bounds[1:])
+        ]
+        if kind == "LINE":
+            if any(len(p) < 2 for p in parts):
+                return None
+            return ("LINESTRING" if len(parts) == 1
+                    else "MULTILINESTRING"), parts
+        # POLY: rings must be closed with >= 4 points (parse_wkt rule)
+        if any(len(r) < 4 or r[0] != r[-1] for r in parts):
+            return None
+        return _group_rings(parts)
+    except (struct.error, ValueError, OverflowError):
+        return None
+
+
+def _group_rings(
+    rings: list[list[list[float]]],
+) -> tuple[str, list[list[list[float]]]]:
+    """Order a Polygon record's rings into the row-format convention
+    (shell first, then its holes, per member polygon) and decide
+    POLYGON vs MULTIPOLYGON.
+
+    A shapefile Polygon record carries ALL rings of all member polygons
+    in one record, in any order; the spec encodes role by orientation
+    (CW = shell) but real-world files routinely violate it, so roles
+    are derived from exact NESTING DEPTH parity instead (the robust
+    rule OGR applies): depth = number of OTHER rings strictly
+    containing a representative point; even -> shell, odd -> hole of
+    its innermost container. The engine's even-odd region semantics are
+    order-independent, so this ordering only affects gtype and
+    sink-side regrouping — never predicates."""
+    if len(rings) == 1:
+        return "POLYGON", rings
+    from ds_jedai_spark.operators.relate_poly import (
+        _rings as _close,
+        _scale_parts,
+        point_location,
+    )
+
+    (scaled,) = _scale_parts(rings)
+    closed = _close(scaled)
+    n = len(rings)
+    containers: list[list[int]] = [[] for _ in range(n)]
+    for i in range(n):
+        probes = [(scaled[i][0][0], scaled[i][0][1], 1)]
+        a = scaled[i][0]
+        for b in scaled[i][1:]:
+            if b != a:
+                probes.append((a[0] + b[0], a[1] + b[1], 2))
+                break
+        for j in range(n):
+            if j == i:
+                continue
+            for p in probes:
+                loc = point_location(p, [closed[j]])
+                if loc != 1:
+                    break
+            if loc == 2:
+                containers[i].append(j)
+    depth = [len(c) for c in containers]
+    shells = [i for i in range(n) if depth[i] % 2 == 0]
+    holes_of: dict[int, list[int]] = {i: [] for i in shells}
+    for i in range(n):
+        if depth[i] % 2 == 0:
+            continue
+        # innermost containing shell = the container at depth d-1
+        parent = max(
+            (j for j in containers[i] if depth[j] == depth[i] - 1),
+            key=lambda j: depth[j],
+            default=None,
+        )
+        if parent is None:  # degenerate nesting: promote to shell
+            shells.append(i)
+            holes_of[i] = []
+        else:
+            holes_of[parent].append(i)
+    shells.sort()
+    ordered = []
+    for s in shells:
+        ordered.append(rings[s])
+        ordered.extend(rings[h] for h in holes_of[s])
+    return ("POLYGON" if len(shells) == 1 else "MULTIPOLYGON"), ordered
+
+
+# --- sidecar readers (driver-side, tiny) -------------------------------
+
+
+def _sibling(shp: str, ext: str) -> str | None:
+    stem = os.path.splitext(shp)[0]
+    for cand in (stem + ext, stem + ext.upper()):
+        if os.path.isfile(cand):
+            return cand
+    return None
+
+
+def _shp_header(path: str) -> int:
+    """Validate the 100-byte header, return the byte size to scan."""
+    with open(path, "rb") as f:
+        hdr = f.read(100)
+    if len(hdr) < 100 or struct.unpack_from(">i", hdr, 0)[0] != SHP_MAGIC:
+        raise ValueError(f"{path!r} is not a shapefile (bad magic)")
+    (words,) = struct.unpack_from(">i", hdr, 24)
+    return min(os.path.getsize(path), max(100, 2 * words))
+
+
+def _read_shx(path: str) -> list[int] | None:
+    """Record-header byte offsets from the .shx index, or None if the
+    index is absent/undersized/not-an-index (sequential fallback)."""
+    try:
+        b = open(path, "rb").read()
+        if len(b) < 100 or struct.unpack_from(">i", b, 0)[0] != SHP_MAGIC:
+            return None
+        n = (len(b) - 100) // 8
+        if n == 0:
+            return None
+        words = struct.unpack_from(f">{2 * n}i", b, 100)[0::2]
+        return [2 * w for w in words]
+    except (OSError, struct.error):
+        return None
+
+
+def _dbf_layout(path: str):
+    """(n_records, header_size, record_size, fields) where fields maps
+    lowercase name -> (byte_offset_in_record, length). Offsets include
+    the leading deletion-flag byte."""
+    with open(path, "rb") as f:
+        head = f.read(32)
+        if len(head) < 32:
+            raise ValueError(f"{path!r}: truncated .dbf header")
+        (nrec,) = struct.unpack_from("<I", head, 4)
+        hdr, rsz = struct.unpack_from("<HH", head, 8)
+        desc = head + f.read(max(0, hdr - 32))
+    fields: dict[str, tuple[int, int]] = {}
+    pos, off = 32, 1
+    while pos + 32 <= len(desc) and desc[pos] != 0x0D:
+        name = desc[pos:pos + 11].split(b"\0")[0].decode(
+            "latin-1", "replace").strip().lower()
+        flen = desc[pos + 16]
+        fields[name] = (off, flen)
+        off += flen
+        pos += 32
+    return nrec, hdr, rsz, fields
+
+
+def _prj_crs(path: str | None) -> str | None:
+    """AUTHORITY identifier of the top-level CRS in a .prj (WKT1). The
+    outermost object's AUTHORITY clause is the last one in the text."""
+    if path is None:
+        return None
+    try:
+        txt = open(path, "r", encoding="utf-8", errors="replace").read()
+    except OSError:
+        return None
+    hits = re.findall(r'AUTHORITY\s*\[\s*"([^"]+)"\s*,\s*"?(\w+)"?\s*\]', txt)
+    return f"{hits[-1][0]}:{hits[-1][1]}" if hits else None
+
+
+# --- split planning + distributed parse --------------------------------
+
+_SPLIT_SCHEMA = (
+    "shp string, stem string, byte_start long, byte_end long, rec0 long, "
+    "offs array<long>, dbf string, dbf_hdr int, dbf_rsz int, dbf_nrec long, "
+    "id_off int, id_len int, date_off int, date_len int"
+)
+
+
+def _plan_file(
+    shp: str,
+    id_field: str | None,
+    date_field: str | None,
+    split_bytes: int,
+) -> list[dict]:
+    size = _shp_header(shp)
+    stem = os.path.splitext(os.path.basename(shp))[0]
+    dbf = _sibling(shp, ".dbf")
+    dbf_hdr = dbf_rsz = 0
+    dbf_nrec = 0
+    id_off = id_len = date_off = date_len = -1
+    if dbf is not None:
+        dbf_nrec, dbf_hdr, dbf_rsz, fields = _dbf_layout(dbf)
+        for want, silent in ((id_field, "id"), (date_field, None)):
+            if want is not None and want.lower() not in fields and (
+                want != silent
+            ):
+                raise ValueError(
+                    f"column {want!r} not in {dbf!r} "
+                    f"(fields: {sorted(fields)})"
+                )
+        if id_field is not None and id_field.lower() in fields:
+            id_off, id_len = fields[id_field.lower()]
+        if date_field is not None and date_field.lower() in fields:
+            date_off, date_len = fields[date_field.lower()]
+    elif date_field is not None:
+        raise ValueError(f"date column {date_field!r}: {shp!r} has no .dbf")
+
+    base = dict(shp=shp, stem=stem, dbf=dbf, dbf_hdr=dbf_hdr,
+                dbf_rsz=dbf_rsz, dbf_nrec=dbf_nrec, id_off=id_off,
+                id_len=id_len, date_off=date_off, date_len=date_len)
+    shx = _sibling(shp, ".shx")
+    offsets = _read_shx(shx) if shx else None
+    if offsets is None:
+        return [dict(base, byte_start=100, byte_end=size, rec0=0, offs=None)]
+    offsets = [o for o in offsets if 100 <= o < size]
+    splits, i = [], 0
+    while i < len(offsets):
+        j = i
+        while (j + 1 < len(offsets)
+               and offsets[j + 1] - offsets[i] <= split_bytes):
+            j += 1
+        end = offsets[j + 1] if j + 1 < len(offsets) else size
+        splits.append(dict(base, byte_start=offsets[i], byte_end=end,
+                           rec0=i, offs=offsets[i:j + 1]))
+        i = j + 1
+    return splits or [dict(base, byte_start=100, byte_end=size, rec0=0,
+                           offs=None)]
+
+
+def read_shapefile(
+    spark: SparkSession,
+    path: str,
+    id_field: str | None = "id",
+    date_field: str | None = None,
+    date_pattern: str = DEFAULT_DATE_PATTERN,
+    split_bytes: int = DEFAULT_SPLIT_BYTES,
+) -> DataFrame:
+    """Shapefile scan landing in the engine row format (id, [ts,]
+    gtype, coords, minx..maxy).
+
+    ``path``: a .shp file, a directory (recursive *.shp glob), or a
+    glob pattern. ``id_field`` names a .dbf attribute; None — or the
+    default 'id' when the .dbf has no such field — falls back to
+    '<filename-stem>:<record-number>' ids (explicitly named fields that
+    are absent raise, same contract as the parquet reader).
+    ``date_field`` names a .dbf attribute parsed with ``date_pattern``.
+    A .prj sidecar's AUTHORITY code is carried as CRS metadata on the
+    gtype column (api.run warns on source/target CRS mismatch)."""
+    from ds_jedai_spark.model.geometry import (
+        GEOM_FIELDS,
+        GeometryAccumulator,
+        valid_geometries,
+    )
+
+    if os.path.isdir(path):
+        files = sorted(
+            _glob.glob(os.path.join(path, "*.shp"))
+        ) or sorted(
+            _glob.glob(os.path.join(path, "**", "*.shp"), recursive=True)
+        )
+    elif any(ch in path for ch in "*?["):
+        files = sorted(_glob.glob(path))
+    else:
+        files = [path]
+    if not files:
+        raise ValueError(f"no .shp files under {path!r}")
+
+    splits: list[dict] = []
+    for f in files:
+        splits.extend(_plan_file(f, id_field, date_field, split_bytes))
+    crs = next(
+        (c for c in (_prj_crs(_sibling(f, ".prj")) for f in files) if c),
+        None,
+    )
+
+    want_ts = date_field is not None
+    out_fields = "id string, " + (
+        "ts_raw string, " if want_ts else "") + GEOM_FIELDS
+
+    def parse_splits(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            for s in batch.to_pylist():
+                yield _parse_one_split(s, want_ts, GeometryAccumulator, pa)
+
+    plan = spark.createDataFrame(
+        [tuple(s[k] for k in (
+            "shp", "stem", "byte_start", "byte_end", "rec0", "offs", "dbf",
+            "dbf_hdr", "dbf_rsz", "dbf_nrec", "id_off", "id_len",
+            "date_off", "date_len")) for s in splits],
+        _SPLIT_SCHEMA,
+    ).repartition(len(splits))
+    out = valid_geometries(plan.mapInArrow(parse_splits, out_fields))
+    if want_ts:
+        out = out.withColumn(
+            "ts", F.to_timestamp("ts_raw", date_pattern)
+        ).drop("ts_raw")
+    if crs is not None:
+        out = out.withMetadata("gtype", {"crs": crs})
+    return out
+
+
+def _parse_one_split(s: dict, want_ts: bool, GeometryAccumulator, pa):
+    """Executor-side: one ranged read of the split's .shp bytes (and
+    its aligned .dbf record block), per-record parse into the shared
+    Arrow accumulator."""
+    with open(s["shp"], "rb") as f:
+        f.seek(s["byte_start"])
+        buf = f.read(s["byte_end"] - s["byte_start"])
+    base = s["byte_start"]
+
+    recs: list[bytes | None] = []
+    if s["offs"] is not None:
+        for off in s["offs"]:
+            o = off - base
+            if o < 0 or o + 8 > len(buf):
+                recs.append(None)
+                continue
+            (clen,) = struct.unpack_from(">i", buf, o + 4)
+            if clen < 2 or o + 8 + 2 * clen > len(buf):
+                recs.append(None)
+            else:
+                recs.append(buf[o + 8:o + 8 + 2 * clen])
+    else:
+        pos = 0
+        while pos + 8 <= len(buf):
+            (clen,) = struct.unpack_from(">i", buf, pos + 4)
+            if clen < 2 or pos + 8 + 2 * clen > len(buf):
+                break  # corrupt header: the chain is unrecoverable
+            recs.append(buf[pos + 8:pos + 8 + 2 * clen])
+            pos += 8 + 2 * clen
+
+    n = len(recs)
+    acc = GeometryAccumulator(n)
+    for content in recs:
+        parsed = parse_shape(content) if content is not None else None
+        if parsed is None:
+            acc.add_invalid()
+        else:
+            acc.add(*parsed)
+
+    # aligned .dbf attribute block (one ranged read)
+    ids: list[str | None]
+    dates: list[str | None] = [None] * n
+    rec0 = s["rec0"]
+    if s["dbf"] is not None and s["id_off"] >= 0 or (
+        s["dbf"] is not None and want_ts
+    ):
+        take = max(0, min(n, s["dbf_nrec"] - rec0))
+        with open(s["dbf"], "rb") as f:
+            f.seek(s["dbf_hdr"] + rec0 * s["dbf_rsz"])
+            block = f.read(take * s["dbf_rsz"])
+
+        def cell(k: int, off: int, ln: int) -> str | None:
+            lo = k * s["dbf_rsz"] + off
+            v = block[lo:lo + ln].decode("latin-1", "replace").strip()
+            return v or None
+
+        if s["id_off"] >= 0:
+            ids = [cell(k, s["id_off"], s["id_len"]) if k < take else None
+                   for k in range(n)]
+        else:
+            ids = [f"{s['stem']}:{rec0 + k + 1}" for k in range(n)]
+        if want_ts and s["date_off"] >= 0:
+            dates = [cell(k, s["date_off"], s["date_len"])
+                     if k < take else None for k in range(n)]
+    else:
+        ids = [f"{s['stem']}:{rec0 + k + 1}" for k in range(n)]
+
+    cols = [pa.array(ids, pa.string())]
+    names = ["id"]
+    if want_ts:
+        cols.append(pa.array(dates, pa.string()))
+        names.append("ts_raw")
+    return pa.RecordBatch.from_arrays(
+        cols + acc.arrays(),
+        names=names + ["gtype", "coords", "minx", "miny", "maxx", "maxy"],
+    )

@@ -145,15 +145,25 @@ def export_geojson(entities: DataFrame, path: str) -> None:
     geojson_lines(entities).write.mode("overwrite").text(path)
 
 
-def export_geoparquet(entities: DataFrame, path: str) -> None:
-    """WKB-parquet export from the engine row format: id + a binary
-    ``geometry`` column (little-endian ISO WKB via model/geometry.
-    format_wkb) — the inverse of read_parquet_dataset's WKB path, which
-    re-detects the binary ``geometry`` column by name. A distributed
-    write cannot stamp the GeoParquet ``geo`` footer JSON (Spark's
-    parquet writer owns the footer), so interoperability rests on the
-    standard column name + WKB encoding, which GeoPandas/GDAL also
-    accept. Arrow-batched; export is off the hot path by design."""
+def export_geoparquet(
+    entities: DataFrame,
+    path: str,
+    geom_col: str = "geometry",
+    crs: dict | None = None,
+) -> None:
+    """GeoParquet export from the engine row format: id + a binary
+    ``geom_col`` column (little-endian ISO WKB via model/geometry.
+    format_wkb) — the inverse of read_parquet_dataset's WKB path.
+
+    After the distributed write, every part file's footer is stamped
+    with the GeoParquet ``geo`` metadata (primary_column, WKB encoding,
+    optional PROJJSON ``crs``), so external tools (GeoPandas/GDAL) and
+    this engine's reader both recognize the output as GeoParquet by
+    footer, not by column-name convention. Stamping rewrites each part
+    file once driver-side with pyarrow (Spark's writer owns the footer
+    during the job); part files are bounded by the write's partitioning,
+    and export is off the hot path by design — for very large exports
+    the loop parallelizes trivially per file."""
     import pandas as pd
 
     from ds_jedai_spark.model.geometry import format_wkb
@@ -164,11 +174,53 @@ def export_geoparquet(entities: DataFrame, path: str) -> None:
                 format_wkb(g, c) for g, c in zip(pdf["gtype"], pdf["coords"])
             ]
             yield pd.DataFrame({"id": pdf["id"].astype(str),
-                                "geometry": wkbs})
+                                geom_col: wkbs})
 
     (
         entities.select("id", "gtype", "coords")
-        .mapInPandas(run, "id string, geometry binary")
+        .mapInPandas(run, f"id string, {geom_col} binary")
         .write.mode("overwrite")
         .parquet(path)
     )
+    stamp_geo_footer(path, geom_col=geom_col, crs=crs)
+
+
+def stamp_geo_footer(
+    path: str, geom_col: str = "geometry", crs: dict | None = None
+) -> int:
+    """Add GeoParquet ``geo`` footer metadata to every parquet part file
+    under ``path`` (or to ``path`` itself if it is a single file).
+    Returns the number of files stamped. ``crs`` is a PROJJSON dict;
+    omitted means the spec default (OGC:CRS84)."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    colmeta: dict = {"encoding": "WKB", "geometry_types": []}
+    if crs is not None:
+        colmeta["crs"] = crs
+    geo = json.dumps({
+        "version": "1.0.0",
+        "primary_column": geom_col,
+        "columns": {geom_col: colmeta},
+    }).encode("utf-8")
+
+    files = (
+        [path] if os.path.isfile(path)
+        else sorted(glob.glob(os.path.join(path, "*.parquet")))
+    )
+    for p in files:
+        table = pq.read_table(p)
+        meta = dict(table.schema.metadata or {})
+        meta[b"geo"] = geo
+        pq.write_table(table.replace_schema_metadata(meta), p)
+        # Spark's local-FS committer leaves a CRC sidecar per part file;
+        # the rewrite invalidates it and a later Spark read would fail
+        # with ChecksumException — drop the stale sidecar.
+        crc = os.path.join(os.path.dirname(p),
+                           f".{os.path.basename(p)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    return len(files)

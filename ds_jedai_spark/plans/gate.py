@@ -271,6 +271,8 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                  rp.ntriples_reader_counts_oracle()),
                 ("wkb", rp.wkb_reader_counts,
                  rp.wkb_reader_counts_oracle()),
+                ("shp", rp.shp_reader_counts,
+                 rp.shp_reader_counts_oracle()),
             ]
         ),
     )

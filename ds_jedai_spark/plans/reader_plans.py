@@ -109,6 +109,39 @@ def wkb_reader_counts_oracle() -> str:
     )
 
 
+SHP_FIXTURE = str(
+    Path(__file__).resolve().parents[2] / "fixtures" / "shp_source"
+)
+SHP_TRUTH = str(
+    Path(__file__).resolve().parents[2] / "fixtures"
+    / "shp_source_truth.parquet"
+)
+
+
+def shp_reader_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same gate through the ESRI Shapefile reader: the fixture
+    directory (scripts/make_shp_fixture.py) carries the WKT fixture's
+    entity set across four per-kind shapefiles (.shp/.shx/.dbf, ids in
+    the dbf) with the invalid rows as deliberately corrupt records; the
+    oracle reads only the sidecar ground-truth parquet, which the
+    engine never touches. gtype truth applies the format's inherent
+    promotions (single-part MULTILINESTRING -> LINESTRING, single-shell
+    MULTIPOLYGON -> POLYGON)."""
+    from ds_jedai_spark.io.shapefile import read_shapefile
+
+    src = read_shapefile(spark, SHP_FIXTURE, id_field="id").withColumn(
+        "id", F.col("id").cast("long")
+    )
+    return _reader_counts(src)
+
+
+def shp_reader_counts_oracle() -> str:
+    return _reader_counts_oracle(
+        f"SELECT CAST(id AS BIGINT) AS id, gtype, minx, miny, maxx, maxy "
+        f"FROM read_parquet('{SHP_TRUTH}') WHERE valid = 1"
+    )
+
+
 HOLES_SRC = str(
     Path(__file__).resolve().parents[2] / "fixtures" / "wkt_holes_source.tsv"
 )

@@ -1,0 +1,252 @@
+"""ESRI Shapefile reader: differential vs the WKT reader over the whole
+fixture, split-planning parity (.shx byte-range splits vs sequential),
+.dbf attribute extraction, .prj CRS metadata, hostile-bytes fuzz, and
+the CLI/api dispatch e2e.
+
+Fixture: fixtures/shp_source/ (scripts/make_shp_fixture.py) — the WKT
+fixture's entities across four per-kind shapefiles with the invalid rows
+as deliberately corrupt records."""
+
+from __future__ import annotations
+
+import shutil
+import struct
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pytest
+from pyspark.sql import functions as F
+
+from ds_jedai_spark.io.shapefile import parse_shape, read_shapefile
+
+FIX = str(Path(__file__).resolve().parent.parent / "fixtures" / "shp_source")
+WKT_FIX = str(
+    Path(__file__).resolve().parent.parent / "fixtures" / "wkt_source.tsv"
+)
+
+
+def _mk_writer():
+    """Import the fixture generator's writer helpers (scripts/ is not a
+    package)."""
+    import importlib.util
+
+    p = Path(__file__).resolve().parent.parent / "scripts" / "make_shp_fixture.py"
+    spec = importlib.util.spec_from_file_location("make_shp_fixture", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _rowmap(df):
+    return {
+        r.id: (r.gtype, r.minx, r.miny, r.maxx, r.maxy,
+               frozenset((x, y) for part in r.coords for x, y in part))
+        for r in df.collect()
+    }
+
+
+def test_shapefile_matches_wkt_reader(spark):
+    """Every valid WKT-fixture entity comes back with identical id,
+    envelope, vertex set, and gtype modulo the format's promotions
+    (single-part MULTI* collapse); invalid rows drop."""
+    from ds_jedai_spark.io.readers import read_wkt_delimited
+    from ds_jedai_spark.model.geometry import parse_wkt
+
+    wm = _mk_writer()
+    shp = _rowmap(read_shapefile(spark, FIX, id_field="id"))
+    wkt = _rowmap(
+        read_wkt_delimited(spark, WKT_FIX, id_field="id", geom_field="wkt")
+    )
+    assert set(shp) == set(wkt)
+    import csv
+
+    promoted = {}
+    for row in csv.DictReader(open(WKT_FIX), delimiter="\t"):
+        parsed = parse_wkt(row["wkt"])
+        if parsed:
+            promoted[row["id"]] = wm.promote(*parsed)
+    for rid, (g, minx, miny, maxx, maxy, verts) in wkt.items():
+        sg, sminx, sminy, smaxx, smaxy, sverts = shp[rid]
+        assert sg == promoted[rid], rid
+        assert (sminx, sminy, smaxx, smaxy) == (minx, miny, maxx, maxy), rid
+        # ring re-orientation permutes point order but never the set
+        assert sverts == verts, rid
+
+
+def test_split_and_shx_modes_agree(spark, tmp_path):
+    """Tiny byte-range splits (many tasks per file) and the no-.shx
+    sequential fallback both reproduce the default read exactly."""
+    base = _rowmap(read_shapefile(spark, FIX, id_field="id"))
+    tiny = _rowmap(read_shapefile(spark, FIX, id_field="id",
+                                  split_bytes=256))
+    assert tiny == base
+    d = tmp_path / "noshx"
+    d.mkdir()
+    for f in Path(FIX).iterdir():
+        if f.suffix != ".shx":
+            shutil.copy(f, d)
+    seq = _rowmap(read_shapefile(spark, str(d), id_field="id"))
+    assert seq == base
+    assert len(base) == 406
+
+
+def test_dbf_fields_and_recno_fallback(spark, tmp_path):
+    """Explicit missing .dbf field raises with the field list; the 'id'
+    default falls back to stem:recno; a date field parses to ts."""
+    wm = _mk_writer()
+    stem = tmp_path / "pts"
+    recs = [wm.shape_content("POINT", [[[1.5, 2.5]]]),
+            wm.shape_content("POINT", [[[3.0, 4.0]]])]
+    wm.write_shapefile(stem, 1, recs, ["a", "b"])
+    # hand-extend the dbf with a second field 'when' (C, width 19)
+    ids = ["a", "b"]
+    whens = ["2024-03-01 10:00:00", "2024-03-02 11:30:00"]
+    hdr = struct.pack("<B3BIHH20x", 3, 24, 1, 1, 2, 33 + 64, 1 + 16 + 19)
+    f1 = b"id".ljust(11, b"\0") + b"C" + struct.pack("<IBB14x", 0, 16, 0)
+    f2 = b"when".ljust(11, b"\0") + b"C" + struct.pack("<IBB14x", 0, 19, 0)
+    body = b"".join(
+        b" " + i.ljust(16).encode() + w.ljust(19).encode()
+        for i, w in zip(ids, whens)
+    )
+    stem.with_suffix(".dbf").write_bytes(hdr + f1 + f2 + b"\x0d" + body + b"\x1a")
+
+    got = read_shapefile(spark, str(stem) + ".shp", id_field="id",
+                         date_field="when")
+    rows = sorted((r.id, str(r.ts)) for r in got.select("id", "ts").collect())
+    assert rows == [("a", "2024-03-01 10:00:00"),
+                    ("b", "2024-03-02 11:30:00")]
+    with pytest.raises(ValueError, match="'nope'.*fields"):
+        read_shapefile(spark, str(stem) + ".shp", id_field="nope")
+    # 'id' default on a dbf without an id field -> stem:recno
+    hdr1 = struct.pack("<B3BIHH20x", 3, 24, 1, 1, 2, 33 + 32, 1 + 19)
+    body1 = b"".join(b" " + w.ljust(19).encode() for w in whens)
+    stem.with_suffix(".dbf").write_bytes(
+        hdr1 + f2 + b"\x0d" + body1 + b"\x1a"
+    )
+    got = read_shapefile(spark, str(stem) + ".shp")
+    assert sorted(r.id for r in got.collect()) == ["pts:1", "pts:2"]
+
+
+def test_prj_crs_metadata(spark):
+    df = read_shapefile(spark, FIX, id_field="id")
+    assert df.schema["gtype"].metadata.get("crs") == "EPSG:4326"
+
+
+def test_parse_shape_hostile_bytes():
+    """parse_shape never raises: random bytes, bit-flipped valid
+    records, huge claimed counts (must fail on the count, not
+    allocate)."""
+    import random
+
+    wm = _mk_writer()
+    rng = random.Random(1303)
+    valid = wm.shape_content(
+        "POLYGON", [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0],
+                     [0.0, 0.0]]]
+    )
+    for _ in range(3000):
+        n = rng.randint(0, 80)
+        parse_shape(bytes(rng.getrandbits(8) for _ in range(n)))
+    for _ in range(3000):
+        b = bytearray(valid)
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        parse_shape(bytes(b))
+        parse_shape(bytes(b[:rng.randrange(len(b))]))
+    # 2^31-1 points claimed in 60 bytes: bound check, not allocation
+    huge = (struct.pack("<i", 5) + struct.pack("<4d", 0, 0, 1, 1)
+            + struct.pack("<ii", 1, 2**31 - 1) + struct.pack("<i", 0))
+    assert parse_shape(huge) is None
+
+
+def test_hostile_file_records_isolated(spark, tmp_path):
+    """Bit-flipped record CONTENT drops only that record when .shx
+    offsets isolate it — the neighbors still parse."""
+    import random
+
+    wm = _mk_writer()
+    rng = random.Random(7)
+    stem = tmp_path / "z"
+    recs = [wm.shape_content("POINT", [[[float(i), float(i) + 0.5]]])
+            for i in range(20)]
+    wm.write_shapefile(stem, 1, recs, [str(i) for i in range(20)])
+    raw = bytearray(stem.with_suffix(".shp").read_bytes())
+    # corrupt record 5's shape type field (offset: header + 5 records)
+    off = 100 + 5 * (8 + len(recs[0])) + 8
+    struct.pack_into("<i", raw, off, 999)
+    stem.with_suffix(".shp").write_bytes(bytes(raw))
+    got = read_shapefile(spark, str(stem) + ".shp", id_field="id")
+    ids = sorted(int(r.id) for r in got.collect())
+    assert ids == [i for i in range(20) if i != 5]
+
+
+def test_not_a_shapefile_raises(spark, tmp_path):
+    p = tmp_path / "junk.shp"
+    p.write_bytes(b"\x00" * 300)
+    with pytest.raises(ValueError, match="bad magic"):
+        read_shapefile(spark, str(p))
+    with pytest.raises(ValueError, match="no .shp files"):
+        read_shapefile(spark, str(tmp_path / "empty_dir_*"))
+
+
+def test_polygon_ring_grouping_from_orientation_free_input():
+    """Ring roles come from exact nesting depth, not orientation: a
+    Polygon record whose rings are all CCW (spec-violating, common in
+    the wild) still groups shell/hole/island correctly."""
+    shell = [[0.0, 0.0], [20.0, 0.0], [20.0, 20.0], [0.0, 20.0], [0.0, 0.0]]
+    hole = [[5.0, 5.0], [15.0, 5.0], [15.0, 15.0], [5.0, 15.0], [5.0, 5.0]]
+    island = [[8.0, 8.0], [12.0, 8.0], [12.0, 12.0], [8.0, 12.0], [8.0, 8.0]]
+
+    def rec(rings):
+        starts, total = [], 0
+        for r in rings:
+            starts.append(total)
+            total += len(r)
+        pts = b"".join(struct.pack("<dd", x, y) for r in rings for x, y in r)
+        return (struct.pack("<i", 5) + struct.pack("<4d", 0, 0, 20, 20)
+                + struct.pack("<ii", len(rings), total)
+                + struct.pack(f"<{len(rings)}i", *starts) + pts)
+
+    g, parts = parse_shape(rec([shell, hole, island]))
+    assert g == "MULTIPOLYGON"
+    assert parts == [shell, hole, island]
+    # hole listed FIRST still lands after its shell
+    g, parts = parse_shape(rec([hole, shell]))
+    assert (g, parts) == ("POLYGON", [shell, hole])
+    g, parts = parse_shape(rec([shell]))
+    assert (g, parts) == ("POLYGON", [shell])
+
+
+def test_api_dispatch_and_cli_ops(spark, tmp_path, capsys, monkeypatch):
+    """.shp routes through api.read_dataset (file and directory forms),
+    -op relate runs on shapefile inputs, and -op convert produces a
+    GeoParquet twin whose re-read matches the shapefile read."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import api, cli
+    from ds_jedai_spark.config import DatasetSpec
+    from ds_jedai_spark.io.readers import read_parquet_dataset
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    via_api = api.read_dataset(
+        spark, DatasetSpec(path=FIX, id_field="id", geom_field=None)
+    )
+    assert via_api.count() == 406
+
+    pts = str(Path(FIX) / "points.shp")
+    rc = cli.main(["-op", "relate", "-left", pts, "-right", pts,
+                   "-relation", "intersects", "-limit", "3"])
+    assert rc == 0
+    head = capsys.readouterr().out.splitlines()[0]
+    assert head.split("\t") == ["s_id", "t_id"]
+
+    out = str(tmp_path / "conv.parquet")
+    rc = cli.main(["-op", "convert", "-left", pts, "-to", "geoparquet",
+                   "-out", out])
+    assert rc == 0
+    back = _rowmap(read_parquet_dataset(spark, out))
+    direct = _rowmap(read_shapefile(spark, pts, id_field="id"))
+    assert back == direct
