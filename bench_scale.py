@@ -187,8 +187,18 @@ def _cloned_boxes(spark, sf_dir, clones: int = CLONES_SPATIAL):
     shift = (span.hi - span.lo) * 2
 
     def clone(df):
-        rep = spark.range(clones).select(F.col("id").alias("rep"))
-        return df.crossJoin(rep).select(
+        # The partitioned RANGE is the left side and the base frame is
+        # broadcast: map-side parallelism then scales with the cores,
+        # not with the base table's file count. The previous
+        # df.crossJoin(range) kept the single-file parquet scan's ONE
+        # map task and inflated it x clones — at x1000 that one task
+        # generated 450M+ exploded rows alone, and SPILL_EVIDENCE.json
+        # (r13) measured the decade wall as exactly this serial stage
+        # (executorRunTime / wall =~ 0.28-0.46 x 32 cores), not a plan
+        # property. A real corpus at this volume has thousands of input
+        # splits, which is what the range side reproduces.
+        rep = spark.range(0, clones, 1, 32).select(F.col("id").alias("rep"))
+        return rep.join(F.broadcast(df), how="cross").select(
             (F.col("id") * clones + F.col("rep")).alias("id"),
             (F.col("minx") + F.col("rep") * shift).alias("minx"),
             "miny",
@@ -237,27 +247,40 @@ def giant_counts_x100(spark, sf_dir):
 def giant_counts_x1000(spark, sf_dir):
     """The THIRD scale decade (r12): 20M x 150M boxes (1000 clones),
     863,442,000 true pairs — the same pure streaming plan, nothing
-    materialized, memory and disk FLAT (df unchanged across the run;
-    measured 491 s standalone). The 86M->863M decade costs ~26x rather
-    than 10x on this box because the exploded-tile shuffle (~680M rows)
-    crosses the in-memory->spill transition — a per-box constant, not a
-    plan property; a cluster whose aggregate memory holds the shuffle
-    stays linear on the identical plan. Row law asserted in main():
-    verifications == exactly 10x the x100 entry (clone i only meets
-    clone i)."""
+    materialized. Row law asserted in main(): verifications == exactly
+    10x the x100 entry (clone i only meets clone i).
+
+    r13 (SPILL_EVIDENCE.json): the r12 "26x per decade" wall was NOT
+    the claimed shuffle-spill box constant — stage metrics showed the
+    old clone harness kept ONE map task (single parquet file x
+    crossJoin inflation; cores ~50-75% idle) with reducer sort spill
+    secondary (3.2 GB mem / 127 MB disk at 32 shuffle partitions, zero
+    at x100). With the clone builder fixed (_cloned_boxes: range side
+    partitioned, base broadcast) the wall fell 445.6 -> 143.9 s, and
+    sizing shuffle partitions to the decade (128 here = 4x the core
+    count; still measured, see the sweep) removes the remaining spill
+    entirely: 113.1 s, decade factor 13.0x whose residual over 10x is
+    measured reducer sort CPU. This is the round's knob lesson
+    applied: shuffle partitions scale with data volume, not a fixed
+    core count."""
     from ds_jedai_spark.model.tiles import compute_theta
     from ds_jedai_spark.operators.relate import with_relations
     from ds_jedai_spark.operators.spatial_join import tile_join
     from ds_jedai_spark.plans.giant import counts_agg
 
-    cs, ct = _cloned_boxes(spark, sf_dir, clones=1000)
-    theta = compute_theta(cs)
-    out = counts_agg(with_relations(tile_join(cs, ct, theta=theta)))
-    v = out.first().verifications
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" not in plan, (
-        "1000x tile join picked a broadcast at the third scale decade"
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
+    try:
+        cs, ct = _cloned_boxes(spark, sf_dir, clones=1000)
+        theta = compute_theta(cs)
+        out = counts_agg(with_relations(tile_join(cs, ct, theta=theta)))
+        v = out.first().verifications
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, (
+            "1000x tile join picked a broadcast at the third scale decade"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return v
 
 

@@ -305,9 +305,10 @@ def _run_op(args) -> int:
                 print("-op convert needs -left (input dataset) and -out",
                       file=sys.stderr)
                 return 2
-            if args.to not in ("rowparquet", "geoparquet", "geojson"):
+            if args.to not in ("rowparquet", "geoparquet", "geojson",
+                               "shapefile"):
                 print(f"-op convert: unknown -to {args.to!r}; choose "
-                      "from rowparquet/geoparquet/geojson",
+                      "from rowparquet/geoparquet/geojson/shapefile",
                       file=sys.stderr)
                 return 2
             src = api.read_dataset(spark, DatasetSpec(
@@ -329,6 +330,17 @@ def _run_op(args) -> int:
                        if meta.get("crs_projjson") else None)
                 writers.export_geoparquet(src, args.out, crs=crs)
                 back = spark.read.parquet(args.out)
+            elif args.to == "shapefile":
+                # directory-of-shapefiles sink (one spec-conformant
+                # .shp/.shx/.dbf triple per partition x shape kind;
+                # known CRS becomes a .prj) — count via the reader
+                from ds_jedai_spark.io.shapefile import (
+                    export_shapefile,
+                    read_shapefile,
+                )
+
+                export_shapefile(src, args.out)
+                back = read_shapefile(spark, args.out)
             else:
                 writers.export_geojson(src, args.out)
                 back = spark.read.text(args.out)
@@ -849,8 +861,9 @@ def main(argv: list[str] | None = None) -> int:
                          "(GeoParquet/WKB auto-detects)")
     ap.add_argument("-to", default="rowparquet",
                     help="convert: output format — rowparquet (engine "
-                         "zero-parse), geoparquet (WKB binary), geojson "
-                         "(NDJSON features)")
+                         "zero-parse), geoparquet (WKB binary, stamped "
+                         "geo footer), geojson (NDJSON features), "
+                         "shapefile (directory of .shp/.shx/.dbf)")
     ap.add_argument("-date-col", dest="date_col", default=None,
                     help="relate: date column on BOTH sides enables the "
                          "reference's spatio-temporal qualifier "

@@ -1,4 +1,4 @@
-"""Distributed ESRI Shapefile (.shp / .shx / .dbf / .prj) reader.
+"""Distributed ESRI Shapefile (.shp / .shx / .dbf / .prj) reader + sink.
 
 Format: the public ESRI Shapefile Technical Description (July 1998).
 Reference parity: the reference *intended* to ingest shapefiles via
@@ -464,3 +464,213 @@ def _parse_one_split(s: dict, want_ts: bool, GeometryAccumulator, pa):
         cols + acc.arrays(),
         names=names + ["gtype", "coords", "minx", "miny", "maxx", "maxy"],
     )
+
+
+# --- sink ---------------------------------------------------------------
+#
+# The format allows ONE shape type per .shp and caps a file at 2 GB, so
+# the scale-appropriate sink is a DIRECTORY of shapefiles — one per
+# (partition, shape kind[, size chunk]) written executor-side, exactly
+# like Spark part files. The reader above consumes such a directory
+# natively (and so does OGR: a directory of shapefiles is a normal
+# corpus layout, e.g. TIGER).
+
+_KIND_CODE = {"POINT": 1, "LINESTRING": 3, "MULTILINESTRING": 3,
+              "POLYGON": 5, "MULTIPOLYGON": 5, "MULTIPOINT": 8}
+
+WGS84_PRJ = (
+    'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+    'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433],'
+    'AUTHORITY["EPSG","4326"]]'
+)
+_PRJ_BY_CRS = {"EPSG:4326": WGS84_PRJ, "OGC:CRS84": WGS84_PRJ}
+
+
+def signed_area2(ring) -> float:
+    s = 0.0
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+        s += x1 * y2 - x2 * y1
+    return s
+
+
+def _orient(ring, clockwise: bool) -> list:
+    # positive doubled area = CCW under math axes; ESRI wants CW shells
+    if (signed_area2(ring) > 0) == clockwise:
+        return list(reversed(ring))
+    return list(ring)
+
+
+def _pack_pts(pts) -> bytes:
+    return b"".join(struct.pack("<dd", x, y) for x, y in pts)
+
+
+def _bbox(parts):
+    xs = [p[0] for part in parts for p in part]
+    ys = [p[1] for part in parts for p in part]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def shape_content(gtype: str, parts) -> bytes:
+    """One .shp record's content for a row-format geometry — the
+    inverse of parse_shape. Polygon rings are regrouped with the exact
+    nesting test and re-oriented to the spec (CW shells, CCW holes)."""
+    if gtype == "POINT":
+        return struct.pack("<i", 1) + _pack_pts(parts[0])
+    if gtype == "MULTIPOINT":
+        pts = [part[0] for part in parts]
+        return (struct.pack("<i", 8) + struct.pack("<4d", *_bbox(parts))
+                + struct.pack("<i", len(pts)) + _pack_pts(pts))
+    if gtype in ("LINESTRING", "MULTILINESTRING"):
+        rings = parts
+    else:
+        from ds_jedai_spark.model.geometry import regroup_rings
+
+        rings = []
+        for group in regroup_rings(parts):
+            rings.append(_orient(group[0], clockwise=True))
+            rings.extend(_orient(h, clockwise=False) for h in group[1:])
+    code = 3 if gtype in ("LINESTRING", "MULTILINESTRING") else 5
+    starts, total = [], 0
+    for r in rings:
+        starts.append(total)
+        total += len(r)
+    return (struct.pack("<i", code) + struct.pack("<4d", *_bbox(parts))
+            + struct.pack("<ii", len(rings), total)
+            + struct.pack(f"<{len(rings)}i", *starts)
+            + b"".join(_pack_pts(r) for r in rings))
+
+
+def shapefile_bytes(
+    shape_type: int, contents: list[bytes]
+) -> tuple[bytes, bytes]:
+    """Assemble (.shp bytes, .shx bytes) from record contents."""
+    recs, offsets, pos = [], [], 100
+    box = None
+    for i, content in enumerate(contents):
+        if len(content) % 2:
+            content += b"\0"
+        offsets.append(pos)
+        recs.append(struct.pack(">ii", i + 1, len(content) // 2) + content)
+        pos += len(recs[-1])
+        parsed = parse_shape(content)
+        if parsed:
+            b = _bbox(parsed[1])
+            box = b if box is None else (
+                min(box[0], b[0]), min(box[1], b[1]),
+                max(box[2], b[2]), max(box[3], b[3]),
+            )
+    box = box or (0.0, 0.0, 0.0, 0.0)
+
+    def header(length_bytes: int) -> bytes:
+        return (struct.pack(">i20xi", SHP_MAGIC, length_bytes // 2)
+                + struct.pack("<ii", 1000, shape_type)
+                + struct.pack("<4d", *box) + struct.pack("<4d", 0, 0, 0, 0))
+
+    shx_recs = b"".join(
+        struct.pack(">ii", off // 2, (len(r) - 8) // 2)
+        for off, r in zip(offsets, recs)
+    )
+    return (header(pos) + b"".join(recs),
+            header(100 + len(shx_recs)) + shx_recs)
+
+
+def dbf_bytes(fields: list[tuple[str, int]], rows: list[tuple]) -> bytes:
+    """dBASE III bytes: character fields only (name, width)."""
+    rsz = 1 + sum(w for _, w in fields)
+    hdr = struct.pack("<B3BIHH20x", 3, 24, 1, 1, len(rows),
+                      33 + 32 * len(fields), rsz)
+    desc = b"".join(
+        name.encode("ascii")[:10].ljust(11, b"\0") + b"C"
+        + struct.pack("<IBB14x", 0, w, 0)
+        for name, w in fields
+    )
+    body = b"".join(
+        b" " + b"".join(
+            ("" if v is None else str(v))[:w].ljust(w).encode(
+                "latin-1", "replace")
+            for (_, w), v in zip(fields, row)
+        )
+        for row in rows
+    )
+    return hdr + desc + b"\x0d" + body + b"\x1a"
+
+
+def export_shapefile(
+    entities: DataFrame,
+    path: str,
+    max_file_bytes: int = 1 << 30,
+) -> None:
+    """Directory-of-shapefiles sink from the engine row format.
+
+    Executors write one .shp/.shx/.dbf triple per (partition, shape
+    kind) — plus size chunks at ``max_file_bytes`` (safely under the
+    format's 2 GB cap) — so the write is fully distributed and each
+    output file is spec-conformant (single shape type). The .dbf
+    carries ``id`` (width fitted, <= 254) and, when present, ``ts``
+    (seconds precision; read back with ``date_field='ts'``). A known
+    CRS on the input (gtype column metadata) becomes a .prj sidecar.
+    The one non-streaming cost: a partition's file bytes assemble in
+    executor memory before the write — bound partition sizes upstream
+    (they already are, by the readers' split planning)."""
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path)
+
+    has_ts = "ts" in entities.columns
+    cols = ["id", "gtype", "coords"] + (["ts"] if has_ts else [])
+    crs = (entities.schema["gtype"].metadata or {}).get("crs")
+    prj = _PRJ_BY_CRS.get(crs)
+
+    def write_parts(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        by_code: dict[int, list[tuple[bytes, str, str | None]]] = {}
+        for pdf in batches:
+            tss = pdf["ts"] if has_ts else [None] * len(pdf)
+            for rid, g, coords, ts in zip(
+                pdf["id"], pdf["gtype"], pdf["coords"], tss
+            ):
+                content = shape_content(g, coords)
+                t = (ts.strftime("%Y-%m-%d %H:%M:%S")
+                     if ts is not None and ts == ts else None)
+                by_code.setdefault(_KIND_CODE[g], []).append(
+                    (content, str(rid), t)
+                )
+        n_files = n_rows = 0
+        for code, rows in by_code.items():
+            chunks, cur, cur_bytes = [], [], 0
+            for row in rows:
+                if cur and cur_bytes + len(row[0]) > max_file_bytes:
+                    chunks.append(cur)
+                    cur, cur_bytes = [], 0
+                cur.append(row)
+                cur_bytes += len(row[0]) + 8
+            chunks.append(cur)
+            for ci, chunk in enumerate(chunks):
+                suffix = f"-c{ci}" if len(chunks) > 1 else ""
+                stem = os.path.join(path, f"part-{pid:05d}-t{code}{suffix}")
+                shp, shx = shapefile_bytes(code, [c for c, _, _ in chunk])
+                with open(stem + ".shp", "wb") as f:
+                    f.write(shp)
+                with open(stem + ".shx", "wb") as f:
+                    f.write(shx)
+                idw = min(254, max(1, max(len(i) for _, i, _ in chunk)))
+                fields = [("id", idw)] + ([("ts", 19)] if has_ts else [])
+                rws = [(i, t) if has_ts else (i,) for _, i, t in chunk]
+                with open(stem + ".dbf", "wb") as f:
+                    f.write(dbf_bytes(fields, rws))
+                if prj:
+                    with open(stem + ".prj", "w") as f:
+                        f.write(prj)
+                n_files += 1
+                n_rows += len(chunk)
+        yield pd.DataFrame({"files": [n_files], "rows": [n_rows]})
+
+    entities.select(*cols).mapInPandas(
+        write_parts, "files long, rows long"
+    ).groupBy().sum().collect()

@@ -34,69 +34,30 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from ds_jedai_spark.io.shapefile import parse_shape  # noqa: E402
+from ds_jedai_spark.io.shapefile import (  # noqa: E402
+    dbf_bytes,
+    parse_shape,
+    shape_content,
+    shapefile_bytes,
+)
+from ds_jedai_spark.io.shapefile import WGS84_PRJ  # noqa: E402
 from ds_jedai_spark.model.geometry import parse_wkt, regroup_rings  # noqa: E402
 
 SRC = Path(__file__).resolve().parents[1] / "fixtures" / "wkt_source.tsv"
 OUT_DIR = Path(__file__).resolve().parents[1] / "fixtures" / "shp_source"
 TRUTH = Path(__file__).resolve().parents[1] / "fixtures" / "shp_source_truth.parquet"
 
-WGS84_PRJ = (
-    'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
-    'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
-    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433],'
-    'AUTHORITY["EPSG","4326"]]'
-)
-
-
-def signed_area2(ring) -> float:
-    s = 0.0
-    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
-        s += x1 * y2 - x2 * y1
-    return s
-
-
-def orient(ring, clockwise: bool):
-    a = signed_area2(ring)
-    if (a > 0) == clockwise:  # positive area = CCW
-        return list(reversed(ring))
-    return list(ring)
-
 
 def pack_points(pts) -> bytes:
-    return b"".join(struct.pack("<dd", x, y) for x, y in pts)
+    import struct as _s
+
+    return b"".join(_s.pack("<dd", x, y) for x, y in pts)
 
 
 def bbox(parts):
     xs = [p[0] for part in parts for p in part]
     ys = [p[1] for part in parts for p in part]
     return min(xs), min(ys), max(xs), max(ys)
-
-
-def shape_content(gtype: str, parts) -> bytes:
-    """One record's content bytes for the engine row format geometry."""
-    if gtype == "POINT":
-        return struct.pack("<i", 1) + pack_points(parts[0])
-    if gtype == "MULTIPOINT":
-        pts = [part[0] for part in parts]
-        return (struct.pack("<i", 8) + struct.pack("<4d", *bbox(parts))
-                + struct.pack("<i", len(pts)) + pack_points(pts))
-    if gtype in ("LINESTRING", "MULTILINESTRING"):
-        rings = parts
-    else:  # POLYGON / MULTIPOLYGON: ESRI orientation (CW shell, CCW hole)
-        rings = []
-        for group in regroup_rings(parts):
-            rings.append(orient(group[0], clockwise=True))
-            rings.extend(orient(h, clockwise=False) for h in group[1:])
-    code = 3 if gtype in ("LINESTRING", "MULTILINESTRING") else 5
-    starts, total = [], 0
-    for r in rings:
-        starts.append(total)
-        total += len(r)
-    return (struct.pack("<i", code) + struct.pack("<4d", *bbox(parts))
-            + struct.pack("<ii", len(rings), total)
-            + struct.pack(f"<{len(rings)}i", *starts)
-            + b"".join(pack_points(r) for r in rings))
 
 
 CORRUPT = [
@@ -120,52 +81,15 @@ CORRUPT = [
 def write_shapefile(path_stem: Path, shape_type: int,
                     records: list[bytes], ids: list[str],
                     prj: str | None = None) -> None:
-    """Minimal spec-conformant writer: .shp + .shx + .dbf (one C-type
-    'id' field) + optional .prj."""
-    recs, offsets, pos = [], [], 100
-    for i, content in enumerate(records):
-        if len(content) % 2:  # contents are word-aligned
-            content += b"\0"
-        offsets.append(pos)
-        recs.append(struct.pack(">ii", i + 1, len(content) // 2) + content)
-        pos += len(recs[-1])
-    xs: list[float] = []
-    ys: list[float] = []
-    for content in records:
-        parsed = parse_shape(content)
-        if parsed:
-            for part in parsed[1]:
-                xs.extend(p[0] for p in part)
-                ys.extend(p[1] for p in part)
-    box = (min(xs), min(ys), max(xs), max(ys)) if xs else (0, 0, 0, 0)
-
-    def header(length_bytes: int) -> bytes:
-        # magic(BE) + 20 unused + file length in words(BE) | version +
-        # shape type (LE) | bbox + zm-ranges (8 doubles LE) = 100 bytes
-        return (struct.pack(">i20xi", 9994, length_bytes // 2)
-                + struct.pack("<ii", 1000, shape_type)
-                + struct.pack("<4d", *box) + struct.pack("<4d", 0, 0, 0, 0))
-
-    shp = header(pos) + b"".join(recs)
+    """Fixture-side writer over the package byte builders
+    (io/shapefile.shapefile_bytes / dbf_bytes) — kept here so the
+    fixture can also write DELIBERATELY CORRUPT records, which the
+    package sink never produces."""
+    shp, shx = shapefile_bytes(shape_type, records)
     path_stem.with_suffix(".shp").write_bytes(shp)
-
-    shx_recs = b"".join(
-        struct.pack(">ii", off // 2, (len(r) - 8) // 2)
-        for off, r in zip(offsets, recs)
-    )
-    path_stem.with_suffix(".shx").write_bytes(
-        header(100 + len(shx_recs)) + shx_recs
-    )
-
-    width = 16
-    n = len(ids)
-    dbf_hdr = struct.pack("<B3BIHH20x", 3, 24, 1, 1, n, 33 + 32, 1 + width)
-    fld = b"id".ljust(11, b"\0") + b"C" + struct.pack("<IBB14x", 0, width, 0)
-    body = b"".join(
-        b" " + str(v)[:width].ljust(width).encode("latin-1") for v in ids
-    )
+    path_stem.with_suffix(".shx").write_bytes(shx)
     path_stem.with_suffix(".dbf").write_bytes(
-        dbf_hdr + fld + b"\x0d" + body + b"\x1a"
+        dbf_bytes([("id", 16)], [(i,) for i in ids])
     )
     if prj:
         path_stem.with_suffix(".prj").write_text(prj)

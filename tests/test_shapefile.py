@@ -250,3 +250,154 @@ def test_api_dispatch_and_cli_ops(spark, tmp_path, capsys, monkeypatch):
     back = _rowmap(read_parquet_dataset(spark, out))
     direct = _rowmap(read_shapefile(spark, pts, id_field="id"))
     assert back == direct
+
+
+def test_export_shapefile_roundtrip(spark, tmp_path):
+    """export_shapefile -> read_shapefile reproduces every WKT-fixture
+    entity (modulo the format's gtype promotions; polygon rings may be
+    re-oriented, never re-pointed), including a ts attribute round trip
+    and the CRS -> .prj -> CRS loop."""
+    from ds_jedai_spark.io.readers import read_wkt_delimited
+    from ds_jedai_spark.io.shapefile import export_shapefile
+    from ds_jedai_spark.model.geometry import parse_wkt
+
+    wm = _mk_writer()
+    src = read_wkt_delimited(
+        spark, WKT_FIX, id_field="id", geom_field="wkt"
+    ).withColumn(
+        "ts",
+        F.to_timestamp(
+            F.concat(F.lit("2024-03-01 10:00:"),
+                     F.lpad(F.col("id").cast("long") % 60, 2, "0"))
+        ),
+    ).withMetadata("gtype", {"crs": "EPSG:4326"})
+    out = str(tmp_path / "shp_out")
+    export_shapefile(src, out)
+
+    back = read_shapefile(spark, out, id_field="id", date_field="ts")
+    assert back.schema["gtype"].metadata.get("crs") == "EPSG:4326"
+
+    def keyed(df):
+        return {
+            r.id: (r.gtype, r.minx, r.miny, r.maxx, r.maxy, str(r.ts),
+                   frozenset((x, y) for part in r.coords for x, y in part))
+            for r in df.collect()
+        }
+
+    got, want = keyed(back), keyed(src)
+    assert set(got) == set(want)
+    import csv
+
+    promoted = {}
+    for row in csv.DictReader(open(WKT_FIX), delimiter="\t"):
+        parsed = parse_wkt(row["wkt"])
+        if parsed:
+            promoted[row["id"]] = wm.promote(*parsed)
+    for rid, (g, *rest) in want.items():
+        gg, *grest = got[rid]
+        assert gg == promoted[rid], rid
+        assert grest == rest, rid
+
+
+def test_export_shapefile_chunking(spark, tmp_path):
+    """A tiny max_file_bytes forces size chunks; every file stays under
+    the cap-ish bound and the union of rows is unchanged."""
+    from ds_jedai_spark.io.shapefile import export_shapefile
+
+    rows = [(str(i), "POINT", [[[float(i), 0.5]]]) for i in range(50)]
+    src = spark.createDataFrame(
+        rows, "id string, gtype string, coords array<array<array<double>>>"
+    ).coalesce(1)
+    out = str(tmp_path / "chunked")
+    export_shapefile(src, out, max_file_bytes=128)
+    shp_files = sorted(Path(out).glob("*.shp"))
+    assert len(shp_files) > 1
+    back = read_shapefile(spark, out)
+    # ids came back from the .dbf id field
+    assert sorted(int(r.id) for r in back.collect()) == list(range(50))
+
+
+def test_cli_convert_to_shapefile(spark, tmp_path, capsys, monkeypatch):
+    """-op convert -to shapefile writes a directory the reader (and the
+    relate op) consume directly."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    tsv = tmp_path / "src.tsv"
+    tsv.write_text(
+        "id\twkt\n1\tPOINT (1.5 2.5)\n"
+        "2\tPOLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))\n"
+        "3\tMULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+        "((5 5, 6 5, 6 6, 5 6, 5 5)))\n"
+    )
+    out = str(tmp_path / "as_shp")
+    rc = cli.main(["-op", "convert", "-left", str(tsv), "-to", "shapefile",
+                   "-out", out])
+    assert rc == 0
+    assert "wrote 3 entities" in capsys.readouterr().out
+    got = {r.id: r.gtype for r in read_shapefile(spark, out).collect()}
+    assert got == {"1": "POINT", "2": "POLYGON", "3": "MULTIPOLYGON"}
+    rc = cli.main(["-op", "relate", "-left", out, "-right", out,
+                   "-relation", "equals", "-limit", "5"])
+    assert rc == 0
+
+
+def test_fuzz_shapefile_roundtrip(spark):
+    """Differential fuzz: random lattice mixed-geometry datasets (the
+    e2e-fuzz generator) through export_shapefile -> read_shapefile keep
+    id set, envelopes, and vertex sets exactly. gtype is pinned exactly
+    for non-polygon kinds; generated polygon rings may OVERLAP
+    (invalid as shapefile input, where sibling rings must be disjoint),
+    and there the shell count is representation-dependent — the region
+    under even-odd semantics is what the engine guarantees, so the
+    label is only pinned to the polygon family."""
+    from hypothesis import HealthCheck, given, settings
+    from test_e2e_fuzz import dataset
+
+    from ds_jedai_spark.io.shapefile import export_shapefile
+
+    import tempfile
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(dataset())
+    def run(rows):
+        src = spark.createDataFrame(
+            [(str(i), g, p) for i, (g, p) in enumerate(rows)],
+            "id string, gtype string, coords array<array<array<double>>>",
+        )
+        with tempfile.TemporaryDirectory() as d:
+            out = f"{d}/shp"
+            export_shapefile(src, out)
+            back = read_shapefile(spark, out, id_field="id")
+            got = _rowmap(back)
+        want = _rowmap(
+            src.selectExpr(
+                "*",
+                "aggregate(flatten(coords), cast('inf' as double),"
+                " (a, p) -> least(a, p[0])) AS minx",
+                "aggregate(flatten(coords), cast('inf' as double),"
+                " (a, p) -> least(a, p[1])) AS miny",
+                "aggregate(flatten(coords), cast('-inf' as double),"
+                " (a, p) -> greatest(a, p[0])) AS maxx",
+                "aggregate(flatten(coords), cast('-inf' as double),"
+                " (a, p) -> greatest(a, p[1])) AS maxy",
+            )
+        )
+        assert set(got) == set(want)
+        poly = {"POLYGON", "MULTIPOLYGON"}
+        for rid, (g, minx, miny, maxx, maxy, verts) in want.items():
+            gg, gminx, gminy, gmaxx, gmaxy, gverts = got[rid]
+            assert (gminx, gminy, gmaxx, gmaxy) == (minx, miny, maxx, maxy)
+            assert gverts == verts
+            if g in poly:
+                assert gg in poly
+            elif g == "MULTILINESTRING" and len(verts) and gg == "LINESTRING":
+                pass  # single-part promotion
+            else:
+                assert gg == g or (g, gg) == ("MULTILINESTRING", "LINESTRING")
+
+    run()
