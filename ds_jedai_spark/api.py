@@ -63,6 +63,13 @@ def read_dataset(spark: SparkSession, spec) -> DataFrame:
             spark, spec.path, id_field=spec.id_field,
             date_field=spec.date_field, date_pattern=spec.date_pattern,
         )
+    if ext == ".gpkg":
+        from ds_jedai_spark.io.geopackage import read_geopackage
+
+        return read_geopackage(
+            spark, spec.path, id_field=spec.id_field,
+            date_field=spec.date_field, date_pattern=spec.date_pattern,
+        )
     if ext == ".parquet":
         # Engine row-format parquet: zero-parse fast path; plain user
         # parquet with a WKT column parses via the geom_field fallback.
@@ -73,7 +80,8 @@ def read_dataset(spark: SparkSession, spec) -> DataFrame:
         )
     raise ValueError(
         f"unsupported dataset extension: {spec.path} "
-        "(tsv/csv/json/geojson/nt/shp/parquet, or a directory of .shp)"
+        "(tsv/csv/json/geojson/nt/shp/gpkg/parquet, or a directory "
+        "of .shp)"
     )
 
 

@@ -292,7 +292,7 @@ def _run_op(args) -> int:
         elif args.op == "convert":
             # Format conversion through the full reader/writer surface:
             # any supported geometry dataset (WKT tsv/csv, GeoJSON,
-            # N-Triples, ESRI Shapefile, engine row-format parquet,
+            # N-Triples, ESRI Shapefile, GeoPackage, engine row-format parquet,
             # GeoParquet/WKB, WKT-column parquet) -> the engine row format, written as
             # row-format parquet (zero-parse re-reads), GeoParquet/WKB,
             # or NDJSON GeoJSON. The ingest-side converter a user runs
@@ -306,10 +306,10 @@ def _run_op(args) -> int:
                       file=sys.stderr)
                 return 2
             if args.to not in ("rowparquet", "geoparquet", "geojson",
-                               "shapefile"):
+                               "shapefile", "geopackage"):
                 print(f"-op convert: unknown -to {args.to!r}; choose "
-                      "from rowparquet/geoparquet/geojson/shapefile",
-                      file=sys.stderr)
+                      "from rowparquet/geoparquet/geojson/shapefile/"
+                      "geopackage", file=sys.stderr)
                 return 2
             src = api.read_dataset(spark, DatasetSpec(
                 path=args.left, id_field=args.id_col,
@@ -330,6 +330,24 @@ def _run_op(args) -> int:
                        if meta.get("crs_projjson") else None)
                 writers.export_geoparquet(src, args.out, crs=crs)
                 back = spark.read.parquet(args.out)
+            elif args.to == "geopackage":
+                # single-file interop sink (driver-side assembly; the
+                # distributed sinks remain the scale path) — CRS from
+                # the input's metadata lands in gpkg_spatial_ref_sys
+                from ds_jedai_spark.io.geopackage import (
+                    export_geopackage,
+                    read_geopackage,
+                )
+
+                meta = (src.schema["gtype"].metadata
+                        if "gtype" in src.columns else None) or {}
+                crs_id = None
+                if ":" in (meta.get("crs") or ""):
+                    org, code = meta["crs"].split(":", 1)
+                    if code.isdigit():
+                        crs_id = (org, int(code))
+                export_geopackage(src, args.out, crs_id=crs_id)
+                back = read_geopackage(spark, args.out)
             elif args.to == "shapefile":
                 # directory-of-shapefiles sink (one spec-conformant
                 # .shp/.shx/.dbf triple per partition x shape kind;
@@ -863,7 +881,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="convert: output format — rowparquet (engine "
                          "zero-parse), geoparquet (WKB binary, stamped "
                          "geo footer), geojson (NDJSON features), "
-                         "shapefile (directory of .shp/.shx/.dbf)")
+                         "shapefile (directory of .shp/.shx/.dbf), "
+                         "geopackage (single .gpkg, interop)")
     ap.add_argument("-date-col", dest="date_col", default=None,
                     help="relate: date column on BOTH sides enables the "
                          "reference's spatio-temporal qualifier "

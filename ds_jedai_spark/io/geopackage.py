@@ -1,0 +1,331 @@
+"""Distributed GeoPackage (.gpkg) reader.
+
+Format: the public OGC GeoPackage Encoding Standard — feature tables in
+an SQLite container, geometry cells as GeoPackageBinary (an 8+ byte
+"GP" header with optional envelope, then standard WKB, which
+model/geometry.parse_wkb already handles). Stdlib sqlite3 is the only
+dependency. The reference era would have reached .gpkg via GDAL/Sedona;
+this engine reads it natively into the same row format as every other
+reader.
+
+Scale design: SQLite is a single file, but feature rows are addressable
+by rowid, so the DRIVER reads only the catalog tables
+(gpkg_contents / gpkg_geometry_columns / gpkg_spatial_ref_sys, a few
+rows each) plus min/max rowid, and plans ROWID-RANGE splits; EXECUTORS
+open the file read-only (sqlite URI mode=ro) and each runs one
+`SELECT ... WHERE rowid BETWEEN a AND b` — index-backed, no scan
+overlap, arbitrarily many concurrent readers. Like the shapefile
+reader, paths must be executor-readable; convert once for object
+stores.
+
+Malformed geometry cells (bad GPB magic, truncated envelope, undecodable
+WKB) drop per-row exactly like unparseable WKT: None -> add_invalid ->
+valid_geometries. A file that is not an SQLite database or has no
+feature table is a hard user error.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import struct
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DEFAULT_DATE_PATTERN = "yyyy-MM-dd HH:mm:ss"
+DEFAULT_SPLIT_ROWS = 250_000
+
+# envelope indicator (flags bits 1-3) -> number of doubles
+_ENV_DOUBLES = {0: 0, 1: 4, 2: 6, 3: 6, 4: 8}
+
+
+def strip_gpb(blob) -> bytes | None:
+    """GeoPackageBinary -> the contained WKB bytes; None for malformed
+    headers or the empty-geometry flag. Never raises on hostile bytes
+    (fuzz-pinned). Header: magic 'GP', version, flags (bit 0 header
+    byte order, bits 1-3 envelope indicator, bit 4 empty, bit 5
+    extended), int32 srs_id, envelope doubles, then WKB."""
+    try:
+        b = bytes(blob)
+        if len(b) < 8 or b[0] != 0x47 or b[1] != 0x50:
+            return None
+        flags = b[3]
+        if flags & 0x20:  # extended type: vendor payload, not plain WKB
+            return None
+        if flags & 0x10:  # empty geometry: drops like WKT EMPTY
+            return None
+        env = _ENV_DOUBLES.get((flags >> 1) & 0x07)
+        if env is None:
+            return None
+        off = 8 + 8 * env
+        if off >= len(b):
+            return None
+        return b[off:]
+    except Exception:
+        return None
+
+
+def _catalog(path: str, table: str | None):
+    """Driver-side: (table, geom_col, id_candidates, crs_id, lo, hi,
+    n_rows, columns). Reads only catalog rows + one min/max."""
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        try:
+            feats = con.execute(
+                "SELECT table_name, srs_id FROM gpkg_contents "
+                "WHERE data_type = 'features' ORDER BY table_name"
+            ).fetchall()
+        except sqlite3.DatabaseError as e:
+            raise ValueError(
+                f"{path!r} is not a GeoPackage ({e})"
+            ) from None
+        if table is None:
+            if not feats:
+                raise ValueError(f"{path!r} has no feature tables")
+            if len(feats) > 1:
+                raise ValueError(
+                    f"{path!r} has multiple feature tables "
+                    f"{[t for t, _ in feats]}; pass table=..."
+                )
+            table = feats[0][0]
+        elif table not in {t for t, _ in feats}:
+            raise ValueError(
+                f"feature table {table!r} not in {path!r} "
+                f"(tables: {[t for t, _ in feats]})"
+            )
+        row = con.execute(
+            "SELECT column_name, srs_id FROM gpkg_geometry_columns "
+            "WHERE table_name = ?", (table,)
+        ).fetchone()
+        if row is None:
+            raise ValueError(f"{table!r} has no gpkg_geometry_columns row")
+        geom_col, srs = row
+        crs = None
+        srs_row = con.execute(
+            "SELECT organization, organization_coordsys_id "
+            "FROM gpkg_spatial_ref_sys WHERE srs_id = ?", (srs,)
+        ).fetchone()
+        if srs_row and srs_row[0] and int(srs_row[1]) > 0:
+            crs = f"{srs_row[0].upper()}:{srs_row[1]}"
+        cols = [r[1] for r in con.execute(f'PRAGMA table_info("{table}")')]
+        lo, hi = con.execute(
+            f'SELECT min(rowid), max(rowid) FROM "{table}"'
+        ).fetchone()
+        return table, geom_col, crs, cols, lo, hi
+    finally:
+        con.close()
+
+
+def read_geopackage(
+    spark: SparkSession,
+    path: str,
+    table: str | None = None,
+    id_field: str | None = "id",
+    date_field: str | None = None,
+    date_pattern: str = DEFAULT_DATE_PATTERN,
+    split_rows: int = DEFAULT_SPLIT_ROWS,
+) -> DataFrame:
+    """GeoPackage feature scan landing in the engine row format.
+
+    ``table`` selects the feature table (required only when the file
+    has several). ``id_field`` names a column; None — or the 'id'
+    default when absent — falls back to the table's rowid (explicitly
+    named absent columns raise, the parquet-reader contract).
+    ``date_field`` names a column parsed with ``date_pattern``. The
+    declared SRS becomes CRS metadata on gtype (api.run compares
+    source/target)."""
+    from ds_jedai_spark.model.geometry import (
+        GEOM_FIELDS,
+        GeometryAccumulator,
+        parse_wkb,
+        valid_geometries,
+    )
+
+    if not os.path.isfile(path):
+        raise ValueError(f"no such GeoPackage: {path!r}")
+    table, geom_col, crs, cols, lo, hi = _catalog(path, table)
+
+    low = {c.lower(): c for c in cols}
+    use_id = None
+    if id_field is not None:
+        if id_field.lower() in low:
+            use_id = low[id_field.lower()]
+        elif id_field != "id":
+            raise ValueError(
+                f"column {id_field!r} not in table {table!r} "
+                f"(columns: {cols})"
+            )
+    use_date = None
+    if date_field is not None:
+        if date_field.lower() not in low:
+            raise ValueError(
+                f"date column {date_field!r} not in table {table!r} "
+                f"(columns: {cols})"
+            )
+        use_date = low[date_field.lower()]
+
+    splits: list[tuple[int, int]] = []
+    if lo is not None:
+        a = lo
+        while a <= hi:
+            splits.append((a, min(hi, a + split_rows - 1)))
+            a += split_rows
+    if not splits:
+        splits = [(0, -1)]  # empty table: one vacuous split
+
+    want_ts = date_field is not None
+    out_fields = "id string, " + (
+        "ts_raw string, " if want_ts else "") + GEOM_FIELDS
+    sel_id = f', "{use_id}"' if use_id else ""
+    sel_dt = f', "{use_date}"' if use_date else ""
+    sql = (f'SELECT rowid{sel_id}{sel_dt}, "{geom_col}" FROM "{table}" '
+           f"WHERE rowid BETWEEN ? AND ?")
+
+    def parse_splits(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            for s in batch.to_pylist():
+                con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+                try:
+                    rows = con.execute(sql, (s["a"], s["b"])).fetchall()
+                finally:
+                    con.close()
+                acc = GeometryAccumulator(len(rows))
+                ids, dates = [], []
+                for r in rows:
+                    rowid, rest = r[0], list(r[1:])
+                    blob = rest.pop()
+                    rid = rest.pop(0) if use_id else rowid
+                    ids.append(None if rid is None else str(rid))
+                    dates.append(
+                        None if not use_date or rest[0] is None
+                        else str(rest[0])
+                    )
+                    wkb = strip_gpb(blob)
+                    parsed = parse_wkb(wkb) if wkb is not None else None
+                    if parsed is None:
+                        acc.add_invalid()
+                    else:
+                        acc.add(*parsed)
+                cols_out = [pa.array(ids, pa.string())]
+                names = ["id"]
+                if want_ts:
+                    cols_out.append(pa.array(dates, pa.string()))
+                    names.append("ts_raw")
+                yield pa.RecordBatch.from_arrays(
+                    cols_out + acc.arrays(),
+                    names=names + ["gtype", "coords",
+                                   "minx", "miny", "maxx", "maxy"],
+                )
+
+    plan = spark.createDataFrame(splits, "a long, b long").repartition(
+        len(splits)
+    )
+    out = valid_geometries(plan.mapInArrow(parse_splits, out_fields))
+    if want_ts:
+        out = out.withColumn(
+            "ts", F.to_timestamp("ts_raw", date_pattern)
+        ).drop("ts_raw")
+    if crs is not None:
+        out = out.withMetadata("gtype", {"crs": crs})
+    return out
+
+
+def export_geopackage(
+    entities: DataFrame,
+    path: str,
+    table: str = "features",
+    crs_id: tuple[str, int] | None = None,
+) -> None:
+    """Single-file GeoPackage sink (driver-side assembly).
+
+    SQLite is a single-writer container, so unlike the shapefile /
+    GeoParquet sinks this one funnels rows through the driver via
+    toLocalIterator (partition-at-a-time, not a full collect) — use it
+    for result exports and interop handoffs, not bulk data movement;
+    the distributed sinks (geoparquet, shapefile) remain the scale
+    path. Geometry is GPB-wrapped little-endian ISO WKB; id (and ts
+    when present) land as columns."""
+    from ds_jedai_spark.model.geometry import format_wkb
+
+    srs_org, srs_code = crs_id or ("NONE", 0)
+    srs_id = srs_code if crs_id else 0
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    try:
+        con.executescript(
+            """
+            PRAGMA application_id = 1196444487;
+            PRAGMA user_version = 10300;
+            CREATE TABLE gpkg_spatial_ref_sys (
+              srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
+              organization TEXT NOT NULL,
+              organization_coordsys_id INTEGER NOT NULL,
+              definition TEXT NOT NULL, description TEXT);
+            CREATE TABLE gpkg_contents (
+              table_name TEXT PRIMARY KEY, data_type TEXT NOT NULL,
+              identifier TEXT UNIQUE, description TEXT DEFAULT '',
+              last_change DATETIME, min_x DOUBLE, min_y DOUBLE,
+              max_x DOUBLE, max_y DOUBLE, srs_id INTEGER);
+            CREATE TABLE gpkg_geometry_columns (
+              table_name TEXT NOT NULL, column_name TEXT NOT NULL,
+              geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL,
+              z TINYINT NOT NULL, m TINYINT NOT NULL,
+              CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name));
+            """
+        )
+        con.execute(
+            "INSERT INTO gpkg_spatial_ref_sys VALUES "
+            "('undefined', -1, 'NONE', -1, 'undefined', NULL), "
+            "('undefined', 0, 'NONE', 0, 'undefined', NULL)"
+        )
+        if crs_id:
+            con.execute(
+                "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,NULL)",
+                (f"{srs_org}:{srs_code}", srs_id, srs_org, srs_code,
+                 "undefined"),
+            )
+        has_ts = "ts" in entities.columns
+        ts_col = ", ts TEXT" if has_ts else ""
+        con.execute(
+            f'CREATE TABLE "{table}" (fid INTEGER PRIMARY KEY, '
+            f"id TEXT, geom BLOB{ts_col})"
+        )
+        con.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES (?, 'geom', "
+            "'GEOMETRY', ?, 0, 0)", (table, srs_id),
+        )
+        # flags 0x01: header ints little-endian, no envelope, not empty
+        header = b"GP" + bytes([0, 0x01]) + struct.pack("<i", srs_id)
+        cols = ["id", "gtype", "coords"] + (["ts"] if has_ts else [])
+        n = 0
+        box = None
+        ins = (f'INSERT INTO "{table}" (id, geom{", ts" if has_ts else ""})'
+               f' VALUES (?, ?{", ?" if has_ts else ""})')
+        for row in entities.select(*cols).toLocalIterator():
+            blob = header + format_wkb(row.gtype, row.coords)
+            vals = [str(row.id), blob]
+            if has_ts:
+                vals.append(
+                    row.ts.strftime("%Y-%m-%d %H:%M:%S")
+                    if row.ts is not None else None
+                )
+            con.execute(ins, vals)
+            xs = [p[0] for part in row.coords for p in part]
+            ys = [p[1] for part in row.coords for p in part]
+            b = (min(xs), min(ys), max(xs), max(ys))
+            box = b if box is None else (
+                min(box[0], b[0]), min(box[1], b[1]),
+                max(box[2], b[2]), max(box[3], b[3]),
+            )
+            n += 1
+        con.execute(
+            "INSERT INTO gpkg_contents VALUES (?, 'features', ?, '', "
+            "datetime('now'), ?, ?, ?, ?, ?)",
+            (table, table, *(box or (None,) * 4), srs_id),
+        )
+        con.commit()
+    finally:
+        con.close()

@@ -273,6 +273,8 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                  rp.wkb_reader_counts_oracle()),
                 ("shp", rp.shp_reader_counts,
                  rp.shp_reader_counts_oracle()),
+                ("gpkg", rp.gpkg_reader_counts,
+                 rp.gpkg_reader_counts_oracle()),
             ]
         ),
     )

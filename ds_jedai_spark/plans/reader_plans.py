@@ -142,6 +142,30 @@ def shp_reader_counts_oracle() -> str:
     )
 
 
+GPKG_FIXTURE = str(
+    Path(__file__).resolve().parents[2] / "fixtures" / "geo_source.gpkg"
+)
+
+
+def gpkg_reader_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same gate through the GeoPackage reader: the .gpkg fixture
+    (scripts/make_gpkg_fixture.py) carries the WKT fixture's entities
+    as GPB-wrapped WKB cells (cycling envelope indicators, corrupt
+    cells for the invalid rows); the oracle is the WKT fixture's own
+    ground-truth columns — GeoPackage has no gtype promotions, so the
+    truth is identical to the WKT reader's."""
+    from ds_jedai_spark.io.geopackage import read_geopackage
+
+    src = read_geopackage(spark, GPKG_FIXTURE, id_field="id").withColumn(
+        "id", F.col("id").cast("long")
+    )
+    return _reader_counts(src)
+
+
+def gpkg_reader_counts_oracle() -> str:
+    return wkt_reader_counts_oracle()
+
+
 HOLES_SRC = str(
     Path(__file__).resolve().parents[2] / "fixtures" / "wkt_holes_source.tsv"
 )
