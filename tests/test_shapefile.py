@@ -401,3 +401,42 @@ def test_fuzz_shapefile_roundtrip(spark):
                 assert gg == g or (g, gg) == ("MULTILINESTRING", "LINESTRING")
 
     run()
+
+
+def test_z_m_shape_variants_parse_xy():
+    """PointZ/PointM/PolyLineZ/PolygonZ/MultiPointZ records parse their
+    XY section; the trailing Z/M range+value sections are ignored (the
+    engine is 2-D, like the reference)."""
+    # PointZ (11): x y z [m]
+    assert parse_shape(struct.pack("<iddd", 11, 1.5, 2.5, 9.0)) == (
+        "POINT", [[[1.5, 2.5]]]
+    )
+    assert parse_shape(struct.pack("<idddd", 11, 1.5, 2.5, 9.0, 7.0)) == (
+        "POINT", [[[1.5, 2.5]]]
+    )
+    # PointM (21): x y m
+    assert parse_shape(struct.pack("<iddd", 21, 1.5, 2.5, 7.0)) == (
+        "POINT", [[[1.5, 2.5]]]
+    )
+    # PolyLineZ (13): xy points then z-range + z values (ignored)
+    body = (struct.pack("<i", 13) + struct.pack("<4d", 0, 0, 4, 4)
+            + struct.pack("<ii", 1, 2) + struct.pack("<i", 0)
+            + struct.pack("<4d", 0.0, 0.0, 4.0, 4.0)
+            + struct.pack("<4d", 0.0, 9.0, 1.0, 9.0))  # zmin zmax z0 z1
+    assert parse_shape(body) == ("LINESTRING", [[[0.0, 0.0], [4.0, 4.0]]])
+    # MultiPointZ (18)
+    mp = (struct.pack("<i", 18) + struct.pack("<4d", 0, 0, 4, 4)
+          + struct.pack("<i", 2) + struct.pack("<4d", 0.0, 0.0, 4.0, 4.0)
+          + struct.pack("<4d", 0.0, 9.0, 1.0, 9.0))
+    assert parse_shape(mp) == (
+        "MULTIPOINT", [[[0.0, 0.0]], [[4.0, 4.0]]]
+    )
+    # PolygonZ (15)
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)]
+    pz = (struct.pack("<i", 15) + struct.pack("<4d", 0, 0, 4, 4)
+          + struct.pack("<ii", 1, 4) + struct.pack("<i", 0)
+          + b"".join(struct.pack("<dd", x, y) for x, y in ring)
+          + struct.pack("<6d", 0, 9, 1, 2, 3, 4))
+    assert parse_shape(pz) == (
+        "POLYGON", [[[x, y] for x, y in ring]]
+    )
