@@ -177,3 +177,71 @@ def test_cli_convert_to_geopackage(spark, tmp_path, capsys, monkeypatch):
     rc = cli.main(["-op", "relate", "-left", out, "-right", out,
                    "-relation", "equals", "-limit", "3"])
     assert rc == 0
+
+
+def test_fuzz_gpkg_roundtrip(spark):
+    """Differential fuzz: random lattice mixed-geometry datasets (the
+    e2e-fuzz generator) through export_geopackage -> read_geopackage
+    are IDENTITY — WKB carries all seven types with no promotions, so
+    unlike the shapefile round trip this one is exact row-for-row."""
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from test_e2e_fuzz import dataset
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(dataset())
+    def run(rows):
+        src = spark.createDataFrame(
+            [(str(i), g, p) for i, (g, p) in enumerate(rows)],
+            "id string, gtype string, coords array<array<array<double>>>",
+        )
+        with tempfile.TemporaryDirectory() as d:
+            out = f"{d}/x.gpkg"
+            export_geopackage(src, out)
+            back = read_geopackage(spark, out, id_field="id")
+            got = {
+                r.id: (r.gtype,
+                       tuple(tuple(tuple(p) for p in part)
+                             for part in r.coords))
+                for r in back.collect()
+            }
+        want = {
+            str(i): (g, tuple(tuple(tuple(p) for p in part) for part in ps))
+            for i, (g, ps) in enumerate(rows)
+        }
+        assert got == want
+
+    run()
+
+
+def test_cross_format_relate_with_crs_mismatch(spark, tmp_path, capsys,
+                                               monkeypatch):
+    """A shapefile source (EPSG:4326 via .prj) against a GeoPackage
+    target declaring EPSG:3857 runs -op relate end-to-end AND surfaces
+    the CRS mismatch warning — the two new readers meet api.run's CRS
+    comparison."""
+    import warnings
+
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+    from ds_jedai_spark.io.readers import read_wkt_delimited
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    shp_dir = str(Path(FIX).parent / "shp_source")
+    tsv = tmp_path / "t.tsv"
+    tsv.write_text("id\twkt\n1\tPOINT (27.0625 39.4375)\n")
+    src = read_wkt_delimited(spark, str(tsv), id_field="id",
+                             geom_field="wkt")
+    gp = str(tmp_path / "t3857.gpkg")
+    export_geopackage(src, gp, crs_id=("EPSG", 3857))
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rc = cli.main(["-op", "relate", "-left", shp_dir, "-right", gp,
+                       "-relation", "intersects", "-limit", "2"])
+    assert rc == 0
+    assert any("different CRS" in str(w.message) for w in caught)
