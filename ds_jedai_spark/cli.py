@@ -408,6 +408,8 @@ def _run_op(args) -> int:
                 return df
 
             s, t = _read_points(args.left), _read_points(args.right)
+            # same CRS-mismatch warning the relate path gives (api.run)
+            api._check_crs(s, t, strict=False)
             if args.op == "distance":
                 df = distance_join(s, t, radius=float(args.tau))
             else:

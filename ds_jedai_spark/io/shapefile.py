@@ -220,8 +220,8 @@ def _read_shx(path: str) -> list[int] | None:
 
 def _dbf_layout(path: str):
     """(n_records, header_size, record_size, fields) where fields maps
-    lowercase name -> (byte_offset_in_record, length). Offsets include
-    the leading deletion-flag byte."""
+    lowercase name -> (byte_offset_in_record, length, type_char).
+    Offsets include the leading deletion-flag byte."""
     with open(path, "rb") as f:
         head = f.read(32)
         if len(head) < 32:
@@ -229,13 +229,13 @@ def _dbf_layout(path: str):
         (nrec,) = struct.unpack_from("<I", head, 4)
         hdr, rsz = struct.unpack_from("<HH", head, 8)
         desc = head + f.read(max(0, hdr - 32))
-    fields: dict[str, tuple[int, int]] = {}
+    fields: dict[str, tuple[int, int, str]] = {}
     pos, off = 32, 1
     while pos + 32 <= len(desc) and desc[pos] != 0x0D:
         name = desc[pos:pos + 11].split(b"\0")[0].decode(
             "latin-1", "replace").strip().lower()
         flen = desc[pos + 16]
-        fields[name] = (off, flen)
+        fields[name] = (off, flen, chr(desc[pos + 11]))
         off += flen
         pos += 32
     return nrec, hdr, rsz, fields
@@ -275,6 +275,7 @@ def _plan_file(
     dbf_hdr = dbf_rsz = 0
     dbf_nrec = 0
     id_off = id_len = date_off = date_len = -1
+    date_type = "C"
     if dbf is not None:
         dbf_nrec, dbf_hdr, dbf_rsz, fields = _dbf_layout(dbf)
         for want, silent in ((id_field, "id"), (date_field, None)):
@@ -286,13 +287,14 @@ def _plan_file(
                     f"(fields: {sorted(fields)})"
                 )
         if id_field is not None and id_field.lower() in fields:
-            id_off, id_len = fields[id_field.lower()]
+            id_off, id_len = fields[id_field.lower()][:2]
         if date_field is not None and date_field.lower() in fields:
-            date_off, date_len = fields[date_field.lower()]
+            date_off, date_len, date_type = fields[date_field.lower()]
     elif date_field is not None:
         raise ValueError(f"date column {date_field!r}: {shp!r} has no .dbf")
 
     base = dict(shp=shp, stem=stem, dbf=dbf, dbf_hdr=dbf_hdr,
+                date_type=date_type,
                 dbf_rsz=dbf_rsz, dbf_nrec=dbf_nrec, id_off=id_off,
                 id_len=id_len, date_off=date_off, date_len=date_len)
     shx = _sibling(shp, ".shx")
@@ -355,6 +357,11 @@ def read_shapefile(
     splits: list[dict] = []
     for f in files:
         splits.extend(_plan_file(f, id_field, date_field, split_bytes))
+    if (date_field is not None and date_pattern == DEFAULT_DATE_PATTERN
+            and any(s["date_type"] == "D" for s in splits)):
+        # dBASE 'D' fields store raw YYYYMMDD — auto-select the matching
+        # pattern unless the caller overrode it explicitly
+        date_pattern = "yyyyMMdd"
     crs = next(
         (c for c in (_prj_crs(_sibling(f, ".prj")) for f in files) if c),
         None,

@@ -249,3 +249,67 @@ def load_sql(spark, sf_dir: str, sql: str):
     needed = [t for t in TABLES if re.search(rf"\b{t}\b", sql)]
     register_views(spark, sf_dir, needed or None)
     return spark.sql(sql)
+
+
+def perturb_geometries(df, eps_steps: int = 4, seed: int = 1):
+    """Deterministic per-vertex geometry perturbation — the engine's
+    version of the reference's experiment data tool (reference
+    experiments/GeometryTransformer.scala:43-64, which shifts every
+    coordinate by a random amount under one of three modes: +shift,
+    -shift, *shift).
+
+    Differences, on purpose: the shift is DERIVED from (seed, id, the
+    vertex's own lattice coordinates) instead of an RNG, so (a) the
+    output is reproducible across runs/partitionings — an RNG in a
+    distributed map is not — and (b) identical vertices move
+    identically, so closed rings STAY closed (the reference tool can
+    tear a ring open because it draws a fresh shift for the closing
+    duplicate vertex). Shifts are multiples of 1/16 in [-eps, +eps]
+    steps and the multiply mode uses (1 + shift/16), keeping every
+    output coordinate dyadic — the engine's exactness contract holds
+    through the perturbation. Pure JVM column expressions (nested
+    ``transform``), envelopes recomputed in the same projection; fully
+    distributed, no Python in the path."""
+    m = 2 * eps_steps + 1
+
+    def h(extra: str) -> str:
+        # value-derived lattice hash: id, scaled vertex coords, seed
+        return (
+            f"((cast(id as bigint) * 2654435761 + "
+            f"cast(pt[0] * 16 as bigint) * 1315423911 + "
+            f"cast(pt[1] * 16 as bigint) * 2246822519 + "
+            f"{seed} * 97 + {extra}) % {m} + {m}) % {m}"
+        )
+
+    shift = f"(cast({h('0')} as double) - {eps_steps}) / 16.0"
+    mode = f"({h('13')} % 3)"
+    px = (
+        f"CASE {mode} WHEN 0 THEN pt[0] + {shift} "
+        f"WHEN 1 THEN pt[0] - {shift} "
+        f"ELSE pt[0] * (1.0 + {shift} / 16.0) END"
+    )
+    py = (
+        f"CASE {mode} WHEN 0 THEN pt[1] + {shift} "
+        f"WHEN 1 THEN pt[1] - {shift} "
+        f"ELSE pt[1] * (1.0 + {shift} / 16.0) END"
+    )
+    coords = (
+        f"transform(coords, part -> transform(part, pt -> "
+        f"array({px}, {py})))"
+    )
+    keep = [c for c in df.columns
+            if c not in ("coords", "minx", "miny", "maxx", "maxy")]
+    return df.selectExpr(
+        *keep,
+        f"{coords} AS coords",
+    ).selectExpr(
+        "*",
+        "aggregate(flatten(coords), cast('inf' as double),"
+        " (a, p) -> least(a, p[0])) AS minx",
+        "aggregate(flatten(coords), cast('inf' as double),"
+        " (a, p) -> least(a, p[1])) AS miny",
+        "aggregate(flatten(coords), cast('-inf' as double),"
+        " (a, p) -> greatest(a, p[0])) AS maxx",
+        "aggregate(flatten(coords), cast('-inf' as double),"
+        " (a, p) -> greatest(a, p[1])) AS maxy",
+    )

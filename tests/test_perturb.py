@@ -1,0 +1,95 @@
+"""perturb_geometries: differential vs an independent Python
+re-implementation of the same formula, plus the structural laws the
+reference tool violates and this one guarantees (ring closure,
+reproducibility, lattice exactness)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from ds_jedai_spark.io.readers import read_wkt_delimited
+from ds_jedai_spark.io.synthetic import perturb_geometries
+
+WKT_FIX = str(
+    Path(__file__).resolve().parent.parent / "fixtures" / "wkt_source.tsv"
+)
+
+
+def _py_perturb(rid: int, parts, eps: int, seed: int):
+    m = 2 * eps + 1
+
+    def hh(x, y, extra):
+        return ((rid * 2654435761 + int(x * 16) * 1315423911
+                 + int(y * 16) * 2246822519 + seed * 97 + extra) % m
+                + m) % m
+
+    out = []
+    for part in parts:
+        np_ = []
+        for x, y in part:
+            shift = (float(hh(x, y, 0)) - eps) / 16.0
+            mode = hh(x, y, 13) % 3
+            if mode == 0:
+                np_.append([x + shift, y + shift])
+            elif mode == 1:
+                np_.append([x - shift, y - shift])
+            else:
+                np_.append([x * (1.0 + shift / 16.0),
+                            y * (1.0 + shift / 16.0)])
+        out.append(np_)
+    return out
+
+
+def test_perturb_matches_python_reference(spark):
+    src = read_wkt_delimited(
+        spark, WKT_FIX, id_field="id", geom_field="wkt"
+    )
+    got = {
+        int(r.id): (r.coords, r.minx, r.miny, r.maxx, r.maxy)
+        for r in perturb_geometries(src, eps_steps=4, seed=7).collect()
+    }
+    base = {int(r.id): r.coords for r in src.collect()}
+    assert set(got) == set(base)
+    for rid, parts in base.items():
+        want = _py_perturb(rid, parts, 4, 7)
+        coords, minx, miny, maxx, maxy = got[rid]
+        assert [[list(p) for p in part] for part in coords] == want, rid
+        flat = [p for part in want for p in part]
+        assert (minx, miny, maxx, maxy) == (
+            min(p[0] for p in flat), min(p[1] for p in flat),
+            max(p[0] for p in flat), max(p[1] for p in flat),
+        ), rid
+
+
+def test_perturb_laws(spark):
+    src = read_wkt_delimited(
+        spark, WKT_FIX, id_field="id", geom_field="wkt"
+    )
+    a = perturb_geometries(src, eps_steps=2, seed=3)
+    # reproducible across evaluations / partitionings
+    one = {r.id: r.coords for r in a.collect()}
+    two = {r.id: r.coords for r in
+           perturb_geometries(src.repartition(7), eps_steps=2, seed=3)
+           .collect()}
+    assert one == two
+    # a different seed actually moves things
+    other = {r.id: r.coords for r in
+             perturb_geometries(src, eps_steps=2, seed=4).collect()}
+    assert one != other
+    # rings stay closed and coordinates stay on the dyadic lattice
+    for r in a.collect():
+        if r.gtype in ("POLYGON", "MULTIPOLYGON"):
+            for ring in r.coords:
+                assert list(ring[0]) == list(ring[-1]), r.id
+        for part in r.coords:
+            for x, y in part:
+                # dyadic exactness: add/sub stay on 1/256 (x±shift with
+                # shift on 1/16... conservatively 1/256), mul mode lands
+                # on 1/4096 (1/16 x 1/256) — all exact power-of-two
+                # denominators, never a rounded float
+                for v in (x, y):
+                    den = float(v).as_integer_ratio()[1]
+                    assert den <= 4096, (r.id, v, den)

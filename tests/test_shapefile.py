@@ -440,3 +440,25 @@ def test_z_m_shape_variants_parse_xy():
     assert parse_shape(pz) == (
         "POLYGON", [[[x, y] for x, y in ring]]
     )
+
+
+def test_dbf_d_type_date_autoparses(spark, tmp_path):
+    """A dBASE 'D' (date, raw YYYYMMDD) field parses to ts without the
+    caller knowing the storage pattern."""
+    wm = _mk_writer()
+    stem = tmp_path / "dd"
+    recs = [wm.shape_content("POINT", [[[1.0, 2.0]]]),
+            wm.shape_content("POINT", [[[3.0, 4.0]]])]
+    wm.write_shapefile(stem, 1, recs, ["a", "b"])
+    hdr = struct.pack("<B3BIHH20x", 3, 24, 1, 1, 2, 33 + 64, 1 + 16 + 8)
+    f1 = b"id".ljust(11, b"\0") + b"C" + struct.pack("<IBB14x", 0, 16, 0)
+    f2 = b"born".ljust(11, b"\0") + b"D" + struct.pack("<IBB14x", 0, 8, 0)
+    body = b"".join(
+        b" " + i.ljust(16).encode() + d.encode()
+        for i, d in (("a", "20240301"), ("b", "20241215"))
+    )
+    stem.with_suffix(".dbf").write_bytes(hdr + f1 + f2 + b"\x0d" + body + b"\x1a")
+    got = read_shapefile(spark, str(stem) + ".shp", id_field="id",
+                         date_field="born")
+    rows = sorted((r.id, str(r.ts)[:10]) for r in got.collect())
+    assert rows == [("a", "2024-03-01"), ("b", "2024-12-15")]
