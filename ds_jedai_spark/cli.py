@@ -366,6 +366,31 @@ def _run_op(args) -> int:
                   f"({args.to})")
             print(f"TOTAL TIME: {time.perf_counter() - t0:.2f}s")
             return 0
+        elif args.op == "perturb":
+            # the reference's GeometryTransformer experiment tool
+            # (experiments/GeometryTransformer.scala:66-91) as an engine
+            # op: read any supported dataset, perturb, write row-format
+            # parquet (deterministic: same -seed -> same output)
+            from ds_jedai_spark import api
+            from ds_jedai_spark.config import DatasetSpec
+            from ds_jedai_spark.io.synthetic import perturb_geometries
+
+            if not (args.left and args.out):
+                print("-op perturb needs -left (input dataset) and -out",
+                      file=sys.stderr)
+                return 2
+            src = api.read_dataset(spark, DatasetSpec(
+                path=args.left, id_field=args.id_col,
+                geom_field=args.geom_col, date_field=args.date_col,
+            ))
+            perturb_geometries(
+                src, eps_steps=args.eps_steps, seed=args.seed
+            ).write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(f"wrote {n} perturbed entities to {args.out} "
+                  f"(eps={args.eps_steps}/16, seed={args.seed})")
+            print(f"TOTAL TIME: {time.perf_counter() - t0:.2f}s")
+            return 0
         elif args.op in ("knn", "distance"):
             # Spatial distance / exact-kNN joins on arbitrary point
             # datasets (any reader format), completing the YAML-free
@@ -825,7 +850,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "-op",
         default=None,
-        choices=["relate", "convert", "knn", "distance", "asof", "interval",
+        choices=["relate", "convert", "perturb", "knn", "distance",
+                 "asof", "interval",
                  "chunk", "dedup", "dedup-build", "dedup-apply", "emb-dedup",
                  "ann", "ann-build", "quantize", "shuffle", "dupspans",
                  "scrub"],
@@ -837,6 +863,10 @@ def main(argv: list[str] | None = None) -> int:
                          "-op dedup-build/-op dedup as the bucketed "
                          "shingle table; -op emb-dedup reads "
                          "<prefix>_bands")
+    ap.add_argument("-eps-steps", dest="eps_steps", type=int, default=4,
+                    help="perturb: max vertex shift in 1/16 lattice steps")
+    ap.add_argument("-seed", type=int, default=1,
+                    help="perturb: deterministic perturbation seed")
     ap.add_argument("-shards", type=int, default=None,
                     help="shuffle: number of training shards")
     ap.add_argument("-k", type=int, default=5,
@@ -930,7 +960,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.op is not None:
         if args.id_col is None:
             args.id_col = ("id" if args.op in ("relate", "convert",
-                                               "knn", "distance")
+                                               "perturb", "knn",
+                                               "distance")
                            else "doc_id")
         if args.bucket_us == "none":
             args.bucket_us = None
