@@ -13,7 +13,8 @@ offset alone):
 
 - The DRIVER reads only the tiny sidecars: the .shx record index
   (8 bytes/record) and the .dbf header (field layout), plus the 100-byte
-  .shp header, and plans byte-range SPLITS of the .shp (default 64 MB).
+  .shp header, and plans byte-range SPLITS of the .shp (default 8 MB,
+  measured — see DEFAULT_SPLIT_BYTES).
 - EXECUTORS do one ranged read per split and Arrow-batch parsing
   (GeometryAccumulator transport, like the WKT/WKB/GeoJSON readers), so
   a single 2 GB file (the format's hard cap) parallelizes ~32-ways and
@@ -46,7 +47,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 DEFAULT_DATE_PATTERN = "yyyy-MM-dd HH:mm:ss"
 SHP_MAGIC = 9994
-DEFAULT_SPLIT_BYTES = 64 << 20
+# Measured on an 8M-record (224 MB) single file, 32 cores
+# (scripts/shp_scale_probe.py): whole-file 46.0 s, 64 MB splits 31.1 s,
+# 16 MB 15.0 s, 8 MB 7.4 s — per-split Arrow-batch assembly favors
+# finer splits, and files below the split size still get one task each,
+# so small-file corpora are unaffected. A 2 GB file (the format cap)
+# yields ~250 tasks.
+DEFAULT_SPLIT_BYTES = 8 << 20
 
 # base xy layout per shape type: Z (+10) and M (+20) variants append
 # range/value sections AFTER the xy data, which the parser ignores.
@@ -258,9 +265,19 @@ def _prj_crs(path: str | None) -> str | None:
 
 _SPLIT_SCHEMA = (
     "shp string, stem string, byte_start long, byte_end long, rec0 long, "
-    "offs array<long>, dbf string, dbf_hdr int, dbf_rsz int, dbf_nrec long, "
+    "offs array<long>, stride int, n_recs long, "
+    "dbf string, dbf_hdr int, dbf_rsz int, dbf_nrec long, "
     "id_off int, id_len int, date_off int, date_len int"
 )
+
+# Offsets shipped per split are STRIDED to this cap: the executor seeks
+# to each anchor and chains records within the stride, so a corrupt
+# record damages at most one stride (stride 1 = exact per-record
+# isolation on ordinary splits) while a million-record split's plan row
+# stays a few KB instead of shipping the whole .shx through the plan
+# (measured: an 8M-record single split spent minutes on offset
+# transport alone before this cap).
+MAX_SPLIT_OFFS = 4096
 
 
 def _plan_file(
@@ -300,7 +317,8 @@ def _plan_file(
     shx = _sibling(shp, ".shx")
     offsets = _read_shx(shx) if shx else None
     if offsets is None:
-        return [dict(base, byte_start=100, byte_end=size, rec0=0, offs=None)]
+        return [dict(base, byte_start=100, byte_end=size, rec0=0,
+                     offs=None, stride=1, n_recs=-1)]
     offsets = [o for o in offsets if 100 <= o < size]
     splits, i = [], 0
     while i < len(offsets):
@@ -309,11 +327,14 @@ def _plan_file(
                and offsets[j + 1] - offsets[i] <= split_bytes):
             j += 1
         end = offsets[j + 1] if j + 1 < len(offsets) else size
+        group = offsets[i:j + 1]
+        stride = max(1, -(-len(group) // MAX_SPLIT_OFFS))
         splits.append(dict(base, byte_start=offsets[i], byte_end=end,
-                           rec0=i, offs=offsets[i:j + 1]))
+                           rec0=i, offs=group[::stride], stride=stride,
+                           n_recs=len(group)))
         i = j + 1
     return splits or [dict(base, byte_start=100, byte_end=size, rec0=0,
-                           offs=None)]
+                           offs=None, stride=1, n_recs=-1)]
 
 
 def read_shapefile(
@@ -380,7 +401,8 @@ def read_shapefile(
 
     plan = spark.createDataFrame(
         [tuple(s[k] for k in (
-            "shp", "stem", "byte_start", "byte_end", "rec0", "offs", "dbf",
+            "shp", "stem", "byte_start", "byte_end", "rec0", "offs",
+            "stride", "n_recs", "dbf",
             "dbf_hdr", "dbf_rsz", "dbf_nrec", "id_off", "id_len",
             "date_off", "date_len")) for s in splits],
         _SPLIT_SCHEMA,
@@ -406,16 +428,25 @@ def _parse_one_split(s: dict, want_ts: bool, GeometryAccumulator, pa):
 
     recs: list[bytes | None] = []
     if s["offs"] is not None:
-        for off in s["offs"]:
-            o = off - base
-            if o < 0 or o + 8 > len(buf):
-                recs.append(None)
-                continue
-            (clen,) = struct.unpack_from(">i", buf, o + 4)
-            if clen < 2 or o + 8 + 2 * clen > len(buf):
-                recs.append(None)
-            else:
-                recs.append(buf[o + 8:o + 8 + 2 * clen])
+        # strided anchors: seek to each, chain up to `stride` records;
+        # a corrupt header ends only its own stride (padded to keep the
+        # positional .dbf alignment)
+        anchors = s["offs"]
+        stride, total = s["stride"], s["n_recs"]
+        for gi, off in enumerate(anchors):
+            gend = (anchors[gi + 1] - base if gi + 1 < len(anchors)
+                    else len(buf))
+            expected = min(stride, total - gi * stride)
+            pos = off - base
+            got = 0
+            while got < expected and 0 <= pos and pos + 8 <= gend:
+                (clen,) = struct.unpack_from(">i", buf, pos + 4)
+                if clen < 2 or pos + 8 + 2 * clen > len(buf):
+                    break
+                recs.append(buf[pos + 8:pos + 8 + 2 * clen])
+                got += 1
+                pos += 8 + 2 * clen
+            recs.extend([None] * (expected - got))
     else:
         pos = 0
         while pos + 8 <= len(buf):
