@@ -98,8 +98,17 @@ def _check_crs(source: DataFrame, target: DataFrame, strict: bool) -> None:
         except (KeyError, AttributeError, TypeError):
             return None
 
+    # Known-equivalent identifiers compare equal: GeoParquet's spec
+    # default normalizes to OGC:CRS84 while .prj/.gpkg WGS84 yields
+    # EPSG:4326 — same datum/units, axis order only (the engine is
+    # axis-order-naive, like the reference).
+    eq = {"OGC:CRS84": "EPSG:4326"}
+
+    def canon(c: str | None) -> str | None:
+        return eq.get(c, c)
+
     a, b = crs_of(source), crs_of(target)
-    if a is not None and b is not None and a != b:
+    if a is not None and b is not None and canon(a) != canon(b):
         msg = (
             f"source and target declare different CRS ({a!r} vs {b!r}); "
             "spatial predicates assume shared planar coordinates — "

@@ -66,8 +66,8 @@ def strip_gpb(blob) -> bytes | None:
 
 
 def _catalog(path: str, table: str | None):
-    """Driver-side: (table, geom_col, id_candidates, crs_id, lo, hi,
-    n_rows, columns). Reads only catalog rows + one min/max."""
+    """Driver-side: (table, geom_col, crs_id, columns, lo, hi, n_rows).
+    Reads only catalog rows plus one min/max/count aggregate."""
     con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
     try:
         try:
@@ -108,10 +108,10 @@ def _catalog(path: str, table: str | None):
         if srs_row and srs_row[0] and int(srs_row[1]) > 0:
             crs = f"{srs_row[0].upper()}:{srs_row[1]}"
         cols = [r[1] for r in con.execute(f'PRAGMA table_info("{table}")')]
-        lo, hi = con.execute(
-            f'SELECT min(rowid), max(rowid) FROM "{table}"'
+        lo, hi, n_rows = con.execute(
+            f'SELECT min(rowid), max(rowid), count(*) FROM "{table}"'
         ).fetchone()
-        return table, geom_col, crs, cols, lo, hi
+        return table, geom_col, crs, cols, lo, hi, n_rows
     finally:
         con.close()
 
@@ -143,7 +143,7 @@ def read_geopackage(
 
     if not os.path.isfile(path):
         raise ValueError(f"no such GeoPackage: {path!r}")
-    table, geom_col, crs, cols, lo, hi = _catalog(path, table)
+    table, geom_col, crs, cols, lo, hi, n_rows = _catalog(path, table)
 
     low = {c.lower(): c for c in cols}
     use_id = None
@@ -165,11 +165,17 @@ def read_geopackage(
         use_date = low[date_field.lower()]
 
     splits: list[tuple[int, int]] = []
-    if lo is not None:
+    if lo is not None and n_rows > 0:
+        # Plan by ROW COUNT, not rowid span: sparse/large fids (after
+        # deletes, or externally assigned) would otherwise yield an
+        # enormous number of vacuous splits. Cap at ceil(n/split_rows)
+        # splits by widening the rowid stride to cover the span.
+        max_splits = -(-n_rows // split_rows)
+        stride = max(split_rows, -(-(hi - lo + 1) // max_splits))
         a = lo
         while a <= hi:
-            splits.append((a, min(hi, a + split_rows - 1)))
-            a += split_rows
+            splits.append((a, min(hi, a + stride - 1)))
+            a += stride
     if not splits:
         splits = [(0, -1)]  # empty table: one vacuous split
 

@@ -307,8 +307,18 @@ def _plan_file(
             id_off, id_len = fields[id_field.lower()][:2]
         if date_field is not None and date_field.lower() in fields:
             date_off, date_len, date_type = fields[date_field.lower()]
-    elif date_field is not None:
-        raise ValueError(f"date column {date_field!r}: {shp!r} has no .dbf")
+    else:
+        # No .dbf sidecar: an EXPLICITLY named field cannot be honored.
+        # 'id' (the default) and None fall back to 'stem:N' ids; any
+        # other name raises — the documented absent-field contract.
+        if id_field not in (None, "id"):
+            raise ValueError(
+                f"column {id_field!r}: {shp!r} has no .dbf"
+            )
+        if date_field is not None:
+            raise ValueError(
+                f"date column {date_field!r}: {shp!r} has no .dbf"
+            )
 
     base = dict(shp=shp, stem=stem, dbf=dbf, dbf_hdr=dbf_hdr,
                 date_type=date_type,
@@ -697,7 +707,16 @@ def export_shapefile(
                     f.write(shp)
                 with open(stem + ".shx", "wb") as f:
                     f.write(shx)
-                idw = min(254, max(1, max(len(i) for _, i, _ in chunk)))
+                idw = max(1, max(len(i) for _, i, _ in chunk))
+                if idw > 254:
+                    over = sum(1 for _, i, _ in chunk if len(i) > 254)
+                    raise ValueError(
+                        f"{over} id(s) exceed the dBASE 254-byte "
+                        "character-field cap (longest "
+                        f"{idw} bytes); shapefile export cannot "
+                        "round-trip them — shorten the ids or export "
+                        "to geoparquet/geopackage instead"
+                    )
                 fields = [("id", idw)] + ([("ts", 19)] if has_ts else [])
                 rws = [(i, t) if has_ts else (i,) for _, i, t in chunk]
                 with open(stem + ".dbf", "wb") as f:

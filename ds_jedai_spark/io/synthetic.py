@@ -273,9 +273,13 @@ def perturb_geometries(df, eps_steps: int = 4, seed: int = 1):
     m = 2 * eps_steps + 1
 
     def h(extra: str) -> str:
-        # value-derived lattice hash: id, scaled vertex coords, seed
+        # value-derived lattice hash: id, scaled vertex coords, seed.
+        # xxhash64 (not a bigint cast): ids are frequently strings
+        # (GeoJSON ids, shapefile 'stem:N' fallbacks) and a failed cast
+        # would silently NULL every output coordinate. pmod keeps the
+        # id term small enough that the mixing products never overflow.
         return (
-            f"((cast(id as bigint) * 2654435761 + "
+            f"((pmod(xxhash64(id), 1000003) * 2654435761 + "
             f"cast(pt[0] * 16 as bigint) * 1315423911 + "
             f"cast(pt[1] * 16 as bigint) * 2246822519 + "
             f"{seed} * 97 + {extra}) % {m} + {m}) % {m}"

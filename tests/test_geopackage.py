@@ -79,6 +79,27 @@ def test_gpkg_rowid_fallback_and_errors(spark, tmp_path):
         read_geopackage(spark, str(tmp_path / "missing.gpkg"))
 
 
+def test_gpkg_sparse_rowids_split_by_count(spark, tmp_path):
+    """Split planning scales with COUNT(*), not the rowid span: a table
+    with sparse/large fids (after deletes, or externally assigned) must
+    not plan span/split_rows vacuous splits — with rowids spread over
+    ~42M and split_rows=7 the old planner would repartition into ~6M
+    partitions."""
+    p = str(tmp_path / "sparse.gpkg")
+    con = sqlite3.connect(FIX)
+    con.execute(f"VACUUM INTO '{p}'")
+    con.close()
+    con = sqlite3.connect(p)
+    con.execute("UPDATE features SET rowid = rowid * 100000")
+    con.commit()
+    n = con.execute("SELECT count(*) FROM features").fetchone()[0]
+    con.close()
+    got = read_geopackage(spark, p, id_field="id", split_rows=7)
+    assert got.rdd.getNumPartitions() <= -(-n // 7)
+    assert _rowmap(got) == _rowmap(read_geopackage(spark, FIX,
+                                                   id_field="id"))
+
+
 def test_strip_gpb_hostile_bytes():
     import random
 

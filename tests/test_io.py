@@ -627,10 +627,15 @@ def test_api_run_warns_on_crs_mismatch(spark, tmp_path):
         warnings.simplefilter("error")
         # same CRS: silent
         api.run(spark, cfg(p3857, p3857)).collect()
-        # default-CRS file vs explicit 4326: OGC:CRS84 != EPSG:4326 is a
-        # REAL mismatch per the identifiers (axis order differs); but a
-        # row-format table (no footer) vs anything is unknown -> silent
+        # GeoParquet spec default (OGC:CRS84) vs .prj/.gpkg-style
+        # EPSG:4326: semantically the same WGS84 datum (axis order
+        # only, and the engine is axis-order-naive) -> silent, never a
+        # spurious mismatch on cross-format pairs
+        api.run(spark, cfg(pnone, p4326)).collect()
+        # a row-format table (no footer) vs anything is unknown -> silent
         rf = str(tmp_path / "rowfmt.parquet")
         src.write.parquet(rf)
         api.run(spark, cfg(rf, p3857)).collect()
-    assert pnone  # written above; identifier default covered in readers
+    # ...but CRS84 vs a genuinely different CRS still trips
+    with pytest.warns(UserWarning, match="different CRS"):
+        api.run(spark, cfg(pnone, p3857)).collect()

@@ -18,11 +18,14 @@ WKT_FIX = str(
 )
 
 
-def _py_perturb(rid: int, parts, eps: int, seed: int):
+def _py_perturb(idh: int, parts, eps: int, seed: int):
+    # idh = pmod(xxhash64(id), 1000003) — the only term taken from
+    # Spark (no xxhash64 in the stdlib); everything downstream of it
+    # (mixing, mode, shift, lattice) is re-derived independently.
     m = 2 * eps + 1
 
     def hh(x, y, extra):
-        return ((rid * 2654435761 + int(x * 16) * 1315423911
+        return ((idh * 2654435761 + int(x * 16) * 1315423911
                  + int(y * 16) * 2246822519 + seed * 97 + extra) % m
                 + m) % m
 
@@ -52,9 +55,11 @@ def test_perturb_matches_python_reference(spark):
         for r in perturb_geometries(src, eps_steps=4, seed=7).collect()
     }
     base = {int(r.id): r.coords for r in src.collect()}
+    idh = {int(r.id): r.h for r in src.selectExpr(
+        "id", "pmod(xxhash64(id), 1000003) AS h").collect()}
     assert set(got) == set(base)
     for rid, parts in base.items():
-        want = _py_perturb(rid, parts, 4, 7)
+        want = _py_perturb(idh[rid], parts, 4, 7)
         coords, minx, miny, maxx, maxy = got[rid]
         assert [[list(p) for p in part] for part in coords] == want, rid
         flat = [p for part in want for p in part]
@@ -93,6 +98,35 @@ def test_perturb_laws(spark):
                 for v in (x, y):
                     den = float(v).as_integer_ratio()[1]
                     assert den <= 4096, (r.id, v, den)
+
+
+def test_perturb_string_ids(spark):
+    """Non-numeric ids (GeoJSON string ids, shapefile 'stem:N'
+    fallbacks) must perturb, not NULL out: the hash is xxhash64(id),
+    never a bigint cast."""
+    src = read_wkt_delimited(
+        spark, WKT_FIX, id_field="id", geom_field="wkt"
+    ).selectExpr("concat('doc:', id) AS id", "gtype", "coords",
+                 "minx", "miny", "maxx", "maxy")
+    out = perturb_geometries(src, eps_steps=3, seed=5)
+    rows = out.collect()
+    assert len(rows) == src.count()
+    base = {r.id: r.coords for r in src.collect()}
+    moved = 0
+    for r in rows:
+        assert r.coords is not None, r.id
+        for part in r.coords:
+            for pt in part:
+                assert pt[0] is not None and pt[1] is not None, r.id
+        assert r.minx is not None and r.maxy is not None, r.id
+        if [[list(p) for p in part] for part in r.coords] != \
+                [[list(p) for p in part] for part in base[r.id]]:
+            moved += 1
+    assert moved > 0
+    # reproducible on string ids too
+    again = {r.id: r.coords for r in
+             perturb_geometries(src, eps_steps=3, seed=5).collect()}
+    assert again == {r.id: r.coords for r in rows}
 
 
 def test_cli_op_perturb(spark, tmp_path, capsys, monkeypatch):

@@ -129,6 +129,47 @@ def test_dbf_fields_and_recno_fallback(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == ["pts:1", "pts:2"]
 
 
+def test_no_dbf_explicit_id_field_raises(spark, tmp_path):
+    """With no .dbf sidecar, an EXPLICITLY named id_field raises (the
+    documented absent-field contract); the 'id' default and None fall
+    back to stem:recno ids."""
+    wm = _mk_writer()
+    stem = tmp_path / "bare"
+    recs = [wm.shape_content("POINT", [[[1.5, 2.5]]]),
+            wm.shape_content("POINT", [[[3.0, 4.0]]])]
+    wm.write_shapefile(stem, 1, recs, ["a", "b"])
+    stem.with_suffix(".dbf").unlink()
+    with pytest.raises(ValueError, match="'name'.*no .dbf"):
+        read_shapefile(spark, str(stem) + ".shp", id_field="name")
+    for fallback in ("id", None):
+        got = read_shapefile(spark, str(stem) + ".shp", id_field=fallback)
+        assert sorted(r.id for r in got.collect()) == ["bare:1", "bare:2"]
+
+
+def test_export_id_over_dbase_cap_raises(spark, tmp_path):
+    """ids longer than the dBASE 254-byte character-field cap raise
+    instead of silently truncating (truncation breaks round trips and
+    can collide ids)."""
+    from ds_jedai_spark.io.shapefile import export_shapefile
+    from ds_jedai_spark.io.readers import read_wkt_delimited
+
+    tsv = tmp_path / "long.tsv"
+    tsv.write_text("id\twkt\n" + ("x" * 300) + "\tPOINT (1.5 2.5)\n")
+    src = read_wkt_delimited(spark, str(tsv), id_field="id",
+                             geom_field="wkt")
+    with pytest.raises(Exception, match="254"):
+        export_shapefile(src, str(tmp_path / "out_shp"))
+    # exactly at the cap still round-trips
+    tsv2 = tmp_path / "cap.tsv"
+    tsv2.write_text("id\twkt\n" + ("y" * 254) + "\tPOINT (1.5 2.5)\n")
+    src2 = read_wkt_delimited(spark, str(tsv2), id_field="id",
+                              geom_field="wkt")
+    out = str(tmp_path / "cap_shp")
+    export_shapefile(src2, out)
+    back = read_shapefile(spark, out, id_field="id")
+    assert [r.id for r in back.collect()] == ["y" * 254]
+
+
 def test_prj_crs_metadata(spark):
     df = read_shapefile(spark, FIX, id_field="id")
     assert df.schema["gtype"].metadata.get("crs") == "EPSG:4326"
