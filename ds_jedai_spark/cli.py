@@ -391,6 +391,33 @@ def _run_op(args) -> int:
                   f"(eps={args.eps_steps}/16, seed={args.seed})")
             print(f"TOTAL TIME: {time.perf_counter() - t0:.2f}s")
             return 0
+        elif args.op == "reproject":
+            # Closed-form CRS reprojection (EPSG:4326 <-> EPSG:3857):
+            # the in-engine remedy for the CRS-mismatch warning. Reads
+            # any supported dataset, rewrites coordinates JVM-side
+            # (operators/crs.py), writes row-format parquet carrying the
+            # new CRS in the gtype metadata.
+            from ds_jedai_spark import api
+            from ds_jedai_spark.config import DatasetSpec
+            from ds_jedai_spark.operators.crs import reproject
+
+            if not (args.left and args.out and args.to_crs):
+                print("-op reproject needs -left, -out and -to-crs",
+                      file=sys.stderr)
+                return 2
+            src = api.read_dataset(spark, DatasetSpec(
+                path=args.left, id_field=args.id_col,
+                geom_field=args.geom_col, date_field=args.date_col,
+            ))
+            out = reproject(src, args.to_crs, from_crs=args.from_crs)
+            out.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            src_crs = args.from_crs or (
+                (src.schema["gtype"].metadata or {}).get("crs"))
+            print(f"wrote {n} entities to {args.out} "
+                  f"({src_crs} -> {args.to_crs})")
+            print(f"TOTAL TIME: {time.perf_counter() - t0:.2f}s")
+            return 0
         elif args.op in ("knn", "distance"):
             # Spatial distance / exact-kNN joins on arbitrary point
             # datasets (any reader format), completing the YAML-free
@@ -850,8 +877,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "-op",
         default=None,
-        choices=["relate", "convert", "perturb", "knn", "distance",
-                 "asof", "interval",
+        choices=["relate", "convert", "perturb", "reproject",
+                 "knn", "distance", "asof", "interval",
                  "chunk", "dedup", "dedup-build", "dedup-apply", "emb-dedup",
                  "ann", "ann-build", "quantize", "shuffle", "dupspans",
                  "scrub"],
@@ -863,6 +890,11 @@ def main(argv: list[str] | None = None) -> int:
                          "-op dedup-build/-op dedup as the bucketed "
                          "shingle table; -op emb-dedup reads "
                          "<prefix>_bands")
+    ap.add_argument("-to-crs", dest="to_crs", default=None,
+                    help="reproject: target CRS (EPSG:4326 or EPSG:3857)")
+    ap.add_argument("-from-crs", dest="from_crs", default=None,
+                    help="reproject: source CRS override when the input "
+                         "carries no CRS metadata")
     ap.add_argument("-eps-steps", dest="eps_steps", type=int, default=4,
                     help="perturb: max vertex shift in 1/16 lattice steps")
     ap.add_argument("-seed", type=int, default=1,
@@ -960,8 +992,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.op is not None:
         if args.id_col is None:
             args.id_col = ("id" if args.op in ("relate", "convert",
-                                               "perturb", "knn",
-                                               "distance")
+                                               "perturb", "reproject",
+                                               "knn", "distance")
                            else "doc_id")
         if args.bucket_us == "none":
             args.bucket_us = None

@@ -532,7 +532,14 @@ WGS84_PRJ = (
     'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433],'
     'AUTHORITY["EPSG","4326"]]'
 )
-_PRJ_BY_CRS = {"EPSG:4326": WGS84_PRJ, "OGC:CRS84": WGS84_PRJ}
+def _prj_for(crs: str | None) -> str | None:
+    if crs in ("EPSG:4326", "OGC:CRS84"):
+        return WGS84_PRJ
+    if crs == "EPSG:3857":
+        from ds_jedai_spark.operators.crs import WEB_MERCATOR_PRJ
+
+        return WEB_MERCATOR_PRJ
+    return None
 
 
 def signed_area2(ring) -> float:
@@ -670,7 +677,7 @@ def export_shapefile(
     has_ts = "ts" in entities.columns
     cols = ["id", "gtype", "coords"] + (["ts"] if has_ts else [])
     crs = (entities.schema["gtype"].metadata or {}).get("crs")
-    prj = _PRJ_BY_CRS.get(crs)
+    prj = _prj_for(crs)
 
     def write_parts(batches):
         import pandas as pd

@@ -1,0 +1,168 @@
+"""operators/crs.reproject: differential vs an independent Python
+implementation of the published spherical Web Mercator formulas, the
+operator laws (roundtrip, envelope = transformed corners, clamping,
+metadata rewrite, unsupported-pair contract), and the -op reproject CLI
+e2e. The reference is CRS-naive; this is the engine's in-engine remedy
+for the api.run CRS-mismatch warning."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pytest
+
+from ds_jedai_spark.io.readers import read_wkt_delimited
+from ds_jedai_spark.operators.crs import MAX_LAT, R, reproject
+
+WKT_FIX = str(
+    Path(__file__).resolve().parent.parent / "fixtures" / "wkt_source.tsv"
+)
+
+
+def _fwd(lon: float, lat: float) -> tuple[float, float]:
+    lat = max(-MAX_LAT, min(MAX_LAT, lat))
+    return (R * math.radians(lon),
+            R * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2)))
+
+
+def _inv(x: float, y: float) -> tuple[float, float]:
+    return (math.degrees(x / R),
+            math.degrees(2 * math.atan(math.exp(y / R)) - math.pi / 2))
+
+
+def _src(spark):
+    return read_wkt_delimited(
+        spark, WKT_FIX, id_field="id", geom_field="wkt"
+    ).withMetadata("gtype", {"crs": "EPSG:4326"})
+
+
+def test_reproject_matches_python_reference(spark):
+    """Every vertex agrees with the independent formula to <= 1e-6 m
+    (JVM vs CPython libm may differ in the last ulp of a ~2e7 value);
+    envelopes are exactly the transformed corners."""
+    src = _src(spark)
+    out = reproject(src, "EPSG:3857")
+    assert out.schema["gtype"].metadata.get("crs") == "EPSG:3857"
+    base = {r.id: (r.coords, r.minx, r.miny, r.maxx, r.maxy)
+            for r in src.collect()}
+    got = {r.id: (r.coords, r.minx, r.miny, r.maxx, r.maxy)
+           for r in out.collect()}
+    assert set(got) == set(base)
+    for rid, (parts, minx, miny, maxx, maxy) in base.items():
+        gparts, gminx, gminy, gmaxx, gmaxy = got[rid]
+        for part, gpart in zip(parts, gparts):
+            for (lon, lat), (gx, gy) in zip(part, gpart):
+                wx, wy = _fwd(lon, lat)
+                assert abs(gx - wx) <= 1e-6 and abs(gy - wy) <= 1e-6, rid
+        for want, have in zip(
+            _fwd(minx, miny) + _fwd(maxx, maxy),
+            (gminx, gminy, gmaxx, gmaxy),
+        ):
+            assert abs(have - want) <= 1e-6, rid
+        # monotone: the corner envelope really bounds the points
+        flat = [p for part in gparts for p in part]
+        assert gminx <= min(p[0] for p in flat) + 1e-6
+        assert gmaxy >= max(p[1] for p in flat) - 1e-6
+
+
+def test_reproject_roundtrip_and_identity(spark):
+    src = _src(spark)
+    back = reproject(reproject(src, "EPSG:3857"), "EPSG:4326")
+    assert back.schema["gtype"].metadata.get("crs") == "EPSG:4326"
+    base = {r.id: r.coords for r in src.collect()}
+    got = {r.id: r.coords for r in back.collect()}
+    for rid, parts in base.items():
+        for part, gpart in zip(parts, got[rid]):
+            for (lon, lat), (glon, glat) in zip(part, gpart):
+                assert abs(glon - lon) <= 1e-9
+                assert abs(glat - lat) <= 1e-9, rid
+    # identity rename: OGC:CRS84 counts as EPSG:4326, coords untouched
+    crs84 = src.withMetadata("gtype", {"crs": "OGC:CRS84"})
+    same = reproject(crs84, "EPSG:4326")
+    assert same.schema["gtype"].metadata.get("crs") == "EPSG:4326"
+    assert {r.id: r.coords for r in same.collect()} == base
+
+
+def test_reproject_anchors_and_clamp(spark):
+    """Known anchor points of the published formulas, and the ±MAX_LAT
+    clamp (square world: N(MAX_LAT) == E(180))."""
+    tsv_rows = ["id\twkt",
+                "1\tPOINT (0 0)",
+                "2\tPOINT (180 0)",
+                "3\tPOINT (0 89.9)",      # beyond MAX_LAT -> clamped
+                "4\tPOINT (-180 -89.9)"]
+    import tempfile, os
+    fd, p = tempfile.mkstemp(suffix=".tsv")
+    with os.fdopen(fd, "w") as f:
+        f.write("\n".join(tsv_rows) + "\n")
+    try:
+        src = read_wkt_delimited(
+            spark, p, id_field="id", geom_field="wkt"
+        ).withMetadata("gtype", {"crs": "EPSG:4326"})
+        pts = {r.id: r.coords[0][0]
+               for r in reproject(src, "EPSG:3857").collect()}
+    finally:
+        os.remove(p)
+    half = math.pi * R  # 20037508.342789244
+    # tan(pi/4) is 1-1ulp in doubles: y(0) lands ~7e-10 m off exact zero
+    assert abs(pts["1"][0]) <= 1e-6 and abs(pts["1"][1]) <= 1e-6
+    assert abs(pts["2"][0] - half) <= 1e-6
+    assert abs(pts["3"][1] - half) <= 1e-6   # clamped to MAX_LAT
+    assert abs(pts["4"][0] + half) <= 1e-6
+    assert abs(pts["4"][1] + half) <= 1e-6
+
+
+def test_reproject_contract_errors(spark):
+    src = read_wkt_delimited(
+        spark, WKT_FIX, id_field="id", geom_field="wkt"
+    )  # no CRS metadata
+    with pytest.raises(ValueError, match="source CRS unknown"):
+        reproject(src, "EPSG:3857")
+    # explicit from_crs substitutes for missing metadata
+    out = reproject(src, "EPSG:3857", from_crs="EPSG:4326")
+    assert out.schema["gtype"].metadata.get("crs") == "EPSG:3857"
+    with pytest.raises(ValueError, match="unsupported pair"):
+        reproject(src.withMetadata("gtype", {"crs": "EPSG:2154"}),
+                  "EPSG:3857")
+
+
+def test_cli_op_reproject(spark, tmp_path, capsys, monkeypatch):
+    """-op reproject: any reader format in, row-format parquet out
+    carrying the new CRS; feeding the result against a 3857 GeoPackage
+    no longer warns (the mismatch remedy actually remedies)."""
+    import warnings
+
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+    from ds_jedai_spark.io.geopackage import export_geopackage
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    out = str(tmp_path / "merc.parquet")
+    rc = cli.main(["-op", "reproject", "-left", WKT_FIX, "-out", out,
+                   "-from-crs", "EPSG:4326", "-to-crs", "EPSG:3857"])
+    assert rc == 0
+    assert "EPSG:4326 -> EPSG:3857" in capsys.readouterr().out
+    back = spark.read.parquet(out)
+    assert back.schema["gtype"].metadata.get("crs") == "EPSG:3857"
+    assert back.count() == 406
+
+    gp = str(tmp_path / "t3857.gpkg")
+    export_geopackage(
+        reproject(_src(spark), "EPSG:3857").limit(5), gp,
+        crs_id=("EPSG", 3857),
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rc = cli.main(["-op", "relate", "-left", out, "-right", gp,
+                       "-relation", "intersects", "-limit", "2"])
+    assert rc == 0
+    assert not any("different CRS" in str(w.message) for w in caught)
+    # missing -to-crs errors with guidance
+    assert cli.main(["-op", "reproject", "-left", WKT_FIX,
+                     "-out", out]) == 2
