@@ -70,6 +70,13 @@ def read_dataset(spark: SparkSession, spec) -> DataFrame:
             spark, spec.path, id_field=spec.id_field,
             date_field=spec.date_field, date_pattern=spec.date_pattern,
         )
+    if ext == ".fgb":
+        from ds_jedai_spark.io.flatgeobuf import read_flatgeobuf
+
+        return read_flatgeobuf(
+            spark, spec.path, id_field=spec.id_field,
+            date_field=spec.date_field, date_pattern=spec.date_pattern,
+        )
     if ext == ".parquet":
         # Engine row-format parquet: zero-parse fast path; plain user
         # parquet with a WKT column parses via the geom_field fallback.
@@ -80,7 +87,7 @@ def read_dataset(spark: SparkSession, spec) -> DataFrame:
         )
     raise ValueError(
         f"unsupported dataset extension: {spec.path} "
-        "(tsv/csv/json/geojson/nt/shp/gpkg/parquet, or a directory "
+        "(tsv/csv/json/geojson/nt/shp/gpkg/fgb/parquet, or a directory "
         "of .shp)"
     )
 

@@ -306,10 +306,10 @@ def _run_op(args) -> int:
                       file=sys.stderr)
                 return 2
             if args.to not in ("rowparquet", "geoparquet", "geojson",
-                               "shapefile", "geopackage"):
+                               "shapefile", "geopackage", "flatgeobuf"):
                 print(f"-op convert: unknown -to {args.to!r}; choose "
                       "from rowparquet/geoparquet/geojson/shapefile/"
-                      "geopackage", file=sys.stderr)
+                      "geopackage/flatgeobuf", file=sys.stderr)
                 return 2
             src = api.read_dataset(spark, DatasetSpec(
                 path=args.left, id_field=args.id_col,
@@ -348,6 +348,24 @@ def _run_op(args) -> int:
                         crs_id = (org, int(code))
                 export_geopackage(src, args.out, crs_id=crs_id)
                 back = read_geopackage(spark, args.out)
+            elif args.to == "flatgeobuf":
+                # single-file interop sink (driver-side assembly,
+                # Hilbert-sorted behind a packed R-tree) — CRS from the
+                # input's metadata lands in the header Crs table
+                from ds_jedai_spark.io.flatgeobuf import (
+                    export_flatgeobuf,
+                    read_flatgeobuf,
+                )
+
+                meta = (src.schema["gtype"].metadata
+                        if "gtype" in src.columns else None) or {}
+                crs_id = None
+                if ":" in (meta.get("crs") or ""):
+                    org, code = meta["crs"].split(":", 1)
+                    if code.isdigit():
+                        crs_id = (org, int(code))
+                export_flatgeobuf(src, args.out, crs_id=crs_id)
+                back = read_flatgeobuf(spark, args.out)
             elif args.to == "shapefile":
                 # directory-of-shapefiles sink (one spec-conformant
                 # .shp/.shx/.dbf triple per partition x shape kind;
@@ -946,7 +964,8 @@ def main(argv: list[str] | None = None) -> int:
                          "zero-parse), geoparquet (WKB binary, stamped "
                          "geo footer), geojson (NDJSON features), "
                          "shapefile (directory of .shp/.shx/.dbf), "
-                         "geopackage (single .gpkg, interop)")
+                         "geopackage (single .gpkg, interop), "
+                         "flatgeobuf (single .fgb, Hilbert R-tree)")
     ap.add_argument("-date-col", dest="date_col", default=None,
                     help="relate: date column on BOTH sides enables the "
                          "reference's spatio-temporal qualifier "

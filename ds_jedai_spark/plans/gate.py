@@ -275,6 +275,8 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                  rp.shp_reader_counts_oracle()),
                 ("gpkg", rp.gpkg_reader_counts,
                  rp.gpkg_reader_counts_oracle()),
+                ("fgb", rp.fgb_reader_counts,
+                 rp.fgb_reader_counts_oracle()),
             ]
         ),
     )

@@ -166,6 +166,31 @@ def gpkg_reader_counts_oracle() -> str:
     return wkt_reader_counts_oracle()
 
 
+FGB_FIXTURE = str(
+    Path(__file__).resolve().parents[2] / "fixtures" / "geo_source.fgb"
+)
+
+
+def fgb_reader_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same gate through the FlatGeobuf reader: the .fgb fixture
+    (scripts/make_fgb_fixture.py) carries the WKT fixture's entities as
+    flatbuffer features behind a packed R-tree (header type Unknown so
+    per-feature types are exercised; the invalid rows are correctly
+    framed corrupt features cycling a malformation zoo); the oracle is
+    the WKT fixture's own ground-truth columns — FlatGeobuf has no
+    gtype promotions."""
+    from ds_jedai_spark.io.flatgeobuf import read_flatgeobuf
+
+    src = read_flatgeobuf(spark, FGB_FIXTURE, id_field="id").withColumn(
+        "id", F.col("id").cast("long")
+    )
+    return _reader_counts(src)
+
+
+def fgb_reader_counts_oracle() -> str:
+    return wkt_reader_counts_oracle()
+
+
 HOLES_SRC = str(
     Path(__file__).resolve().parents[2] / "fixtures" / "wkt_holes_source.tsv"
 )

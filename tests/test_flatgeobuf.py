@@ -1,0 +1,229 @@
+"""FlatGeobuf reader/sink: whole-fixture differential vs the WKT reader
+(exact — flatbuffer features round-trip all types with no promotions),
+ranged-split parity, a HAND-ASSEMBLED spec-grounding file (byte layout
+written with explicit constants, independent of the module's builder),
+hostile-bytes fuzz, sink round trip (Hilbert order + packed R-tree +
+ts + CRS loop), catalog error contracts, and the CLI convert e2e.
+
+Fixture: fixtures/geo_source.fgb (scripts/make_fgb_fixture.py)."""
+
+from __future__ import annotations
+
+import struct
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pytest
+
+from ds_jedai_spark.io.flatgeobuf import (
+    MAGIC,
+    _decode_geometry,
+    _fb,
+    _parse_properties,
+    _read_header,
+    export_flatgeobuf,
+    read_flatgeobuf,
+)
+
+FIX = str(
+    Path(__file__).resolve().parent.parent / "fixtures" / "geo_source.fgb"
+)
+WKT_FIX = str(
+    Path(__file__).resolve().parent.parent / "fixtures" / "wkt_source.tsv"
+)
+
+
+def _rowmap(df):
+    return {
+        r.id: (r.gtype, r.minx, r.miny, r.maxx, r.maxy,
+               tuple(tuple(tuple(p) for p in part) for part in r.coords))
+        for r in df.collect()
+    }
+
+
+def test_fgb_matches_wkt_reader_exactly(spark):
+    from ds_jedai_spark.io.readers import read_wkt_delimited
+
+    got = _rowmap(read_flatgeobuf(spark, FIX, id_field="id"))
+    want = _rowmap(
+        read_wkt_delimited(spark, WKT_FIX, id_field="id", geom_field="wkt")
+    )
+    assert got == want and len(got) == 406
+
+
+def test_fgb_split_parity_and_crs(spark):
+    base = read_flatgeobuf(spark, FIX, id_field="id")
+    assert base.schema["gtype"].metadata.get("crs") == "EPSG:4326"
+    tiny = read_flatgeobuf(spark, FIX, id_field="id", split_bytes=1024)
+    assert _rowmap(tiny) == _rowmap(base)
+    assert tiny.rdd.getNumPartitions() > base.rdd.getNumPartitions()
+
+
+def test_fgb_hand_assembled_spec_grounding(spark, tmp_path):
+    """A minimal unindexed single-Point file assembled byte-by-byte
+    with explicit offsets computed by hand from the flatbuffers wire
+    spec (negative-soffset header vtable, positive-soffset feature
+    vtable) — grounds the reader in the published layout independently
+    of the module's own builder."""
+    # header flatbuffer: geometry_type=1 (Point), features_count=1,
+    # index_node_size=0; vtable AFTER the table (soffset negative)
+    hdr = b"".join([
+        struct.pack("<I", 8),        # 0: root uoffset -> table at 8
+        b"\x00" * 4,                 # 4: pad
+        struct.pack("<i", -32),      # 8: soffset (vtable at 8+32=40)
+        struct.pack("<B3x", 1),      # 12: geometry_type + pad
+        struct.pack("<Q", 1),        # 16: features_count
+        struct.pack("<H", 0),        # 24: index_node_size
+        b"\x00" * 14,                # 26: pad to 40
+        struct.pack("<HH10H", 24, 18,
+                    0, 0, 4, 0, 0, 0, 0, 0, 8, 16),  # 40: vtable
+    ])
+    assert len(hdr) == 64
+    # feature flatbuffer: vtables BEFORE tables (soffset positive)
+    feat = b"".join([
+        struct.pack("<I", 12),           # 0: root uoffset -> feature
+        struct.pack("<3H", 6, 8, 4),     # 4: feature vtable
+        b"\x00" * 2,                     # 10: pad
+        struct.pack("<i", 8),            # 12: soffset -> vtable at 4
+        struct.pack("<I", 12),           # 16: geometry uoffset -> 28
+        struct.pack("<4H", 8, 8, 0, 4),  # 20: geometry vtable
+        struct.pack("<i", 8),            # 28: soffset -> vtable at 20
+        struct.pack("<I", 4),            # 32: xy uoffset -> 36
+        struct.pack("<I", 2),            # 36: xy length (2 doubles)
+        struct.pack("<2d", 1.5, 2.5),    # 40: the point
+    ])
+    assert len(feat) == 56
+    p = tmp_path / "hand.fgb"
+    p.write_bytes(MAGIC + struct.pack("<I", len(hdr)) + hdr
+                  + struct.pack("<I", len(feat)) + feat)
+    got = read_flatgeobuf(spark, str(p)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id, r.gtype) == ("hand:1", "POINT")
+    assert [list(pt) for pt in r.coords[0]] == [[1.5, 2.5]]
+    assert (r.minx, r.miny, r.maxx, r.maxy) == (1.5, 2.5, 1.5, 2.5)
+
+
+def test_fgb_errors(spark, tmp_path):
+    with pytest.raises(ValueError, match="no such FlatGeobuf"):
+        read_flatgeobuf(spark, str(tmp_path / "missing.fgb"))
+    junk = tmp_path / "junk.fgb"
+    junk.write_bytes(b"\x00" * 64)
+    with pytest.raises(ValueError, match="not a FlatGeobuf"):
+        read_flatgeobuf(spark, str(junk))
+    with pytest.raises(ValueError, match="'nope' not in"):
+        read_flatgeobuf(spark, FIX, id_field="nope")
+    with pytest.raises(ValueError, match="date column 'when'"):
+        read_flatgeobuf(spark, FIX, date_field="when")
+
+
+def test_fgb_hostile_bytes():
+    """Random buffers and bit-flipped valid features must never crash
+    the decode path (the reader wraps per-feature parsing; this drives
+    the same calls directly)."""
+    import random
+
+    from ds_jedai_spark.io.flatgeobuf import _feature_bytes
+
+    rng = random.Random(1404)
+    valid = _feature_bytes(
+        "POLYGON",
+        [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]]],
+        struct.pack("<HI", 0, 2) + b"ab",
+    )
+
+    def attempt(b: bytes):
+        try:
+            f = _fb.root(bytes(b))
+            _parse_properties(f.bytes_vector(1), [("id", 11)])
+            g = f.table(0)
+            if g is not None:
+                _decode_geometry(g, 0)
+        except Exception:
+            pass  # raising is fine; the reader catches per feature
+
+    for _ in range(4000):
+        n = rng.randint(4, 120)
+        attempt(bytes(rng.getrandbits(8) for _ in range(n)))
+    for _ in range(4000):
+        b = bytearray(valid)
+        b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        attempt(bytes(b))
+        attempt(bytes(b[:rng.randrange(4, len(b))]))
+
+
+def test_export_flatgeobuf_roundtrip(spark, tmp_path):
+    """export -> read reproduces every WKT-fixture entity exactly,
+    including a ts attribute round trip and the CRS loop; the output
+    is Hilbert-ordered behind a packed R-tree whose leaves the reader
+    uses for ranged splits."""
+    from pyspark.sql import functions as F
+
+    from ds_jedai_spark.io.readers import read_wkt_delimited
+
+    src = read_wkt_delimited(
+        spark, WKT_FIX, id_field="id", geom_field="wkt"
+    ).withColumn(
+        "ts",
+        F.to_timestamp(
+            F.concat(F.lit("2024-03-01 10:00:"),
+                     F.lpad(F.col("id").cast("long") % 60, 2, "0"))
+        ),
+    )
+    out = str(tmp_path / "out.fgb")
+    export_flatgeobuf(src, out, crs_id=("EPSG", 4326))
+
+    header, feat_start, size, offsets = _read_header(out)
+    assert header["n"] == 406 and len(offsets) == 406
+    assert header["cols"] == [("id", 11), ("ts", 13)]
+
+    back = read_flatgeobuf(spark, out, id_field="id", date_field="ts")
+    assert back.schema["gtype"].metadata.get("crs") == "EPSG:4326"
+
+    def keyed(df):
+        return {
+            r.id: (r.gtype, r.minx, r.miny, r.maxx, r.maxy, str(r.ts),
+                   tuple(tuple(tuple(p) for p in part)
+                         for part in r.coords))
+            for r in df.collect()
+        }
+
+    assert keyed(back) == keyed(src)
+    # split parity on engine-written output too
+    tiny = read_flatgeobuf(spark, out, id_field="id", split_bytes=1024)
+    assert _rowmap(tiny) == _rowmap(read_flatgeobuf(spark, out,
+                                                    id_field="id"))
+
+
+def test_export_flatgeobuf_empty(spark, tmp_path):
+    from ds_jedai_spark.io.readers import read_wkt_delimited
+
+    src = read_wkt_delimited(
+        spark, WKT_FIX, id_field="id", geom_field="wkt"
+    ).limit(0)
+    out = str(tmp_path / "empty.fgb")
+    export_flatgeobuf(src, out)
+    assert read_flatgeobuf(spark, out).count() == 0
+
+
+def test_cli_convert_to_flatgeobuf(spark, tmp_path, capsys, monkeypatch):
+    """-op convert -to flatgeobuf round-trips through the CLI, and .fgb
+    files feed -op relate directly."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    out = str(tmp_path / "conv.fgb")
+    rc = cli.main(["-op", "convert", "-left", FIX, "-to", "flatgeobuf",
+                   "-out", out])
+    assert rc == 0
+    assert "wrote 406 entities" in capsys.readouterr().out
+    assert _rowmap(read_flatgeobuf(spark, out, id_field="id")) == \
+        _rowmap(read_flatgeobuf(spark, FIX, id_field="id"))
+    rc = cli.main(["-op", "relate", "-left", out, "-right", out,
+                   "-relation", "equals", "-limit", "2"])
+    assert rc == 0
