@@ -196,9 +196,11 @@ def _decode_geometry(g: _fb, header_type: int):
     return name, parts
 
 
-def _read_header(path: str):
-    """Driver-side: (header_dict, features_start, feature_offsets|None).
-    Reads magic + header + index leaves only."""
+def _read_header(path: str, want_envs: bool = False):
+    """Driver-side: (header_dict, features_start, file_size,
+    feature_offsets|None[, leaf_envelopes]). Reads magic + header +
+    index leaves only; ``want_envs`` additionally returns each leaf's
+    envelope (in feature-offset order) for bbox pruning."""
     with open(path, "rb") as f:
         magic = f.read(8)
         if magic[:3] != MAGIC[:3] or magic[4:7] != MAGIC[4:7]:
@@ -219,22 +221,26 @@ def _read_header(path: str):
             if org and code > 0:
                 crs = f"{org.upper()}:{code}"
         index_bytes = _rtree_size(n, node_size) if node_size >= 2 else 0
-        offsets = None
+        offsets = envs = None
         if index_bytes and n:
             # leaves are the LAST n nodes; their u64 is the feature's
             # byte offset relative to the features section
             f.seek(8 + 4 + hlen + index_bytes - n * NODE_BYTES)
             leaf = f.read(n * NODE_BYTES)
-            offsets = sorted(
-                struct.unpack_from("<Q", leaf, i * NODE_BYTES + 32)[0]
-                for i in range(n)
+            leaves = sorted(
+                (struct.unpack_from("<4dQ", leaf, i * NODE_BYTES)
+                 for i in range(n)),
+                key=lambda nd: nd[4],  # file order
             )
+            offsets = [nd[4] for nd in leaves]
+            if want_envs:
+                envs = [nd[:4] for nd in leaves]
         feat_start = 8 + 4 + hlen + index_bytes
         size = os.path.getsize(path)
-        return (
-            dict(geom_type=geom_type, n=n, cols=cols, crs=crs),
-            feat_start, size, offsets,
-        )
+        hdr = dict(geom_type=geom_type, n=n, cols=cols, crs=crs)
+        if want_envs:
+            return hdr, feat_start, size, offsets, envs
+        return hdr, feat_start, size, offsets
 
 
 def _rtree_size(num_items: int, node_size: int) -> int:
@@ -295,6 +301,7 @@ def read_flatgeobuf(
     date_field: str | None = None,
     date_pattern: str = "yyyy-MM-dd HH:mm:ss",
     split_bytes: int = DEFAULT_SPLIT_BYTES,
+    bbox: tuple[float, float, float, float] | None = None,
 ) -> DataFrame:
     """FlatGeobuf scan landing in the engine row format.
 
@@ -303,7 +310,17 @@ def read_flatgeobuf(
     (N = 1-based feature ordinal). Explicitly named absent columns
     raise (the parquet-reader contract). ``date_field`` names a
     property parsed with ``date_pattern``. A declared CRS becomes
-    gtype column metadata for api.run's mismatch check."""
+    gtype column metadata for api.run's mismatch check.
+
+    ``bbox`` = (minx, miny, maxx, maxy) pushes an envelope-intersection
+    predicate INTO the scan — the packed R-tree's purpose: the driver
+    keeps only index leaves intersecting the box and plans splits over
+    the surviving offset runs, so non-matching file regions are never
+    read or parsed (Hilbert order makes the survivors contiguous).
+    Small gaps of non-matching features swallowed into a range for
+    fewer seeks are corrected by a JVM-side envelope filter on the
+    output (also applied on unindexed files, where only the filter,
+    not the skip, is available)."""
     from ds_jedai_spark.model.geometry import (
         GEOM_FIELDS,
         GeometryAccumulator,
@@ -312,7 +329,31 @@ def read_flatgeobuf(
 
     if not os.path.isfile(path):
         raise ValueError(f"no such FlatGeobuf: {path!r}")
-    header, feat_start, size, offsets = _read_header(path)
+    envs = None
+    if bbox is not None:
+        header, feat_start, size, offsets, envs = _read_header(
+            path, want_envs=True)
+    else:
+        header, feat_start, size, offsets = _read_header(path)
+
+    # ordinal runs to scan: everything, or only the index leaves
+    # intersecting the bbox (small unselected gaps coalesced — fewer
+    # seeks; the output-side envelope filter drops the stragglers)
+    n_idx = len(offsets) if offsets else 0
+    runs: list[tuple[int, int]] = [(0, n_idx)] if n_idx else []
+    if bbox is not None and envs:
+        bx0, by0, bx1, by1 = map(float, bbox)
+        keep = [i for i, e in enumerate(envs)
+                if not (e[0] > bx1 or e[2] < bx0
+                        or e[1] > by1 or e[3] < by0)]
+        GAP = 1 << 16
+        runs = []
+        for i in keep:
+            if runs and (i == runs[-1][1]
+                         or offsets[i] - offsets[runs[-1][1]] <= GAP):
+                runs[-1] = (runs[-1][0], i + 1)
+            else:
+                runs.append((i, i + 1))
     stem = os.path.splitext(os.path.basename(path))[0]
     low = {c.lower(): c for c, _ in header["cols"] if c}
     use_id = None
@@ -333,16 +374,18 @@ def read_flatgeobuf(
             )
         use_date = low[date_field.lower()]
 
-    # ---- split planning (driver): stride leaf offsets into ranges
+    # ---- split planning (driver): stride leaf offsets into byte
+    # ranges, independently within each ordinal run
     splits: list[dict] = []
-    if offsets:
-        i = 0
-        while i < len(offsets):
+    for r0, r1 in runs:
+        i = r0
+        while i < r1:
             j = i
-            while (j + 1 < len(offsets)
+            while (j + 1 < r1
                    and offsets[j + 1] - offsets[i] <= split_bytes):
                 j += 1
-            end = offsets[j + 1] if j + 1 < len(offsets) else size - feat_start
+            end = (offsets[j + 1] if j + 1 < n_idx
+                   else size - feat_start)
             group = offsets[i:j + 1]
             stride = max(1, -(-len(group) // MAX_SPLIT_OFFS))
             splits.append(dict(
@@ -351,7 +394,10 @@ def read_flatgeobuf(
                 n_recs=len(group),
             ))
             i = j + 1
-    if not splits:  # unindexed or empty: one sequential split
+    if not splits and (bbox is None or not n_idx):
+        # unindexed or empty file: one sequential split (with a bbox,
+        # only the output filter applies); an indexed file whose bbox
+        # matched nothing keeps zero feature splits
         splits = [dict(start=feat_start, end=size, rec0=0, offs=None,
                        n_recs=-1)]
 
@@ -424,16 +470,28 @@ def read_flatgeobuf(
                                    "minx", "miny", "maxx", "maxy"],
                 )
 
-    plan = spark.createDataFrame(
-        [(s["start"], s["end"], s["rec0"], s["offs"], s["n_recs"])
-         for s in splits],
-        "start long, end long, rec0 long, offs array<long>, n_recs long",
-    ).repartition(len(splits))
-    out = valid_geometries(plan.mapInArrow(parse_splits, out_fields))
+    if splits:
+        plan = spark.createDataFrame(
+            [(s["start"], s["end"], s["rec0"], s["offs"], s["n_recs"])
+             for s in splits],
+            "start long, end long, rec0 long, offs array<long>, "
+            "n_recs long",
+        ).repartition(len(splits))
+        out = valid_geometries(plan.mapInArrow(parse_splits, out_fields))
+    else:  # indexed file, bbox matched no leaf
+        out = spark.createDataFrame([], out_fields)
     if want_ts:
         out = out.withColumn(
             "ts", F.to_timestamp("ts_raw", date_pattern)
         ).drop("ts_raw")
+    if bbox is not None:
+        # exact envelope predicate: corrects gap stragglers on indexed
+        # files; the only pruning available on unindexed ones
+        bx0, by0, bx1, by1 = map(float, bbox)
+        out = out.where(
+            (F.col("minx") <= bx1) & (F.col("maxx") >= bx0)
+            & (F.col("miny") <= by1) & (F.col("maxy") >= by0)
+        )
     if header["crs"] is not None:
         out = out.withMetadata("gtype", {"crs": header["crs"]})
     return out

@@ -197,6 +197,55 @@ def test_export_flatgeobuf_roundtrip(spark, tmp_path):
                                                     id_field="id"))
 
 
+def test_fgb_bbox_pushdown(spark, tmp_path):
+    """bbox reads return exactly the envelope-intersecting subset of a
+    full read, while PLANNING strictly fewer feature bytes (index-leaf
+    pruning — the packed R-tree doing its job)."""
+    from ds_jedai_spark.io.readers import read_wkt_delimited
+
+    src = read_wkt_delimited(
+        spark, WKT_FIX, id_field="id", geom_field="wkt"
+    )
+    out = str(tmp_path / "hil.fgb")
+    export_flatgeobuf(src, out)  # Hilbert-ordered, indexed
+    full = read_flatgeobuf(spark, out, id_field="id")
+    rows = full.collect()
+    xs = sorted(r.minx for r in rows)
+    ys = sorted(r.miny for r in rows)
+    box = (xs[len(xs) // 4], ys[len(ys) // 4],
+           xs[3 * len(xs) // 4], ys[3 * len(ys) // 4])
+    want = {
+        r.id for r in rows
+        if not (r.minx > box[2] or r.maxx < box[0]
+                or r.miny > box[3] or r.maxy < box[1])
+    }
+    got = read_flatgeobuf(spark, out, id_field="id", bbox=box)
+    assert {r.id for r in got.collect()} == want
+    assert 0 < len(want) < len(rows)
+
+    # planned bytes shrink: compare leaf selection driver-side
+    header, fs, size, offs, envs = _read_header(out, want_envs=True)
+    kept = [i for i, e in enumerate(envs)
+            if not (e[0] > box[2] or e[2] < box[0]
+                    or e[1] > box[3] or e[3] < box[1])]
+    assert len(kept) < len(offs)
+
+    # a bbox outside the data: zero rows, zero feature splits
+    far = read_flatgeobuf(spark, out, id_field="id",
+                          bbox=(1e6, 1e6, 2e6, 2e6))
+    assert far.count() == 0
+
+    # fixture file (non-Hilbert order): same subset law
+    fix_rows = read_flatgeobuf(spark, FIX, id_field="id").collect()
+    want_fix = {
+        r.id for r in fix_rows
+        if not (r.minx > box[2] or r.maxx < box[0]
+                or r.miny > box[3] or r.maxy < box[1])
+    }
+    got_fix = read_flatgeobuf(spark, FIX, id_field="id", bbox=box)
+    assert {r.id for r in got_fix.collect()} == want_fix
+
+
 def test_export_flatgeobuf_empty(spark, tmp_path):
     from ds_jedai_spark.io.readers import read_wkt_delimited
 
