@@ -32,9 +32,35 @@ from ds_jedai_spark.operators.weights import weight_exprs
 _EXT_DELIMS = {".tsv": "\t", ".csv": ","}
 
 
-def read_dataset(spark: SparkSession, spec) -> DataFrame:
+def apply_bbox(df: DataFrame, bbox) -> DataFrame:
+    """Envelope-intersection predicate on the row format. Expressed as
+    four scalar comparisons so Catalyst pushes them into the scan —
+    on row-format parquet they land in PushedFilters and prune row
+    groups from the min/max statistics; elsewhere they run JVM-side
+    before any join."""
+    from pyspark.sql import functions as F
+
+    bx0, by0, bx1, by1 = (float(v) for v in bbox)
+    return df.where(
+        (F.col("minx") <= bx1) & (F.col("maxx") >= bx0)
+        & (F.col("miny") <= by1) & (F.col("maxy") >= by0)
+    )
+
+
+def read_dataset(spark: SparkSession, spec, bbox=None) -> DataFrame:
     """Pick the reader by extension (the reference's Reader.read dispatch,
-    utils/readers/Reader.scala:38-71)."""
+    utils/readers/Reader.scala:38-71). ``bbox`` = (minx,miny,maxx,maxy)
+    restricts the scan to envelope-intersecting entities: FlatGeobuf
+    skips non-matching file regions via its R-tree index; every other
+    format gets the pushed-down filter of apply_bbox."""
+    df = _read_dataset(spark, spec, bbox)
+    if bbox is not None and os.path.splitext(
+            spec.path)[1].lower() != ".fgb":
+        df = apply_bbox(df, bbox)
+    return df
+
+
+def _read_dataset(spark: SparkSession, spec, bbox=None) -> DataFrame:
     ext = os.path.splitext(spec.path)[1].lower()
     if ext in _EXT_DELIMS:
         return readers.read_wkt_delimited(
@@ -76,6 +102,7 @@ def read_dataset(spark: SparkSession, spec) -> DataFrame:
         return read_flatgeobuf(
             spark, spec.path, id_field=spec.id_field,
             date_field=spec.date_field, date_pattern=spec.date_pattern,
+            bbox=bbox,
         )
     if ext == ".parquet":
         # Engine row-format parquet: zero-parse fast path; plain user
@@ -219,9 +246,13 @@ def _schedule(
 
 def run(spark: SparkSession, cfg: JedaiConfig) -> DataFrame:
     """Execute the configuration; returns the GiantExp-style counts row for
-    DE9IM or the qualifying (s_id, t_id) pairs for a single relation."""
-    source = read_dataset(spark, cfg.source)
-    target = read_dataset(spark, cfg.target)
+    DE9IM or the qualifying (s_id, t_id) pairs for a single relation.
+    ``extra.bbox`` = (minx,miny,maxx,maxy) restricts BOTH sides to
+    envelope-intersecting entities before the join (read_dataset pushes
+    it into the scan)."""
+    bbox = cfg.extra.get("bbox")
+    source = read_dataset(spark, cfg.source, bbox=bbox)
+    target = read_dataset(spark, cfg.target, bbox=bbox)
     _check_crs(source, target, strict=bool(cfg.extra.get("strictCrs")))
 
     decomposed = cfg.entity_type in (

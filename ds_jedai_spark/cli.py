@@ -287,6 +287,7 @@ def _run_op(args) -> int:
                 # -export works like the -conf form: RDF flags for
                 # DE9IM, CSV pairs for a single predicate
                 export_path=args.export,
+                extra={"bbox": args.bbox} if args.bbox else {},
             )
             df = api.run(spark, cfg)
         elif args.op == "convert":
@@ -314,7 +315,7 @@ def _run_op(args) -> int:
             src = api.read_dataset(spark, DatasetSpec(
                 path=args.left, id_field=args.id_col,
                 geom_field=args.geom_col, date_field=args.date_col,
-            ))
+            ), bbox=args.bbox)
             if args.to == "rowparquet":
                 src.write.mode("overwrite").parquet(args.out)
                 back = spark.read.parquet(args.out)
@@ -400,7 +401,7 @@ def _run_op(args) -> int:
             src = api.read_dataset(spark, DatasetSpec(
                 path=args.left, id_field=args.id_col,
                 geom_field=args.geom_col, date_field=args.date_col,
-            ))
+            ), bbox=args.bbox)
             perturb_geometries(
                 src, eps_steps=args.eps_steps, seed=args.seed
             ).write.mode("overwrite").parquet(args.out)
@@ -426,7 +427,7 @@ def _run_op(args) -> int:
             src = api.read_dataset(spark, DatasetSpec(
                 path=args.left, id_field=args.id_col,
                 geom_field=args.geom_col, date_field=args.date_col,
-            ))
+            ), bbox=args.bbox)
             out = reproject(src, args.to_crs, from_crs=args.from_crs)
             out.write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()
@@ -464,7 +465,7 @@ def _run_op(args) -> int:
                 df = api.read_dataset(spark, DatasetSpec(
                     path=path, id_field=args.id_col,
                     geom_field=args.geom_col,
-                ))
+                ), bbox=args.bbox)
                 bad = df.where(
                     "minx != maxx OR miny != maxy"
                 ).limit(1).count()
@@ -908,6 +909,12 @@ def main(argv: list[str] | None = None) -> int:
                          "-op dedup-build/-op dedup as the bucketed "
                          "shingle table; -op emb-dedup reads "
                          "<prefix>_bands")
+    ap.add_argument("-bbox", default=None,
+                    help="spatial subset 'minx,miny,maxx,maxy' applied "
+                         "to the inputs of relate/convert/perturb/"
+                         "reproject/knn/distance — pushed into the scan "
+                         "(FlatGeobuf R-tree skip, parquet row-group "
+                         "stats); envelope-intersection semantics")
     ap.add_argument("-to-crs", dest="to_crs", default=None,
                     help="reproject: target CRS (EPSG:4326 or EPSG:3857)")
     ap.add_argument("-from-crs", dest="from_crs", default=None,
@@ -1009,6 +1016,16 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     if args.op is not None:
+        if args.bbox is not None:
+            try:
+                vals = tuple(float(v) for v in args.bbox.split(","))
+                if len(vals) != 4 or vals[0] > vals[2] or vals[1] > vals[3]:
+                    raise ValueError
+            except ValueError:
+                print("-bbox must be 'minx,miny,maxx,maxy' with "
+                      "minx<=maxx and miny<=maxy", file=sys.stderr)
+                return 2
+            args.bbox = vals
         if args.id_col is None:
             args.id_col = ("id" if args.op in ("relate", "convert",
                                                "perturb", "reproject",

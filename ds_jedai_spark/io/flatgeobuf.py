@@ -44,15 +44,17 @@ counted out by the validity filter.
 
 from __future__ import annotations
 
-import math
 import os
 import struct
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MAGIC = b"fgb\x03fgb\x00"
 NODE_BYTES = 40  # 4 doubles (envelope) + u64 (offset / child index)
+_NODE_DT = np.dtype([("minx", "<f8"), ("miny", "<f8"),
+                     ("maxx", "<f8"), ("maxy", "<f8"), ("off", "<u8")])
 
 GEOM_TYPE_NAMES = {
     1: "POINT", 2: "LINESTRING", 3: "POLYGON", 4: "MULTIPOINT",
@@ -224,17 +226,15 @@ def _read_header(path: str, want_envs: bool = False):
         offsets = envs = None
         if index_bytes and n:
             # leaves are the LAST n nodes; their u64 is the feature's
-            # byte offset relative to the features section
+            # byte offset relative to the features section. Vectorized:
+            # a file has millions of leaves and this runs driver-side.
             f.seek(8 + 4 + hlen + index_bytes - n * NODE_BYTES)
             leaf = f.read(n * NODE_BYTES)
-            leaves = sorted(
-                (struct.unpack_from("<4dQ", leaf, i * NODE_BYTES)
-                 for i in range(n)),
-                key=lambda nd: nd[4],  # file order
-            )
-            offsets = [nd[4] for nd in leaves]
+            arr = np.frombuffer(leaf, dtype=_NODE_DT)
+            arr = arr[np.argsort(arr["off"], kind="stable")]  # file order
+            offsets = arr["off"].astype(np.int64)
             if want_envs:
-                envs = [nd[:4] for nd in leaves]
+                envs = arr
         feat_start = 8 + 4 + hlen + index_bytes
         size = os.path.getsize(path)
         hdr = dict(geom_type=geom_type, n=n, cols=cols, crs=crs)
@@ -339,16 +339,18 @@ def read_flatgeobuf(
     # ordinal runs to scan: everything, or only the index leaves
     # intersecting the bbox (small unselected gaps coalesced — fewer
     # seeks; the output-side envelope filter drops the stragglers)
-    n_idx = len(offsets) if offsets else 0
+    n_idx = len(offsets) if offsets is not None else 0
     runs: list[tuple[int, int]] = [(0, n_idx)] if n_idx else []
-    if bbox is not None and envs:
+    if bbox is not None and envs is not None and n_idx:
         bx0, by0, bx1, by1 = map(float, bbox)
-        keep = [i for i, e in enumerate(envs)
-                if not (e[0] > bx1 or e[2] < bx0
-                        or e[1] > by1 or e[3] < by0)]
+        keep = np.flatnonzero(
+            ~((envs["minx"] > bx1) | (envs["maxx"] < bx0)
+              | (envs["miny"] > by1) | (envs["maxy"] < by0))
+        )
         GAP = 1 << 16
         runs = []
         for i in keep:
+            i = int(i)
             if runs and (i == runs[-1][1]
                          or offsets[i] - offsets[runs[-1][1]] <= GAP):
                 runs[-1] = (runs[-1][0], i + 1)
@@ -375,22 +377,27 @@ def read_flatgeobuf(
         use_date = low[date_field.lower()]
 
     # ---- split planning (driver): stride leaf offsets into byte
-    # ranges, independently within each ordinal run
+    # ranges, independently within each ordinal run (searchsorted, not
+    # a per-leaf Python loop — millions of leaves, driver-side)
     splits: list[dict] = []
     for r0, r1 in runs:
         i = r0
         while i < r1:
-            j = i
-            while (j + 1 < r1
-                   and offsets[j + 1] - offsets[i] <= split_bytes):
-                j += 1
-            end = (offsets[j + 1] if j + 1 < n_idx
+            j = min(
+                r1 - 1,
+                int(np.searchsorted(offsets,
+                                    offsets[i] + split_bytes,
+                                    side="right")) - 1,
+            )
+            j = max(j, i)
+            end = (int(offsets[j + 1]) if j + 1 < n_idx
                    else size - feat_start)
             group = offsets[i:j + 1]
             stride = max(1, -(-len(group) // MAX_SPLIT_OFFS))
             splits.append(dict(
-                start=feat_start + offsets[i], end=feat_start + end,
-                rec0=i, offs=[feat_start + o for o in group[::stride]],
+                start=feat_start + int(offsets[i]), end=feat_start + end,
+                rec0=i,
+                offs=[feat_start + int(o) for o in group[::stride]],
                 n_recs=len(group),
             ))
             i = j + 1

@@ -257,6 +257,48 @@ def test_export_flatgeobuf_empty(spark, tmp_path):
     assert read_flatgeobuf(spark, out).count() == 0
 
 
+def test_bbox_cli_and_parquet_pushdown(spark, tmp_path, capsys,
+                                       monkeypatch):
+    """-bbox subsets any -op input (here: convert on the .fgb fixture
+    and on row-format parquet); on parquet the predicate lands in the
+    scan's PushedFilters so row groups prune from min/max stats."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import api, cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    full = read_flatgeobuf(spark, FIX, id_field="id")
+    box = (0.0, 0.0, 24.0, 24.0)
+    want = {
+        r.id for r in full.collect()
+        if not (r.minx > box[2] or r.maxx < box[0]
+                or r.miny > box[3] or r.maxy < box[1])
+    }
+    assert 0 < len(want) < full.count()
+
+    out = str(tmp_path / "sub.parquet")
+    rc = cli.main(["-op", "convert", "-left", FIX, "-to", "rowparquet",
+                   "-out", out, "-bbox", "0,0,24,24"])
+    assert rc == 0
+    assert f"wrote {len(want)} entities" in capsys.readouterr().out
+    assert {r.id for r in spark.read.parquet(out).collect()} == want
+
+    # parquet scan pushdown: the bbox predicate reaches PushedFilters
+    rp = str(tmp_path / "all.parquet")
+    full.write.parquet(rp)
+    plan = api.apply_bbox(spark.read.parquet(rp), box) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    for c in ("minx", "maxx", "miny", "maxy"):
+        assert c in pushed, pushed
+
+    # malformed -bbox errors with guidance
+    assert cli.main(["-op", "convert", "-left", FIX, "-to", "rowparquet",
+                     "-out", out, "-bbox", "9,9,1,1"]) == 2
+
+
 def test_cli_convert_to_flatgeobuf(spark, tmp_path, capsys, monkeypatch):
     """-op convert -to flatgeobuf round-trips through the CLI, and .fgb
     files feed -op relate directly."""
