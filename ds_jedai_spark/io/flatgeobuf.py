@@ -396,7 +396,7 @@ def read_flatgeobuf(
             stride = max(1, -(-len(group) // MAX_SPLIT_OFFS))
             splits.append(dict(
                 start=feat_start + int(offsets[i]), end=feat_start + end,
-                rec0=i,
+                rec0=i, stride=stride,
                 offs=[feat_start + int(o) for o in group[::stride]],
                 n_recs=len(group),
             ))
@@ -405,8 +405,8 @@ def read_flatgeobuf(
         # unindexed or empty file: one sequential split (with a bbox,
         # only the output filter applies); an indexed file whose bbox
         # matched nothing keeps zero feature splits
-        splits = [dict(start=feat_start, end=size, rec0=0, offs=None,
-                       n_recs=-1)]
+        splits = [dict(start=feat_start, end=size, rec0=0, stride=1,
+                       offs=None, n_recs=-1)]
 
     cols = header["cols"]
     geom_type = header["geom_type"]
@@ -425,10 +425,14 @@ def read_flatgeobuf(
                 feats = []  # (recno, feature bytes)
                 anchors = ([a - s["start"] for a in s["offs"]]
                            if s["offs"] else [0])
-                recno = s["rec0"]
                 for ai, a in enumerate(anchors):
                     stop = (anchors[ai + 1] if ai + 1 < len(anchors)
                             else len(buf))
+                    # ordinal from the anchor, NOT a running counter: a
+                    # broken frame loses at most its own stride's tail
+                    # and never misnumbers stem:N ids past the next
+                    # anchor
+                    recno = s["rec0"] + ai * s["stride"]
                     at = a
                     while at + 4 <= stop:
                         ln = struct.unpack_from("<I", buf, at)[0]
@@ -479,10 +483,11 @@ def read_flatgeobuf(
 
     if splits:
         plan = spark.createDataFrame(
-            [(s["start"], s["end"], s["rec0"], s["offs"], s["n_recs"])
+            [(s["start"], s["end"], s["rec0"], s["stride"], s["offs"],
+              s["n_recs"])
              for s in splits],
-            "start long, end long, rec0 long, offs array<long>, "
-            "n_recs long",
+            "start long, end long, rec0 long, stride long, "
+            "offs array<long>, n_recs long",
         ).repartition(len(splits))
         out = valid_geometries(plan.mapInArrow(parse_splits, out_fields))
     else:  # indexed file, bbox matched no leaf

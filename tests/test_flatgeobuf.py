@@ -246,6 +246,41 @@ def test_fgb_bbox_pushdown(spark, tmp_path):
     assert {r.id for r in got_fix.collect()} == want_fix
 
 
+def test_fgb_broken_frame_damage_bounded_to_stride(spark, tmp_path,
+                                                   monkeypatch):
+    """A feature whose SIZE PREFIX is destroyed breaks the parse chain
+    only until the next anchor: features after it in the same stride
+    are lost (bounded damage, the shapefile contract), and stem:N
+    ordinals past the next anchor stay EXACT — the recno comes from the
+    anchor, not a running counter."""
+    import shutil
+
+    import ds_jedai_spark.io.flatgeobuf as fgb
+
+    monkeypatch.setattr(fgb, "MAX_SPLIT_OFFS", 8)  # force stride > 1
+    p = str(tmp_path / "dmg.fgb")
+    shutil.copy(FIX, p)
+    header, feat_start, size, offs = _read_header(p)
+    victim = 20  # ordinal mid-file; its stride swallows a few followers
+    with open(p, "r+b") as f:
+        f.seek(feat_start + int(offs[victim]))
+        f.write(struct.pack("<I", 0xFFFFFFFF))
+    got = {r.id for r in read_flatgeobuf(spark, p, id_field=None)
+           .collect()}
+    # baseline = the pristine fixture under the same ordinal ids (its
+    # 14 corrupt-but-framed features are invalid there too, so they
+    # cancel out of the comparison)
+    base = {r.id.replace("geo_source:", "dmg:")
+            for r in read_flatgeobuf(spark, FIX, id_field=None).collect()}
+    lost = base - got
+    # every id that DID come back is a true file ordinal, and the loss
+    # is confined to [victim, victim + stride) — never past an anchor
+    assert got <= base
+    assert lost and all(
+        victim <= int(x.split(":")[1]) - 1 < victim + 64 for x in lost
+    ), sorted(lost)[:10]
+
+
 def test_export_flatgeobuf_empty(spark, tmp_path):
     from ds_jedai_spark.io.readers import read_wkt_delimited
 
