@@ -48,6 +48,8 @@ import os
 import struct
 
 import numpy as np
+
+from ds_jedai_spark.io.fsutil import fs_open, fs_size
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -203,7 +205,7 @@ def _read_header(path: str, want_envs: bool = False):
     feature_offsets|None[, leaf_envelopes]). Reads magic + header +
     index leaves only; ``want_envs`` additionally returns each leaf's
     envelope (in feature-offset order) for bbox pruning."""
-    with open(path, "rb") as f:
+    with fs_open(path) as f:
         magic = f.read(8)
         if magic[:3] != MAGIC[:3] or magic[4:7] != MAGIC[4:7]:
             raise ValueError(f"{path!r} is not a FlatGeobuf file")
@@ -236,7 +238,7 @@ def _read_header(path: str, want_envs: bool = False):
             if want_envs:
                 envs = arr
         feat_start = 8 + 4 + hlen + index_bytes
-        size = os.path.getsize(path)
+        size = fs_size(path)
         hdr = dict(geom_type=geom_type, n=n, cols=cols, crs=crs)
         if want_envs:
             return hdr, feat_start, size, offsets, envs
@@ -305,6 +307,11 @@ def read_flatgeobuf(
 ) -> DataFrame:
     """FlatGeobuf scan landing in the engine row format.
 
+    Paths may carry a filesystem scheme (``file://``, ``s3://``,
+    ``hdfs://`` — io/fsutil routes them through pyarrow.fs, the layer
+    Spark's own datasources use), so driver planning and executor
+    ranged reads work against object storage, not just local disk.
+
     ``id_field`` names a property column; None — or the 'id' default
     when the file has no such column — falls back to '<stem>:N'
     (N = 1-based feature ordinal). Explicitly named absent columns
@@ -327,7 +334,7 @@ def read_flatgeobuf(
         valid_geometries,
     )
 
-    if not os.path.isfile(path):
+    if fs_size(path) is None:
         raise ValueError(f"no such FlatGeobuf: {path!r}")
     envs = None
     if bbox is not None:
@@ -419,7 +426,7 @@ def read_flatgeobuf(
 
         for batch in batches:
             for s in batch.to_pylist():
-                with open(path, "rb") as f:
+                with fs_open(path) as f:
                     f.seek(s["start"])
                     buf = f.read(s["end"] - s["start"])
                 feats = []  # (recno, feature bytes)

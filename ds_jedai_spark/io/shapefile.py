@@ -26,8 +26,10 @@ offset alone):
   (header + i * record_size), so each split slices exactly its own
   attribute rows with one ranged read — no join between the two files.
 
-Paths must be executor-readable (local / NFS / fused HDFS); for object
-stores, run `-op convert` once from a mounted copy.
+A single .shp may be named by a filesystem URI (file://, s3://,
+hdfs:// — io/fsutil routes driver planning and executor ranged reads
+through pyarrow.fs, with sidecars resolved next to it); directory and
+glob listings remain local-path only.
 
 Per-record malformation (bad counts, unclosed rings, non-finite
 coordinates, truncation) drops the row exactly like an unparseable WKT
@@ -44,6 +46,8 @@ import struct
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ds_jedai_spark.io.fsutil import fs_open, fs_size
 
 DEFAULT_DATE_PATTERN = "yyyy-MM-dd HH:mm:ss"
 SHP_MAGIC = 9994
@@ -194,26 +198,27 @@ def _group_rings(
 def _sibling(shp: str, ext: str) -> str | None:
     stem = os.path.splitext(shp)[0]
     for cand in (stem + ext, stem + ext.upper()):
-        if os.path.isfile(cand):
+        if fs_size(cand) is not None:
             return cand
     return None
 
 
 def _shp_header(path: str) -> int:
     """Validate the 100-byte header, return the byte size to scan."""
-    with open(path, "rb") as f:
+    with fs_open(path) as f:
         hdr = f.read(100)
     if len(hdr) < 100 or struct.unpack_from(">i", hdr, 0)[0] != SHP_MAGIC:
         raise ValueError(f"{path!r} is not a shapefile (bad magic)")
     (words,) = struct.unpack_from(">i", hdr, 24)
-    return min(os.path.getsize(path), max(100, 2 * words))
+    return min(fs_size(path), max(100, 2 * words))
 
 
 def _read_shx(path: str) -> list[int] | None:
     """Record-header byte offsets from the .shx index, or None if the
     index is absent/undersized/not-an-index (sequential fallback)."""
     try:
-        b = open(path, "rb").read()
+        with fs_open(path) as _f:
+            b = _f.read()
         if len(b) < 100 or struct.unpack_from(">i", b, 0)[0] != SHP_MAGIC:
             return None
         n = (len(b) - 100) // 8
@@ -229,7 +234,7 @@ def _dbf_layout(path: str):
     """(n_records, header_size, record_size, fields) where fields maps
     lowercase name -> (byte_offset_in_record, length, type_char).
     Offsets include the leading deletion-flag byte."""
-    with open(path, "rb") as f:
+    with fs_open(path) as f:
         head = f.read(32)
         if len(head) < 32:
             raise ValueError(f"{path!r}: truncated .dbf header")
@@ -254,7 +259,8 @@ def _prj_crs(path: str | None) -> str | None:
     if path is None:
         return None
     try:
-        txt = open(path, "r", encoding="utf-8", errors="replace").read()
+        with fs_open(path) as _f:
+            txt = _f.read().decode("utf-8", "replace")
     except OSError:
         return None
     hits = re.findall(r'AUTHORITY\s*\[\s*"([^"]+)"\s*,\s*"?(\w+)"?\s*\]', txt)
@@ -381,6 +387,8 @@ def read_shapefile(
     elif any(ch in path for ch in "*?["):
         files = sorted(_glob.glob(path))
     else:
+        # bare path or filesystem URI (file://, s3://, hdfs:// — one
+        # .shp; directory/glob listing stays local-path only)
         files = [path]
     if not files:
         raise ValueError(f"no .shp files under {path!r}")
@@ -431,7 +439,7 @@ def _parse_one_split(s: dict, want_ts: bool, GeometryAccumulator, pa):
     """Executor-side: one ranged read of the split's .shp bytes (and
     its aligned .dbf record block), per-record parse into the shared
     Arrow accumulator."""
-    with open(s["shp"], "rb") as f:
+    with fs_open(s["shp"]) as f:
         f.seek(s["byte_start"])
         buf = f.read(s["byte_end"] - s["byte_start"])
     base = s["byte_start"]
@@ -483,7 +491,7 @@ def _parse_one_split(s: dict, want_ts: bool, GeometryAccumulator, pa):
         s["dbf"] is not None and want_ts
     ):
         take = max(0, min(n, s["dbf_nrec"] - rec0))
-        with open(s["dbf"], "rb") as f:
+        with fs_open(s["dbf"]) as f:
             f.seek(s["dbf_hdr"] + rec0 * s["dbf_rsz"])
             block = f.read(take * s["dbf_rsz"])
 

@@ -106,6 +106,20 @@ def test_fgb_hand_assembled_spec_grounding(spark, tmp_path):
     assert (r.minx, r.miny, r.maxx, r.maxy) == (1.5, 2.5, 1.5, 2.5)
 
 
+def test_fgb_uri_path(spark):
+    """A file:// URI routes through pyarrow.fs (the object-storage
+    path: same code serves s3://, hdfs://) and reads identically to
+    the bare local path — driver planning AND executor ranged reads."""
+    base = _rowmap(read_flatgeobuf(spark, FIX, id_field="id"))
+    via_uri = read_flatgeobuf(spark, "file://" + FIX, id_field="id",
+                              split_bytes=4096)
+    assert _rowmap(via_uri) == base
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no such FlatGeobuf"):
+        read_flatgeobuf(spark, "file:///definitely/missing.fgb")
+
+
 def test_fgb_errors(spark, tmp_path):
     with pytest.raises(ValueError, match="no such FlatGeobuf"):
         read_flatgeobuf(spark, str(tmp_path / "missing.fgb"))

@@ -170,6 +170,18 @@ def test_export_id_over_dbase_cap_raises(spark, tmp_path):
     assert [r.id for r in back.collect()] == ["y" * 254]
 
 
+def test_shapefile_uri_path(spark):
+    """A file:// URI for a single .shp routes through pyarrow.fs (the
+    object-storage path) — sidecars (.shx/.dbf/.prj) resolve next to
+    it and the rows match the bare-path read exactly."""
+    shp = next(p for p in sorted(Path(FIX).glob("*.shp"))
+               if p.with_suffix(".prj").exists())
+    base = _rowmap(read_shapefile(spark, str(shp), id_field="id"))
+    via = read_shapefile(spark, "file://" + str(shp), id_field="id")
+    assert _rowmap(via) == base
+    assert via.schema["gtype"].metadata.get("crs") == "EPSG:4326"
+
+
 def test_prj_crs_metadata(spark):
     df = read_shapefile(spark, FIX, id_field="id")
     assert df.schema["gtype"].metadata.get("crs") == "EPSG:4326"
