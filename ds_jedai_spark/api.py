@@ -96,7 +96,10 @@ def _read_dataset(spark: SparkSession, spec, bbox=None) -> DataFrame:
             spark, spec.path, id_field=spec.id_field,
             date_field=spec.date_field, date_pattern=spec.date_pattern,
         )
-    if ext == ".fgb":
+    if ext == ".fgb" or (
+        os.path.isdir(spec.path)
+        and glob.glob(os.path.join(spec.path, "*.fgb"))
+    ):
         from ds_jedai_spark.io.flatgeobuf import read_flatgeobuf
 
         return read_flatgeobuf(

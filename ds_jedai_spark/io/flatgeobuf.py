@@ -44,12 +44,13 @@ counted out by the validity filter.
 
 from __future__ import annotations
 
+import glob as _glob
 import os
 import struct
 
 import numpy as np
 
-from ds_jedai_spark.io.fsutil import fs_open, fs_size
+from ds_jedai_spark.io.fsutil import fs_open, fs_size, has_scheme
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -296,46 +297,18 @@ MAX_SPLIT_OFFS = 4096  # same transport bound as the shapefile reader
 DEFAULT_SPLIT_BYTES = 8 << 20
 
 
-def read_flatgeobuf(
-    spark: SparkSession,
+def _plan_file(
     path: str,
-    id_field: str | None = "id",
-    date_field: str | None = None,
-    date_pattern: str = "yyyy-MM-dd HH:mm:ss",
-    split_bytes: int = DEFAULT_SPLIT_BYTES,
-    bbox: tuple[float, float, float, float] | None = None,
-) -> DataFrame:
-    """FlatGeobuf scan landing in the engine row format.
+    id_field: str | None,
+    date_field: str | None,
+    split_bytes: int,
+    bbox,
+) -> tuple[list[dict], str | None]:
+    """Plan one file's byte-range splits; each split carries its full
+    file context (path, stem, resolved property columns, header type)
+    so a multi-file corpus maps through one executor closure."""
+    import json
 
-    Paths may carry a filesystem scheme (``file://``, ``s3://``,
-    ``hdfs://`` — io/fsutil routes them through pyarrow.fs, the layer
-    Spark's own datasources use), so driver planning and executor
-    ranged reads work against object storage, not just local disk.
-
-    ``id_field`` names a property column; None — or the 'id' default
-    when the file has no such column — falls back to '<stem>:N'
-    (N = 1-based feature ordinal). Explicitly named absent columns
-    raise (the parquet-reader contract). ``date_field`` names a
-    property parsed with ``date_pattern``. A declared CRS becomes
-    gtype column metadata for api.run's mismatch check.
-
-    ``bbox`` = (minx, miny, maxx, maxy) pushes an envelope-intersection
-    predicate INTO the scan — the packed R-tree's purpose: the driver
-    keeps only index leaves intersecting the box and plans splits over
-    the surviving offset runs, so non-matching file regions are never
-    read or parsed (Hilbert order makes the survivors contiguous).
-    Small gaps of non-matching features swallowed into a range for
-    fewer seeks are corrected by a JVM-side envelope filter on the
-    output (also applied on unindexed files, where only the filter,
-    not the skip, is available)."""
-    from ds_jedai_spark.model.geometry import (
-        GEOM_FIELDS,
-        GeometryAccumulator,
-        valid_geometries,
-    )
-
-    if fs_size(path) is None:
-        raise ValueError(f"no such FlatGeobuf: {path!r}")
     envs = None
     if bbox is not None:
         header, feat_start, size, offsets, envs = _read_header(
@@ -383,9 +356,13 @@ def read_flatgeobuf(
             )
         use_date = low[date_field.lower()]
 
-    # ---- split planning (driver): stride leaf offsets into byte
-    # ranges, independently within each ordinal run (searchsorted, not
-    # a per-leaf Python loop — millions of leaves, driver-side)
+    ctx = dict(path=path, stem=stem, use_id=use_id, use_date=use_date,
+               gtype=header["geom_type"],
+               cols=json.dumps(header["cols"]))
+
+    # ---- split planning: stride leaf offsets into byte ranges,
+    # independently within each ordinal run (searchsorted, not a
+    # per-leaf Python loop — millions of leaves, driver-side)
     splits: list[dict] = []
     for r0, r1 in runs:
         i = r0
@@ -402,6 +379,7 @@ def read_flatgeobuf(
             group = offsets[i:j + 1]
             stride = max(1, -(-len(group) // MAX_SPLIT_OFFS))
             splits.append(dict(
+                ctx,
                 start=feat_start + int(offsets[i]), end=feat_start + end,
                 rec0=i, stride=stride,
                 offs=[feat_start + int(o) for o in group[::stride]],
@@ -412,21 +390,99 @@ def read_flatgeobuf(
         # unindexed or empty file: one sequential split (with a bbox,
         # only the output filter applies); an indexed file whose bbox
         # matched nothing keeps zero feature splits
-        splits = [dict(start=feat_start, end=size, rec0=0, stride=1,
-                       offs=None, n_recs=-1)]
+        splits = [dict(ctx, start=feat_start, end=size, rec0=0,
+                       stride=1, offs=None, n_recs=-1)]
+    return splits, header["crs"]
 
-    cols = header["cols"]
-    geom_type = header["geom_type"]
-    want_ts = use_date is not None
+
+_PLAN_SCHEMA = (
+    "path string, stem string, use_id string, use_date string, "
+    "gtype int, cols string, start long, end long, rec0 long, "
+    "stride long, offs array<long>, n_recs long"
+)
+
+
+def read_flatgeobuf(
+    spark: SparkSession,
+    path: str,
+    id_field: str | None = "id",
+    date_field: str | None = None,
+    date_pattern: str = "yyyy-MM-dd HH:mm:ss",
+    split_bytes: int = DEFAULT_SPLIT_BYTES,
+    bbox: tuple[float, float, float, float] | None = None,
+) -> DataFrame:
+    """FlatGeobuf scan landing in the engine row format.
+
+    ``path``: one .fgb file, a local directory (recursive *.fgb glob —
+    a tiled corpus reads as one DataFrame), or a filesystem URI
+    (``file://``, ``s3://``, ``hdfs://`` — io/fsutil routes single-file
+    URIs through pyarrow.fs for driver planning and executor ranged
+    reads alike; directory listing stays local-path only).
+
+    ``id_field`` names a property column; None — or the 'id' default
+    when a file has no such column — falls back to '<stem>:N'
+    (N = 1-based feature ordinal, per file). Explicitly named absent
+    columns raise (the parquet-reader contract), per file.
+    ``date_field`` names a property parsed with ``date_pattern``. A
+    declared CRS becomes gtype column metadata for api.run's mismatch
+    check; files of one corpus declaring DIFFERENT CRS raise.
+
+    ``bbox`` = (minx, miny, maxx, maxy) pushes an envelope-intersection
+    predicate INTO the scan — the packed R-tree's purpose: the driver
+    keeps only index leaves intersecting the box and plans splits over
+    the surviving offset runs, so non-matching file regions (or whole
+    files) are never read or parsed (Hilbert order makes the survivors
+    contiguous). Small gaps of non-matching features swallowed into a
+    range for fewer seeks are corrected by a JVM-side envelope filter
+    on the output (also applied on unindexed files, where only the
+    filter, not the skip, is available)."""
+    from ds_jedai_spark.model.geometry import (
+        GEOM_FIELDS,
+        GeometryAccumulator,
+        valid_geometries,
+    )
+
+    if not has_scheme(path) and os.path.isdir(path):
+        files = sorted(
+            _glob.glob(os.path.join(path, "*.fgb"))
+        ) or sorted(
+            _glob.glob(os.path.join(path, "**", "*.fgb"), recursive=True)
+        )
+        if not files:
+            raise ValueError(f"no .fgb files under {path!r}")
+    else:
+        if fs_size(path) is None:
+            raise ValueError(f"no such FlatGeobuf: {path!r}")
+        files = [path]
+
+    splits: list[dict] = []
+    crss: set[str] = set()
+    for f in files:
+        s, crs = _plan_file(f, id_field, date_field, split_bytes, bbox)
+        splits.extend(s)
+        if crs is not None:
+            crss.add(crs)
+    if len(crss) > 1:
+        raise ValueError(
+            f"mixed CRS across .fgb corpus {path!r}: {sorted(crss)}; "
+            "reproject to one frame first (-op reproject)"
+        )
+
+    want_ts = date_field is not None
     out_fields = "id string, " + (
         "ts_raw string, " if want_ts else "") + GEOM_FIELDS
 
     def parse_splits(batches):
+        import json
+
         import pyarrow as pa
 
         for batch in batches:
             for s in batch.to_pylist():
-                with fs_open(path) as f:
+                cols = [tuple(c) for c in json.loads(s["cols"])]
+                use_id, use_date = s["use_id"], s["use_date"]
+                geom_type, stem = s["gtype"], s["stem"]
+                with fs_open(s["path"]) as f:
                     f.seek(s["start"])
                     buf = f.read(s["end"] - s["start"])
                 feats = []  # (recno, feature bytes)
@@ -490,14 +546,14 @@ def read_flatgeobuf(
 
     if splits:
         plan = spark.createDataFrame(
-            [(s["start"], s["end"], s["rec0"], s["stride"], s["offs"],
-              s["n_recs"])
+            [(s["path"], s["stem"], s["use_id"], s["use_date"],
+              s["gtype"], s["cols"], s["start"], s["end"], s["rec0"],
+              s["stride"], s["offs"], s["n_recs"])
              for s in splits],
-            "start long, end long, rec0 long, stride long, "
-            "offs array<long>, n_recs long",
+            _PLAN_SCHEMA,
         ).repartition(len(splits))
         out = valid_geometries(plan.mapInArrow(parse_splits, out_fields))
-    else:  # indexed file, bbox matched no leaf
+    else:  # every file indexed, bbox matched no leaf anywhere
         out = spark.createDataFrame([], out_fields)
     if want_ts:
         out = out.withColumn(
@@ -511,8 +567,8 @@ def read_flatgeobuf(
             (F.col("minx") <= bx1) & (F.col("maxx") >= bx0)
             & (F.col("miny") <= by1) & (F.col("maxy") >= by0)
         )
-    if header["crs"] is not None:
-        out = out.withMetadata("gtype", {"crs": header["crs"]})
+    if crss:
+        out = out.withMetadata("gtype", {"crs": crss.pop()})
     return out
 
 

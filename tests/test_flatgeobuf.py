@@ -295,6 +295,63 @@ def test_fgb_broken_frame_damage_bounded_to_stride(spark, tmp_path,
     ), sorted(lost)[:10]
 
 
+def test_fgb_directory_corpus(spark, tmp_path):
+    """A directory of .fgb files (a tiled corpus) reads as ONE
+    DataFrame: per-file stem:N fallbacks, per-file id columns, bbox
+    pruning skipping whole non-matching files, and a mixed-CRS corpus
+    refusing with guidance."""
+    from ds_jedai_spark.io.readers import read_wkt_delimited
+
+    src = read_wkt_delimited(
+        spark, WKT_FIX, id_field="id", geom_field="wkt"
+    )
+    lo = src.where("maxy <= 32")
+    hi = src.where("maxy > 32")
+    d = tmp_path / "corpus"
+    d.mkdir()
+    export_flatgeobuf(lo, str(d / "south.fgb"), crs_id=("EPSG", 4326))
+    export_flatgeobuf(hi, str(d / "north.fgb"), crs_id=("EPSG", 4326))
+
+    allr = read_flatgeobuf(spark, str(d), id_field="id")
+    assert allr.schema["gtype"].metadata.get("crs") == "EPSG:4326"
+    assert _rowmap(allr) == _rowmap(src)
+
+    # api dispatch accepts the directory too
+    from ds_jedai_spark import api
+    from ds_jedai_spark.config import DatasetSpec
+
+    via_api = api.read_dataset(spark, DatasetSpec(
+        path=str(d), id_field="id", geom_field=None))
+    assert via_api.count() == src.count()
+
+    # bbox confined to the southern half: northern file contributes 0
+    box = (0.0, 0.0, 70.0, 20.0)
+    got = read_flatgeobuf(spark, str(d), id_field="id", bbox=box)
+    want = {r.id for r in src.collect()
+            if not (r.miny > box[3] or r.maxy < box[1]
+                    or r.minx > box[2] or r.maxx < box[0])}
+    assert {r.id for r in got.collect()} == want
+
+    # per-file stem:N fallback when no id column is requested
+    stems = {r.id.split(":")[0]
+             for r in read_flatgeobuf(spark, str(d), id_field=None)
+             .select("id").collect()}
+    assert stems == {"south", "north"}
+
+    # mixed CRS refuses
+    export_flatgeobuf(lo.limit(3), str(d / "merc.fgb"),
+                      crs_id=("EPSG", 3857))
+    with pytest.raises(ValueError, match="mixed CRS"):
+        read_flatgeobuf(spark, str(d), id_field="id")
+    (d / "merc.fgb").unlink()
+
+    # empty directory refuses with guidance
+    e = tmp_path / "empty"
+    e.mkdir()
+    with pytest.raises(ValueError, match="no .fgb files"):
+        read_flatgeobuf(spark, str(e))
+
+
 def test_export_flatgeobuf_empty(spark, tmp_path):
     from ds_jedai_spark.io.readers import read_wkt_delimited
 
