@@ -130,6 +130,45 @@ def test_reproject_contract_errors(spark):
                   "EPSG:3857")
 
 
+# The Spark operator is pinned exactly (1e-6 m) to _fwd/_inv over the
+# whole fixture above, so formula-level properties proved here carry to
+# the operator without a per-example Spark job.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_lon = st.floats(min_value=-180.0, max_value=180.0,
+                 allow_nan=False, allow_infinity=False)
+_lat = st.floats(min_value=-MAX_LAT, max_value=MAX_LAT,
+                 allow_nan=False, allow_infinity=False)
+
+
+@given(_lon, _lat)
+@settings(max_examples=500, deadline=None)
+def test_property_roundtrip(lon, lat):
+    x, y = _fwd(lon, lat)
+    blon, blat = _inv(x, y)
+    assert abs(blon - lon) <= 1e-9
+    assert abs(blat - lat) <= 1e-9
+
+
+@given(_lon, _lon, _lat, _lat)
+@settings(max_examples=500, deadline=None)
+def test_property_monotone_per_axis(lon1, lon2, lat1, lat2):
+    """Monotonicity justifies transforming envelopes corner-wise."""
+    if lon1 > lon2:
+        lon1, lon2 = lon2, lon1
+    if lat1 > lat2:
+        lat1, lat2 = lat2, lat1
+    x1, y1 = _fwd(lon1, lat1)
+    x2, y2 = _fwd(lon2, lat2)
+    assert x1 <= x2 and y1 <= y2
+    import math as _m
+
+    half = _m.pi * R
+    assert -half - 1e-6 <= x1 <= half + 1e-6
+    assert -half - 1e-6 <= y1 <= half + 1e-6
+
+
 def test_cli_op_reproject(spark, tmp_path, capsys, monkeypatch):
     """-op reproject: any reader format in, row-format parquet out
     carrying the new CRS; feeding the result against a 3857 GeoPackage
