@@ -400,6 +400,12 @@ def test_bbox_cli_and_parquet_pushdown(spark, tmp_path, capsys,
     for c in ("minx", "maxx", "miny", "maxy"):
         assert c in pushed, pushed
 
+    # the relate path honors extra.bbox end-to-end on both sides
+    rc = cli.main(["-op", "relate", "-left", FIX, "-right", FIX,
+                   "-relation", "intersects", "-bbox", "0,0,24,24",
+                   "-limit", "2"])
+    assert rc == 0
+
     # malformed -bbox errors with guidance
     assert cli.main(["-op", "convert", "-left", FIX, "-to", "rowparquet",
                      "-out", out, "-bbox", "9,9,1,1"]) == 2
