@@ -556,8 +556,10 @@ def read_flatgeobuf(
     else:  # every file indexed, bbox matched no leaf anywhere
         out = spark.createDataFrame([], out_fields)
     if want_ts:
+        from ds_jedai_spark.io.readers import parse_ts_cell
+
         out = out.withColumn(
-            "ts", F.to_timestamp("ts_raw", date_pattern)
+            "ts", parse_ts_cell("ts_raw", date_pattern)
         ).drop("ts_raw")
     if bbox is not None:
         # exact envelope predicate: corrects gap stragglers on indexed

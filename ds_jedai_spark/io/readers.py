@@ -26,6 +26,24 @@ from ds_jedai_spark.model.geometry import (
 DEFAULT_DATE_PATTERN = "yyyy-MM-dd HH:mm:ss"
 
 
+def parse_ts_cell(col, date_pattern: str):
+    """Tolerant timestamp parse for reader date cells: the configured
+    pattern first, then — only when the pattern is the engine default —
+    the no-pattern ISO-8601 parser as an interop fallback (the
+    '2024-03-01T10:00:05Z' convention FlatGeobuf/GeoPackage files carry
+    in the wild). try_to_timestamp, never to_timestamp: under ANSI mode
+    (the Spark 4 default) a single malformed cell would otherwise fail
+    the WHOLE scan, while the readers' contract is cell-level tolerance
+    (null ts, row kept) — the same philosophy as invalid geometry
+    cells."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.try_to_timestamp(c, F.lit(date_pattern))
+    if date_pattern == DEFAULT_DATE_PATTERN:
+        out = F.coalesce(out, F.try_to_timestamp(c))
+    return out
+
+
+
 def explode_collections(df: DataFrame, wkt_col: str = "wkt") -> DataFrame:
     """One row per GEOMETRYCOLLECTION member, other columns propagated
     (reference GeometryUtils.scala:26-37). Arrow-batched; non-collection
@@ -47,9 +65,9 @@ def _finish(df: DataFrame, date_field: str | None, date_pattern: str) -> DataFra
     out = with_parsed_geometry(df, "wkt")
     out = valid_geometries(out).drop("wkt")
     if date_field is not None:
-        out = out.withColumn("ts", F.to_timestamp("ts_raw", date_pattern)).drop(
-            "ts_raw"
-        )
+        out = out.withColumn(
+            "ts", parse_ts_cell("ts_raw", date_pattern)
+        ).drop("ts_raw")
     return out
 
 
@@ -201,7 +219,7 @@ def _geojson_from_lines(
     out = valid_geometries(lines.mapInArrow(parse, fields))
     if date_field is not None:
         out = out.withColumn(
-            "ts", F.to_timestamp("ts_raw", date_pattern)
+            "ts", parse_ts_cell("ts_raw", date_pattern)
         ).drop("ts_raw")
     return out
 
@@ -447,7 +465,7 @@ def read_parquet_dataset(
             ).drop("wkb")
             if date_field is not None and not typed_ts:
                 out = out.withColumn(
-                    "ts", F.to_timestamp("ts_raw", date_pattern)
+                    "ts", parse_ts_cell("ts_raw", date_pattern)
                 ).drop("ts_raw")
             return _with_crs(out)
         return _with_crs(
@@ -463,14 +481,14 @@ def read_parquet_dataset(
         # temporal filter.
         df = df.drop("ts") if "ts" in df.columns else df
         ts = (F.col(date_field).cast("timestamp") if _is_temporal(date_field)
-              else F.to_timestamp(F.col(date_field).cast("string"),
-                                  date_pattern))
+              else parse_ts_cell(F.col(date_field).cast("string"),
+                                 date_pattern))
         df = df.withColumn("ts", ts).drop(date_field)
     elif date_field == "ts" and not _is_temporal("ts"):
         # -date-col ts on a row-format table whose ts column is a
         # STRING: parse it like any other named date column so the
         # temporal operators downstream get a real timestamp.
         df = df.withColumn(
-            "ts", F.to_timestamp(F.col("ts").cast("string"), date_pattern)
+            "ts", parse_ts_cell(F.col("ts").cast("string"), date_pattern)
         )
     return df

@@ -427,8 +427,10 @@ def read_shapefile(
     ).repartition(len(splits))
     out = valid_geometries(plan.mapInArrow(parse_splits, out_fields))
     if want_ts:
+        from ds_jedai_spark.io.readers import parse_ts_cell
+
         out = out.withColumn(
-            "ts", F.to_timestamp("ts_raw", date_pattern)
+            "ts", parse_ts_cell("ts_raw", date_pattern)
         ).drop("ts_raw")
     if crs is not None:
         out = out.withMetadata("gtype", {"crs": crs})

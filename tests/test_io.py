@@ -584,6 +584,38 @@ def test_export_geoparquet_footer_and_crs(spark, tmp_path):
     assert json.loads(meta["crs_projjson"])["id"]["code"] == 3857
 
 
+def test_date_cells_tolerant_and_iso_fallback(spark, tmp_path):
+    """Under ANSI mode (the Spark 4 default) a single malformed date
+    cell must NOT fail the scan — readers parse via try_to_timestamp
+    (null ts, row kept), and when the pattern is the engine default,
+    ISO-8601 'T'-separated cells (the FlatGeobuf/GeoPackage wild
+    convention) parse through the no-pattern fallback."""
+    from ds_jedai_spark.io.readers import read_wkt_delimited
+
+    tsv = tmp_path / "d.tsv"
+    tsv.write_text(
+        "id\twkt\twhen\n"
+        "1\tPOINT (1.5 2.5)\t2024-03-01 10:00:05\n"
+        "2\tPOINT (2.5 3.5)\t2024-03-01T10:00:06\n"
+        "3\tPOINT (3.5 4.5)\tnot-a-date\n"
+    )
+    got = {r.id: str(r.ts) for r in read_wkt_delimited(
+        spark, str(tsv), id_field="id", geom_field="wkt",
+        date_field="when",
+    ).select("id", "ts").collect()}
+    assert got == {"1": "2024-03-01 10:00:05",
+                   "2": "2024-03-01 10:00:06",
+                   "3": "None"}
+    # an EXPLICIT non-default pattern gets no ISO fallback: only its
+    # own layout parses
+    got2 = {r.id: str(r.ts) for r in read_wkt_delimited(
+        spark, str(tsv), id_field="id", geom_field="wkt",
+        date_field="when", date_pattern="yyyy-MM-dd'T'HH:mm:ss",
+    ).select("id", "ts").collect()}
+    assert got2 == {"1": "None", "2": "2024-03-01 10:00:06",
+                    "3": "None"}
+
+
 def test_api_run_warns_on_crs_mismatch(spark, tmp_path):
     """api.run warns when source and target GeoParquet declare different
     CRS, errors under strictCrs, and stays silent when either side is
