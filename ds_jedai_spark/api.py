@@ -122,28 +122,48 @@ def _read_dataset(spark: SparkSession, spec, bbox=None) -> DataFrame:
     )
 
 
+# Known-equivalent identifiers compare equal: GeoParquet's spec
+# default normalizes to OGC:CRS84 while .prj/.gpkg WGS84 yields
+# EPSG:4326 — same datum/units, axis order only (the engine is
+# axis-order-naive, like the reference).
+_CRS_EQ = {"OGC:CRS84": "EPSG:4326"}
+
+
+def _crs_of(df: DataFrame) -> str | None:
+    try:
+        return df.schema["gtype"].metadata.get("crs")
+    except (KeyError, AttributeError, TypeError):
+        return None
+
+
+def _canon_crs(c: str | None) -> str | None:
+    return _CRS_EQ.get(c, c)
+
+
+def _maybe_auto_reproject(source: DataFrame,
+                          target: DataFrame) -> DataFrame:
+    """extra.autoReproject: when source and target declare the one
+    closed-form pair the engine can convert (EPSG:4326/OGC:CRS84 vs
+    EPSG:3857), reproject the TARGET into the source's frame in-plan
+    (operators/crs.reproject — one JVM Project, no shuffle) so the join
+    runs in shared coordinates; any other mismatch falls through to the
+    usual warning/strictCrs error."""
+    a, b = _canon_crs(_crs_of(source)), _canon_crs(_crs_of(target))
+    if (a is not None and b is not None and a != b
+            and {a, b} == {"EPSG:4326", "EPSG:3857"}):
+        from ds_jedai_spark.operators.crs import reproject
+
+        return reproject(target, a)
+    return target
+
+
 def _check_crs(source: DataFrame, target: DataFrame, strict: bool) -> None:
     """Warn — or raise under the strictCrs flag — when source and target
     declare DIFFERENT coordinate reference systems (the GeoParquet
     footer CRS the readers carry as column metadata on gtype). Unknown
     CRS (no footer) never participates in the comparison; the reference
     is CRS-naive, so parity is unaffected."""
-
-    def crs_of(df: DataFrame) -> str | None:
-        try:
-            return df.schema["gtype"].metadata.get("crs")
-        except (KeyError, AttributeError, TypeError):
-            return None
-
-    # Known-equivalent identifiers compare equal: GeoParquet's spec
-    # default normalizes to OGC:CRS84 while .prj/.gpkg WGS84 yields
-    # EPSG:4326 — same datum/units, axis order only (the engine is
-    # axis-order-naive, like the reference).
-    eq = {"OGC:CRS84": "EPSG:4326"}
-
-    def canon(c: str | None) -> str | None:
-        return eq.get(c, c)
-
+    crs_of, canon = _crs_of, _canon_crs
     a, b = crs_of(source), crs_of(target)
     if a is not None and b is not None and canon(a) != canon(b):
         msg = (
@@ -252,10 +272,21 @@ def run(spark: SparkSession, cfg: JedaiConfig) -> DataFrame:
     DE9IM or the qualifying (s_id, t_id) pairs for a single relation.
     ``extra.bbox`` = (minx,miny,maxx,maxy) restricts BOTH sides to
     envelope-intersecting entities before the join (read_dataset pushes
-    it into the scan)."""
+    it into the scan). ``extra.autoReproject`` converts a target that
+    declares the one closed-form CRS pair (EPSG:4326 <-> EPSG:3857)
+    into the source's frame in-plan instead of warning; with a bbox the
+    target's filter applies AFTER reprojection (same frame as the box —
+    the format-level index skip is traded for correctness on that
+    side)."""
     bbox = cfg.extra.get("bbox")
+    auto = bool(cfg.extra.get("autoReproject"))
     source = read_dataset(spark, cfg.source, bbox=bbox)
-    target = read_dataset(spark, cfg.target, bbox=bbox)
+    target = read_dataset(spark, cfg.target,
+                          bbox=None if auto else bbox)
+    if auto:
+        target = _maybe_auto_reproject(source, target)
+        if bbox is not None:
+            target = apply_bbox(target, bbox)
     _check_crs(source, target, strict=bool(cfg.extra.get("strictCrs")))
 
     decomposed = cfg.entity_type in (

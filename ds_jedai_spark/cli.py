@@ -287,7 +287,11 @@ def _run_op(args) -> int:
                 # -export works like the -conf form: RDF flags for
                 # DE9IM, CSV pairs for a single predicate
                 export_path=args.export,
-                extra={"bbox": args.bbox} if args.bbox else {},
+                extra={
+                    **({"bbox": args.bbox} if args.bbox else {}),
+                    **({"autoReproject": True}
+                       if args.auto_reproject else {}),
+                },
             )
             df = api.run(spark, cfg)
         elif args.op == "convert":
@@ -915,6 +919,12 @@ def main(argv: list[str] | None = None) -> int:
                          "reproject/knn/distance — pushed into the scan "
                          "(FlatGeobuf R-tree skip, parquet row-group "
                          "stats); envelope-intersection semantics")
+    ap.add_argument("-auto-reproject", dest="auto_reproject",
+                    action="store_true",
+                    help="relate: convert a target declaring the "
+                         "closed-form CRS pair (EPSG:4326 <-> "
+                         "EPSG:3857) into the source frame in-plan "
+                         "instead of warning on the mismatch")
     ap.add_argument("-to-crs", dest="to_crs", default=None,
                     help="reproject: target CRS (EPSG:4326 or EPSG:3857)")
     ap.add_argument("-from-crs", dest="from_crs", default=None,

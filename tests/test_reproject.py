@@ -169,6 +169,76 @@ def test_property_monotone_per_axis(lon1, lon2, lat1, lat2):
     assert -half - 1e-6 <= y1 <= half + 1e-6
 
 
+def test_auto_reproject_in_api_run(spark, tmp_path):
+    """extra.autoReproject: a 4326 source joined against a 3857 target
+    reprojects the target in-plan — no warning, pairs identical to the
+    all-4326 run; an unconvertible pair still warns; strictCrs no
+    longer errors on the convertible pair."""
+    import warnings
+
+    import pytest as _pytest
+
+    from ds_jedai_spark import api
+    from ds_jedai_spark.config import DatasetSpec, JedaiConfig
+    from ds_jedai_spark.io.writers import export_geoparquet
+
+    src = _src(spark)
+    p4326 = str(tmp_path / "s.parquet")
+    p3857 = str(tmp_path / "t3857.parquet")
+    p2154 = str(tmp_path / "t2154.parquet")
+
+    def crs(code):
+        return {"id": {"authority": "EPSG", "code": code}}
+
+    export_geoparquet(src, p4326, crs=crs(4326))
+    export_geoparquet(reproject(src, "EPSG:3857"), p3857, crs=crs(3857))
+    export_geoparquet(src, p2154, crs=crs(2154))
+
+    def cfg(a, b, **extra):
+        return JedaiConfig(
+            source=DatasetSpec(path=a, id_field="id", geom_field=None),
+            target=DatasetSpec(path=b, id_field="id", geom_field=None),
+            relation="intersects",
+            extra=extra,
+        )
+
+    def pairs(df):
+        return {(r.s_id, r.t_id) for r in df.collect()}
+
+    # truth = MANUALLY reprojecting the target back into the source
+    # frame (the documented remedy): autoReproject must equal it
+    # exactly — roundtrip float error (knife-edge point-equality pairs
+    # shift by ~1e-9°) is inherent to reprojection itself, so an
+    # all-4326 run is NOT the right oracle
+    p_back = str(tmp_path / "t_back.parquet")
+    export_geoparquet(
+        reproject(reproject(src, "EPSG:3857"), "EPSG:4326"),
+        p_back, crs=crs(4326),
+    )
+    want = pairs(api.run(spark, cfg(p4326, p_back)))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = pairs(api.run(spark, cfg(p4326, p3857,
+                                       autoReproject=True)))
+        # strictCrs composes: the convertible pair no longer errors
+        strict = pairs(api.run(spark, cfg(p4326, p3857,
+                                          autoReproject=True,
+                                          strictCrs=True)))
+    assert got == want and strict == want and want
+    # an unconvertible pair still warns, autoReproject or not
+    with _pytest.warns(UserWarning, match="different CRS"):
+        api.run(spark, cfg(p4326, p2154, autoReproject=True)).collect()
+    # bbox composes: filter applies to the target AFTER reprojection
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        sub = pairs(api.run(spark, cfg(p4326, p3857,
+                                       autoReproject=True,
+                                       bbox=(0.0, 0.0, 24.0, 24.0))))
+    full_box = pairs(api.run(spark, cfg(p4326, p_back,
+                                        bbox=(0.0, 0.0, 24.0, 24.0))))
+    assert sub == full_box
+
+
 def test_cli_op_reproject(spark, tmp_path, capsys, monkeypatch):
     """-op reproject: any reader format in, row-format parquet out
     carrying the new CRS; feeding the result against a 3857 GeoPackage
