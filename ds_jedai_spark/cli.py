@@ -354,11 +354,16 @@ def _run_op(args) -> int:
                 export_geopackage(src, args.out, crs_id=crs_id)
                 back = read_geopackage(spark, args.out)
             elif args.to == "flatgeobuf":
-                # single-file interop sink (driver-side assembly,
-                # Hilbert-sorted behind a packed R-tree) — CRS from the
-                # input's metadata lands in the header Crs table
+                # -out ending in .fgb: single-file interop sink
+                # (driver-side assembly); anything else: a DIRECTORY of
+                # per-partition .fgb shards written by the executors in
+                # parallel — the corpus layout the reader consumes as
+                # one DataFrame. Both Hilbert-sorted behind a packed
+                # R-tree; CRS from the input's metadata lands in each
+                # header's Crs table.
                 from ds_jedai_spark.io.flatgeobuf import (
                     export_flatgeobuf,
+                    export_flatgeobuf_sharded,
                     read_flatgeobuf,
                 )
 
@@ -369,7 +374,10 @@ def _run_op(args) -> int:
                     org, code = meta["crs"].split(":", 1)
                     if code.isdigit():
                         crs_id = (org, int(code))
-                export_flatgeobuf(src, args.out, crs_id=crs_id)
+                sink = (export_flatgeobuf
+                        if args.out.lower().endswith(".fgb")
+                        else export_flatgeobuf_sharded)
+                sink(src, args.out, crs_id=crs_id)
                 back = read_flatgeobuf(spark, args.out)
             elif args.to == "shapefile":
                 # directory-of-shapefiles sink (one spec-conformant

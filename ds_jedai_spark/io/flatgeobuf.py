@@ -822,41 +822,31 @@ def _pack_rtree(items: list[tuple[float, float, float, float, int]],
     return b"".join(struct.pack("<4dQ", *nd) for nd in nodes)
 
 
-def export_flatgeobuf(
-    entities: DataFrame,
+def _row_feature(rid, gtype, coords, ts, has_ts: bool) -> bytes:
+    """One engine row -> serialized Feature flatbuffer bytes."""
+    props = bytearray(struct.pack("<H", 0))
+    raw = ("" if rid is None else str(rid)).encode("utf-8")
+    props += struct.pack("<I", len(raw)) + raw
+    if has_ts and ts is not None and ts == ts:  # NaT-safe
+        t = ts.strftime("%Y-%m-%d %H:%M:%S").encode()
+        props += struct.pack("<HI", 1, len(t)) + t
+    parts = [[list(p) for p in part] for part in coords]
+    return _feature_bytes(gtype, parts, bytes(props))
+
+
+def _write_fgb(
     path: str,
-    crs_id: tuple[str, int] | None = None,
-    node_size: int = 16,
+    feats: list[tuple[float, float, float, float, bytes]],
+    types: set,
+    has_ts: bool,
+    crs_id,
+    node_size: int,
 ) -> None:
-    """Single-file FlatGeobuf sink (driver-side assembly, the
-    GeoPackage-sink mold: single-file format => toLocalIterator funnel,
-    partition-at-a-time — an interop handoff, not bulk data movement;
-    geoparquet/shapefile remain the distributed scale paths). Features
-    are Hilbert-sorted on envelope centers and written behind a
-    spec-conformant packed R-tree, so the output is spatially clustered
-    and this module's reader plans ranged splits from the index
-    leaves. id lands as a String property; ts (when present) as a
-    DateTime property."""
-    has_ts = "ts" in entities.columns
-    sel = ["id", "gtype", "coords", "minx", "miny", "maxx", "maxy"] + (
-        ["ts"] if has_ts else [])
+    """Assemble one .fgb: Hilbert-sort the features on envelope
+    centers, build the packed R-tree, write magic+header+index+
+    features. Shared by the single-file and sharded sinks."""
     cols = [("id", COLTYPE_STRING)] + (
         [("ts", COLTYPE_DATETIME)] if has_ts else [])
-
-    feats: list[tuple[float, float, float, float, bytes]] = []
-    types = set()
-    for r in entities.select(*sel).toLocalIterator():
-        props = bytearray(struct.pack("<H", 0))
-        rid = ("" if r.id is None else str(r.id)).encode("utf-8")
-        props += struct.pack("<I", len(rid)) + rid
-        if has_ts and r.ts is not None:
-            t = r.ts.strftime("%Y-%m-%d %H:%M:%S").encode()
-            props += struct.pack("<HI", 1, len(t)) + t
-        parts = [[list(p) for p in part] for part in r.coords]
-        feats.append((r.minx, r.miny, r.maxx, r.maxy,
-                      _feature_bytes(r.gtype, parts, bytes(props))))
-        types.add(r.gtype)
-
     n = len(feats)
     geom_type = (GEOM_TYPE_CODES[next(iter(types))]
                  if len(types) == 1 else 0)
@@ -892,3 +882,77 @@ def export_flatgeobuf(
         for f in feats:
             out.write(struct.pack("<I", len(f[4])))
             out.write(f[4])
+
+
+def export_flatgeobuf(
+    entities: DataFrame,
+    path: str,
+    crs_id: tuple[str, int] | None = None,
+    node_size: int = 16,
+) -> None:
+    """Single-file FlatGeobuf sink (driver-side assembly, the
+    GeoPackage-sink mold: single-file format => toLocalIterator funnel,
+    partition-at-a-time — an interop handoff, not bulk data movement;
+    export_flatgeobuf_sharded below is the distributed scale path).
+    Features are Hilbert-sorted on envelope centers and written behind
+    a spec-conformant packed R-tree, so the output is spatially
+    clustered and this module's reader plans ranged splits from the
+    index leaves. id lands as a String property; ts (when present) as
+    a DateTime property."""
+    has_ts = "ts" in entities.columns
+    sel = ["id", "gtype", "coords", "minx", "miny", "maxx", "maxy"] + (
+        ["ts"] if has_ts else [])
+
+    feats: list[tuple[float, float, float, float, bytes]] = []
+    types = set()
+    for r in entities.select(*sel).toLocalIterator():
+        feats.append((r.minx, r.miny, r.maxx, r.maxy, _row_feature(
+            r.id, r.gtype, r.coords, r.ts if has_ts else None, has_ts)))
+        types.add(r.gtype)
+    _write_fgb(path, feats, types, has_ts, crs_id, node_size)
+
+
+def export_flatgeobuf_sharded(
+    entities: DataFrame,
+    path: str,
+    crs_id: tuple[str, int] | None = None,
+    node_size: int = 16,
+) -> None:
+    """DISTRIBUTED FlatGeobuf sink: one .fgb per input partition into a
+    directory — exactly the corpus layout read_flatgeobuf consumes as a
+    single DataFrame. Executors serialize, Hilbert-sort, and index
+    their own partitions in parallel (no driver funnel, no shuffle), so
+    unlike the single-file sink this scales with the cluster; pair with
+    a spatial repartitioning upstream when per-file spatial locality
+    matters across shards. Empty partitions write no file."""
+    os.makedirs(path, exist_ok=True)
+    has_ts = "ts" in entities.columns
+    sel = ["id", "gtype", "coords", "minx", "miny", "maxx", "maxy"] + (
+        ["ts"] if has_ts else [])
+
+    def write_parts(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        feats: list[tuple[float, float, float, float, bytes]] = []
+        types: set = set()
+        for pdf in batches:
+            tss = pdf["ts"] if has_ts else [None] * len(pdf)
+            for rid, g, coords, mnx, mny, mxx, mxy, ts in zip(
+                pdf["id"], pdf["gtype"], pdf["coords"], pdf["minx"],
+                pdf["miny"], pdf["maxx"], pdf["maxy"], tss
+            ):
+                feats.append((mnx, mny, mxx, mxy, _row_feature(
+                    rid, g, coords, ts if has_ts else None, has_ts)))
+                types.add(g)
+        n_files = 0
+        if feats:
+            _write_fgb(os.path.join(path, f"part-{pid:05d}.fgb"),
+                       feats, types, has_ts, crs_id, node_size)
+            n_files = 1
+        yield pd.DataFrame({"files": [n_files], "rows": [len(feats)]})
+
+    entities.select(*sel).mapInPandas(
+        write_parts, "files long, rows long"
+    ).groupBy().sum().collect()

@@ -352,6 +352,61 @@ def test_fgb_directory_corpus(spark, tmp_path):
         read_flatgeobuf(spark, str(e))
 
 
+def test_export_flatgeobuf_sharded(spark, tmp_path, capsys, monkeypatch):
+    """The DISTRIBUTED sink writes one Hilbert-indexed .fgb per
+    partition into a directory; the corpus reader reproduces every
+    entity (with ts and CRS), empty partitions write no file, and the
+    CLI routes -to flatgeobuf with a non-.fgb -out here."""
+    from pyspark.sql import functions as F
+
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+    from ds_jedai_spark.io.flatgeobuf import export_flatgeobuf_sharded
+    from ds_jedai_spark.io.readers import read_wkt_delimited
+
+    src = read_wkt_delimited(
+        spark, WKT_FIX, id_field="id", geom_field="wkt"
+    ).withColumn(
+        "ts",
+        F.to_timestamp(
+            F.concat(F.lit("2024-03-01 10:00:"),
+                     F.lpad(F.col("id").cast("long") % 60, 2, "0"))
+        ),
+    ).repartition(5)
+    out = str(tmp_path / "shards")
+    export_flatgeobuf_sharded(src, out, crs_id=("EPSG", 4326))
+    files = sorted(Path(out).glob("*.fgb"))
+    assert 1 <= len(files) <= 5
+    for f in files:  # every shard indexed (n>0 => R-tree present)
+        header, fs, size, offs = _read_header(str(f))
+        assert header["n"] > 0 and offs is not None
+
+    back = read_flatgeobuf(spark, out, id_field="id", date_field="ts")
+    assert back.schema["gtype"].metadata.get("crs") == "EPSG:4326"
+
+    def keyed(df):
+        return {
+            r.id: (r.gtype, r.minx, r.miny, r.maxx, r.maxy, str(r.ts),
+                   tuple(tuple(tuple(p) for p in part)
+                         for part in r.coords))
+            for r in df.collect()
+        }
+
+    assert keyed(back) == keyed(src)
+
+    # CLI: non-.fgb -out routes to the sharded sink
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    out2 = str(tmp_path / "cli_shards")
+    rc = cli.main(["-op", "convert", "-left", FIX, "-to", "flatgeobuf",
+                   "-out", out2])
+    assert rc == 0
+    assert "wrote 406 entities" in capsys.readouterr().out
+    assert sorted(Path(out2).glob("*.fgb"))
+    assert _rowmap(read_flatgeobuf(spark, out2, id_field="id")) == \
+        _rowmap(read_flatgeobuf(spark, FIX, id_field="id"))
+
+
 def test_export_flatgeobuf_empty(spark, tmp_path):
     from ds_jedai_spark.io.readers import read_wkt_delimited
 
