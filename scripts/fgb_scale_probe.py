@@ -55,6 +55,19 @@ def main() -> None:
     w_write = time.perf_counter() - t0
     size = os.path.getsize(out)
 
+    # the DISTRIBUTED sink: same rows, one shard per partition, written
+    # by the executors in parallel
+    from ds_jedai_spark.io.flatgeobuf import export_flatgeobuf_sharded
+
+    shard_dir = os.path.join(d, "shards")
+    t0 = time.perf_counter()
+    export_flatgeobuf_sharded(pts.repartition(cpus), shard_dir)
+    w_sharded = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_corpus = read_flatgeobuf(spark, shard_dir, id_field=None).count()
+    r_corpus = time.perf_counter() - t0
+    assert n_corpus == n, (n_corpus, n)
+
     walls = {}
     counts = {}
     for name, split in (("one_task", size + 100),
@@ -78,6 +91,8 @@ def main() -> None:
         "records": n,
         "fgb_bytes": size,
         "write_sec": round(w_write, 2),
+        "sharded_write_sec": round(w_sharded, 2),
+        "corpus_read_sec": round(r_corpus, 2),
         "read_sec": walls,
         "speedup_8mb_vs_one_task": round(
             walls["one_task"] / walls["default_8mb"], 2),
