@@ -924,8 +924,13 @@ def export_flatgeobuf_sharded(
     their own partitions in parallel (no driver funnel, no shuffle), so
     unlike the single-file sink this scales with the cluster; pair with
     a spatial repartitioning upstream when per-file spatial locality
-    matters across shards. Empty partitions write no file."""
+    matters across shards. Empty partitions write no file. Overwrite
+    semantics like DataFrame.write: pre-existing *.fgb shards in the
+    directory are removed first — a rerun with fewer partitions must
+    not leave stale shards mixed into the corpus."""
     os.makedirs(path, exist_ok=True)
+    for old in _glob.glob(os.path.join(path, "*.fgb")):
+        os.remove(old)
     has_ts = "ts" in entities.columns
     sel = ["id", "gtype", "coords", "minx", "miny", "maxx", "maxy"] + (
         ["ts"] if has_ts else [])

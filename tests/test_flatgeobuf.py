@@ -394,6 +394,14 @@ def test_export_flatgeobuf_sharded(spark, tmp_path, capsys, monkeypatch):
 
     assert keyed(back) == keyed(src)
 
+    # overwrite semantics: a rerun with fewer rows/partitions must not
+    # leave stale shards mixed into the corpus
+    export_flatgeobuf_sharded(src.limit(7).repartition(1), out,
+                              crs_id=("EPSG", 4326))
+    again = read_flatgeobuf(spark, out, id_field="id")
+    assert again.count() == 7
+    assert len(sorted(Path(out).glob("*.fgb"))) == 1
+
     # CLI: non-.fgb -out routes to the sharded sink
     monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
     monkeypatch.setattr(spark, "stop", lambda: None)
