@@ -917,20 +917,28 @@ def export_flatgeobuf_sharded(
     path: str,
     crs_id: tuple[str, int] | None = None,
     node_size: int = 16,
+    spatial_shards: int | None = None,
 ) -> None:
     """DISTRIBUTED FlatGeobuf sink: one .fgb per input partition into a
     directory — exactly the corpus layout read_flatgeobuf consumes as a
     single DataFrame. Executors serialize, Hilbert-sort, and index
-    their own partitions in parallel (no driver funnel, no shuffle), so
-    unlike the single-file sink this scales with the cluster; pair with
-    a spatial repartitioning upstream when per-file spatial locality
-    matters across shards. Empty partitions write no file. Overwrite
-    semantics like DataFrame.write: pre-existing *.fgb shards in the
-    directory are removed first — a rerun with fewer partitions must
-    not leave stale shards mixed into the corpus."""
+    their own partitions in parallel (no driver funnel; no shuffle
+    unless ``spatial_shards`` asks for one), so unlike the single-file
+    sink this scales with the cluster. ``spatial_shards=N`` first
+    repartitionByRange's on (minx, miny) into N shards, giving each
+    file a coherent spatial extent so a later corpus bbox read skips
+    WHOLE FILES via their R-tree root envelopes — one range shuffle
+    traded for file-level pruning forever after. Empty partitions
+    write no file. Overwrite semantics like DataFrame.write:
+    pre-existing *.fgb shards in the directory are removed first — a
+    rerun with fewer partitions must not leave stale shards mixed into
+    the corpus."""
     os.makedirs(path, exist_ok=True)
     for old in _glob.glob(os.path.join(path, "*.fgb")):
         os.remove(old)
+    if spatial_shards:
+        entities = entities.repartitionByRange(
+            int(spatial_shards), "minx", "miny")
     has_ts = "ts" in entities.columns
     sel = ["id", "gtype", "coords", "minx", "miny", "maxx", "maxy"] + (
         ["ts"] if has_ts else [])

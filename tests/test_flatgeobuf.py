@@ -394,6 +394,35 @@ def test_export_flatgeobuf_sharded(spark, tmp_path, capsys, monkeypatch):
 
     assert keyed(back) == keyed(src)
 
+    # spatial_shards: range-sharded layout gives each file a coherent
+    # extent, so a bbox corpus read plans splits from FEWER FILES than
+    # the arbitrary-partition layout touches
+    sp = str(tmp_path / "spatial")
+    export_flatgeobuf_sharded(src, sp, crs_id=("EPSG", 4326),
+                              spatial_shards=5)
+    box = (0.0, 0.0, 12.0, 12.0)
+    assert keyed(read_flatgeobuf(spark, sp, id_field="id",
+                                 date_field="ts")) == keyed(src)
+
+    def files_planned(d):
+        hit = 0
+        for f in sorted(Path(d).glob("*.fgb")):
+            hdr, fs, size, offs, envs = _read_header(str(f),
+                                                     want_envs=True)
+            if any(not (e[0] > box[2] or e[2] < box[0]
+                        or e[1] > box[3] or e[3] < box[1])
+                   for e in envs):
+                hit += 1
+        return hit
+
+    assert files_planned(sp) < len(sorted(Path(sp).glob("*.fgb")))
+    want_box = {r.id for r in src.collect()
+                if not (r.minx > box[2] or r.maxx < box[0]
+                        or r.miny > box[3] or r.maxy < box[1])}
+    got_box = {r.id for r in read_flatgeobuf(spark, sp, id_field="id",
+                                             bbox=box).collect()}
+    assert got_box == want_box
+
     # overwrite semantics: a rerun with fewer rows/partitions must not
     # leave stale shards mixed into the corpus
     export_flatgeobuf_sharded(src.limit(7).repartition(1), out,
