@@ -33,7 +33,12 @@ import struct
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 DEFAULT_DATE_PATTERN = "yyyy-MM-dd HH:mm:ss"
-DEFAULT_SPLIT_ROWS = 250_000
+# Measured on a 2M-point table, 32 cores (scripts/gpkg_scale_probe.py):
+# whole-table 24.2 s, 250k-row splits 9.9 s (8 splits — starves the
+# cores), 50k-row splits 4.0 s (40 splits, 6.1×). Range selects are
+# index-backed so finer splits cost only a connection open each; big
+# tables get proportionally more splits, small ones still one task.
+DEFAULT_SPLIT_ROWS = 50_000
 
 # envelope indicator (flags bits 1-3) -> number of doubles
 _ENV_DOUBLES = {0: 0, 1: 4, 2: 6, 3: 6, 4: 8}
