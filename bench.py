@@ -290,6 +290,16 @@ def main() -> None:
               file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # SUSTAINED-slowdown evidence (r14): the retry canaries compare
+    # each rep to the RUN's own probe median, so they catch transient
+    # spikes but are blind to a box that is uniformly slow for the
+    # whole run (observed within one session: probe medians 0.52 ->
+    # 0.65 jvm / 0.62 -> 0.85 py as totals drifted 30 -> 40 s on
+    # untouched code). These pinned quiet-box references (medians of
+    # the r12/r13 published runs) turn the run's probe medians into an
+    # absolute box-speed ratio the reader can normalize totals by.
+    JVM_PROBE_QUIET = 0.48
+    PY_PROBE_QUIET = 0.50
     print(
         json.dumps(
             {
@@ -297,6 +307,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "box_vs_pinned_quiet": {
+                    "jvm": round(med / JVM_PROBE_QUIET, 2),
+                    "py": round(py_med / PY_PROBE_QUIET, 2),
+                },
                 "probe_sec": {
                     "median": round(med, 3),
                     "min": round(min(probes), 3),
