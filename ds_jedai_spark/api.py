@@ -51,11 +51,18 @@ def read_dataset(spark: SparkSession, spec, bbox=None) -> DataFrame:
     """Pick the reader by extension (the reference's Reader.read dispatch,
     utils/readers/Reader.scala:38-71). ``bbox`` = (minx,miny,maxx,maxy)
     restricts the scan to envelope-intersecting entities: FlatGeobuf
-    skips non-matching file regions via its R-tree index; every other
-    format gets the pushed-down filter of apply_bbox."""
+    skips non-matching file regions via its R-tree index, GeoPackage
+    prunes candidate rows through its gpkg_rtree_index extension (both
+    apply the exact filter themselves); every other format gets the
+    pushed-down filter of apply_bbox."""
     df = _read_dataset(spark, spec, bbox)
-    if bbox is not None and os.path.splitext(
-            spec.path)[1].lower() != ".fgb":
+    ext = os.path.splitext(spec.path)[1].lower()
+    bbox_native = ext in (".fgb", ".gpkg") or (
+        ext not in _EXT_DELIMS and os.path.isdir(spec.path)
+        and glob.glob(os.path.join(spec.path, "*.fgb"))
+        and not glob.glob(os.path.join(spec.path, "*.shp"))
+    )
+    if bbox is not None and not bbox_native:
         df = apply_bbox(df, bbox)
     return df
 
@@ -95,6 +102,7 @@ def _read_dataset(spark: SparkSession, spec, bbox=None) -> DataFrame:
         return read_geopackage(
             spark, spec.path, id_field=spec.id_field,
             date_field=spec.date_field, date_pattern=spec.date_pattern,
+            bbox=bbox,
         )
     if ext == ".fgb" or (
         os.path.isdir(spec.path)

@@ -121,6 +121,20 @@ def _catalog(path: str, table: str | None):
         con.close()
 
 
+def _rtree_name(path: str, table: str, geom_col: str) -> str | None:
+    """Name of the spec's R*Tree index virtual table
+    (gpkg_rtree_index extension) when the file carries one."""
+    name = f"rtree_{table}_{geom_col}"
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        hit = con.execute(
+            "SELECT 1 FROM sqlite_master WHERE name = ?", (name,)
+        ).fetchone()
+        return name if hit else None
+    finally:
+        con.close()
+
+
 def read_geopackage(
     spark: SparkSession,
     path: str,
@@ -129,6 +143,7 @@ def read_geopackage(
     date_field: str | None = None,
     date_pattern: str = DEFAULT_DATE_PATTERN,
     split_rows: int = DEFAULT_SPLIT_ROWS,
+    bbox: tuple[float, float, float, float] | None = None,
 ) -> DataFrame:
     """GeoPackage feature scan landing in the engine row format.
 
@@ -138,7 +153,17 @@ def read_geopackage(
     named absent columns raise, the parquet-reader contract).
     ``date_field`` names a column parsed with ``date_pattern``. The
     declared SRS becomes CRS metadata on gtype (api.run compares
-    source/target)."""
+    source/target).
+
+    ``bbox`` = (minx, miny, maxx, maxy) pushes the envelope predicate
+    INTO the container when the file carries the spec's R*Tree index
+    (gpkg_rtree_index extension, the engine sink writes it): the
+    driver narrows the rowid planning range to the index's matching
+    span and every split's range select adds an R*Tree subquery, so
+    executors fetch only candidate rows (the index stores float32
+    envelopes rounded outward — a conservative superset); the exact
+    JVM envelope filter on the output finishes the job, and is the
+    whole story on files without the index."""
     from ds_jedai_spark.model.geometry import (
         GEOM_FIELDS,
         GeometryAccumulator,
@@ -149,6 +174,23 @@ def read_geopackage(
     if not os.path.isfile(path):
         raise ValueError(f"no such GeoPackage: {path!r}")
     table, geom_col, crs, cols, lo, hi, n_rows = _catalog(path, table)
+    rtree = _rtree_name(path, table, geom_col) if bbox is not None else None
+    if rtree is not None:
+        # narrow the planning range to the index's matching span; the
+        # per-split subquery below does the fine-grained pruning
+        bx0, by0, bx1, by1 = (float(v) for v in bbox)
+        con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+        try:
+            lo, hi, n_rows = con.execute(
+                f'SELECT min(id), max(id), count(*) FROM "{rtree}" '
+                "WHERE maxx >= ? AND minx <= ? "
+                "AND maxy >= ? AND miny <= ?",
+                (bx0, bx1, by0, by1),
+            ).fetchone()
+        finally:
+            con.close()
+        if lo is None:
+            n_rows = 0
 
     low = {c.lower(): c for c in cols}
     use_id = None
@@ -191,6 +233,12 @@ def read_geopackage(
     sel_dt = f', "{use_date}"' if use_date else ""
     sql = (f'SELECT rowid{sel_id}{sel_dt}, "{geom_col}" FROM "{table}" '
            f"WHERE rowid BETWEEN ? AND ?")
+    if rtree is not None:
+        sql += (
+            f' AND rowid IN (SELECT id FROM "{rtree}" '
+            f"WHERE maxx >= {bx0!r} AND minx <= {bx1!r} "
+            f"AND maxy >= {by0!r} AND miny <= {by1!r})"
+        )
 
     def parse_splits(batches):
         import pyarrow as pa
@@ -240,6 +288,14 @@ def read_geopackage(
         out = out.withColumn(
             "ts", parse_ts_cell("ts_raw", date_pattern)
         ).drop("ts_raw")
+    if bbox is not None:
+        # exact envelope predicate: finishes the R*Tree's conservative
+        # float32 superset, and is the only pruning without the index
+        bx0, by0, bx1, by1 = (float(v) for v in bbox)
+        out = out.where(
+            (F.col("minx") <= bx1) & (F.col("maxx") >= bx0)
+            & (F.col("miny") <= by1) & (F.col("maxy") >= by0)
+        )
     if crs is not None:
         out = out.withMetadata("gtype", {"crs": crs})
     return out
@@ -339,6 +395,47 @@ def export_geopackage(
             "datetime('now'), ?, ?, ?, ?, ?)",
             (table, table, *(box or (None,) * 4), srs_id),
         )
+        try:
+            # spec gpkg_rtree_index extension: an R*Tree over the
+            # feature envelopes so THIS reader's bbox pushdown (and
+            # third-party consumers) can prune candidate rows inside
+            # the container; the envelope source is the feature table's
+            # own GPB WKB, recomputed from the row format here. Skipped
+            # gracefully on sqlite builds without the rtree module.
+            rt = f"rtree_{table}_geom"
+            con.execute(
+                f'CREATE VIRTUAL TABLE "{rt}" USING rtree('
+                "id, minx, maxx, miny, maxy)"
+            )
+            rows = con.execute(
+                f'SELECT fid, geom FROM "{table}"'
+            ).fetchall()
+            from ds_jedai_spark.model.geometry import parse_wkb
+
+            for fid, blob in rows:
+                parsed = parse_wkb(strip_gpb(blob))
+                if parsed is None:
+                    continue
+                xs = [p[0] for part in parsed[1] for p in part]
+                ys = [p[1] for part in parsed[1] for p in part]
+                con.execute(
+                    f'INSERT INTO "{rt}" VALUES (?,?,?,?,?)',
+                    (fid, min(xs), max(xs), min(ys), max(ys)),
+                )
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS gpkg_extensions ("
+                "table_name TEXT, column_name TEXT, "
+                "extension_name TEXT NOT NULL, definition TEXT NOT NULL,"
+                " scope TEXT NOT NULL)"
+            )
+            con.execute(
+                "INSERT INTO gpkg_extensions VALUES (?, 'geom', "
+                "'gpkg_rtree_index', "
+                "'http://www.geopackage.org/spec/#extension_rtree', "
+                "'write-only')", (table,),
+            )
+        except sqlite3.OperationalError:
+            pass  # no rtree module: plain (spec-valid) GeoPackage
         con.commit()
     finally:
         con.close()

@@ -100,6 +100,61 @@ def test_gpkg_sparse_rowids_split_by_count(spark, tmp_path):
                                                    id_field="id"))
 
 
+def test_gpkg_bbox_rtree_pushdown(spark, tmp_path):
+    """The sink writes the spec's gpkg_rtree_index extension; a bbox
+    read pushes the envelope predicate into the container (R*Tree
+    subquery per split + narrowed planning range) and returns exactly
+    the envelope-intersecting subset. A file WITHOUT the index (the
+    fixture) gives the same subset via the output filter alone."""
+    from ds_jedai_spark.io.readers import read_wkt_delimited
+
+    src = read_wkt_delimited(spark, WKT_FIX, id_field="id",
+                             geom_field="wkt")
+    p = str(tmp_path / "rt.gpkg")
+    export_geopackage(src, p, crs_id=("EPSG", 4326))
+    con = sqlite3.connect(p)
+    names = {r[0] for r in con.execute(
+        "SELECT name FROM sqlite_master").fetchall()}
+    n_rt = con.execute(
+        "SELECT count(*) FROM rtree_features_geom").fetchone()[0]
+    ext_row = con.execute(
+        "SELECT extension_name FROM gpkg_extensions").fetchone()
+    con.close()
+    assert "rtree_features_geom" in names
+    assert n_rt == src.count()
+    assert ext_row == ("gpkg_rtree_index",)
+
+    box = (0.0, 0.0, 24.0, 24.0)
+    want = {
+        r.id for r in src.collect()
+        if not (r.minx > box[2] or r.maxx < box[0]
+                or r.miny > box[3] or r.maxy < box[1])
+    }
+    assert 0 < len(want) < src.count()
+    got = read_geopackage(spark, p, id_field="id", bbox=box)
+    assert {r.id for r in got.collect()} == want
+    # fewer splits planned than a full read (range narrowed by the
+    # index span + count)
+    full = read_geopackage(spark, p, id_field="id", split_rows=50)
+    pruned = read_geopackage(spark, p, id_field="id", split_rows=50,
+                             bbox=box)
+    assert pruned.rdd.getNumPartitions() <= full.rdd.getNumPartitions()
+    # empty box: zero rows, no error
+    assert read_geopackage(spark, p, id_field="id",
+                           bbox=(1e6, 1e6, 2e6, 2e6)).count() == 0
+    # index-less file: same subset via the output filter
+    got_fix = read_geopackage(spark, FIX, id_field="id", bbox=box)
+    assert {r.id for r in got_fix.collect()} == want
+    # api dispatch threads bbox to the gpkg reader natively
+    from ds_jedai_spark import api
+    from ds_jedai_spark.config import DatasetSpec
+
+    via = api.read_dataset(
+        spark, DatasetSpec(path=p, id_field="id", geom_field=None),
+        bbox=box)
+    assert {r.id for r in via.collect()} == want
+
+
 def test_strip_gpb_hostile_bytes():
     import random
 
