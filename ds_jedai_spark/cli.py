@@ -422,6 +422,28 @@ def _run_op(args) -> int:
                   f"(eps={args.eps_steps}/16, seed={args.seed})")
             print(f"TOTAL TIME: {time.perf_counter() - t0:.2f}s")
             return 0
+        elif args.op == "measures":
+            # Per-entity geometry measures (ST_NPoints/Length/Perimeter/
+            # Area/Centroid equivalents) over any reader format —
+            # operators/measures.py; npoints/length/perimeter are pure
+            # JVM expressions, area/centroid ride the Arrow batch path.
+            from ds_jedai_spark import api
+            from ds_jedai_spark.config import DatasetSpec
+            from ds_jedai_spark.operators.measures import with_measures
+
+            if not args.left:
+                print("-op measures needs -left (input dataset)",
+                      file=sys.stderr)
+                return 2
+            src = api.read_dataset(spark, DatasetSpec(
+                path=args.left, id_field=args.id_col,
+                geom_field=args.geom_col, date_field=args.date_col,
+            ), bbox=args.bbox)
+            out = with_measures(src).select(
+                "id", "gtype", "npoints", "length", "perimeter",
+                "area", "centroid_x", "centroid_y",
+            )
+            return _print_or_write(out, args.out, args.limit, t0)
         elif args.op == "reproject":
             # Closed-form CRS reprojection (EPSG:4326 <-> EPSG:3857):
             # the in-engine remedy for the CRS-mismatch warning. Reads
@@ -909,7 +931,7 @@ def main(argv: list[str] | None = None) -> int:
         "-op",
         default=None,
         choices=["relate", "convert", "perturb", "reproject",
-                 "knn", "distance", "asof", "interval",
+                 "measures", "knn", "distance", "asof", "interval",
                  "chunk", "dedup", "dedup-build", "dedup-apply", "emb-dedup",
                  "ann", "ann-build", "quantize", "shuffle", "dupspans",
                  "scrub"],
@@ -1047,6 +1069,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.id_col is None:
             args.id_col = ("id" if args.op in ("relate", "convert",
                                                "perturb", "reproject",
+                                               "measures",
                                                "knn", "distance")
                            else "doc_id")
         if args.bucket_us == "none":
