@@ -173,12 +173,12 @@ def main() -> None:
     # flagged_queries only when no quiet rep was obtainable at all
     # ("retried, still loaded"). r6->r8 moved +-25-43% on untouched
     # code, which this canary + retry makes falsifiable.
+    # (shared with scripts/calibrate_box.py via ds_jedai_spark/benchprobe
+    # since r15, so the calibration artifact measures the identical path)
+    from ds_jedai_spark.benchprobe import PROBE_VERSION, jvm_probe, py_probe
+
     def _probe() -> float:
-        t0 = time.perf_counter()
-        spark.range(0, 5 * 10**9, 1, 32).selectExpr(
-            "sum(id % 1000)"
-        ).collect()
-        return time.perf_counter() - t0
+        return jvm_probe(spark)
 
     # Python-worker canary (r12): the JVM probe is blind to the resource
     # the applyInPandas stateful queries are bound on — Python-worker
@@ -189,24 +189,8 @@ def main() -> None:
     # rows through Arrow, a real pandas reduction per group, ~0.4s
     # quiet) timed before every rep; a rep counts as quiet only when
     # BOTH probes ran at most 20% above their respective run medians.
-    import pandas as _pd
-
-    def _py_probe_fn(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
-        s = pdf["id"].to_numpy()
-        return _pd.DataFrame({"g": [int(pdf["g"].iloc[0])],
-                              "v": [float((s * s % 1000).sum())]})
-
     def _py_probe() -> float:
-        t0 = time.perf_counter()
-        (
-            spark.range(0, 3_200_000, 1, 32)
-            .selectExpr("id", "id % 32 AS g")
-            .groupBy("g")
-            .applyInPandas(_py_probe_fn, "g long, v double")
-            .selectExpr("sum(v)")
-            .collect()
-        )
-        return time.perf_counter() - t0
+        return py_probe(spark)
 
     _probe()  # codegen warm-up of the probe plans themselves
     _py_probe()
@@ -290,16 +274,28 @@ def main() -> None:
               file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    # SUSTAINED-slowdown evidence (r14): the retry canaries compare
-    # each rep to the RUN's own probe median, so they catch transient
-    # spikes but are blind to a box that is uniformly slow for the
-    # whole run (observed within one session: probe medians 0.52 ->
-    # 0.65 jvm / 0.62 -> 0.85 py as totals drifted 30 -> 40 s on
-    # untouched code). These pinned quiet-box references (medians of
-    # the r12/r13 published runs) turn the run's probe medians into an
-    # absolute box-speed ratio the reader can normalize totals by.
-    JVM_PROBE_QUIET = 0.48
-    PY_PROBE_QUIET = 0.50
+    # SUSTAINED-slowdown evidence (r14, reworked r15 per ADVICE): the
+    # retry canaries compare each rep to the RUN's own probe median, so
+    # they catch transient spikes but are blind to a box that is
+    # uniformly slow for the whole run (observed within one session:
+    # probe medians 0.52 -> 0.65 jvm / 0.62 -> 0.85 py as totals
+    # drifted 30 -> 40 s on untouched code). The quiet references now
+    # come from the committed CALIBRATION.json artifact (written by
+    # scripts/calibrate_box.py, which runs the IDENTICAL probe code),
+    # and the ratio is published only when the artifact's probe_version
+    # matches this run's — no inline magic numbers, and a probe-code
+    # change can never be misread as a box-speed change.
+    box_vs_calibration = None
+    cal_path = Path(__file__).resolve().parent / "CALIBRATION.json"
+    if cal_path.exists():
+        cal = json.loads(cal_path.read_text())
+        if cal.get("probe_version") == PROBE_VERSION:
+            box_vs_calibration = {
+                "jvm": round(med / cal["jvm_probe_quiet"], 2),
+                "py": round(py_med / cal["py_probe_quiet"], 2),
+                "calibration_recorded_utc": cal.get("recorded_utc"),
+                "probe_version": PROBE_VERSION,
+            }
     print(
         json.dumps(
             {
@@ -307,10 +303,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "box_vs_pinned_quiet": {
-                    "jvm": round(med / JVM_PROBE_QUIET, 2),
-                    "py": round(py_med / PY_PROBE_QUIET, 2),
-                },
+                "box_vs_calibration": box_vs_calibration,
                 "probe_sec": {
                     "median": round(med, 3),
                     "min": round(min(probes), 3),

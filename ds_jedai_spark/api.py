@@ -57,10 +57,12 @@ def read_dataset(spark: SparkSession, spec, bbox=None) -> DataFrame:
     pushed-down filter of apply_bbox."""
     df = _read_dataset(spark, spec, bbox)
     ext = os.path.splitext(spec.path)[1].lower()
+    from ds_jedai_spark.io.flatgeobuf import fgb_corpus_files
+
     bbox_native = ext in (".fgb", ".gpkg") or (
         ext not in _EXT_DELIMS and os.path.isdir(spec.path)
-        and glob.glob(os.path.join(spec.path, "*.fgb"))
         and not glob.glob(os.path.join(spec.path, "*.shp"))
+        and bool(fgb_corpus_files(spec.path))
     )
     if bbox is not None and not bbox_native:
         df = apply_bbox(df, bbox)
@@ -104,9 +106,10 @@ def _read_dataset(spark: SparkSession, spec, bbox=None) -> DataFrame:
             date_field=spec.date_field, date_pattern=spec.date_pattern,
             bbox=bbox,
         )
+    from ds_jedai_spark.io.flatgeobuf import fgb_corpus_files
+
     if ext == ".fgb" or (
-        os.path.isdir(spec.path)
-        and glob.glob(os.path.join(spec.path, "*.fgb"))
+        os.path.isdir(spec.path) and fgb_corpus_files(spec.path)
     ):
         from ds_jedai_spark.io.flatgeobuf import read_flatgeobuf
 

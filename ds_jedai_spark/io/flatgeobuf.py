@@ -402,6 +402,19 @@ _PLAN_SCHEMA = (
 )
 
 
+def fgb_corpus_files(path: str) -> list[str]:
+    """Canonical listing of a directory corpus: top-level ``*.fgb``,
+    falling back to a recursive glob for nested (e.g. date-partitioned)
+    layouts. ONE definition shared by the reader, the sharded sink's
+    overwrite pass, and ``api.read_dataset``'s dispatch/bbox_native
+    checks, so all of them agree on what constitutes the corpus (a
+    stale nested shard can't be visible to one and invisible to
+    another — ADVICE r14)."""
+    return sorted(_glob.glob(os.path.join(path, "*.fgb"))) or sorted(
+        _glob.glob(os.path.join(path, "**", "*.fgb"), recursive=True)
+    )
+
+
 def read_flatgeobuf(
     spark: SparkSession,
     path: str,
@@ -443,11 +456,7 @@ def read_flatgeobuf(
     )
 
     if not has_scheme(path) and os.path.isdir(path):
-        files = sorted(
-            _glob.glob(os.path.join(path, "*.fgb"))
-        ) or sorted(
-            _glob.glob(os.path.join(path, "**", "*.fgb"), recursive=True)
-        )
+        files = fgb_corpus_files(path)
         if not files:
             raise ValueError(f"no .fgb files under {path!r}")
     else:
@@ -828,7 +837,10 @@ def _row_feature(rid, gtype, coords, ts, has_ts: bool) -> bytes:
     raw = ("" if rid is None else str(rid)).encode("utf-8")
     props += struct.pack("<I", len(raw)) + raw
     if has_ts and ts is not None and ts == ts:  # NaT-safe
-        t = ts.strftime("%Y-%m-%d %H:%M:%S").encode()
+        # ISO-8601 'T' separator: the FlatGeobuf DateTime convention
+        # third-party consumers expect (the engine's own reader accepts
+        # both via parse_ts_cell's ISO fallback) — ADVICE r14
+        t = ts.strftime("%Y-%m-%dT%H:%M:%S").encode()
         props += struct.pack("<HI", 1, len(t)) + t
     parts = [[list(p) for p in part] for part in coords]
     return _feature_bytes(gtype, parts, bytes(props))
@@ -932,9 +944,13 @@ def export_flatgeobuf_sharded(
     write no file. Overwrite semantics like DataFrame.write:
     pre-existing *.fgb shards in the directory are removed first — a
     rerun with fewer partitions must not leave stale shards mixed into
-    the corpus."""
+    the corpus. The removal is RECURSIVE (everything the reader's
+    fgb_corpus_files fallback could ever surface), so a stale nested
+    shard can't silently mix into a reread after the top level is
+    rewritten."""
     os.makedirs(path, exist_ok=True)
-    for old in _glob.glob(os.path.join(path, "*.fgb")):
+    for old in _glob.glob(os.path.join(path, "**", "*.fgb"),
+                          recursive=True):
         os.remove(old)
     if spatial_shards:
         entities = entities.repartitionByRange(

@@ -369,19 +369,54 @@ def export_geopackage(
         # flags 0x01: header ints little-endian, no envelope, not empty
         header = b"GP" + bytes([0, 0x01]) + struct.pack("<i", srs_id)
         cols = ["id", "gtype", "coords"] + (["ts"] if has_ts else [])
+        # spec gpkg_rtree_index extension: an R*Tree over the feature
+        # envelopes so THIS reader's bbox pushdown (and third-party
+        # consumers) can prune candidate rows inside the container.
+        # Created UP FRONT and fed from the envelopes already in hand
+        # during the single insert pass below — no second fetchall()
+        # of the whole table back into driver memory, no WKB re-parse
+        # (ADVICE r14). Skipped gracefully on sqlite builds without
+        # the rtree module.
+        rt = f"rtree_{table}_geom"
+        rtree_ok = True
+        try:
+            con.execute(
+                f'CREATE VIRTUAL TABLE "{rt}" USING rtree('
+                "id, minx, maxx, miny, maxy)"
+            )
+        except sqlite3.OperationalError:
+            rtree_ok = False  # plain (spec-valid) GeoPackage
         n = 0
         box = None
-        ins = (f'INSERT INTO "{table}" (id, geom{", ts" if has_ts else ""})'
-               f' VALUES (?, ?{", ?" if has_ts else ""})')
+        ins = (f'INSERT INTO "{table}" (fid, id, geom'
+               f'{", ts" if has_ts else ""})'
+               f' VALUES (?, ?, ?{", ?" if has_ts else ""})')
+        ins_rt = f'INSERT INTO "{rt}" VALUES (?,?,?,?,?)'
+        BATCH = 4096
+        feat_batch: list[tuple] = []
+        env_batch: list[tuple] = []
+
+        def flush() -> None:
+            if feat_batch:
+                con.executemany(ins, feat_batch)
+                feat_batch.clear()
+            if env_batch:
+                con.executemany(ins_rt, env_batch)
+                env_batch.clear()
+
         for row in entities.select(*cols).toLocalIterator():
             blob = header + format_wkb(row.gtype, row.coords)
-            vals = [str(row.id), blob]
+            n += 1
+            vals = [n, str(row.id), blob]
             if has_ts:
+                # ISO-8601 'T': the GeoPackage spec's DATETIME text
+                # convention (readers here accept both via the ISO
+                # fallback in parse_ts_cell)
                 vals.append(
-                    row.ts.strftime("%Y-%m-%d %H:%M:%S")
+                    row.ts.strftime("%Y-%m-%dT%H:%M:%S")
                     if row.ts is not None else None
                 )
-            con.execute(ins, vals)
+            feat_batch.append(tuple(vals))
             xs = [p[0] for part in row.coords for p in part]
             ys = [p[1] for part in row.coords for p in part]
             b = (min(xs), min(ys), max(xs), max(ys))
@@ -389,39 +424,17 @@ def export_geopackage(
                 min(box[0], b[0]), min(box[1], b[1]),
                 max(box[2], b[2]), max(box[3], b[3]),
             )
-            n += 1
+            if rtree_ok:
+                env_batch.append((n, b[0], b[2], b[1], b[3]))
+            if len(feat_batch) >= BATCH:
+                flush()
+        flush()
         con.execute(
             "INSERT INTO gpkg_contents VALUES (?, 'features', ?, '', "
             "datetime('now'), ?, ?, ?, ?, ?)",
             (table, table, *(box or (None,) * 4), srs_id),
         )
-        try:
-            # spec gpkg_rtree_index extension: an R*Tree over the
-            # feature envelopes so THIS reader's bbox pushdown (and
-            # third-party consumers) can prune candidate rows inside
-            # the container; the envelope source is the feature table's
-            # own GPB WKB, recomputed from the row format here. Skipped
-            # gracefully on sqlite builds without the rtree module.
-            rt = f"rtree_{table}_geom"
-            con.execute(
-                f'CREATE VIRTUAL TABLE "{rt}" USING rtree('
-                "id, minx, maxx, miny, maxy)"
-            )
-            rows = con.execute(
-                f'SELECT fid, geom FROM "{table}"'
-            ).fetchall()
-            from ds_jedai_spark.model.geometry import parse_wkb
-
-            for fid, blob in rows:
-                parsed = parse_wkb(strip_gpb(blob))
-                if parsed is None:
-                    continue
-                xs = [p[0] for part in parsed[1] for p in part]
-                ys = [p[1] for part in parsed[1] for p in part]
-                con.execute(
-                    f'INSERT INTO "{rt}" VALUES (?,?,?,?,?)',
-                    (fid, min(xs), max(xs), min(ys), max(ys)),
-                )
+        if rtree_ok:
             con.execute(
                 "CREATE TABLE IF NOT EXISTS gpkg_extensions ("
                 "table_name TEXT, column_name TEXT, "
@@ -434,8 +447,6 @@ def export_geopackage(
                 "'http://www.geopackage.org/spec/#extension_rtree', "
                 "'write-only')", (table,),
             )
-        except sqlite3.OperationalError:
-            pass  # no rtree module: plain (spec-valid) GeoPackage
         con.commit()
     finally:
         con.close()

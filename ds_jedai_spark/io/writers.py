@@ -128,7 +128,8 @@ def geojson_lines(entities: DataFrame) -> DataFrame:
                     continue
                 props = {"id": str(rid)}
                 if ts is not None and ts == ts:  # skip NULL/NaT
-                    props["ts"] = ts.strftime("%Y-%m-%d %H:%M:%S")
+                    # RFC 3339 / ISO-8601 'T' (GeoJSON convention)
+                    props["ts"] = ts.strftime("%Y-%m-%dT%H:%M:%S")
                 lines.append(json.dumps({
                     "type": "Feature",
                     "geometry": geom,

@@ -61,6 +61,11 @@ def _areal_measures(gtype: str, parts) -> tuple[float, float, float]:
     """(area, cx, cy) for one row — exact even-odd ring grouping, then
     shoelace area/centroid with hole subtraction."""
     pts = [(float(p[0]), float(p[1])) for part in parts for p in part]
+    if not pts:
+        # empty coords array (hand-written row-format input that
+        # bypassed the readers' validity filter): null centroid, not a
+        # ZeroDivisionError that fails the whole Arrow batch task
+        return 0.0, float("nan"), float("nan")
     if gtype in ("POLYGON", "MULTIPOLYGON"):
         from ds_jedai_spark.model.geometry import regroup_rings
 
