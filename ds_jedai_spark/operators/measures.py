@@ -23,11 +23,33 @@ convenience that reuses the engine's semantics:
   midpoint; degenerate (zero-measure) rows fall back to the vertex
   mean. Measures are double-precision FLOAT computations — the exact
   rational machinery stays where exactness matters (predicates).
+
+UNITS. The planar measures are in the dataset's OWN CRS units —
+``length``/``perimeter`` in CRS units, ``area`` in CRS units SQUARED.
+On EPSG:4326 data that means DEGREES and DEGREES² (the classic
+PostGIS-geometry footgun, stated here instead of silently shipped):
+the ``unit`` column carries 'deg' (EPSG:4326/OGC:CRS84 input), 'm'
+(EPSG:3857), or 'crs' (unknown frame) so the semantics travel with
+the rows. For real distances/areas on lon/lat data, pass
+``geodesic=True``: ``length_m``/``perimeter_m`` come from the
+haversine great-circle formula (pure JVM nested aggregates — the SQL
+text is shared with the DuckDB gate oracle via ``haversine_sql``),
+and ``area_m2`` from the exact Green's-theorem ring integral for
+lon/lat-straight edges (the closed form whose trapezoid approximation
+is Chamberlain & Duquette, "Some Algorithms for Polygons on a
+Sphere", JPL 07-03), with holes subtracting exactly like the planar
+path. Both use the
+IUGG mean Earth radius ``MEAN_R``; geodesic mode requires declared
+EPSG:4326 input (raises otherwise — reproject first) and, like every
+spherical closed form, assumes rings do not cross the antimeridian.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+# IUGG mean Earth radius (meters) — the standard haversine sphere.
+MEAN_R = 6371008.8
 
 _SEG_LEN = (
     "aggregate(coords, 0d, (acc, part) -> acc + (CASE WHEN size(part) >= 2 "
@@ -35,6 +57,43 @@ _SEG_LEN = (
     "s + sqrt(pow(part[i + 1][0] - part[i][0], 2) + "
     "pow(part[i + 1][1] - part[i][1], 2))) ELSE 0d END))"
 )
+
+
+def haversine_sql(x1: str, y1: str, x2: str, y2: str) -> str:
+    """Great-circle meters between two lon/lat-degree points as ONE SQL
+    text — executed verbatim by both Spark (JVM codegen) and the DuckDB
+    gate oracle, so correctness comparisons exercise the engine, not
+    formula transcription. ``least(1.0, ...)`` clamps float dust at the
+    antipodal asin boundary."""
+    return (
+        f"2.0 * {MEAN_R!r} * asin(least(1.0, sqrt("
+        f"pow(sin(radians(({y2}) - ({y1})) / 2.0), 2) + "
+        f"cos(radians({y1})) * cos(radians({y2})) * "
+        f"pow(sin(radians(({x2}) - ({x1})) / 2.0), 2))))"
+    )
+
+
+_GEO_SEG_LEN = (
+    "aggregate(coords, 0d, (acc, part) -> acc + (CASE WHEN size(part) >= 2 "
+    "THEN aggregate(sequence(0, size(part) - 2), 0d, (s, i) -> s + ("
+    + haversine_sql("part[i][0]", "part[i][1]",
+                    "part[i + 1][0]", "part[i + 1][1]")
+    + ")) ELSE 0d END))"
+)
+
+
+def geodesic_length_expr() -> "F.Column":
+    return F.expr(
+        f"CASE WHEN gtype IN ('LINESTRING', 'MULTILINESTRING') "
+        f"THEN {_GEO_SEG_LEN} ELSE 0d END"
+    )
+
+
+def geodesic_perimeter_expr() -> "F.Column":
+    return F.expr(
+        f"CASE WHEN gtype IN ('POLYGON', 'MULTIPOLYGON') "
+        f"THEN {_GEO_SEG_LEN} ELSE 0d END"
+    )
 
 
 def npoints_expr() -> "F.Column":
@@ -106,11 +165,77 @@ def _areal_measures(gtype: str, parts) -> tuple[float, float, float]:
         sum(y for _, y in pts) / len(pts)
 
 
-def with_measures(df: DataFrame) -> DataFrame:
+def _ring_sphere_area_m2(ring) -> float:
+    """One ring's unsigned spherical area (m²) over lon/lat-degree
+    vertices whose edges are straight in lon/lat space (the engine's
+    edge semantics — these are planar geometries reinterpreted on the
+    sphere, not great-circle polygons). Green's theorem gives
+    area = |∮ sin φ dλ| · R², and the per-edge integral has a CLOSED
+    FORM for a lon/lat-linear edge:
+
+        ∫ sin φ dλ = Δλ · sin(φ_mid) · sinc(Δφ/2)
+
+    (cos difference identity; sinc(0) = 1 keeps constant-latitude edges
+    exact). This is what the Chamberlain & Duquette ring sum
+    (JPL 07-03, the turf.js formula) approximates with a trapezoid rule
+    — the closed form costs the same and has no O(Δφ³) edge error."""
+    import math
+
+    s = 0.0
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+        dlmb = math.radians(x2 - x1)
+        p1, p2 = math.radians(y1), math.radians(y2)
+        half = (p2 - p1) / 2.0
+        sinc = 1.0 if half == 0.0 else math.sin(half) / half
+        s += dlmb * math.sin((p1 + p2) / 2.0) * sinc
+    return abs(s) * MEAN_R * MEAN_R
+
+
+def _geodesic_area_m2(gtype: str, parts) -> float:
+    """Spherical polygon area with hole subtraction — the same ring
+    nesting (regroup_rings) as the planar path, spherical ring sums."""
+    if gtype not in ("POLYGON", "MULTIPOLYGON") or not parts:
+        return 0.0
+    from ds_jedai_spark.model.geometry import regroup_rings
+
+    area = 0.0
+    for rings in regroup_rings(
+        [[list(map(float, p)) for p in part] for part in parts]
+    ):
+        for k, ring in enumerate(rings):
+            a = _ring_sphere_area_m2([(p[0], p[1]) for p in ring])
+            area += a if k == 0 else -a
+    return max(area, 0.0)
+
+
+def _planar_unit(df: DataFrame) -> str:
+    meta = (df.schema["gtype"].metadata or {}) if "gtype" in df.columns \
+        else {}
+    crs = meta.get("crs")
+    if crs in ("EPSG:4326", "OGC:CRS84"):
+        return "deg"
+    if crs == "EPSG:3857":
+        return "m"
+    return "crs"
+
+
+def with_measures(df: DataFrame, geodesic: bool = False) -> DataFrame:
     """Append npoints, length, perimeter, area, centroid_x, centroid_y
-    to a row-format DataFrame. JVM expressions carry the first three;
-    the areal trio maps the batch through Arrow (one pass, the reader
-    transport pattern — never a row-at-a-time Python UDF)."""
+    and a ``unit`` column (the planar measures' CRS unit — see module
+    docstring) to a row-format DataFrame. JVM expressions carry the
+    first three; the areal trio maps the batch through Arrow (one pass,
+    the reader transport pattern — never a row-at-a-time Python UDF).
+
+    ``geodesic=True`` (declared-EPSG:4326 input only) additionally
+    appends ``length_m`` / ``perimeter_m`` (haversine, pure JVM) and
+    ``area_m2`` (spherical excess, same Arrow pass)."""
+    unit = _planar_unit(df)
+    if geodesic and unit != "deg":
+        raise ValueError(
+            "with_measures(geodesic=True) needs declared EPSG:4326 "
+            f"(lon/lat degree) input; got CRS unit {unit!r} — reproject "
+            "to EPSG:4326 first (-op reproject)"
+        )
 
     def run(batches):
         import pyarrow as pa
@@ -118,27 +243,39 @@ def with_measures(df: DataFrame) -> DataFrame:
         for batch in batches:
             d = batch.to_pylist()
             areas, cxs, cys = [], [], []
+            areas_m2 = []
             for row in d:
                 a, cx, cy = _areal_measures(row["gtype"], row["coords"])
                 areas.append(a)
                 cxs.append(cx)
                 cys.append(cy)
+                if geodesic:
+                    areas_m2.append(
+                        _geodesic_area_m2(row["gtype"], row["coords"])
+                    )
+            extra_cols = [pa.array(areas, pa.float64()),
+                          pa.array(cxs, pa.float64()),
+                          pa.array(cys, pa.float64())]
+            extra_names = ["area", "centroid_x", "centroid_y"]
+            if geodesic:
+                extra_cols.append(pa.array(areas_m2, pa.float64()))
+                extra_names.append("area_m2")
             yield pa.RecordBatch.from_arrays(
                 [batch.column(i) for i in range(batch.num_columns)]
-                + [pa.array(areas, pa.float64()),
-                   pa.array(cxs, pa.float64()),
-                   pa.array(cys, pa.float64())],
-                names=batch.schema.names + ["area", "centroid_x",
-                                            "centroid_y"],
+                + extra_cols,
+                names=batch.schema.names + extra_names,
             )
 
     base = df.withColumn("npoints", npoints_expr()) \
              .withColumn("length", length_expr()) \
-             .withColumn("perimeter", perimeter_expr())
+             .withColumn("perimeter", perimeter_expr()) \
+             .withColumn("unit", F.lit(unit))
+    out_extra = ", area double, centroid_x double, centroid_y double"
+    if geodesic:
+        base = base.withColumn("length_m", geodesic_length_expr()) \
+                   .withColumn("perimeter_m", geodesic_perimeter_expr())
+        out_extra += ", area_m2 double"
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in base.schema
     )
-    return base.mapInArrow(
-        run, f"{fields}, area double, centroid_x double, "
-        "centroid_y double",
-    )
+    return base.mapInArrow(run, fields + out_extra)

@@ -28,6 +28,7 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ds_jedai_spark.plans import giant
+from ds_jedai_spark.plans import measure_plans as mp
 from ds_jedai_spark.plans import pipeline_plans as pl
 from ds_jedai_spark.plans import progressive_plans as pp
 from ds_jedai_spark.plans import reader_plans as rp
@@ -255,6 +256,14 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                  ["avg_w", "avg_h", "min_w", "min_h", "max_w", "max_h", "n"]),
                 ("blk", giant.total_blocks_stats,
                  giant.total_blocks_stats_oracle(), ["blocks_total"]),
+                # r15: measures (planar + geodesic) and CRS reprojection
+                # under the hard gate — plans/measure_plans.py
+                ("ms", mp.measure_stats, mp.measure_stats_oracle(),
+                 ["n_poly", "poly_npts", "perim32", "area4096",
+                  "pcx6", "pcy6", "n_line", "len1000", "lcx6", "lcy6",
+                  "glen_m", "n_point", "ptcx6", "ptcy6"]),
+                ("rp", mp.reproject_stats, mp.reproject_stats_oracle(),
+                 ["n", "sum_e_m", "sum_n_m", "n_env_ok", "n_rt_ok"]),
             ]
         ),
     )

@@ -1,0 +1,252 @@
+"""Geometry measures + CRS reprojection under the DuckDB oracle gate.
+
+Both surfaces landed in r14 with pytest-only evidence; these single-row
+stat queries put them under the driver's hard correctness signal
+(VERDICT r14 #1). The geometry is derived from the sf tables by the
+shared io/synthetic SQL generators, so the oracle can recompute every
+measure in CLOSED FORM (shoelace/centroid of a box-with-hole, haversine,
+the published Mercator formulas) while the Spark side runs the actual
+operators (with_measures' JVM expressions + Arrow areal pass,
+operators/crs.reproject's nested-transform plan).
+
+Exactness strategy (the decompose_*_stats pattern, plans/giant.py):
+
+* integer-exact measures (npoints; box perimeters/areas — every
+  coordinate a multiple of 1/16) round to scaled BIGINTs per row, so
+  the cross-engine comparison is integer equality;
+* closed-form rationals with non-dyadic denominators (hole-offset
+  centroids: cx = minx + 31*w/60) round at 1e6 — their fractional parts
+  sit on thirds, >= 1/6 from any rounding boundary, while float dust is
+  ~1e-10;
+* genuinely irrational values (sqrt lengths, haversine meters, Mercator
+  N) are rounded ONCE after summing (length legs) or per row at integer
+  meters (reproject) — dust is ~1e-8 against a 0.5 boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ds_jedai_spark.io.synthetic import (
+    line_sql,
+    load_sql,
+    point_sql,
+    source_box_sql,
+)
+from ds_jedai_spark.operators.measures import haversine_sql
+
+# polygon-with-hole construction over the SOURCE boxes: outer ring = the
+# box, hole = the box's lower-left quadrant inset (offset so the
+# centroid moves — a centered hole would leave it at the box center and
+# test nothing). All hole coordinates are multiples of 1/128: exact.
+_HOLE = {
+    "x0": "minx + (maxx - minx) / 8.0",
+    "y0": "miny + (maxy - miny) / 8.0",
+    "x1": "minx + 3.0 * (maxx - minx) / 8.0",
+    "y1": "miny + 3.0 * (maxy - miny) / 8.0",
+}
+
+
+def _poly_with_hole(spark: SparkSession, sf_dir: str) -> DataFrame:
+    boxes = load_sql(spark, sf_dir, source_box_sql())
+    h = _HOLE
+    return boxes.selectExpr(
+        "id",
+        "'POLYGON' AS gtype",
+        "array("
+        "array(array(minx, miny), array(maxx, miny), array(maxx, maxy),"
+        " array(minx, maxy), array(minx, miny)), "
+        f"array(array({h['x0']}, {h['y0']}), array({h['x1']}, {h['y0']}),"
+        f" array({h['x1']}, {h['y1']}), array({h['x0']}, {h['y1']}),"
+        f" array({h['x0']}, {h['y0']}))"
+        ") AS coords",
+        "minx", "miny", "maxx", "maxy",
+    )
+
+
+def measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One wide row: with_measures over three derived datasets —
+    polygons-with-holes (area/perimeter/centroid with hole subtraction
+    through the Arrow areal pass), segments (sqrt lengths + midpoint
+    centroids), points (vertex-mean centroid) — plus the geodesic
+    haversine length of the segments remapped into lon/lat range."""
+    from ds_jedai_spark.operators.measures import with_measures
+
+    poly = with_measures(_poly_with_hole(spark, sf_dir))
+    agg_poly = poly.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("npoints").cast("bigint").alias("npts"),
+        F.sum(F.round(F.col("perimeter") * 32)).cast("bigint")
+        .alias("perim32"),
+        F.sum(F.round(F.col("area") * 4096)).cast("bigint")
+        .alias("area4096"),
+        F.sum(F.round(F.col("centroid_x") * 1e6)).cast("bigint")
+        .alias("cx6"),
+        F.sum(F.round(F.col("centroid_y") * 1e6)).cast("bigint")
+        .alias("cy6"),
+    )
+
+    lines = load_sql(spark, sf_dir, line_sql()).selectExpr(
+        "id", "'LINESTRING' AS gtype",
+        "array(array(array(x1, y1), array(x2, y2))) AS coords",
+        "minx", "miny", "maxx", "maxy",
+    )
+    lm = with_measures(lines)
+    agg_line = lm.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("length") * 1000)).cast("bigint")
+        .alias("len1000"),
+        F.sum(F.round(F.col("centroid_x") * 1e6)).cast("bigint")
+        .alias("cx6"),
+        F.sum(F.round(F.col("centroid_y") * 1e6)).cast("bigint")
+        .alias("cy6"),
+    )
+
+    # geodesic leg: the same segments remapped into valid lon/lat range
+    # (lon = x - 48 in [-48, 49.5], lat = y/2 - 24 in [-24, 24.8] —
+    # exact: halves of multiples of 1/16), declared EPSG:4326
+    geo = load_sql(spark, sf_dir, line_sql()).selectExpr(
+        "id", "'LINESTRING' AS gtype",
+        "array(array(array(x1 - 48.0, y1 / 2.0 - 24.0),"
+        " array(x2 - 48.0, y2 / 2.0 - 24.0))) AS coords",
+        "least(x1, x2) - 48.0 AS minx",
+        "least(y1, y2) / 2.0 - 24.0 AS miny",
+        "greatest(x1, x2) - 48.0 AS maxx",
+        "greatest(y1, y2) / 2.0 - 24.0 AS maxy",
+    ).withMetadata("gtype", {"crs": "EPSG:4326"})
+    agg_geo = with_measures(geo, geodesic=True).agg(
+        F.sum(F.round(F.col("length_m"))).cast("bigint").alias("glen_m"),
+    )
+
+    pts = load_sql(spark, sf_dir, point_sql()).selectExpr(
+        "id", "'POINT' AS gtype",
+        "array(array(array(minx, miny))) AS coords",
+        "minx", "miny", "maxx", "maxy",
+    )
+    agg_pt = with_measures(pts).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("centroid_x") * 1e6)).cast("bigint")
+        .alias("cx6"),
+        F.sum(F.round(F.col("centroid_y") * 1e6)).cast("bigint")
+        .alias("cy6"),
+    )
+
+    p = agg_poly.select(
+        F.col("n").alias("n_poly"), F.col("npts").alias("poly_npts"),
+        "perim32", "area4096",
+        F.col("cx6").alias("pcx6"), F.col("cy6").alias("pcy6"),
+    )
+    ln = agg_line.select(
+        F.col("n").alias("n_line"), "len1000",
+        F.col("cx6").alias("lcx6"), F.col("cy6").alias("lcy6"),
+    )
+    pt = agg_pt.select(
+        F.col("n").alias("n_point"),
+        F.col("cx6").alias("ptcx6"), F.col("cy6").alias("ptcy6"),
+    )
+    return p.crossJoin(ln).crossJoin(agg_geo).crossJoin(pt)
+
+
+def measure_stats_oracle() -> str:
+    h = _HOLE
+    # closed forms over the box lattice: w = maxx-minx, h = maxy-miny;
+    # area = wh - (w/4)(h/4) = 15wh/16; perimeter = 2(w+h) + (w+h)/2;
+    # centroid = (A_out*c_out - A_hole*c_hole) / (A_out - A_hole)
+    #          = minx + 31w/60 (and symmetrically for y) — the hole
+    # offset derivation is in the module docstring exactness notes.
+    w, hh = "(maxx - minx)", "(maxy - miny)"
+    hav = haversine_sql("x1 - 48.0", "y1 / 2.0 - 24.0",
+                        "x2 - 48.0", "y2 / 2.0 - 24.0")
+    return f"""
+WITH boxes AS ({source_box_sql()}),
+poly AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_poly,
+         CAST(10 * count(*) AS BIGINT) AS poly_npts,
+         CAST(sum(round((2.0 * ({w} + {hh}) + ({w} + {hh}) / 2.0) * 32))
+              AS BIGINT) AS perim32,
+         CAST(sum(round(15.0 * {w} * {hh} / 16.0 * 4096)) AS BIGINT)
+              AS area4096,
+         CAST(sum(round((minx + 31.0 * {w} / 60.0) * 1e6)) AS BIGINT)
+              AS pcx6,
+         CAST(sum(round((miny + 31.0 * {hh} / 60.0) * 1e6)) AS BIGINT)
+              AS pcy6
+  FROM boxes),
+segs AS ({line_sql()}),
+ln AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_line,
+         CAST(sum(round(sqrt(pow(x2 - x1, 2) + pow(y2 - y1, 2)) * 1000))
+              AS BIGINT) AS len1000,
+         CAST(sum(round((x1 + x2) / 2.0 * 1e6)) AS BIGINT) AS lcx6,
+         CAST(sum(round((y1 + y2) / 2.0 * 1e6)) AS BIGINT) AS lcy6
+  FROM segs),
+geo AS (
+  SELECT CAST(sum(round({hav})) AS BIGINT) AS glen_m FROM segs),
+pts AS ({point_sql()}),
+pt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_point,
+         CAST(sum(round(minx * 1e6)) AS BIGINT) AS ptcx6,
+         CAST(sum(round(miny * 1e6)) AS BIGINT) AS ptcy6
+  FROM pts)
+SELECT poly.*, ln.*, geo.*, pt.* FROM poly, ln, geo, pt
+"""
+
+
+def reproject_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One wide row over the forward (4326 -> 3857) reprojection of the
+    point dataset remapped into lon/lat range, plus the inverse
+    round-trip: per-point projected coordinates summed at integer
+    meters (the oracle recomputes the published spherical Mercator
+    formulas — EPSG guidance note 7-2 method 1024 — in SQL), an
+    envelope-corner law (the transformed envelope must equal the
+    transformed point BIT-FOR-BIT, since both run the same expression),
+    and a 1e-9-degree round-trip bound (oracle: every row passes)."""
+    from ds_jedai_spark.operators.crs import reproject
+
+    pts = load_sql(spark, sf_dir, point_sql()).selectExpr(
+        "id", "'POINT' AS gtype",
+        "array(array(array(minx - 48.0, miny / 2.0 - 24.0))) AS coords",
+        "minx - 48.0 AS minx", "miny / 2.0 - 24.0 AS miny",
+        "maxx - 48.0 AS maxx", "maxy / 2.0 - 24.0 AS maxy",
+        "minx - 48.0 AS lon0", "miny / 2.0 - 24.0 AS lat0",
+    ).withMetadata("gtype", {"crs": "EPSG:4326"})
+    fwd = reproject(pts, "EPSG:3857") \
+        .withColumn("px", F.expr("coords[0][0][0]")) \
+        .withColumn("py", F.expr("coords[0][0][1]")) \
+        .withColumn(
+            "env_ok",
+            (F.col("minx") == F.expr("coords[0][0][0]"))
+            & (F.col("miny") == F.expr("coords[0][0][1]")),
+        )
+    back = reproject(fwd, "EPSG:4326")
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("px"))).cast("bigint").alias("sum_e_m"),
+        F.sum(F.round(F.col("py"))).cast("bigint").alias("sum_n_m"),
+        F.sum(F.when(F.col("env_ok"), 1).otherwise(0)).cast("bigint")
+        .alias("n_env_ok"),
+        F.sum(
+            F.when(
+                (F.abs(F.expr("coords[0][0][0]") - F.col("lon0")) < 1e-9)
+                & (F.abs(F.expr("coords[0][0][1]") - F.col("lat0"))
+                   < 1e-9),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_rt_ok"),
+    )
+
+
+def reproject_stats_oracle() -> str:
+    # EPSG guidance note 7-2, method 1024 (spherical Web Mercator),
+    # R = 6378137.0 — operators/crs.py:84-91 carries the same formulas.
+    return f"""
+WITH pts AS ({point_sql()}),
+ll AS (SELECT minx - 48.0 AS lon, miny / 2.0 - 24.0 AS lat FROM pts)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(round(6378137.0 * radians(lon))) AS BIGINT) AS sum_e_m,
+       CAST(sum(round(6378137.0 *
+            ln(tan(pi() / 4.0 + radians(lat) / 2.0)))) AS BIGINT)
+            AS sum_n_m,
+       CAST(count(*) AS BIGINT) AS n_env_ok,
+       CAST(count(*) AS BIGINT) AS n_rt_ok
+FROM ll
+"""

@@ -170,9 +170,137 @@ def test_cli_op_measures(spark, tmp_path, capsys, monkeypatch):
     back = spark.read.parquet(out)
     assert set(back.columns) == {"id", "gtype", "npoints", "length",
                                  "perimeter", "area", "centroid_x",
-                                 "centroid_y"}
+                                 "centroid_y", "unit"}
     assert back.where("npoints <= 0").count() == 0
     # bbox composes
     rc = cli.main(["-op", "measures", "-left", WKT_FIX,
                    "-bbox", "0,0,24,24", "-limit", "3"])
     assert rc == 0
+
+
+# ---------------------------------------------------------------- geodesic
+
+def _gc_arccos_m(x1, y1, x2, y2):
+    """INDEPENDENT great-circle meters: arccos of the unit-vector dot
+    product (a different closed form from the operator's haversine)."""
+    from ds_jedai_spark.operators.measures import MEAN_R
+
+    p1, l1, p2, l2 = map(math.radians, (y1, x1, y2, x2))
+    d = (math.sin(p1) * math.sin(p2)
+         + math.cos(p1) * math.cos(p2) * math.cos(l2 - l1))
+    return MEAN_R * math.acos(max(-1.0, min(1.0, d)))
+
+
+def _rowdf(spark, rows, crs=None):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "id string, gtype string, "
+        "coords array<array<array<double>>>"
+    ).withColumn("minx", F.expr("coords[0][0][0]")) \
+     .withColumn("miny", F.expr("coords[0][0][1]")) \
+     .withColumn("maxx", F.expr("coords[0][0][0]")) \
+     .withColumn("maxy", F.expr("coords[0][0][1]"))
+    if crs:
+        df = df.withMetadata("gtype", {"crs": crs})
+    return df
+
+
+def test_geodesic_length_vs_independent_formula(spark):
+    """Haversine length_m agrees with the arccos-dot great-circle form
+    on deterministic pseudo-random segments, and with the textbook
+    meridian-degree value."""
+    import random
+
+    rng = random.Random(7)
+    rows, want = [], {}
+    for i in range(60):
+        x1, y1 = rng.uniform(-179, 179), rng.uniform(-80, 80)
+        x2, y2 = x1 + rng.uniform(-1, 1), y1 + rng.uniform(-1, 1)
+        rows.append((str(i), "LINESTRING", [[[x1, y1], [x2, y2]]]))
+        want[str(i)] = _gc_arccos_m(x1, y1, x2, y2)
+    # one meridian degree on the mean sphere: R * pi / 180
+    from ds_jedai_spark.operators.measures import MEAN_R
+    rows.append(("mer", "LINESTRING", [[[10.0, 0.0], [10.0, 1.0]]]))
+    want["mer"] = MEAN_R * math.pi / 180.0
+
+    got = {r.id: r for r in with_measures(
+        _rowdf(spark, rows, crs="EPSG:4326"), geodesic=True
+    ).collect()}
+    for k, w in want.items():
+        assert abs(got[k].length_m - w) <= 1e-6 * max(w, 1.0), (
+            k, got[k].length_m, w)
+        assert got[k].unit == "deg"
+        assert got[k].area_m2 == 0.0
+
+
+def _scanline_tri_m2(x, y, w=0.2, h=0.15, n=2000):
+    """INDEPENDENT truth for the engine's lon/lat-straight edge
+    semantics: midpoint-rule scanline integration of
+    R² ∫∫ cos(φ) dλ dφ over the triangle with horizontal base
+    [(x,y),(x+w,y)] and apex (x+w/2, y+h) — a numeric quadrature with
+    NO shared code or closed form with the operator's Green integral
+    (midpoint error ~1e-13 relative at n=2000). (An L'Huilier fan over
+    densified edges was tried first and is itself 2.5e-4 off: the
+    acos-dot edge length loses half its digits on sliver triangles.)"""
+    from ds_jedai_spark.operators.measures import MEAN_R
+
+    tot = 0.0
+    for k in range(n):
+        phi = y + (k + 0.5) / n * h
+        width = w * (1.0 - (phi - y) / h)
+        tot += math.cos(math.radians(phi)) * width * h / n
+    return tot * (math.pi / 180.0) ** 2 * MEAN_R * MEAN_R
+
+
+def test_geodesic_area_vs_scanline_quadrature_and_holes(spark):
+    """area_m2 agrees with independent scanline quadrature on
+    pseudo-random triangles, and holes subtract exactly like the planar
+    path."""
+    import random
+
+    rng = random.Random(11)
+    rows, want = [], {}
+    for i in range(40):
+        x, y = rng.uniform(-170, 170), rng.uniform(-60, 60)
+        a, b, c = (x, y), (x + 0.2, y), (x + 0.1, y + 0.15)
+        ring = [list(a), list(b), list(c), list(a)]
+        rows.append((str(i), "POLYGON", [ring]))
+        want[str(i)] = _scanline_tri_m2(x, y)
+    got = {r.id: r for r in with_measures(
+        _rowdf(spark, rows, crs="OGC:CRS84"), geodesic=True
+    ).collect()}
+    for k, w in want.items():
+        assert abs(got[k].area_m2 - w) <= 1e-9 * w, (k, got[k].area_m2, w)
+
+    # hole subtraction: outer square minus centered hole
+    outer = [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]
+    hole = [[0.25, 0.25], [0.75, 0.25], [0.75, 0.75], [0.25, 0.75],
+            [0.25, 0.25]]
+    three = [
+        ("full", "POLYGON", [outer]),
+        ("holed", "POLYGON", [outer, hole]),
+        ("holeonly", "POLYGON", [hole]),
+    ]
+    g = {r.id: r for r in with_measures(
+        _rowdf(spark, three, crs="EPSG:4326"), geodesic=True
+    ).collect()}
+    assert abs(g["holed"].area_m2
+               - (g["full"].area_m2 - g["holeonly"].area_m2)) <= 1.0
+    # perimeter_m counts outer + hole rings
+    assert g["holed"].perimeter_m > g["full"].perimeter_m
+
+
+def test_unit_column_and_geodesic_guard(spark):
+    rows = [("a", "POINT", [[[1.0, 2.0]]])]
+    assert with_measures(_rowdf(spark, rows, crs="EPSG:4326")) \
+        .first().unit == "deg"
+    assert with_measures(_rowdf(spark, rows, crs="EPSG:3857")) \
+        .first().unit == "m"
+    assert with_measures(_rowdf(spark, rows)).first().unit == "crs"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="EPSG:4326"):
+        with_measures(_rowdf(spark, rows, crs="EPSG:3857"), geodesic=True)
+    with _pytest.raises(ValueError, match="EPSG:4326"):
+        with_measures(_rowdf(spark, rows), geodesic=True)
