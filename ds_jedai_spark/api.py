@@ -59,10 +59,17 @@ def read_dataset(spark: SparkSession, spec, bbox=None) -> DataFrame:
     ext = os.path.splitext(spec.path)[1].lower()
     from ds_jedai_spark.io.flatgeobuf import fgb_corpus_files
 
-    bbox_native = ext in (".fgb", ".gpkg") or (
+    from ds_jedai_spark.io.geopackage import gpkg_corpus_files
+
+    # shp joined the native set in r15: record-header bbox short-circuit
+    # + exact post-filter inside read_shapefile
+    bbox_native = ext in (".fgb", ".gpkg", ".shp") or (
         ext not in _EXT_DELIMS and os.path.isdir(spec.path)
-        and not glob.glob(os.path.join(spec.path, "*.shp"))
-        and bool(fgb_corpus_files(spec.path))
+        and bool(
+            glob.glob(os.path.join(spec.path, "*.shp"))
+            or fgb_corpus_files(spec.path)
+            or gpkg_corpus_files(spec.path)
+        )
     )
     if bbox is not None and not bbox_native:
         df = apply_bbox(df, bbox)
@@ -97,8 +104,15 @@ def _read_dataset(spark: SparkSession, spec, bbox=None) -> DataFrame:
         return read_shapefile(
             spark, spec.path, id_field=spec.id_field,
             date_field=spec.date_field, date_pattern=spec.date_pattern,
+            bbox=bbox,
         )
-    if ext == ".gpkg":
+    from ds_jedai_spark.io.geopackage import gpkg_corpus_files
+
+    if ext == ".gpkg" or (
+        os.path.isdir(spec.path)
+        and not glob.glob(os.path.join(spec.path, "*.shp"))
+        and gpkg_corpus_files(spec.path)
+    ):
         from ds_jedai_spark.io.geopackage import read_geopackage
 
         return read_geopackage(

@@ -336,11 +336,16 @@ def _run_op(args) -> int:
                 writers.export_geoparquet(src, args.out, crs=crs)
                 back = spark.read.parquet(args.out)
             elif args.to == "geopackage":
-                # single-file interop sink (driver-side assembly; the
-                # distributed sinks remain the scale path) — CRS from
-                # the input's metadata lands in gpkg_spatial_ref_sys
+                # -out ending in .gpkg: single-file interop sink
+                # (driver-side assembly — SQLite is single-writer per
+                # file); anything else: a DIRECTORY of per-partition
+                # .gpkg shards assembled by the executors in parallel
+                # (the scale path, mirroring the fgb dispatch). CRS
+                # from the input's metadata lands in
+                # gpkg_spatial_ref_sys either way.
                 from ds_jedai_spark.io.geopackage import (
                     export_geopackage,
+                    export_geopackage_sharded,
                     read_geopackage,
                 )
 
@@ -351,7 +356,10 @@ def _run_op(args) -> int:
                     org, code = meta["crs"].split(":", 1)
                     if code.isdigit():
                         crs_id = (org, int(code))
-                export_geopackage(src, args.out, crs_id=crs_id)
+                sink = (export_geopackage
+                        if args.out.lower().endswith(".gpkg")
+                        else export_geopackage_sharded)
+                sink(src, args.out, crs_id=crs_id)
                 back = read_geopackage(spark, args.out)
             elif args.to == "flatgeobuf":
                 # -out ending in .fgb: single-file interop sink
@@ -439,10 +447,11 @@ def _run_op(args) -> int:
                 path=args.left, id_field=args.id_col,
                 geom_field=args.geom_col, date_field=args.date_col,
             ), bbox=args.bbox)
-            out = with_measures(src).select(
-                "id", "gtype", "npoints", "length", "perimeter",
-                "area", "centroid_x", "centroid_y",
-            )
+            cols = ["id", "gtype", "npoints", "length", "perimeter",
+                    "area", "centroid_x", "centroid_y", "unit"]
+            if args.geodesic:
+                cols += ["length_m", "perimeter_m", "area_m2"]
+            out = with_measures(src, geodesic=args.geodesic).select(*cols)
             return _print_or_write(out, args.out, args.limit, t0)
         elif args.op == "reproject":
             # Closed-form CRS reprojection (EPSG:4326 <-> EPSG:3857):
@@ -949,6 +958,10 @@ def main(argv: list[str] | None = None) -> int:
                          "reproject/knn/distance — pushed into the scan "
                          "(FlatGeobuf R-tree skip, parquet row-group "
                          "stats); envelope-intersection semantics")
+    ap.add_argument("-geodesic", action="store_true",
+                    help="-op measures: also emit haversine length_m/"
+                         "perimeter_m and spherical-excess area_m2 "
+                         "(requires declared EPSG:4326 input)")
     ap.add_argument("-auto-reproject", dest="auto_reproject",
                     action="store_true",
                     help="relate: convert a target declaring the "
@@ -1011,8 +1024,10 @@ def main(argv: list[str] | None = None) -> int:
                          "zero-parse), geoparquet (WKB binary, stamped "
                          "geo footer), geojson (NDJSON features), "
                          "shapefile (directory of .shp/.shx/.dbf), "
-                         "geopackage (single .gpkg, interop), "
-                         "flatgeobuf (single .fgb, Hilbert R-tree)")
+                         "geopackage (.gpkg single file interop, else "
+                         "sharded directory), "
+                         "flatgeobuf (.fgb single file, else sharded "
+                         "directory; Hilbert R-tree)")
     ap.add_argument("-date-col", dest="date_col", default=None,
                     help="relate: date column on BOTH sides enables the "
                          "reference's spatio-temporal qualifier "

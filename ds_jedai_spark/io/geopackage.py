@@ -171,6 +171,11 @@ def read_geopackage(
         valid_geometries,
     )
 
+    if os.path.isdir(path):
+        return _read_gpkg_corpus(
+            spark, path, table, id_field, date_field, date_pattern,
+            split_rows, bbox,
+        )
     if not os.path.isfile(path):
         raise ValueError(f"no such GeoPackage: {path!r}")
     table, geom_col, crs, cols, lo, hi, n_rows = _catalog(path, table)
@@ -301,6 +306,48 @@ def read_geopackage(
     return out
 
 
+def _read_gpkg_corpus(
+    spark, path, table, id_field, date_field, date_pattern, split_rows,
+    bbox,
+):
+    """Directory of .gpkg shards (export_geopackage_sharded's layout) as
+    ONE DataFrame: per-file split planning through the single-file
+    reader, union, one declared CRS enforced across the corpus (the
+    fgb-corpus contract). Rowid-fallback ids get a '<stem>:' prefix so
+    they stay unique across shards."""
+    files = gpkg_corpus_files(path)
+    if not files:
+        raise ValueError(f"no .gpkg files under {path!r}")
+    out = None
+    crss: set = set()
+    for f in files:
+        df = read_geopackage(
+            spark, f, table=table, id_field=id_field,
+            date_field=date_field, date_pattern=date_pattern,
+            split_rows=split_rows, bbox=bbox,
+        )
+        crs = (df.schema["gtype"].metadata or {}).get("crs")
+        if crs is not None:
+            crss.add(crs)
+        _, _, _, cols, _, _, _ = _catalog(f, table)
+        if id_field is None or id_field.lower() not in {
+            c.lower() for c in cols
+        }:
+            stem = os.path.splitext(os.path.basename(f))[0]
+            df = df.withColumn(
+                "id", F.concat(F.lit(stem + ":"), F.col("id"))
+            )
+        out = df if out is None else out.unionByName(df)
+    if len(crss) > 1:
+        raise ValueError(
+            f"mixed CRS across .gpkg corpus {path!r}: {sorted(crss)}; "
+            "reproject to one frame first (-op reproject)"
+        )
+    if crss:
+        out = out.withMetadata("gtype", {"crs": crss.pop()})
+    return out
+
+
 def export_geopackage(
     entities: DataFrame,
     path: str,
@@ -313,9 +360,30 @@ def export_geopackage(
     GeoParquet sinks this one funnels rows through the driver via
     toLocalIterator (partition-at-a-time, not a full collect) — use it
     for result exports and interop handoffs, not bulk data movement;
-    the distributed sinks (geoparquet, shapefile) remain the scale
-    path. Geometry is GPB-wrapped little-endian ISO WKB; id (and ts
-    when present) land as columns."""
+    export_geopackage_sharded (a directory of per-partition .gpkg,
+    executor-written) and the geoparquet/shapefile/sharded-fgb sinks
+    are the scale path. Geometry is GPB-wrapped little-endian ISO WKB;
+    id (and ts when present) land as columns."""
+    has_ts = "ts" in entities.columns
+    cols = ["id", "gtype", "coords"] + (["ts"] if has_ts else [])
+    rows = (
+        (r.id, r.gtype, r.coords, r.ts if has_ts else None)
+        for r in entities.select(*cols).toLocalIterator()
+    )
+    _assemble_gpkg(path, rows, table, crs_id, has_ts)
+
+
+def _assemble_gpkg(
+    path: str,
+    rows,
+    table: str,
+    crs_id: tuple[str, int] | None,
+    has_ts: bool,
+) -> int:
+    """Assemble ONE spec-conformant .gpkg from an iterator of
+    (id, gtype, coords, ts|None) rows — called driver-side by the
+    single-file sink and executor-side (one call per shard) by
+    export_geopackage_sharded. Returns the feature count."""
     from ds_jedai_spark.model.geometry import format_wkb
 
     srs_org, srs_code = crs_id or ("NONE", 0)
@@ -356,7 +424,6 @@ def export_geopackage(
                 (f"{srs_org}:{srs_code}", srs_id, srs_org, srs_code,
                  "undefined"),
             )
-        has_ts = "ts" in entities.columns
         ts_col = ", ts TEXT" if has_ts else ""
         con.execute(
             f'CREATE TABLE "{table}" (fid INTEGER PRIMARY KEY, '
@@ -368,7 +435,6 @@ def export_geopackage(
         )
         # flags 0x01: header ints little-endian, no envelope, not empty
         header = b"GP" + bytes([0, 0x01]) + struct.pack("<i", srs_id)
-        cols = ["id", "gtype", "coords"] + (["ts"] if has_ts else [])
         # spec gpkg_rtree_index extension: an R*Tree over the feature
         # envelopes so THIS reader's bbox pushdown (and third-party
         # consumers) can prune candidate rows inside the container.
@@ -404,21 +470,21 @@ def export_geopackage(
                 con.executemany(ins_rt, env_batch)
                 env_batch.clear()
 
-        for row in entities.select(*cols).toLocalIterator():
-            blob = header + format_wkb(row.gtype, row.coords)
+        for rid, gtype, coords, ts in rows:
+            blob = header + format_wkb(gtype, coords)
             n += 1
-            vals = [n, str(row.id), blob]
+            vals = [n, str(rid), blob]
             if has_ts:
                 # ISO-8601 'T': the GeoPackage spec's DATETIME text
                 # convention (readers here accept both via the ISO
                 # fallback in parse_ts_cell)
                 vals.append(
-                    row.ts.strftime("%Y-%m-%dT%H:%M:%S")
-                    if row.ts is not None else None
+                    ts.strftime("%Y-%m-%dT%H:%M:%S")
+                    if ts is not None and ts == ts else None  # NaT-safe
                 )
             feat_batch.append(tuple(vals))
-            xs = [p[0] for part in row.coords for p in part]
-            ys = [p[1] for part in row.coords for p in part]
+            xs = [p[0] for part in coords for p in part]
+            ys = [p[1] for part in coords for p in part]
             b = (min(xs), min(ys), max(xs), max(ys))
             box = b if box is None else (
                 min(box[0], b[0]), min(box[1], b[1]),
@@ -450,3 +516,77 @@ def export_geopackage(
         con.commit()
     finally:
         con.close()
+    return n
+
+
+def export_geopackage_sharded(
+    entities: DataFrame,
+    path: str,
+    table: str = "features",
+    crs_id: tuple[str, int] | None = None,
+    spatial_shards: int | None = None,
+) -> None:
+    """DISTRIBUTED GeoPackage sink: one .gpkg per input partition into a
+    directory — the corpus layout read_geopackage consumes as a single
+    DataFrame. SQLite is a single-WRITER container per file, so the way
+    to write it in parallel is one file per executor task (exactly the
+    sharded-fgb strategy, io/flatgeobuf.py): each task assembles its own
+    spec-conformant .gpkg — feature table, R*Tree index, catalog rows —
+    via the same _assemble_gpkg the interop sink uses. ``spatial_shards
+    = N`` first repartitionByRange's on (minx, miny) so each file gets a
+    coherent extent (its gpkg_contents envelope then lets a corpus bbox
+    read skip whole files). Overwrite semantics: pre-existing *.gpkg
+    under the directory are removed RECURSIVELY first (the reader's
+    corpus listing must never surface a stale shard). Executors write
+    local filesystem paths — for object stores, write locally and
+    upload, like the single-file sinks."""
+    os.makedirs(path, exist_ok=True)
+    import glob as _glob
+
+    for old in _glob.glob(os.path.join(path, "**", "*.gpkg"),
+                          recursive=True):
+        os.remove(old)
+    if spatial_shards:
+        entities = entities.repartitionByRange(
+            int(spatial_shards), "minx", "miny")
+    has_ts = "ts" in entities.columns
+    sel = ["id", "gtype", "coords"] + (["ts"] if has_ts else [])
+
+    def write_parts(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows: list[tuple] = []
+        for pdf in batches:
+            tss = pdf["ts"] if has_ts else [None] * len(pdf)
+            for rid, g, coords, ts in zip(
+                pdf["id"], pdf["gtype"], pdf["coords"], tss
+            ):
+                rows.append(
+                    (rid, g, [[list(p) for p in part] for part in coords],
+                     ts)
+                )
+        n = 0
+        if rows:
+            n = _assemble_gpkg(
+                os.path.join(path, f"part-{pid:05d}.gpkg"),
+                iter(rows), table, crs_id, has_ts,
+            )
+        yield pd.DataFrame({"files": [1 if rows else 0], "rows": [n]})
+
+    entities.select(*sel).mapInPandas(
+        write_parts, "files long, rows long"
+    ).groupBy().sum().collect()
+
+
+def gpkg_corpus_files(path: str) -> list[str]:
+    """Canonical listing of a directory corpus: top-level ``*.gpkg``,
+    falling back to a recursive glob — the same contract as
+    flatgeobuf.fgb_corpus_files, shared by the reader and
+    api.read_dataset's dispatch."""
+    import glob as _glob
+
+    return sorted(_glob.glob(os.path.join(path, "*.gpkg"))) or sorted(
+        _glob.glob(os.path.join(path, "**", "*.gpkg"), recursive=True)
+    )

@@ -360,6 +360,7 @@ def read_shapefile(
     date_field: str | None = None,
     date_pattern: str = DEFAULT_DATE_PATTERN,
     split_bytes: int = DEFAULT_SPLIT_BYTES,
+    bbox: tuple[float, float, float, float] | None = None,
 ) -> DataFrame:
     """Shapefile scan landing in the engine row format (id, [ts,]
     gtype, coords, minx..maxy).
@@ -371,7 +372,17 @@ def read_shapefile(
     are absent raise, same contract as the parquet reader).
     ``date_field`` names a .dbf attribute parsed with ``date_pattern``.
     A .prj sidecar's AUTHORITY code is carried as CRS metadata on the
-    gtype column (api.run warns on source/target CRS mismatch)."""
+    gtype column (api.run warns on source/target CRS mismatch).
+
+    ``bbox`` = (minx, miny, maxx, maxy) keeps only envelope-intersecting
+    entities. The format has no spatial index to skip byte ranges with
+    (unlike .fgb/.gpkg), but every LINE/POLY/MULTIPOINT record HEADER
+    carries the shape's bounding box (shapefile spec, content bytes
+    4-36), so non-matching records short-circuit BEFORE vertex decode —
+    the dominant parse cost — and never materialize a row. A JVM-side
+    envelope filter on the output corrects records whose header box
+    disagrees with their actual vertices (hostile files), so the result
+    equals apply_bbox() of an unfiltered read by construction."""
     from ds_jedai_spark.model.geometry import (
         GEOM_FIELDS,
         GeometryAccumulator,
@@ -410,12 +421,16 @@ def read_shapefile(
     out_fields = "id string, " + (
         "ts_raw string, " if want_ts else "") + GEOM_FIELDS
 
+    _bbox = tuple(float(v) for v in bbox) if bbox is not None else None
+
     def parse_splits(batches):
         import pyarrow as pa
 
         for batch in batches:
             for s in batch.to_pylist():
-                yield _parse_one_split(s, want_ts, GeometryAccumulator, pa)
+                yield _parse_one_split(
+                    s, want_ts, GeometryAccumulator, pa, bbox=_bbox
+                )
 
     plan = spark.createDataFrame(
         [tuple(s[k] for k in (
@@ -426,6 +441,13 @@ def read_shapefile(
         _SPLIT_SCHEMA,
     ).repartition(len(splits))
     out = valid_geometries(plan.mapInArrow(parse_splits, out_fields))
+    if _bbox is not None:
+        # exact envelope-intersection filter over the decoded rows:
+        # guards against header boxes that disagree with the vertices,
+        # making the result identical to apply_bbox(full read)
+        from ds_jedai_spark.api import apply_bbox
+
+        out = apply_bbox(out, _bbox)
     if want_ts:
         from ds_jedai_spark.io.readers import parse_ts_cell
 
@@ -437,10 +459,37 @@ def read_shapefile(
     return out
 
 
-def _parse_one_split(s: dict, want_ts: bool, GeometryAccumulator, pa):
+def _header_bbox_misses(content: bytes, bbox) -> bool:
+    """True when the record's HEADER bounding box (shapefile spec:
+    content bytes 4-36 for MULTIPOINT/LINE/POLY, the point itself for
+    POINT) provably misses ``bbox`` — the parse-time short-circuit that
+    lets read_shapefile skip vertex decode entirely. False on anything
+    unparseable (parse_shape then decides validity as usual)."""
+    try:
+        (t,) = struct.unpack_from("<i", content, 0)
+        kind = _kind(t)
+        if kind is None:
+            return False
+        if kind == "POINT":
+            x, y = struct.unpack_from("<dd", content, 4)
+            return not (bbox[0] <= x <= bbox[2]
+                        and bbox[1] <= y <= bbox[3])
+        if len(content) < 36:
+            return False
+        mnx, mny, mxx, mxy = struct.unpack_from("<4d", content, 4)
+        return (mnx > bbox[2] or mxx < bbox[0]
+                or mny > bbox[3] or mxy < bbox[1])
+    except struct.error:
+        return False
+
+
+def _parse_one_split(s: dict, want_ts: bool, GeometryAccumulator, pa,
+                     bbox=None):
     """Executor-side: one ranged read of the split's .shp bytes (and
     its aligned .dbf record block), per-record parse into the shared
-    Arrow accumulator."""
+    Arrow accumulator. ``bbox`` short-circuits non-intersecting records
+    before vertex decode (they take the add_invalid slot, keeping the
+    positional .dbf alignment, and are dropped by valid_geometries)."""
     with fs_open(s["shp"]) as f:
         f.seek(s["byte_start"])
         buf = f.read(s["byte_end"] - s["byte_start"])
@@ -479,7 +528,12 @@ def _parse_one_split(s: dict, want_ts: bool, GeometryAccumulator, pa):
     n = len(recs)
     acc = GeometryAccumulator(n)
     for content in recs:
-        parsed = parse_shape(content) if content is not None else None
+        if content is None or (
+            bbox is not None and _header_bbox_misses(content, bbox)
+        ):
+            acc.add_invalid()
+            continue
+        parsed = parse_shape(content)
         if parsed is None:
             acc.add_invalid()
         else:

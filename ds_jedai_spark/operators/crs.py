@@ -20,9 +20,15 @@ spherical formulas (EPSG guidance note 7-2, method 1024):
     lat = degrees(2 * atan(exp(N / R)) - pi/2)
 
 with R = 6378137.0 (the WGS84 semi-major axis). Anything else (ellipsoid
-datum shifts, conic projections) needs a real projection library and is
-out of scope by design — ``reproject`` raises with guidance rather than
-approximating.
+datum shifts, conic projections) needs a real projection library:
+when ``pyproj`` is importable (feature-checked like the shapely relate
+tier, operators/relate_shapely.py), ``reproject`` dispatches arbitrary
+CRS pairs to a vectorized pyproj Transformer over the Arrow batch path
+— one C-level transform call per batch, envelopes re-aggregated from
+the transformed vertices (general projections are not monotone per
+axis, so the closed-form pair's corner-transform shortcut does not
+apply). Without pyproj, non-Mercator pairs raise with guidance rather
+than approximating.
 
 Execution model: a single ``selectExpr`` of nested ``transform`` lambdas
 over the coords array with built-in JVM trig (radians/degrees/ln/tan/
@@ -73,6 +79,93 @@ PROJJSON_BY_CRS = {
                   "name": "WGS 84 / Pseudo-Mercator",
                   "id": {"authority": "EPSG", "code": 3857}},
 }
+
+
+def have_projection_lib() -> bool:
+    """True when pyproj (PROJ bindings) is importable — the env-gated
+    general-CRS tier, feature-checked like relate_shapely/multimodal."""
+    try:
+        from pyproj import Transformer  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _reproject_pyproj(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """Arbitrary-pair reprojection through a vectorized pyproj
+    Transformer (always_xy=True — the engine stores x=lon/easting,
+    y=lat/northing regardless of the authority's axis order). Executes
+    on the Arrow batch path: per batch, every vertex flattens into one
+    numpy array, ONE C-level transform call, reassembly; envelopes are
+    re-aggregated from the transformed vertices because a general
+    projection is not monotone per axis."""
+    meta = dict(df.schema["gtype"].metadata or {})
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+        from pyproj import Transformer
+
+        tr = Transformer.from_crs(src, dst, always_xy=True)
+        for batch in batches:
+            rows = batch.to_pylist()
+            flat_x, flat_y, shape = [], [], []
+            for row in rows:
+                shape.append([len(part) for part in row["coords"]])
+                for part in row["coords"]:
+                    for p in part:
+                        flat_x.append(p[0])
+                        flat_y.append(p[1])
+            tx, ty = (
+                tr.transform(np.asarray(flat_x), np.asarray(flat_y))
+                if flat_x else (np.empty(0), np.empty(0))
+            )
+            out_coords, mnx, mny, mxx, mxy = [], [], [], [], []
+            i = 0
+            for lens in shape:
+                parts, xs0 = [], i
+                for ln in lens:
+                    parts.append(
+                        [[float(tx[j]), float(ty[j])]
+                         for j in range(i, i + ln)]
+                    )
+                    i += ln
+                out_coords.append(parts)
+                seg_x, seg_y = tx[xs0:i], ty[xs0:i]
+                mnx.append(float(seg_x.min()))
+                mny.append(float(seg_y.min()))
+                mxx.append(float(seg_x.max()))
+                mxy.append(float(seg_y.max()))
+            keep = [
+                (n, batch.column(k))
+                for k, n in enumerate(batch.schema.names)
+                if n not in ("coords", "minx", "miny", "maxx", "maxy")
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [c for _, c in keep]
+                + [pa.array(out_coords,
+                            pa.list_(pa.list_(pa.list_(pa.float64())))),
+                   pa.array(mnx, pa.float64()),
+                   pa.array(mny, pa.float64()),
+                   pa.array(mxx, pa.float64()),
+                   pa.array(mxy, pa.float64())],
+                names=[n for n, _ in keep]
+                + ["coords", "minx", "miny", "maxx", "maxy"],
+            )
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+        if f.name not in ("coords", "minx", "miny", "maxx", "maxy")
+    )
+    out = df.mapInArrow(
+        run,
+        (fields + ", " if fields else "")
+        + "coords array<array<array<double>>>, minx double, miny double,"
+        " maxx double, maxy double",
+    )
+    meta.pop("crs_projjson", None)
+    return out.withMetadata("gtype", {**meta, "crs": dst})
 
 
 def _exprs(direction: str, clamp: bool) -> tuple[str, str]:
@@ -126,11 +219,14 @@ def reproject(
         direction = "fwd"
     elif pair == ("EPSG:3857", "EPSG:4326"):
         direction = "inv"
+    elif have_projection_lib():
+        return _reproject_pyproj(df, src, dst)
     else:
         raise ValueError(
             f"reproject: unsupported pair {src} -> {dst}; the engine's "
             "closed-form surface covers EPSG:4326 (OGC:CRS84) <-> "
-            "EPSG:3857 — reproject other frames upstream with a "
+            "EPSG:3857, and installing pyproj enables arbitrary pairs "
+            "— otherwise reproject other frames upstream with a "
             "projection library"
         )
 

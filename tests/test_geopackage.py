@@ -321,3 +321,124 @@ def test_cross_format_relate_with_crs_mismatch(spark, tmp_path, capsys,
                        "-relation", "intersects", "-limit", "2"])
     assert rc == 0
     assert any("different CRS" in str(w.message) for w in caught)
+
+
+def test_export_geopackage_sharded_roundtrip(spark, tmp_path):
+    """Distributed sink: one spec-conformant .gpkg per partition, read
+    back as ONE DataFrame identical to the source; every shard carries
+    its own R*Tree; overwrite removes stale shards recursively."""
+    from ds_jedai_spark.io.geopackage import (
+        export_geopackage_sharded,
+        gpkg_corpus_files,
+    )
+    from ds_jedai_spark.io.readers import read_wkt_delimited
+
+    src = read_wkt_delimited(
+        spark, WKT_FIX, id_field="id", geom_field="wkt"
+    ).withColumn(
+        "ts",
+        F.to_timestamp(
+            F.concat(F.lit("2024-03-01 10:00:"),
+                     F.lpad(F.col("id").cast("long") % 60, 2, "0"))
+        ),
+    ).repartition(5)
+    out = str(tmp_path / "shards")
+    # stale shards to be wiped: one top-level, one nested
+    (tmp_path / "shards" / "nest").mkdir(parents=True)
+    (tmp_path / "shards" / "stale.gpkg").write_bytes(b"junk")
+    (tmp_path / "shards" / "nest" / "old.gpkg").write_bytes(b"junk")
+    export_geopackage_sharded(src, out, crs_id=("EPSG", 4326))
+    files = gpkg_corpus_files(out)
+    assert 1 <= len(files) <= 5
+    assert not (tmp_path / "shards" / "stale.gpkg").exists()
+    assert not (tmp_path / "shards" / "nest" / "old.gpkg").exists()
+    for f in files:  # every shard: own feature table + R*Tree + catalog
+        con = sqlite3.connect(f)
+        try:
+            names = {r[0] for r in con.execute(
+                "SELECT name FROM sqlite_master WHERE type IN "
+                "('table','view')").fetchall()}
+        finally:
+            con.close()
+        assert "features" in names and "rtree_features_geom" in names
+
+    back = read_geopackage(spark, out, id_field="id", date_field="ts")
+    assert back.schema["gtype"].metadata.get("crs") == "EPSG:4326"
+
+    def keyed(df):
+        return {
+            r.id: (r.gtype, r.minx, r.miny, r.maxx, r.maxy, str(r.ts),
+                   tuple(tuple(tuple(p) for p in part)
+                         for part in r.coords))
+            for r in df.collect()
+        }
+
+    assert keyed(back) == keyed(src)
+
+    # corpus bbox read: subset law through the per-shard R*Trees
+    rows = back.collect()
+    xs = sorted(r.minx for r in rows)
+    ys = sorted(r.miny for r in rows)
+    box = (xs[len(xs) // 4], ys[len(ys) // 4],
+           xs[3 * len(xs) // 4], ys[3 * len(ys) // 4])
+    want = {
+        r.id for r in rows
+        if not (r.minx > box[2] or r.maxx < box[0]
+                or r.miny > box[3] or r.maxy < box[1])
+    }
+    got = read_geopackage(spark, out, id_field="id", bbox=box)
+    assert {r.id for r in got.collect()} == want
+    assert 0 < len(want) < len(rows)
+
+
+def test_gpkg_corpus_rowid_fallback_prefix_and_api(spark, tmp_path):
+    """Rowid-fallback ids in a directory corpus get '<stem>:' prefixes
+    (unique across shards); api.read_dataset dispatches directories of
+    .gpkg with native bbox."""
+    from ds_jedai_spark import api
+    from ds_jedai_spark.config import DatasetSpec
+    from ds_jedai_spark.io.geopackage import export_geopackage_sharded
+    from ds_jedai_spark.io.readers import read_wkt_delimited
+
+    src = read_wkt_delimited(
+        spark, WKT_FIX, id_field="id", geom_field="wkt"
+    ).drop("ts").repartition(3)
+    out = str(tmp_path / "corpus")
+    export_geopackage_sharded(src, out)
+    # id_field=None forces the rowid fallback -> stem-prefixed ids
+    back = read_geopackage(spark, out, id_field=None)
+    ids = [r.id for r in back.collect()]
+    assert len(ids) == len(set(ids)) == src.count()
+    assert all(":" in i and i.split(":")[0].startswith("part-")
+               for i in ids)
+
+    spec = DatasetSpec(path=out, id_field="id", geom_field="wkt")
+    full = api.read_dataset(spark, spec)
+    rows = full.collect()
+    xs = sorted(r.minx for r in rows)
+    box = (xs[0], -1e9, xs[len(xs) // 2], 1e9)
+    want = {r.id for r in api.apply_bbox(full, box).collect()}
+    got = {r.id for r in api.read_dataset(spark, spec, bbox=box).collect()}
+    assert got == want and 0 < len(want) < len(rows)
+
+
+def test_cli_convert_to_sharded_geopackage(spark, tmp_path, capsys,
+                                           monkeypatch):
+    """-to geopackage with a non-.gpkg -out writes the sharded
+    directory layout and reads back through the corpus reader."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+    from ds_jedai_spark.io.geopackage import gpkg_corpus_files
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    out = str(tmp_path / "convdir")
+    rc = cli.main(["-op", "convert", "-left", FIX, "-to", "geopackage",
+                   "-out", out])
+    assert rc == 0
+    assert "wrote 406 entities" in capsys.readouterr().out
+    assert len(gpkg_corpus_files(out)) >= 1
+    back = read_geopackage(spark, out, id_field="id")
+    assert back.schema["gtype"].metadata.get("crs") == "EPSG:4326"
+    assert back.count() == 406

@@ -275,3 +275,62 @@ def test_cli_op_reproject(spark, tmp_path, capsys, monkeypatch):
     # missing -to-crs errors with guidance
     assert cli.main(["-op", "reproject", "-left", WKT_FIX,
                      "-out", out]) == 2
+
+
+# ------------------------------------------------------- pyproj tier (gated)
+
+def test_unsupported_pair_message_mentions_pyproj(spark):
+    """Without pyproj, non-Mercator pairs raise with the install hint
+    (and never silently approximate)."""
+    from ds_jedai_spark.operators.crs import have_projection_lib
+
+    if have_projection_lib():
+        pytest.skip("pyproj present: the pair dispatches instead")
+    with pytest.raises(ValueError, match="pyproj"):
+        reproject(_src(spark), "EPSG:32633")
+
+
+def test_pyproj_pair_roundtrip_and_envelopes(spark):
+    """Env-gated: arbitrary-pair reprojection (UTM 33N) agrees with a
+    direct pyproj transform per vertex, envelopes re-aggregate from the
+    transformed vertices, metadata flips, and the round trip returns
+    within 1e-6 degrees."""
+    pytest.importorskip("pyproj")
+    from pyproj import Transformer
+
+    from ds_jedai_spark.operators.crs import have_projection_lib
+
+    assert have_projection_lib()
+    src = _src(spark)
+    out = reproject(src, "EPSG:32633")
+    assert out.schema["gtype"].metadata.get("crs") == "EPSG:32633"
+
+    tr = Transformer.from_crs("EPSG:4326", "EPSG:32633", always_xy=True)
+    want = {}
+    for r in src.collect():
+        pts = [tr.transform(p[0], p[1])
+               for part in r.coords for p in part]
+        want[r.id] = (min(x for x, _ in pts), min(y for _, y in pts),
+                      max(x for x, _ in pts), max(y for _, y in pts))
+    got = {r.id: r for r in out.collect()}
+    assert set(got) == set(want)
+    for k, (a, b, c, d) in want.items():
+        g = got[k]
+        for gv, wv in zip((g.minx, g.miny, g.maxx, g.maxy), (a, b, c, d)):
+            assert abs(gv - wv) <= 1e-6, (k, gv, wv)
+        # envelope really bounds the transformed vertices
+        assert all(
+            g.minx - 1e-9 <= p[0] <= g.maxx + 1e-9
+            and g.miny - 1e-9 <= p[1] <= g.maxy + 1e-9
+            for part in g.coords for p in part
+        )
+
+    back = reproject(out, "EPSG:4326")
+    orig = {r.id: r for r in src.collect()}
+    for r in back.collect():
+        o = orig[r.id]
+        for (px, py), (qx, qy) in zip(
+            [p for part in r.coords for p in part],
+            [q for part in o.coords for q in part],
+        ):
+            assert abs(px - qx) <= 1e-6 and abs(py - qy) <= 1e-6

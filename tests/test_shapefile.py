@@ -515,3 +515,74 @@ def test_dbf_d_type_date_autoparses(spark, tmp_path):
                          date_field="born")
     rows = sorted((r.id, str(r.ts)[:10]) for r in got.collect())
     assert rows == [("a", "2024-03-01"), ("b", "2024-12-15")]
+
+
+def test_bbox_short_circuit_and_subset_law(spark, tmp_path):
+    """bbox reads equal apply_bbox() of a full read (subset law over the
+    whole fixture), and the record-header check provably runs BEFORE
+    vertex decode: a hand-crafted record whose header box LIES (far
+    away) about in-box vertices is skipped without decoding, while one
+    whose header box lies the other way is caught by the exact
+    post-filter."""
+    from ds_jedai_spark.api import apply_bbox
+    from ds_jedai_spark.io.shapefile import shape_content, shapefile_bytes
+    from ds_jedai_spark.io.shapefile import dbf_bytes as _dbf
+
+    full = read_shapefile(spark, FIX, id_field="id")
+    rows = full.collect()
+    xs = sorted(r.minx for r in rows)
+    ys = sorted(r.miny for r in rows)
+    box = (xs[len(xs) // 4], ys[len(ys) // 4],
+           xs[3 * len(xs) // 4], ys[3 * len(ys) // 4])
+    want = _rowmap(apply_bbox(full, box))
+    got = _rowmap(read_shapefile(spark, FIX, id_field="id", bbox=box))
+    assert got == want
+    assert 0 < len(want) < len(rows)
+
+    # far-away bbox: zero rows, from every kind including POINT files
+    assert read_shapefile(spark, FIX, id_field="id",
+                          bbox=(1e6, 1e6, 2e6, 2e6)).count() == 0
+
+    # lying headers: record A has in-box vertices but a far-away header
+    # box (short-circuit skips it before decode -> absent); record B has
+    # an in-box header but far-away vertices (post-filter drops it);
+    # record C is honest and in-box (kept)
+    line = [[[1.0, 1.0], [2.0, 2.0]]]
+    far_line = [[[500.0, 500.0], [501.0, 501.0]]]
+    a = bytearray(shape_content("LINESTRING", line))
+    a[4:36] = struct.pack("<4d", 900.0, 900.0, 901.0, 901.0)
+    b = bytearray(shape_content("LINESTRING", far_line))
+    b[4:36] = struct.pack("<4d", 1.0, 1.0, 2.0, 2.0)
+    c = shape_content("LINESTRING", line)
+    d = tmp_path / "liars"
+    d.mkdir()
+    shp, shx = shapefile_bytes(3, [bytes(a), bytes(b), c])
+    (d / "liars.shp").write_bytes(shp)
+    (d / "liars.shx").write_bytes(shx)
+    (d / "liars.dbf").write_bytes(
+        _dbf([("id", 16)], [("A",), ("B",), ("C",)])
+    )
+    got2 = {r.id for r in read_shapefile(
+        spark, str(d), id_field="id", bbox=(0.0, 0.0, 10.0, 10.0)
+    ).collect()}
+    assert got2 == {"C"}
+    # and WITHOUT bbox all three come back (the records are valid)
+    assert {r.id for r in read_shapefile(
+        spark, str(d), id_field="id").collect()} == {"A", "B", "C"}
+
+
+def test_bbox_api_dispatch_native(spark, tmp_path):
+    """api.read_dataset treats .shp as bbox-native (no doubled filter)
+    and returns the same subset as apply_bbox."""
+    from ds_jedai_spark import api
+    from ds_jedai_spark.config import DatasetSpec
+
+    spec = DatasetSpec(path=str(Path(FIX) / "polys.shp"),
+                       id_field="id", geom_field="wkt")
+    full = api.read_dataset(spark, spec)
+    rows = full.collect()
+    xs = sorted(r.minx for r in rows)
+    box = (xs[0], -1e9, xs[len(xs) // 2], 1e9)
+    want = {r.id for r in api.apply_bbox(full, box).collect()}
+    got = {r.id for r in api.read_dataset(spark, spec, bbox=box).collect()}
+    assert got == want and 0 < len(want) < len(rows)
