@@ -15,7 +15,6 @@ general-path DE-9IM verifier (Arrow-batched) for arbitrary WKT geometry.
 
 from __future__ import annotations
 
-import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -58,15 +57,15 @@ def read_dataset(spark: SparkSession, spec, bbox=None) -> DataFrame:
     df = _read_dataset(spark, spec, bbox)
     ext = os.path.splitext(spec.path)[1].lower()
     from ds_jedai_spark.io.flatgeobuf import fgb_corpus_files
-
     from ds_jedai_spark.io.geopackage import gpkg_corpus_files
+    from ds_jedai_spark.io.shapefile import shp_corpus_files
 
     # shp joined the native set in r15: record-header bbox short-circuit
     # + exact post-filter inside read_shapefile
     bbox_native = ext in (".fgb", ".gpkg", ".shp") or (
         ext not in _EXT_DELIMS and os.path.isdir(spec.path)
         and bool(
-            glob.glob(os.path.join(spec.path, "*.shp"))
+            shp_corpus_files(spec.path)
             or fgb_corpus_files(spec.path)
             or gpkg_corpus_files(spec.path)
         )
@@ -95,9 +94,10 @@ def _read_dataset(spark: SparkSession, spec, bbox=None) -> DataFrame:
         )
     if ext == ".nt":
         return readers.read_ntriples(spark, spec.path)
+    from ds_jedai_spark.io.shapefile import shp_corpus_files
+
     if ext == ".shp" or (
-        os.path.isdir(spec.path)
-        and glob.glob(os.path.join(spec.path, "*.shp"))
+        os.path.isdir(spec.path) and shp_corpus_files(spec.path)
     ):
         from ds_jedai_spark.io.shapefile import read_shapefile
 
@@ -108,10 +108,10 @@ def _read_dataset(spark: SparkSession, spec, bbox=None) -> DataFrame:
         )
     from ds_jedai_spark.io.geopackage import gpkg_corpus_files
 
+    # (a directory with .shp files was already claimed by the shp
+    # branch above, so no exclusion guard is needed here)
     if ext == ".gpkg" or (
-        os.path.isdir(spec.path)
-        and not glob.glob(os.path.join(spec.path, "*.shp"))
-        and gpkg_corpus_files(spec.path)
+        os.path.isdir(spec.path) and gpkg_corpus_files(spec.path)
     ):
         from ds_jedai_spark.io.geopackage import read_geopackage
 
@@ -167,18 +167,22 @@ def _canon_crs(c: str | None) -> str | None:
 
 def _maybe_auto_reproject(source: DataFrame,
                           target: DataFrame) -> DataFrame:
-    """extra.autoReproject: when source and target declare the one
-    closed-form pair the engine can convert (EPSG:4326/OGC:CRS84 vs
-    EPSG:3857), reproject the TARGET into the source's frame in-plan
-    (operators/crs.reproject — one JVM Project, no shuffle) so the join
-    runs in shared coordinates; any other mismatch falls through to the
-    usual warning/strictCrs error."""
+    """extra.autoReproject: when source and target declare a pair the
+    engine can convert — the closed-form EPSG:4326/OGC:CRS84 vs
+    EPSG:3857 pair (one JVM Project, no shuffle), or ANY pair when the
+    env-gated pyproj tier is importable (operators/crs.py) — reproject
+    the TARGET into the source's frame in-plan so the join runs in
+    shared coordinates; any other mismatch falls through to the usual
+    warning/strictCrs error."""
     a, b = _canon_crs(_crs_of(source)), _canon_crs(_crs_of(target))
-    if (a is not None and b is not None and a != b
-            and {a, b} == {"EPSG:4326", "EPSG:3857"}):
-        from ds_jedai_spark.operators.crs import reproject
+    if a is not None and b is not None and a != b:
+        from ds_jedai_spark.operators.crs import (
+            have_projection_lib,
+            reproject,
+        )
 
-        return reproject(target, a)
+        if {a, b} == {"EPSG:4326", "EPSG:3857"} or have_projection_lib():
+            return reproject(target, a)
     return target
 
 

@@ -430,6 +430,26 @@ def _run_op(args) -> int:
                   f"(eps={args.eps_steps}/16, seed={args.seed})")
             print(f"TOTAL TIME: {time.perf_counter() - t0:.2f}s")
             return 0
+        elif args.op == "density":
+            # Grid-cell density (heatmap aggregation) over any reader
+            # format — operators/spatial_agg.grid_density: one pure-JVM
+            # groupBy on floor-snapped envelope centers.
+            from ds_jedai_spark import api
+            from ds_jedai_spark.config import DatasetSpec
+            from ds_jedai_spark.operators.spatial_agg import grid_density
+
+            if not args.left:
+                print("-op density needs -left (input dataset)",
+                      file=sys.stderr)
+                return 2
+            src = api.read_dataset(spark, DatasetSpec(
+                path=args.left, id_field=args.id_col,
+                geom_field=args.geom_col, date_field=args.date_col,
+            ), bbox=args.bbox)
+            out = grid_density(src, cell=args.cell).orderBy(
+                "cell_x", "cell_y"
+            )
+            return _print_or_write(out, args.out, args.limit, t0)
         elif args.op == "measures":
             # Per-entity geometry measures (ST_NPoints/Length/Perimeter/
             # Area/Centroid equivalents) over any reader format —
@@ -940,7 +960,8 @@ def main(argv: list[str] | None = None) -> int:
         "-op",
         default=None,
         choices=["relate", "convert", "perturb", "reproject",
-                 "measures", "knn", "distance", "asof", "interval",
+                 "measures", "density", "knn", "distance", "asof",
+                 "interval",
                  "chunk", "dedup", "dedup-build", "dedup-apply", "emb-dedup",
                  "ann", "ann-build", "quantize", "shuffle", "dupspans",
                  "scrub"],
@@ -958,6 +979,8 @@ def main(argv: list[str] | None = None) -> int:
                          "reproject/knn/distance — pushed into the scan "
                          "(FlatGeobuf R-tree skip, parquet row-group "
                          "stats); envelope-intersection semantics")
+    ap.add_argument("-cell", type=float, default=1.0,
+                    help="density: grid cell size in CRS units")
     ap.add_argument("-geodesic", action="store_true",
                     help="-op measures: also emit haversine length_m/"
                          "perimeter_m and spherical-excess area_m2 "
@@ -1084,7 +1107,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.id_col is None:
             args.id_col = ("id" if args.op in ("relate", "convert",
                                                "perturb", "reproject",
-                                               "measures",
+                                               "measures", "density",
                                                "knn", "distance")
                            else "doc_id")
         if args.bucket_us == "none":

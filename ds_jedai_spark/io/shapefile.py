@@ -353,6 +353,17 @@ def _plan_file(
                            offs=None, stride=1, n_recs=-1)]
 
 
+def shp_corpus_files(path: str) -> list[str]:
+    """Canonical listing of a directory corpus: top-level ``*.shp``,
+    falling back to a recursive glob — the same contract as
+    flatgeobuf.fgb_corpus_files / geopackage.gpkg_corpus_files, shared
+    by the reader and api.read_dataset's dispatch so both agree on
+    what constitutes the corpus."""
+    return sorted(_glob.glob(os.path.join(path, "*.shp"))) or sorted(
+        _glob.glob(os.path.join(path, "**", "*.shp"), recursive=True)
+    )
+
+
 def read_shapefile(
     spark: SparkSession,
     path: str,
@@ -390,11 +401,7 @@ def read_shapefile(
     )
 
     if os.path.isdir(path):
-        files = sorted(
-            _glob.glob(os.path.join(path, "*.shp"))
-        ) or sorted(
-            _glob.glob(os.path.join(path, "**", "*.shp"), recursive=True)
-        )
+        files = shp_corpus_files(path)
     elif any(ch in path for ch in "*?["):
         files = sorted(_glob.glob(path))
     else:

@@ -241,18 +241,21 @@ def with_measures(df: DataFrame, geodesic: bool = False) -> DataFrame:
         import pyarrow as pa
 
         for batch in batches:
-            d = batch.to_pylist()
+            # only the two columns the Python loop reads cross into
+            # Python objects; everything else stays Arrow
+            gtypes = batch.column(
+                batch.schema.names.index("gtype")).to_pylist()
+            coords = batch.column(
+                batch.schema.names.index("coords")).to_pylist()
             areas, cxs, cys = [], [], []
             areas_m2 = []
-            for row in d:
-                a, cx, cy = _areal_measures(row["gtype"], row["coords"])
+            for g, c in zip(gtypes, coords):
+                a, cx, cy = _areal_measures(g, c)
                 areas.append(a)
                 cxs.append(cx)
                 cys.append(cy)
                 if geodesic:
-                    areas_m2.append(
-                        _geodesic_area_m2(row["gtype"], row["coords"])
-                    )
+                    areas_m2.append(_geodesic_area_m2(g, c))
             extra_cols = [pa.array(areas, pa.float64()),
                           pa.array(cxs, pa.float64()),
                           pa.array(cys, pa.float64())]

@@ -359,6 +359,10 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
             [
                 ("cost", pp.skew_cost, pp.skew_cost_oracle()),
                 ("entities", pp.skew_entities, pp.skew_entities_oracle()),
+                # r15: grid-cell density (heatmap aggregation) mapped
+                # onto the same (t_id, cost) schema — t_id encodes the
+                # cell, cost the count (plans/measure_plans.py)
+                ("density", mp.density_stats, mp.density_stats_oracle()),
             ]
         ),
     )

@@ -250,3 +250,30 @@ SELECT CAST(count(*) AS BIGINT) AS n,
        CAST(count(*) AS BIGINT) AS n_rt_ok
 FROM ll
 """
+
+
+def density_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell density (operators/spatial_agg.grid_density) over the
+    point dataset at cell=8.0 — exact on the 1/16 lattice (power-of-two
+    cell: center/8 floors identically in both engines). Folded into the
+    skew_stats composite, so the keys map onto its (t_id, cost) schema:
+    t_id = cell_x * 100000 + cell_y."""
+    from ds_jedai_spark.operators.spatial_agg import grid_density
+
+    pts = load_sql(spark, sf_dir, point_sql())
+    d = grid_density(pts, cell=8.0)
+    return d.select(
+        (F.col("cell_x") * 100000 + F.col("cell_y")).cast("long")
+        .alias("t_id"),
+        F.col("n").cast("long").alias("cost"),
+    )
+
+
+def density_stats_oracle() -> str:
+    from ds_jedai_spark.operators.spatial_agg import grid_density_sql
+
+    inner = grid_density_sql(point_sql(), 8.0)
+    return (
+        f"SELECT cell_x * 100000 + cell_y AS t_id, "
+        f"CAST(n AS BIGINT) AS cost FROM ({inner})"
+    )

@@ -442,3 +442,49 @@ def test_cli_convert_to_sharded_geopackage(spark, tmp_path, capsys,
     back = read_geopackage(spark, out, id_field="id")
     assert back.schema["gtype"].metadata.get("crs") == "EPSG:4326"
     assert back.count() == 406
+
+
+def test_gpkg_sharded_spatial_layout(spark, tmp_path):
+    """spatial_shards: range-partitioned shards get coherent extents, so
+    a corpus bbox read returns the exact subset while most shards'
+    R*Tree narrowing yields zero candidate rows (whole-shard misses are
+    nearly free)."""
+    from ds_jedai_spark.io.geopackage import (
+        export_geopackage_sharded,
+        gpkg_corpus_files,
+    )
+    from ds_jedai_spark.io.readers import read_wkt_delimited
+
+    src = read_wkt_delimited(
+        spark, WKT_FIX, id_field="id", geom_field="wkt"
+    )
+    out = str(tmp_path / "spatial")
+    export_geopackage_sharded(src, out, spatial_shards=4)
+    files = gpkg_corpus_files(out)
+    assert len(files) == 4
+    # per-shard extents from gpkg_contents: range partitioning on
+    # (minx, miny) must give mostly disjoint x-extents
+    exts = []
+    for f in files:
+        con = sqlite3.connect(f)
+        try:
+            exts.append(con.execute(
+                "SELECT min_x, max_x FROM gpkg_contents").fetchone())
+        finally:
+            con.close()
+    exts.sort()
+    # each shard's x-extent should not span the whole corpus
+    whole = (min(e[0] for e in exts), max(e[1] for e in exts))
+    assert sum(1 for lo, hi in exts
+               if hi - lo < 0.9 * (whole[1] - whole[0])) >= 3
+
+    rows = read_geopackage(spark, out, id_field="id").collect()
+    assert len(rows) == src.count()
+    xs = sorted(r.minx for r in rows)
+    box = (xs[0], -1e9, xs[len(xs) // 8], 1e9)
+    want = {
+        r.id for r in rows
+        if not (r.minx > box[2] or r.maxx < box[0])
+    }
+    got = read_geopackage(spark, out, id_field="id", bbox=box)
+    assert {r.id for r in got.collect()} == want and want

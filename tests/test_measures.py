@@ -11,6 +11,8 @@ import math
 import sys
 from pathlib import Path
 
+import pytest
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from ds_jedai_spark.io.readers import read_wkt_delimited
@@ -304,3 +306,33 @@ def test_unit_column_and_geodesic_guard(spark):
         with_measures(_rowdf(spark, rows, crs="EPSG:3857"), geodesic=True)
     with _pytest.raises(ValueError, match="EPSG:4326"):
         with_measures(_rowdf(spark, rows), geodesic=True)
+
+
+def test_cli_op_measures_geodesic(spark, tmp_path, capsys, monkeypatch):
+    """-geodesic over a CRS-declared input (the .fgb fixture carries
+    EPSG:4326) emits the meter columns; a CRS-less input raises the
+    guard through the CLI."""
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    fgb = str(Path(__file__).resolve().parent.parent / "fixtures"
+              / "geo_source.fgb")
+    out = str(tmp_path / "gm.parquet")
+    rc = cli.main(["-op", "measures", "-geodesic", "-left", fgb,
+                   "-out", out])
+    assert rc == 0
+    back = spark.read.parquet(out)
+    assert {"length_m", "perimeter_m", "area_m2", "unit"} <= set(
+        back.columns)
+    assert back.where("unit <> 'deg'").count() == 0
+    # every LINESTRING got a positive geodesic length
+    assert back.where(
+        "gtype IN ('LINESTRING','MULTILINESTRING') AND length_m <= 0"
+    ).count() == 0
+
+    with pytest.raises(ValueError, match="EPSG:4326"):
+        cli.main(["-op", "measures", "-geodesic", "-left", WKT_FIX,
+                  "-out", str(tmp_path / "bad.parquet")])

@@ -225,9 +225,20 @@ def test_auto_reproject_in_api_run(spark, tmp_path):
                                           autoReproject=True,
                                           strictCrs=True)))
     assert got == want and strict == want and want
-    # an unconvertible pair still warns, autoReproject or not
-    with _pytest.warns(UserWarning, match="different CRS"):
-        api.run(spark, cfg(p4326, p2154, autoReproject=True)).collect()
+    # an unconvertible pair still warns, autoReproject or not — unless
+    # the env-gated pyproj tier is present, in which case autoReproject
+    # converts ANY declared pair (r15)
+    from ds_jedai_spark.operators.crs import have_projection_lib
+
+    if not have_projection_lib():
+        with _pytest.warns(UserWarning, match="different CRS"):
+            api.run(spark, cfg(p4326, p2154,
+                               autoReproject=True)).collect()
+    else:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            api.run(spark, cfg(p4326, p2154,
+                               autoReproject=True)).collect()
     # bbox composes: filter applies to the target AFTER reprojection
     with warnings.catch_warnings():
         warnings.simplefilter("error")
