@@ -64,6 +64,20 @@ def main() -> None:
     assert len(set(counts.values())) == 1 and counts["one_split"] == n, \
         counts
 
+    # sharded-sink leg (r15): one spec-conformant .gpkg per partition,
+    # assembled executor-side in parallel — the scale alternative to
+    # the single-writer driver funnel timed above.
+    from ds_jedai_spark.io.geopackage import export_geopackage_sharded
+
+    outs = os.path.join(d, "shards")
+    t0 = time.perf_counter()
+    export_geopackage_sharded(pts.repartition(cpus), outs)
+    w_sharded = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_back = read_geopackage(spark, outs, id_field=None).count()
+    w_corpus_read = time.perf_counter() - t0
+    assert n_back == n, (n_back, n)
+
     print(json.dumps({
         "records": n,
         "gpkg_bytes": size,
@@ -71,6 +85,10 @@ def main() -> None:
         "read_sec": walls,
         "speedup_250k_vs_one_split": round(
             walls["one_split"] / walls["default_250k"], 2),
+        "sharded_write_sec": round(w_sharded, 2),
+        "sharded_write_speedup": round(w_sharded and w_write / w_sharded,
+                                       2),
+        "corpus_read_sec": round(w_corpus_read, 2),
         "cpus": cpus,
     }))
     spark.stop()
