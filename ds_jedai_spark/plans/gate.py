@@ -300,6 +300,12 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                  rp.tsv_sink_roundtrip_oracle()),
                 ("rdf", rp.rdf_sink_roundtrip,
                  rp.rdf_sink_roundtrip_oracle()),
+                # r15: the DISTRIBUTED sinks (per-task shards reread as
+                # one corpus) — same count/extrema/checksum schema
+                ("gpkg_sharded", rp.gpkg_sharded_roundtrip,
+                 rp.sharded_roundtrip_oracle()),
+                ("fgb_sharded", rp.fgb_sharded_roundtrip,
+                 rp.sharded_roundtrip_oracle()),
             ]
         ),
     )

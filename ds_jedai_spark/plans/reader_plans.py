@@ -479,3 +479,80 @@ def geojson_reader_counts_oracle() -> str:
         f"FROM read_json('{GEO_FIXTURE}', format='newline_delimited', "
         f"columns={{'properties': '{cols}'}}) WHERE properties.valid = 1"
     )
+
+
+def _box_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-format polygons from the derived SOURCE boxes — the sharded
+    sinks' round-trip input (every coordinate a multiple of 1/16, so
+    the envelope checksums below are exact integers both sides)."""
+    from ds_jedai_spark.io.synthetic import load_sql, source_box_sql
+
+    return load_sql(spark, sf_dir, source_box_sql()).selectExpr(
+        "CAST(id AS STRING) AS id",
+        "'POLYGON' AS gtype",
+        "array(array(array(minx, miny), array(maxx, miny),"
+        " array(maxx, maxy), array(minx, maxy), array(minx, miny)))"
+        " AS coords",
+        "minx", "miny", "maxx", "maxy",
+    )
+
+
+def _sharded_agg(back: DataFrame) -> DataFrame:
+    """Count + id extrema + lattice envelope checksums of a reread
+    corpus — named onto the sink_roundtrips composite schema."""
+    t = back.selectExpr(
+        "CAST(id AS LONG) AS idl", "minx", "miny", "maxx", "maxy"
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("idl").alias("min_s"),
+        F.max("idl").alias("max_s"),
+        F.sum(F.round(F.col("minx") * 16)).cast("long").alias("min_t"),
+        F.sum(F.round(F.col("maxy") * 16)).cast("long").alias("max_t"),
+        F.sum(F.round((F.col("maxx") + F.col("miny")) * 16))
+        .cast("long").alias("key_sum"),
+    )
+
+
+def gpkg_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed GeoPackage sink under the oracle gate: boxes out
+    through export_geopackage_sharded (4 executor-written shards, each
+    its own SQLite container + R*Tree), reread as one corpus; the
+    oracle recomputes count/extrema/checksums from the boxes CTE, so
+    the parallel write + corpus read must be lossless."""
+    from ds_jedai_spark.io.geopackage import (
+        export_geopackage_sharded,
+        read_geopackage,
+    )
+
+    src = _box_rows(spark, sf_dir)
+    out = _sink_dir(spark, "sink_gpkg_shards")
+    export_geopackage_sharded(src.repartition(4), out)
+    return _sharded_agg(read_geopackage(spark, out, id_field="id"))
+
+
+def fgb_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same gate for the distributed FlatGeobuf sink (4 Hilbert-indexed
+    shards reread as one corpus)."""
+    from ds_jedai_spark.io.flatgeobuf import (
+        export_flatgeobuf_sharded,
+        read_flatgeobuf,
+    )
+
+    src = _box_rows(spark, sf_dir)
+    out = _sink_dir(spark, "sink_fgb_shards")
+    export_flatgeobuf_sharded(src.repartition(4), out)
+    return _sharded_agg(read_flatgeobuf(spark, out, id_field="id"))
+
+
+def sharded_roundtrip_oracle() -> str:
+    from ds_jedai_spark.io.synthetic import source_box_sql
+
+    return (
+        f"WITH b AS ({source_box_sql()}) "
+        "SELECT count(*) AS n_pairs, min(id) AS min_s, max(id) AS max_s, "
+        "CAST(sum(round(minx * 16)) AS BIGINT) AS min_t, "
+        "CAST(sum(round(maxy * 16)) AS BIGINT) AS max_t, "
+        "CAST(sum(round((maxx + miny) * 16)) AS BIGINT) AS key_sum "
+        "FROM b"
+    )
