@@ -544,7 +544,15 @@ def _run_op(args) -> int:
             s, t = _read_points(args.left), _read_points(args.right)
             # same CRS-mismatch warning the relate path gives (api.run)
             api._check_crs(s, t, strict=False)
-            if args.op == "distance":
+            if args.op == "distance" and args.geodesic:
+                # -tau in METERS over lon/lat input (great-circle)
+                from ds_jedai_spark.operators.spatial_join import (
+                    geodesic_distance_join,
+                )
+
+                df = geodesic_distance_join(s, t,
+                                            radius_m=float(args.tau))
+            elif args.op == "distance":
                 df = distance_join(s, t, radius=float(args.tau))
             else:
                 # exact kNN: the final round's radius must reach the
@@ -983,7 +991,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="density: grid cell size in CRS units")
     ap.add_argument("-geodesic", action="store_true",
                     help="-op measures: also emit haversine length_m/"
-                         "perimeter_m and spherical-excess area_m2 "
+                         "perimeter_m and spherical-excess area_m2; "
+                         "-op distance: treat -tau as great-circle "
+                         "METERS over lon/lat points "
                          "(requires declared EPSG:4326 input)")
     ap.add_argument("-auto-reproject", dest="auto_reproject",
                     action="store_true",

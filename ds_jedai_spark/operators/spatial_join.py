@@ -156,6 +156,73 @@ def distance_join(
     )
 
 
+def geodesic_distance_join(
+    source: DataFrame,
+    target: DataFrame,
+    radius_m: float,
+    theta: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Pairs of lon/lat POINT entities within great-circle ``radius_m``
+    METERS — the "everything within 500 m" join real lon/lat data needs
+    (the planar distance_join above would compute degrees² there, the
+    classic footgun the measures ``unit`` column labels).
+
+    Same scale contract as distance_join: a conservative per-row DEGREE
+    expansion of the source envelope makes the tile join a superset
+    (one equi-join shuffle on tiles, ref-point dedup, AQE skew
+    handling), then the EXACT haversine predicate trims — all JVM
+    column arithmetic, no Python. The expansion is latitude-aware:
+
+        dlat = degrees(r / R)
+        dlon = degrees(r / (R * cos(min(89.999°, |lat| + dlat))))
+
+    (meridians converge, so a meter buys fewer lon-degrees near the
+    poles; the cos of the band's worst latitude keeps the envelope
+    conservative, clamped to the full ±180 when the band touches a
+    pole). Distances use the same haversine SQL text as the geodesic
+    measures (operators/measures.haversine_sql) on the MEAN_R sphere.
+
+    Both inputs must be lon/lat point datasets (minx == maxx etc., x in
+    [-180, 180], y in [-90, 90]); a declared non-4326 CRS raises, the
+    same guard as with_measures(geodesic=True).
+    """
+    from ds_jedai_spark.operators.measures import MEAN_R, haversine_sql
+
+    for side, df in (("source", source), ("target", target)):
+        crs = (df.schema["gtype"].metadata or {}).get("crs") \
+            if "gtype" in df.columns else None
+        if crs not in (None, "EPSG:4326", "OGC:CRS84"):
+            raise ValueError(
+                f"geodesic_distance_join: {side} declares {crs!r}; "
+                "lon/lat (EPSG:4326) input required — reproject first "
+                "(-op reproject)"
+            )
+    r = float(radius_m)
+    dlat = f"degrees({r!r} / {MEAN_R!r})"
+    band = f"least(89.999d, abs(miny) + {dlat})"
+    dlon = (f"CASE WHEN {band} >= 89.998d THEN 180.0d ELSE "
+            f"least(180.0d, degrees({r!r} / ({MEAN_R!r} * "
+            f"cos(radians({band}))))) END")
+    expanded = source.selectExpr(
+        "id",
+        f"minx - ({dlon}) AS minx",
+        f"miny - ({dlat}) AS miny",
+        f"maxx + ({dlon}) AS maxx",
+        f"maxy + ({dlat}) AS maxy",
+        "minx AS px",
+        "miny AS py",
+    )
+    cand = tile_join(
+        expanded, target, theta=theta, source_extra=("px", "py")
+    )
+    hav = haversine_sql("s_px", "s_py", "t_minx", "t_miny")
+    return (
+        cand.withColumn("dist_m", F.expr(hav))
+        .where(F.col("dist_m") <= F.lit(r))
+        .select("s_id", "t_id", "dist_m")
+    )
+
+
 KNN_TILES_PER_SIDE = 8.0
 
 

@@ -318,6 +318,13 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                 ("distance", giant.distance_pairs, giant.distance_pairs_oracle()),
                 ("knn", giant.knn_pairs, giant.knn_pairs_oracle()),
                 ("knn_exact", giant.knn_exact_pairs, giant.knn_exact_pairs_oracle()),
+                # r15: great-circle distance join in meters over lon/lat
+                # points, mapped onto the shared (s_id, t_id, dist2)
+                ("geodesic",
+                 *mapped(giant.geodesic_distance_pairs,
+                         giant.geodesic_distance_pairs_oracle(),
+                         [("s_id", "s_id", None), ("t_id", "t_id", None),
+                          ("dist_m_int", "dist2", "double")])),
             ]
         ),
     )

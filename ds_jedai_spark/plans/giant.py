@@ -609,6 +609,55 @@ def distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distance_join(src, tgt, radius=DISTANCE_RADIUS, theta=(1.0, 1.0))
 
 
+GEO_RADIUS_M = 200_000.0  # 200 km on the MEAN_R sphere
+
+
+def _lonlat_cte(sql: str) -> str:
+    """Remap a lattice point derivation into valid lon/lat range
+    (lon = x - 48, lat = y/2 - 24 — exact halves of 1/16 multiples)."""
+    return (f"SELECT id, minx - 48.0 AS lon, miny / 2.0 - 24.0 AS lat "
+            f"FROM ({sql})")
+
+
+def geodesic_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle distance join (within GEO_RADIUS_M meters) over the
+    lon/lat-remapped point datasets: the latitude-aware degree-expansion
+    tile join (operators/spatial_join.geodesic_distance_join) against a
+    brute-force haversine oracle — proves the degree expansion yields a
+    superset and the exact haversine trims it precisely. Distances
+    round to integer meters for the cross-engine hash (libm dust
+    ~1e-10 m at this radius)."""
+    from ds_jedai_spark.operators.spatial_join import geodesic_distance_join
+
+    def lonlat(sql: str) -> DataFrame:
+        return load_sql(spark, sf_dir, sql).selectExpr(
+            "id",
+            "minx - 48.0 AS minx", "miny / 2.0 - 24.0 AS miny",
+            "maxx - 48.0 AS maxx", "maxy / 2.0 - 24.0 AS maxy",
+        )
+
+    src = lonlat(point_sql())
+    tgt = lonlat(point_sql("supplier", "s_suppkey"))
+    out = geodesic_distance_join(src, tgt, radius_m=GEO_RADIUS_M)
+    return out.select(
+        "s_id", "t_id",
+        F.round(F.col("dist_m")).cast("bigint").alias("dist_m_int"),
+    )
+
+
+def geodesic_distance_pairs_oracle() -> str:
+    from ds_jedai_spark.operators.measures import haversine_sql
+
+    hav = haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    return (
+        f"WITH a AS ({_lonlat_cte(point_sql())}), "
+        f"b AS ({_lonlat_cte(point_sql('supplier', 's_suppkey'))}) "
+        f"SELECT a.id AS s_id, b.id AS t_id, "
+        f"CAST(round({hav}) AS BIGINT) AS dist_m_int "
+        f"FROM a JOIN b ON {hav} <= {GEO_RADIUS_M!r}"
+    )
+
+
 def distance_pairs_oracle() -> str:
     r2 = DISTANCE_RADIUS * DISTANCE_RADIUS
     d2 = (

@@ -1,0 +1,113 @@
+"""operators/spatial_join.geodesic_distance_join: brute-force haversine
+differential on pseudo-random lon/lat points (superset law: the
+latitude-aware degree expansion must never lose a qualifying pair),
+known-distance anchors, the CRS guard, and the -op distance -geodesic
+CLI."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pytest
+from pyspark.sql import functions as F
+
+from ds_jedai_spark.operators.measures import MEAN_R
+from ds_jedai_spark.operators.spatial_join import geodesic_distance_join
+
+
+def _hav_m(x1, y1, x2, y2):
+    p1, p2 = math.radians(y1), math.radians(y2)
+    a = (math.sin((p2 - p1) / 2) ** 2
+         + math.cos(p1) * math.cos(p2)
+         * math.sin(math.radians(x2 - x1) / 2) ** 2)
+    return 2 * MEAN_R * math.asin(min(1.0, math.sqrt(a)))
+
+
+def _pts(spark, rows, crs="EPSG:4326"):
+    df = spark.createDataFrame(
+        rows, "id long, minx double, miny double"
+    ).selectExpr("id", "'POINT' AS gtype",
+                 "array(array(array(minx, miny))) AS coords",
+                 "minx", "miny", "minx AS maxx", "miny AS maxy")
+    return df.withMetadata("gtype", {"crs": crs}) if crs else df
+
+
+def test_geodesic_distance_vs_bruteforce(spark):
+    """Exactly the brute-force haversine pair set, including a
+    high-latitude cluster where a naive (non-latitude-aware) lon
+    expansion would lose pairs."""
+    import random
+
+    rng = random.Random(3)
+    # mid-latitude cloud + a 78°N cluster (meridian convergence ~4.8x)
+    src = [(i, rng.uniform(-10, 10), rng.uniform(30, 50))
+           for i in range(120)]
+    src += [(1000 + i, rng.uniform(20, 24), rng.uniform(77, 79))
+            for i in range(40)]
+    tgt = [(i, x + rng.uniform(-3, 3), y + rng.uniform(-2, 2))
+           for i, x, y in src[::2]]
+    radius = 150_000.0
+    want = {(s, t) for s, x1, y1 in src for t, x2, y2 in tgt
+            if _hav_m(x1, y1, x2, y2) <= radius}
+    got = {(r.s_id, r.t_id) for r in geodesic_distance_join(
+        _pts(spark, src), _pts(spark, tgt), radius_m=radius
+    ).collect()}
+    assert got == want and want
+    # distances agree with the independent formula
+    dm = {(r.s_id, r.t_id): r.dist_m for r in geodesic_distance_join(
+        _pts(spark, src), _pts(spark, tgt), radius_m=radius
+    ).collect()}
+    s_xy = {i: (x, y) for i, x, y in src}
+    t_xy = {i: (x, y) for i, x, y in tgt}
+    for (s, t), d in dm.items():
+        w = _hav_m(*s_xy[s], *t_xy[t])
+        assert abs(d - w) <= 1e-6 * max(w, 1.0)
+
+
+def test_geodesic_distance_anchor_and_guard(spark):
+    # one meridian degree apart = R * pi / 180 meters
+    src = [(1, 10.0, 0.0)]
+    tgt = [(2, 10.0, 1.0)]
+    deg_m = MEAN_R * math.pi / 180.0
+    got = geodesic_distance_join(
+        _pts(spark, src), _pts(spark, tgt), radius_m=deg_m + 1.0
+    ).collect()
+    assert len(got) == 1 and abs(got[0].dist_m - deg_m) <= 1e-6
+    # just under: excluded
+    assert geodesic_distance_join(
+        _pts(spark, src), _pts(spark, tgt), radius_m=deg_m - 1.0
+    ).count() == 0
+    # declared non-lon/lat input raises
+    with pytest.raises(ValueError, match="EPSG:4326"):
+        geodesic_distance_join(
+            _pts(spark, src, crs="EPSG:3857"), _pts(spark, tgt), 10.0
+        )
+
+
+def test_cli_distance_geodesic(spark, tmp_path, capsys, monkeypatch):
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    p = str(tmp_path / "pts.tsv")
+    with open(p, "w") as f:
+        f.write("id\twkt\n")
+        for i, (x, y) in enumerate([(10.0, 0.0), (10.0, 1.0),
+                                    (10.0, 0.5), (60.0, 60.0)]):
+            f.write(f"{i}\tPOINT ({x} {y})\n")
+    out = str(tmp_path / "gd.parquet")
+    rc = cli.main(["-op", "distance", "-geodesic", "-left", p,
+                   "-right", p, "-tau", "60000", "-out", out])
+    assert rc == 0
+    back = spark.read.parquet(out)
+    pairs = {(r.s_id, r.t_id) for r in back.collect()}
+    # within 60 km: self-pairs + (0,2)/(2,0) (~55.6 km) and (1,2)/(2,1)
+    assert ("0", "2") in pairs and ("2", "1") in pairs
+    assert ("0", "1") not in pairs  # ~111 km
+    assert ("3", "0") not in pairs
