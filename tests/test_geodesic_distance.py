@@ -111,3 +111,19 @@ def test_cli_distance_geodesic(spark, tmp_path, capsys, monkeypatch):
     assert ("0", "2") in pairs and ("2", "1") in pairs
     assert ("0", "1") not in pairs  # ~111 km
     assert ("3", "0") not in pairs
+
+
+def test_geodesic_distance_plan_shape(spark):
+    """The geodesic join keeps the planar distance join's 100 TB shape:
+    no Python in the plan (expansion + haversine are JVM expressions)
+    and the only exchanges are the tile equi-join's."""
+    src = _pts(spark, [(i, float(i % 30), float(i % 20)) for i in range(200)])
+    tgt = _pts(spark, [(i, float(i % 30), float(i % 20)) for i in range(200)])
+    df = geodesic_distance_join(src, tgt, radius_m=50_000.0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+    # tile equi-join: either broadcast (small side) or one hash exchange
+    # per side — never a cartesian
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
