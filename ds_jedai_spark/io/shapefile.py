@@ -391,9 +391,14 @@ def read_shapefile(
     carries the shape's bounding box (shapefile spec, content bytes
     4-36), so non-matching records short-circuit BEFORE vertex decode —
     the dominant parse cost — and never materialize a row. A JVM-side
-    envelope filter on the output corrects records whose header box
-    disagrees with their actual vertices (hostile files), so the result
-    equals apply_bbox() of an unfiltered read by construction."""
+    envelope filter on the output then removes any record whose header
+    box OVER-covers its vertices, so for spec-correct (or conservative)
+    header boxes the result equals apply_bbox() of an unfiltered read.
+    A hostile header box that UNDER-covers its vertices is skipped
+    before decode and cannot be restored by the post-filter — that one
+    direction of header lying yields a false negative (pinned in
+    tests/test_shapefile.py::test_bbox_short_circuit_and_subset_law);
+    read without bbox if the file's headers cannot be trusted."""
     from ds_jedai_spark.model.geometry import (
         GEOM_FIELDS,
         GeometryAccumulator,
@@ -450,8 +455,9 @@ def read_shapefile(
     out = valid_geometries(plan.mapInArrow(parse_splits, out_fields))
     if _bbox is not None:
         # exact envelope-intersection filter over the decoded rows:
-        # guards against header boxes that disagree with the vertices,
-        # making the result identical to apply_bbox(full read)
+        # removes false positives from header boxes that OVER-cover
+        # their vertices (under-covering headers were already skipped
+        # pre-decode and stay absent — see the function docstring)
         from ds_jedai_spark.api import apply_bbox
 
         out = apply_bbox(out, _bbox)

@@ -83,7 +83,14 @@ PROJJSON_BY_CRS = {
 
 def have_projection_lib() -> bool:
     """True when pyproj (PROJ bindings) is importable — the env-gated
-    general-CRS tier, feature-checked like relate_shapely/multimodal."""
+    general-CRS tier, feature-checked like relate_shapely/multimodal.
+
+    This checks the DRIVER's environment only. The pyproj transform
+    itself runs inside mapInArrow on the executors, so a cluster whose
+    workers lack pyproj will still fail at task runtime — keep worker
+    Python environments in sync (the standard PySpark requirement for
+    any Python-UDF dependency). CRS-pair validity, by contrast, is
+    checked driver-side in _reproject_pyproj before dispatch."""
     try:
         from pyproj import Transformer  # noqa: F401
 
@@ -99,7 +106,27 @@ def _reproject_pyproj(df: DataFrame, src: str, dst: str) -> DataFrame:
     on the Arrow batch path: per batch, every vertex flattens into one
     numpy array, ONE C-level transform call, reassembly; envelopes are
     re-aggregated from the transformed vertices because a general
-    projection is not monotone per axis."""
+    projection is not monotone per axis.
+
+    The CRS pair is validated DRIVER-SIDE (Transformer.from_crs here,
+    before dispatch) so an unknown/invalid identifier raises a clear
+    ValueError immediately instead of a CRSError inside an executor
+    task. The transform itself still runs on the EXECUTORS — on a real
+    cluster every worker's Python environment must have pyproj
+    installed, not just the driver. Rows with no vertices keep a null
+    envelope (the same contract as the measures operator); vertices
+    pyproj maps out of the target's domain come back non-finite
+    (inf/nan) and force that row's envelope to null too, so a bad
+    point can never silently widen a tile-join envelope to ±inf."""
+    try:
+        from pyproj import Transformer
+
+        Transformer.from_crs(src, dst, always_xy=True)
+    except Exception as exc:
+        raise ValueError(
+            f"reproject: pyproj rejected the pair {src!r} -> {dst!r} "
+            f"({exc}); pass authority:code identifiers known to PROJ"
+        ) from exc
     meta = dict(df.schema["gtype"].metadata or {})
 
     def run(batches):
@@ -133,10 +160,19 @@ def _reproject_pyproj(df: DataFrame, src: str, dst: str) -> DataFrame:
                     i += ln
                 out_coords.append(parts)
                 seg_x, seg_y = tx[xs0:i], ty[xs0:i]
-                mnx.append(float(seg_x.min()))
-                mny.append(float(seg_y.min()))
-                mxx.append(float(seg_x.max()))
-                mxy.append(float(seg_y.max()))
+                if (seg_x.size and np.isfinite(seg_x).all()
+                        and np.isfinite(seg_y).all()):
+                    mnx.append(float(seg_x.min()))
+                    mny.append(float(seg_y.min()))
+                    mxx.append(float(seg_x.max()))
+                    mxy.append(float(seg_y.max()))
+                else:
+                    # vertex-free row, or a vertex outside the target
+                    # CRS's domain (pyproj yields inf): null envelope
+                    mnx.append(None)
+                    mny.append(None)
+                    mxx.append(None)
+                    mxy.append(None)
             keep = [
                 (n, batch.column(k))
                 for k, n in enumerate(batch.schema.names)

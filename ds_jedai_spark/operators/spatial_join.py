@@ -156,11 +156,34 @@ def distance_join(
     )
 
 
+def _lonlat_point_guard(df: DataFrame, side: str) -> DataFrame:
+    """Fuse a per-row point-ness + domain assertion into the plan: minx
+    must equal maxx (and miny maxy), lon in [-180, 180], lat in
+    [-90, 90], nothing null/NaN. ``assert_true`` raises inside the JVM
+    with a named-side message on the first violating row; the
+    ``coalesce`` keeps the (always-null-when-true) assertion inside a
+    USED expression so Catalyst cannot prune it. One codegen branch per
+    row — measured noise next to the haversine itself."""
+    ok = (
+        "minx = maxx AND miny = maxy AND NOT isnan(minx) AND NOT "
+        "isnan(miny) AND minx >= -180.0d AND minx <= 180.0d AND "
+        "miny >= -90.0d AND miny <= 90.0d"
+    )
+    msg = (f"geodesic_distance_join: {side} row is not a lon/lat POINT "
+           "(need minx == maxx, miny == maxy, lon in [-180, 180], lat "
+           "in [-90, 90]) — envelopes/geometries need a planar join or "
+           "an upstream centroid/reproject step")
+    return df.withColumn(
+        "minx", F.expr(f"coalesce(assert_true({ok}, '{msg}'), minx)")
+    )
+
+
 def geodesic_distance_join(
     source: DataFrame,
     target: DataFrame,
     radius_m: float,
     theta: tuple[float, float] | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """Pairs of lon/lat POINT entities within great-circle ``radius_m``
     METERS — the "everything within 500 m" join real lon/lat data needs
@@ -179,12 +202,26 @@ def geodesic_distance_join(
     (meridians converge, so a meter buys fewer lon-degrees near the
     poles; the cos of the band's worst latitude keeps the envelope
     conservative, clamped to the full ±180 when the band touches a
-    pole). Distances use the same haversine SQL text as the geodesic
-    measures (operators/measures.haversine_sql) on the MEAN_R sphere.
+    pole).
+
+    ANTIMERIDIAN: an expanded envelope that spills past lon ±180 is
+    SPLIT into its wrapped pieces (a source at 179.9° reaches a target
+    at -179.9°): the spilled degrees re-enter from the other edge as a
+    second candidate envelope, so seam-crossing pairs tile-match like
+    any others. The pieces are lon-disjoint and targets are points, so
+    no (s, t) pair can match twice — the ref-point dedup contract is
+    preserved without any extra distinct. A full-circle expansion
+    (polar band, or 2·dlon ≥ 360°) collapses to one [-180, 180] piece.
+    The exact trim is the same haversine SQL text as the geodesic
+    measures (operators/measures.haversine_sql) on the MEAN_R sphere;
+    sin²(Δlon/2) is seam-invariant, so no wrapping is needed there.
 
     Both inputs must be lon/lat point datasets (minx == maxx etc., x in
     [-180, 180], y in [-90, 90]); a declared non-4326 CRS raises, the
-    same guard as with_measures(geodesic=True).
+    same guard as with_measures(geodesic=True), and under the default
+    ``validate=True`` a fused JVM assertion raises on the first row
+    that is not an in-domain point (otherwise envelope input would
+    silently yield corner-to-corner distances).
     """
     from ds_jedai_spark.operators.measures import MEAN_R, haversine_sql
 
@@ -197,20 +234,41 @@ def geodesic_distance_join(
                 "lon/lat (EPSG:4326) input required — reproject first "
                 "(-op reproject)"
             )
+    if validate:
+        source = _lonlat_point_guard(source, "source")
+        target = _lonlat_point_guard(target, "target")
     r = float(radius_m)
     dlat = f"degrees({r!r} / {MEAN_R!r})"
     band = f"least(89.999d, abs(miny) + {dlat})"
     dlon = (f"CASE WHEN {band} >= 89.998d THEN 180.0d ELSE "
             f"least(180.0d, degrees({r!r} / ({MEAN_R!r} * "
             f"cos(radians({band}))))) END")
+    # Antimeridian split: emit 1 or 2 lon-clamped envelope pieces per
+    # source row. Pieces are disjoint in [-180, 180] (the two-piece
+    # branches touch the opposite edges only), and 2·dlon >= 360° takes
+    # the single full-circle branch, so no pair is ever duplicated.
+    piece = (
+        "CASE "
+        "WHEN (maxx - minx) + 2.0d * ({dlon}) >= 360.0d THEN "
+        " array(struct(-180.0d AS mnx, 180.0d AS mxx)) "
+        "WHEN minx - ({dlon}) < -180.0d THEN "
+        " array(struct(-180.0d AS mnx, maxx + ({dlon}) AS mxx), "
+        "       struct(minx - ({dlon}) + 360.0d AS mnx, 180.0d AS mxx)) "
+        "WHEN maxx + ({dlon}) > 180.0d THEN "
+        " array(struct(minx - ({dlon}) AS mnx, 180.0d AS mxx), "
+        "       struct(-180.0d AS mnx, maxx + ({dlon}) - 360.0d AS mxx)) "
+        "ELSE array(struct(minx - ({dlon}) AS mnx, maxx + ({dlon}) AS mxx)) "
+        "END"
+    ).format(dlon=dlon)
     expanded = source.selectExpr(
         "id",
-        f"minx - ({dlon}) AS minx",
+        f"inline({piece})",
         f"miny - ({dlat}) AS miny",
-        f"maxx + ({dlon}) AS maxx",
         f"maxy + ({dlat}) AS maxy",
         "minx AS px",
         "miny AS py",
+    ).selectExpr(
+        "id", "mnx AS minx", "miny", "mxx AS maxx", "maxy", "px", "py"
     )
     cand = tile_join(
         expanded, target, theta=theta, source_extra=("px", "py")

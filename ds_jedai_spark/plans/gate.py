@@ -325,6 +325,14 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                          giant.geodesic_distance_pairs_oracle(),
                          [("s_id", "s_id", None), ("t_id", "t_id", None),
                           ("dist_m_int", "dist2", "double")])),
+                # r16: antimeridian leg — datasets remapped into a lon
+                # band straddling ±180 so seam-crossing pairs must
+                # tile-match via the wrapped envelope piece
+                ("geodesic_wrap",
+                 *mapped(giant.geodesic_wrap_pairs,
+                         giant.geodesic_wrap_pairs_oracle(),
+                         [("s_id", "s_id", None), ("t_id", "t_id", None),
+                          ("dist_m_int", "dist2", "double")])),
             ]
         ),
     )

@@ -127,3 +127,112 @@ def test_geodesic_distance_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
             or "ShuffledHashJoin" in plan)
+
+
+def test_geodesic_antimeridian_wrap(spark):
+    """Seam-crossing pairs (r16): a lon cluster straddling ±180 must
+    match exactly the brute-force haversine pair set — the expanded
+    envelope that spills past the edge re-enters as a second candidate
+    piece, and no pair is duplicated by the split."""
+    import random
+
+    rng = random.Random(7)
+    src = [(i, 177.0 + rng.uniform(0.0, 3.0), rng.uniform(-30.0, 30.0))
+           for i in range(80)]
+    src += [(100 + i, -180.0 + rng.uniform(0.0, 3.0),
+             rng.uniform(-30.0, 30.0)) for i in range(80)]
+    tgt = [(1000 + i, x, y) for i, x, y in src]
+    radius = 150_000.0
+    want = {(s, t) for s, x1, y1 in src for t, x2, y2 in tgt
+            if _hav_m(x1, y1, x2, y2) <= radius}
+    rows = geodesic_distance_join(
+        _pts(spark, src), _pts(spark, tgt), radius_m=radius
+    ).collect()
+    got = [(r.s_id, r.t_id) for r in rows]
+    assert len(got) == len(set(got)), "split pieces duplicated a pair"
+    assert set(got) == want
+    # the seam is actually exercised: some qualifying pairs sit on
+    # opposite sides of ±180
+    s_lon = {i: x for i, x, _ in src}
+    t_lon = {i: x for i, x, _ in tgt}
+    assert any(abs(s_lon[s] - t_lon[t]) > 300.0 for s, t in want)
+    # distances agree with the independent formula across the seam
+    s_xy = {i: (x, y) for i, x, y in src}
+    t_xy = {i: (x, y) for i, x, y in tgt}
+    for r in rows:
+        w = _hav_m(*s_xy[r.s_id], *t_xy[r.t_id])
+        assert abs(r.dist_m - w) <= 1e-6 * max(w, 1.0)
+
+
+def test_geodesic_polar_full_circle_branch(spark):
+    """Near a pole the lon expansion covers the full circle: a single
+    [-180, 180] piece (no duplicate pairs) that still finds the
+    opposite-lon neighbor a few km over the pole's side."""
+    pts = [(1, 5.0, 89.9), (2, -175.0, 89.9), (3, 5.0, 89.0)]
+    rows = geodesic_distance_join(
+        _pts(spark, pts), _pts(spark, pts), radius_m=50_000.0
+    ).collect()
+    got = [(r.s_id, r.t_id) for r in rows]
+    assert len(got) == len(set(got))
+    assert (1, 2) in got and (2, 1) in got  # ~22.2 km across the pole cap
+    assert (1, 3) not in got  # ~100 km south
+
+
+def test_geodesic_point_guard(spark):
+    """validate=True (default) raises in-plan on non-point or
+    out-of-domain rows instead of silently measuring envelope corners;
+    validate=False opts out (caller vouches)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    good = _pts(spark, [(1, 10.0, 0.0)])
+    box = spark.createDataFrame(
+        [(9, 0.0, 0.0, 2.0, 2.0)],
+        "id long, minx double, miny double, maxx double, maxy double")
+    for bad in (
+        box,  # envelope, not a point
+        spark.createDataFrame(
+            [(9, 200.0, 0.0, 200.0, 0.0)],
+            "id long, minx double, miny double, maxx double, maxy double"
+        ),  # lon out of range
+        spark.createDataFrame(
+            [(9, float("nan"), 0.0, float("nan"), 0.0)],
+            "id long, minx double, miny double, maxx double, maxy double"
+        ),  # NaN
+    ):
+        for s, t in ((bad, good), (good, bad)):
+            with pytest.raises(
+                (Py4JJavaError, SparkRuntimeException),
+                match="not a lon/lat POINT",
+            ):
+                geodesic_distance_join(s, t, radius_m=1000.0).collect()
+    # the escape hatch: validate=False runs (corner semantics, caller's
+    # responsibility)
+    assert geodesic_distance_join(
+        box, good, radius_m=10.0, validate=False
+    ).count() == 0
+
+
+def test_geodesic_wrap_gate_row_matches_duckdb(spark):
+    """The r16 gate leg end-to-end: plans.giant.geodesic_wrap_pairs
+    equals its DuckDB oracle on the driver's parquet tables (sf0.01 —
+    the gate's own SF, where 597 of the 4132 pairs cross the seam)."""
+    import duckdb
+
+    from conftest import SF_MED
+
+    from ds_jedai_spark.plans import giant
+
+    got = sorted(
+        (r.s_id, r.t_id, r.dist_m_int)
+        for r in giant.geodesic_wrap_pairs(spark, SF_MED).collect()
+    )
+    con = duckdb.connect()
+    for t in ("customer", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_MED}/{t}.parquet')"
+        )
+    want = sorted(tuple(r) for r in
+                  con.execute(giant.geodesic_wrap_pairs_oracle()).fetchall())
+    assert got == want and got

@@ -345,3 +345,52 @@ def test_pyproj_pair_roundtrip_and_envelopes(spark):
             [q for part in o.coords for q in part],
         ):
             assert abs(px - qx) <= 1e-6 and abs(py - qy) <= 1e-6
+
+
+def test_pyproj_invalid_pair_raises_driver_side(spark):
+    """Env-gated (r16): an identifier PROJ does not know raises a clear
+    ValueError on the DRIVER at plan time — never a CRSError inside an
+    executor task."""
+    pytest.importorskip("pyproj")
+    src = _src(spark)
+    with pytest.raises(ValueError, match="pyproj rejected"):
+        reproject(src, "EPSG:99999999")
+    # also via the explicit from_crs override
+    with pytest.raises(ValueError, match="pyproj rejected"):
+        reproject(src.withMetadata("gtype", {}), "EPSG:32633",
+                  from_crs="NOT:ACRS")
+
+
+def test_pyproj_degenerate_rows_null_envelope(spark):
+    """Env-gated (r16): a vertex-free geometry and a vertex pyproj maps
+    out of the target's domain (inf) both come back with a NULL
+    envelope instead of crashing the Arrow task or smuggling ±inf into
+    the tile join; healthy rows in the same batch are unaffected."""
+    pytest.importorskip("pyproj")
+    from pyproj import Transformer
+
+    rows = [
+        (1, "POINT", [[[15.0, 52.0]]]),
+        (2, "GEOMETRYCOLLECTION", []),       # no vertices at all
+        (3, "POINT", [[[15.0, -89.99]]]),    # far outside UTM 33N's domain
+    ]
+    df = spark.createDataFrame(
+        [(i, g, c,
+          min((p[0] for part in c for p in part), default=None),
+          min((p[1] for part in c for p in part), default=None),
+          max((p[0] for part in c for p in part), default=None),
+          max((p[1] for part in c for p in part), default=None))
+         for i, g, c in rows],
+        "id long, gtype string, coords array<array<array<double>>>, "
+        "minx double, miny double, maxx double, maxy double",
+    ).withMetadata("gtype", {"crs": "EPSG:4326"})
+    out = {r.id: r for r in reproject(df, "EPSG:32633").collect()}
+    assert out[2].minx is None and out[2].maxy is None
+    tr = Transformer.from_crs("EPSG:4326", "EPSG:32633", always_xy=True)
+    ex, ey = tr.transform(15.0, 52.0)
+    assert abs(out[1].minx - ex) <= 1e-6 and abs(out[1].miny - ey) <= 1e-6
+    x3, y3 = tr.transform(15.0, -89.99)
+    if not (math.isfinite(x3) and math.isfinite(y3)):
+        assert out[3].minx is None and out[3].maxx is None
+    else:  # PROJ build that extrapolates finitely: envelope stays finite
+        assert math.isfinite(out[3].minx)
