@@ -450,6 +450,26 @@ def _run_op(args) -> int:
                 "cell_x", "cell_y"
             )
             return _print_or_write(out, args.out, args.limit, t0)
+        elif args.op == "dbscan":
+            # Density-based clustering over any reader format —
+            # operators/clustering.dbscan (tile-join eps-graph +
+            # pointer-doubling components; deterministic labels).
+            from ds_jedai_spark import api
+            from ds_jedai_spark.config import DatasetSpec
+            from ds_jedai_spark.operators.clustering import dbscan
+
+            if not args.left or args.tau is None:
+                print("-op dbscan needs -left (point dataset) and -tau "
+                      "(eps distance); -minpts defaults to 4",
+                      file=sys.stderr)
+                return 2
+            src = api.read_dataset(spark, DatasetSpec(
+                path=args.left, id_field=args.id_col,
+                geom_field=args.geom_col, date_field=args.date_col,
+            ), bbox=args.bbox)
+            out = dbscan(src, eps=args.tau, min_pts=args.minpts)
+            return _print_or_write(out.orderBy("id"), args.out,
+                                   args.limit, t0)
         elif args.op == "measures":
             # Per-entity geometry measures (ST_NPoints/Length/Perimeter/
             # Area/Centroid equivalents) over any reader format —
@@ -968,8 +988,8 @@ def main(argv: list[str] | None = None) -> int:
         "-op",
         default=None,
         choices=["relate", "convert", "perturb", "reproject",
-                 "measures", "density", "knn", "distance", "asof",
-                 "interval",
+                 "measures", "density", "dbscan", "knn", "distance",
+                 "asof", "interval",
                  "chunk", "dedup", "dedup-build", "dedup-apply", "emb-dedup",
                  "ann", "ann-build", "quantize", "shuffle", "dupspans",
                  "scrub"],
@@ -989,6 +1009,9 @@ def main(argv: list[str] | None = None) -> int:
                          "stats); envelope-intersection semantics")
     ap.add_argument("-cell", type=float, default=1.0,
                     help="density: grid cell size in CRS units")
+    ap.add_argument("-minpts", type=int, default=4,
+                    help="dbscan: min neighbors (incl. self) for a "
+                         "core point; eps comes from -tau")
     ap.add_argument("-geodesic", action="store_true",
                     help="-op measures: also emit haversine length_m/"
                          "perimeter_m and spherical-excess area_m2; "
@@ -1118,7 +1141,8 @@ def main(argv: list[str] | None = None) -> int:
             args.id_col = ("id" if args.op in ("relate", "convert",
                                                "perturb", "reproject",
                                                "measures", "density",
-                                               "knn", "distance")
+                                               "dbscan", "knn",
+                                               "distance")
                            else "doc_id")
         if args.bucket_us == "none":
             args.bucket_us = None

@@ -1,0 +1,140 @@
+"""Density-based spatial clustering (DBSCAN), Spark-first.
+
+Beyond the reference's surface (DS-JedAI interlinks two datasets; it
+has no clustering operator), but the natural next question over the
+same spatial data — "which entities form dense groups?" — and a
+standard component of large-scale data pipelines (deduplicating POI
+corpora, collapsing GPS bursts, spatial blocking for entity
+resolution). Implemented from the published DBSCAN definition (Ester,
+Kriegel, Sander, Xu, KDD '96) on top of the engine's existing
+distributed primitives, so every stage inherits their 100 TB story:
+
+1. eps-neighborhoods  — operators/spatial_join.distance_join (the
+   expanded-MBR tile join: ONE equi-join shuffle, ref-point dedup, AQE
+   skew handling). |N_eps(p)| includes p itself, per the paper.
+2. core points        — a groupBy degree count (map-side partial agg).
+3. cluster backbone   — connected components over the core-core
+   eps-graph via operators/dedup.duplicate_clusters (min-label
+   propagation WITH pointer doubling: O(log diameter) rounds, each one
+   join-shuffle; raises rather than returning a wrong clustering).
+4. border attachment  — one join + min-aggregate.
+5. noise              — one anti-join, label -1.
+
+Determinism: the DBSCAN paper leaves border-point assignment to scan
+order when a border sees several clusters. Distributed scan order is
+not reproducible, so this implementation pins the tie-break: a border
+point joins the MINIMUM cluster label among its core neighbors, and a
+cluster's label is the minimum member id of its core backbone. Same
+rule in the DuckDB oracle (plans/measure_plans.dbscan_stats_oracle),
+so results are bit-stable across runs, partitionings, and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dbscan(
+    points: DataFrame,
+    eps: float,
+    min_pts: int,
+    theta: tuple[float, float] | None = None,
+    max_iter: int = 15,
+) -> DataFrame:
+    """Cluster a POINT dataset: returns (id, cluster) with cluster = the
+    minimum core-point id of the cluster's backbone component, or -1
+    for noise. ``eps`` is Euclidean (planar) distance in the dataset's
+    own units; ``min_pts`` counts the point itself (the KDD '96
+    convention: p is core iff |N_eps(p)| >= min_pts). The label column
+    has the id column's type — "minimum" is the id type's own ordering
+    (numeric for numeric ids, lexicographic for string ids), and the
+    noise sentinel -1 is cast to it ('-1' for string ids).
+
+    The eps-graph is materialized once (localCheckpoint) — it feeds the
+    degree count, the core-core edge set, and border attachment; at
+    scale it is the single tile-join shuffle plus (id, id, dist2) rows.
+    """
+    from ds_jedai_spark.operators.dedup import duplicate_clusters
+    from ds_jedai_spark.operators.spatial_join import distance_join
+
+    # symmetric eps-neighbor pairs, self-pairs included
+    nbr = distance_join(points, points, eps, theta).localCheckpoint()
+
+    deg = nbr.groupBy("s_id").agg(F.count(F.lit(1)).alias("n"))
+    cores = (
+        deg.where(F.col("n") >= int(min_pts))
+        .select(F.col("s_id").alias("id"))
+        .localCheckpoint()
+    )
+
+    # core-core backbone edges (one direction; CC symmetrizes)
+    ce = (
+        nbr.where(F.col("s_id") < F.col("t_id"))
+        .join(cores.withColumnRenamed("id", "s_id"), "s_id", "left_semi")
+        .join(cores.withColumnRenamed("id", "t_id"), "t_id", "left_semi")
+        .select("s_id", "t_id")
+    )
+    linked = duplicate_clusters(ce, "s_id", "t_id", max_iter=max_iter)
+    # isolated cores (no core within eps) are singleton clusters
+    core_lbl = (
+        cores.join(linked.withColumnRenamed("doc_id", "id"), "id", "left")
+        .select("id", F.coalesce("cluster_id", "id").alias("cluster"))
+    )
+
+    border = (
+        nbr.where(F.col("s_id") != F.col("t_id"))
+        .join(
+            core_lbl.select(F.col("id").alias("t_id"), "cluster"), "t_id"
+        )
+        .join(cores.withColumnRenamed("id", "s_id"), "s_id", "left_anti")
+        .groupBy("s_id")
+        .agg(F.min("cluster").alias("cluster"))
+        .select(F.col("s_id").alias("id"), "cluster")
+    )
+    labeled = core_lbl.unionByName(border)
+    noise = (
+        points.select("id")
+        .join(labeled.select("id"), "id", "left_anti")
+        .select("id", F.lit(-1).cast(labeled.schema["cluster"].dataType)
+                .alias("cluster"))
+    )
+    return labeled.unionByName(noise)
+
+
+def dbscan_sql(points_sql: str, eps: float, min_pts: int) -> str:
+    """ANSI-SQL equivalent of :func:`dbscan` (the DuckDB oracle): the
+    same construction with the cluster backbone's connected components
+    as a recursive-CTE transitive closure (min reachable core id). The
+    closure materializes |C|^2 rows per backbone component — fine for
+    oracle-scale data, which is exactly why the distributed path uses
+    pointer-doubling label propagation instead."""
+    e2 = float(eps) * float(eps)
+    return f"""
+WITH RECURSIVE pts AS ({points_sql}),
+nbr AS (
+  SELECT a.id AS a, b.id AS b FROM pts a JOIN pts b
+  ON (a.minx - b.minx) * (a.minx - b.minx)
+   + (a.miny - b.miny) * (a.miny - b.miny) <= {e2!r}
+),
+core AS (SELECT a AS id FROM nbr GROUP BY a HAVING count(*) >= {int(min_pts)}),
+ce AS (
+  SELECT n.a, n.b FROM nbr n
+  JOIN core ca ON n.a = ca.id JOIN core cb ON n.b = cb.id
+  WHERE n.a <> n.b
+),
+reach AS (
+  SELECT id, id AS lbl FROM core
+  UNION
+  SELECT ce.b AS id, reach.lbl FROM reach JOIN ce ON reach.id = ce.a
+),
+clab AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+border AS (
+  SELECT n.a AS id, min(c.cluster) AS cluster FROM nbr n
+  JOIN clab c ON n.b = c.id
+  WHERE n.a <> n.b AND n.a NOT IN (SELECT id FROM core)
+  GROUP BY n.a
+),
+lab AS (SELECT id, cluster FROM clab UNION ALL SELECT id, cluster FROM border)
+SELECT p.id AS id, CAST(COALESCE(lab.cluster, -1) AS BIGINT) AS cluster
+FROM pts p LEFT JOIN lab ON p.id = lab.id
+"""

@@ -277,3 +277,40 @@ def density_stats_oracle() -> str:
         f"SELECT cell_x * 100000 + cell_y AS t_id, "
         f"CAST(n AS BIGINT) AS cost FROM ({inner})"
     )
+
+
+# ------------------------------------------------------------ DBSCAN (r16)
+
+DBSCAN_EPS = 1.5
+DBSCAN_MIN_PTS = 3
+
+
+def dbscan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN (operators/clustering.dbscan) over the lattice point
+    dataset at eps=1.5, min_pts=3. The multiplicative-hash lattice
+    arranges the points into ~37-long near-collinear CHAINS (measured
+    at sf0.01: 82 clusters, 6 noise points, max degree 3), which is a
+    deliberately hard shape for the clustering backbone: component
+    diameter ~36 forces the pointer-doubling label propagation through
+    multiple real rounds (pure one-hop propagation would need 36),
+    chain endpoints exercise the border rule, and isolated points the
+    noise label. Folded into skew_stats' (t_id, cost) schema: t_id =
+    point id, cost = cluster label (min core id; -1 = noise)."""
+    from ds_jedai_spark.operators.clustering import dbscan
+
+    pts = load_sql(spark, sf_dir, point_sql())
+    out = dbscan(pts, eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS)
+    return out.select(
+        F.col("id").cast("long").alias("t_id"),
+        F.col("cluster").cast("long").alias("cost"),
+    )
+
+
+def dbscan_stats_oracle() -> str:
+    from ds_jedai_spark.operators.clustering import dbscan_sql
+
+    inner = dbscan_sql(point_sql(), DBSCAN_EPS, DBSCAN_MIN_PTS)
+    return (
+        f"SELECT CAST(id AS BIGINT) AS t_id, cluster AS cost "
+        f"FROM ({inner})"
+    )

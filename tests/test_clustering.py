@@ -1,0 +1,172 @@
+"""operators/clustering.dbscan: differential vs an independent
+pure-Python DBSCAN on pseudo-random blobs + chains, the deterministic
+border tie-break, the DuckDB oracle SQL equivalence, and the
+-op dbscan CLI."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from ds_jedai_spark.operators.clustering import dbscan, dbscan_sql
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, minx double, miny double"
+    ).selectExpr("id", "minx", "miny", "minx AS maxx", "miny AS maxy")
+
+
+def _ref_dbscan(rows, eps, min_pts):
+    """Independent reference: textbook DBSCAN with the SAME canonical
+    labeling (cluster = min core id of the backbone component; border
+    joins the min cluster label among core neighbors; noise = -1)."""
+    ids = [i for i, _, _ in rows]
+    xy = {i: (x, y) for i, x, y in rows}
+    e2 = eps * eps
+
+    def near(a, b):
+        dx = xy[a][0] - xy[b][0]
+        dy = xy[a][1] - xy[b][1]
+        return dx * dx + dy * dy <= e2
+
+    nbrs = {i: [j for j in ids if near(i, j)] for i in ids}
+    cores = {i for i in ids if len(nbrs[i]) >= min_pts}
+    # union-find over core-core edges
+    parent = {i: i for i in cores}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a in cores:
+        for b in nbrs[a]:
+            if b in cores and b != a:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for a in cores:
+        comp.setdefault(find(a), []).append(a)
+    label = {}
+    for members in comp.values():
+        lbl = min(members)
+        for a in members:
+            label[a] = lbl
+    out = {}
+    for i in ids:
+        if i in cores:
+            out[i] = label[i]
+        else:
+            core_nbr_lbls = [label[j] for j in nbrs[i] if j in cores]
+            out[i] = min(core_nbr_lbls) if core_nbr_lbls else -1
+    return out
+
+
+def _blob_and_chain_rows():
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    # two dense blobs
+    for i in range(60):
+        rows.append((i, rng.gauss(0.0, 1.0), rng.gauss(0.0, 1.0)))
+    for i in range(60, 120):
+        rows.append((i, 20.0 + rng.gauss(0.0, 1.0),
+                     rng.gauss(0.0, 1.0)))
+    # a long chain (stresses multi-round label propagation)
+    for k in range(40):
+        rows.append((200 + k, 40.0 + 0.8 * k, 10.0))
+    # scattered noise
+    for i in range(300, 320):
+        rows.append((i, rng.uniform(-50, 100), rng.uniform(30, 80)))
+    return rows
+
+
+def test_dbscan_vs_reference(spark):
+    rows = _blob_and_chain_rows()
+    for eps, mp in ((1.5, 4), (1.0, 3)):
+        want = _ref_dbscan(rows, eps, mp)
+        got = {r.id: r.cluster
+               for r in dbscan(_pts(spark, rows), eps, mp).collect()}
+        assert got == want, (eps, mp)
+        # the shape is non-trivial: clusters AND noise both present
+        lbls = set(want.values())
+        assert -1 in lbls and len(lbls) >= 3
+
+
+def test_dbscan_border_tiebreak_deterministic(spark):
+    """A border point within eps of TWO clusters joins the minimum
+    cluster label — pinned so results are partition-order independent."""
+    # two 4-point cores, one NON-core point in the middle within eps of
+    # exactly one core from each side (|N| = 3 < min_pts = 4)
+    rows = [(1, 0.0, 0.0), (2, 0.25, 0.0), (3, 0.5, 0.0), (4, 0.75, 0.0),
+            (11, 2.75, 0.0), (12, 3.0, 0.0), (13, 3.25, 0.0),
+            (14, 3.5, 0.0),
+            (7, 1.75, 0.0)]
+    got = {r.id: r.cluster
+           for r in dbscan(_pts(spark, rows), 1.0, 4).collect()}
+    assert got[7] == 1  # min of the two cluster labels {1, 11}
+    assert got[1] == got[2] == got[3] == got[4] == 1
+    assert got[11] == got[12] == got[13] == got[14] == 11
+    # sanity vs the independent reference
+    assert got == _ref_dbscan(rows, 1.0, 4)
+
+
+def test_dbscan_oracle_sql_equivalence(spark):
+    """dbscan_sql (the recursive-CTE DuckDB oracle) computes the same
+    labels as the distributed operator on the same rows."""
+    import duckdb
+
+    rows = _blob_and_chain_rows()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, minx DOUBLE, miny DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    sql = dbscan_sql(
+        "SELECT id, minx, miny, minx AS maxx, miny AS maxy FROM t",
+        1.5, 4)
+    want = dict(con.execute(
+        f"SELECT id, cluster FROM ({sql})").fetchall())
+    got = {r.id: r.cluster
+           for r in dbscan(_pts(spark, rows), 1.5, 4).collect()}
+    assert got == want
+
+
+def test_cli_op_dbscan(spark, tmp_path, capsys, monkeypatch):
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    p = str(tmp_path / "pts.tsv")
+    with open(p, "w") as f:
+        f.write("id\twkt\n")
+        for i, (x, y) in enumerate([(0.0, 0.0), (0.5, 0.0), (1.0, 0.0),
+                                    (50.0, 50.0)]):
+            f.write(f"{i}\tPOINT ({x} {y})\n")
+    out = str(tmp_path / "cl.parquet")
+    rc = cli.main(["-op", "dbscan", "-left", p, "-tau", "1.2",
+                   "-minpts", "3", "-out", out])
+    assert rc == 0
+    # string ids -> string labels (cluster = lexicographic-min core id,
+    # noise = '-1'), per the dbscan docstring
+    back = {r.id: r.cluster for r in spark.read.parquet(out).collect()}
+    assert back["0"] == back["1"] == back["2"] == "0"
+    assert back["3"] == "-1"
+
+
+def test_dbscan_plan_shape(spark):
+    """The eps-graph stage keeps the tile join's scale contract: no
+    cartesian product, no Python in the neighbor-join plan."""
+    rows = [(i, float(i % 17), float(i % 13)) for i in range(150)]
+    from ds_jedai_spark.operators.spatial_join import distance_join
+
+    nbr = distance_join(_pts(spark, rows), _pts(spark, rows), 1.5)
+    plan = nbr._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "Python" not in plan
