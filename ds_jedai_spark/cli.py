@@ -450,6 +450,26 @@ def _run_op(args) -> int:
                 "cell_x", "cell_y"
             )
             return _print_or_write(out, args.out, args.limit, t0)
+        elif args.op == "geohash":
+            # Geohash cell keys over any reader format —
+            # operators/geohash.with_geohash: pure-JVM closed-form
+            # projection (no shuffle), keyed on the envelope center.
+            from ds_jedai_spark import api
+            from ds_jedai_spark.config import DatasetSpec
+            from ds_jedai_spark.operators.geohash import with_geohash
+
+            if not args.left:
+                print("-op geohash needs -left (input dataset)",
+                      file=sys.stderr)
+                return 2
+            src = api.read_dataset(spark, DatasetSpec(
+                path=args.left, id_field=args.id_col,
+                geom_field=args.geom_col, date_field=args.date_col,
+            ), bbox=args.bbox)
+            out = with_geohash(src, precision=args.precision).select(
+                "id", "geohash")
+            return _print_or_write(out.orderBy("id"), args.out,
+                                   args.limit, t0)
         elif args.op == "dbscan":
             # Density-based clustering over any reader format —
             # operators/clustering.dbscan (tile-join eps-graph +
@@ -988,8 +1008,8 @@ def main(argv: list[str] | None = None) -> int:
         "-op",
         default=None,
         choices=["relate", "convert", "perturb", "reproject",
-                 "measures", "density", "dbscan", "knn", "distance",
-                 "asof", "interval",
+                 "measures", "density", "dbscan", "geohash", "knn",
+                 "distance", "asof", "interval",
                  "chunk", "dedup", "dedup-build", "dedup-apply", "emb-dedup",
                  "ann", "ann-build", "quantize", "shuffle", "dupspans",
                  "scrub"],
@@ -1012,6 +1032,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-minpts", type=int, default=4,
                     help="dbscan: min neighbors (incl. self) for a "
                          "core point; eps comes from -tau")
+    ap.add_argument("-precision", type=int, default=7,
+                    help="geohash: characters (5 bits each, 1..10)")
     ap.add_argument("-geodesic", action="store_true",
                     help="-op measures: also emit haversine length_m/"
                          "perimeter_m and spherical-excess area_m2; "
@@ -1141,8 +1163,8 @@ def main(argv: list[str] | None = None) -> int:
             args.id_col = ("id" if args.op in ("relate", "convert",
                                                "perturb", "reproject",
                                                "measures", "density",
-                                               "dbscan", "knn",
-                                               "distance")
+                                               "dbscan", "geohash",
+                                               "knn", "distance")
                            else "doc_id")
         if args.bucket_us == "none":
             args.bucket_us = None

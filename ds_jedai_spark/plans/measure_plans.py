@@ -314,3 +314,41 @@ def dbscan_stats_oracle() -> str:
         f"SELECT CAST(id AS BIGINT) AS t_id, cluster AS cost "
         f"FROM ({inner})"
     )
+
+
+# ----------------------------------------------------------- geohash (r16)
+
+GEOHASH_PRECISION = 7
+
+
+def geohash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash cell keys (operators/geohash.with_geohash, precision 7 =
+    35 bits) over the lon/lat-remapped point dataset. The Spark side
+    runs the OPERATOR (pure-JVM projection); the oracle recomputes the
+    interleaved integer from the same shared closed-form SQL text
+    (geohash_int_sql) in DuckDB — both engines evaluate bit-identical
+    double arithmetic, so the comparison is integer equality. Folded
+    into skew_stats' (t_id, cost) schema: t_id = id, cost = the
+    35-bit geohash integer."""
+    from ds_jedai_spark.operators.geohash import with_geohash
+    from ds_jedai_spark.plans.giant import _lonlat_cte
+
+    pts = load_sql(spark, sf_dir, _lonlat_cte(point_sql())).selectExpr(
+        "id", "lon AS minx", "lat AS miny", "lon AS maxx", "lat AS maxy"
+    )
+    out = with_geohash(pts, precision=GEOHASH_PRECISION, as_int=True)
+    return out.select(
+        F.col("id").cast("long").alias("t_id"),
+        F.col("geohash_int").alias("cost"),
+    )
+
+
+def geohash_stats_oracle() -> str:
+    from ds_jedai_spark.operators.geohash import geohash_int_sql
+    from ds_jedai_spark.plans.giant import _lonlat_cte
+
+    gh = geohash_int_sql("lon", "lat", GEOHASH_PRECISION)
+    return (
+        f"SELECT CAST(id AS BIGINT) AS t_id, CAST({gh} AS BIGINT) AS "
+        f"cost FROM ({_lonlat_cte(point_sql())})"
+    )
