@@ -352,3 +352,35 @@ def geohash_stats_oracle() -> str:
         f"SELECT CAST(id AS BIGINT) AS t_id, CAST({gh} AS BIGINT) AS "
         f"cost FROM ({_lonlat_cte(point_sql())})"
     )
+
+
+# ------------------------------------------------------- convex hull (r16)
+
+def hull_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex hull corners (operators/hull.convex_hull: per-partition
+    monotone chain -> one-task final chain) of the SUPPLIER point set
+    (the oracle's corner test is O(n^3) — supplier keeps it at
+    oracle scale; the distributed path is what runs on real data).
+    Folded into skew_stats' (t_id, cost) schema: t_id = lexicographic
+    corner rank, cost = packed lattice coordinates
+    (x*16 * 1e6 + y*16 — both exact integers)."""
+    from ds_jedai_spark.operators.hull import convex_hull
+
+    pts = load_sql(spark, sf_dir, point_sql("supplier", "s_suppkey"))
+    out = convex_hull(pts)
+    return out.select(
+        F.col("rank").alias("t_id"),
+        (F.round(F.col("x") * 16).cast("long") * 1000000
+         + F.round(F.col("y") * 16).cast("long")).alias("cost"),
+    )
+
+
+def hull_stats_oracle() -> str:
+    from ds_jedai_spark.operators.hull import hull_sql
+
+    inner = hull_sql(point_sql("supplier", "s_suppkey"))
+    return (
+        f"SELECT rank AS t_id, "
+        f"CAST(round(x * 16) AS BIGINT) * 1000000 "
+        f"+ CAST(round(y * 16) AS BIGINT) AS cost FROM ({inner})"
+    )
