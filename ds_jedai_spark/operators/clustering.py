@@ -39,7 +39,7 @@ def dbscan(
     eps: float,
     min_pts: int,
     theta: tuple[float, float] | None = None,
-    max_iter: int = 15,
+    max_iter: int = 100,
 ) -> DataFrame:
     """Cluster a POINT dataset: returns (id, cluster) with cluster = the
     minimum core-point id of the cluster's backbone component, or -1
@@ -53,6 +53,19 @@ def dbscan(
     The eps-graph is materialized once (localCheckpoint) — it feeds the
     degree count, the core-core edge set, and border attachment; at
     scale it is the single tile-join shuffle plus (id, id, dist2) rows.
+
+    ``max_iter`` bounds the label-propagation rounds; propagation exits
+    EARLY at the fixpoint, so the generous default (100) costs nothing
+    on compact clusters. Density clusters can span the whole dataset
+    (the sf0.1 lattice forms filaments hundreds of hops long, measured
+    ~40 rounds / 35 s for 15k points), and the min label floods such a
+    component at roughly graph-distance speed — the pointer-doubling
+    shortcut is only a constant-factor help off chains — so round count
+    scales with the eps-graph DIAMETER of the largest cluster, not its
+    size. Rounds stay flat-cost regardless of count thanks to
+    iterative.fresh_stats_checkpoint (see iterative.py for the
+    exponential Catalyst-stats stall that plain localCheckpoint causes
+    in exactly this loop shape).
     """
     from ds_jedai_spark.operators.dedup import duplicate_clusters
     from ds_jedai_spark.operators.spatial_join import distance_join

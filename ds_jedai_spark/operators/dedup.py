@@ -218,11 +218,23 @@ def duplicate_clusters(
     rounds, not O(diameter): a 30,000-link drifted near-dup chain
     resolves inside the default 15 rounds where pure propagation would
     silently stop short. Each round is two distributed joins + one
-    aggregate with an early-exit action and localCheckpoint lineage
+    aggregate with an early-exit action and checkpoint lineage
     truncation; at 100 TB each round shuffles by doc id. Raises if the
     budget is exhausted before the fixpoint — a wrong clustering must
     never be returned quietly.
+
+    Round frames are pinned with iterative.fresh_stats_checkpoint, NOT
+    plain localCheckpoint: the plain form inherits the origin plan's
+    sizeInBytes ESTIMATE into each round's LogicalRDD, the estimate
+    squares per round (the round joins the label frame with itself),
+    and past ~16 rounds the driver stalls exponentially multiplying
+    million-digit BigIntegers inside Catalyst stats estimation (full
+    measurement in iterative.py's docstring — 0.9s/round at 15, 280s at
+    22, zero jobs running). Dedup components usually resolve well under
+    that horizon; the r16 DBSCAN surface (dataset-spanning clusters,
+    dozens of rounds) is where it bit.
     """
+    from ds_jedai_spark.iterative import fresh_stats_checkpoint
     e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     edges = edges.localCheckpoint()
@@ -255,7 +267,7 @@ def duplicate_clusters(
         hop = prop.select(
             F.col("node").alias("label"), F.col("label").alias("ll")
         )
-        new = (
+        new = fresh_stats_checkpoint(
             prop.join(hop, on="label", how="left")
             .select(
                 "node",
@@ -263,7 +275,6 @@ def duplicate_clusters(
                     F.col("label"), F.coalesce("ll", "label")
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new.alias("n")
