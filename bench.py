@@ -42,9 +42,17 @@ def main() -> None:
     spark = get_spark("ds_jedai_spark_bench")
 
     from ds_jedai_spark.plans import giant
+    from ds_jedai_spark.plans import measure_plans as mp
     from ds_jedai_spark.plans import pipeline_plans as pl
     from ds_jedai_spark.plans import progressive_plans as pp
     from ds_jedai_spark.plans import timeseries_plans as tsp
+
+    def _dbscan_bench(spark, sf_dir):
+        from ds_jedai_spark.io.synthetic import load_sql, point_sql
+        from ds_jedai_spark.operators.clustering import dbscan
+
+        pts = load_sql(spark, sf_dir, point_sql())
+        return dbscan(pts, eps=1.0, min_pts=3)
 
     # Warm up the JVM / codegen / parquet-reader paths; data registration
     # (view setup over the benchmark tables) stays timed inside the first
@@ -156,6 +164,15 @@ def main() -> None:
         ("ann_train", _ann_train),
         ("ann_lsh_pairs", pl.QUERIES["ann_lsh_pairs"]),
         ("ann_pq_rerank", pl.QUERIES["ann_pq_rerank_topk"]),
+        # r16 spatial additions (new lines, so r16 totals gain their
+        # cost vs r15 by construction): DBSCAN at eps=1.0 (the round
+        # count of the label propagation scales with the largest
+        # cluster's eps-graph diameter — eps=1.5 forms dataset-spanning
+        # filaments and runs ~35 s; 1.0 is the representative regime),
+        # the closed-form geohash projection, and the two-phase hull.
+        ("dbscan", _dbscan_bench),
+        ("geohash", mp.geohash_stats),
+        ("hull", mp.hull_stats),
     ]
     # Best-of-2 per query: single-shot timings on a shared box swing
     # +-40% with ambient load; the minimum of two runs tracks the plan's
