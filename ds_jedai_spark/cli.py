@@ -594,6 +594,19 @@ def _run_op(args) -> int:
                                             radius_m=float(args.tau))
             elif args.op == "distance":
                 df = distance_join(s, t, radius=float(args.tau))
+            elif args.geodesic:
+                # -op knn -geodesic: great-circle exact kNN over lon/lat
+                # points (meters; antimeridian-correct per round)
+                from ds_jedai_spark.operators.spatial_join import (
+                    knn_join_exact_geodesic,
+                )
+
+                same = os.path.realpath(args.left) == os.path.realpath(
+                    args.right
+                )
+                df = knn_join_exact_geodesic(
+                    s, t, k=args.k, self_join=same
+                ).drop("dist_mm")
             else:
                 # exact kNN: the final round's radius must reach the
                 # whole domain, so derive it from the joint extent (one
@@ -1037,6 +1050,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-geodesic", action="store_true",
                     help="-op measures: also emit haversine length_m/"
                          "perimeter_m and spherical-excess area_m2; "
+                         "-op knn: great-circle exact kNN over lon/lat "
+                         "points; "
                          "-op distance: treat -tau as great-circle "
                          "METERS over lon/lat points "
                          "(requires declared EPSG:4326 input)")

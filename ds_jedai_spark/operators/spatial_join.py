@@ -281,6 +281,75 @@ def geodesic_distance_join(
     )
 
 
+def knn_join_exact_geodesic(
+    source: DataFrame,
+    target: DataFrame,
+    k: int,
+    r0_m: float = 25_000.0,
+    growth: float = 4.0,
+    rmax_m: float = 2.1e7,
+    self_join: bool = False,
+) -> DataFrame:
+    """EXACT great-circle k-nearest-neighbors join over lon/lat POINT
+    datasets — the geodesic sibling of knn_join_exact, with the same
+    iterative radius-expansion proof: once a source has >= k candidates
+    within round radius r METERS, its true k nearest all lie within r,
+    so its per-source top-k is final. The default ``rmax_m`` exceeds
+    half the Earth's circumference (pi * R ~ 2.002e7 m), so the last
+    round always resolves every source with any neighbor at all.
+
+    Each round is one geodesic_distance_join (latitude-aware degree
+    expansion + antimeridian split + exact haversine — all JVM), so
+    meridian convergence, seam-crossing neighbors, and the polar
+    full-circle case are all handled per round. Returns (s_id, t_id,
+    dist_m, dist_mm): ranking uses integer MILLIMETERS then t_id — the
+    cross-engine-stable order (two engines' libm can disagree in the
+    last ulp of a haversine; a float orderBy could then pick different
+    k-th neighbors for mathematically tied distances, while mm-rounded
+    ties break on t_id identically everywhere).
+    """
+    from pyspark.sql import Window
+
+    rounds: list[DataFrame] = []
+    remaining = source
+    r = float(r0_m)
+    first = True
+    while True:
+        cand = geodesic_distance_join(
+            remaining, target, r, validate=first
+        )
+        first = False
+        if self_join:
+            cand = cand.where(F.col("s_id") != F.col("t_id"))
+        cand = cand.withColumn(
+            "dist_mm", F.round(F.col("dist_m") * 1000.0).cast("bigint")
+        ).localCheckpoint()
+        cnts = cand.groupBy("s_id").agg(F.count(F.lit(1)).alias("nc"))
+        if r >= rmax_m:
+            done = cnts.select("s_id")
+        else:
+            done = cnts.where(F.col("nc") >= k).select("s_id")
+        w = Window.partitionBy("s_id").orderBy("dist_mm", "t_id")
+        ranked = cand.withColumn("rn", F.row_number().over(w))
+        rounds.append(
+            ranked.join(done, "s_id", "left_semi")
+            .where(F.col("rn") <= k)
+            .select("s_id", "t_id", "dist_m", "dist_mm")
+        )
+        if r >= rmax_m:
+            break
+        remaining = remaining.join(
+            done.withColumnRenamed("s_id", "id"), "id", "left_anti"
+        )
+        if remaining.isEmpty():
+            break
+        r *= growth
+    out = rounds[0]
+    for part in rounds[1:]:
+        out = out.unionByName(part)
+    return out
+
+
 KNN_TILES_PER_SIDE = 8.0
 
 

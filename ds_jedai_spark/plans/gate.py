@@ -333,6 +333,13 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                          giant.geodesic_wrap_pairs_oracle(),
                          [("s_id", "s_id", None), ("t_id", "t_id", None),
                           ("dist_m_int", "dist2", "double")])),
+                # r16: exact geodesic kNN (iterative great-circle radius
+                # expansion; integer-mm ranking)
+                ("knn_geodesic",
+                 *mapped(giant.knn_geodesic_pairs,
+                         giant.knn_geodesic_pairs_oracle(),
+                         [("s_id", "s_id", None), ("t_id", "t_id", None),
+                          ("dist_mm", "dist2", "double")])),
             ]
         ),
     )

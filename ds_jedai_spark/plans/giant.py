@@ -699,6 +699,49 @@ def geodesic_wrap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_GEO_K = 3
+
+
+def knn_geodesic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT geodesic kNN (operators/spatial_join.knn_join_exact_geodesic)
+    from the supplier points to the customer points on the lon/lat
+    remap: iterative great-circle radius expansion vs the brute-force
+    haversine window oracle. Ranking and the cross-engine hash use
+    integer-millimeter distances (ties break on t_id identically in
+    both engines; raw float order could flip mathematically-tied
+    neighbors on last-ulp libm differences)."""
+    from ds_jedai_spark.operators.spatial_join import (
+        knn_join_exact_geodesic,
+    )
+
+    def lonlat(sql: str) -> DataFrame:
+        return load_sql(spark, sf_dir, _lonlat_cte(sql)).selectExpr(
+            "id", "lon AS minx", "lat AS miny",
+            "lon AS maxx", "lat AS maxy",
+        )
+
+    src = lonlat(point_sql("supplier", "s_suppkey"))
+    tgt = lonlat(point_sql())
+    out = knn_join_exact_geodesic(src, tgt, k=KNN_GEO_K)
+    return out.select("s_id", "t_id", "dist_mm")
+
+
+def knn_geodesic_pairs_oracle() -> str:
+    from ds_jedai_spark.operators.measures import haversine_sql
+
+    hav = haversine_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    return (
+        f"WITH a AS ({_lonlat_cte(point_sql('supplier', 's_suppkey'))}), "
+        f"b AS ({_lonlat_cte(point_sql())}), "
+        f"d AS (SELECT a.id AS s_id, b.id AS t_id, "
+        f"CAST(round(({hav}) * 1000) AS BIGINT) AS dist_mm "
+        f"FROM a CROSS JOIN b), "
+        f"r AS (SELECT s_id, t_id, dist_mm, row_number() OVER ("
+        f"PARTITION BY s_id ORDER BY dist_mm, t_id) AS rn FROM d) "
+        f"SELECT s_id, t_id, dist_mm FROM r WHERE rn <= {KNN_GEO_K}"
+    )
+
+
 def geodesic_wrap_pairs_oracle() -> str:
     from ds_jedai_spark.operators.measures import haversine_sql
 

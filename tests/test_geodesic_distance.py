@@ -236,3 +236,92 @@ def test_geodesic_wrap_gate_row_matches_duckdb(spark):
     want = sorted(tuple(r) for r in
                   con.execute(giant.geodesic_wrap_pairs_oracle()).fetchall())
     assert got == want and got
+
+
+def _ref_knn_geo(src, tgt, k):
+    out = {}
+    for s, x1, y1 in src:
+        ds = sorted(
+            (round(_hav_m(x1, y1, x2, y2) * 1000.0), t)
+            for t, x2, y2 in tgt
+        )
+        out[s] = set()
+        for mm, t in ds[:k]:
+            out[s].add((t, mm))
+    return out
+
+
+def test_knn_geodesic_vs_bruteforce(spark):
+    """Exact geodesic kNN equals the brute-force haversine top-k on a
+    mixed corpus: mid-lat cloud, a 78N meridian-convergence cluster,
+    and a seam cluster whose true neighbors cross +/-180."""
+    import random
+
+    from ds_jedai_spark.operators.spatial_join import (
+        knn_join_exact_geodesic,
+    )
+
+    rng = random.Random(23)
+    src = [(i, rng.uniform(-10, 10), rng.uniform(30, 50))
+           for i in range(60)]
+    src += [(500 + i, rng.uniform(20, 24), rng.uniform(77, 79))
+            for i in range(25)]
+    src += [(800 + i, 179.0 + rng.uniform(0.0, 1.0) if i % 2 == 0
+             else -180.0 + rng.uniform(0.0, 1.0), rng.uniform(-5, 5))
+            for i in range(25)]
+    tgt = [(1000 + i, x + rng.uniform(-4, 4), y + rng.uniform(-3, 3))
+           for i, x, y in src]
+    tgt = [(t, ((x + 180.0) % 360.0) - 180.0, max(-89.9, min(89.9, y)))
+           for t, x, y in tgt]
+    k = 4
+    want = _ref_knn_geo(src, tgt, k)
+    got = {}
+    rows = knn_join_exact_geodesic(
+        _pts(spark, src), _pts(spark, tgt), k=k
+    ).collect()
+    for r in rows:
+        got.setdefault(r.s_id, set()).add((r.t_id, r.dist_mm))
+    assert got == want
+    # every source resolved with exactly k neighbors
+    assert all(len(v) == k for v in got.values())
+
+
+def test_cli_knn_geodesic(spark, tmp_path, capsys, monkeypatch):
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    p = str(tmp_path / "pts.tsv")
+    with open(p, "w") as f:
+        f.write("id\twkt\n")
+        # seam pair: 0's nearest non-self neighbor is 1 ACROSS +/-180
+        for i, (x, y) in enumerate([(179.9, 0.0), (-179.9, 0.0),
+                                    (170.0, 0.0), (160.0, 0.0)]):
+            f.write(f"{i}\tPOINT ({x} {y})\n")
+    out = str(tmp_path / "gk.parquet")
+    rc = cli.main(["-op", "knn", "-geodesic", "-k", "1", "-left", p,
+                   "-right", p, "-out", out])
+    assert rc == 0
+    back = {r.s_id: r.t_id for r in spark.read.parquet(out).collect()}
+    assert back["0"] == "1" and back["1"] == "0"  # across the seam
+    assert back["3"] == "2"
+
+
+def test_knn_geodesic_gate_row_matches_duckdb(spark):
+    import duckdb
+
+    from conftest import SF_SMALL
+
+    from ds_jedai_spark.plans import giant
+
+    got = sorted((r.s_id, r.t_id, r.dist_mm) for r in
+                 giant.knn_geodesic_pairs(spark, SF_SMALL).collect())
+    con = duckdb.connect()
+    for t in ("customer", "supplier"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_SMALL}/{t}.parquet')")
+    want = sorted(tuple(r) for r in con.execute(
+        giant.knn_geodesic_pairs_oracle()).fetchall())
+    assert got == want and got
