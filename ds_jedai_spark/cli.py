@@ -470,6 +470,24 @@ def _run_op(args) -> int:
                 "id", "geohash")
             return _print_or_write(out.orderBy("id"), args.out,
                                    args.limit, t0)
+        elif args.op == "hull":
+            # Convex hull corners of a dataset's points/envelope
+            # corners — operators/hull.convex_hull (per-partition
+            # monotone chain, one-task final merge).
+            from ds_jedai_spark import api
+            from ds_jedai_spark.config import DatasetSpec
+            from ds_jedai_spark.operators.hull import convex_hull
+
+            if not args.left:
+                print("-op hull needs -left (input dataset)",
+                      file=sys.stderr)
+                return 2
+            src = api.read_dataset(spark, DatasetSpec(
+                path=args.left, id_field=args.id_col,
+                geom_field=args.geom_col, date_field=args.date_col,
+            ), bbox=args.bbox)
+            return _print_or_write(convex_hull(src), args.out,
+                                   args.limit, t0)
         elif args.op == "dbscan":
             # Density-based clustering over any reader format —
             # operators/clustering.dbscan (tile-join eps-graph +
@@ -1021,8 +1039,8 @@ def main(argv: list[str] | None = None) -> int:
         "-op",
         default=None,
         choices=["relate", "convert", "perturb", "reproject",
-                 "measures", "density", "dbscan", "geohash", "knn",
-                 "distance", "asof", "interval",
+                 "measures", "density", "dbscan", "geohash", "hull",
+                 "knn", "distance", "asof", "interval",
                  "chunk", "dedup", "dedup-build", "dedup-apply", "emb-dedup",
                  "ann", "ann-build", "quantize", "shuffle", "dupspans",
                  "scrub"],
@@ -1179,7 +1197,8 @@ def main(argv: list[str] | None = None) -> int:
                                                "perturb", "reproject",
                                                "measures", "density",
                                                "dbscan", "geohash",
-                                               "knn", "distance")
+                                               "hull", "knn",
+                                               "distance")
                            else "doc_id")
         if args.bucket_us == "none":
             args.bucket_us = None

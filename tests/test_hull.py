@@ -102,3 +102,24 @@ def test_hull_gate_row_matches_duckdb(spark):
     want = sorted(tuple(r) for r in
                   con.execute(mp.hull_stats_oracle()).fetchall())
     assert got == want and len(got) >= 4
+
+
+def test_cli_op_hull(spark, tmp_path, capsys, monkeypatch):
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    p = str(tmp_path / "pts.tsv")
+    with open(p, "w") as f:
+        f.write("id\twkt\n")
+        pts = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0),
+               (2.0, 2.0), (2.0, 0.0)]
+        for i, (x, y) in enumerate(pts):
+            f.write(f"{i}\tPOINT ({x} {y})\n")
+    out = str(tmp_path / "hull.parquet")
+    rc = cli.main(["-op", "hull", "-left", p, "-out", out])
+    assert rc == 0
+    got = sorted((r.x, r.y) for r in spark.read.parquet(out).collect())
+    assert got == [(0.0, 0.0), (0.0, 4.0), (4.0, 0.0), (4.0, 4.0)]
