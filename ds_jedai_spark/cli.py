@@ -505,7 +505,8 @@ def _run_op(args) -> int:
                 path=args.left, id_field=args.id_col,
                 geom_field=args.geom_col, date_field=args.date_col,
             ), bbox=args.bbox)
-            out = dbscan(src, eps=args.tau, min_pts=args.minpts)
+            out = dbscan(src, eps=args.tau, min_pts=args.minpts,
+                         geodesic=args.geodesic)
             return _print_or_write(out.orderBy("id"), args.out,
                                    args.limit, t0)
         elif args.op == "measures":

@@ -40,12 +40,18 @@ def dbscan(
     min_pts: int,
     theta: tuple[float, float] | None = None,
     max_iter: int = 100,
+    geodesic: bool = False,
 ) -> DataFrame:
     """Cluster a POINT dataset: returns (id, cluster) with cluster = the
     minimum core-point id of the cluster's backbone component, or -1
     for noise. ``eps`` is Euclidean (planar) distance in the dataset's
     own units; ``min_pts`` counts the point itself (the KDD '96
-    convention: p is core iff |N_eps(p)| >= min_pts). The label column
+    convention: p is core iff |N_eps(p)| >= min_pts).
+    ``geodesic=True`` treats ``eps`` as great-circle METERS over
+    lon/lat points (the eps-graph runs through
+    geodesic_distance_join, so meridian convergence and antimeridian
+    crossings are handled — GPS-burst clustering without a projection
+    step). The label column
     has the id column's type — "minimum" is the id type's own ordering
     (numeric for numeric ids, lexicographic for string ids), and the
     noise sentinel -1 is cast to it ('-1' for string ids).
@@ -68,10 +74,17 @@ def dbscan(
     in exactly this loop shape).
     """
     from ds_jedai_spark.operators.dedup import duplicate_clusters
-    from ds_jedai_spark.operators.spatial_join import distance_join
+    from ds_jedai_spark.operators.spatial_join import (
+        distance_join,
+        geodesic_distance_join,
+    )
 
     # symmetric eps-neighbor pairs, self-pairs included
-    nbr = distance_join(points, points, eps, theta).localCheckpoint()
+    if geodesic:
+        nbr = geodesic_distance_join(points, points, eps, theta)
+    else:
+        nbr = distance_join(points, points, eps, theta)
+    nbr = nbr.localCheckpoint()
 
     deg = nbr.groupBy("s_id").agg(F.count(F.lit(1)).alias("n"))
     cores = (
@@ -114,20 +127,30 @@ def dbscan(
     return labeled.unionByName(noise)
 
 
-def dbscan_sql(points_sql: str, eps: float, min_pts: int) -> str:
+def dbscan_sql(
+    points_sql: str, eps: float, min_pts: int, geodesic: bool = False
+) -> str:
     """ANSI-SQL equivalent of :func:`dbscan` (the DuckDB oracle): the
     same construction with the cluster backbone's connected components
     as a recursive-CTE transitive closure (min reachable core id). The
     closure materializes |C|^2 rows per backbone component — fine for
     oracle-scale data, which is exactly why the distributed path uses
-    pointer-doubling label propagation instead."""
-    e2 = float(eps) * float(eps)
+    pointer-doubling label propagation instead. ``geodesic`` switches
+    the neighbor predicate to the shared haversine text (meters)."""
+    if geodesic:
+        from ds_jedai_spark.operators.measures import haversine_sql
+
+        cond = (f"{haversine_sql('a.minx', 'a.miny', 'b.minx', 'b.miny')}"
+                f" <= {float(eps)!r}")
+    else:
+        e2 = float(eps) * float(eps)
+        cond = (f"(a.minx - b.minx) * (a.minx - b.minx)"
+                f" + (a.miny - b.miny) * (a.miny - b.miny) <= {e2!r}")
     return f"""
 WITH RECURSIVE pts AS ({points_sql}),
 nbr AS (
   SELECT a.id AS a, b.id AS b FROM pts a JOIN pts b
-  ON (a.minx - b.minx) * (a.minx - b.minx)
-   + (a.miny - b.miny) * (a.miny - b.miny) <= {e2!r}
+  ON {cond}
 ),
 core AS (SELECT a AS id FROM nbr GROUP BY a HAVING count(*) >= {int(min_pts)}),
 ce AS (

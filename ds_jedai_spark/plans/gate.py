@@ -394,6 +394,9 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                 # r16: DBSCAN cluster labels (t_id = point id, cost =
                 # cluster label / -1 noise) — operators/clustering.py
                 ("dbscan", mp.dbscan_stats, mp.dbscan_stats_oracle()),
+                # r16: geodesic DBSCAN (eps in great-circle meters)
+                ("dbscan_geo", mp.dbscan_geo_stats,
+                 mp.dbscan_geo_stats_oracle()),
                 # r16: geohash cell keys (t_id = id, cost = 35-bit
                 # interleaved integer) — operators/geohash.py
                 ("geohash", mp.geohash_stats, mp.geohash_stats_oracle()),

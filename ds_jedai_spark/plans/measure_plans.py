@@ -384,3 +384,42 @@ def hull_stats_oracle() -> str:
         f"CAST(round(x * 16) AS BIGINT) * 1000000 "
         f"+ CAST(round(y * 16) AS BIGINT) AS cost FROM ({inner})"
     )
+
+
+DBSCAN_GEO_EPS_M = 160_000.0
+
+
+def dbscan_geo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic DBSCAN (eps in great-circle METERS; the eps-graph runs
+    through geodesic_distance_join, so the neighbor predicate is the
+    shared haversine text) over the lon/lat-remapped points. The remap
+    preserves the lattice's chain structure (82 clusters / 6 noise at
+    sf0.01, same as the planar row) while exercising the meters
+    pipeline end-to-end. Same (t_id, cost) fold as the planar tag."""
+    from ds_jedai_spark.operators.clustering import dbscan
+    from ds_jedai_spark.plans.giant import _lonlat_cte
+
+    pts = load_sql(spark, sf_dir, _lonlat_cte(point_sql())).selectExpr(
+        "id", "lon AS minx", "lat AS miny", "lon AS maxx", "lat AS maxy"
+    )
+    out = dbscan(pts, eps=DBSCAN_GEO_EPS_M, min_pts=DBSCAN_MIN_PTS,
+                 geodesic=True)
+    return out.select(
+        F.col("id").cast("long").alias("t_id"),
+        F.col("cluster").cast("long").alias("cost"),
+    )
+
+
+def dbscan_geo_stats_oracle() -> str:
+    from ds_jedai_spark.operators.clustering import dbscan_sql
+    from ds_jedai_spark.plans.giant import _lonlat_cte
+
+    inner = dbscan_sql(
+        "SELECT id, lon AS minx, lat AS miny, lon AS maxx, lat AS maxy "
+        f"FROM ({_lonlat_cte(point_sql())})",
+        DBSCAN_GEO_EPS_M, DBSCAN_MIN_PTS, geodesic=True,
+    )
+    return (
+        f"SELECT CAST(id AS BIGINT) AS t_id, cluster AS cost "
+        f"FROM ({inner})"
+    )

@@ -170,3 +170,77 @@ def test_dbscan_plan_shape(spark):
     nbr = distance_join(_pts(spark, rows), _pts(spark, rows), 1.5)
     plan = nbr._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_dbscan_geodesic_vs_reference(spark):
+    """geodesic=True clusters by great-circle meters: a seam-straddling
+    GPS burst clusters TOGETHER (planar degrees would split it), and
+    labels match an independent haversine union-find reference."""
+    import math
+
+    from ds_jedai_spark.operators.measures import MEAN_R
+
+    def hav(x1, y1, x2, y2):
+        p1, p2 = math.radians(y1), math.radians(y2)
+        a = (math.sin((p2 - p1) / 2) ** 2
+             + math.cos(p1) * math.cos(p2)
+             * math.sin(math.radians(x2 - x1) / 2) ** 2)
+        return 2 * MEAN_R * math.asin(min(1.0, math.sqrt(a)))
+
+    # burst A straddles the antimeridian; burst B sits at 60N where a
+    # lon degree is half-length; C is isolated noise
+    rows = [(1, 179.98, 0.0), (2, -179.99, 0.0), (3, 179.95, 0.01),
+            (11, 10.0, 60.0), (12, 10.08, 60.0), (13, 10.16, 60.0),
+            (99, 50.0, -30.0)]
+    eps_m = 6000.0
+    got = {r.id: r.cluster for r in dbscan(
+        _pts(spark, rows), eps_m, 3, geodesic=True).collect()}
+    # independent reference with the same canonical labeling
+    ids = [i for i, _, _ in rows]
+    xy = {i: (x, y) for i, x, y in rows}
+    nbrs = {i: [j for j in ids if hav(*xy[i], *xy[j]) <= eps_m]
+            for i in ids}
+    cores = {i for i in ids if len(nbrs[i]) >= 3}
+    parent = {i: i for i in cores}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a in cores:
+        for b in nbrs[a]:
+            if b in cores and b != a:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for i in ids:
+        if i in cores:
+            want[i] = find(i)
+        else:
+            cl = [find(j) for j in nbrs[i] if j in cores]
+            want[i] = min(cl) if cl else -1
+    assert got == want
+    assert got[1] == got[2] == got[3] != -1  # seam burst clusters
+    assert got[11] == got[12] == got[13] != -1
+    assert got[99] == -1
+
+
+def test_dbscan_geo_gate_row_matches_duckdb(spark):
+    import duckdb
+
+    from conftest import SF_SMALL
+
+    from ds_jedai_spark.plans import measure_plans as mp
+
+    got = sorted((r.t_id, r.cost)
+                 for r in mp.dbscan_geo_stats(spark, SF_SMALL).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/customer.parquet')")
+    want = sorted(tuple(r) for r in
+                  con.execute(mp.dbscan_geo_stats_oracle()).fetchall())
+    assert got == want and got
