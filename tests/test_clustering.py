@@ -244,3 +244,52 @@ def test_dbscan_geo_gate_row_matches_duckdb(spark):
     want = sorted(tuple(r) for r in
                   con.execute(mp.dbscan_geo_stats_oracle()).fetchall())
     assert got == want and got
+
+
+def test_connected_components_star_vs_unionfind(spark):
+    """The star-contraction CC engine (Kiveris et al. 2014) matches
+    union-find on chains, blobs, random graphs, stars, and singleton
+    edges — and closes a 1000-link chain within 12 rounds (flooding
+    would need ~1000)."""
+    import random
+
+    from ds_jedai_spark.operators.clustering import (
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+
+    def uf(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    cases = {
+        "chain": [(i, i + 1) for i in range(1000)],
+        "blobs": [(rng.randrange(50), rng.randrange(50))
+                  for _ in range(200)]
+        + [(100 + rng.randrange(30), 100 + rng.randrange(30))
+           for _ in range(100)],
+        "random": [(rng.randrange(2000), rng.randrange(2000))
+                   for _ in range(1800)],
+        "star": [(0, i) for i in range(1, 400)],
+        "one_edge": [(7, 9)],
+    }
+    for name, edges in cases.items():
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = sorted({x for e in edges for x in e})
+        df = spark.createDataFrame(edges, "a long, b long")
+        kw = {"max_iter": 12} if name == "chain" else {}
+        got = {r.node: r.label
+               for r in connected_components_star(df, **kw).collect()}
+        assert got == uf(edges, nodes), name
