@@ -40,8 +40,20 @@ is Chamberlain & Duquette, "Some Algorithms for Polygons on a
 Sphere", JPL 07-03), with holes subtracting exactly like the planar
 path. Both use the
 IUGG mean Earth radius ``MEAN_R``; geodesic mode requires declared
-EPSG:4326 input (raises otherwise — reproject first) and, like every
-spherical closed form, assumes rings do not cross the antimeridian.
+EPSG:4326 input (raises otherwise — reproject first). Spherical closed
+forms are only valid when no edge crosses the antimeridian, so rows
+containing any |Δlon| > 180° edge get NULL geodesic measures
+(``length_m``/``perimeter_m``/``area_m2``) instead of a silently wrong
+number — the same honesty contract the geodesic distance join enforces
+by splitting wrapped envelopes (spatial_join.py). Normalize such
+geometries (shift +360, or split at the seam) before measuring.
+
+EXECUTION. The areal pass is VECTORIZED: one numpy pass over the Arrow
+list-offset buffers (the relate_general._flatten3 pattern — per-pair
+cross products, per-ring/per-row sums via bincount, no per-row Python
+objects). Only polygons with >1 ring drop to the exact per-row ring
+regrouping (shell/hole nesting is a sequential even-odd decision), and
+only those rows.
 """
 
 from __future__ import annotations
@@ -82,16 +94,29 @@ _GEO_SEG_LEN = (
 )
 
 
+# any edge spanning more than 180° of longitude means the geometry
+# crosses the antimeridian (or is malformed): spherical closed forms
+# over lon/lat-straight edges are undefined there, so geodesic measures
+# go NULL for the row (module docstring) — pure JVM higher-order exists
+_WRAP_SQL = (
+    "exists(coords, part -> size(part) >= 2 AND "
+    "exists(sequence(0, size(part) - 2), i -> "
+    "abs(part[i + 1][0] - part[i][0]) > 180.0d))"
+)
+
+
 def geodesic_length_expr() -> "F.Column":
     return F.expr(
-        f"CASE WHEN gtype IN ('LINESTRING', 'MULTILINESTRING') "
+        f"CASE WHEN {_WRAP_SQL} THEN CAST(NULL AS DOUBLE) "
+        f"WHEN gtype IN ('LINESTRING', 'MULTILINESTRING') "
         f"THEN {_GEO_SEG_LEN} ELSE 0d END"
     )
 
 
 def geodesic_perimeter_expr() -> "F.Column":
     return F.expr(
-        f"CASE WHEN gtype IN ('POLYGON', 'MULTIPOLYGON') "
+        f"CASE WHEN {_WRAP_SQL} THEN CAST(NULL AS DOUBLE) "
+        f"WHEN gtype IN ('POLYGON', 'MULTIPOLYGON') "
         f"THEN {_GEO_SEG_LEN} ELSE 0d END"
     )
 
@@ -208,6 +233,133 @@ def _geodesic_area_m2(gtype: str, parts) -> float:
     return max(area, 0.0)
 
 
+def _row_wrap(parts) -> bool:
+    """Per-row antimeridian test for the (rare) per-row path — any
+    intra-part edge spanning more than 180° of longitude."""
+    for part in parts:
+        for p, q in zip(part, part[1:]):
+            if abs(float(q[0]) - float(p[0])) > 180.0:
+                return True
+    return False
+
+
+def _areal_batch(gt, coords_arr, geodesic: bool):
+    """Vectorized areal measures over ONE Arrow batch: numpy over the
+    list-offset buffers (relate_general._flatten3 — zero-copy views of
+    the flat coordinate buffer), per-pair shoelace/segment/spherical
+    terms, per-ring and per-row sums via np.bincount (sequential
+    accumulation — no cumsum-difference cancellation). Polygons with
+    more than one ring drop to the exact per-row shell/hole regrouping
+    (_areal_measures); everything else never touches per-row Python.
+
+    Returns (area, cx, cy, gm2-or-None, wrap) numpy arrays, or None if
+    the batch has non-[x,y] leaves (per-row fallback handles those)."""
+    import numpy as np
+
+    from ds_jedai_spark.operators.relate_general import _flatten3
+
+    n = len(gt)
+    o1, o2, o3, vals = _flatten3(coords_arr)
+    j0, j1 = int(o1[0]), int(o1[n])
+    p0, p1 = int(o2[j0]), int(o2[j1])
+    P = p1 - p0
+    if P and not np.all(o3[p0 + 1:p1 + 1] - o3[p0:p1] == 2):
+        return None  # ragged leaves: exact per-row path
+    idx = o3[p0:p1]
+    X = vals[idx]
+    Y = vals[idx + 1]
+
+    gt = np.asarray(gt, dtype=object)
+    is_poly = (gt == "POLYGON") | (gt == "MULTIPOLYGON")
+    is_line = (gt == "LINESTRING") | (gt == "MULTILINESTRING")
+    nparts = j1 - j0
+    nr = o1[1:] - o1[:-1]  # parts (rings) per row
+    npts_part = o2[j0 + 1:j1 + 1] - o2[j0:j1]
+    npts_row = o2[o1[1:]] - o2[o1[:-1]]
+
+    # universal fallback centroid: the vertex mean (nan for empty rows)
+    rop_pt = np.repeat(np.arange(n), npts_row)
+    sumx = np.bincount(rop_pt, weights=X, minlength=n)
+    sumy = np.bincount(rop_pt, weights=Y, minlength=n)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cx = sumx / npts_row
+        cy = sumy / npts_row
+    area = np.zeros(n)
+    gm2 = np.zeros(n) if geodesic else None
+    wrap = np.zeros(n, dtype=bool)
+
+    if P >= 2 and nparts:
+        pop = np.repeat(np.arange(nparts), npts_part)  # part of each point
+        valid = pop[:-1] == pop[1:]  # intra-part adjacent pairs only
+        pp = pop[:-1][valid]  # part index of each pair
+        x1, y1 = X[:-1][valid], Y[:-1][valid]
+        x2, y2 = X[1:][valid], Y[1:][valid]
+        rop = np.repeat(np.arange(n), nr)  # row of each part
+
+        wrap = np.bincount(
+            rop[pp], weights=(np.abs(x2 - x1) > 180.0), minlength=n
+        ) > 0
+
+        cr = x1 * y2 - x2 * y1
+        a2 = np.bincount(pp, weights=cr, minlength=nparts)
+        sx = np.bincount(pp, weights=(x1 + x2) * cr, minlength=nparts)
+        sy = np.bincount(pp, weights=(y1 + y2) * cr, minlength=nparts)
+        seg = np.hypot(x2 - x1, y2 - y1)
+        sl = np.bincount(pp, weights=seg, minlength=nparts)
+        mxs = np.bincount(pp, weights=seg * (x1 + x2) / 2.0,
+                          minlength=nparts)
+        mys = np.bincount(pp, weights=seg * (y1 + y2) / 2.0,
+                          minlength=nparts)
+
+        # lines: length-weighted segment-midpoint centroid over ALL
+        # parts (no grouping question for lines)
+        tot = np.bincount(rop, weights=sl, minlength=n)
+        lmx = np.bincount(rop, weights=mxs, minlength=n)
+        lmy = np.bincount(rop, weights=mys, minlength=n)
+        m = is_line & (tot > 0)
+        cx[m] = lmx[m] / tot[m]
+        cy[m] = lmy[m] / tot[m]
+
+        # single-ring polygons: the ring IS the shell — no regrouping
+        fp = o1[:-1] - j0  # each row's first part, local index
+        sp = is_poly & (nr == 1)
+        j = fp[sp]
+        a2r = a2[j]
+        ar = np.abs(a2r) / 2.0
+        area[sp] = ar
+        mxr = np.where(a2r > 0, sx[j], -sx[j]) / 6.0
+        myr = np.where(a2r > 0, sy[j], -sy[j]) / 6.0
+        pos = ar > 0
+        gi = np.nonzero(sp)[0][pos]
+        cx[gi] = mxr[pos] / ar[pos]
+        cy[gi] = myr[pos] / ar[pos]
+
+        if geodesic:
+            dl = np.radians(x2 - x1)
+            ph1, ph2 = np.radians(y1), np.radians(y2)
+            half = (ph2 - ph1) / 2.0
+            sinc = np.ones_like(half)
+            nz = half != 0.0
+            sinc[nz] = np.sin(half[nz]) / half[nz]
+            gq = dl * np.sin((ph1 + ph2) / 2.0) * sinc
+            g_p = np.bincount(pp, weights=gq, minlength=nparts)
+            gm2[sp] = np.abs(g_p[j]) * (MEAN_R * MEAN_R)
+
+    # multi-ring polygons: exact shell/hole regrouping, per row (rare)
+    for i in np.nonzero(is_poly & (nr > 1))[0]:
+        parts = [
+            np.column_stack(
+                [X[o2[jg] - p0:o2[jg + 1] - p0],
+                 Y[o2[jg] - p0:o2[jg + 1] - p0]]
+            ).tolist()
+            for jg in range(o1[i], o1[i + 1])
+        ]
+        area[i], cx[i], cy[i] = _areal_measures(gt[i], parts)
+        if geodesic:
+            gm2[i] = _geodesic_area_m2(gt[i], parts)
+    return area, cx, cy, gm2, wrap
+
+
 def _planar_unit(df: DataFrame) -> str:
     meta = (df.schema["gtype"].metadata or {}) if "gtype" in df.columns \
         else {}
@@ -219,16 +371,25 @@ def _planar_unit(df: DataFrame) -> str:
     return "crs"
 
 
-def with_measures(df: DataFrame, geodesic: bool = False) -> DataFrame:
+def with_measures(
+    df: DataFrame, geodesic: bool = False, vectorize: bool = True
+) -> DataFrame:
     """Append npoints, length, perimeter, area, centroid_x, centroid_y
     and a ``unit`` column (the planar measures' CRS unit — see module
     docstring) to a row-format DataFrame. JVM expressions carry the
-    first three; the areal trio maps the batch through Arrow (one pass,
-    the reader transport pattern — never a row-at-a-time Python UDF).
+    first three; the areal trio runs VECTORIZED over the Arrow batch
+    buffers (_areal_batch — never a row-at-a-time Python UDF, and no
+    per-row Python objects except for multi-ring polygons).
 
     ``geodesic=True`` (declared-EPSG:4326 input only) additionally
     appends ``length_m`` / ``perimeter_m`` (haversine, pure JVM) and
-    ``area_m2`` (spherical excess, same Arrow pass)."""
+    ``area_m2`` (spherical excess, same Arrow pass). Rows with any
+    antimeridian-crossing edge (|Δlon| > 180°) get NULL for all three
+    geodesic columns — see the module docstring's seam contract.
+
+    ``vectorize=False`` forces the legacy exact per-row path (the same
+    code the vectorized pass uses for multi-ring rows) — kept as the
+    differential baseline for tests and the perf probe."""
     unit = _planar_unit(df)
     if geodesic and unit != "deg":
         raise ValueError(
@@ -238,30 +399,40 @@ def with_measures(df: DataFrame, geodesic: bool = False) -> DataFrame:
         )
 
     def run(batches):
+        import numpy as np
         import pyarrow as pa
 
         for batch in batches:
-            # only the two columns the Python loop reads cross into
-            # Python objects; everything else stays Arrow
-            gtypes = batch.column(
-                batch.schema.names.index("gtype")).to_pylist()
-            coords = batch.column(
-                batch.schema.names.index("coords")).to_pylist()
-            areas, cxs, cys = [], [], []
-            areas_m2 = []
-            for g, c in zip(gtypes, coords):
-                a, cx, cy = _areal_measures(g, c)
-                areas.append(a)
-                cxs.append(cx)
-                cys.append(cy)
-                if geodesic:
-                    areas_m2.append(_geodesic_area_m2(g, c))
+            gcol = batch.column(batch.schema.names.index("gtype"))
+            ccol = batch.column(batch.schema.names.index("coords"))
+            gtypes = gcol.to_pylist()
+            res = _areal_batch(gtypes, ccol, geodesic) if vectorize \
+                else None
+            if res is not None:
+                areas, cxs, cys, areas_m2, wrap = res
+            else:
+                # exact per-row path: ragged leaves or vectorize=False
+                coords = ccol.to_pylist()
+                areas, cxs, cys = [], [], []
+                areas_m2, wrap = [], []
+                for g, c in zip(gtypes, coords):
+                    a, cx, cy = _areal_measures(g, c)
+                    areas.append(a)
+                    cxs.append(cx)
+                    cys.append(cy)
+                    if geodesic:
+                        areas_m2.append(_geodesic_area_m2(g, c))
+                        wrap.append(_row_wrap(c))
+                wrap = np.asarray(wrap if geodesic else
+                                  [False] * len(areas), dtype=bool)
             extra_cols = [pa.array(areas, pa.float64()),
                           pa.array(cxs, pa.float64()),
                           pa.array(cys, pa.float64())]
             extra_names = ["area", "centroid_x", "centroid_y"]
             if geodesic:
-                extra_cols.append(pa.array(areas_m2, pa.float64()))
+                extra_cols.append(
+                    pa.array(np.asarray(areas_m2, dtype=np.float64),
+                             pa.float64(), mask=wrap))
                 extra_names.append("area_m2")
             yield pa.RecordBatch.from_arrays(
                 [batch.column(i) for i in range(batch.num_columns)]

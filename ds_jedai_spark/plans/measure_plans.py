@@ -118,6 +118,39 @@ def measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("length_m"))).cast("bigint").alias("glen_m"),
     )
 
+    # seam-honesty leg (r17): every segment remapped to STRADDLE the
+    # antimeridian (lon1 in [-180,-132), lon2 in (132,180] — |Δlon| is
+    # always > 264°) must get NULL geodesic measures, as a LINESTRING
+    # (length_m) and as a closed box ring (perimeter_m/area_m2). The
+    # oracle's closed form is count(*): the contract is total.
+    wl = load_sql(spark, sf_dir, line_sql()).selectExpr(
+        "id", "'LINESTRING' AS gtype",
+        "array(array(array(x1 / 2.0 - 180.0, y1 / 4.0 - 12.0),"
+        " array(180.0 - x2 / 2.0, y2 / 4.0 - 12.0))) AS coords",
+    )
+    wp = load_sql(spark, sf_dir, line_sql()).selectExpr(
+        "id", "'POLYGON' AS gtype",
+        "array(array("
+        "array(x1 / 2.0 - 180.0, y1 / 4.0 - 12.0),"
+        " array(180.0 - x2 / 2.0, y1 / 4.0 - 12.0),"
+        " array(180.0 - x2 / 2.0, y1 / 4.0 - 11.0),"
+        " array(x1 / 2.0 - 180.0, y1 / 4.0 - 11.0),"
+        " array(x1 / 2.0 - 180.0, y1 / 4.0 - 12.0))) AS coords",
+    )
+    wrapped = wl.unionByName(wp).withMetadata(
+        "gtype", {"crs": "EPSG:4326"})
+    agg_gw = with_measures(wrapped, geodesic=True).agg(
+        F.sum(F.when(F.col("gtype") == "LINESTRING", 1).otherwise(0))
+        .cast("bigint").alias("n_wline"),
+        F.sum(F.when((F.col("gtype") == "LINESTRING")
+                     & F.col("length_m").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("wline_null"),
+        F.sum(F.when((F.col("gtype") == "POLYGON")
+                     & F.col("area_m2").isNull()
+                     & F.col("perimeter_m").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("wpoly_null"),
+    )
+
     pts = load_sql(spark, sf_dir, point_sql()).selectExpr(
         "id", "'POINT' AS gtype",
         "array(array(array(minx, miny))) AS coords",
@@ -144,7 +177,8 @@ def measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_point"),
         F.col("cx6").alias("ptcx6"), F.col("cy6").alias("ptcy6"),
     )
-    return p.crossJoin(ln).crossJoin(agg_geo).crossJoin(pt)
+    return p.crossJoin(ln).crossJoin(agg_geo).crossJoin(pt) \
+        .crossJoin(agg_gw)
 
 
 def measure_stats_oracle() -> str:
@@ -186,8 +220,13 @@ pt AS (
   SELECT CAST(count(*) AS BIGINT) AS n_point,
          CAST(sum(round(minx * 1e6)) AS BIGINT) AS ptcx6,
          CAST(sum(round(miny * 1e6)) AS BIGINT) AS ptcy6
-  FROM pts)
-SELECT poly.*, ln.*, geo.*, pt.* FROM poly, ln, geo, pt
+  FROM pts),
+gw AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_wline,
+         CAST(count(*) AS BIGINT) AS wline_null,
+         CAST(count(*) AS BIGINT) AS wpoly_null
+  FROM segs)
+SELECT poly.*, ln.*, geo.*, pt.*, gw.* FROM poly, ln, geo, pt, gw
 """
 
 

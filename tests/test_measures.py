@@ -293,6 +293,94 @@ def test_geodesic_area_vs_scanline_quadrature_and_holes(spark):
     assert g["holed"].perimeter_m > g["full"].perimeter_m
 
 
+def test_vectorized_matches_per_row_exactly(spark):
+    """The vectorized Arrow-buffer pass (r17) returns bit-identical
+    results to the legacy exact per-row path over the whole WKT fixture
+    — every gtype, holes, multipolygons, degenerate rows (bincount
+    accumulates in the same sequential order as the Python loop, so
+    even float dust agrees)."""
+    src = read_wkt_delimited(spark, WKT_FIX, id_field="id",
+                             geom_field="wkt")
+    fast = {r.id: r for r in with_measures(src).collect()}
+    slow = {r.id: r for r in with_measures(src, vectorize=False)
+            .collect()}
+    assert set(fast) == set(slow) and len(fast) >= 300
+    for k, f in fast.items():
+        s = slow[k]
+        for col in ("npoints", "length", "perimeter", "area",
+                    "centroid_x", "centroid_y"):
+            fv, sv = getattr(f, col), getattr(s, col)
+            if fv != sv and not (math.isnan(fv) and math.isnan(sv)):
+                # multi-ring rows recompute through the same per-row
+                # code; single-ring sums may associate differently
+                assert abs(fv - sv) <= 1e-12 * max(1.0, abs(sv)), \
+                    (k, col, fv, sv)
+
+
+def test_geodesic_vectorized_matches_per_row(spark):
+    """Geodesic area/length agree between the two execution paths,
+    including the NULL-on-wrap rows."""
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(50):
+        x, y = rng.uniform(-170, 170), rng.uniform(-60, 60)
+        ring = [[x, y], [x + 0.3, y], [x + 0.1, y + 0.2], [x, y]]
+        rows.append((f"p{i}", "POLYGON", [ring]))
+    # wrapped rows: an edge spanning ~350 degrees of longitude
+    rows.append(("w1", "POLYGON",
+                 [[[179.0, -17.0], [-179.0, -17.0], [-179.0, -16.0],
+                   [179.0, -16.0], [179.0, -17.0]]]))
+    rows.append(("w2", "LINESTRING", [[[178.5, 10.0], [-178.5, 10.5]]]))
+    fast = {r.id: r for r in with_measures(
+        _rowdf(spark, rows, crs="EPSG:4326"), geodesic=True).collect()}
+    slow = {r.id: r for r in with_measures(
+        _rowdf(spark, rows, crs="EPSG:4326"), geodesic=True,
+        vectorize=False).collect()}
+    for k in fast:
+        f, s = fast[k], slow[k]
+        assert (f.area_m2 is None) == (s.area_m2 is None), k
+        if f.area_m2 is not None:
+            assert abs(f.area_m2 - s.area_m2) <= \
+                1e-9 * max(1.0, s.area_m2), k
+        assert (f.length_m is None) == (s.length_m is None), k
+
+
+def test_antimeridian_rows_null_geodesic_measures(spark):
+    """The seam contract (r17): any |Δlon| > 180° edge nulls the row's
+    geodesic measures; the same geometry shifted away from the seam
+    measures normally, and planar measures are untouched either way."""
+    fiji = [[179.0, -17.0], [-179.0, -17.0], [-179.0, -16.0],
+            [179.0, -16.0], [179.0, -17.0]]
+    # the same 2°x1° box moved to lon 0 (its true spherical area)
+    ctrl = [[-1.0, -17.0], [1.0, -17.0], [1.0, -16.0],
+            [-1.0, -16.0], [-1.0, -17.0]]
+    rows = [
+        ("fiji", "POLYGON", [fiji]),
+        ("ctrl", "POLYGON", [ctrl]),
+        ("wline", "LINESTRING", [[[179.5, 0.0], [-179.5, 0.0]]]),
+        ("okline", "LINESTRING", [[[-0.5, 0.0], [0.5, 0.0]]]),
+    ]
+    got = {r.id: r for r in with_measures(
+        _rowdf(spark, rows, crs="EPSG:4326"), geodesic=True).collect()}
+    f, c = got["fiji"], got["ctrl"]
+    assert f.area_m2 is None and f.perimeter_m is None \
+        and f.length_m is None
+    assert c.area_m2 is not None and c.area_m2 > 1e10
+    assert c.perimeter_m is not None and c.perimeter_m > 0
+    # planar columns unaffected by the seam rule (the planar area of
+    # the literal lon/lat ring spans the long way round: 358 deg²)
+    assert abs(f.area - 358.0) <= 1e-9 and f.npoints == 5
+    wl, ok = got["wline"], got["okline"]
+    assert wl.length_m is None and wl.area_m2 is None
+    assert ok.length_m is not None and abs(
+        ok.length_m - got["okline"].length_m) == 0
+    # the two non-wrapped lines of identical 1-degree equator span agree
+    from ds_jedai_spark.operators.measures import MEAN_R
+    assert abs(ok.length_m - MEAN_R * math.pi / 180.0) <= 1.0
+
+
 def test_unit_column_and_geodesic_guard(spark):
     rows = [("a", "POINT", [[[1.0, 2.0]]])]
     assert with_measures(_rowdf(spark, rows, crs="EPSG:4326")) \
