@@ -446,9 +446,10 @@ def _run_op(args) -> int:
                 path=args.left, id_field=args.id_col,
                 geom_field=args.geom_col, date_field=args.date_col,
             ), bbox=args.bbox)
-            out = grid_density(src, cell=args.cell).orderBy(
-                "cell_x", "cell_y"
-            )
+            out = grid_density(
+                src, cell=args.cell, weight_col=args.weight_col,
+                coverage=args.coverage,
+            ).orderBy("cell_x", "cell_y")
             return _print_or_write(out, args.out, args.limit, t0)
         elif args.op == "geohash":
             # Geohash cell keys over any reader format —
@@ -1061,6 +1062,13 @@ def main(argv: list[str] | None = None) -> int:
                          "stats); envelope-intersection semantics")
     ap.add_argument("-cell", type=float, default=1.0,
                     help="density: grid cell size in CRS units")
+    ap.add_argument("-weight-col", dest="weight_col", default=None,
+                    help="density: sum this column per cell instead of "
+                         "counting entities (output column 'w')")
+    ap.add_argument("-coverage", action="store_true",
+                    help="density: count each entity once per "
+                         "OVERLAPPED cell (envelope floor-span explode) "
+                         "instead of once at its center")
     ap.add_argument("-minpts", type=int, default=4,
                     help="dbscan: min neighbors (incl. self) for a "
                          "core point; eps comes from -tau")

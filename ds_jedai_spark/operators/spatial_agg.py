@@ -11,12 +11,25 @@ with map-side partial aggregation), no Python anywhere. At 100 TB this
 is the textbook Spark aggregation: linear scan, combiner-reduced
 shuffle whose volume is the number of DISTINCT cells, not rows.
 
-Anchoring: each entity lands in exactly ONE cell by its envelope
-CENTER ((minx+maxx)/2, (miny+maxy)/2) — the standard choice for
-density (a count, not a coverage: every entity counted once, no
-double-counting of boundary spanners). Lattice inputs with
-power-of-two cell sizes floor exactly and therefore compare exactly
-across engines (the io/synthetic exactness contract).
+Three modes (r17 added the last two — VERDICT r15 ask #5):
+
+* **count** (default): each entity lands in exactly ONE cell by its
+  envelope CENTER ((minx+maxx)/2, (miny+maxy)/2) — the standard choice
+  for density (every entity counted once, no double-counting of
+  boundary spanners).
+* **weighted** (``weight_col``): ``sum(weight)`` per cell instead of
+  ``count`` — the real-heatmap form (population, revenue, token
+  counts); same single shuffle.
+* **coverage** (``coverage=True``): each entity counts once per
+  OVERLAPPED cell — the envelope's floor-span explodes into its cell
+  range first (``explode(sequence(...))``, still pure JVM). The explode
+  factor is (span/cell + 1)² per entity and is the CALLER's lever: at
+  100 TB pick a cell size comparable to typical envelope spans, exactly
+  like the tile-join theta policy (model/tiles.py). Combines with
+  ``weight_col`` (weight counted once per overlapped cell).
+
+Lattice inputs with power-of-two cell sizes floor exactly and therefore
+compare exactly across engines (the io/synthetic exactness contract).
 """
 
 from __future__ import annotations
@@ -24,32 +37,79 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def grid_density(df: DataFrame, cell: float = 1.0) -> DataFrame:
-    """(cell_x, cell_y, n) — entity count per ``cell``-sized grid cell,
-    keyed by the floor-snapped envelope center."""
+def grid_density(
+    df: DataFrame,
+    cell: float = 1.0,
+    weight_col: str | None = None,
+    coverage: bool = False,
+) -> DataFrame:
+    """(cell_x, cell_y, n|w) per ``cell``-sized grid cell. Default:
+    entity count keyed by the floor-snapped envelope center. See the
+    module docstring for ``weight_col`` (column ``w`` = sum of weights)
+    and ``coverage`` (one count per overlapped cell)."""
     c = float(cell)
     if not c > 0:
         raise ValueError(f"grid_density: cell must be > 0, got {cell!r}")
-    return (
-        df.groupBy(
-            F.floor(((F.col("minx") + F.col("maxx")) / 2.0) / c)
-            .alias("cell_x"),
-            F.floor(((F.col("miny") + F.col("maxy")) / 2.0) / c)
-            .alias("cell_y"),
+    if coverage:
+        d = df.withColumn(
+            "cell_x",
+            F.explode(F.expr(
+                f"sequence(CAST(floor(minx / {c!r}) AS BIGINT), "
+                f"CAST(floor(maxx / {c!r}) AS BIGINT))"
+            )),
+        ).withColumn(
+            "cell_y",
+            F.explode(F.expr(
+                f"sequence(CAST(floor(miny / {c!r}) AS BIGINT), "
+                f"CAST(floor(maxy / {c!r}) AS BIGINT))"
+            )),
         )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    else:
+        d = df.withColumn(
+            "cell_x",
+            F.floor(((F.col("minx") + F.col("maxx")) / 2.0) / c),
+        ).withColumn(
+            "cell_y",
+            F.floor(((F.col("miny") + F.col("maxy")) / 2.0) / c),
+        )
+    agg = (F.sum(F.col(weight_col)).alias("w") if weight_col
+           else F.count(F.lit(1)).alias("n"))
+    return d.groupBy("cell_x", "cell_y").agg(agg)
 
 
-def grid_density_sql(src_cte: str, cell: float) -> str:
+def grid_density_sql(
+    src_cte: str,
+    cell: float,
+    weight_expr: str | None = None,
+    coverage: bool = False,
+) -> str:
     """The identical aggregation as oracle SQL over a source subquery
-    exposing minx/miny/maxx/maxy — shared text, so the gate compares
-    the engine, not formula transcription."""
+    exposing minx/miny/maxx/maxy. The center/count form is shared text
+    with the Spark plan; the coverage form uses DuckDB's
+    ``unnest(generate_series(...))`` (one unnest per nesting level —
+    DuckDB zips parallel unnests, so the x/y explode is staged) where
+    Spark uses ``explode(sequence(...))``; both are inclusive ranges."""
     c = float(cell)
+    val = f"sum({weight_expr})" if weight_expr else "count(*)"
+    alias = "w" if weight_expr else "n"
+    if coverage:
+        vagg = "sum(__v)" if weight_expr else "count(*)"
+        return (
+            f"SELECT cell_x, cell_y, {vagg} AS {alias} FROM ("
+            f"SELECT cell_x, "
+            f"unnest(generate_series(CAST(floor(miny / {c!r}) AS BIGINT),"
+            f" CAST(floor(maxy / {c!r}) AS BIGINT))) AS cell_y, __v "
+            f"FROM (SELECT "
+            f"unnest(generate_series(CAST(floor(minx / {c!r}) AS BIGINT),"
+            f" CAST(floor(maxx / {c!r}) AS BIGINT))) AS cell_x, "
+            f"miny, maxy, __v FROM (SELECT s.*, "
+            f"{weight_expr if weight_expr else '1'} AS __v "
+            f"FROM ({src_cte}) s) t0) t1) t2 GROUP BY 1, 2"
+        )
     return (
         f"SELECT CAST(floor(((minx + maxx) / 2.0) / {c!r}) AS BIGINT) "
         f"AS cell_x, "
         f"CAST(floor(((miny + maxy) / 2.0) / {c!r}) AS BIGINT) "
         f"AS cell_y, "
-        f"count(*) AS n FROM ({src_cte}) GROUP BY 1, 2"
+        f"{val} AS {alias} FROM ({src_cte}) GROUP BY 1, 2"
     )

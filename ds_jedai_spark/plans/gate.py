@@ -394,6 +394,12 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                 # onto the same (t_id, cost) schema — t_id encodes the
                 # cell, cost the count (plans/measure_plans.py)
                 ("density", mp.density_stats, mp.density_stats_oracle()),
+                # r17: weighted (sum(weight) per cell) and coverage
+                # (count per OVERLAPPED cell) density modes
+                ("density_w", mp.density_weighted_stats,
+                 mp.density_weighted_stats_oracle()),
+                ("density_cov", mp.density_coverage_stats,
+                 mp.density_coverage_stats_oracle()),
                 # r16: DBSCAN cluster labels (t_id = point id, cost =
                 # cluster label / -1 noise) — operators/clustering.py
                 ("dbscan", mp.dbscan_stats, mp.dbscan_stats_oracle()),

@@ -318,6 +318,60 @@ def density_stats_oracle() -> str:
     )
 
 
+def density_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted grid density (r17): sum(1 + id % 7) per cell over the
+    point dataset — exact integer weights, so the cross-engine compare
+    is integer equality. Same skew_stats (t_id, cost) fold as the count
+    tag."""
+    from ds_jedai_spark.operators.spatial_agg import grid_density
+
+    pts = load_sql(spark, sf_dir, point_sql()).withColumn(
+        "wgt", F.lit(1) + F.col("id") % 7)
+    d = grid_density(pts, cell=8.0, weight_col="wgt")
+    return d.select(
+        (F.col("cell_x") * 100000 + F.col("cell_y")).cast("long")
+        .alias("t_id"),
+        F.col("w").cast("long").alias("cost"),
+    )
+
+
+def density_weighted_stats_oracle() -> str:
+    from ds_jedai_spark.operators.spatial_agg import grid_density_sql
+
+    src = f"SELECT s.*, 1 + id % 7 AS wgt FROM ({point_sql()}) s"
+    inner = grid_density_sql(src, 8.0, weight_expr="wgt")
+    return (
+        f"SELECT cell_x * 100000 + cell_y AS t_id, "
+        f"CAST(w AS BIGINT) AS cost FROM ({inner})"
+    )
+
+
+def density_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage grid density (r17): each SOURCE box counts once per
+    OVERLAPPED cell (floor-span explode — Spark explode(sequence) vs
+    DuckDB unnest(generate_series), both inclusive). cell=4.0 so a box
+    genuinely spans several cells. Same (t_id, cost) fold."""
+    from ds_jedai_spark.operators.spatial_agg import grid_density
+
+    boxes = load_sql(spark, sf_dir, source_box_sql())
+    d = grid_density(boxes, cell=4.0, coverage=True)
+    return d.select(
+        (F.col("cell_x") * 100000 + F.col("cell_y")).cast("long")
+        .alias("t_id"),
+        F.col("n").cast("long").alias("cost"),
+    )
+
+
+def density_coverage_stats_oracle() -> str:
+    from ds_jedai_spark.operators.spatial_agg import grid_density_sql
+
+    inner = grid_density_sql(source_box_sql(), 4.0, coverage=True)
+    return (
+        f"SELECT cell_x * 100000 + cell_y AS t_id, "
+        f"CAST(n AS BIGINT) AS cost FROM ({inner})"
+    )
+
+
 # ------------------------------------------------------------ DBSCAN (r16)
 
 DBSCAN_EPS = 1.5
