@@ -487,8 +487,8 @@ def _run_op(args) -> int:
                 path=args.left, id_field=args.id_col,
                 geom_field=args.geom_col, date_field=args.date_col,
             ), bbox=args.bbox)
-            return _print_or_write(convex_hull(src), args.out,
-                                   args.limit, t0)
+            return _print_or_write(convex_hull(src, by=args.by),
+                                   args.out, args.limit, t0)
         elif args.op == "dbscan":
             # Density-based clustering over any reader format —
             # operators/clustering.dbscan (tile-join eps-graph +
@@ -1062,6 +1062,10 @@ def main(argv: list[str] | None = None) -> int:
                          "stats); envelope-intersection semantics")
     ap.add_argument("-cell", type=float, default=1.0,
                     help="density: grid cell size in CRS units")
+    ap.add_argument("-by", default=None,
+                    help="hull: compute one hull PER GROUP of this "
+                         "column (e.g. a dbscan cluster label) instead "
+                         "of one global hull")
     ap.add_argument("-weight-col", dest="weight_col", default=None,
                     help="density: sum this column per cell instead of "
                          "counting entities (output column 'w')")

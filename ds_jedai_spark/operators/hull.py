@@ -59,10 +59,18 @@ def _chain(xs, ys):
     return h[:, 0], h[:, 1]
 
 
-def convex_hull(df: DataFrame) -> DataFrame:
+def convex_hull(df: DataFrame, by: str | None = None) -> DataFrame:
     """Hull corners of the (minx, miny) point set as (rank, x, y) with
     rank = 1-based position in lexicographic (x, y) order. Duplicates
-    are deduped; fewer than 3 distinct points return them all."""
+    are deduped; fewer than 3 distinct points return them all.
+
+    ``by`` (r17) computes one hull PER GROUP — the natural composition
+    with dbscan (cluster -> footprint): phase 1 reduces each partition
+    to its per-key local hull corners (one sort + chain per key inside
+    mapInArrow — no shuffle), phase 2 shuffles only those O(h) corners
+    by key and re-chains per key in applyInPandas (one task per key
+    group, executor-side). Output (by, rank, x, y), rank 1-based
+    lexicographic within the group."""
     import pyarrow as pa
 
     def local(batches):
@@ -79,17 +87,80 @@ def convex_hull(df: DataFrame) -> DataFrame:
                 names=["x", "y"],
             )
 
-    pts = df.select(F.col("minx").alias("x"), F.col("miny").alias("y"))
-    local_hulls = pts.mapInArrow(local, "x double, y double")
-    corners = local_hulls.repartition(1).mapInArrow(
-        local, "x double, y double"
-    )
-    from pyspark.sql import Window
+    if by is None:
+        pts = df.select(F.col("minx").alias("x"),
+                        F.col("miny").alias("y"))
+        local_hulls = pts.mapInArrow(local, "x double, y double")
+        corners = local_hulls.repartition(1).mapInArrow(
+            local, "x double, y double"
+        )
+        from pyspark.sql import Window
 
-    w = Window.orderBy("x", "y")
-    return corners.select(
-        F.row_number().over(w).cast("long").alias("rank"), "x", "y"
+        w = Window.orderBy("x", "y")
+        return corners.select(
+            F.row_number().over(w).cast("long").alias("rank"), "x", "y"
+        )
+
+    ktype = df.schema[by].dataType.simpleString()
+    pts = df.select(F.col(by).alias("k"), F.col("minx").alias("x"),
+                    F.col("miny").alias("y"))
+
+    def local_keyed(batches):
+        import numpy as np
+
+        ks, xs, ys = [], [], []
+        ktyp = None
+        for b in batches:
+            if ktyp is None:
+                ktyp = b.schema.field("k").type
+            ks.append(b.column("k").to_numpy(zero_copy_only=False))
+            xs.append(b.column("x").to_numpy(zero_copy_only=False))
+            ys.append(b.column("y").to_numpy(zero_copy_only=False))
+        if not ks:
+            return
+        k = np.concatenate(ks)
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        order = np.argsort(k, kind="stable")
+        k, x, y = k[order], x[order], y[order]
+        starts = np.nonzero(
+            np.concatenate([[True], k[1:] != k[:-1]])
+        )[0]
+        ends = np.append(starts[1:], len(k))
+        out_k, out_x, out_y = [], [], []
+        for s, e in zip(starts, ends):
+            hx, hy = _chain(x[s:e], y[s:e])
+            out_k.extend([k[s]] * len(hx))
+            out_x.append(hx)
+            out_y.append(hy)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out_k, ktyp),
+             pa.array(np.concatenate(out_x), pa.float64()),
+             pa.array(np.concatenate(out_y), pa.float64())],
+            names=["k", "x", "y"],
+        )
+
+    local_hulls = pts.mapInArrow(
+        local_keyed, f"k {ktype}, x double, y double"
     )
+
+    def final(pdf):
+        import numpy as np
+        import pandas as pd
+
+        hx, hy = _chain(pdf["x"].to_numpy(), pdf["y"].to_numpy())
+        order = np.lexsort((hy, hx))
+        return pd.DataFrame({
+            "k": [pdf["k"].iloc[0]] * len(hx),
+            "rank": np.arange(1, len(hx) + 1, dtype=np.int64),
+            "x": np.asarray(hx)[order],
+            "y": np.asarray(hy)[order],
+        })
+
+    out = local_hulls.groupBy("k").applyInPandas(
+        final, f"k {ktype}, rank long, x double, y double"
+    )
+    return out.withColumnRenamed("k", by)
 
 
 def hull_sql(points_sql: str) -> str:
@@ -122,4 +193,46 @@ corner AS (
 )
 SELECT CAST(row_number() OVER (ORDER BY x, y) AS BIGINT) AS rank, x, y
 FROM corner
+"""
+
+
+def hull_by_sql(points_sql: str, key: str) -> str:
+    """Per-group closed-form hull-corner oracle: the hull_sql corner
+    test restricted to points sharing ``key``, plus the 1-distinct-point
+    groups the pairwise test cannot see (a lone point has no b — the
+    operator returns it; so does this). 2-point groups fall out of the
+    pairwise test itself (every q-set is empty, both points corners).
+    O(n^3) within each group — oracle-scale only."""
+    return f"""
+WITH pts0 AS ({points_sql}),
+pts AS (SELECT DISTINCT {key} AS g, minx AS x, miny AS y FROM pts0),
+corner AS (
+  SELECT DISTINCT p.g, p.x, p.y FROM pts p JOIN pts b
+    ON b.g = p.g AND NOT (b.x = p.x AND b.y = p.y)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts q
+    WHERE q.g = p.g
+      AND NOT (q.x = p.x AND q.y = p.y)
+      AND NOT (q.x = b.x AND q.y = b.y)
+      AND NOT (
+        (b.x - p.x) * (q.y - p.y) - (b.y - p.y) * (q.x - p.x) > 0
+        OR (
+          (b.x - p.x) * (q.y - p.y) - (b.y - p.y) * (q.x - p.x) = 0
+          AND (q.x - p.x) * (b.x - p.x) + (q.y - p.y) * (b.y - p.y) > 0
+          AND (q.x - p.x) * (b.x - p.x) + (q.y - p.y) * (b.y - p.y)
+              < (b.x - p.x) * (b.x - p.x) + (b.y - p.y) * (b.y - p.y)
+        )
+      )
+  )
+),
+singles AS (
+  SELECT g, min(x) AS x, min(y) AS y FROM pts
+  GROUP BY g HAVING count(*) = 1
+),
+allc AS (
+  SELECT g, x, y FROM corner UNION ALL SELECT g, x, y FROM singles
+)
+SELECT g, CAST(row_number() OVER (PARTITION BY g ORDER BY x, y)
+               AS BIGINT) AS rank, x, y
+FROM allc
 """

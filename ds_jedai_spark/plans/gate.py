@@ -412,6 +412,8 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                 # r16: convex hull corners (t_id = rank, cost = packed
                 # lattice coords) — operators/hull.py
                 ("hull", mp.hull_stats, mp.hull_stats_oracle()),
+                # r17: per-group hulls (dbscan -> footprint composition)
+                ("hull_by", mp.hull_by_stats, mp.hull_by_stats_oracle()),
             ]
         ),
     )

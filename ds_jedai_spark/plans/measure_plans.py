@@ -479,6 +479,37 @@ def hull_stats_oracle() -> str:
     )
 
 
+def hull_by_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group convex hulls (r17: convex_hull(by=...) — the
+    dbscan -> cluster-footprint composition) over the SUPPLIER points
+    split into 5 groups by id % 5. Folded into skew_stats' (t_id, cost)
+    schema: t_id = group * 1000 + in-group rank, cost = packed lattice
+    coordinates (same packing as the global hull tag)."""
+    from ds_jedai_spark.operators.hull import convex_hull
+
+    pts = load_sql(spark, sf_dir, point_sql("supplier", "s_suppkey")) \
+        .withColumn("grp", (F.col("id") % 5).cast("long"))
+    out = convex_hull(pts, by="grp")
+    return out.select(
+        (F.col("grp") * 1000 + F.col("rank")).alias("t_id"),
+        (F.round(F.col("x") * 16).cast("long") * 1000000
+         + F.round(F.col("y") * 16).cast("long")).alias("cost"),
+    )
+
+
+def hull_by_stats_oracle() -> str:
+    from ds_jedai_spark.operators.hull import hull_by_sql
+
+    src = (f"SELECT s.*, CAST(id % 5 AS BIGINT) AS grp "
+           f"FROM ({point_sql('supplier', 's_suppkey')}) s")
+    inner = hull_by_sql(src, "grp")
+    return (
+        f"SELECT g * 1000 + rank AS t_id, "
+        f"CAST(round(x * 16) AS BIGINT) * 1000000 "
+        f"+ CAST(round(y * 16) AS BIGINT) AS cost FROM ({inner})"
+    )
+
+
 DBSCAN_GEO_EPS_M = 160_000.0
 
 
