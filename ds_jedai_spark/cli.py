@@ -467,6 +467,15 @@ def _run_op(args) -> int:
                 path=args.left, id_field=args.id_col,
                 geom_field=args.geom_col, date_field=args.date_col,
             ), bbox=args.bbox)
+            if args.cover:
+                from ds_jedai_spark.operators.geohash import (
+                    geohash_cover,
+                )
+
+                out = geohash_cover(
+                    src, precision=args.precision).select("id", "geohash")
+                return _print_or_write(out.orderBy("id", "geohash"),
+                                       args.out, args.limit, t0)
             out = with_geohash(src, precision=args.precision).select(
                 "id", "geohash")
             return _print_or_write(out.orderBy("id"), args.out,
@@ -1078,6 +1087,10 @@ def main(argv: list[str] | None = None) -> int:
                          "core point; eps comes from -tau")
     ap.add_argument("-precision", type=int, default=7,
                     help="geohash: characters (5 bits each, 1..10)")
+    ap.add_argument("-cover", action="store_true",
+                    help="geohash: emit the envelope's covering CELL "
+                         "SET (one row per overlapped cell — the "
+                         "blocking form) instead of the center key")
     ap.add_argument("-geodesic", action="store_true",
                     help="-op measures: also emit haversine length_m/"
                          "perimeter_m and spherical-excess area_m2; "

@@ -19,8 +19,9 @@ whole-stage codegen over the scan, free at 100 TB.
 Bit layout (the published algorithm): 5 bits per character,
 alternating lon, lat, lon, ... starting with lon's MSB; lon gets
 ceil(5p/2) bits, lat floor(5p/2). Cell index = floor((lon + 180) /
-360 * 2^nbits) clamped to the top cell (so lon = 180 and lat = 90
-encode instead of overflowing). The closed form equals the canonical
+360 * 2^nbits) clamped at BOTH edges (so lon = 180 / lat = 90 encode
+instead of overflowing, and below-range input encodes the bottom edge
+cell instead of a negative index whose bit arithmetic would wrap). The closed form equals the canonical
 bisection for all inputs except values within one double-rounding ulp
 of a cell boundary, where bisection itself is library-dependent; both
 engines here share the identical expression, so results never diverge
@@ -50,20 +51,31 @@ def _bit(v: str, k: int) -> str:
             f"2.0 * floor(({v}) / {_dlit(1 << (k + 1))}))")
 
 
-def geohash_int_sql(lon: str, lat: str, precision: int) -> str:
-    """The interleaved geohash integer (0 .. 32^precision - 1) as one
-    shared Spark/DuckDB SQL expression over lon/lat degree columns."""
+def _nbits(precision: int) -> tuple[int, int, int]:
     if not 1 <= int(precision) <= 10:
         raise ValueError("geohash precision must be in 1..10 "
                          "(50 bits; doubles are exact to 2^52)")
     p = int(precision)
     bits = 5 * p
-    nlon = (bits + 1) // 2
-    nlat = bits // 2
-    ix = (f"least({_dlit((1 << nlon) - 1)}, "
-          f"floor((({lon}) + 180.0) / 360.0 * {_dlit(1 << nlon)}))")
-    iy = (f"least({_dlit((1 << nlat) - 1)}, "
-          f"floor((({lat}) + 90.0) / 180.0 * {_dlit(1 << nlat)}))")
+    return bits, (bits + 1) // 2, bits // 2
+
+
+def _cell_sql(v: str, offset: float, span: float, nbits: int) -> str:
+    """Clamped cell index of coordinate expression ``v`` on the
+    ``nbits``-deep bisection of [-offset, -offset+span): both edges
+    clamp (bottom AND top), so any out-of-range input encodes into the
+    nearest edge cell instead of a negative/overflowing index whose
+    bit-extraction arithmetic would wrap."""
+    return (f"greatest(0.0e0, least({_dlit((1 << nbits) - 1)}, "
+            f"floor((({v}) + {offset!r}) / {span!r} * "
+            f"{_dlit(1 << nbits)})))")
+
+
+def _interleave_sql(ix: str, iy: str, precision: int) -> str:
+    """Interleave two non-negative integer-valued double expressions
+    (lon cell ``ix``: ceil(5p/2) bits, lat cell ``iy``: floor(5p/2))
+    into the geohash integer — the shared Spark/DuckDB closed form."""
+    bits, nlon, nlat = _nbits(precision)
     terms = []
     for j in range(nlon):  # lon bit j-from-MSB -> output bit bits-1-2j
         terms.append(
@@ -80,18 +92,33 @@ def geohash_int_sql(lon: str, lat: str, precision: int) -> str:
     return expr.replace("__IX__", ix).replace("__IY__", iy)
 
 
+def geohash_int_sql(lon: str, lat: str, precision: int) -> str:
+    """The interleaved geohash integer (0 .. 32^precision - 1) as one
+    shared Spark/DuckDB SQL expression over lon/lat degree columns."""
+    _, nlon, nlat = _nbits(precision)
+    return _interleave_sql(
+        _cell_sql(lon, 180.0, 360.0, nlon),
+        _cell_sql(lat, 90.0, 180.0, nlat),
+        precision,
+    )
+
+
+def _b32_chars(src: str, p: int) -> str:
+    """Base32 digits of the bound geohash-integer expression ``src`` —
+    substr over the alphabet literal, 1-indexed in both engines."""
+    chars = []
+    for c in range(p):
+        hi = f"floor({src} / {_dlit(32 ** (p - c))})"
+        digit = f"(floor({src} / {_dlit(32 ** (p - 1 - c))}) - 32.0 * {hi})"
+        chars.append(f"substr('{BASE32}', CAST({digit} AS INT) + 1, 1)")
+    return "(" + " || ".join(chars) + ")"
+
+
 def geohash_str_sql(lon: str, lat: str, precision: int) -> str:
     """The base32 geohash string — shared Spark/DuckDB SQL (substr over
     the alphabet literal, 1-indexed in both engines)."""
     p = int(precision)
-    i = geohash_int_sql(lon, lat, p)
-    chars = []
-    for c in range(p):
-        hi = f"floor(({i}) / {_dlit(32 ** (p - c))})"
-        digit = f"(floor(({i}) / {_dlit(32 ** (p - 1 - c))}) - 32.0 * {hi})"
-        chars.append(
-            f"substr('{BASE32}', CAST({digit} AS INT) + 1, 1)")
-    return "(" + " || ".join(chars) + ")"
+    return _b32_chars(f"({geohash_int_sql(lon, lat, p)})", p)
 
 
 def with_geohash(
@@ -112,15 +139,80 @@ def with_geohash(
     out = df.withColumn(
         "__gh_i", F.expr(geohash_int_sql(cx, cy, p))
     )
-    chars = []
-    for c in range(p):
-        hi = f"floor(__gh_i / {_dlit(32 ** (p - c))})"
-        digit = f"(floor(__gh_i / {_dlit(32 ** (p - 1 - c))}) - 32.0 * {hi})"
-        chars.append(f"substr('{BASE32}', CAST({digit} AS INT) + 1, 1)")
-    out = out.withColumn("geohash", F.expr("(" + " || ".join(chars) + ")"))
+    out = out.withColumn("geohash", F.expr(_b32_chars("__gh_i", p)))
     if as_int:
         out = out.withColumn("geohash_int", F.col("__gh_i").cast("long"))
     return out.drop("__gh_i")
+
+
+def geohash_cover(
+    df: DataFrame, precision: int = 5, as_int: bool = False
+) -> DataFrame:
+    """EXPLODE each row into the set of geohash cells its ENVELOPE
+    overlaps — the geohash blocking primitive (an equi-join on the
+    cover column is a spatial block that, unlike the center key, never
+    misses a boundary-spanning candidate). Adds ``geohash`` (base32;
+    ``as_int=True`` adds ``geohash_int``), one output row per
+    (entity, covering cell).
+
+    Pure JVM: clamped floor cell ranges + two staged
+    ``explode(sequence(...))`` + the shared interleave closed form —
+    no Python, no shuffle. The explode factor is
+    (lon_span/cell + 1) * (lat_span/cell + 1) per row; pick the
+    precision so typical envelopes cover a handful of cells (the same
+    caller lever as grid_density coverage and the tile-join theta).
+    Out-of-range envelopes clamp into the edge cells, like
+    with_geohash."""
+    p = int(precision)
+    _, nlon, nlat = _nbits(p)
+    out = df.withColumn(
+        "__gx",
+        F.explode(F.expr(
+            f"sequence(CAST({_cell_sql('minx', 180.0, 360.0, nlon)} "
+            f"AS BIGINT), "
+            f"CAST({_cell_sql('maxx', 180.0, 360.0, nlon)} AS BIGINT))"
+        )),
+    ).withColumn(
+        "__gy",
+        F.explode(F.expr(
+            f"sequence(CAST({_cell_sql('miny', 90.0, 180.0, nlat)} "
+            f"AS BIGINT), "
+            f"CAST({_cell_sql('maxy', 90.0, 180.0, nlat)} AS BIGINT))"
+        )),
+    ).withColumn(
+        "__gh_i",
+        F.expr(_interleave_sql("CAST(__gx AS DOUBLE)",
+                               "CAST(__gy AS DOUBLE)", p)),
+    )
+    out = out.withColumn("geohash", F.expr(_b32_chars("__gh_i", p)))
+    if as_int:
+        out = out.withColumn("geohash_int", F.col("__gh_i").cast("long"))
+    return out.drop("__gx", "__gy", "__gh_i")
+
+
+def geohash_cover_sql(
+    src_cte: str, precision: int, cols: str = "id"
+) -> str:
+    """The cover-set as DuckDB oracle SQL over a source exposing
+    minx/miny/maxx/maxy: staged ``unnest(generate_series(...))`` (one
+    per nesting level) + the SAME interleave closed form text
+    (_interleave_sql), emitting (``cols``..., geohash_int)."""
+    p = int(precision)
+    _, nlon, nlat = _nbits(p)
+    gi = _interleave_sql("CAST(gx AS DOUBLE)", "CAST(gy AS DOUBLE)", p)
+    return (
+        f"SELECT {cols}, CAST({gi} AS BIGINT) AS geohash_int FROM ("
+        f"SELECT {cols}, gx, "
+        f"unnest(generate_series("
+        f"CAST({_cell_sql('miny', 90.0, 180.0, nlat)} AS BIGINT), "
+        f"CAST({_cell_sql('maxy', 90.0, 180.0, nlat)} AS BIGINT)))"
+        f" AS gy FROM ("
+        f"SELECT {cols}, miny, maxy, "
+        f"unnest(generate_series("
+        f"CAST({_cell_sql('minx', 180.0, 360.0, nlon)} AS BIGINT), "
+        f"CAST({_cell_sql('maxx', 180.0, 360.0, nlon)} AS BIGINT)))"
+        f" AS gx FROM ({src_cte}) s) t0) t1"
+    )
 
 
 def geohash_bounds(

@@ -409,6 +409,9 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                 # r16: geohash cell keys (t_id = id, cost = 35-bit
                 # interleaved integer) — operators/geohash.py
                 ("geohash", mp.geohash_stats, mp.geohash_stats_oracle()),
+                # r17: envelope cover-sets (geohash blocking primitive)
+                ("geohash_cover", mp.geohash_cover_stats,
+                 mp.geohash_cover_stats_oracle()),
                 # r16: convex hull corners (t_id = rank, cost = packed
                 # lattice coords) — operators/hull.py
                 ("hull", mp.hull_stats, mp.hull_stats_oracle()),

@@ -447,6 +447,47 @@ def geohash_stats_oracle() -> str:
     )
 
 
+GEOHASH_COVER_PRECISION = 3
+
+
+def geohash_cover_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash cover-sets (r17: operators/geohash.geohash_cover — the
+    envelope blocking primitive) over the SOURCE boxes remapped into a
+    lon/lat window (lon = x/4 - 50, lat = y/4 - 10: exact quarters of
+    the 1/16 lattice; box spans up to 2° against 1.40625° precision-3
+    cells, so real multi-cell covers occur). Folded into skew_stats'
+    (t_id, cost) schema: t_id = id, cost = covering-cell geohash int —
+    one row per (entity, cell)."""
+    from ds_jedai_spark.operators.geohash import geohash_cover
+
+    boxes = load_sql(spark, sf_dir, source_box_sql()).selectExpr(
+        "id",
+        "minx / 4.0 - 50.0 AS minx", "miny / 4.0 - 10.0 AS miny",
+        "maxx / 4.0 - 50.0 AS maxx", "maxy / 4.0 - 10.0 AS maxy",
+    )
+    out = geohash_cover(boxes, precision=GEOHASH_COVER_PRECISION,
+                        as_int=True)
+    return out.select(
+        F.col("id").cast("long").alias("t_id"),
+        F.col("geohash_int").alias("cost"),
+    )
+
+
+def geohash_cover_stats_oracle() -> str:
+    from ds_jedai_spark.operators.geohash import geohash_cover_sql
+
+    src = (
+        f"SELECT id, minx / 4.0 - 50.0 AS minx, "
+        f"miny / 4.0 - 10.0 AS miny, maxx / 4.0 - 50.0 AS maxx, "
+        f"maxy / 4.0 - 10.0 AS maxy FROM ({source_box_sql()}) b"
+    )
+    inner = geohash_cover_sql(src, GEOHASH_COVER_PRECISION, cols="id")
+    return (
+        f"SELECT CAST(id AS BIGINT) AS t_id, geohash_int AS cost "
+        f"FROM ({inner})"
+    )
+
+
 # ------------------------------------------------------- convex hull (r16)
 
 def hull_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -188,3 +188,115 @@ def test_cli_op_geohash(spark, tmp_path, capsys, monkeypatch):
     assert rc == 0
     back = {r.id: r.geohash for r in spark.read.parquet(out).collect()}
     assert back == {"a": "ezs42", "b": "sqc8b"}
+
+
+def _boxes(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, minx double, miny double, maxx double, "
+        "maxy double")
+
+
+def test_geohash_clamps_below_range_too(spark):
+    """r17 ADVICE fix: lon < -180 / lat < -90 clamp into the bottom
+    edge cells (same geohash as exactly -180/-90) instead of wrapping
+    through negative-index bit arithmetic."""
+    rows = [(1, -500.0, -95.0), (2, -180.0, -90.0), (3, 500.0, 95.0),
+            (4, 180.0, 90.0)]
+    got = {r.id: r.geohash
+           for r in with_geohash(_pts(spark, rows), 6).collect()}
+    assert got[1] == got[2]
+    assert got[3] == got[4]
+    assert set(got[1]) <= set(BASE32) and set(got[3]) <= set(BASE32)
+
+
+def test_geohash_cover_laws(spark):
+    """Covering laws: a point envelope's cover is exactly its center
+    geohash; every center geohash is IN the cover; the cover size is
+    the product of the axis cell spans; every covering cell's decoded
+    box intersects the envelope (closed sense)."""
+    from ds_jedai_spark.operators.geohash import geohash_cover
+
+    import random
+
+    rng = random.Random(31)
+    rows = [(i, *(lambda x, y: (x, y, x + rng.random() * 3,
+                                y + rng.random() * 2))(
+        rng.uniform(-170, 160), rng.uniform(-80, 70)))
+        for i in range(80)]
+    boxes = _boxes(spark, rows)
+    p = 3
+    cov = geohash_cover(boxes, precision=p, as_int=True)
+    cov_rows = cov.collect()
+    by_id = {}
+    for r in cov_rows:
+        by_id.setdefault(r.id, set()).add(r.geohash)
+    # center membership
+    centers = {r.id: r.geohash
+               for r in with_geohash(boxes, precision=p).collect()}
+    for i, g in centers.items():
+        assert g in by_id[i], i
+    # size law
+    bits = 5 * p
+    nlon, nlat = (bits + 1) // 2, bits // 2
+    for i, x0, y0, x1, y1 in rows:
+        sx = (int(math.floor((x1 + 180.0) / 360.0 * (1 << nlon)))
+              - int(math.floor((x0 + 180.0) / 360.0 * (1 << nlon))) + 1)
+        sy = (int(math.floor((y1 + 90.0) / 180.0 * (1 << nlat)))
+              - int(math.floor((y0 + 90.0) / 180.0 * (1 << nlat))) + 1)
+        assert len(by_id[i]) == sx * sy, i
+    # decode-intersection law
+    dec = {(r.id, r.geohash): (r.gh_minx, r.gh_miny, r.gh_maxx, r.gh_maxy)
+           for r in geohash_bounds(cov, precision=p).collect()}
+    env = {i: (x0, y0, x1, y1) for i, x0, y0, x1, y1 in rows}
+    for (i, _g), (gx0, gy0, gx1, gy1) in dec.items():
+        x0, y0, x1, y1 = env[i]
+        assert gx1 >= x0 and gx0 <= x1 and gy1 >= y0 and gy0 <= y1, i
+    # point envelopes cover exactly their own cell
+    pts = _pts(spark, [(900, 12.25, -33.5)])
+    pc = geohash_cover(pts, precision=p).collect()
+    ctr = with_geohash(pts, precision=p).first().geohash
+    assert len(pc) == 1 and pc[0].geohash == ctr
+
+
+def test_geohash_cover_plan_and_oracle(spark):
+    """The cover plan stays pure JVM (no Python, no shuffle before any
+    consumer aggregation), and the DuckDB oracle SQL reproduces the
+    exact (id, geohash_int) multiset."""
+    import duckdb
+
+    from ds_jedai_spark.operators.geohash import (
+        geohash_cover,
+        geohash_cover_sql,
+    )
+
+    rows = [(1, -10.0, -5.0, -6.0, -1.0), (2, 100.0, 40.0, 100.1, 40.1),
+            (3, 179.0, 80.0, 180.0, 90.0)]
+    boxes = _boxes(spark, rows)
+    cov = geohash_cover(boxes, precision=2, as_int=True)
+    plan = cov._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "Exchange" not in plan  # projection + generate only
+    got = sorted((r.id, r.geohash_int) for r in cov.collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE b (id BIGINT, minx DOUBLE, miny DOUBLE, "
+                "maxx DOUBLE, maxy DOUBLE)")
+    con.executemany("INSERT INTO b VALUES (?, ?, ?, ?, ?)", rows)
+    want = sorted(tuple(r) for r in con.execute(
+        geohash_cover_sql("SELECT * FROM b", 2)).fetchall())
+    assert got == want
+
+
+def test_cli_op_geohash_cover(spark, tmp_path, capsys, monkeypatch):
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    p = str(tmp_path / "pts.tsv")
+    with open(p, "w") as f:
+        f.write("id\twkt\n0\tPOINT (12.5 40.5)\n")
+    rc = cli.main(["-op", "geohash", "-left", p, "-precision", "4",
+                   "-cover", "-limit", "5"])
+    assert rc == 0
+    assert "geohash" in capsys.readouterr().out
