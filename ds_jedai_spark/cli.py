@@ -501,7 +501,7 @@ def _run_op(args) -> int:
         elif args.op == "dbscan":
             # Density-based clustering over any reader format —
             # operators/clustering.dbscan (tile-join eps-graph +
-            # pointer-doubling components; deterministic labels).
+            # large-star/small-star contraction; deterministic labels).
             from ds_jedai_spark import api
             from ds_jedai_spark.config import DatasetSpec
             from ds_jedai_spark.operators.clustering import dbscan

@@ -37,16 +37,37 @@ def fresh_stats_checkpoint(df: DataFrame) -> DataFrame:
     """Eager localCheckpoint whose result does NOT inherit the origin
     plan's estimated statistics (see module docstring). JVM-only: the
     rebuild re-wraps the already-materialized InternalRow RDD; no data
-    moves, no Python roundtrip."""
-    ck = df.localCheckpoint()
-    jdf = ck._jdf
-    jspark = df.sparkSession._jsparkSession
-    fresh = jspark.internalCreateDataFrame(
-        jdf.queryExecution().toRdd(), jdf.schema(), False
-    )
-    # classic-API DataFrame constructor (same shape pyspark uses
-    # internally); connect-mode sessions never reach here because the
-    # engine runs on the classic local master
-    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+    moves, no Python roundtrip.
 
-    return _CDF(fresh, df.sparkSession)
+    Leans on py4j-visible Spark internals (``internalCreateDataFrame``,
+    the classic-mode DataFrame constructor) that are stable across
+    pyspark 4.x classic sessions but are NOT public API — the guards
+    below turn a pyspark upgrade or a connect-mode session into a
+    diagnosable error instead of an AttributeError deep inside an
+    iteration loop. The graceful fallback is plain localCheckpoint:
+    correct, just exposed to the stats-squaring stall past ~16 rounds."""
+    ck = df.localCheckpoint()
+    try:
+        # connect-mode DataFrames have no _jdf; classic module layout
+        # is pyspark>=4.0 (pyspark.sql.classic) — probe both up front
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+        jdf = ck._jdf
+        jspark = df.sparkSession._jsparkSession
+        fresh = jspark.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return _CDF(fresh, df.sparkSession)
+    except (ImportError, AttributeError) as exc:  # pragma: no cover
+        import warnings
+
+        warnings.warn(
+            "fresh_stats_checkpoint: pyspark internals moved "
+            f"({exc!r}; supported: pyspark 4.x classic sessions) — "
+            "falling back to plain localCheckpoint; iterative loops "
+            "beyond ~16 rounds may hit the Catalyst stats-squaring "
+            "driver stall documented in ds_jedai_spark/iterative.py",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return ck

@@ -226,7 +226,7 @@ def dbscan_sql(
     as a recursive-CTE transitive closure (min reachable core id). The
     closure materializes |C|^2 rows per backbone component — fine for
     oracle-scale data, which is exactly why the distributed path uses
-    pointer-doubling label propagation instead. ``geodesic`` switches
+    large-star/small-star contraction instead. ``geodesic`` switches
     the neighbor predicate to the shared haversine text (meters)."""
     if geodesic:
         from ds_jedai_spark.operators.measures import haversine_sql

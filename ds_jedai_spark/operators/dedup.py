@@ -207,91 +207,41 @@ def containment_pairs(
 
 
 def duplicate_clusters(
-    pairs: DataFrame, id1: str = "d1", id2: str = "d2", max_iter: int = 15
+    pairs: DataFrame, id1: str = "d1", id2: str = "d2", max_iter: int = 50
 ) -> DataFrame:
     """Connected components over the duplicate-pair graph: cluster id =
-    the minimum doc_id reachable from a node. Iterative min-label
-    propagation WITH POINTER DOUBLING — each round (a) takes the min
-    label over graph neighbors, then (b) adopts the current label of
-    the node one's label points at (label-of-label), so label reach
-    roughly doubles per round and convergence is O(log diameter)
-    rounds, not O(diameter): a 30,000-link drifted near-dup chain
-    resolves inside the default 15 rounds where pure propagation would
-    silently stop short. Each round is two distributed joins + one
-    aggregate with an early-exit action and checkpoint lineage
-    truncation; at 100 TB each round shuffles by doc id. Raises if the
-    budget is exhausted before the fixpoint — a wrong clustering must
-    never be returned quietly.
+    the minimum doc_id reachable from a node. Delegates to the engine's
+    CC backbone — alternating large-star/small-star edge contraction
+    (operators/clustering.connected_components_star, Kiveris et al.
+    SoCC 2014), which converges in O(log²n) rounds on ANY topology.
+    r17 unified this surface with DBSCAN's backbone, replacing the
+    earlier min-label pointer-doubling loop: the star contraction has
+    no diameter-sensitive failure mode, so a 30,000-link drifted
+    near-dup chain closes in ~8 rounds instead of riding the old
+    15-round budget. Each round shuffles only (node, node) pairs; at
+    100 TB each round is two groupBy-join passes by doc id.
 
-    Round frames are pinned with iterative.fresh_stats_checkpoint, NOT
-    plain localCheckpoint: the plain form inherits the origin plan's
-    sizeInBytes ESTIMATE into each round's LogicalRDD, the estimate
-    squares per round (the round joins the label frame with itself),
-    and past ~16 rounds the driver stalls exponentially multiplying
-    million-digit BigIntegers inside Catalyst stats estimation (full
-    measurement in iterative.py's docstring — 0.9s/round at 15, 280s at
-    22, zero jobs running). Dedup components usually resolve well under
-    that horizon; the r16 DBSCAN surface (dataset-spanning clusters,
-    dozens of rounds) is where it bit.
+    Self-paired rows (id1 == id2) still yield singleton clusters, as
+    before. Raises if the round budget is exhausted before the
+    fixpoint — a wrong clustering must never be returned quietly.
+    Round frames are pinned with iterative.fresh_stats_checkpoint
+    inside the backbone (see iterative.py for the Catalyst-stats
+    squaring stall that plain localCheckpoint causes in self-joining
+    loops).
     """
-    from ds_jedai_spark.iterative import fresh_stats_checkpoint
+    from ds_jedai_spark.operators.clustering import (
+        connected_components_star,
+    )
+
     e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
-    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    edges = edges.localCheckpoint()
-    labels = (
-        edges.select("a").distinct().select(
-            F.col("a").alias("node"), F.col("a").alias("label")
-        )
-    ).localCheckpoint()
-    changed = 1
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(
-                labels.select(
-                    F.col("node").alias("b"), F.col("label").alias("blabel")
-                ),
-                on="b",
-            )
-            .groupBy("a")
-            .agg(F.min("blabel").alias("nlabel"))
-        )
-        prop = labels.join(nbr, labels["node"] == nbr["a"], "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
-                "label"
-            ),
-        )
-        # pointer doubling: every label is itself a node id, so adopt
-        # that node's current label too (min keeps correctness: labels
-        # only ever decrease toward the component minimum)
-        hop = prop.select(
-            F.col("node").alias("label"), F.col("label").alias("ll")
-        )
-        new = fresh_stats_checkpoint(
-            prop.join(hop, on="label", how="left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("ll", "label")
-                ).alias("label"),
-            )
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), on="node")
-            .where("n.label != o.label")
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
-    if changed != 0:
-        raise RuntimeError(
-            f"duplicate_clusters did not converge in {max_iter} rounds "
-            f"(component diameter > ~2^{max_iter}); raise max_iter"
-        )
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    lab = connected_components_star(e, max_iter=max_iter)
+    # the backbone drops self-loops; nodes seen ONLY in self-pairs are
+    # singletons labeled by themselves (the historical contract)
+    nodes = e.select(F.col("a").alias("node")).union(
+        e.select(F.col("b").alias("node"))).distinct()
+    return nodes.join(lab, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("label", "node").alias("cluster_id")
     )
 
 

@@ -307,6 +307,17 @@ def knn_join_exact_geodesic(
     last ulp of a haversine; a float orderBy could then pick different
     k-th neighbors for mathematically tied distances, while mm-rounded
     ties break on t_id identically everywhere).
+
+    The done-criterion is STRICT in millimeters: a source finalizes in
+    a round only once >= k candidates sit at dist_mm <= round(r) - 1 mm,
+    not merely within r. This closes the sub-millimeter boundary case:
+    a target just beyond r whose distance ROUNDS to the same millimeter
+    as the in-radius k-th (invisible this round, possibly smaller t_id)
+    can otherwise alter the global (dist_mm, t_id) order the oracle
+    computes. With the strict bound, every target tying the k-th's
+    dist_mm is provably within r, so the per-round top-k equals the
+    global one exactly; boundary-sitting sources just take one more
+    round.
     """
     from pyspark.sql import Window
 
@@ -324,9 +335,15 @@ def knn_join_exact_geodesic(
         cand = cand.withColumn(
             "dist_mm", F.round(F.col("dist_m") * 1000.0).cast("bigint")
         ).localCheckpoint()
-        cnts = cand.groupBy("s_id").agg(F.count(F.lit(1)).alias("nc"))
+        r_mm = round(r * 1000.0)
+        cnts = (
+            cand.where(F.col("dist_mm") <= F.lit(r_mm - 1))
+            .groupBy("s_id").agg(F.count(F.lit(1)).alias("nc"))
+        )
         if r >= rmax_m:
-            done = cnts.select("s_id")
+            # terminal radius exceeds any possible great-circle
+            # distance: every candidate set is complete, no boundary
+            done = cand.select("s_id").distinct()
         else:
             done = cnts.where(F.col("nc") >= k).select("s_id")
         w = Window.partitionBy("s_id").orderBy("dist_mm", "t_id")

@@ -384,7 +384,7 @@ def dbscan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     arranges the points into ~37-long near-collinear CHAINS (measured
     at sf0.01: 82 clusters, 6 noise points, max degree 3), which is a
     deliberately hard shape for the clustering backbone: component
-    diameter ~36 forces the pointer-doubling label propagation through
+    diameter ~36 forces the star-contraction backbone through
     multiple real rounds (pure one-hop propagation would need 36),
     chain endpoints exercise the border rule, and isolated points the
     noise label. Folded into skew_stats' (t_id, cost) schema: t_id =

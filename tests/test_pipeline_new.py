@@ -435,9 +435,9 @@ def test_minhash_progressive_budget_semantics(spark):
         assert 0.0 <= r["est"] <= 1.0
 
 
-def test_duplicate_clusters_long_chain_pointer_doubling(spark):
-    """A 300-link chain (diameter far beyond the 15-round budget of
-    pure min propagation) must converge via pointer doubling, labeling
+def test_duplicate_clusters_long_chain(spark):
+    """A 300-link chain (diameter far beyond any per-hop propagation
+    budget) must converge via the star-contraction backbone, labeling
     every node with the chain minimum; and non-convergence must raise
     rather than silently return wrong labels."""
     import pytest as _pytest
