@@ -173,6 +173,19 @@ def main() -> None:
         ("dbscan", _dbscan_bench),
         ("geohash", mp.geohash_stats),
         ("hull", mp.hull_stats),
+        # r17 additions (new lines, so r17 totals gain their cost vs
+        # r16 by construction): coverage density (floor-span explode +
+        # one aggregation shuffle), per-group hulls (keyed two-phase
+        # chain), geohash envelope cover-sets (pure-JVM explode), and
+        # the vectorized planar+geodesic measures pass over the
+        # largest derived geometry set.
+        ("density_cov", mp.density_coverage_stats),
+        ("hull_by", mp.hull_by_stats),
+        ("geohash_cover", mp.geohash_cover_stats),
+        # the full measures wide row: vectorized areal pass over
+        # polygons-with-holes + lines + points + the geodesic and
+        # wrapped (seam-null) legs
+        ("measures", mp.measure_stats),
     ]
     # Best-of-2 per query: single-shot timings on a shared box swing
     # +-40% with ambient load; the minimum of two runs tracks the plan's

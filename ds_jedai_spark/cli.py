@@ -516,7 +516,7 @@ def _run_op(args) -> int:
                 geom_field=args.geom_col, date_field=args.date_col,
             ), bbox=args.bbox)
             out = dbscan(src, eps=args.tau, min_pts=args.minpts,
-                         geodesic=args.geodesic)
+                         geodesic=args.geodesic, use_center=args.center)
             return _print_or_write(out.orderBy("id"), args.out,
                                    args.limit, t0)
         elif args.op == "measures":
@@ -540,7 +540,8 @@ def _run_op(args) -> int:
                     "area", "centroid_x", "centroid_y", "unit"]
             if args.geodesic:
                 cols += ["length_m", "perimeter_m", "area_m2"]
-            out = with_measures(src, geodesic=args.geodesic).select(*cols)
+            out = with_measures(src, geodesic=args.geodesic,
+                                seam=args.seam).select(*cols)
             return _print_or_write(out, args.out, args.limit, t0)
         elif args.op == "reproject":
             # Closed-form CRS reprojection (EPSG:4326 <-> EPSG:3857):
@@ -1087,6 +1088,16 @@ def main(argv: list[str] | None = None) -> int:
                          "core point; eps comes from -tau")
     ap.add_argument("-precision", type=int, default=7,
                     help="geohash: characters (5 bits each, 1..10)")
+    ap.add_argument("-seam", choices=["null", "shift"], default="null",
+                    help="measures -geodesic: antimeridian-crossing "
+                         "rows get NULL meter measures ('null', "
+                         "default) or are normalized +360 and measured "
+                         "('shift'; still-wrapped rows stay NULL)")
+    ap.add_argument("-center", action="store_true",
+                    help="dbscan: cluster envelope/geometry corpora by "
+                         "their envelope CENTERS (the documented "
+                         "non-point reduction) instead of requiring "
+                         "point rows")
     ap.add_argument("-cover", action="store_true",
                     help="geohash: emit the envelope's covering CELL "
                          "SET (one row per overlapped cell — the "

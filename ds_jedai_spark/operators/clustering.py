@@ -133,6 +133,7 @@ def dbscan(
     theta: tuple[float, float] | None = None,
     max_iter: int = 100,
     geodesic: bool = False,
+    use_center: bool = False,
 ) -> DataFrame:
     """Cluster a POINT dataset: returns (id, cluster) with cluster = the
     minimum core-point id of the cluster's backbone component, or -1
@@ -152,6 +153,13 @@ def dbscan(
     degree count, the core-core edge set, and border attachment; at
     scale it is the single tile-join shuffle plus (id, id, dist2) rows.
 
+    ``use_center=True`` (r17) clusters an ENVELOPE/geometry corpus by
+    its envelope CENTERS — the documented reduction for non-point
+    inputs (the planar distance predicate is between representative
+    points, same anchoring as grid_density's count mode). Without it,
+    the input must already be points (minx == maxx, miny == maxy);
+    the geodesic path's in-plan guard raises on violations.
+
     ``max_iter`` bounds the star-contraction rounds; contraction exits
     EARLY at the fixpoint, so the generous default (100) costs nothing.
     Density clusters can span the whole dataset (the sf0.1 lattice
@@ -169,6 +177,13 @@ def dbscan(
         distance_join,
         geodesic_distance_join,
     )
+
+    if use_center:
+        points = points.selectExpr(
+            "id",
+            "(minx + maxx) / 2.0 AS cx", "(miny + maxy) / 2.0 AS cy",
+        ).selectExpr("id", "cx AS minx", "cy AS miny",
+                     "cx AS maxx", "cy AS maxy")
 
     # symmetric eps-neighbor pairs, self-pairs included
     if geodesic:

@@ -45,8 +45,14 @@ forms are only valid when no edge crosses the antimeridian, so rows
 containing any |Δlon| > 180° edge get NULL geodesic measures
 (``length_m``/``perimeter_m``/``area_m2``) instead of a silently wrong
 number — the same honesty contract the geodesic distance join enforces
-by splitting wrapped envelopes (spatial_join.py). Normalize such
-geometries (shift +360, or split at the seam) before measuring.
+by splitting wrapped envelopes (spatial_join.py). ``seam="shift"``
+goes one step further and MEASURES such rows correctly: their negative
+longitudes are normalized +360 (Fiji's ring becomes 179..181), the
+spherical sums run on the shifted coordinates (all great-circle /
+Green's-theorem terms are longitude-translation invariant), and only
+rows STILL wrapped after the shift (geometries genuinely spanning more
+than 180° of longitude, where "which way round" is ambiguous) stay
+NULL. Planar measures always use the literal coordinates either way.
 
 EXECUTION. The areal pass is VECTORIZED: one numpy pass over the Arrow
 list-offset buffers (the relate_general._flatten3 pattern — per-pair
@@ -97,28 +103,46 @@ _GEO_SEG_LEN = (
 # any edge spanning more than 180° of longitude means the geometry
 # crosses the antimeridian (or is malformed): spherical closed forms
 # over lon/lat-straight edges are undefined there, so geodesic measures
-# go NULL for the row (module docstring) — pure JVM higher-order exists
+# go NULL for the row (module docstring) — pure JVM higher-order exists.
+# 'coords' appears exactly once, so _on() can rebind the source column.
 _WRAP_SQL = (
     "exists(coords, part -> size(part) >= 2 AND "
     "exists(sequence(0, size(part) - 2), i -> "
     "abs(part[i + 1][0] - part[i][0]) > 180.0d))"
 )
 
+# seam="shift" normalization: negative longitudes + 360 (only applied
+# to rows the wrap detector flagged — see with_measures)
+_SHIFT_SQL = (
+    "transform(coords, part -> transform(part, p -> "
+    "array(CASE WHEN p[0] < 0.0d THEN p[0] + 360.0d ELSE p[0] END, "
+    "p[1])))"
+)
 
-def geodesic_length_expr() -> "F.Column":
-    return F.expr(
-        f"CASE WHEN {_WRAP_SQL} THEN CAST(NULL AS DOUBLE) "
-        f"WHEN gtype IN ('LINESTRING', 'MULTILINESTRING') "
-        f"THEN {_GEO_SEG_LEN} ELSE 0d END"
+
+def _on(template: str, col: str) -> str:
+    """Rebind a coords-referencing SQL template onto another column
+    (each template references 'coords' exactly once)."""
+    return template.replace("coords", col)
+
+
+def _geo_measure_expr(kinds: str, src: str) -> str:
+    """NULL-on-wrap geodesic sum over the ``src`` coords column for the
+    given gtype set."""
+    return (
+        f"CASE WHEN {_on(_WRAP_SQL, src)} THEN CAST(NULL AS DOUBLE) "
+        f"WHEN gtype IN ({kinds}) "
+        f"THEN {_on(_GEO_SEG_LEN, src)} ELSE 0d END"
     )
 
 
-def geodesic_perimeter_expr() -> "F.Column":
+def geodesic_length_expr(src: str = "coords") -> "F.Column":
     return F.expr(
-        f"CASE WHEN {_WRAP_SQL} THEN CAST(NULL AS DOUBLE) "
-        f"WHEN gtype IN ('POLYGON', 'MULTIPOLYGON') "
-        f"THEN {_GEO_SEG_LEN} ELSE 0d END"
-    )
+        _geo_measure_expr("'LINESTRING', 'MULTILINESTRING'", src))
+
+
+def geodesic_perimeter_expr(src: str = "coords") -> "F.Column":
+    return F.expr(_geo_measure_expr("'POLYGON', 'MULTIPOLYGON'", src))
 
 
 def npoints_expr() -> "F.Column":
@@ -372,7 +396,10 @@ def _planar_unit(df: DataFrame) -> str:
 
 
 def with_measures(
-    df: DataFrame, geodesic: bool = False, vectorize: bool = True
+    df: DataFrame,
+    geodesic: bool = False,
+    vectorize: bool = True,
+    seam: str = "null",
 ) -> DataFrame:
     """Append npoints, length, perimeter, area, centroid_x, centroid_y
     and a ``unit`` column (the planar measures' CRS unit — see module
@@ -385,11 +412,18 @@ def with_measures(
     appends ``length_m`` / ``perimeter_m`` (haversine, pure JVM) and
     ``area_m2`` (spherical excess, same Arrow pass). Rows with any
     antimeridian-crossing edge (|Δlon| > 180°) get NULL for all three
-    geodesic columns — see the module docstring's seam contract.
+    geodesic columns under the default ``seam="null"``;
+    ``seam="shift"`` instead normalizes such rows' negative longitudes
+    +360 and measures them correctly, nulling only rows still wrapped
+    after the shift — see the module docstring's seam contract.
 
     ``vectorize=False`` forces the legacy exact per-row path (the same
     code the vectorized pass uses for multi-ring rows) — kept as the
     differential baseline for tests and the perf probe."""
+    if seam not in ("null", "shift"):
+        raise ValueError(
+            f"with_measures: seam must be 'null' or 'shift', got {seam!r}"
+        )
     unit = _planar_unit(df)
     if geodesic and unit != "deg":
         raise ValueError(
@@ -425,6 +459,18 @@ def with_measures(
                         wrap.append(_row_wrap(c))
                 wrap = np.asarray(wrap if geodesic else
                                   [False] * len(areas), dtype=bool)
+            if geodesic and seam == "shift" and wrap.any():
+                # normalize the (rare) wrapped rows +360 and re-measure;
+                # only rows still wrapped after the shift stay NULL
+                for i in np.nonzero(wrap)[0]:
+                    parts = [
+                        [[p[0] + 360.0 if p[0] < 0.0 else p[0], p[1]]
+                         for p in part]
+                        for part in ccol[int(i)].as_py()
+                    ]
+                    if not _row_wrap(parts):
+                        areas_m2[i] = _geodesic_area_m2(gtypes[i], parts)
+                        wrap[i] = False
             extra_cols = [pa.array(areas, pa.float64()),
                           pa.array(cxs, pa.float64()),
                           pa.array(cys, pa.float64())]
@@ -446,8 +492,23 @@ def with_measures(
              .withColumn("unit", F.lit(unit))
     out_extra = ", area double, centroid_x double, centroid_y double"
     if geodesic:
-        base = base.withColumn("length_m", geodesic_length_expr()) \
-                   .withColumn("perimeter_m", geodesic_perimeter_expr())
+        if seam == "shift":
+            # bind the (conditionally) shifted coords once; the meter
+            # sums and the residual-wrap test both read the bound column
+            base = base.withColumn(
+                "__sc",
+                F.expr(f"CASE WHEN {_WRAP_SQL} THEN {_SHIFT_SQL} "
+                       f"ELSE coords END"),
+            )
+            base = base.withColumn(
+                "length_m", geodesic_length_expr("__sc")
+            ).withColumn(
+                "perimeter_m", geodesic_perimeter_expr("__sc")
+            ).drop("__sc")
+        else:
+            base = base.withColumn("length_m", geodesic_length_expr()) \
+                       .withColumn("perimeter_m",
+                                   geodesic_perimeter_expr())
         out_extra += ", area_m2 double"
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in base.schema

@@ -263,8 +263,11 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                   "pcx6", "pcy6", "n_line", "len1000", "lcx6", "lcy6",
                   "glen_m", "n_point", "ptcx6", "ptcy6",
                   # r17: antimeridian seam honesty — wrapped rows null
-                  # their geodesic measures, totally (= count(*))
-                  "n_wline", "wline_null", "wpoly_null"]),
+                  # their geodesic measures, totally (= count(*)) —
+                  # and seam="shift" measures them correctly (km²
+                  # closed form)
+                  "n_wline", "wline_null", "wpoly_null",
+                  "gsh_km2", "gsh_nn"]),
                 ("rp", mp.reproject_stats, mp.reproject_stats_oracle(),
                  ["n", "sum_e_m", "sum_n_m", "n_env_ok", "n_rt_ok"]),
             ]

@@ -33,7 +33,7 @@ from ds_jedai_spark.io.synthetic import (
     point_sql,
     source_box_sql,
 )
-from ds_jedai_spark.operators.measures import haversine_sql
+from ds_jedai_spark.operators.measures import MEAN_R, haversine_sql
 
 # polygon-with-hole construction over the SOURCE boxes: outer ring = the
 # box, hole = the box's lower-left quadrant inset (offset so the
@@ -151,6 +151,24 @@ def measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("wpoly_null"),
     )
 
+    # seam="shift" leg (r17): the SAME wrapped boxes, normalized +360
+    # and MEASURED — the box on the sphere has the closed-form area
+    # dlon_rad * (sin latB - sin latA) * R² with dlon = (x1+x2)/2
+    # degrees (the shifted west edge x1/2+180 minus the east edge
+    # 180-x2/2), which the oracle computes directly. Rounded at km²
+    # per row: libm last-ulp differences (~1e-4 m² at these
+    # magnitudes) sit 1e-10 from a km² rounding boundary.
+    agg_gsh = with_measures(
+        wp.withMetadata("gtype", {"crs": "EPSG:4326"}),
+        geodesic=True, seam="shift",
+    ).agg(
+        F.sum(F.round(F.col("area_m2") / 1e6)).cast("bigint")
+        .alias("gsh_km2"),
+        F.sum(F.when(F.col("area_m2").isNotNull()
+                     & F.col("perimeter_m").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("gsh_nn"),
+    )
+
     pts = load_sql(spark, sf_dir, point_sql()).selectExpr(
         "id", "'POINT' AS gtype",
         "array(array(array(minx, miny))) AS coords",
@@ -178,7 +196,7 @@ def measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cx6").alias("ptcx6"), F.col("cy6").alias("ptcy6"),
     )
     return p.crossJoin(ln).crossJoin(agg_geo).crossJoin(pt) \
-        .crossJoin(agg_gw)
+        .crossJoin(agg_gw).crossJoin(agg_gsh)
 
 
 def measure_stats_oracle() -> str:
@@ -225,8 +243,18 @@ gw AS (
   SELECT CAST(count(*) AS BIGINT) AS n_wline,
          CAST(count(*) AS BIGINT) AS wline_null,
          CAST(count(*) AS BIGINT) AS wpoly_null
+  FROM segs),
+gsh AS (
+  -- abs(): a negative width (x1 + x2 < 0 via a negative segment dx)
+  -- flips the ring orientation; the operator reports |area|
+  SELECT CAST(sum(round(abs(radians((x1 + x2) / 2.0))
+           * (sin(radians(y1 / 4.0 - 11.0))
+              - sin(radians(y1 / 4.0 - 12.0)))
+           * {MEAN_R!r} * {MEAN_R!r} / 1e6)) AS BIGINT) AS gsh_km2,
+         CAST(count(*) AS BIGINT) AS gsh_nn
   FROM segs)
-SELECT poly.*, ln.*, geo.*, pt.*, gw.* FROM poly, ln, geo, pt, gw
+SELECT poly.*, ln.*, geo.*, pt.*, gw.*, gsh.*
+FROM poly, ln, geo, pt, gw, gsh
 """
 
 

@@ -293,3 +293,60 @@ def test_connected_components_star_vs_unionfind(spark):
         got = {r.node: r.label
                for r in connected_components_star(df, **kw).collect()}
         assert got == uf(edges, nodes), name
+
+
+def test_dbscan_use_center_on_envelopes(spark):
+    """use_center (r17): an envelope corpus clusters by its envelope
+    CENTERS — identical labels to running the point form on the
+    centers directly; the envelope extents themselves don't matter."""
+    import random
+
+    rng = random.Random(41)
+    rows = _blob_and_chain_rows()
+    boxes = spark.createDataFrame(
+        [(i, x - rng.random(), y - rng.random(),
+          x + rng.random(), y + rng.random())
+         for (i, x, y), rng in
+         [(r, random.Random(1000 + r[0])) for r in rows]],
+        "id long, minx double, miny double, maxx double, maxy double",
+    )
+    centers = boxes.selectExpr(
+        "id", "(minx + maxx) / 2.0 AS cx", "(miny + maxy) / 2.0 AS cy"
+    ).selectExpr("id", "cx AS minx", "cy AS miny",
+                 "cx AS maxx", "cy AS maxy")
+    want = {r.id: r.cluster
+            for r in dbscan(centers, 1.5, 4).collect()}
+    got = {r.id: r.cluster
+           for r in dbscan(boxes, 1.5, 4, use_center=True).collect()}
+    assert got == want
+    assert -1 in set(want.values()) and len(set(want.values())) >= 3
+
+
+def test_dbscan_to_hull_by_composition(spark):
+    """The r17 composition the keyed hull exists for: dbscan labels ->
+    per-cluster footprint hulls. Every non-noise cluster yields a hull
+    whose corners are cluster members and whose envelope contains every
+    member point."""
+    from ds_jedai_spark.operators.hull import convex_hull
+
+    rows = _blob_and_chain_rows()
+    pts = _pts(spark, rows)
+    labeled = dbscan(pts, 1.5, 4).withColumnRenamed("id", "pid")
+    members = pts.join(labeled, pts["id"] == labeled["pid"]) \
+        .where("cluster != -1") \
+        .select("id", "cluster", "minx", "miny")
+    hulls = convex_hull(members, by="cluster")
+    got = {}
+    for r in hulls.collect():
+        got.setdefault(r.cluster, []).append((r.x, r.y))
+    by_cluster = {}
+    for r in members.collect():
+        by_cluster.setdefault(r.cluster, []).append((r.minx, r.miny))
+    assert set(got) == set(by_cluster)
+    for c, corners in got.items():
+        pts_c = set(by_cluster[c])
+        assert set(corners) <= pts_c, c
+        xs = [p[0] for p in corners]
+        ys = [p[1] for p in corners]
+        for (px, py) in pts_c:
+            assert min(xs) <= px <= max(xs) and min(ys) <= py <= max(ys), c

@@ -424,3 +424,76 @@ def test_cli_op_measures_geodesic(spark, tmp_path, capsys, monkeypatch):
     with pytest.raises(ValueError, match="EPSG:4326"):
         cli.main(["-op", "measures", "-geodesic", "-left", WKT_FIX,
                   "-out", str(tmp_path / "bad.parquet")])
+
+
+def test_seam_shift_measures_wrapped_rows_correctly(spark):
+    """seam='shift' (r17): a seam-straddling box measures EQUAL to the
+    identical box away from the seam (same latitudes, same 2-degree
+    width); the wrapped linestring gets its true 1-degree equator arc;
+    geometries still spanning > 180 degrees after the shift stay NULL;
+    non-wrapped rows are bit-identical to seam='null'."""
+    fiji = [[179.0, -17.0], [-179.0, -17.0], [-179.0, -16.0],
+            [179.0, -16.0], [179.0, -17.0]]
+    ctrl = [[-1.0, -17.0], [1.0, -17.0], [1.0, -16.0],
+            [-1.0, -16.0], [-1.0, -17.0]]
+    # edges (-179 -> 0) and (0 -> 179) are fine; (179 -> -179) wraps;
+    # after +360 the first edge becomes (181 -> 0): still > 180 -> NULL
+    residual = [[-179.0, 10.0], [0.0, 10.0], [179.0, 10.0],
+                [-179.0, 10.0]]
+    rows = [
+        ("fiji", "POLYGON", [fiji]),
+        ("ctrl", "POLYGON", [ctrl]),
+        ("wline", "LINESTRING", [[[179.5, 0.0], [-179.5, 0.0]]]),
+        ("residual", "LINESTRING", [residual]),
+    ]
+    got = {r.id: r for r in with_measures(
+        _rowdf(spark, rows, crs="EPSG:4326"), geodesic=True,
+        seam="shift").collect()}
+    f, c = got["fiji"], got["ctrl"]
+    assert f.area_m2 is not None and c.area_m2 is not None
+    assert abs(f.area_m2 - c.area_m2) <= 1e-6 * c.area_m2
+    assert abs(f.perimeter_m - c.perimeter_m) <= 1e-6 * c.perimeter_m
+    from ds_jedai_spark.operators.measures import MEAN_R
+    wl = got["wline"]
+    assert wl.length_m is not None
+    assert abs(wl.length_m - MEAN_R * math.pi / 180.0) <= 1.0
+    r = got["residual"]
+    assert r.length_m is None and r.area_m2 is None
+    # planar columns always literal, regardless of seam mode
+    assert abs(f.area - 358.0) <= 1e-9
+
+    # non-wrapped rows bit-identical between the two seam modes
+    nullmode = {r.id: r for r in with_measures(
+        _rowdf(spark, rows, crs="EPSG:4326"), geodesic=True).collect()}
+    assert nullmode["ctrl"].area_m2 == c.area_m2
+    assert nullmode["ctrl"].perimeter_m == c.perimeter_m
+
+
+def test_seam_shift_matches_per_row_path(spark):
+    """seam='shift' agrees between the vectorized and per-row executions
+    (including which rows resolve vs stay NULL)."""
+    rows = [
+        ("w1", "POLYGON", [[[178.0, 5.0], [-178.0, 5.0], [-178.0, 6.0],
+                            [178.0, 6.0], [178.0, 5.0]]]),
+        ("ok", "POLYGON", [[[10.0, 5.0], [14.0, 5.0], [14.0, 6.0],
+                            [10.0, 6.0], [10.0, 5.0]]]),
+        ("res", "LINESTRING", [[[-179.0, 0.0], [0.0, 0.0],
+                                [179.0, 0.0], [-179.0, 0.0]]]),
+    ]
+    fast = {r.id: r for r in with_measures(
+        _rowdf(spark, rows, crs="EPSG:4326"), geodesic=True,
+        seam="shift").collect()}
+    slow = {r.id: r for r in with_measures(
+        _rowdf(spark, rows, crs="EPSG:4326"), geodesic=True,
+        seam="shift", vectorize=False).collect()}
+    for k in fast:
+        assert (fast[k].area_m2 is None) == (slow[k].area_m2 is None), k
+        if fast[k].area_m2 is not None:
+            assert abs(fast[k].area_m2 - slow[k].area_m2) <= \
+                1e-9 * max(1.0, slow[k].area_m2), k
+    assert fast["res"].area_m2 is None
+    assert fast["w1"].area_m2 is not None and fast["w1"].area_m2 > 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="seam"):
+        with_measures(_rowdf(spark, rows, crs="EPSG:4326"),
+                      geodesic=True, seam="bogus")
