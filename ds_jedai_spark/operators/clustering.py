@@ -52,10 +52,21 @@ def connected_components_star(
     ``edges``: (a, b) pairs, any orientation, self-loops ignored.
     Returns (node, label) for every node incident to an edge, label =
     the component's minimum node id. Each round is two groupBy-join
-    passes + a distinct + a fixpoint probe, all shuffling only (node,
-    node) pairs; round frames are pinned with fresh_stats_checkpoint
-    (see iterative.py). Raises if the budget is exhausted, like
-    duplicate_clusters."""
+    passes + a distinct + ONE fixpoint-probe aggregate, all shuffling
+    only (node, node) pairs; round frames are pinned with
+    fresh_stats_checkpoint (see iterative.py). Raises if the budget is
+    exhausted, like duplicate_clusters.
+
+    Fixpoint detection (r17): instead of comparing successive edge
+    SETS (a count plus an exceptAll anti-join — two actions, one of
+    them a full two-sided shuffle), each round runs one aggregate
+    testing whether the canonical edge set is already a DISJOINT STAR
+    FOREST — every leaf has exactly one center and no center is also a
+    leaf. Star forest <=> fixpoint (a stable non-star set must still
+    rewire: any path a<b<c rewrites c to min(a)), and canonical (a<b)
+    edges make every star center its component's minimum, so exiting
+    there returns exactly the final labels — sometimes a round earlier
+    than the set-equality test, never later."""
     from ds_jedai_spark.iterative import fresh_stats_checkpoint
 
     e = (
@@ -67,9 +78,10 @@ def connected_components_star(
         .distinct()
     )
     e = fresh_stats_checkpoint(e)
+    # only read once, at the end (centers = nodes minus leaves):
+    # lazy on purpose — no eager materialization job
     nodes = e.select(F.col("a").alias("node")).union(
         e.select(F.col("b").alias("node"))).distinct()
-    nodes = fresh_stats_checkpoint(nodes)
     converged = False
     for _ in range(max_iter):
         # large-star: m(u) = min over u's CLOSED neighborhood; every
@@ -105,14 +117,20 @@ def connected_components_star(
             .distinct()
         )
         e2 = fresh_stats_checkpoint(small)
-        # fixpoint: the edge SET is unchanged (both stars only rewire,
-        # so set equality <=> same count and no novel edge)
-        if (e2.count() == e.count()
-                and e2.exceptAll(e).limit(1).count() == 0):
-            e = e2
+        # fixpoint: disjoint star forest — one aggregate (docstring)
+        sides = e2.select(F.col("a").alias("v"), F.lit(0).alias("s")) \
+            .union(e2.select(F.col("b").alias("v"), F.lit(1).alias("s")))
+        viol = (
+            sides.groupBy("v")
+            .agg(F.count(F.when(F.col("s") == 1, 1)).alias("nb"),
+                 F.countDistinct("s").alias("ns"))
+            .where((F.col("nb") > 1) | (F.col("ns") > 1))
+            .limit(1).count()
+        )
+        e = e2
+        if viol == 0:
             converged = True
             break
-        e = e2
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge in "

@@ -233,7 +233,12 @@ def duplicate_clusters(
         connected_components_star,
     )
 
-    e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    # pin the pair frame ONCE: both the backbone's canonical edge set
+    # and the singleton-preserving node set below read it, and the
+    # upstream discovery plan (an LSH collision join, typically) must
+    # not execute twice
+    e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b")) \
+        .localCheckpoint()
     lab = connected_components_star(e, max_iter=max_iter)
     # the backbone drops self-loops; nodes seen ONLY in self-pairs are
     # singletons labeled by themselves (the historical contract)
