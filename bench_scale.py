@@ -209,6 +209,62 @@ def _cloned_boxes(spark, sf_dir, clones: int = CLONES_SPATIAL):
     return clone(source), clone(target)
 
 
+def density_cov_x10(spark, sf_dir):
+    """Coverage grid density at 10x (r17): x-offset box clones through
+    the floor-span explode. Exact row law asserted inline: the sum over
+    cells equals the sum over entities of their per-axis cell-span
+    product — the explode drops and double-counts nothing, at any
+    clone count."""
+    from ds_jedai_spark.operators.spatial_agg import grid_density
+
+    cs, _ = _cloned_boxes(spark, sf_dir)
+    cell = 4.0
+    total = grid_density(cs, cell=cell, coverage=True) \
+        .agg(F.sum("n")).first()[0]
+    want = cs.selectExpr(
+        f"(CAST(floor(maxx / {cell!r}) AS BIGINT)"
+        f" - CAST(floor(minx / {cell!r}) AS BIGINT) + 1)"
+        f" * (CAST(floor(maxy / {cell!r}) AS BIGINT)"
+        f" - CAST(floor(miny / {cell!r}) AS BIGINT) + 1) AS spans"
+    ).agg(F.sum("spans")).first()[0]
+    assert total == want, (total, want)
+    return total
+
+
+def hull_by_x10(spark, sf_dir):
+    """Per-group hulls at 10x (r17): x-offset point clones, one group
+    per clone. Exact law: every clone group's (rank, x, y) corner set
+    equals the base hull's corners shifted by rep * shift — offsets are
+    lattice multiples, so the un-shift is exact double arithmetic."""
+    from ds_jedai_spark.io.synthetic import load_sql, point_sql
+    from ds_jedai_spark.operators.hull import convex_hull
+
+    pts = load_sql(spark, sf_dir, point_sql())
+    span = pts.agg(F.min("minx").alias("lo"),
+                   F.max("maxx").alias("hi")).first()
+    shift = (span.hi - span.lo) * 2
+    rep = spark.range(0, CLONES_SPATIAL, 1, 32) \
+        .select(F.col("id").alias("rep"))
+    cloned = rep.join(F.broadcast(pts), how="cross").select(
+        (F.col("id") * CLONES_SPATIAL + F.col("rep")).alias("id"),
+        F.col("rep").alias("grp"),
+        (F.col("minx") + F.col("rep") * shift).alias("minx"),
+        "miny",
+        (F.col("maxx") + F.col("rep") * shift).alias("maxx"),
+        "maxy",
+    )
+    hulls = convex_hull(cloned, by="grp").collect()
+    base = {(r.rank, r.x, r.y) for r in convex_hull(pts).collect()}
+    by_g = {}
+    for r in hulls:
+        by_g.setdefault(r.grp, set()).add(
+            (r.rank, r.x - r.grp * shift, r.y))
+    assert set(by_g) == set(range(CLONES_SPATIAL)), sorted(by_g)
+    for g, corners in by_g.items():
+        assert corners == base, g
+    return len(hulls)
+
+
 CLONES_DECADE = 100
 CLONES_LSH_DECADE = 100
 
@@ -863,6 +919,10 @@ def main() -> None:
         ("interval_x10_fixed",
          lambda: interval_x10(300_000_000)(spark, sf_dir)),
         ("interval_x10_auto", lambda: interval_x10("auto")(spark, sf_dir)),
+        # r17: coverage density + per-group hulls at 10x, exact row /
+        # corner laws asserted inline
+        ("density_cov_x10", lambda: density_cov_x10(spark, sf_dir)),
+        ("hull_by_x10", lambda: hull_by_x10(spark, sf_dir)),
     ]
     # Best-of-2 per entry, matching bench.py's protocol: the minimum
     # excludes one-time view registration / parquet-footer probes and

@@ -70,7 +70,9 @@ def convex_hull(df: DataFrame, by: str | None = None) -> DataFrame:
     mapInArrow — no shuffle), phase 2 shuffles only those O(h) corners
     by key and re-chains per key in applyInPandas (one task per key
     group, executor-side). Output (by, rank, x, y), rank 1-based
-    lexicographic within the group."""
+    lexicographic within the group. NULL group keys are not supported
+    (they don't order) — filter or fill them first; dbscan labels,
+    the natural input, are never null."""
     import pyarrow as pa
 
     def local(batches):
