@@ -701,3 +701,169 @@ def _scrub_kept(docs: DataFrame, k: int, min_count: int):
         ),
     )
     return t, kept
+
+
+# ------------------------------------------------------ relevance scoring
+
+# BM25 constants are DYADIC-EXACT doubles (1.25, 0.75 — both inside the
+# standard parameter ranges) so every arithmetic step is reproducible
+# bit-for-bit across engines: with exact constants the whole score is a
+# fixed tree of IEEE-754 ops over integers, and the DuckDB oracle can
+# restate it verbatim.  The idf is the RATIONAL core of the classic
+# BM25 idf — (N - df + 0.5)/(df + 0.5) + 1 WITHOUT the outer ln() — per
+# the module contract banning transcendentals from gated columns (libm
+# vs JVM last-ulp drift).  ln is monotone, so per-term document ranking
+# is unchanged; only the relative mixing of multi-term scores differs
+# from textbook BM25, which the docstrings state.
+BM25_K1 = 1.25
+BM25_B = 0.75
+BM25_QUERY = ("query", "table", "stream")
+SCORE_SCALE = 1_000_000
+
+
+def _rational_idf(n_docs, df):
+    """(N - df + 0.5) / (df + 0.5) + 1 — the inside of the BM25 log."""
+    return (
+        ((n_docs - df).cast("double") + F.lit(0.5))
+        / (df.cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+
+
+def tfidf_top(docs: DataFrame) -> DataFrame:
+    """Per-document top rarity-weighted term: argmax over words of
+    tf * (N + 1)/(df + 1), ties broken by term string ascending.
+
+    The idf factor is the rational (N + 1)/(df + 1) (no ln — module
+    contract); it is a strictly monotone transform of the classic idf,
+    so the per-term ordering by document frequency is identical.
+
+    Scale notes: tf is one groupBy over the exploded words; df one
+    groupBy over the per-doc-distinct words; N rides in as a broadcast
+    1-row aggregate; the argmax window partitions by doc_id (millions of
+    small groups, never a global window).  Every doc_id in the input
+    appears in the output — empty documents carry top_term = '' and
+    zero counts."""
+    w = words(docs)
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        w.select("doc_id", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (
+                (F.col("n_docs").cast("double") + F.lit(1.0))
+                / (F.col("df").cast("double") + F.lit(1.0))
+            ),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("score").desc(), F.col("word").asc()
+        )
+    )
+    top = (
+        scored.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("word").alias("top_term"),
+            F.col("tf").alias("top_tf"),
+            F.col("df").alias("top_df"),
+            F.round(F.col("score") * F.lit(float(SCORE_SCALE)))
+            .cast("long")
+            .alias("tfidf_micro"),
+        )
+    )
+    return docs.select("doc_id").join(top, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("top_term", F.lit("")).alias("top_term"),
+        F.coalesce("top_tf", F.lit(0)).cast("long").alias("top_tf"),
+        F.coalesce("top_df", F.lit(0)).cast("long").alias("top_df"),
+        F.coalesce("tfidf_micro", F.lit(0)).cast("long").alias("tfidf_micro"),
+    )
+
+
+def bm25(
+    docs: DataFrame,
+    terms: tuple[str, ...] = BM25_QUERY,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Per-document BM25 relevance against a fixed query term list.
+
+    score = sum_i idf_i * tf_i*(k1+1) / (tf_i + k1*(1-b + b*dl/avgdl))
+    with the rational idf (see _rational_idf).  Per-term contributions
+    are combined in FIXED list order as an expression chain — never a
+    SQL sum() over doubles, whose accumulation order differs between
+    engines — so the result is bit-reproducible and the DuckDB oracle
+    restates the identical tree.
+
+    Scale notes: tf per query term is ONE conditional aggregation over
+    the exploded words filtered to the query terms (the filter prunes
+    the stream to ~|terms|/|vocab| of the corpus before the shuffle);
+    corpus statistics (N, total_dl, per-term df) ride in as one
+    broadcast 1-row aggregate; the score itself is a map-side
+    expression.  Every doc_id appears; documents missing all query
+    terms score 0."""
+    if not terms:
+        raise ValueError("bm25 needs at least one query term")
+    dl_expr = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    base = docs.select("doc_id", dl_expr.cast("long").alias("dl"))
+    w = words(docs)
+    wq = w.where(F.col("word").isin(*terms))
+    tf_aggs = [
+        F.sum(F.when(F.col("word") == t, F.lit(1)).otherwise(F.lit(0))).alias(
+            f"tf_{i}"
+        )
+        for i, t in enumerate(terms)
+    ]
+    tfs = wq.groupBy("doc_id").agg(*tf_aggs)
+    df_aggs = [F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")]
+    stats = base.agg(*df_aggs)
+    dfs = w.agg(
+        *[
+            F.countDistinct(F.when(F.col("word") == t, F.col("doc_id"))).alias(
+                f"df_{i}"
+            )
+            for i, t in enumerate(terms)
+        ]
+    )
+    t = (
+        base.join(tfs, "doc_id", "left")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfs))
+    )
+    for i in range(len(terms)):
+        t = t.withColumn(f"tf_{i}", F.coalesce(F.col(f"tf_{i}"), F.lit(0)))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    )
+    score = F.lit(0.0)
+    hits = F.lit(0)
+    for i in range(len(terms)):
+        tf_i = F.col(f"tf_{i}")
+        idf_i = _rational_idf(F.col("n_docs"), F.col(f"df_{i}"))
+        s_i = F.when(
+            tf_i > 0,
+            idf_i
+            * (tf_i.cast("double") * F.lit(k1 + 1.0))
+            / (tf_i.cast("double") + norm),
+        ).otherwise(F.lit(0.0))
+        score = score + s_i
+        hits = hits + F.when(tf_i > 0, F.lit(1)).otherwise(F.lit(0))
+    return t.select(
+        "doc_id",
+        "dl",
+        hits.cast("long").alias("n_hit"),
+        F.round(score * F.lit(float(SCORE_SCALE))).cast("long").alias("bm25_micro"),
+    )

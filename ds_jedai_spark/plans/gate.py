@@ -582,6 +582,12 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                  ["hits_en", "hits_de", "hits_fr", "lang_pred"]),
                 ("f", pl.QUERIES["text_fingerprint"], pl.ORACLES["text_fingerprint"],
                  ["fingerprint"]),
+                # r17: rarity-weighted top term + fixed-query BM25 (both
+                # rational-idf per the no-transcendentals oracle contract)
+                ("ti", pl.QUERIES["text_tfidf_top"], pl.ORACLES["text_tfidf_top"],
+                 ["top_term", "top_tf", "top_df", "tfidf_micro"]),
+                ("bm", pl.QUERIES["text_bm25"], pl.ORACLES["text_bm25"],
+                 ["dl", "n_hit", "bm25_micro"]),
             ],
         ),
     )

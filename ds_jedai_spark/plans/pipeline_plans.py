@@ -1619,3 +1619,93 @@ QUERIES["text_dup_spans"] = text_dup_spans
 ORACLES["text_dup_spans"] = text_dup_spans_oracle()
 QUERIES["text_span_scrub"] = text_span_scrub
 ORACLES["text_span_scrub"] = text_span_scrub_oracle()
+
+
+# ----------------------------------------- relevance scoring (round 17)
+
+
+def text_tfidf_top(spark, sf_dir):
+    return textops.tfidf_top(_docs(spark, sf_dir))
+
+
+def text_tfidf_top_oracle() -> str:
+    s = textops.SCORE_SCALE
+    return (
+        f"WITH {_WORDS_CTE}, "
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2), "
+        "dfq AS (SELECT word, count(*) AS df FROM "
+        "(SELECT DISTINCT doc_id, word FROM w) GROUP BY word), "
+        "nd AS (SELECT count(*) AS n_docs FROM documents), "
+        "sc AS (SELECT doc_id, word, tf, df, "
+        "CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) + 1.0e0) / "
+        "(CAST(df AS DOUBLE) + 1.0e0)) AS score "
+        "FROM tf JOIN dfq USING (word) CROSS JOIN nd), "
+        "top AS (SELECT doc_id, word, tf, df, score, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rn FROM sc) "
+        "SELECT d.doc_id, coalesce(t.word, '') AS top_term, "
+        "CAST(coalesce(t.tf, 0) AS BIGINT) AS top_tf, "
+        "CAST(coalesce(t.df, 0) AS BIGINT) AS top_df, "
+        f"coalesce(CAST(round(t.score * {float(s)!r}) AS BIGINT), 0) "
+        "AS tfidf_micro "
+        "FROM documents d LEFT JOIN (SELECT * FROM top WHERE rn = 1) t "
+        "USING (doc_id)"
+    )
+
+
+def text_bm25(spark, sf_dir):
+    return textops.bm25(_docs(spark, sf_dir))
+
+
+def text_bm25_oracle() -> str:
+    t = textops
+    terms = t.BM25_QUERY
+    k1, b, s = t.BM25_K1, t.BM25_B, t.SCORE_SCALE
+    in_list = ", ".join(f"'{x}'" for x in terms)
+    tf_cols = ", ".join(
+        f"sum(CASE WHEN word = '{x}' THEN 1 ELSE 0 END) AS tf_{i}"
+        for i, x in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"count(DISTINCT CASE WHEN word = '{x}' THEN doc_id END) AS df_{i}"
+        for i, x in enumerate(terms)
+    )
+    co = ", ".join(
+        f"coalesce(tf_{i}, 0) AS tf_{i}" for i in range(len(terms))
+    )
+    avgdl = "(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    norm = f"{k1!r}e0 * ({1.0 - b!r}e0 + {b!r}e0 * (CAST(dl AS DOUBLE) / {avgdl}))"
+    s_terms = []
+    hit_terms = []
+    for i in range(len(terms)):
+        idf = (
+            f"(CAST(n_docs - df_{i} AS DOUBLE) + 0.5e0) / "
+            f"(CAST(df_{i} AS DOUBLE) + 0.5e0) + 1.0e0"
+        )
+        s_terms.append(
+            f"CASE WHEN tf_{i} > 0 THEN ({idf}) * "
+            f"(CAST(tf_{i} AS DOUBLE) * {k1 + 1.0!r}e0) / "
+            f"(CAST(tf_{i} AS DOUBLE) + {norm}) ELSE 0.0e0 END"
+        )
+        hit_terms.append(f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)")
+    score = "0.0e0 + " + " + ".join(f"({x})" for x in s_terms)
+    return (
+        f"WITH {_WORDS_CTE}, "
+        "base AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) AS BIGINT) AS dl FROM documents), "
+        f"tfs AS (SELECT doc_id, {tf_cols} FROM w WHERE word IN ({in_list}) "
+        "GROUP BY doc_id), "
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM base), "
+        f"dfs AS (SELECT {df_cols} FROM w), "
+        f"tt AS (SELECT b.doc_id, b.dl, {co}, n_docs, total_dl, "
+        + ", ".join(f"df_{i}" for i in range(len(terms)))
+        + " FROM base b LEFT JOIN tfs USING (doc_id) "
+        "CROSS JOIN stats CROSS JOIN dfs) "
+        f"SELECT doc_id, dl, CAST({' + '.join(hit_terms)} AS BIGINT) AS n_hit, "
+        f"CAST(round(({score}) * {float(s)!r}) AS BIGINT) AS bm25_micro FROM tt"
+    )
+
+
+QUERIES["text_tfidf_top"] = text_tfidf_top
+ORACLES["text_tfidf_top"] = text_tfidf_top_oracle()
+QUERIES["text_bm25"] = text_bm25
+ORACLES["text_bm25"] = text_bm25_oracle()
