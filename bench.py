@@ -186,6 +186,11 @@ def main() -> None:
         # polygons-with-holes + lines + points + the geodesic and
         # wrapped (seam-null) legs
         ("measures", mp.measure_stats),
+        # r17 second wave: JedAI-family meta-blocking ER over the
+        # dup-injected corpus (block purge + CBS graph + weighted node
+        # pruning) and the per-doc BM25 relevance pass
+        ("er_wnp", pl.QUERIES["er_wnp_pairs"]),
+        ("text_bm25", pl.QUERIES["text_bm25"]),
     ]
     # Best-of-2 per query: single-shot timings on a shared box swing
     # +-40% with ambient load; the minimum of two runs tracks the plan's

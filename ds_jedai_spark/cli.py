@@ -1023,6 +1023,19 @@ def _run_op(args) -> int:
                 df = duplicated_spans(d0, k=args.span_words)
             else:
                 df = scrubbed_corpus(d0, k=args.span_words)
+        elif args.op == "er":
+            from ds_jedai_spark.operators import blocking
+
+            if not args.left:
+                print("-op er needs -left parquet path", file=sys.stderr)
+                return 2
+            df = blocking.er_pairs(
+                _docs_frame(_read(args.left, ()), args),
+                prune=args.prune,
+                max_block=(args.max_block if args.max_block is not None
+                           else blocking.PURGE_MAX),
+                k=args.er_k,
+            )
         else:
             print(f"unknown op {args.op!r}", file=sys.stderr)
             return 2
@@ -1055,7 +1068,7 @@ def main(argv: list[str] | None = None) -> int:
                  "knn", "distance", "asof", "interval",
                  "chunk", "dedup", "dedup-build", "dedup-apply", "emb-dedup",
                  "ann", "ann-build", "quantize", "shuffle", "dupspans",
-                 "scrub"],
+                 "scrub", "er"],
         help="run a temporal/pipeline operator on user parquet",
     )
     ap.add_argument("-index", default=None,
@@ -1083,6 +1096,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="density: count each entity once per "
                          "OVERLAPPED cell (envelope floor-span explode) "
                          "instead of once at its center")
+    ap.add_argument("-prune", default="wnp",
+                    choices=["wep", "wnp", "cnp", "cep", "none"],
+                    help="er: meta-blocking pruning scheme — weighted "
+                         "edge/node (mean-weight threshold) or "
+                         "cardinality edge/node (top-K budget)")
+    ap.add_argument("-max-block", dest="max_block", type=int,
+                    default=None,
+                    help="er: block-purging cap (keys appearing in more "
+                         "entities are dropped as stopword-like)")
+    ap.add_argument("-er-k", dest="er_k", type=int, default=None,
+                    help="er: budget for the cnp/cep cardinality pruners")
     ap.add_argument("-minpts", type=int, default=4,
                     help="dbscan: min neighbors (incl. self) for a "
                          "core point; eps comes from -tau")

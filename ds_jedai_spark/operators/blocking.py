@@ -1,0 +1,237 @@
+"""Schema-agnostic blocking + meta-blocking for entity resolution.
+
+The reference engine is the geospatial member of the JedAI family
+(its docs point users to the JedAI toolkit for non-spatial ER); the
+family's core pipeline is schema-agnostic token blocking refined by
+META-BLOCKING: model the block collisions as a weighted pair graph,
+then prune it with global/local weight or cardinality rules
+(Papadakis et al., "Meta-blocking: Taking entity resolution to the
+next level", TKDE 2014; "Scaling entity resolution to large,
+heterogeneous data with enriched meta-blocking", EDBT 2016). This
+module re-expresses that pipeline in pure DataFrame algebra:
+
+  block_index     (id, key) distinct blocking keys per entity —
+                  word n-gram shingles by default (the corpus here has
+                  a tiny flat vocabulary, so single words block
+                  everything with everything; n-grams are the
+                  schema-agnostic key with usable selectivity)
+  purge_blocks    block purging: drop singleton blocks (no pairs) and
+                  oversized stopword-like blocks (bounded join fan-out
+                  — the standard scale guarantee of blocking)
+  weighted_pairs  the meta-blocking graph: one equi-join on the purged
+                  block key, then one groupBy — cbs (common-block
+                  count) and js (Jaccard over kept block sets) weights
+  wep / wnp       weighted edge / node pruning: keep pairs at or above
+                  the global (wep) or either-endpoint (wnp) mean weight
+  cep / cnp       cardinality edge / node pruning: global top-K /
+                  per-entity top-k
+  er_pairs        the composed pipeline
+
+Determinism contract: pruning thresholds compare INTEGER cbs weights
+via exact integer arithmetic (``cbs * m >= total`` instead of
+``cbs >= avg``), so the kept set is bit-reproducible across engines —
+a float mean differs in the last ulp with summation order, an integer
+cross-multiplication never does. The reported ``js`` weight is a
+single two-integer division (deterministic per IEEE-754).
+
+Scale notes (100 TB): the only joins are equi-joins on the block key
+(fan-out bounded by ``max_block``) and on entity ids; every aggregate
+is a Catalyst partial/final groupBy; the pruning thresholds are one
+broadcast scalar (wep/cep) or a per-entity aggregate co-partitioned
+with the pair graph (wnp/cnp). Nothing is all-pairs, nothing funnels
+through the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ds_jedai_spark.operators import textops
+
+PURGE_MAX = 64  # block purging cap: larger blocks are stopword-like
+CNP_K = 5       # per-entity retained neighbors (cardinality node pruning)
+CEP_K = 200     # global retained pairs (cardinality edge pruning)
+
+
+def block_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, key): distinct word n-gram blocking keys per entity."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return textops.shingles(base, n=n).select(
+        "doc_id", F.col("shingle").alias("key")
+    )
+
+
+def purge_blocks(bi: DataFrame, max_block: int = PURGE_MAX) -> DataFrame:
+    """Keep keys appearing in [2, max_block] entities.
+
+    Size-1 blocks generate no pairs; blocks above ``max_block`` are
+    stopword-like keys whose C(size, 2) fan-out dominates the join while
+    carrying near-zero match signal — dropping them is the standard
+    block-purging step and is what bounds the candidate graph at scale.
+    """
+    if max_block < 2:
+        raise ValueError(f"max_block must be >= 2, got {max_block}")
+    sizes = bi.groupBy("key").agg(F.count(F.lit(1)).alias("c"))
+    kept = sizes.where((F.col("c") >= 2) & (F.col("c") <= max_block)).select("key")
+    return bi.join(kept, "key").select("doc_id", "key")
+
+
+def weighted_pairs(bi: DataFrame) -> DataFrame:
+    """The meta-blocking graph over a PURGED block index.
+
+    (d1, d2, cbs, n1, n2, js): cbs = number of shared kept blocks
+    (common-block scheme), n_i = kept blocks of entity i, js = Jaccard
+    of the kept block sets. One self-equi-join on the key (fan-out
+    bounded by the purge cap) + one pair groupBy + two id joins.
+    """
+    nb = bi.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    a = bi.alias("a")
+    b = bi.alias("b")
+    pairs = (
+        a.join(b, "key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("cbs"))
+    )
+    return (
+        pairs.join(nb.select(F.col("doc_id").alias("d1"), F.col("nb").alias("n1")), "d1")
+        .join(nb.select(F.col("doc_id").alias("d2"), F.col("nb").alias("n2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            "cbs",
+            "n1",
+            "n2",
+            (
+                F.col("cbs").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("cbs")).cast("double")
+            ).alias("js"),
+        )
+    )
+
+
+def wep(pairs: DataFrame) -> DataFrame:
+    """Weighted edge pruning: keep pairs with cbs >= mean cbs.
+
+    The comparison is the exact integer cross-multiplication
+    ``cbs * m >= total`` (m = #pairs, total = sum cbs) — never a float
+    mean. Threshold rides in as one broadcast 1-row aggregate.
+    """
+    gs = pairs.agg(
+        F.sum("cbs").alias("tot"), F.count(F.lit(1)).alias("m")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(gs))
+        .where(F.col("cbs") * F.col("m") >= F.col("tot"))
+        .drop("tot", "m")
+    )
+
+
+def wnp(pairs: DataFrame) -> DataFrame:
+    """Weighted node pruning: keep a pair if its cbs reaches the mean
+    cbs of EITHER endpoint's incident pairs (the redefined node-centric
+    rule of the meta-blocking papers — each entity votes with its local
+    weight distribution; the union of votes survives).
+
+    Exact integer arithmetic as in wep; the per-entity threshold is one
+    groupBy over the direction-unioned edge list, joined back on each
+    endpoint.
+    """
+    ew = pairs.select(F.col("d1").alias("id"), "cbs").unionByName(
+        pairs.select(F.col("d2").alias("id"), "cbs")
+    )
+    th = ew.groupBy("id").agg(
+        F.sum("cbs").alias("tot"), F.count(F.lit(1)).alias("m")
+    )
+    return (
+        pairs.join(
+            th.select(F.col("id").alias("d1"), F.col("tot").alias("t1"),
+                      F.col("m").alias("m1")),
+            "d1",
+        )
+        .join(
+            th.select(F.col("id").alias("d2"), F.col("tot").alias("t2"),
+                      F.col("m").alias("m2")),
+            "d2",
+        )
+        .where(
+            (F.col("cbs") * F.col("m1") >= F.col("t1"))
+            | (F.col("cbs") * F.col("m2") >= F.col("t2"))
+        )
+        .drop("t1", "m1", "t2", "m2")
+    )
+
+
+def cnp(pairs: DataFrame, k: int = CNP_K) -> DataFrame:
+    """Cardinality node pruning: keep a pair if it ranks in the top-k
+    incident pairs of EITHER endpoint by (cbs DESC, other-id ASC) —
+    per-entity windows over the direction-unioned edge list, never a
+    global sort."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    direc = pairs.select(
+        F.col("d1").alias("id"), F.col("d2").alias("other"), "cbs"
+    ).unionByName(
+        pairs.select(F.col("d2").alias("id"), F.col("d1").alias("other"), "cbs")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.col("cbs").desc(), F.col("other").asc())
+    )
+    keep = (
+        direc.withColumn("rn", rn)
+        .where(F.col("rn") <= k)
+        .select(
+            F.least("id", "other").alias("d1"),
+            F.greatest("id", "other").alias("d2"),
+        )
+        .distinct()
+    )
+    return pairs.join(keep, ["d1", "d2"])
+
+
+def cep(pairs: DataFrame, k: int = CEP_K) -> DataFrame:
+    """Cardinality edge pruning: global top-K pairs by
+    (cbs DESC, d1, d2) — a TakeOrderedAndProject, deterministic because
+    (d1, d2) is unique."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return pairs.orderBy(F.col("cbs").desc(), "d1", "d2").limit(k)
+
+
+_PRUNERS = {"wep": wep, "wnp": wnp, "cnp": cnp, "cep": cep, "none": None}
+
+
+def er_pairs(
+    docs: DataFrame,
+    prune: str = "wnp",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_block: int = PURGE_MAX,
+    k: int | None = None,
+) -> DataFrame:
+    """The composed ER pipeline: block -> purge -> weight -> prune.
+
+    Returns (d1, d2, cbs, n1, n2, js) candidate matches. ``prune`` is
+    one of wep / wnp / cnp / cep / none; ``k`` overrides the
+    cardinality pruners' budget.
+    """
+    if prune not in _PRUNERS:
+        raise ValueError(
+            f"unknown prune scheme {prune!r}; expected one of {sorted(_PRUNERS)}"
+        )
+    graph = weighted_pairs(
+        purge_blocks(block_index(docs, id_col, text_col, n), max_block)
+    )
+    fn = _PRUNERS[prune]
+    if fn is None:
+        return graph
+    if prune in ("cnp", "cep") and k is not None:
+        return fn(graph, k)
+    return fn(graph)

@@ -492,6 +492,24 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                          pl.ORACLES["dedup_embedding_cross"],
                          [("d1", "d1", None), ("d2", "d2", None),
                           ("cos", "val", "double")])),
+                # r17: JedAI-family meta-blocking ER — block purging +
+                # CBS-weighted pair graph + weighted/cardinality node
+                # pruning (integer-exact thresholds, js reported)
+                ("er_wep",
+                 *mapped(pl.QUERIES["er_wep_pairs"],
+                         pl.ORACLES["er_wep_pairs"],
+                         [("d1", "d1", None), ("d2", "d2", None),
+                          ("js", "val", "double")])),
+                ("er_wnp",
+                 *mapped(pl.QUERIES["er_wnp_pairs"],
+                         pl.ORACLES["er_wnp_pairs"],
+                         [("d1", "d1", None), ("d2", "d2", None),
+                          ("js", "val", "double")])),
+                ("er_cnp",
+                 *mapped(pl.QUERIES["er_cnp_pairs"],
+                         pl.ORACLES["er_cnp_pairs"],
+                         [("d1", "d1", None), ("d2", "d2", None),
+                          ("js", "val", "double")])),
             ]
         ),
     )

@@ -1709,3 +1709,108 @@ QUERIES["text_tfidf_top"] = text_tfidf_top
 ORACLES["text_tfidf_top"] = text_tfidf_top_oracle()
 QUERIES["text_bm25"] = text_bm25
 ORACLES["text_bm25"] = text_bm25_oracle()
+
+
+# -------------------------------- entity-resolution meta-blocking (r17)
+
+# One pinned meta-blocking pair graph per (session, sf_dir): the three
+# pruning-scheme gate tags share it (mirrors _SHINGLE_PIN).
+_ER_PIN: dict[tuple[str, str], DataFrame] = {}
+
+
+def _er_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_jedai_spark.operators import blocking
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ER_PIN:
+        _ER_PIN.clear()
+        bi = _pinned_shingles(spark, sf_dir).select(
+            "doc_id", F.col("shingle").alias("key")
+        )
+        _ER_PIN[key] = dedup._pin(
+            blocking.weighted_pairs(blocking.purge_blocks(bi))
+        )
+    return _ER_PIN[key]
+
+
+def er_wep_pairs(spark, sf_dir):
+    from ds_jedai_spark.operators import blocking
+
+    return blocking.wep(_er_graph(spark, sf_dir))
+
+
+def er_wnp_pairs(spark, sf_dir):
+    from ds_jedai_spark.operators import blocking
+
+    return blocking.wnp(_er_graph(spark, sf_dir))
+
+
+def er_cnp_pairs(spark, sf_dir):
+    from ds_jedai_spark.operators import blocking
+
+    return blocking.cnp(_er_graph(spark, sf_dir))
+
+
+def _er_cte() -> str:
+    from ds_jedai_spark.operators import blocking
+
+    return (
+        f"{_SHINGLE_CTE}, "
+        "bs AS (SELECT shingle, count(*) AS c FROM d GROUP BY shingle), "
+        "kb AS (SELECT doc_id, shingle FROM d JOIN (SELECT shingle FROM bs "
+        f"WHERE c >= 2 AND c <= {blocking.PURGE_MAX}) USING (shingle)), "
+        "en AS (SELECT doc_id, count(*) AS nb FROM kb GROUP BY doc_id), "
+        "cb AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS cbs "
+        "FROM kb a JOIN kb b USING (shingle) WHERE a.doc_id < b.doc_id "
+        "GROUP BY 1, 2), "
+        "wg AS (SELECT d1, d2, cbs, n1, n2, "
+        "CAST(cbs AS DOUBLE) / CAST(n1 + n2 - cbs AS DOUBLE) AS js FROM cb "
+        "JOIN (SELECT doc_id AS d1, nb AS n1 FROM en) USING (d1) "
+        "JOIN (SELECT doc_id AS d2, nb AS n2 FROM en) USING (d2))"
+    )
+
+
+def er_wep_pairs_oracle() -> str:
+    return (
+        f"WITH {_er_cte()}, "
+        "gs AS (SELECT sum(cbs) AS tot, count(*) AS m FROM wg) "
+        "SELECT d1, d2, cbs, n1, n2, js FROM wg CROSS JOIN gs "
+        "WHERE cbs * m >= tot"
+    )
+
+
+def er_wnp_pairs_oracle() -> str:
+    return (
+        f"WITH {_er_cte()}, "
+        "ew AS (SELECT d1 AS id, cbs FROM wg UNION ALL "
+        "SELECT d2 AS id, cbs FROM wg), "
+        "th AS (SELECT id, sum(cbs) AS tot, count(*) AS m FROM ew GROUP BY id) "
+        "SELECT d1, d2, cbs, n1, n2, js FROM wg "
+        "JOIN (SELECT id AS d1, tot AS t1, m AS m1 FROM th) USING (d1) "
+        "JOIN (SELECT id AS d2, tot AS t2, m AS m2 FROM th) USING (d2) "
+        "WHERE cbs * m1 >= t1 OR cbs * m2 >= t2"
+    )
+
+
+def er_cnp_pairs_oracle() -> str:
+    from ds_jedai_spark.operators import blocking
+
+    return (
+        f"WITH {_er_cte()}, "
+        "dir0 AS (SELECT d1 AS id, d2 AS other, cbs FROM wg UNION ALL "
+        "SELECT d2 AS id, d1 AS other, cbs FROM wg), "
+        "rk AS (SELECT id, other, row_number() OVER (PARTITION BY id "
+        "ORDER BY cbs DESC, other ASC) AS rn FROM dir0), "
+        "keep AS (SELECT DISTINCT least(id, other) AS d1, "
+        f"greatest(id, other) AS d2 FROM rk WHERE rn <= {blocking.CNP_K}) "
+        "SELECT w.d1, w.d2, cbs, n1, n2, js FROM wg w JOIN keep "
+        "USING (d1, d2)"
+    )
+
+
+QUERIES["er_wep_pairs"] = er_wep_pairs
+ORACLES["er_wep_pairs"] = er_wep_pairs_oracle()
+QUERIES["er_wnp_pairs"] = er_wnp_pairs
+ORACLES["er_wnp_pairs"] = er_wnp_pairs_oracle()
+QUERIES["er_cnp_pairs"] = er_cnp_pairs
+ORACLES["er_cnp_pairs"] = er_cnp_pairs_oracle()
