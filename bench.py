@@ -191,6 +191,8 @@ def main() -> None:
         # pruning) and the per-doc BM25 relevance pass
         ("er_wnp", pl.QUERIES["er_wnp_pairs"]),
         ("text_bm25", pl.QUERIES["text_bm25"]),
+        ("er_snb", pl.QUERIES["er_snb_pairs"]),
+        ("edit_distance", pl.QUERIES["dedup_edit_distance"]),
     ]
     # Best-of-2 per query: single-shot timings on a shared box swing
     # +-40% with ambient load; the minimum of two runs tracks the plan's

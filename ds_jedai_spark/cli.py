@@ -1029,12 +1029,29 @@ def _run_op(args) -> int:
             if not args.left:
                 print("-op er needs -left parquet path", file=sys.stderr)
                 return 2
-            df = blocking.er_pairs(
-                _docs_frame(_read(args.left, ()), args),
-                prune=args.prune,
-                max_block=(args.max_block if args.max_block is not None
-                           else blocking.PURGE_MAX),
-                k=args.er_k,
+            if args.blocker == "snb":
+                df = blocking.sorted_neighborhood(
+                    _docs_frame(_read(args.left, ()), args),
+                    window=(args.window if args.window is not None
+                            else blocking.SNB_WINDOW),
+                )
+            else:
+                df = blocking.er_pairs(
+                    _docs_frame(_read(args.left, ()), args),
+                    prune=args.prune,
+                    max_block=(args.max_block if args.max_block is not None
+                               else blocking.PURGE_MAX),
+                    k=args.er_k,
+                )
+        elif args.op == "editdist":
+            from ds_jedai_spark.operators import dedup as dd
+
+            if not args.left:
+                print("-op editdist needs -left parquet path",
+                      file=sys.stderr)
+                return 2
+            df = dd.edit_distance_pairs(
+                _docs_frame(_read(args.left, ()), args), d=args.edit_d
             )
         else:
             print(f"unknown op {args.op!r}", file=sys.stderr)
@@ -1068,7 +1085,7 @@ def main(argv: list[str] | None = None) -> int:
                  "knn", "distance", "asof", "interval",
                  "chunk", "dedup", "dedup-build", "dedup-apply", "emb-dedup",
                  "ann", "ann-build", "quantize", "shuffle", "dupspans",
-                 "scrub", "er"],
+                 "scrub", "er", "editdist"],
         help="run a temporal/pipeline operator on user parquet",
     )
     ap.add_argument("-index", default=None,
@@ -1107,6 +1124,17 @@ def main(argv: list[str] | None = None) -> int:
                          "entities are dropped as stopword-like)")
     ap.add_argument("-er-k", dest="er_k", type=int, default=None,
                     help="er: budget for the cnp/cep cardinality pruners")
+    ap.add_argument("-blocker", default="meta", choices=["meta", "snb"],
+                    help="er: blocking workflow — token meta-blocking "
+                         "(block purging + pruned pair graph) or "
+                         "multi-pass sorted-neighborhood")
+    ap.add_argument("-window", type=int, default=None,
+                    help="er -blocker snb: sliding-window size "
+                         "(each entity pairs with the window-1 "
+                         "following it per sort pass)")
+    ap.add_argument("-edit-d", dest="edit_d", type=int, default=12,
+                    help="editdist: max Levenshtein distance "
+                         "(length-banded candidate join)")
     ap.add_argument("-minpts", type=int, default=4,
                     help="dbscan: min neighbors (incl. self) for a "
                          "core point; eps comes from -tau")

@@ -52,6 +52,16 @@ PURGE_MAX = 64  # block purging cap: larger blocks are stopword-like
 CNP_K = 5       # per-entity retained neighbors (cardinality node pruning)
 CEP_K = 200     # global retained pairs (cardinality edge pruning)
 
+SNB_WINDOW = 4  # sorted-neighborhood sliding-window size (w-1 neighbors)
+# Multi-pass sorted-neighborhood sort keys (Hernandez & Stolfo, SIGMOD
+# '95): a prefix key and a suffix-derived key so a typo near either end
+# of the record still sorts the pair together in at least one pass. Both
+# are closed-form SQL shared verbatim with the DuckDB oracle.
+SNB_KEYS = (
+    "substring(replace(text, ' ', ''), 1, 16)",
+    "substring(reverse(replace(text, ' ', '')), 1, 16)",
+)
+
 
 def block_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
@@ -202,6 +212,103 @@ def cep(pairs: DataFrame, k: int = CEP_K) -> DataFrame:
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     return pairs.orderBy(F.col("cbs").desc(), "d1", "d2").limit(k)
+
+
+def sorted_neighborhood(
+    docs: DataFrame,
+    window: int = SNB_WINDOW,
+    keys: tuple[str, ...] = SNB_KEYS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-pass sorted-neighborhood blocking (Hernandez & Stolfo,
+    SIGMOD '95) — the OTHER classic blocking workflow of the JedAI
+    family alongside token meta-blocking.
+
+    Each pass sorts every entity by one ``keys`` expression (ties broken
+    by id, so the total order is unique and both engines agree on it)
+    and pairs each entity with the ``window - 1`` entities that follow
+    it in the sort. Passes are unioned; a pair's ``gap`` is its minimal
+    rank distance over all passes. Returns (d1, d2, gap) with d1 < d2.
+
+    Scale notes (100 TB): the global sort rank comes from
+    ``ranking.global_rank`` — range partition + partition-local
+    row_number + O(numPartitions) offset broadcast, never a
+    SinglePartition window. Neighbor generation is one
+    ``explode(sequence(1, w-1))`` (linear, n*(w-1) rows) followed by an
+    equi-join on the dense unique rank — uniformly distributed by
+    construction, so no skew regardless of key distribution. Nothing is
+    all-pairs and nothing funnels rows through the driver.
+    """
+    from ds_jedai_spark.operators.ranking import global_rank
+
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if not keys:
+        raise ValueError("keys must name at least one sort-key expression")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    passes = []
+    for kexpr in keys:
+        keyed = base.select("doc_id", F.expr(kexpr).alias("key"))
+        ranked = global_rank(keyed, asc_cols=["key", "doc_id"]).select(
+            "doc_id", "rank"
+        )
+        nb = ranked.select(
+            "doc_id",
+            "rank",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(window - 1))
+            ).alias("off"),
+        ).withColumn("nrank", F.col("rank") + F.col("off"))
+        passes.append(
+            nb.alias("a")
+            .join(
+                ranked.select(
+                    F.col("doc_id").alias("n_id"),
+                    F.col("rank").alias("nrank"),
+                ),
+                "nrank",
+            )
+            .select(
+                F.least("a.doc_id", "n_id").alias("d1"),
+                F.greatest("a.doc_id", "n_id").alias("d2"),
+                F.col("off").alias("gap"),
+            )
+        )
+    allp = passes[0]
+    for p in passes[1:]:
+        allp = allp.unionByName(p)
+    return allp.groupBy("d1", "d2").agg(F.min("gap").alias("gap"))
+
+
+def snb_sql(
+    corpus_cte: str,
+    window: int = SNB_WINDOW,
+    keys: tuple[str, ...] = SNB_KEYS,
+) -> str:
+    """DuckDB twin of :func:`sorted_neighborhood` over a CTE named
+    ``corpus`` (doc_id, text) — shares the SNB_KEYS expressions
+    verbatim; the window rank is a plain ``row_number()`` (the oracle
+    runs single-node, so the distributed two-phase rank is unnecessary
+    there but ranks identically by the unique (key, doc_id) order)."""
+    parts = []
+    for kexpr in keys:
+        parts.append(
+            f"(SELECT least(a.doc_id, b.doc_id) AS d1, "
+            f"greatest(a.doc_id, b.doc_id) AS d2, b.rk - a.rk AS gap "
+            f"FROM (SELECT doc_id, row_number() OVER (ORDER BY {kexpr}, "
+            f"doc_id) AS rk FROM corpus) a "
+            f"JOIN (SELECT doc_id, row_number() OVER (ORDER BY {kexpr}, "
+            f"doc_id) AS rk FROM corpus) b "
+            f"ON b.rk > a.rk AND b.rk - a.rk <= {window - 1})"
+        )
+    u = " UNION ALL ".join(f"SELECT * FROM {p}" for p in parts)
+    return (
+        f"WITH {corpus_cte}, u AS ({u}) "
+        "SELECT d1, d2, min(gap) AS gap FROM u GROUP BY d1, d2"
+    )
 
 
 _PRUNERS = {"wep": wep, "wnp": wnp, "cnp": cnp, "cep": cep, "none": None}

@@ -510,6 +510,26 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                          pl.ORACLES["er_cnp_pairs"],
                          [("d1", "d1", None), ("d2", "d2", None),
                           ("js", "val", "double")])),
+                ("er_cep",
+                 *mapped(pl.QUERIES["er_cep_pairs"],
+                         pl.ORACLES["er_cep_pairs"],
+                         [("d1", "d1", None), ("d2", "d2", None),
+                          ("js", "val", "double")])),
+                # r17: multi-pass sorted-neighborhood blocking (the
+                # OTHER classic JedAI blocking workflow) — distributed
+                # two-phase rank, explode-window neighbors, min gap
+                ("er_snb",
+                 *mapped(pl.QUERIES["er_snb_pairs"],
+                         pl.ORACLES["er_snb_pairs"],
+                         [("d1", "d1", None), ("d2", "d2", None),
+                          ("gap", "val", "double")])),
+                # r17: length-banded Levenshtein similarity join
+                # (threshold-banded JVM levenshtein verification)
+                ("edit_dist",
+                 *mapped(pl.QUERIES["dedup_edit_distance"],
+                         pl.ORACLES["dedup_edit_distance"],
+                         [("d1", "d1", None), ("d2", "d2", None),
+                          ("dist", "val", "double")])),
             ]
         ),
     )

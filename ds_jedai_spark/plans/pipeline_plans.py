@@ -1814,3 +1814,47 @@ QUERIES["er_wnp_pairs"] = er_wnp_pairs
 ORACLES["er_wnp_pairs"] = er_wnp_pairs_oracle()
 QUERIES["er_cnp_pairs"] = er_cnp_pairs
 ORACLES["er_cnp_pairs"] = er_cnp_pairs_oracle()
+
+
+def er_cep_pairs(spark, sf_dir):
+    from ds_jedai_spark.operators import blocking
+
+    return blocking.cep(_er_graph(spark, sf_dir))
+
+
+def er_cep_pairs_oracle() -> str:
+    from ds_jedai_spark.operators import blocking
+
+    return (
+        f"WITH {_er_cte()} "
+        "SELECT d1, d2, cbs, n1, n2, js FROM wg "
+        f"ORDER BY cbs DESC, d1, d2 LIMIT {blocking.CEP_K}"
+    )
+
+
+def er_snb_pairs(spark, sf_dir):
+    from ds_jedai_spark.operators import blocking
+
+    return blocking.sorted_neighborhood(_corpus(spark, sf_dir))
+
+
+def er_snb_pairs_oracle() -> str:
+    from ds_jedai_spark.operators import blocking
+
+    return blocking.snb_sql(f"corpus AS ({textops.CORPUS_SQL})")
+
+
+def dedup_edit_distance(spark, sf_dir):
+    return dedup.edit_distance_pairs(_corpus(spark, sf_dir))
+
+
+def dedup_edit_distance_oracle() -> str:
+    return dedup.edit_distance_sql(f"corpus AS ({textops.CORPUS_SQL})")
+
+
+QUERIES["er_cep_pairs"] = er_cep_pairs
+ORACLES["er_cep_pairs"] = er_cep_pairs_oracle()
+QUERIES["er_snb_pairs"] = er_snb_pairs
+ORACLES["er_snb_pairs"] = er_snb_pairs_oracle()
+QUERIES["dedup_edit_distance"] = dedup_edit_distance
+ORACLES["dedup_edit_distance"] = dedup_edit_distance_oracle()

@@ -242,3 +242,232 @@ def test_cli_op_er(spark, tmp_path, monkeypatch, capsys):
 
     # missing input path
     assert cli.main(["-op", "er"]) == 2
+
+
+# ------------------------------ sorted-neighborhood blocking (r17)
+
+
+def _py_snb(rows, window=blocking.SNB_WINDOW):
+    """Pure-Python mirror of sorted_neighborhood with the default
+    SNB_KEYS (prefix and reversed-prefix of the space-stripped text)."""
+    def k1(t):
+        return t.replace(" ", "")[:16]
+
+    def k2(t):
+        return t.replace(" ", "")[::-1][:16]
+
+    pairs: dict[tuple[int, int], int] = {}
+    for kf in (k1, k2):
+        ids = [r[0] for r in sorted(rows, key=lambda r: (kf(r[1]), r[0]))]
+        for i in range(len(ids)):
+            for off in range(1, window):
+                if i + off < len(ids):
+                    a, b = ids[i], ids[i + off]
+                    p = (min(a, b), max(a, b))
+                    pairs[p] = min(pairs.get(p, off), off)
+    return pairs
+
+
+def test_snb_matches_python_mirror(spark):
+    got = {
+        (r["d1"], r["d2"]): r["gap"]
+        for r in blocking.sorted_neighborhood(_df(spark)).collect()
+    }
+    assert got == _py_snb(DOCS)
+
+
+def test_snb_window_two_is_chain_adjacency(spark):
+    got = {
+        (r["d1"], r["d2"]): r["gap"]
+        for r in blocking.sorted_neighborhood(_df(spark), window=2).collect()
+    }
+    want = _py_snb(DOCS, window=2)
+    assert got == want
+    assert all(g == 1 for g in got.values())
+
+
+def test_snb_exact_duplicates_are_adjacent(spark):
+    """Docs 1 and 8 share identical text — both passes sort them
+    back-to-back, so the pair must appear with the minimum gap 1."""
+    got = {
+        (r["d1"], r["d2"]): r["gap"]
+        for r in blocking.sorted_neighborhood(_df(spark)).collect()
+    }
+    assert got.get((1, 8)) == 1
+    assert all(1 <= g <= blocking.SNB_WINDOW - 1 for g in got.values())
+
+
+def test_snb_single_pass_and_validation(spark):
+    one = blocking.sorted_neighborhood(
+        _df(spark), keys=(blocking.SNB_KEYS[0],)
+    )
+    n = len(DOCS)
+    # one pass over n unique ranks: exactly (w-1)*n - (1+..+(w-1)) edges
+    # before pair-merging, and merging only reduces the count
+    w = blocking.SNB_WINDOW
+    assert one.count() <= (w - 1) * n - (w - 1) * w // 2
+    with pytest.raises(ValueError, match="window"):
+        blocking.sorted_neighborhood(_df(spark), window=1)
+    with pytest.raises(ValueError, match="keys"):
+        blocking.sorted_neighborhood(_df(spark), keys=())
+
+
+def test_snb_custom_columns(spark):
+    rows = [(r[0] * 10, r[1]) for r in DOCS]
+    df = spark.createDataFrame(rows, "eid long, body string")
+    got = {
+        (r["d1"], r["d2"]): r["gap"]
+        for r in blocking.sorted_neighborhood(
+            df, id_col="eid", text_col="body"
+        ).collect()
+    }
+    assert got == _py_snb(rows)
+
+
+def test_snb_partition_invariance(spark):
+    """The pair set must not depend on input partitioning (the global
+    rank is a total order on (key, doc_id), not on physical layout)."""
+    base = {
+        (r["d1"], r["d2"], r["gap"])
+        for r in blocking.sorted_neighborhood(_df(spark)).collect()
+    }
+    shuffled = {
+        (r["d1"], r["d2"], r["gap"])
+        for r in blocking.sorted_neighborhood(
+            _df(spark).repartition(7)
+        ).collect()
+    }
+    assert base == shuffled
+
+
+def test_snb_plan_no_global_window_no_python(spark):
+    plan = (
+        blocking.sorted_neighborhood(_df(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snb_sql_twin_matches(spark):
+    """The DuckDB oracle form produces the identical (d1, d2, gap) set
+    on the same rows."""
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE base (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO base VALUES (?, ?)", DOCS)
+    sql = blocking.snb_sql("corpus AS (SELECT doc_id, text FROM base)")
+    want = {(d1, d2): gap for d1, d2, gap in con.execute(sql).fetchall()}
+    got = {
+        (r["d1"], r["d2"]): r["gap"]
+        for r in blocking.sorted_neighborhood(_df(spark)).collect()
+    }
+    assert got == want
+
+
+# ------------------------------ edit-distance similarity join (r17)
+
+
+def _py_lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+EDIT_DOCS = [
+    # lengths crafted to straddle bucket boundaries at width d+1
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumped over the lazy dog"),   # dist 2
+    (3, "the quick brown fox jumps over the lazy cat"),    # dist 3 of 1
+    (4, "a completely different sentence about nothing"),
+    (5, "a completely different sentence about nothings"), # dist 1 of 4
+    (6, "short text"),
+    (7, "short test"),                                     # dist 1 of 6
+    (8, "the quick brown fox jumps over the lazy dog"),    # dup of 1
+    (9, "x" * 26),
+    (10, "x" * 39),                                        # dist 13: out at d=12
+]
+
+
+def test_edit_distance_matches_bruteforce(spark):
+    from ds_jedai_spark.operators import dedup
+
+    for d in (0, 1, 12):
+        got = {
+            (r["d1"], r["d2"]): r["dist"]
+            for r in dedup.edit_distance_pairs(
+                spark.createDataFrame(EDIT_DOCS, "doc_id long, text string"),
+                d=d,
+            ).collect()
+        }
+        want = {
+            (a, b): _py_lev(ta, tb)
+            for (a, ta), (b, tb) in itertools.combinations(EDIT_DOCS, 2)
+            if _py_lev(ta, tb) <= d
+        }
+        assert got == want, f"d={d}"
+    with pytest.raises(ValueError, match="d must be"):
+        dedup.edit_distance_pairs(_df(spark), d=-1)
+
+
+def test_edit_distance_band_straddlers_found_once(spark):
+    """Pairs whose lengths land in adjacent buckets (and equal-length
+    pairs colliding in one bucket) each appear exactly once."""
+    from ds_jedai_spark.operators import dedup
+
+    d = 3
+    # len 7 -> bucket 1, len 9 -> bucket 2 with width 4: adjacent
+    rows = [(1, "aaaaaaa"), (2, "aaaaaaabb"), (3, "aaaaaaa")]
+    out = dedup.edit_distance_pairs(
+        spark.createDataFrame(rows, "doc_id long, text string"), d=d
+    ).collect()
+    got = {(r["d1"], r["d2"]): r["dist"] for r in out}
+    assert len(out) == len(got) == 3
+    assert got == {(1, 2): 2, (1, 3): 0, (2, 3): 2}
+
+
+def test_edit_distance_custom_columns_and_plan(spark):
+    from ds_jedai_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(r[0] * 10, r[1]) for r in EDIT_DOCS], "eid long, body string"
+    )
+    out = dedup.edit_distance_pairs(df, d=2, id_col="eid", text_col="body")
+    want = {
+        (a * 10, b * 10): _py_lev(ta, tb)
+        for (a, ta), (b, tb) in itertools.combinations(EDIT_DOCS, 2)
+        if _py_lev(ta, tb) <= 2
+    }
+    assert {(r["d1"], r["d2"]) for r in out.collect()} == set(want)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "levenshtein" in plan
+
+
+def test_edit_distance_sql_twin_matches(spark):
+    from ds_jedai_spark.operators import dedup
+
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE base (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO base VALUES (?, ?)", EDIT_DOCS)
+    sql = dedup.edit_distance_sql(
+        "corpus AS (SELECT doc_id, text FROM base)", d=12
+    )
+    want = {(d1, d2): dist for d1, d2, dist in con.execute(sql).fetchall()}
+    got = {
+        (r["d1"], r["d2"]): r["dist"]
+        for r in dedup.edit_distance_pairs(
+            spark.createDataFrame(EDIT_DOCS, "doc_id long, text string"),
+            d=12,
+        ).collect()
+    }
+    assert got == want
