@@ -85,6 +85,26 @@ def main() -> None:
         bk.persist_tiled(src, "bench_bt_src", theta, buckets=32)
         bk.persist_tiled(tgt, "bench_bt_tgt", theta, buckets=32)
         _bt["theta"] = theta
+        # One untimed warm pass of the repeat-join plan, charged to this
+        # one-time line: the fresh bucketed tables' first reads (file
+        # listing, footers) AND the first executions of the generated
+        # SMJ/relate classes (JIT tiering is 2-3 executions deep) are
+        # one-time costs a persisted reference layer pays once — without
+        # this, bucketed_tile_counts' best-of-2 publishes anywhere in
+        # 0.67-2.34 s depending on where the JIT warm-up lands (the
+        # r16/r17 "outlier": both reps caught cold; measured warm-up
+        # profile 2.85/1.64/0.88 s on a quiet box, steady 0.85).
+        from ds_jedai_spark.io.bucketed import bucketed_tile_join
+        from ds_jedai_spark.operators.relate import with_relations
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            giant.counts_agg(with_relations(bucketed_tile_join(
+                spark, "bench_bt_src", "bench_bt_tgt", theta
+            ))).collect()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         return spark.range(1)
 
     def _bucketed_counts(spark, sf_dir):
@@ -244,6 +264,7 @@ def main() -> None:
         # is the separately-timed ann_train line (which clears and
         # retrains per rep), so the search lines measure search.
         pl._SHINGLE_PIN.clear()
+        pl._ER_PIN.clear()
         giant._THETA_CACHE.clear()
         if name == "ann_train":
             pl._ANN_PIN.clear()

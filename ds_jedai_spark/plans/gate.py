@@ -312,6 +312,11 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                  rp.sharded_roundtrip_oracle()),
                 ("fgb_sharded", rp.fgb_sharded_roundtrip,
                  rp.sharded_roundtrip_oracle()),
+                # r17: z-order (Morton) parquet layout — range-partition
+                # + partition-sort on the closed-form interleave key,
+                # reread through a bbox filter under min/max pruning
+                ("zorder", rp.zorder_sink_roundtrip,
+                 rp.zorder_sink_roundtrip_oracle()),
             ]
         ),
     )

@@ -545,6 +545,56 @@ def fgb_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sharded_agg(read_flatgeobuf(spark, out, id_field="id"))
 
 
+def zorder_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ordered parquet layout under the oracle gate: source-box
+    centers written through io.layout.write_zordered (Morton-key range
+    partition + partition sort), reread, and bbox-filtered through the
+    normal parquet pruning path; count/extrema/checksums must match the
+    oracle computing the same filter directly on the boxes CTE — the
+    layout shuffle/sort/write/rescan must be lossless and the pruning
+    must not drop qualifying rows. Centers are multiples of 1/32, so
+    the *32 checksums are exact integers in both engines."""
+    from ds_jedai_spark.io.layout import write_zordered
+    from ds_jedai_spark.io.synthetic import load_sql, source_box_sql
+
+    src = load_sql(spark, sf_dir, source_box_sql()).selectExpr(
+        "id",
+        "(minx + maxx) / 2.0e0 AS cx",
+        "(miny + maxy) / 2.0e0 AS cy",
+    )
+    out = _sink_dir(spark, "sink_zorder")
+    write_zordered(
+        src, out, x_col="cx", y_col="cy", precision=8,
+        bounds=(0.0, 0.0, 128.0, 128.0), files=8,
+    )
+    back = spark.read.parquet(out).where(
+        "cx >= 20.0e0 AND cx <= 44.0e0 AND cy >= 30.0e0 AND cy <= 54.0e0"
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("id").alias("min_s"),
+        F.max("id").alias("max_s"),
+        F.sum(F.round(F.col("cx") * 32)).cast("long").alias("min_t"),
+        F.sum(F.round(F.col("cy") * 32)).cast("long").alias("max_t"),
+        F.sum(F.col("id") * 3 + 1).alias("key_sum"),
+    )
+
+
+def zorder_sink_roundtrip_oracle() -> str:
+    from ds_jedai_spark.io.synthetic import source_box_sql
+
+    return (
+        f"WITH b AS ({source_box_sql()}), c AS ("
+        "SELECT id, (minx + maxx) / 2 AS cx, (miny + maxy) / 2 AS cy "
+        "FROM b) "
+        "SELECT count(*) AS n_pairs, min(id) AS min_s, max(id) AS max_s, "
+        "CAST(sum(round(cx * 32)) AS BIGINT) AS min_t, "
+        "CAST(sum(round(cy * 32)) AS BIGINT) AS max_t, "
+        "CAST(sum(id * 3 + 1) AS BIGINT) AS key_sum "
+        "FROM c WHERE cx >= 20 AND cx <= 44 AND cy >= 30 AND cy <= 54"
+    )
+
+
 def sharded_roundtrip_oracle() -> str:
     from ds_jedai_spark.io.synthetic import source_box_sql
 
