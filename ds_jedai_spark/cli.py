@@ -1036,13 +1036,62 @@ def _run_op(args) -> int:
                             else blocking.SNB_WINDOW),
                 )
             else:
+                fr = None
+                if args.filter_ratio:
+                    try:
+                        pn, qn = args.filter_ratio.split("/")
+                        fr = (int(pn), int(qn))
+                    except ValueError:
+                        print(f"-filter-ratio expects p/q (e.g. 4/5), "
+                              f"got {args.filter_ratio!r}", file=sys.stderr)
+                        return 2
                 df = blocking.er_pairs(
                     _docs_frame(_read(args.left, ()), args),
                     prune=args.prune,
                     max_block=(args.max_block if args.max_block is not None
                                else blocking.PURGE_MAX),
                     k=args.er_k,
+                    filter_ratio=fr,
                 )
+        elif args.op == "zorder":
+            # Rewrite any reader-supported dataset as z-ordered parquet
+            # (Morton-key layout over the envelope centers) so later
+            # -bbox scans prune files/row groups instead of reading the
+            # corpus — io/layout.py.
+            from ds_jedai_spark import api
+            from ds_jedai_spark.config import DatasetSpec
+            from ds_jedai_spark.io import layout
+            from pyspark.sql import functions as F
+
+            if not args.left or not args.out:
+                print("-op zorder needs -left (dataset) and -out "
+                      "(directory for the z-ordered parquet copy)",
+                      file=sys.stderr)
+                return 2
+            src = api.read_dataset(spark, DatasetSpec(
+                path=args.left, id_field=args.id_col,
+                geom_field=args.geom_col, date_field=args.date_col,
+            ), bbox=args.bbox)
+            ext = src.agg(
+                F.min("minx"), F.min("miny"), F.max("maxx"), F.max("maxy")
+            ).first()
+            if ext[0] is None:
+                print("-op zorder: empty input", file=sys.stderr)
+                return 2
+            pad = 1e-9  # keep the max corner inside the half-open domain
+            zf = layout.zorder_frame(
+                src.withColumn("__cx", (F.col("minx") + F.col("maxx")) / 2)
+                .withColumn("__cy", (F.col("miny") + F.col("maxy")) / 2),
+                x_col="__cx", y_col="__cy",
+                bounds=(float(ext[0]), float(ext[1]),
+                        float(ext[2]) + pad, float(ext[3]) + pad),
+                files=args.files,
+            ).drop("__cx", "__cy")
+            zf.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(f"z-ordered {n} rows -> {args.out}")
+            print(f"TOTAL TIME: {time.perf_counter() - t0:.2f}s")
+            return 0
         elif args.op == "editdist":
             from ds_jedai_spark.operators import dedup as dd
 
@@ -1085,7 +1134,7 @@ def main(argv: list[str] | None = None) -> int:
                  "knn", "distance", "asof", "interval",
                  "chunk", "dedup", "dedup-build", "dedup-apply", "emb-dedup",
                  "ann", "ann-build", "quantize", "shuffle", "dupspans",
-                 "scrub", "er", "editdist"],
+                 "scrub", "er", "editdist", "zorder"],
         help="run a temporal/pipeline operator on user parquet",
     )
     ap.add_argument("-index", default=None,
@@ -1135,6 +1184,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-edit-d", dest="edit_d", type=int, default=12,
                     help="editdist: max Levenshtein distance "
                          "(length-banded candidate join)")
+    ap.add_argument("-filter-ratio", dest="filter_ratio", default=None,
+                    help="er: block filtering as an exact rational p/q "
+                         "(each entity keeps its ceil(p/q * n) smallest "
+                         "blocks; the papers' sweet spot is 4/5)")
+    ap.add_argument("-files", type=int, default=None,
+                    help="zorder: output file count (default: "
+                         "spark.sql.shuffle.partitions)")
     ap.add_argument("-minpts", type=int, default=4,
                     help="dbscan: min neighbors (incl. self) for a "
                          "core point; eps comes from -tau")
@@ -1287,7 +1343,7 @@ def main(argv: list[str] | None = None) -> int:
                                                "measures", "density",
                                                "dbscan", "geohash",
                                                "hull", "knn",
-                                               "distance")
+                                               "distance", "zorder")
                            else "doc_id")
         if args.bucket_us == "none":
             args.bucket_us = None

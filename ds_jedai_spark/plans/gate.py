@@ -520,6 +520,13 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                          pl.ORACLES["er_cep_pairs"],
                          [("d1", "d1", None), ("d2", "d2", None),
                           ("js", "val", "double")])),
+                # r17: block filtering (keep each entity's ceil(4/5*n)
+                # smallest blocks) ahead of the pair graph + wnp
+                ("er_bf",
+                 *mapped(pl.QUERIES["er_bf_pairs"],
+                         pl.ORACLES["er_bf_pairs"],
+                         [("d1", "d1", None), ("d2", "d2", None),
+                          ("js", "val", "double")])),
                 # r17: multi-pass sorted-neighborhood blocking (the
                 # OTHER classic JedAI blocking workflow) — distributed
                 # two-phase rank, explode-window neighbors, min gap

@@ -1852,6 +1852,58 @@ def dedup_edit_distance_oracle() -> str:
     return dedup.edit_distance_sql(f"corpus AS ({textops.CORPUS_SQL})")
 
 
+def er_bf_pairs(spark, sf_dir):
+    """Meta-blocking with BLOCK FILTERING engaged (each entity keeps the
+    ceil(4/5 * n) smallest of its purged blocks) before the pair graph,
+    then weighted node pruning — the full efficiency pipeline of the
+    meta-blocking papers."""
+    from ds_jedai_spark.operators import blocking
+
+    bi = _pinned_shingles(spark, sf_dir).select(
+        "doc_id", F.col("shingle").alias("key")
+    )
+    fi = blocking.block_filtering(blocking.purge_blocks(bi))
+    return blocking.wnp(blocking.weighted_pairs(fi))
+
+
+def er_bf_pairs_oracle() -> str:
+    from ds_jedai_spark.operators import blocking
+
+    p, q = 4, 5
+    return (
+        f"WITH {_SHINGLE_CTE}, "
+        "bs AS (SELECT shingle, count(*) AS c FROM d GROUP BY shingle), "
+        "kb AS (SELECT doc_id, shingle FROM d JOIN (SELECT shingle FROM bs "
+        f"WHERE c >= 2 AND c <= {blocking.PURGE_MAX}) USING (shingle)), "
+        "kr AS (SELECT doc_id, shingle, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY bsz ASC, "
+        "shingle ASC) AS rn, "
+        "count(*) OVER (PARTITION BY doc_id) AS nbl "
+        "FROM (SELECT k.doc_id, k.shingle, s.bsz FROM kb k JOIN "
+        "(SELECT shingle, count(*) AS bsz FROM kb GROUP BY shingle) s "
+        "USING (shingle))), "
+        f"kf AS (SELECT doc_id, shingle FROM kr WHERE rn * {q} <= "
+        f"{p} * nbl + {q - 1}), "
+        "en AS (SELECT doc_id, count(*) AS nb FROM kf GROUP BY doc_id), "
+        "cb AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS cbs "
+        "FROM kf a JOIN kf b USING (shingle) WHERE a.doc_id < b.doc_id "
+        "GROUP BY 1, 2), "
+        "wg AS (SELECT d1, d2, cbs, n1, n2, "
+        "CAST(cbs AS DOUBLE) / CAST(n1 + n2 - cbs AS DOUBLE) AS js FROM cb "
+        "JOIN (SELECT doc_id AS d1, nb AS n1 FROM en) USING (d1) "
+        "JOIN (SELECT doc_id AS d2, nb AS n2 FROM en) USING (d2)), "
+        "ew AS (SELECT d1 AS id, cbs FROM wg UNION ALL "
+        "SELECT d2 AS id, cbs FROM wg), "
+        "th AS (SELECT id, sum(cbs) AS tot, count(*) AS m FROM ew GROUP BY id) "
+        "SELECT d1, d2, cbs, n1, n2, js FROM wg "
+        "JOIN (SELECT id AS d1, tot AS t1, m AS m1 FROM th) USING (d1) "
+        "JOIN (SELECT id AS d2, tot AS t2, m AS m2 FROM th) USING (d2) "
+        "WHERE cbs * m1 >= t1 OR cbs * m2 >= t2"
+    )
+
+
+QUERIES["er_bf_pairs"] = er_bf_pairs
+ORACLES["er_bf_pairs"] = er_bf_pairs_oracle()
 QUERIES["er_cep_pairs"] = er_cep_pairs
 ORACLES["er_cep_pairs"] = er_cep_pairs_oracle()
 QUERIES["er_snb_pairs"] = er_snb_pairs

@@ -243,6 +243,73 @@ def test_cli_op_er(spark, tmp_path, monkeypatch, capsys):
     # missing input path
     assert cli.main(["-op", "er"]) == 2
 
+    # block filtering via -filter-ratio, equal to the library call
+    rc = cli.main(["-op", "er", "-left", docs, "-prune", "wnp",
+                   "-filter-ratio", "4/5", "-limit", "3"])
+    assert rc == 0
+    assert cli.main(["-op", "er", "-left", docs,
+                     "-filter-ratio", "nope"]) == 2
+
+
+# ------------------------------ block filtering (r17)
+
+
+def _py_block_filtering(rows, ratio=(4, 5), max_block=blocking.PURGE_MAX):
+    """Mirror: purge, then each entity keeps its ceil(p/q * n) smallest
+    blocks by (size asc, key asc)."""
+    import math
+
+    p, q = ratio
+    keys = {d: _py_shingles(t) for d, t in rows}
+    sizes: dict[str, int] = {}
+    for ks in keys.values():
+        for k in ks:
+            sizes[k] = sizes.get(k, 0) + 1
+    kept_keys = {k for k, c in sizes.items() if 2 <= c <= max_block}
+    kb = {d: sorted(ks & kept_keys, key=lambda k: (sizes[k], k))
+          for d, ks in keys.items()}
+    out = set()
+    for d, ks in kb.items():
+        for k in ks[: math.ceil(p * len(ks) / q)]:
+            out.add((d, k))
+    return out
+
+
+def test_block_filtering_matches_python_mirror(spark):
+    bi = blocking.purge_blocks(blocking.block_index(_df(spark)))
+    got = {
+        (r["doc_id"], r["key"])
+        for r in blocking.block_filtering(bi, (4, 5)).collect()
+    }
+    assert got == _py_block_filtering(DOCS, (4, 5))
+    # a harsher ratio strictly shrinks (or keeps) every entity's keys
+    harsh = {
+        (r["doc_id"], r["key"])
+        for r in blocking.block_filtering(bi, (1, 2)).collect()
+    }
+    assert harsh == _py_block_filtering(DOCS, (1, 2))
+    assert harsh <= got
+
+
+def test_block_filtering_identity_and_validation(spark):
+    bi = blocking.purge_blocks(blocking.block_index(_df(spark)))
+    full = {(r["doc_id"], r["key"]) for r in bi.collect()}
+    kept = {
+        (r["doc_id"], r["key"])
+        for r in blocking.block_filtering(bi, (1, 1)).collect()
+    }
+    assert kept == full  # ceil(n) == n keeps everything
+    for bad in ((0, 5), (6, 5), (4, 0)):
+        with pytest.raises(ValueError, match="ratio"):
+            blocking.block_filtering(bi, bad)
+
+
+def test_er_pairs_filter_ratio_flows_through(spark):
+    out = blocking.er_pairs(_df(spark), prune="wnp", filter_ratio=(4, 5))
+    assert set(out.columns) == {"d1", "d2", "cbs", "n1", "n2", "js"}
+    # the doc-1/doc-8 exact duplicate survives filtering + wnp
+    assert (1, 8) in {(r["d1"], r["d2"]) for r in out.collect()}
+
 
 # ------------------------------ sorted-neighborhood blocking (r17)
 
