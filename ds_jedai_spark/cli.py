@@ -1092,6 +1092,32 @@ def _run_op(args) -> int:
             print(f"z-ordered {n} rows -> {args.out}")
             print(f"TOTAL TIME: {time.perf_counter() - t0:.2f}s")
             return 0
+        elif args.op == "quantiles":
+            # Exact distributed quantiles (type-1 rank selection,
+            # integer rank arithmetic) — operators/ranking.py; -by
+            # switches to the per-group window variant.
+            from ds_jedai_spark.operators.ranking import (
+                exact_quantiles,
+                exact_quantiles_by,
+            )
+
+            if not args.left or not args.value_col:
+                print("-op quantiles needs -left parquet and -value-col",
+                      file=sys.stderr)
+                return 2
+            try:
+                ps = tuple(int(p) for p in args.permille.split(","))
+            except ValueError:
+                print(f"-permille expects comma-separated integers, got "
+                      f"{args.permille!r}", file=sys.stderr)
+                return 2
+            src = _read(args.left, ())
+            if args.by:
+                df = exact_quantiles_by(src, args.value_col, args.by, ps)
+                df = df.orderBy(args.by, "permille")
+            else:
+                df = exact_quantiles(src, args.value_col, ps)
+                df = df.orderBy("permille")
         elif args.op == "editdist":
             from ds_jedai_spark.operators import dedup as dd
 
@@ -1134,7 +1160,7 @@ def main(argv: list[str] | None = None) -> int:
                  "knn", "distance", "asof", "interval",
                  "chunk", "dedup", "dedup-build", "dedup-apply", "emb-dedup",
                  "ann", "ann-build", "quantize", "shuffle", "dupspans",
-                 "scrub", "er", "editdist", "zorder"],
+                 "scrub", "er", "editdist", "zorder", "quantiles"],
         help="run a temporal/pipeline operator on user parquet",
     )
     ap.add_argument("-index", default=None,
@@ -1191,6 +1217,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-files", type=int, default=None,
                     help="zorder: output file count (default: "
                          "spark.sql.shuffle.partitions)")
+    ap.add_argument("-value-col", dest="value_col", default=None,
+                    help="quantiles: numeric column to rank")
+    ap.add_argument("-permille", default="10,250,500,750,900,990",
+                    help="quantiles: comma-separated permille points "
+                         "(exact integer rank arithmetic)")
     ap.add_argument("-minpts", type=int, default=4,
                     help="dbscan: min neighbors (incl. self) for a "
                          "core point; eps comes from -tau")

@@ -72,3 +72,81 @@ def global_rank(df: DataFrame, *, asc_cols: list[str]) -> DataFrame:
         .withColumn("rank", F.col("off") + F.col("rank"))
         .drop("part", "off")
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    permille: tuple[int, ...] = (10, 250, 500, 750, 900, 990),
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """EXACT quantiles of ``col``, distributed — (permille, value) with
+    value = the element at rank ``1 + (p * (n - 1)) div 1000`` of the
+    ascending sort (the lower-interpolation / type-1 quantile).
+
+    Engines disagree on approximate sketches (t-digest vs KLL) and on
+    float interpolation, so the contract here is EXACT SELECTION with
+    the rank computed in INTEGER arithmetic — ``permille`` is the exact
+    rational p/1000, never a float multiply whose floor could differ in
+    the last ulp. The selected VALUE at a rank is well-defined even
+    under ties (ties only permute equal values).
+
+    Scale notes: the sort rank is the two-phase distributed scheme of
+    this module (never a SinglePartition window); the count and the
+    wanted-rank table ride in as one broadcast 1-row aggregate joined
+    map-side, and the final equi-join keeps only len(permille) rows.
+    This is the exact-answer complement to approx_percentile: one range
+    shuffle instead of a sketch merge, for when the answer feeds a
+    policy that must be reproducible across engines and runs.
+    """
+    if not permille or any(not 0 <= int(p) <= 1000 for p in permille):
+        raise ValueError(f"permille values must be in 0..1000, got {permille}")
+    asc = [col] + list(tiebreak or [])
+    ranked = global_rank(df.select(*dict.fromkeys(asc)), asc_cols=asc)
+    cnt = df.agg(F.count(F.lit(1)).alias("n"))
+    wanted = (
+        df.sparkSession.createDataFrame(
+            [(int(p),) for p in sorted(set(int(p) for p in permille))],
+            "permille long",
+        )
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            "permille",
+            (1 + F.expr("(permille * (n - 1)) div 1000"))
+            .cast("long").alias("rank"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(wanted), "rank")
+        .select("permille", F.col(col).alias("value"))
+    )
+
+
+def exact_quantiles_by(
+    df: DataFrame,
+    col: str,
+    by: str,
+    permille: tuple[int, ...] = (500, 900),
+) -> DataFrame:
+    """Per-group exact quantiles — (by, permille, value), same type-1
+    rank contract as :func:`exact_quantiles` in integer arithmetic.
+
+    Uses per-group windows (partitioned by ``by`` — parallel across
+    groups, no global sort). Caveat at scale: one window task sees one
+    group's rows, so a single giant group serializes; for the
+    whole-corpus case use exact_quantiles' distributed rank instead.
+    """
+    if not permille or any(not 0 <= int(p) <= 1000 for p in permille):
+        raise ValueError(f"permille values must be in 0..1000, got {permille}")
+    w = Window.partitionBy(by)
+    ranked = df.select(by, col).withColumn(
+        "rn", F.row_number().over(w.orderBy(F.col(col).asc()))
+    ).withColumn("n", F.count(F.lit(1)).over(w))
+    ps = F.array(*[F.lit(int(p)) for p in sorted(set(int(p) for p in permille))])
+    return (
+        ranked.select(
+            by, col, "rn", "n", F.explode(ps).alias("permille")
+        )
+        .where(F.col("rn") == 1 + F.expr("(permille * (n - 1)) div 1000"))
+        .select(by, "permille", F.col(col).alias("value"))
+    )

@@ -425,6 +425,12 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                 ("hull", mp.hull_stats, mp.hull_stats_oracle()),
                 # r17: per-group hulls (dbscan -> footprint composition)
                 ("hull_by", mp.hull_by_stats, mp.hull_by_stats_oracle()),
+                # r17: exact quantiles — distributed type-1 rank
+                # selection, integer rank arithmetic (t_id = permille;
+                # grouped: linenumber * 10000 + permille)
+                ("quantiles", mp.quantile_stats, mp.quantile_stats_oracle()),
+                ("quantiles_by", mp.quantile_by_stats,
+                 mp.quantile_by_stats_oracle()),
             ]
         ),
     )

@@ -616,3 +616,80 @@ def dbscan_geo_stats_oracle() -> str:
         f"SELECT CAST(id AS BIGINT) AS t_id, cluster AS cost "
         f"FROM ({inner})"
     )
+
+
+# ------------------------------------------ exact quantiles (r17)
+
+QUANTILE_PERMILLE = (10, 250, 500, 750, 900, 990)
+QUANTILE_BY_PERMILLE = (250, 500, 900)
+
+
+def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global quantiles of o_totalprice through the distributed
+    two-phase rank (operators/ranking.exact_quantiles) — type-1 rank
+    selection with the rank computed in integer arithmetic, so both
+    engines pick the identical element (no sketch, no interpolation).
+    Folded onto skew_stats' (t_id, cost): t_id = permille."""
+    from ds_jedai_spark.operators.ranking import exact_quantiles
+
+    src = load_sql(
+        spark, sf_dir, "SELECT o_orderkey, o_totalprice FROM orders"
+    )
+    q = exact_quantiles(
+        src, "o_totalprice", permille=QUANTILE_PERMILLE,
+        tiebreak=["o_orderkey"],
+    )
+    return q.select(
+        F.col("permille").cast("long").alias("t_id"),
+        F.col("value").cast("double").alias("cost"),
+    )
+
+
+def quantile_stats_oracle() -> str:
+    ps = ", ".join(str(p) for p in QUANTILE_PERMILLE)
+    return (
+        "WITH t AS (SELECT o_totalprice AS v, o_orderkey AS k FROM orders), "
+        "r AS (SELECT v, row_number() OVER (ORDER BY v, k) AS rn FROM t), "
+        "c AS (SELECT count(*) AS n FROM t), "
+        f"p AS (SELECT unnest([{ps}]) AS permille) "
+        "SELECT CAST(p.permille AS BIGINT) AS t_id, "
+        "CAST(r.v AS DOUBLE) AS cost "
+        "FROM p CROSS JOIN c JOIN r ON r.rn = "
+        "1 + (p.permille * (c.n - 1)) // 1000"
+    )
+
+
+def quantile_by_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact quantiles (l_quantity per l_linenumber) through
+    the per-group window variant — heavy ties on purpose (integer
+    quantities): the selected VALUE at a rank is deterministic even
+    though row_number tie order is not. t_id = linenumber * 10000 +
+    permille."""
+    from ds_jedai_spark.operators.ranking import exact_quantiles_by
+
+    src = load_sql(
+        spark, sf_dir, "SELECT l_linenumber, l_quantity FROM lineitem"
+    )
+    q = exact_quantiles_by(
+        src, "l_quantity", "l_linenumber", permille=QUANTILE_BY_PERMILLE
+    )
+    return q.select(
+        (F.col("l_linenumber").cast("long") * 10000 + F.col("permille"))
+        .alias("t_id"),
+        F.col("value").cast("double").alias("cost"),
+    )
+
+
+def quantile_by_stats_oracle() -> str:
+    ps = ", ".join(str(p) for p in QUANTILE_BY_PERMILLE)
+    return (
+        "WITH t AS (SELECT l_linenumber AS g, l_quantity AS v "
+        "FROM lineitem), "
+        "r AS (SELECT g, v, "
+        "row_number() OVER (PARTITION BY g ORDER BY v) AS rn, "
+        "count(*) OVER (PARTITION BY g) AS n FROM t), "
+        f"p AS (SELECT unnest([{ps}]) AS permille) "
+        "SELECT CAST(r.g AS BIGINT) * 10000 + p.permille AS t_id, "
+        "CAST(r.v AS DOUBLE) AS cost "
+        "FROM p JOIN r ON r.rn = 1 + (p.permille * (r.n - 1)) // 1000"
+    )
