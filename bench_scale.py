@@ -265,6 +265,42 @@ def hull_by_x10(spark, sf_dir):
     return len(hulls)
 
 
+def quantiles_x10(spark, sf_dir):
+    """Exact global quantiles at 10x (r17): orders cloned tenfold
+    (1.5M rows at sf0.1) through the distributed two-phase rank. Exact
+    law asserted inline, one aggregate pass: each returned value v_p
+    must BE the k-th order statistic — count(v <= v_p) >= k and
+    count(v < v_p) < k with k = 1 + (p * (n - 1)) div 1000."""
+    from ds_jedai_spark.io.synthetic import load_sql
+    from ds_jedai_spark.operators.ranking import exact_quantiles
+
+    base = load_sql(
+        spark, sf_dir, "SELECT o_orderkey, o_totalprice FROM orders"
+    )
+    rep = spark.range(0, 10, 1, 32).select(F.col("id").alias("rep"))
+    cloned = rep.join(F.broadcast(base), how="cross").select(
+        (F.col("o_orderkey") * 10 + F.col("rep")).alias("id"),
+        F.col("o_totalprice").alias("v"),
+    )
+    n = cloned.count()
+    perm = (10, 250, 500, 750, 900, 990)
+    got = {
+        r["permille"]: r["value"]
+        for r in exact_quantiles(cloned, "v", perm,
+                                 tiebreak=["id"]).collect()
+    }
+    assert set(got) == set(perm), sorted(got)
+    aggs = []
+    for p in perm:
+        aggs.append(F.sum((F.col("v") <= got[p]).cast("long")).alias(f"le{p}"))
+        aggs.append(F.sum((F.col("v") < got[p]).cast("long")).alias(f"lt{p}"))
+    row = cloned.agg(*aggs).first()
+    for p in perm:
+        k = 1 + (p * (n - 1)) // 1000
+        assert row[f"le{p}"] >= k and row[f"lt{p}"] < k, (p, k, dict(row.asDict()))
+    return n
+
+
 CLONES_DECADE = 100
 CLONES_LSH_DECADE = 100
 
@@ -923,6 +959,7 @@ def main() -> None:
         # corner laws asserted inline
         ("density_cov_x10", lambda: density_cov_x10(spark, sf_dir)),
         ("hull_by_x10", lambda: hull_by_x10(spark, sf_dir)),
+        ("quantiles_x10", lambda: quantiles_x10(spark, sf_dir)),
     ]
     # Best-of-2 per entry, matching bench.py's protocol: the minimum
     # excludes one-time view registration / parquet-footer probes and
