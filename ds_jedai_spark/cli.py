@@ -1092,6 +1092,25 @@ def _run_op(args) -> int:
             print(f"z-ordered {n} rows -> {args.out}")
             print(f"TOTAL TIME: {time.perf_counter() - t0:.2f}s")
             return 0
+        elif args.op == "validate":
+            # Declarative expectation checks (operators/validate.py):
+            # one aggregate pass, exact violation counts per rule.
+            from ds_jedai_spark.operators.validate import validate
+
+            if not args.left or not args.rules:
+                print("-op validate needs -left parquet and -rules "
+                      "'name:predicate;name2:predicate2'",
+                      file=sys.stderr)
+                return 2
+            rules = {}
+            for part in args.rules.split(";"):
+                name, sep, pred = part.partition(":")
+                if not sep or not name.strip() or not pred.strip():
+                    print(f"bad -rules entry {part!r}; expected "
+                          f"name:predicate", file=sys.stderr)
+                    return 2
+                rules[name.strip()] = pred.strip()
+            df = validate(_read(args.left, ()), rules)
         elif args.op == "quantiles":
             # Exact distributed quantiles (type-1 rank selection,
             # integer rank arithmetic) — operators/ranking.py; -by
@@ -1160,7 +1179,8 @@ def main(argv: list[str] | None = None) -> int:
                  "knn", "distance", "asof", "interval",
                  "chunk", "dedup", "dedup-build", "dedup-apply", "emb-dedup",
                  "ann", "ann-build", "quantize", "shuffle", "dupspans",
-                 "scrub", "er", "editdist", "zorder", "quantiles"],
+                 "scrub", "er", "editdist", "zorder", "quantiles",
+                 "validate"],
         help="run a temporal/pipeline operator on user parquet",
     )
     ap.add_argument("-index", default=None,
@@ -1222,6 +1242,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-permille", default="10,250,500,750,900,990",
                     help="quantiles: comma-separated permille points "
                          "(exact integer rank arithmetic)")
+    ap.add_argument("-rules", default=None,
+                    help="validate: semicolon-separated name:predicate "
+                         "expectation rules (SQL booleans; NULL counts "
+                         "as a violation)")
     ap.add_argument("-minpts", type=int, default=4,
                     help="dbscan: min neighbors (incl. self) for a "
                          "core point; eps comes from -tau")

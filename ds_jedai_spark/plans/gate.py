@@ -722,8 +722,21 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
     )
     keep("text_mixture_sample", pl.QUERIES["text_mixture_sample"],
          pl.ORACLES["text_mixture_sample"])
-    keep("corpus_clean_stats", pl.QUERIES["corpus_clean_stats"],
-         pl.ORACLES["corpus_clean_stats"])
+    # r17: the cleaning roll-up rides with the expectations pass
+    # (operators/validate.py) as one wide single-row composite
+    add(
+        "corpus_clean_stats",
+        wide_join(
+            [
+                ("cc", pl.QUERIES["corpus_clean_stats"],
+                 pl.ORACLES["corpus_clean_stats"],
+                 ["n_corpus", "n_unique", "n_clean", "clean_tokens"]),
+                ("dq", pl.QUERIES["data_quality_row"],
+                 pl.ORACLES["data_quality_row"],
+                 ["total", *pl.DQ_RULES]),
+            ]
+        ),
+    )
     keep("events_json_stats", pl.QUERIES["events_json_stats"],
          pl.ORACLES["events_json_stats"])
     keep("source_quota_sample", pl.QUERIES["source_quota_sample"],

@@ -374,6 +374,35 @@ def corpus_clean_stats(spark, sf_dir):
     return n_corpus.crossJoin(n_unique).crossJoin(cl)
 
 
+# Declarative expectation rules for the documents contract (r17,
+# operators/validate.py). Every predicate is plain shared SQL (NULL /
+# range / domain / LIKE / cross-column arithmetic — no engine-specific
+# function), evaluated in ONE aggregate pass; lang_domain violates on
+# purpose (es/zh rows exist), the rest should hold on healthy data.
+DQ_RULES = {
+    "nn_text": "text IS NOT NULL",
+    "nchars_match": "n_chars = length(text)",
+    "nchars_range": "n_chars >= 1 AND n_chars <= 100000",
+    "lang_domain": "lang IN ('en', 'de', 'fr')",
+    "id_nonneg": "doc_id >= 0",
+    "source_shape": "source NOT LIKE '% %'",
+}
+
+
+def data_quality_row(spark, sf_dir):
+    """The expectations pass over the raw documents table: one row,
+    total + per-rule violation counts, single aggregate scan."""
+    from ds_jedai_spark.operators.validate import validate_wide
+
+    return validate_wide(_docs(spark, sf_dir), DQ_RULES)
+
+
+def data_quality_row_oracle() -> str:
+    from ds_jedai_spark.operators.validate import validate_sql
+
+    return validate_sql("SELECT * FROM documents", DQ_RULES)
+
+
 def text_pack_sequences(spark, sf_dir):
     return textops.pack_sequences(_docs(spark, sf_dir))
 
@@ -1130,6 +1159,7 @@ def media_frame_sample_oracle() -> str:
 
 
 QUERIES = {
+    "data_quality_row": data_quality_row,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1168,6 +1198,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "data_quality_row": data_quality_row_oracle(),
     "dedup_exact": dedup_exact_oracle(),
     "dedup_ngram_jaccard": dedup_ngram_jaccard_oracle(),
     "dedup_minhash_lsh": dedup_minhash_lsh_oracle(),
