@@ -1111,6 +1111,18 @@ def _run_op(args) -> int:
                     return 2
                 rules[name.strip()] = pred.strip()
             df = validate(_read(args.left, ()), rules)
+        elif args.op == "profile":
+            # Per-column discovery profile (nulls / distinct / extrema)
+            # — operators/validate.profile; one aggregate pass.
+            from ds_jedai_spark.operators.validate import profile
+
+            if not args.left:
+                print("-op profile needs -left parquet path",
+                      file=sys.stderr)
+                return 2
+            src = _read(args.left, ())
+            cols = args.cols.split(",") if args.cols else None
+            df = profile(src, cols).orderBy("column")
         elif args.op == "quantiles":
             # Exact distributed quantiles (type-1 rank selection,
             # integer rank arithmetic) — operators/ranking.py; -by
@@ -1180,7 +1192,7 @@ def main(argv: list[str] | None = None) -> int:
                  "chunk", "dedup", "dedup-build", "dedup-apply", "emb-dedup",
                  "ann", "ann-build", "quantize", "shuffle", "dupspans",
                  "scrub", "er", "editdist", "zorder", "quantiles",
-                 "validate"],
+                 "validate", "profile"],
         help="run a temporal/pipeline operator on user parquet",
     )
     ap.add_argument("-index", default=None,
@@ -1246,6 +1258,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="validate: semicolon-separated name:predicate "
                          "expectation rules (SQL booleans; NULL counts "
                          "as a violation)")
+    ap.add_argument("-cols", default=None,
+                    help="profile: comma-separated columns (default: "
+                         "all)")
     ap.add_argument("-minpts", type=int, default=4,
                     help="dbscan: min neighbors (incl. self) for a "
                          "core point; eps comes from -tau")

@@ -54,6 +54,41 @@ def validate(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     )
 
 
+def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column profile — (column, n, nulls, n_distinct, min_str,
+    max_str) — the discovery companion to :func:`validate` (profile
+    first, then freeze what you learned into rules).
+
+    One aggregate pass; the N countDistinct aggregates expand the scan
+    N-way (Spark's distinct-aggregate rewrite), so profile the columns
+    you care about rather than a 500-column frame wholesale. min/max
+    are reported as strings for schema uniformity across column types
+    (numeric ordering happens BEFORE the cast — these are the true
+    extrema, rendered)."""
+    names = cols if cols is not None else df.columns
+    if not names:
+        raise ValueError("profile needs at least one column")
+    aggs = [F.count(F.lit(1)).alias("total")]
+    for i, c in enumerate(names):
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nu{i}"),
+            F.countDistinct(F.col(c)).alias(f"nd{i}"),
+            F.min(F.col(c)).cast("string").alias(f"mn{i}"),
+            F.max(F.col(c)).cast("string").alias(f"mx{i}"),
+        ]
+    wide = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', nu{i}, nd{i}, mn{i}, mx{i}" for i, c in enumerate(names)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(names)}, {parts}) AS "
+            "(column, nulls, n_distinct, min_str, max_str)"
+        ),
+        F.col("total").alias("n"),
+    ).select("column", "n", "nulls", "n_distinct", "min_str", "max_str")
+
+
 def validate_sql(from_sql: str, rules: dict[str, str]) -> str:
     """DuckDB twin of :func:`validate_wide` over ``FROM (from_sql)`` —
     shares every predicate string verbatim."""

@@ -75,6 +75,56 @@ def test_sql_twin_matches(spark):
         assert row[k] == v
 
 
+def test_profile_matches_mirror(spark):
+    got = {
+        r["column"]: (r["n"], r["nulls"], r["n_distinct"],
+                      r["min_str"], r["max_str"])
+        for r in V.profile(_df(spark), ["text", "n", "lang"]).collect()
+    }
+    assert got == {
+        "text": (5, 1, 4, "alpha", "gamma"),
+        "n": (5, 1, 3, "-1", "5"),
+        "lang": (5, 0, 3, "en", "zz"),
+    }
+    with pytest.raises(ValueError, match="column"):
+        V.profile(_df(spark), [])
+
+
+def test_profile_duckdb_twin(spark):
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE base (doc_id BIGINT, text VARCHAR, n INT, "
+        "lang VARCHAR)"
+    )
+    con.executemany("INSERT INTO base VALUES (?, ?, ?, ?)", ROWS)
+    for c in ("n", "lang"):
+        want = con.execute(
+            f"SELECT count(*), sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 "
+            f"END), count(DISTINCT {c}), CAST(min({c}) AS VARCHAR), "
+            f"CAST(max({c}) AS VARCHAR) FROM base"
+        ).fetchone()
+        r = [x for x in V.profile(_df(spark), [c]).collect()][0]
+        assert (r["n"], r["nulls"], r["n_distinct"], r["min_str"],
+                r["max_str"]) == tuple(want), c
+
+
+def test_cli_op_profile(spark, tmp_path, monkeypatch, capsys):
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    p = str(tmp_path / "pf.parquet")
+    _df(spark).write.parquet(p)
+    rc = cli.main(["-op", "profile", "-left", p, "-cols", "lang,n"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "lang" in out and "n_distinct" in out
+    assert cli.main(["-op", "profile"]) == 2
+
+
 def test_cli_op_validate(spark, tmp_path, monkeypatch, capsys):
     import ds_jedai_spark.session as session
     from ds_jedai_spark import cli
