@@ -1092,6 +1092,28 @@ def _run_op(args) -> int:
             print(f"z-ordered {n} rows -> {args.out}")
             print(f"TOTAL TIME: {time.perf_counter() - t0:.2f}s")
             return 0
+        elif args.op == "zonal":
+            # Zonal statistics: per-zone point count (+ -value-col sum)
+            # through tile join + exact relate + rollup.
+            from ds_jedai_spark import api
+            from ds_jedai_spark.config import DatasetSpec
+            from ds_jedai_spark.operators.spatial_agg import zonal_stats
+
+            if not args.left or not args.right:
+                print("-op zonal needs -left (zones) and -right (points)",
+                      file=sys.stderr)
+                return 2
+            zones = api.read_dataset(spark, DatasetSpec(
+                path=args.left, id_field=args.id_col,
+                geom_field=args.geom_col, date_field=None,
+            ), bbox=args.bbox)
+            pts = api.read_dataset(spark, DatasetSpec(
+                path=args.right, id_field=args.id_col,
+                geom_field=args.geom_col, date_field=None,
+            ), bbox=args.bbox)
+            df = zonal_stats(
+                zones, pts, value_col=args.value_col
+            ).orderBy("zone_id")
         elif args.op == "validate":
             # Declarative expectation checks (operators/validate.py):
             # one aggregate pass, exact violation counts per rule.
@@ -1192,7 +1214,7 @@ def main(argv: list[str] | None = None) -> int:
                  "chunk", "dedup", "dedup-build", "dedup-apply", "emb-dedup",
                  "ann", "ann-build", "quantize", "shuffle", "dupspans",
                  "scrub", "er", "editdist", "zorder", "quantiles",
-                 "validate", "profile"],
+                 "validate", "profile", "zonal"],
         help="run a temporal/pipeline operator on user parquet",
     )
     ap.add_argument("-index", default=None,
@@ -1413,7 +1435,8 @@ def main(argv: list[str] | None = None) -> int:
                                                "measures", "density",
                                                "dbscan", "geohash",
                                                "hull", "knn",
-                                               "distance", "zorder")
+                                               "distance", "zorder",
+                                               "zonal")
                            else "doc_id")
         if args.bucket_us == "none":
             args.bucket_us = None

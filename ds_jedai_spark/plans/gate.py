@@ -431,6 +431,12 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                 ("quantiles", mp.quantile_stats, mp.quantile_stats_oracle()),
                 ("quantiles_by", mp.quantile_by_stats,
                  mp.quantile_by_stats_oracle()),
+                # r17: zonal statistics — points-per-zone through tile
+                # join + exact relate + rollup (count and weighted-sum)
+                ("zonal", mp.zonal_count_stats,
+                 mp.zonal_count_stats_oracle()),
+                ("zonal_w", mp.zonal_weighted_stats,
+                 mp.zonal_weighted_stats_oracle()),
             ]
         ),
     )

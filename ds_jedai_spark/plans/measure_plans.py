@@ -693,3 +693,58 @@ def quantile_by_stats_oracle() -> str:
         "CAST(r.v AS DOUBLE) AS cost "
         "FROM p JOIN r ON r.rn = 1 + (p.permille * (r.n - 1)) // 1000"
     )
+
+
+# ------------------------------------------ zonal statistics (r17)
+
+def zonal_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal stats (operators/spatial_agg.zonal_stats): customer points
+    per covering source box through the tile join + exact relate +
+    rollup. (t_id, cost) fold: t_id = zone id, cost = point count."""
+    from ds_jedai_spark.operators.spatial_agg import zonal_stats
+
+    zones = load_sql(spark, sf_dir, source_box_sql())
+    pts = load_sql(spark, sf_dir, point_sql())
+    z = zonal_stats(zones, pts)
+    return z.select(
+        F.col("zone_id").cast("long").alias("t_id"),
+        F.col("n").cast("long").alias("cost"),
+    )
+
+
+def zonal_count_stats_oracle() -> str:
+    return (
+        f"WITH z AS ({source_box_sql()}), p AS ({point_sql()}) "
+        "SELECT CAST(z.id AS BIGINT) AS t_id, "
+        "CAST(count(*) AS BIGINT) AS cost "
+        "FROM z JOIN p ON p.minx >= z.minx AND p.minx <= z.maxx "
+        "AND p.miny >= z.miny AND p.miny <= z.maxy "
+        "GROUP BY z.id"
+    )
+
+
+def zonal_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weighted form: sum of an integer per-point weight
+    (id % 7 + 1) per covering zone — cost = sum_val, exact integers."""
+    from ds_jedai_spark.operators.spatial_agg import zonal_stats
+
+    zones = load_sql(spark, sf_dir, source_box_sql())
+    pts = load_sql(spark, sf_dir, point_sql()).withColumn(
+        "w", (F.col("id") % 7 + 1).cast("long")
+    )
+    z = zonal_stats(zones, pts, value_col="w")
+    return z.select(
+        F.col("zone_id").cast("long").alias("t_id"),
+        F.col("sum_val").cast("long").alias("cost"),
+    )
+
+
+def zonal_weighted_stats_oracle() -> str:
+    return (
+        f"WITH z AS ({source_box_sql()}), p AS ({point_sql()}) "
+        "SELECT CAST(z.id AS BIGINT) AS t_id, "
+        "CAST(sum(p.id % 7 + 1) AS BIGINT) AS cost "
+        "FROM z JOIN p ON p.minx >= z.minx AND p.minx <= z.maxx "
+        "AND p.miny >= z.miny AND p.miny <= z.maxy "
+        "GROUP BY z.id"
+    )

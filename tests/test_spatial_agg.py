@@ -154,3 +154,89 @@ def test_cli_op_density_modes(spark, tmp_path, capsys, monkeypatch):
     d = grid_density(src.withColumn("wgt", F.lit(3)), cell=8.0,
                      weight_col="wgt")
     assert d.agg(F.sum("w")).first()[0] == 3 * src.count()
+
+
+# ---------------------------------------------- zonal statistics (r17)
+
+
+def _zones(spark):
+    rows = [
+        (1, 0.0, 0.0, 10.0, 10.0),
+        (2, 5.0, 5.0, 15.0, 15.0),   # overlaps zone 1
+        (3, 20.0, 20.0, 30.0, 30.0), # empty
+    ]
+    return spark.createDataFrame(
+        rows, "id long, minx double, miny double, maxx double, maxy double"
+    )
+
+
+def _zpts(spark):
+    rows = [
+        (10, 1.0, 1.0),    # zone 1
+        (11, 7.0, 7.0),    # zones 1 and 2
+        (12, 10.0, 10.0),  # boundary corner: zones 1 and 2 (covers)
+        (13, 14.0, 14.0),  # zone 2
+        (14, 50.0, 50.0),  # none
+    ]
+    return spark.createDataFrame(
+        rows, "id long, x double, y double"
+    ).selectExpr("id", "x AS minx", "y AS miny", "x AS maxx", "y AS maxy")
+
+
+def test_zonal_counts_match_bruteforce(spark):
+    from ds_jedai_spark.operators.spatial_agg import zonal_stats
+
+    got = {
+        r["zone_id"]: r["n"]
+        for r in zonal_stats(_zones(spark), _zpts(spark)).collect()
+    }
+    assert got == {1: 3, 2: 3}  # zone 3 empty -> absent
+
+
+def test_zonal_weighted_sum(spark):
+    from pyspark.sql import functions as F
+    from ds_jedai_spark.operators.spatial_agg import zonal_stats
+
+    pts = _zpts(spark).withColumn("w", F.col("id") * 10)
+    got = {
+        (r["zone_id"]): (r["n"], r["sum_val"])
+        for r in zonal_stats(_zones(spark), pts, value_col="w").collect()
+    }
+    assert got == {1: (3, 330), 2: (3, 360)}
+
+
+def test_zonal_plan_no_cartesian_no_python(spark):
+    from ds_jedai_spark.operators.spatial_agg import zonal_stats
+
+    plan = (
+        zonal_stats(_zones(spark), _zpts(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cli_op_zonal(spark, tmp_path, capsys, monkeypatch):
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    def _rowfmt(df, gtype):
+        return df.selectExpr(
+            "CAST(id AS STRING) AS id", f"'{gtype}' AS gtype",
+            "array(array(array(minx, miny))) AS coords",
+            "minx", "miny", "maxx", "maxy",
+        )
+
+    zp = str(tmp_path / "zones.parquet")
+    pp_ = str(tmp_path / "pts.parquet")
+    _rowfmt(_zones(spark), "POLYGON").write.parquet(zp)
+    _rowfmt(_zpts(spark), "POINT").write.parquet(pp_)
+    rc = cli.main(["-op", "zonal", "-left", zp, "-right", pp_])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "zone_id" in out
+    assert cli.main(["-op", "zonal", "-left", zp]) == 2
