@@ -1053,6 +1053,21 @@ def _run_op(args) -> int:
                     k=args.er_k,
                     filter_ratio=fr,
                 )
+            if args.cluster:
+                # end-to-end ER output: candidate pairs -> connected
+                # components (star contraction) -> entity clusters
+                from pyspark.sql import functions as F
+
+                from ds_jedai_spark.operators.clustering import (
+                    connected_components_star,
+                )
+
+                df = connected_components_star(
+                    df.select("d1", "d2")
+                ).select(
+                    F.col("node").alias("doc_id"),
+                    F.col("label").alias("cluster_id"),
+                )
         elif args.op == "zorder":
             # Rewrite any reader-supported dataset as z-ordered parquet
             # (Morton-key layout over the envelope centers) so later
@@ -1283,6 +1298,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-cols", default=None,
                     help="profile: comma-separated columns (default: "
                          "all)")
+    ap.add_argument("-cluster", action="store_true",
+                    help="er: resolve the candidate pairs into entity "
+                         "clusters (connected components; cluster_id = "
+                         "component-minimum id)")
     ap.add_argument("-minpts", type=int, default=4,
                     help="dbscan: min neighbors (incl. self) for a "
                          "core point; eps comes from -tau")

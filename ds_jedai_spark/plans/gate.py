@@ -567,6 +567,10 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                 # every unclustered doc (cluster_id = -1)
                 ("survivors", pl.QUERIES["dedup_survivors"],
                  pl.ORACLES["dedup_survivors"]),
+                # r17: END-TO-END ER — meta-blocking pruned candidates
+                # through the star-CC backbone (recursive-CTE oracle)
+                ("er", pl.QUERIES["er_clusters"],
+                 pl.ORACLES["er_clusters"]),
             ]
         ),
     )

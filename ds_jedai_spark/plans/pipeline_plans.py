@@ -1933,6 +1933,44 @@ def er_bf_pairs_oracle() -> str:
     )
 
 
+def er_clusters(spark, sf_dir):
+    """END-TO-END entity resolution: meta-blocking candidates (block
+    purging + CBS pair graph + weighted node pruning) -> connected
+    components (large-star/small-star contraction) -> entity clusters.
+    (doc_id, cluster_id = component-minimum id) for every entity that
+    survived pruning with at least one candidate."""
+    from ds_jedai_spark.operators.clustering import connected_components_star
+
+    pairs = er_wnp_pairs(spark, sf_dir).select("d1", "d2")
+    cc = connected_components_star(pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def er_clusters_oracle() -> str:
+    return (
+        f"WITH RECURSIVE {_er_cte()}, "
+        "ew AS (SELECT d1 AS id, cbs FROM wg UNION ALL "
+        "SELECT d2 AS id, cbs FROM wg), "
+        "th AS (SELECT id, sum(cbs) AS tot, count(*) AS m FROM ew GROUP BY id), "
+        "kept AS (SELECT d1, d2 FROM wg "
+        "JOIN (SELECT id AS d1, tot AS t1, m AS m1 FROM th) USING (d1) "
+        "JOIN (SELECT id AS d2, tot AS t2, m AS m2 FROM th) USING (d2) "
+        "WHERE cbs * m1 >= t1 OR cbs * m2 >= t2), "
+        "e AS (SELECT d1 AS a, d2 AS b FROM kept UNION ALL "
+        "SELECT d2 AS a, d1 AS b FROM kept), "
+        "walk(node, label) AS ("
+        "SELECT a, a FROM (SELECT DISTINCT a FROM e) "
+        "UNION "
+        "SELECT e.a, w.label FROM e JOIN walk w ON e.b = w.node) "
+        "SELECT node AS doc_id, min(label) AS cluster_id FROM walk "
+        "GROUP BY node"
+    )
+
+
+QUERIES["er_clusters"] = er_clusters
+ORACLES["er_clusters"] = er_clusters_oracle()
 QUERIES["er_bf_pairs"] = er_bf_pairs
 ORACLES["er_bf_pairs"] = er_bf_pairs_oracle()
 QUERIES["er_cep_pairs"] = er_cep_pairs

@@ -250,6 +250,41 @@ def test_cli_op_er(spark, tmp_path, monkeypatch, capsys):
     assert cli.main(["-op", "er", "-left", docs,
                      "-filter-ratio", "nope"]) == 2
 
+    # -cluster: end-to-end ER — pairs resolved into components whose
+    # label is the component-minimum id (python CC mirror)
+    outc = str(tmp_path / "er_clusters.parquet")
+    rc = cli.main(["-op", "er", "-left", docs, "-prune", "wnp",
+                   "-cluster", "-out", outc])
+    assert rc == 0
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in spark.read.parquet(outc).collect()
+    }
+    pairs = [
+        (r["d1"], r["d2"])
+        for r in blocking.er_pairs(_df(spark), prune="wnp").collect()
+    ]
+    adj: dict[int, set] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = set()
+    seen: set[int] = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = set(), [start]
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            comp.add(x)
+            stack.extend(adj[x] - comp)
+        seen |= comp
+        lab = min(comp)
+        want |= {(n, lab) for n in comp}
+    assert got == want
+
 
 # ------------------------------ block filtering (r17)
 
