@@ -744,6 +744,11 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                 ("dq", pl.QUERIES["data_quality_row"],
                  pl.ORACLES["data_quality_row"],
                  ["total", *pl.DQ_RULES]),
+                # r17: the same expectations pass as a STREAM (complete
+                # -mode global aggregate, converges to the batch row)
+                ("sq", sp.stream_quality_row,
+                 pl.ORACLES["data_quality_row"],
+                 ["total", *pl.DQ_RULES]),
             ]
         ),
     )

@@ -309,3 +309,15 @@ def stream_embedding_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_emb_cross_tbl",
     )
     return spark.table("stream_emb_cross_tbl")
+
+
+def stream_quality_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r17 expectations pass as a STREAM: same rules, same oracle
+    as the batch data_quality_row — the complete-mode global aggregate
+    must converge to the batch answer when the documents source
+    drains."""
+    from ds_jedai_spark.plans.pipeline_plans import DQ_RULES
+
+    agg = gs.stream_validate(spark, sf_dir, DQ_RULES)
+    gs.run_to_table(agg, "stream_dq_tbl", "complete")
+    return spark.table("stream_dq_tbl")

@@ -583,3 +583,19 @@ def stream_incremental_embedding_dedup(
         _batch_sink(pairs, bid, out_table, idempotent)
 
     _drain_foreach_batch(emb_stream, on_batch, f"embdedup_{out_table}")
+
+
+def stream_validate(
+    spark: SparkSession, sf_dir: str, rules: dict[str, str]
+) -> DataFrame:
+    """Streaming data-quality monitor: the documents file stream
+    through the SAME one-pass violation aggregation as the batch
+    expectations check (operators/validate.validate_wide) — a global
+    streaming aggregate whose complete-mode output converges to the
+    batch answer once the source drains. The per-micro-batch state is
+    the handful of per-rule counters (bytes, not rows), so the monitor
+    costs nothing at any stream rate."""
+    from ds_jedai_spark.operators.validate import _violation_aggs
+
+    raw = event_stream(spark, sf_dir, glob="documents.parquet")
+    return raw.agg(*_violation_aggs(rules))

@@ -384,3 +384,21 @@ def test_stream_incremental_dedup_idempotent_mode_matches_append(
         map(tuple, idem.collect())
     )
     assert app.count() > 0
+
+
+def test_stream_validate_matches_batch_expectations(spark):
+    """The streaming expectations monitor (complete-mode global agg)
+    converges to the exact batch validate_wide row once the documents
+    source drains."""
+    from ds_jedai_spark.io.synthetic import register_views
+    from ds_jedai_spark.operators.validate import validate_wide
+    from ds_jedai_spark.plans.pipeline_plans import DQ_RULES
+    from ds_jedai_spark.plans.streaming_plans import stream_quality_row
+    from tests.conftest import SF_SMALL
+
+    got = stream_quality_row(spark, SF_SMALL).first().asDict()
+    register_views(spark, SF_SMALL)
+    want = validate_wide(spark.table("documents"), DQ_RULES).first().asDict()
+    assert got == want
+    assert got["total"] > 0
+    assert got["lang_domain"] > 0  # es/zh rows exist on purpose
