@@ -213,6 +213,9 @@ def main() -> None:
         ("text_bm25", pl.QUERIES["text_bm25"]),
         ("er_snb", pl.QUERIES["er_snb_pairs"]),
         ("edit_distance", pl.QUERIES["dedup_edit_distance"]),
+        ("zonal", mp.zonal_count_stats),
+        ("quantiles", mp.quantile_stats),
+        ("validate", pl.QUERIES["data_quality_row"]),
     ]
     # Best-of-2 per query: single-shot timings on a shared box swing
     # +-40% with ambient load; the minimum of two runs tracks the plan's
