@@ -1045,14 +1045,23 @@ def _run_op(args) -> int:
                         print(f"-filter-ratio expects p/q (e.g. 4/5), "
                               f"got {args.filter_ratio!r}", file=sys.stderr)
                         return 2
-                df = blocking.er_pairs(
-                    _docs_frame(_read(args.left, ()), args),
-                    prune=args.prune,
-                    max_block=(args.max_block if args.max_block is not None
-                               else blocking.PURGE_MAX),
-                    k=args.er_k,
-                    filter_ratio=fr,
-                )
+                mb = (args.max_block if args.max_block is not None
+                      else blocking.PURGE_MAX)
+                if args.right:
+                    # clean-clean: candidates only ACROSS -left/-right
+                    # (ids must be disjoint between the two datasets)
+                    df = blocking.er_pairs_cross(
+                        _docs_frame(_read(args.left, ()), args),
+                        _docs_frame(_read(args.right, ()), args),
+                        prune=args.prune, max_block=mb, k=args.er_k,
+                        filter_ratio=fr,
+                    )
+                else:
+                    df = blocking.er_pairs(
+                        _docs_frame(_read(args.left, ()), args),
+                        prune=args.prune, max_block=mb, k=args.er_k,
+                        filter_ratio=fr,
+                    )
             if args.cluster:
                 # end-to-end ER output: candidate pairs -> connected
                 # components (star contraction) -> entity clusters

@@ -237,16 +237,19 @@ def cnp(pairs: DataFrame, k: int = CNP_K) -> DataFrame:
     rn = F.row_number().over(
         Window.partitionBy("id").orderBy(F.col("cbs").desc(), F.col("other").asc())
     )
+    kept = direc.withColumn("rn", rn).where(F.col("rn") <= k)
+    # symmetrize instead of least/greatest-canonicalizing: the pair
+    # frame's orientation is (d1 < d2) for dirty graphs but
+    # (left id, right id) for clean-clean graphs, so the keep set must
+    # match EITHER orientation of a surviving edge
     keep = (
-        direc.withColumn("rn", rn)
-        .where(F.col("rn") <= k)
-        .select(
-            F.least("id", "other").alias("d1"),
-            F.greatest("id", "other").alias("d2"),
+        kept.select(F.col("id").alias("d1"), F.col("other").alias("d2"))
+        .unionByName(
+            kept.select(F.col("other").alias("d1"), F.col("id").alias("d2"))
         )
         .distinct()
     )
-    return pairs.join(keep, ["d1", "d2"])
+    return pairs.join(keep, ["d1", "d2"], "leftsemi")
 
 
 def cep(pairs: DataFrame, k: int = CEP_K) -> DataFrame:
@@ -256,6 +259,88 @@ def cep(pairs: DataFrame, k: int = CEP_K) -> DataFrame:
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     return pairs.orderBy(F.col("cbs").desc(), "d1", "d2").limit(k)
+
+
+def er_pairs_cross(
+    left: DataFrame,
+    right: DataFrame,
+    prune: str = "wnp",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_block: int = PURGE_MAX,
+    k: int | None = None,
+    filter_ratio: tuple[int, int] | None = None,
+) -> DataFrame:
+    """CLEAN-CLEAN (cross-dataset) ER — the JedAI family's second
+    workflow mode: two individually-clean datasets, candidates only
+    ACROSS them (a record never pairs with its own dataset). Same
+    pipeline as :func:`er_pairs` — block, purge (block sizes counted
+    over BOTH datasets, the standard multi-source rule), optional
+    block filtering, CBS/JS pair graph, pruning — but the graph join is
+    side-0 x side-1 only, so the candidate space is |L|x|R|-bounded and
+    the (d1, d2) orientation is (left id, right id).
+
+    CONTRACT: the two datasets' ids must be disjoint (offset one side
+    if needed) — the weighted/cardinality pruners aggregate per entity
+    id across both endpoints.
+
+    Returns (d1, d2, cbs, n1, n2, js); n1/n2 are each entity's KEPT
+    block counts within its own dataset's index.
+    """
+    if prune not in _PRUNERS:
+        raise ValueError(
+            f"unknown prune scheme {prune!r}; expected one of {sorted(_PRUNERS)}"
+        )
+    bl = block_index(left, id_col, text_col, n)
+    br = block_index(right, id_col, text_col, n)
+    both = (
+        bl.withColumn("side", F.lit(0))
+        .unionByName(br.withColumn("side", F.lit(1)))
+    )
+    sizes = both.groupBy("key").agg(F.count(F.lit(1)).alias("c"))
+    if max_block < 2:
+        raise ValueError(f"max_block must be >= 2, got {max_block}")
+    kept = sizes.where(
+        (F.col("c") >= 2) & (F.col("c") <= max_block)
+    ).select("key")
+    kb = both.join(kept, "key").select("doc_id", "key", "side")
+    if filter_ratio is not None:
+        fi = block_filtering(kb.select("doc_id", "key"), filter_ratio)
+        kb = kb.join(fi, ["doc_id", "key"]).select("doc_id", "key", "side")
+    nb = kb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    a = kb.where(F.col("side") == 0).alias("a")
+    b = kb.where(F.col("side") == 1).alias("b")
+    pairs = (
+        a.join(b, "key")
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("cbs"))
+    )
+    graph = (
+        pairs.join(
+            nb.select(F.col("doc_id").alias("d1"), F.col("nb").alias("n1")),
+            "d1",
+        )
+        .join(
+            nb.select(F.col("doc_id").alias("d2"), F.col("nb").alias("n2")),
+            "d2",
+        )
+        .select(
+            "d1", "d2", "cbs", "n1", "n2",
+            (
+                F.col("cbs").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("cbs")).cast("double")
+            ).alias("js"),
+        )
+    )
+    fn = _PRUNERS[prune]
+    if fn is None:
+        return graph
+    if prune in ("cnp", "cep") and k is not None:
+        return fn(graph, k)
+    return fn(graph)
 
 
 def sorted_neighborhood(

@@ -532,6 +532,13 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                          pl.ORACLES["er_cep_pairs"],
                          [("d1", "d1", None), ("d2", "d2", None),
                           ("js", "val", "double")])),
+                # r17: clean-clean (cross-dataset) ER — candidates only
+                # across the corpus parity split, multi-source purge
+                ("er_cc",
+                 *mapped(pl.QUERIES["er_cc_pairs"],
+                         pl.ORACLES["er_cc_pairs"],
+                         [("d1", "d1", None), ("d2", "d2", None),
+                          ("js", "val", "double")])),
                 # r17: block filtering (keep each entity's ceil(4/5*n)
                 # smallest blocks) ahead of the pair graph + wnp
                 ("er_bf",

@@ -1933,6 +1933,50 @@ def er_bf_pairs_oracle() -> str:
     )
 
 
+def er_cc_pairs(spark, sf_dir):
+    """CLEAN-CLEAN ER over the corpus parity split (even doc_ids =
+    dataset L, odd = dataset R): candidates only across the two
+    datasets, block sizes counted over both (the multi-source purge
+    rule), weighted node pruning. (d1, d2) = (left id, right id)."""
+    from ds_jedai_spark.operators import blocking
+
+    c = _corpus(spark, sf_dir)
+    return blocking.er_pairs_cross(
+        c.where("doc_id % 2 = 0"), c.where("doc_id % 2 = 1")
+    )
+
+
+def er_cc_pairs_oracle() -> str:
+    from ds_jedai_spark.operators import blocking
+
+    return (
+        f"WITH {_SHINGLE_CTE}, "
+        "bs AS (SELECT shingle, count(*) AS c FROM d GROUP BY shingle), "
+        "kb AS (SELECT doc_id, shingle FROM d JOIN (SELECT shingle FROM bs "
+        f"WHERE c >= 2 AND c <= {blocking.PURGE_MAX}) USING (shingle)), "
+        "en AS (SELECT doc_id, count(*) AS nb FROM kb GROUP BY doc_id), "
+        "cb AS (SELECT l.doc_id AS d1, r.doc_id AS d2, count(*) AS cbs "
+        "FROM (SELECT * FROM kb WHERE doc_id % 2 = 0) l "
+        "JOIN (SELECT * FROM kb WHERE doc_id % 2 = 1) r USING (shingle) "
+        "GROUP BY 1, 2), "
+        "wg AS (SELECT d1, d2, cbs, n1, n2, "
+        "CAST(cbs AS DOUBLE) / CAST(n1 + n2 - cbs AS DOUBLE) AS js FROM cb "
+        "JOIN (SELECT doc_id AS d1, nb AS n1 FROM en) USING (d1) "
+        "JOIN (SELECT doc_id AS d2, nb AS n2 FROM en) USING (d2)), "
+        "ew AS (SELECT d1 AS id, cbs FROM wg UNION ALL "
+        "SELECT d2 AS id, cbs FROM wg), "
+        "th AS (SELECT id, sum(cbs) AS tot, count(*) AS m FROM ew GROUP BY id) "
+        "SELECT d1, d2, cbs, n1, n2, js FROM wg "
+        "JOIN (SELECT id AS d1, tot AS t1, m AS m1 FROM th) USING (d1) "
+        "JOIN (SELECT id AS d2, tot AS t2, m AS m2 FROM th) USING (d2) "
+        "WHERE cbs * m1 >= t1 OR cbs * m2 >= t2"
+    )
+
+
+QUERIES["er_cc_pairs"] = er_cc_pairs
+ORACLES["er_cc_pairs"] = er_cc_pairs_oracle()
+
+
 def er_clusters(spark, sf_dir):
     """END-TO-END entity resolution: meta-blocking candidates (block
     purging + CBS pair graph + weighted node pruning) -> connected

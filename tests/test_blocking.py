@@ -286,6 +286,113 @@ def test_cli_op_er(spark, tmp_path, monkeypatch, capsys):
     assert got == want
 
 
+# ------------------------------ clean-clean (cross-dataset) ER (r17)
+
+
+def _py_cross_graph(lrows, rrows, max_block=blocking.PURGE_MAX, n=3):
+    """Mirror: purge over BOTH datasets, pairs across only."""
+    keys = {d: _py_shingles(t, n) for d, t in lrows + rrows}
+    sizes: dict[str, int] = {}
+    for ks in keys.values():
+        for k in ks:
+            sizes[k] = sizes.get(k, 0) + 1
+    kept = {k for k, c in sizes.items() if 2 <= c <= max_block}
+    kb = {d: ks & kept for d, ks in keys.items()}
+    graph = {}
+    for dl, _ in lrows:
+        for dr, _ in rrows:
+            cbs = len(kb[dl] & kb[dr])
+            if cbs:
+                graph[(dl, dr)] = (
+                    cbs, len(kb[dl]), len(kb[dr]),
+                    cbs / (len(kb[dl]) + len(kb[dr]) - cbs),
+                )
+    return graph
+
+
+def test_er_cross_matches_python_mirror(spark):
+    lrows = [r for r in DOCS if r[0] % 2 == 0]
+    rrows = [r for r in DOCS if r[0] % 2 == 1]
+    got = {
+        (r["d1"], r["d2"]): (r["cbs"], r["n1"], r["n2"], r["js"])
+        for r in blocking.er_pairs_cross(
+            _df(spark, lrows), _df(spark, rrows), prune="none"
+        ).collect()
+    }
+    want = _py_cross_graph(lrows, rrows)
+    assert set(got) == set(want)
+    for p in got:
+        assert got[p][:3] == want[p][:3]
+
+
+def test_er_cross_never_pairs_within_a_dataset(spark):
+    lrows = [r for r in DOCS if r[0] % 2 == 0]
+    rrows = [r for r in DOCS if r[0] % 2 == 1]
+    for prune in ("none", "wep", "wnp", "cnp", "cep"):
+        out = blocking.er_pairs_cross(
+            _df(spark, lrows), _df(spark, rrows), prune=prune
+        ).collect()
+        for r in out:
+            assert r["d1"] % 2 == 0 and r["d2"] % 2 == 1, (prune, r)
+
+
+def test_er_cross_cnp_keeps_reversed_orientation_pairs(spark):
+    """The cnp keep-set must match pairs whose left id EXCEEDS the
+    right id (the least/greatest canonicalization bug class)."""
+    lrows = [(10, "alpha beta gamma delta"), (99, "one two three four")]
+    rrows = [(11, "alpha beta gamma delta"), (3, "one two three four")]
+    got = {
+        (r["d1"], r["d2"])
+        for r in blocking.er_pairs_cross(
+            _df(spark, lrows), _df(spark, rrows), prune="cnp", k=1
+        ).collect()
+    }
+    assert (99, 3) in got and (10, 11) in got
+
+
+def test_er_cross_filter_ratio_and_validation(spark):
+    lrows = [r for r in DOCS if r[0] % 2 == 0]
+    rrows = [r for r in DOCS if r[0] % 2 == 1]
+    out = blocking.er_pairs_cross(
+        _df(spark, lrows), _df(spark, rrows), filter_ratio=(4, 5)
+    )
+    assert set(out.columns) == {"d1", "d2", "cbs", "n1", "n2", "js"}
+    with pytest.raises(ValueError, match="unknown prune"):
+        blocking.er_pairs_cross(
+            _df(spark, lrows), _df(spark, rrows), prune="bogus"
+        )
+
+
+def test_cli_op_er_cross(spark, tmp_path, monkeypatch, capsys):
+    import ds_jedai_spark.session as session
+    from ds_jedai_spark import cli
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    lrows = [r for r in DOCS if r[0] % 2 == 0]
+    rrows = [r for r in DOCS if r[0] % 2 == 1]
+    lp = str(tmp_path / "er_l.parquet")
+    rp = str(tmp_path / "er_r.parquet")
+    _df(spark, lrows).write.parquet(lp)
+    _df(spark, rrows).write.parquet(rp)
+    out = str(tmp_path / "er_cc.parquet")
+    rc = cli.main(["-op", "er", "-left", lp, "-right", rp,
+                   "-prune", "wnp", "-out", out])
+    assert rc == 0
+    got = {
+        (r["d1"], r["d2"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["d1"], r["d2"])
+        for r in blocking.er_pairs_cross(
+            _df(spark, lrows), _df(spark, rrows), prune="wnp"
+        ).collect()
+    }
+    assert got == want and got
+
+
 # ------------------------------ block filtering (r17)
 
 
