@@ -1030,11 +1030,18 @@ def _run_op(args) -> int:
                 print("-op er needs -left parquet path", file=sys.stderr)
                 return 2
             if args.blocker == "snb":
-                df = blocking.sorted_neighborhood(
-                    _docs_frame(_read(args.left, ()), args),
-                    window=(args.window if args.window is not None
-                            else blocking.SNB_WINDOW),
-                )
+                w = (args.window if args.window is not None
+                     else blocking.SNB_WINDOW)
+                if args.right:
+                    df = blocking.sorted_neighborhood_cross(
+                        _docs_frame(_read(args.left, ()), args),
+                        _docs_frame(_read(args.right, ()), args),
+                        window=w,
+                    )
+                else:
+                    df = blocking.sorted_neighborhood(
+                        _docs_frame(_read(args.left, ()), args), window=w
+                    )
             else:
                 fr = None
                 if args.filter_ratio:

@@ -412,6 +412,103 @@ def sorted_neighborhood(
     return allp.groupBy("d1", "d2").agg(F.min("gap").alias("gap"))
 
 
+def sorted_neighborhood_cross(
+    left: DataFrame,
+    right: DataFrame,
+    window: int = SNB_WINDOW,
+    keys: tuple[str, ...] = SNB_KEYS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Clean-clean sorted-neighborhood: both datasets sort into ONE
+    sequence per pass (the multi-source SNB of Hernandez & Stolfo),
+    but only pairs whose members come from DIFFERENT datasets are
+    emitted. Returns (d1, d2, gap) with d1 from ``left``, d2 from
+    ``right``; ids must be disjoint. Same distributed-rank machinery
+    and scale shape as :func:`sorted_neighborhood`."""
+    from ds_jedai_spark.operators.ranking import global_rank
+
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if not keys:
+        raise ValueError("keys must name at least one sort-key expression")
+    base = (
+        left.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        ).withColumn("side", F.lit(0))
+        .unionByName(
+            right.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            ).withColumn("side", F.lit(1))
+        )
+    )
+    passes = []
+    for kexpr in keys:
+        keyed = base.select("doc_id", "side", F.expr(kexpr).alias("key"))
+        ranked = global_rank(keyed, asc_cols=["key", "doc_id"]).select(
+            "doc_id", "side", "rank"
+        )
+        nb = ranked.select(
+            "doc_id",
+            "side",
+            "rank",
+            F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("off"),
+        ).withColumn("nrank", F.col("rank") + F.col("off"))
+        joined = nb.alias("a").join(
+            ranked.select(
+                F.col("doc_id").alias("n_id"),
+                F.col("side").alias("n_side"),
+                F.col("rank").alias("nrank"),
+            ),
+            "nrank",
+        ).where(F.col("a.side") != F.col("n_side"))
+        passes.append(
+            joined.select(
+                F.when(F.col("a.side") == 0, F.col("a.doc_id"))
+                .otherwise(F.col("n_id")).alias("d1"),
+                F.when(F.col("a.side") == 0, F.col("n_id"))
+                .otherwise(F.col("a.doc_id")).alias("d2"),
+                F.col("off").alias("gap"),
+            )
+        )
+    allp = passes[0]
+    for p in passes[1:]:
+        allp = allp.unionByName(p)
+    return allp.groupBy("d1", "d2").agg(F.min("gap").alias("gap"))
+
+
+def snb_cross_sql(
+    left_pred: str,
+    right_pred: str,
+    corpus_cte: str,
+    window: int = SNB_WINDOW,
+    keys: tuple[str, ...] = SNB_KEYS,
+) -> str:
+    """DuckDB twin of :func:`sorted_neighborhood_cross` over a CTE
+    named ``corpus`` (doc_id, text) split by two boolean predicates
+    (e.g. parity) — d1 always the ``left_pred`` side."""
+    parts = []
+    for kexpr in keys:
+        rk = (
+            f"(SELECT doc_id, CASE WHEN {left_pred} THEN 0 ELSE 1 END "
+            f"AS side, row_number() OVER (ORDER BY {kexpr}, doc_id) AS rk "
+            f"FROM corpus WHERE ({left_pred}) OR ({right_pred}))"
+        )
+        parts.append(
+            f"(SELECT CASE WHEN a.side = 0 THEN a.doc_id ELSE b.doc_id END "
+            f"AS d1, CASE WHEN a.side = 0 THEN b.doc_id ELSE a.doc_id END "
+            f"AS d2, b.rk - a.rk AS gap "
+            f"FROM {rk} a JOIN {rk} b "
+            f"ON b.rk > a.rk AND b.rk - a.rk <= {window - 1} "
+            f"AND a.side <> b.side)"
+        )
+    u = " UNION ALL ".join(f"SELECT * FROM {p}" for p in parts)
+    return (
+        f"WITH {corpus_cte}, u AS ({u}) "
+        "SELECT d1, d2, min(gap) AS gap FROM u GROUP BY d1, d2"
+    )
+
+
 def snb_sql(
     corpus_cte: str,
     window: int = SNB_WINDOW,

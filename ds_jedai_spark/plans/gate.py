@@ -554,6 +554,13 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                          pl.ORACLES["er_snb_pairs"],
                          [("d1", "d1", None), ("d2", "d2", None),
                           ("gap", "val", "double")])),
+                # r17: clean-clean SNB — one sorted sequence, pairs
+                # only across the parity split
+                ("er_snb_cc",
+                 *mapped(pl.QUERIES["er_snb_cc_pairs"],
+                         pl.ORACLES["er_snb_cc_pairs"],
+                         [("d1", "d1", None), ("d2", "d2", None),
+                          ("gap", "val", "double")])),
                 # r17: length-banded Levenshtein similarity join
                 # (threshold-banded JVM levenshtein verification)
                 ("edit_dist",

@@ -1973,6 +1973,28 @@ def er_cc_pairs_oracle() -> str:
     )
 
 
+def er_snb_cc_pairs(spark, sf_dir):
+    """Clean-clean sorted-neighborhood over the corpus parity split —
+    one sorted sequence per pass, pairs only across the two sides."""
+    from ds_jedai_spark.operators import blocking
+
+    c = _corpus(spark, sf_dir)
+    return blocking.sorted_neighborhood_cross(
+        c.where("doc_id % 2 = 0"), c.where("doc_id % 2 = 1")
+    )
+
+
+def er_snb_cc_pairs_oracle() -> str:
+    from ds_jedai_spark.operators import blocking
+
+    return blocking.snb_cross_sql(
+        "doc_id % 2 = 0", "doc_id % 2 = 1",
+        f"corpus AS ({textops.CORPUS_SQL})",
+    )
+
+
+QUERIES["er_snb_cc_pairs"] = er_snb_cc_pairs
+ORACLES["er_snb_cc_pairs"] = er_snb_cc_pairs_oracle()
 QUERIES["er_cc_pairs"] = er_cc_pairs
 ORACLES["er_cc_pairs"] = er_cc_pairs_oracle()
 

@@ -363,6 +363,64 @@ def test_er_cross_filter_ratio_and_validation(spark):
         )
 
 
+def _py_snb_cross(lrows, rrows, window=blocking.SNB_WINDOW):
+    def k1(t):
+        return t.replace(" ", "")[:16]
+
+    def k2(t):
+        return t.replace(" ", "")[::-1][:16]
+
+    lids = {r[0] for r in lrows}
+    pairs: dict[tuple[int, int], int] = {}
+    for kf in (k1, k2):
+        seq = sorted(lrows + rrows, key=lambda r: (kf(r[1]), r[0]))
+        ids = [r[0] for r in seq]
+        for i in range(len(ids)):
+            for off in range(1, window):
+                if i + off < len(ids):
+                    a, b = ids[i], ids[i + off]
+                    if (a in lids) == (b in lids):
+                        continue
+                    p = (a, b) if a in lids else (b, a)
+                    pairs[p] = min(pairs.get(p, off), off)
+    return pairs
+
+
+def test_snb_cross_matches_mirror_and_sides(spark):
+    lrows = [r for r in DOCS if r[0] % 2 == 0]
+    rrows = [r for r in DOCS if r[0] % 2 == 1]
+    got = {
+        (r["d1"], r["d2"]): r["gap"]
+        for r in blocking.sorted_neighborhood_cross(
+            _df(spark, lrows), _df(spark, rrows)
+        ).collect()
+    }
+    assert got == _py_snb_cross(lrows, rrows)
+    for d1, d2 in got:
+        assert d1 % 2 == 0 and d2 % 2 == 1
+
+
+def test_snb_cross_sql_twin_matches(spark):
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE base (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO base VALUES (?, ?)", DOCS)
+    sql = blocking.snb_cross_sql(
+        "doc_id % 2 = 0", "doc_id % 2 = 1",
+        "corpus AS (SELECT doc_id, text FROM base)",
+    )
+    want = {(d1, d2): g for d1, d2, g in con.execute(sql).fetchall()}
+    lrows = [r for r in DOCS if r[0] % 2 == 0]
+    rrows = [r for r in DOCS if r[0] % 2 == 1]
+    got = {
+        (r["d1"], r["d2"]): r["gap"]
+        for r in blocking.sorted_neighborhood_cross(
+            _df(spark, lrows), _df(spark, rrows)
+        ).collect()
+    }
+    assert got == want
+
+
 def test_cli_op_er_cross(spark, tmp_path, monkeypatch, capsys):
     import ds_jedai_spark.session as session
     from ds_jedai_spark import cli
