@@ -1303,7 +1303,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="zorder: output file count (default: "
                          "spark.sql.shuffle.partitions)")
     ap.add_argument("-value-col", dest="value_col", default=None,
-                    help="quantiles: numeric column to rank")
+                    help="quantiles: numeric column to rank; zonal: "
+                         "weight column on the points dataset to sum "
+                         "(row-format parquet carries extra columns "
+                         "through; parsed text formats do not)")
     ap.add_argument("-permille", default="10,250,500,750,900,990",
                     help="quantiles: comma-separated permille points "
                          "(exact integer rank arithmetic)")

@@ -240,3 +240,15 @@ def test_cli_op_zonal(spark, tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "zone_id" in out
     assert cli.main(["-op", "zonal", "-left", zp]) == 2
+
+    # -value-col rides through the row-format parquet fast path
+    from pyspark.sql import functions as F
+
+    pw = str(tmp_path / "ptsw.parquet")
+    _rowfmt(_zpts(spark), "POINT").withColumn(
+        "w", F.col("minx") * 2
+    ).write.parquet(pw)
+    rc = cli.main(["-op", "zonal", "-left", zp, "-right", pw,
+                   "-value-col", "w"])
+    assert rc == 0
+    assert "sum_val" in capsys.readouterr().out
