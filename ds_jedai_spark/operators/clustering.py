@@ -34,42 +34,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def connected_components_star(
-    edges: DataFrame, max_iter: int = 50
-) -> DataFrame:
-    """Connected components via alternating LARGE-STAR / SMALL-STAR
-    edge contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
-    "Connected Components in MapReduce and Beyond", SoCC 2014): each
-    round rewires every node's strictly-larger neighbors (large-star),
-    then its smaller neighbors (small-star), to the minimum of its
-    closed neighborhood. The edge set contracts toward disjoint stars
-    centered at component minima in O(log^2 n) rounds REGARDLESS of
-    topology — unlike min-label flooding, whose round count is the
-    component's graph diameter (measured: the sf0.1 eps=1.5 lattice
-    filaments need 35 flooding rounds but 8 star rounds; end-to-end
-    DBSCAN there fell 35.5 s -> 19.8 s).
-
-    ``edges``: (a, b) pairs, any orientation, self-loops ignored.
-    Returns (node, label) for every node incident to an edge, label =
-    the component's minimum node id. Each round is two groupBy-join
-    passes + a distinct + ONE fixpoint-probe aggregate, all shuffling
-    only (node, node) pairs; round frames are pinned with
-    fresh_stats_checkpoint (see iterative.py). Raises if the budget is
-    exhausted, like duplicate_clusters.
-
-    Fixpoint detection (r17): instead of comparing successive edge
-    SETS (a count plus an exceptAll anti-join — two actions, one of
-    them a full two-sided shuffle), each round runs one aggregate
-    testing whether the canonical edge set is already a DISJOINT STAR
-    FOREST — every leaf has exactly one center and no center is also a
-    leaf. Star forest <=> fixpoint (a stable non-star set must still
-    rewire: any path a<b<c rewrites c to min(a)), and canonical (a<b)
-    edges make every star center its component's minimum, so exiting
-    there returns exactly the final labels — sometimes a round earlier
-    than the set-equality test, never later."""
-    from ds_jedai_spark.iterative import fresh_stats_checkpoint
-
-    e = (
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """(a < b) canonical, self-loop-free, distinct edge set — LAZY."""
+    return (
         edges.select(F.col(edges.columns[0]).alias("a"),
                      F.col(edges.columns[1]).alias("b"))
         .where(F.col("a") != F.col("b"))
@@ -77,11 +44,44 @@ def connected_components_star(
                 F.greatest("a", "b").alias("b"))
         .distinct()
     )
-    e = fresh_stats_checkpoint(e)
-    # only read once, at the end (centers = nodes minus leaves):
-    # lazy on purpose — no eager materialization job
-    nodes = e.select(F.col("a").alias("node")).union(
-        e.select(F.col("b").alias("node"))).distinct()
+
+
+def star_forest(
+    edges: DataFrame, max_iter: int = 50, _pinned: bool = False
+) -> DataFrame:
+    """Contract ``edges`` to a DISJOINT STAR FOREST via alternating
+    LARGE-STAR / SMALL-STAR rounds (Kiveris, Lattanzi, Mirrokni,
+    Rastogi, Vassilvitskii, "Connected Components in MapReduce and
+    Beyond", SoCC 2014). Returns the converged canonical (a, b) edge
+    set: every leaf ``b`` has exactly the edge (component-minimum, b),
+    and no center is also a leaf — so ``(b -> a)`` IS the leaf label
+    map, and nodes absent from the ``b`` side are their own label.
+    Raises if the round budget is exhausted. ``_pinned`` (internal,
+    connected_components_star) marks ``edges`` as ALREADY the pinned
+    canonical set, skipping the initial canonicalize + checkpoint.
+
+    Each round is two groupBy-join passes + a distinct + ONE
+    fixpoint-probe aggregate, all shuffling only (node, node) pairs;
+    round frames are pinned with fresh_stats_checkpoint (see
+    iterative.py). The r17 optimization round MEASURED the lazy
+    alternatives on the sf0.1 bench dbscan (15k points, 145k eps-pairs,
+    1 round) and kept the pins: leaving the large-star intermediate
+    lazy costs +1.0 s/round and leaving the initial canonical edge set
+    lazy +0.5 s — Exchange reuse shares only the map side of the
+    duplicated distinct, and the repeated reduce-side aggregation +
+    join sorts outweigh a checkpoint job (2.47 s vs 3.36 s for the
+    pinned vs fully-lazy round).
+
+    The round count bound is topology-independent O(log^2 n) — unlike
+    min-label flooding, whose round count is the component's graph
+    diameter (measured: the sf0.1 eps=1.5 lattice filaments need 35
+    flooding rounds but 8 star rounds; end-to-end DBSCAN there fell
+    35.5 s -> 19.8 s)."""
+    from ds_jedai_spark.iterative import fresh_stats_checkpoint
+
+    e = edges if _pinned else fresh_stats_checkpoint(
+        _canonical_edges(edges)
+    )
     converged = False
     for _ in range(max_iter):
         # large-star: m(u) = min over u's CLOSED neighborhood; every
@@ -136,6 +136,26 @@ def connected_components_star(
             f"connected_components_star did not converge in "
             f"{max_iter} rounds; raise max_iter"
         )
+    return e
+
+
+def connected_components_star(
+    edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Connected components over ``edges`` (any orientation, self-loops
+    ignored): (node, label) for every node incident to an edge, label =
+    the component's minimum node id. Thin wrapper over
+    :func:`star_forest`; callers that follow with a
+    ``coalesce(label, node)`` against their own node set (dbscan,
+    dedup.duplicate_clusters) should use ``star_forest`` directly —
+    the centers anti-join below is redundant under a coalesce, since a
+    center's label is its own id."""
+    from ds_jedai_spark.iterative import fresh_stats_checkpoint
+
+    e0 = fresh_stats_checkpoint(_canonical_edges(edges))
+    e = star_forest(e0, max_iter=max_iter, _pinned=True)
+    nodes = e0.select(F.col("a").alias("node")).union(
+        e0.select(F.col("b").alias("node"))).distinct()
     # stars: every non-center node has exactly the edge (center, node)
     labels = e.select(F.col("b").alias("node"), F.col("a").alias("label"))
     centers = nodes.join(
@@ -224,10 +244,15 @@ def dbscan(
         .join(cores.withColumnRenamed("id", "t_id"), "t_id", "left_semi")
         .select("s_id", "t_id")
     )
-    linked = connected_components_star(ce, max_iter=max_iter)
-    # isolated cores (no core within eps) are singleton clusters
+    # star_forest's (b -> a) edge map labels every LEAF core; centers
+    # and isolated cores both coalesce to their own id, so the wrapper's
+    # centers anti-join is redundant here (r17 optimization round: the
+    # assembly plan fell from 50 Exchanges to a single left-join chain)
+    leaf_lbl = star_forest(ce, max_iter=max_iter).select(
+        F.col("b").alias("id"), F.col("a").alias("label")
+    )
     core_lbl = (
-        cores.join(linked.withColumnRenamed("node", "id"), "id", "left")
+        cores.join(leaf_lbl, "id", "left")
         .select("id", F.coalesce("label", "id").alias("cluster"))
     )
 
@@ -242,13 +267,21 @@ def dbscan(
         .select(F.col("s_id").alias("id"), "cluster")
     )
     labeled = core_lbl.unionByName(border)
-    noise = (
+    # one left join instead of anti-join + union: labeled ids are unique
+    # (cores and non-core borders are disjoint), so every point picks up
+    # its label or the noise sentinel — and the ``labeled`` subtree
+    # appears ONCE in the plan instead of twice
+    return (
         points.select("id")
-        .join(labeled.select("id"), "id", "left_anti")
-        .select("id", F.lit(-1).cast(labeled.schema["cluster"].dataType)
-                .alias("cluster"))
+        .join(labeled, "id", "left")
+        .select(
+            "id",
+            F.coalesce(
+                "cluster",
+                F.lit(-1).cast(labeled.schema["cluster"].dataType),
+            ).alias("cluster"),
+        )
     )
-    return labeled.unionByName(noise)
 
 
 def dbscan_sql(

@@ -349,9 +349,7 @@ def duplicate_clusters(
     squaring stall that plain localCheckpoint causes in self-joining
     loops).
     """
-    from ds_jedai_spark.operators.clustering import (
-        connected_components_star,
-    )
+    from ds_jedai_spark.operators.clustering import star_forest
 
     # pin the pair frame ONCE: both the backbone's canonical edge set
     # and the singleton-preserving node set below read it, and the
@@ -359,12 +357,16 @@ def duplicate_clusters(
     # not execute twice
     e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b")) \
         .localCheckpoint()
-    lab = connected_components_star(e, max_iter=max_iter)
-    # the backbone drops self-loops; nodes seen ONLY in self-pairs are
-    # singletons labeled by themselves (the historical contract)
+    # star_forest's (b -> a) map labels every LEAF; star centers and
+    # nodes seen ONLY in self-pairs coalesce to their own id below —
+    # the historical contract, minus the wrapper's redundant centers
+    # anti-join (r17 optimization round)
+    leaf_lbl = star_forest(e, max_iter=max_iter).select(
+        F.col("b").alias("node"), F.col("a").alias("label")
+    )
     nodes = e.select(F.col("a").alias("node")).union(
         e.select(F.col("b").alias("node"))).distinct()
-    return nodes.join(lab, "node", "left").select(
+    return nodes.join(leaf_lbl, "node", "left").select(
         F.col("node").alias("doc_id"),
         F.coalesce("label", "node").alias("cluster_id")
     )

@@ -155,16 +155,37 @@ def _dist2(qcol, ccol):
 
 
 def _kmeans_assign(qe: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the tiny centroid table,
-    exact integer squared distance, deterministic argmin (d2, cid)."""
-    scored = qe.crossJoin(F.broadcast(cent)).withColumn(
-        "d2", _dist2(F.col("qv"), F.col("cv"))
+    """Nearest-centroid assignment: broadcast the tiny centroid table as
+    ONE collected array row, exact integer squared distance, argmin via
+    ``array_min`` over (d2, cid) structs — lexicographic struct order
+    is exactly the old deterministic (d2, cid) window order.
+
+    r17 optimization round: the previous form exploded n x k scored
+    rows through a crossJoin and ranked them with a row_number window —
+    a full shuffle + sort of the k-fold corpus per Lloyd round. This
+    form is pure map-side projection (one 1-row broadcast attach, no
+    shuffle at all): per round the only remaining exchange is the
+    centroid-update aggregation, the standard distributed-Lloyd floor.
+    """
+    cents = F.broadcast(
+        cent.groupBy().agg(
+            F.collect_list(F.struct("cid", "cv")).alias("cents")
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                _dist2(F.col("qv"), c["cv"]).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "qv", "cid", "d2")
+        qe.crossJoin(cents)
+        .select("vec_id", "qv", best.alias("best"))
+        .select("vec_id", "qv", F.col("best.cid").alias("cid"),
+                F.col("best.d2").alias("d2"))
     )
 
 
@@ -471,7 +492,17 @@ def pin_bands(
         "lsh_bands", F.lit(int(bands))
     ).withColumn("lsh_bits", F.lit(int(bits)))
     if mode == "local":
-        return bb.localCheckpoint()
+        # Spread the pinned payload across the session parallelism: the
+        # band table reads as ONE partition otherwise (a map-only plan
+        # over a small scan), and every downstream collision join +
+        # verification pass inherits that single-core layout (r17
+        # optimization round: the whole ann_lsh_pairs pipeline ran on
+        # one task; measured 2.0 s -> 0.5 s for the verify stage after
+        # the spread). Rows are 5 small integers — the one-time shuffle
+        # is noise in the build.
+        from ds_jedai_spark.operators.ranking import shuffle_parts
+
+        return bb.repartition(shuffle_parts(bb)).localCheckpoint()
     if mode != "table":
         raise ValueError(f"unknown pin mode: {mode!r}")
     from ds_jedai_spark.io.bucketed import drop_table_and_location
@@ -479,6 +510,115 @@ def pin_bands(
     drop_table_and_location(emb.sparkSession, table)
     bb.write.mode("overwrite").saveAsTable(table)
     return emb.sparkSession.table(table)
+
+
+# Corpus-row cap for the broadcast-gather verification tier below: the
+# collected (vec_id, qv, norm2) matrix at this cap is ~130 MB of int64
+# for 64-dim vectors — ordinary broadcast-join territory. Beyond it the
+# equi-join tier takes over (same results, one more shuffle).
+VERIFY_BROADCAST_CAP = 262_144
+
+
+def _cosine_verify_pairs(
+    cand: DataFrame, qe: DataFrame, tau: float, dedup: bool = False
+) -> DataFrame:
+    """Exact-cosine verification of an id-pair stream (d1, d2) against
+    the quantized corpus ``qe`` (vec_id, qv, norm2): (d1, d2, cos) for
+    pairs with cos >= tau.
+
+    ``dedup=True`` accepts a candidate stream WITH duplicates (e.g. a
+    multi-band collision join) and owns the dedup: the broadcast tier
+    verifies the raw stream map-side and distincts the few SURVIVORS
+    (collision rows flow scan -> broadcast join -> einsum with no
+    exchange at all; duplicate verification is idempotent, so the
+    shuffle moves only rows that pass tau), while the join tier
+    distincts candidates FIRST (there, each duplicate would pay two
+    vector joins — the historical order). Identical results either
+    way; measured on the sf0.1 bench line the raw-stream form removes
+    the 4M-row candidate distinct and its Exchange entirely.
+
+    Two tiers, identical results (r17 optimization round):
+
+    - **broadcast-gather** (corpus <= VERIFY_BROADCAST_CAP rows): the
+      quantized matrix is collected once, broadcast, and a mapInArrow
+      pass gathers both sides per candidate id and runs the integer
+      dot as one numpy einsum — the guide's "move ids, broadcast the
+      dimension table" shape. The JVM higher-order-function dot
+      (aggregate over zip_with) walks a lambda per element: measured
+      1.9-2.8 s for 1.79M pairs x 64 dims, vs ~0.3 s for the same
+      arithmetic as one einsum; the unrolled a[0]*b[0]+... expression
+      was measured WORSE (14.4 s — 64 chained GetArrayItems fall out
+      of codegen). Arithmetic is bit-identical: int64 products/sums
+      (numpy wraps like the JVM), then the same float64 cast /
+      multiply / sqrt / divide sequence as _cos(), zero-norm guard
+      included.
+    - **equi-join** (bigger corpora): the historical plan — join the
+      vectors onto the pairs, HOF dot in the JVM. No driver collect,
+      no worker matrix; the 100 TB default.
+
+    The tier probe is ``limit(cap + 1).collect()`` — bounded driver
+    memory, the same cost class as building any broadcast hash
+    relation."""
+    probe = qe.select("vec_id", "qv", "norm2") \
+        .limit(VERIFY_BROADCAST_CAP + 1).collect()
+    if len(probe) <= VERIFY_BROADCAST_CAP:
+        import numpy as np
+
+        ids = np.fromiter((r[0] for r in probe), dtype=np.int64,
+                          count=len(probe))
+        mat = np.array([r[1] for r in probe], dtype=np.int64)
+        nn = np.fromiter((r[2] for r in probe), dtype=np.int64,
+                         count=len(probe))
+        order = np.argsort(ids)
+        ids, mat, nn = ids[order], mat[order], nn[order]
+        bc = cand.sparkSession.sparkContext.broadcast((ids, mat, nn))
+        tau_f = float(tau)
+
+        def verify(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            bids, bmat, bnn = bc.value
+            for b in batches:
+                d1 = b.column("d1").to_numpy(zero_copy_only=False)
+                d2 = b.column("d2").to_numpy(zero_copy_only=False)
+                i1 = np.searchsorted(bids, d1)
+                i2 = np.searchsorted(bids, d2)
+                dot = np.einsum("ij,ij->i", bmat[i1], bmat[i2])
+                a = bnn[i1].astype(np.float64)
+                c = bnn[i2].astype(np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dot.astype(np.float64) / np.sqrt(a * c)
+                cos = np.where((a == 0.0) | (c == 0.0), 0.0, cos)
+                keep = cos >= tau_f
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(d1[keep]), pa.array(d2[keep]),
+                     pa.array(cos[keep])],
+                    names=["d1", "d2", "cos"],
+                )
+
+        out = cand.select("d1", "d2").mapInArrow(
+            verify, "d1 long, d2 long, cos double"
+        )
+        return out.distinct() if dedup else out
+    if dedup:
+        cand = cand.select("d1", "d2").distinct()
+    va = qe.select(
+        F.col("vec_id").alias("d1"), F.col("qv").alias("a"),
+        F.col("norm2").alias("n1"),
+    )
+    vb = qe.select(
+        F.col("vec_id").alias("d2"), F.col("qv").alias("b"),
+        F.col("norm2").alias("n2"),
+    )
+    return (
+        cand.join(va, "d1")
+        .join(vb, "d2")
+        .withColumn("dot", _dot("a", "b"))
+        .withColumn("cos", _cos())
+        .where(F.col("cos") >= tau)
+        .select("d1", "d2", "cos")
+    )
 
 
 def lsh_neardup_pairs(
@@ -519,24 +659,8 @@ def lsh_neardup_pairs(
               on=["band", "bucket"])
         .where(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
-        .distinct()
     )
-    va = qe.select(
-        F.col("vec_id").alias("d1"), F.col("qv").alias("a"),
-        F.col("norm2").alias("n1"),
-    )
-    vb = qe.select(
-        F.col("vec_id").alias("d2"), F.col("qv").alias("b"),
-        F.col("norm2").alias("n2"),
-    )
-    return (
-        cand.join(va, "d1")
-        .join(vb, "d2")
-        .withColumn("dot", _dot("a", "b"))
-        .withColumn("cos", _cos())
-        .where(F.col("cos") >= tau)
-        .select("d1", "d2", "cos")
-    )
+    return _cosine_verify_pairs(cand, qe, tau, dedup=True)
 
 
 def lsh_neardup_pairs_cross(
@@ -872,6 +996,33 @@ def _pq_sub_explode(qe: DataFrame, m: int = PQ_M) -> DataFrame:
     )
 
 
+def _pq_assign(subs: DataFrame, stacked: DataFrame) -> DataFrame:
+    """Nearest-codeword assignment per (vector, sub-block): broadcast
+    the stacked (m, cid, cv) codebooks as one array row per m, argmin
+    via ``array_min`` over (d2, cid) structs — the same map-side
+    rewrite as _kmeans_assign (no n x M x k explosion, no window
+    shuffle; the broadcast equi-join on ``m`` is the only attach)."""
+    cent_by_m = F.broadcast(
+        stacked.groupBy("m").agg(
+            F.collect_list(F.struct("cid", "cv")).alias("cents")
+        )
+    )
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                _dist2(F.col("qv"), c["cv"]).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return (
+        subs.join(cent_by_m, "m")
+        .select("vec_id", "m", "qv", best.alias("best"))
+        .select("vec_id", "m", "qv", F.col("best.cid").alias("cid"))
+    )
+
+
 def pq_codebooks_stacked(
     emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
     m: int = PQ_M,
@@ -894,15 +1045,7 @@ def pq_codebooks_stacked(
         "m", F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
     for _ in range(iters - 1):
-        scored = subs.join(F.broadcast(cent), "m").withColumn(
-            "d2", _dist2(F.col("qv"), F.col("cv"))
-        )
-        w = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
-        a = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "m", "qv", "cid")
-        )
+        a = _pq_assign(subs, cent)
         u = a.select("m", "cid", F.posexplode("qv").alias("pos", "v"))
         s = u.groupBy("m", "cid", "pos").agg(
             F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")
@@ -985,14 +1128,8 @@ def pq_codes(emb: DataFrame, books: list) -> DataFrame:
     pin_codes. M is recovered as ``len(books)``."""
     qe = quantized(emb).select("vec_id", "qv")
     subs = _pq_sub_explode(qe, len(books))
-    scored = subs.join(F.broadcast(_stack_books(books)), "m").withColumn(
-        "d2", _dist2(F.col("qv"), F.col("cv"))
-    )
-    we = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
-    return (
-        scored.withColumn("rn", F.row_number().over(we))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "m", "cid")
+    return _pq_assign(subs, _stack_books(books)).select(
+        "vec_id", "m", "cid"
     )
 
 

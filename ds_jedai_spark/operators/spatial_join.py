@@ -134,7 +134,22 @@ def distance_join(
     superset, then the exact squared-distance predicate filters — all
     JVM column arithmetic, exact on lattice coordinates with a lattice
     radius (radius² sums stay inside exact double-integer range).
+
+    ``theta=None`` uses the CLOSED FORM (2·radius, 2·radius) instead of
+    ``compute_theta`` (r17 optimization round): every expanded source
+    envelope is exactly 2r × 2r, so the data-derived avg-extent theta
+    IS 2r — no aggregate action over the corpus needed — and the
+    GRID_CAP explosion guard is vacuous here (each source row covers at
+    most 2×2 tiles at this theta, each target point exactly one,
+    whatever the domain extent). Pair results are theta-invariant by
+    the ref-point dedup + exact distance predicate (differentially
+    tested), so only the plan changes: one fewer action per join.
     """
+    if theta is None:
+        from ds_jedai_spark.model.tiles import MIN_THETA
+
+        t = max(2.0 * float(radius), MIN_THETA)
+        theta = (t, t)
     expanded = source.select(
         "id",
         (F.col("minx") - radius).alias("minx"),

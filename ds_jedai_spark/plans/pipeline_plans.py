@@ -86,19 +86,39 @@ def _pinned_ann(spark: SparkSession, sf_dir: str) -> dict:
     if key not in _ANN_PIN:
         _ANN_PIN.clear()
         emb = _emb(spark, sf_dir)
-        books = similarity.pin_codebooks(emb)
-        cent = similarity.pin_centroids(emb)
+        # Three independent build chains — (codebooks -> codes),
+        # (centroids -> cells), (bands) — submitted concurrently so the
+        # tail tasks of one chain's jobs back-fill the cores the others
+        # leave idle (r17 optimization round; the artifacts are
+        # deterministic, so overlap changes nothing but the wall).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _pq_chain():
+            books = similarity.pin_codebooks(emb)
+            return books, similarity.pin_codes(emb, books)
+
+        def _ivf_chain():
+            cent = similarity.pin_centroids(emb)
+            return cent, similarity.pin_cells(emb, cent)
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_pq = pool.submit(_pq_chain)
+            f_ivf = pool.submit(_ivf_chain)
+            f_bands = pool.submit(similarity.pin_bands, emb)
+            books, codes = f_pq.result()
+            cent, cells = f_ivf.result()
+            bands = f_bands.result()
         _ANN_PIN[key] = {
             "books": books,
             "cent": cent,
             # the index PAYLOADS: corpus encoded/assigned once at build
             # time — searches read codes/cells instead of re-encoding
-            "codes": similarity.pin_codes(emb, books),
-            "cells": similarity.pin_cells(emb, cent),
+            "codes": codes,
+            "cells": cells,
             # LSH band keys (vec_id, band, bucket): computed once at
             # build time — LSH searches and the incremental cross-dedup
             # read the standing band table, not the hyperplane dots
-            "bands": similarity.pin_bands(emb),
+            "bands": bands,
         }
     return _ANN_PIN[key]
 
