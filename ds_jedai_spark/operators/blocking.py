@@ -378,37 +378,45 @@ def sorted_neighborhood(
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-    passes = []
-    for kexpr in keys:
-        keyed = base.select("doc_id", F.expr(kexpr).alias("key"))
-        ranked = global_rank(keyed, asc_cols=["key", "doc_id"]).select(
-            "doc_id", "rank"
+    # ALL passes ride one STACKED ranked frame (r17 optimization round):
+    # rank over (pass, key, doc_id) assigns contiguous ranks within each
+    # pass in exactly that pass's (key, doc_id) order, and the neighbor
+    # equi-join keys on (pass, nrank) so a window can never leak across
+    # the pass boundary — identical pair set, but ONE range shuffle +
+    # offset collect for the whole operator instead of one per pass.
+    stacked = None
+    for p, kexpr in enumerate(keys):
+        keyed = base.select(
+            F.lit(p).alias("pass"), "doc_id", F.expr(kexpr).alias("key")
         )
-        nb = ranked.select(
-            "doc_id",
-            "rank",
-            F.explode(
-                F.sequence(F.lit(1), F.lit(window - 1))
-            ).alias("off"),
-        ).withColumn("nrank", F.col("rank") + F.col("off"))
-        passes.append(
-            nb.alias("a")
-            .join(
-                ranked.select(
-                    F.col("doc_id").alias("n_id"),
-                    F.col("rank").alias("nrank"),
-                ),
-                "nrank",
-            )
-            .select(
-                F.least("a.doc_id", "n_id").alias("d1"),
-                F.greatest("a.doc_id", "n_id").alias("d2"),
-                F.col("off").alias("gap"),
-            )
+        stacked = keyed if stacked is None else stacked.unionByName(keyed)
+    ranked = global_rank(
+        stacked, asc_cols=["pass", "key", "doc_id"]
+    ).select("pass", "doc_id", "rank")
+    nb = ranked.select(
+        "pass",
+        "doc_id",
+        "rank",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(window - 1))
+        ).alias("off"),
+    ).withColumn("nrank", F.col("rank") + F.col("off"))
+    allp = (
+        nb.alias("a")
+        .join(
+            ranked.select(
+                "pass",
+                F.col("doc_id").alias("n_id"),
+                F.col("rank").alias("nrank"),
+            ),
+            ["pass", "nrank"],
         )
-    allp = passes[0]
-    for p in passes[1:]:
-        allp = allp.unionByName(p)
+        .select(
+            F.least("a.doc_id", "n_id").alias("d1"),
+            F.greatest("a.doc_id", "n_id").alias("d2"),
+            F.col("off").alias("gap"),
+        )
+    )
     return allp.groupBy("d1", "d2").agg(F.min("gap").alias("gap"))
 
 
@@ -442,38 +450,42 @@ def sorted_neighborhood_cross(
             ).withColumn("side", F.lit(1))
         )
     )
-    passes = []
-    for kexpr in keys:
-        keyed = base.select("doc_id", "side", F.expr(kexpr).alias("key"))
-        ranked = global_rank(keyed, asc_cols=["key", "doc_id"]).select(
-            "doc_id", "side", "rank"
+    # stacked single-rank form — see sorted_neighborhood (r17): one
+    # range shuffle + offset collect for all passes, neighbor join keyed
+    # on (pass, nrank) so windows never leak across passes
+    stacked = None
+    for p, kexpr in enumerate(keys):
+        keyed = base.select(
+            F.lit(p).alias("pass"), "doc_id", "side",
+            F.expr(kexpr).alias("key"),
         )
-        nb = ranked.select(
-            "doc_id",
-            "side",
-            "rank",
-            F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("off"),
-        ).withColumn("nrank", F.col("rank") + F.col("off"))
-        joined = nb.alias("a").join(
-            ranked.select(
-                F.col("doc_id").alias("n_id"),
-                F.col("side").alias("n_side"),
-                F.col("rank").alias("nrank"),
-            ),
-            "nrank",
-        ).where(F.col("a.side") != F.col("n_side"))
-        passes.append(
-            joined.select(
-                F.when(F.col("a.side") == 0, F.col("a.doc_id"))
-                .otherwise(F.col("n_id")).alias("d1"),
-                F.when(F.col("a.side") == 0, F.col("n_id"))
-                .otherwise(F.col("a.doc_id")).alias("d2"),
-                F.col("off").alias("gap"),
-            )
-        )
-    allp = passes[0]
-    for p in passes[1:]:
-        allp = allp.unionByName(p)
+        stacked = keyed if stacked is None else stacked.unionByName(keyed)
+    ranked = global_rank(
+        stacked, asc_cols=["pass", "key", "doc_id"]
+    ).select("pass", "doc_id", "side", "rank")
+    nb = ranked.select(
+        "pass",
+        "doc_id",
+        "side",
+        "rank",
+        F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("off"),
+    ).withColumn("nrank", F.col("rank") + F.col("off"))
+    joined = nb.alias("a").join(
+        ranked.select(
+            "pass",
+            F.col("doc_id").alias("n_id"),
+            F.col("side").alias("n_side"),
+            F.col("rank").alias("nrank"),
+        ),
+        ["pass", "nrank"],
+    ).where(F.col("a.side") != F.col("n_side"))
+    allp = joined.select(
+        F.when(F.col("a.side") == 0, F.col("a.doc_id"))
+        .otherwise(F.col("n_id")).alias("d1"),
+        F.when(F.col("a.side") == 0, F.col("n_id"))
+        .otherwise(F.col("a.doc_id")).alias("d2"),
+        F.col("off").alias("gap"),
+    )
     return allp.groupBy("d1", "d2").agg(F.min("gap").alias("gap"))
 
 

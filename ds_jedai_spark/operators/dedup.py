@@ -110,6 +110,23 @@ def _overlap(d: DataFrame, max_df: int | None = None) -> DataFrame:
     )
 
 
+# The md5-derived 48-bit shingle id every minhash/verification path
+# keys on. Computed per (doc, shingle) row — so when a standing shingle
+# table is pinned once and consumed many times, hoist it with _with_wid
+# at pin time and every consumer reads the column instead of
+# re-hashing (r17 optimization round: the bench's dedup lines paid this
+# md5 pass 2-3x per run).
+_WID_EXPR = "CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)"
+
+
+def _with_wid(d: DataFrame) -> DataFrame:
+    """Attach the 48-bit md5 shingle id as ``wid`` unless the frame
+    already carries it (a wid-stamped pin)."""
+    if "wid" in d.columns:
+        return d
+    return d.withColumn("wid", F.expr(_WID_EXPR))
+
+
 def _hashed_shingles(d: DataFrame) -> DataFrame:
     """Verification representation of a shingle table: grams replaced by
     the md5-derived 48-bit ids the minhash signatures already use
@@ -126,12 +143,7 @@ def _hashed_shingles(d: DataFrame) -> DataFrame:
     collision shifts one pair's count by 1, not the threshold set, on
     any realistic corpus). The column keeps the name ``shingle`` so
     every downstream join/size helper is representation-agnostic."""
-    return d.select(
-        "doc_id",
-        F.expr(
-            "CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)"
-        ).alias("shingle"),
-    )
+    return _with_wid(d).select("doc_id", F.col("wid").alias("shingle"))
 
 
 def _pair_common(cand: DataFrame, da: DataFrame, db: DataFrame) -> DataFrame:
@@ -279,6 +291,16 @@ def edit_distance_pairs(
         F.col(text_col).alias("text"),
         F.length(text_col).alias("ln"),
     ).withColumn("hist", hist)
+    # Exchange barrier below the bucket explode (r17 optimization
+    # round): without it the optimizer floats the histogram projection
+    # ABOVE the 3x Generate — ~37 character scans per EXPLODED row
+    # instead of per document (measured 1.7 s -> 0.3 s on the sf0.1 L1
+    # stage). The repartition's map side computes hist once per doc and
+    # both join branches read the same shuffle output (ReuseExchange);
+    # the shuffled rows are (id, text, ln, 16 ints) — noise.
+    from ds_jedai_spark.operators.ranking import shuffle_parts
+
+    base = base.repartition(shuffle_parts(base))
     bkt = F.floor(F.col("ln") / w).cast("long")
     probe = base.withColumn("bucket", bkt)
     build = base.withColumn(
@@ -418,12 +440,7 @@ def minhash_signatures(d: DataFrame, k: int = 32) -> DataFrame:
     aggregation reduces each doc to a single k-column row per partition
     before the shuffle; the (doc_id, i, h) shape downstream consumers
     expect is restored by an explode over the tiny aggregated frame."""
-    dw = d.select(
-        "doc_id",
-        F.expr(
-            "CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)"
-        ).alias("wid"),
-    )
+    dw = _with_wid(d).select("doc_id", "wid")
     wide = dw.groupBy("doc_id").agg(
         *[
             F.min(
@@ -443,15 +460,39 @@ def minhash_signatures(d: DataFrame, k: int = 32) -> DataFrame:
     return wide.select("doc_id", sig.alias("s")).select("doc_id", "s.i", "s.h")
 
 
+def band_table_from_sigs(
+    sig: DataFrame, k: int = 32, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_id, band, bkey) LSH band keys projected CLOSED-FORM from
+    the signature arrays (minhash_signature_arrays): band b's key is
+    the slot-weighted sum ``sum_s sig[b+s] * (s+1)`` — the same
+    order-independent key _band_table always produced, but as a pure
+    map-side explode over the k-wide array instead of a second
+    (doc_id, band) aggregation shuffle over exploded (i, h) rows (r17
+    optimization round). Callers holding a pinned signature frame get
+    the band table for free."""
+    structs = []
+    for b0 in range(0, k, rows_per_band):
+        bkey = F.col("sig")[b0] * F.lit(1)
+        for s in range(1, rows_per_band):
+            bkey = bkey + F.col("sig")[b0 + s] * F.lit(s + 1)
+        structs.append(
+            F.struct(
+                F.lit(b0).cast("int").alias("band"), bkey.alias("bkey")
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"),
+             F.col("bb.bkey").alias("bkey"))
+
+
 def _band_table(d: DataFrame, k: int = 32, rows_per_band: int = 4) -> DataFrame:
-    """(doc_id, band, bkey) LSH band keys from the minhash signature —
-    the order-independent band key is the slot-weighted hash sum."""
-    sig = minhash_signatures(d, k)
-    return (
-        sig.withColumn("band", F.col("i") - (F.col("i") % rows_per_band))
-        .withColumn("slot", (F.col("i") % rows_per_band) + 1)
-        .groupBy("doc_id", "band")
-        .agg(F.sum(F.col("h") * F.col("slot")).alias("bkey"))
+    """(doc_id, band, bkey) LSH band keys from the shingle stream: ONE
+    wide min-aggregation to the signature arrays, then the closed-form
+    band projection (band_table_from_sigs)."""
+    return band_table_from_sigs(
+        minhash_signature_arrays(d, k), k, rows_per_band
     )
 
 
@@ -523,7 +564,10 @@ def minhash_progressive_pairs(
     join's domain)."""
     d = sh if sh is not None else _pin(shingles(docs))
     sig = _pin(minhash_signature_arrays(d, k))
-    band = _pin(_band_table(d, k, rows_per_band))
+    # band keys are a closed-form projection of the pinned signatures
+    # (band_table_from_sigs) — no second corpus aggregation, no separate
+    # band pin (r17 optimization round)
+    band = band_table_from_sigs(sig, k, rows_per_band)
     a = band.select(F.col("doc_id").alias("d1"), "band", "bkey")
     b = band.select(F.col("doc_id").alias("d2"), "band", "bkey")
     cand = (
@@ -721,12 +765,7 @@ def minhash_lsh_pairs_cross(
 def minhash_signature_arrays(d: DataFrame, k: int = 32) -> DataFrame:
     """(doc_id, sig array<long>) — the k minhash components as one
     array column (the wide form minhash_signatures explodes from)."""
-    dw = d.select(
-        "doc_id",
-        F.expr(
-            "CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)"
-        ).alias("wid"),
-    )
+    dw = _with_wid(d).select("doc_id", "wid")
     wide = dw.groupBy("doc_id").agg(
         *[
             F.min(
@@ -764,7 +803,9 @@ def minhash_estimate_pairs(
     beyond). Output: (d1, d2, est >= tau)."""
     d = sh if sh is not None else _pin(shingles(docs))
     sig = _pin(minhash_signature_arrays(d, k))
-    band = _pin(_band_table(d, k, rows_per_band))
+    # closed-form band projection of the pinned signatures (see
+    # minhash_progressive_pairs)
+    band = band_table_from_sigs(sig, k, rows_per_band)
     a = band.select(F.col("doc_id").alias("d1"), "band", "bkey")
     b = band.select(F.col("doc_id").alias("d2"), "band", "bkey")
     cand = (

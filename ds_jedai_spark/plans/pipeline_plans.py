@@ -64,9 +64,16 @@ def _pinned_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # amortizes) while still scaling with the session's configured
         # parallelism on bigger clusters.
         corpus = _corpus(spark, sf_dir)
+        # wid-stamp the pin (dedup._with_wid): every minhash signature,
+        # band table, and hashed-gram verification pass keys on the
+        # md5-derived shingle id — hoisting it into the pinned table
+        # computes the hash once per (doc, shingle) row instead of once
+        # per consumer pass (r17 optimization round)
         _SHINGLE_PIN[key] = dedup._pin(
-            textops.shingles(
-                corpus.repartition(max(8, shuffle_parts(corpus) // 4))
+            dedup._with_wid(
+                textops.shingles(
+                    corpus.repartition(max(8, shuffle_parts(corpus) // 4))
+                )
             )
         )
     return _SHINGLE_PIN[key]
