@@ -486,31 +486,45 @@ def with_measures(
                 names=batch.schema.names + extra_names,
             )
 
-    base = df.withColumn("npoints", npoints_expr()) \
-             .withColumn("length", length_expr()) \
-             .withColumn("perimeter", perimeter_expr()) \
-             .withColumn("unit", F.lit(unit))
+    # The Arrow pass reads ONLY gtype + coords; every JVM-expression
+    # column (npoints/length/perimeter/unit and the geodesic meter
+    # sums) is attached AFTER the map so it never crosses the Python
+    # boundary (guide §4.1: ship only what the function needs — r17
+    # optimization round; previously ~7 derived columns rode through
+    # the Python worker both ways). Output schema order is unchanged.
     out_extra = ", area double, centroid_x double, centroid_y double"
+    if geodesic:
+        out_extra += ", area_m2 double"
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    )
+    mapped = df.mapInArrow(run, fields + out_extra)
+    res = mapped.withColumn("npoints", npoints_expr()) \
+                .withColumn("length", length_expr()) \
+                .withColumn("perimeter", perimeter_expr()) \
+                .withColumn("unit", F.lit(unit))
     if geodesic:
         if seam == "shift":
             # bind the (conditionally) shifted coords once; the meter
             # sums and the residual-wrap test both read the bound column
-            base = base.withColumn(
+            res = res.withColumn(
                 "__sc",
                 F.expr(f"CASE WHEN {_WRAP_SQL} THEN {_SHIFT_SQL} "
                        f"ELSE coords END"),
             )
-            base = base.withColumn(
+            res = res.withColumn(
                 "length_m", geodesic_length_expr("__sc")
             ).withColumn(
                 "perimeter_m", geodesic_perimeter_expr("__sc")
             ).drop("__sc")
         else:
-            base = base.withColumn("length_m", geodesic_length_expr()) \
-                       .withColumn("perimeter_m",
-                                   geodesic_perimeter_expr())
-        out_extra += ", area_m2 double"
-    fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in base.schema
-    )
-    return base.mapInArrow(run, fields + out_extra)
+            res = res.withColumn("length_m", geodesic_length_expr()) \
+                     .withColumn("perimeter_m",
+                                 geodesic_perimeter_expr())
+    order = list(df.columns) + ["npoints", "length", "perimeter", "unit"]
+    if geodesic:
+        order += ["length_m", "perimeter_m"]
+    order += ["area", "centroid_x", "centroid_y"]
+    if geodesic:
+        order += ["area_m2"]
+    return res.select(*order)

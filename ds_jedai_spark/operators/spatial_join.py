@@ -351,25 +351,39 @@ def knn_join_exact_geodesic(
             "dist_mm", F.round(F.col("dist_m") * 1000.0).cast("bigint")
         ).localCheckpoint()
         r_mm = round(r * 1000.0)
-        cnts = (
-            cand.where(F.col("dist_mm") <= F.lit(r_mm - 1))
-            .groupBy("s_id").agg(F.count(F.lit(1)).alias("nc"))
+        # One window pass carries ranking AND the strict-mm resolution
+        # count (r17 optimization round, mirroring knn_join_exact): nc
+        # sums the strictly-in-radius candidates over the same s_id
+        # partitioning the ordered window already established — the
+        # former counts groupBy + done semi-join (2 extra Exchanges +
+        # a join per round) fold away. Identical row set.
+        w = Window.partitionBy("s_id").orderBy("dist_mm", "t_id")
+        wc = Window.partitionBy("s_id")
+        ranked = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "nc",
+                F.sum(
+                    F.when(F.col("dist_mm") <= F.lit(r_mm - 1), 1)
+                    .otherwise(0)
+                ).over(wc),
+            )
         )
         if r >= rmax_m:
             # terminal radius exceeds any possible great-circle
             # distance: every candidate set is complete, no boundary
-            done = cand.select("s_id").distinct()
-        else:
-            done = cnts.where(F.col("nc") >= k).select("s_id")
-        w = Window.partitionBy("s_id").orderBy("dist_mm", "t_id")
-        ranked = cand.withColumn("rn", F.row_number().over(w))
+            rounds.append(
+                ranked.where(F.col("rn") <= k)
+                .select("s_id", "t_id", "dist_m", "dist_mm")
+            )
+            break
         rounds.append(
-            ranked.join(done, "s_id", "left_semi")
-            .where(F.col("rn") <= k)
+            ranked.where((F.col("rn") <= k) & (F.col("nc") >= k))
             .select("s_id", "t_id", "dist_m", "dist_mm")
         )
-        if r >= rmax_m:
-            break
+        done = ranked.where(
+            (F.col("rn") == 1) & (F.col("nc") >= k)
+        ).select("s_id")
         remaining = remaining.join(
             done.withColumnRenamed("s_id", "id"), "id", "left_anti"
         )
@@ -453,20 +467,30 @@ def knn_join_exact(
         if self_join:
             cand = cand.where(F.col("s_id") != F.col("t_id"))
         cand = cand.localCheckpoint()
-        cnts = cand.groupBy("s_id").agg(F.count(F.lit(1)).alias("nc"))
-        if r >= rmax:
-            done = cnts.select("s_id")
-        else:
-            done = cnts.where(F.col("nc") >= k).select("s_id")
+        # Resolution and ranking share ONE window pass (r17 optimization
+        # round): nc = count over the same s_id partitioning (no extra
+        # exchange — the ordered window's sort satisfies it), and a
+        # source is resolved iff nc >= k, equivalently iff a row with
+        # rn == k exists. This folds the former counts groupBy + done
+        # semi-join into the window stage: 1 Exchange per round instead
+        # of 2, and no join. Identical row set.
         w = Window.partitionBy("s_id").orderBy("dist2", "t_id")
-        ranked = cand.withColumn("rn", F.row_number().over(w))
-        rounds.append(
-            ranked.join(done, "s_id", "left_semi")
-            .where(F.col("rn") <= k)
-            .select("s_id", "t_id", "dist2")
-        )
+        wc = Window.partitionBy("s_id")
+        ranked = cand.withColumn("rn", F.row_number().over(w)) \
+                     .withColumn("nc", F.count(F.lit(1)).over(wc))
+        if r >= rmax:
+            rounds.append(
+                ranked.where(F.col("rn") <= k)
+                .select("s_id", "t_id", "dist2")
+            )
+        else:
+            rounds.append(
+                ranked.where((F.col("rn") <= k) & (F.col("nc") >= k))
+                .select("s_id", "t_id", "dist2")
+            )
         if r >= rmax:
             break
+        done = ranked.where(F.col("rn") == k).select("s_id")
         remaining = remaining.join(
             done.withColumnRenamed("s_id", "id"), "id", "left_anti"
         )
