@@ -62,6 +62,31 @@ def persist_tiled(
     )
 
 
+def persist_tiled_many(
+    items: list[tuple[DataFrame, str]],
+    theta: tuple[float, float],
+    buckets: int = 32,
+) -> None:
+    """Write several tile layouts CONCURRENTLY (one driver thread per
+    table): the writes are independent jobs, so submitting them together
+    lets the scheduler back-fill the cores idled by each write's task
+    tail instead of serializing the tails. Each write is the plain
+    :func:`persist_tiled`; results are identical, tables just finish
+    together. Threads carry the usual caveat that Spark job properties
+    are thread-local, which is exactly what keeps the jobs separate."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not items:
+        return
+    with ThreadPoolExecutor(max_workers=len(items)) as pool:
+        futures = [
+            pool.submit(persist_tiled, df, table, theta, buckets)
+            for df, table in items
+        ]
+        for f in futures:
+            f.result()
+
+
 def bucketed_tile_join(
     spark: SparkSession,
     source_table: str,

@@ -584,7 +584,7 @@ def minhash_progressive_pairs(
         ).cast("double")
         / F.lit(float(k))
     )
-    sched = _pin(
+    sched = (
         cand.join(sig.select(F.col("doc_id").alias("d1"),
                              F.col("sig").alias("s1")), "d1")
         .join(sig.select(F.col("doc_id").alias("d2"),
@@ -595,11 +595,24 @@ def minhash_progressive_pairs(
         .limit(budget)
     )
     dv = _hashed_shingles(d)
-    return (
-        _with_jaccard(_pair_common(sched, dv, dv), dv)
-        .join(sched, ["d1", "d2"])
-        .select("d1", "d2", "est", "jaccard")
+    # est rides through the verification groupBy (first() is exact: one
+    # sched row per pair), so the schedule is consumed ONCE — the former
+    # 50-row localCheckpoint pin and the est join-back both fold away
+    # (r17 optimization round: one fewer eager action + one fewer join,
+    # identical rows; a zero-common scheduled pair still drops out via
+    # the inner shingle join, matching the exact join's domain)
+    common = (
+        sched
+        .join(dv.select(F.col("doc_id").alias("d1x"), "shingle"),
+              F.col("d1") == F.col("d1x"))
+        .drop("d1x")
+        .join(dv.select(F.col("doc_id").alias("d2"), "shingle"),
+              ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"),
+             F.first("est").alias("est"))
     )
+    return _with_jaccard(common, dv).select("d1", "d2", "est", "jaccard")
 
 
 def simhash_fingerprints(

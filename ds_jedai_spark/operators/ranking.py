@@ -102,19 +102,39 @@ def exact_quantiles(
     if not permille or any(not 0 <= int(p) <= 1000 for p in permille):
         raise ValueError(f"permille values must be in 0..1000, got {permille}")
     asc = [col] + list(tiebreak or [])
-    ranked = global_rank(df.select(*dict.fromkeys(asc)), asc_cols=asc)
-    cnt = df.agg(F.count(F.lit(1)).alias("n"))
-    wanted = (
-        df.sparkSession.createDataFrame(
-            [(int(p),) for p in sorted(set(int(p) for p in permille))],
-            "permille long",
-        )
-        .crossJoin(F.broadcast(cnt))
-        .select(
-            "permille",
-            (1 + F.expr("(permille * (n - 1)) div 1000"))
-            .cast("long").alias("rank"),
-        )
+    # Inlined global_rank (r17 optimization round): the offsets collect
+    # already yields the TOTAL row count, so the wanted-rank table is
+    # built driver-side from it — the former count(*) aggregate (a
+    # second full scan of ``df``) and its crossJoin broadcast subtree
+    # fold away. Same integer type-1 rank arithmetic, identical rows.
+    local = ranked_local(df.select(*dict.fromkeys(asc)), asc).localCheckpoint()
+    counts = sorted(
+        (r["part"], r["cnt"])
+        for r in local.groupBy("part").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offs, acc = [], 0
+    for part, c in counts:
+        offs.append((part, acc))
+        acc += c
+    n = acc
+    offsets = df.sparkSession.createDataFrame(
+        offs or [(0, 0)], "part int, off long"
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), "part")
+        .withColumn("rank", F.col("off") + F.col("rank"))
+        .drop("part", "off")
+    )
+    # rank = 1 + (p * (n - 1)) div 1000 with SQL div (truncation toward
+    # zero, matching the former in-plan expression; n >= 1 on any
+    # non-empty input, and an empty input joins empty regardless)
+    def _trunc_div(q: int, d: int) -> int:
+        return q // d if q >= 0 else -((-q) // d)
+
+    wanted = df.sparkSession.createDataFrame(
+        [(int(p), 1 + _trunc_div(int(p) * (n - 1), 1000))
+         for p in sorted(set(int(p) for p in permille))],
+        "permille long, rank long",
     )
     return (
         ranked.join(F.broadcast(wanted), "rank")
