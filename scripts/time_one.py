@@ -33,6 +33,11 @@ def main():
         giant._THETA_CACHE.clear()
         if name == "ann_train":
             pl._ANN_PIN.clear()
+        # free the cleared pins' checkpoint blocks (see bench.py):
+        # without this, reps drift upward as dead blocks accumulate
+        import gc
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
