@@ -60,23 +60,28 @@ def star_forest(
     connected_components_star) marks ``edges`` as ALREADY the pinned
     canonical set, skipping the initial canonicalize + checkpoint.
 
-    Each round is two groupBy-join passes + a distinct + ONE
-    fixpoint-probe aggregate, all shuffling only (node, node) pairs;
-    round frames are pinned with fresh_stats_checkpoint (see
-    iterative.py). The r17 optimization round MEASURED the lazy
-    alternatives on the sf0.1 bench dbscan (15k points, 145k eps-pairs,
-    1 round) and kept the pins: leaving the large-star intermediate
-    lazy costs +1.0 s/round and leaving the initial canonical edge set
-    lazy +0.5 s — Exchange reuse shares only the map side of the
-    duplicated distinct, and the repeated reduce-side aggregation +
-    join sorts outweigh a checkpoint job (2.47 s vs 3.36 s for the
-    pinned vs fully-lazy round).
+    Each round is FUSED into one checkpointed job (r18 optimization
+    round): the large-star pass stays lazy WITHOUT its former
+    intermediate distinct + checkpoint — duplicate edges cannot change
+    the small-star min-aggregate and collapse at the round's single
+    final distinct, so the edge SET each round produces is unchanged —
+    and the small-star pass rides ONE window (min smaller-neighbor per
+    center) + explode instead of a groupBy + join + union that scanned
+    the large-star output twice. One checkpoint + one fixpoint-probe
+    aggregate per round instead of two checkpoints + the probe
+    (measured on the sf0.1 bench dbscan: warm 3.9-4.8 s -> 3.0-3.5 s
+    end-to-end, identical labels). The r17 measurement that rejected a
+    LAZY large-star applied to the then-shape (distinct kept, output
+    consumed twice — the reduce-side distinct recomputed per consumer);
+    the single-consumer window shape removes that double compute.
 
     The round count bound is topology-independent O(log^2 n) — unlike
     min-label flooding, whose round count is the component's graph
     diameter (measured: the sf0.1 eps=1.5 lattice filaments need 35
     flooding rounds but 8 star rounds; end-to-end DBSCAN there fell
     35.5 s -> 19.8 s)."""
+    from pyspark.sql import Window
+
     from ds_jedai_spark.iterative import fresh_stats_checkpoint
 
     e = edges if _pinned else fresh_stats_checkpoint(
@@ -85,32 +90,32 @@ def star_forest(
     converged = False
     for _ in range(max_iter):
         # large-star: m(u) = min over u's CLOSED neighborhood; every
-        # strictly larger neighbor rewires to m(u)
+        # strictly larger neighbor rewires to m(u). LAZY and without a
+        # dedup: duplicate (a, b) rows don't change the small-star min
+        # below and collapse at the round's final distinct.
         sym = e.union(e.select(F.col("b").alias("a"),
                                F.col("a").alias("b")))
         mn = (sym.groupBy("a").agg(F.min("b").alias("m"))
               .select("a", F.least("m", "a").alias("m")))
-        large = (
+        e1 = (
             sym.where(F.col("b") > F.col("a"))
             .join(mn, "a")
             .select(F.col("b").alias("x"), F.col("m").alias("y"))
             .where(F.col("x") != F.col("y"))
             .select(F.least("x", "y").alias("a"),
                     F.greatest("x", "y").alias("b"))
-            .distinct()
         )
-        e1 = fresh_stats_checkpoint(large)
-        # small-star on (u > v) orientation: u and all its smaller
-        # neighbors rewire to the smallest of them
-        mn2 = (e1.groupBy("b").agg(F.min("a").alias("m"))
-               .withColumnRenamed("b", "u"))
-        # note: canonical edges store (a < b), so u = b side, smaller
-        # neighbors = a side, m = min(a's) < u always
+        # small-star on the canonical (a < b) orientation: center u = b
+        # side, smaller neighbors = a side, m2 = min(a's) < u always.
+        # ONE window pass computes m2; explode emits the leaf rows
+        # (a -> m2) and the center row (b -> m2, deduped by the
+        # distinct) — the former groupBy + join + union scanned e1
+        # twice.
+        m2 = F.min("a").over(Window.partitionBy("b"))
         small = (
-            e1.join(mn2, e1["b"] == mn2["u"])
-            .select(F.col("a").alias("x"), F.col("m").alias("y"))
-            .union(mn2.select(F.col("u").alias("x"),
-                              F.col("m").alias("y")))
+            e1.withColumn("m2", m2)
+            .select(F.explode(F.array("a", "b")).alias("x"),
+                    F.col("m2").alias("y"))
             .where(F.col("x") != F.col("y"))
             .select(F.least("x", "y").alias("a"),
                     F.greatest("x", "y").alias("b"))
@@ -223,45 +228,64 @@ def dbscan(
         ).selectExpr("id", "cx AS minx", "cy AS miny",
                      "cx AS maxx", "cy AS maxy")
 
-    # symmetric eps-neighbor pairs, self-pairs included
+    from pyspark.sql import Window
+
+    from ds_jedai_spark.iterative import fresh_stats_checkpoint
+
+    # symmetric eps-neighbor pairs, self-pairs included. The pin carries
+    # each source's DEGREE (one window pass inside the pin job, r18):
+    # the former separate degree groupBy + pinned cores table — and the
+    # two core semi-joins plus the border anti-join it fed — all become
+    # plain filters on the pinned rows, and the degree never recomputes
+    # downstream (the at-scale concern that kept the cores pin in r17).
+    # The distance column is dropped: nothing downstream reads it.
     if geodesic:
         nbr = geodesic_distance_join(points, points, eps, theta)
     else:
         nbr = distance_join(points, points, eps, theta)
-    nbr = nbr.localCheckpoint()
-
-    deg = nbr.groupBy("s_id").agg(F.count(F.lit(1)).alias("n"))
-    cores = (
-        deg.where(F.col("n") >= int(min_pts))
-        .select(F.col("s_id").alias("id"))
+    nbr = (
+        nbr.select("s_id", "t_id")
+        .withColumn(
+            "ns", F.count(F.lit(1)).over(Window.partitionBy("s_id"))
+        )
         .localCheckpoint()
     )
+    core = F.col("ns") >= int(min_pts)
 
-    # core-core backbone edges (one direction; CC symmetrizes)
+    # core-core backbone edges: the graph is symmetric, so each
+    # direction of a neighbor pair contributes its canonical (a < b)
+    # form iff ITS source is core — count == 2 iff BOTH endpoints are
+    # core. One groupBy replaces the former two semi-joins AND yields
+    # the edge set already canonical + distinct, so star_forest's
+    # initial canonicalize pass folds into this checkpoint (_pinned).
     ce = (
-        nbr.where(F.col("s_id") < F.col("t_id"))
-        .join(cores.withColumnRenamed("id", "s_id"), "s_id", "left_semi")
-        .join(cores.withColumnRenamed("id", "t_id"), "t_id", "left_semi")
-        .select("s_id", "t_id")
+        nbr.where(core & (F.col("s_id") != F.col("t_id")))
+        .select(F.least("s_id", "t_id").alias("a"),
+                F.greatest("s_id", "t_id").alias("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+        .where(F.col("c2") == 2)
+        .select("a", "b")
     )
+    e0 = fresh_stats_checkpoint(ce)
     # star_forest's (b -> a) edge map labels every LEAF core; centers
     # and isolated cores both coalesce to their own id, so the wrapper's
     # centers anti-join is redundant here (r17 optimization round: the
     # assembly plan fell from 50 Exchanges to a single left-join chain)
-    leaf_lbl = star_forest(ce, max_iter=max_iter).select(
+    leaf_lbl = star_forest(e0, max_iter=max_iter, _pinned=True).select(
         F.col("b").alias("id"), F.col("a").alias("label")
     )
+    core_ids = nbr.where(core & (F.col("s_id") == F.col("t_id"))) \
+        .select(F.col("s_id").alias("id"))
     core_lbl = (
-        cores.join(leaf_lbl, "id", "left")
+        core_ids.join(leaf_lbl, "id", "left")
         .select("id", F.coalesce("label", "id").alias("cluster"))
     )
 
     border = (
-        nbr.where(F.col("s_id") != F.col("t_id"))
+        nbr.where((~core) & (F.col("s_id") != F.col("t_id")))
         .join(
             core_lbl.select(F.col("id").alias("t_id"), "cluster"), "t_id"
         )
-        .join(cores.withColumnRenamed("id", "s_id"), "s_id", "left_anti")
         .groupBy("s_id")
         .agg(F.min("cluster").alias("cluster"))
         .select(F.col("s_id").alias("id"), "cluster")

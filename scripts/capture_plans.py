@@ -2,7 +2,7 @@
 
 Usage: python scripts/capture_plans.py <suffix> [query ...]
 
-Writes plans/r17/<name>_<suffix>.txt for each headline query (or the
+Writes plans/$SPARK_GRAFT_PLAN_ROUND (default r18)/<name>_<suffix>.txt for each headline query (or the
 named subset). The DataFrame is built exactly as bench.py builds it
 (same build_headline list), so the captured plan is the benched plan.
 Iterative queries (dbscan, knn_exact, the stateful scans) execute
@@ -34,7 +34,8 @@ def main() -> None:
     import bench
 
     spark = get_spark("ds_jedai_spark_plan_capture")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r17"
+    round_dir = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r18")
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / round_dir
     out_dir.mkdir(parents=True, exist_ok=True)
 
     headline = bench.build_headline(spark)
