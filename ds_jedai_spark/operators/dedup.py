@@ -513,7 +513,14 @@ def minhash_lsh_pairs(
     band = _pin(_band_table(d, k, rows_per_band))
     a = band.select(F.col("doc_id").alias("d1"), "band", "bkey")
     b = band.select(F.col("doc_id").alias("d2"), "band", "bkey")
-    cand = _pin(
+    # The candidate set has exactly ONE consumer (_pair_common), so it
+    # stays LAZY (r18): the former localCheckpoint materialized the
+    # whole pair set and paid an extra action for zero reuse — removing
+    # it fuses collision join + verification into one job (A/B warm
+    # 2.45 -> 2.13 s; at scale it drops a full write+read of the
+    # candidate stream). The band self-join's two sides share one
+    # exchange (identical pinned subtree -> ReusedExchange).
+    cand = (
         a.join(b, ["band", "bkey"])
         .where(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
@@ -755,9 +762,9 @@ def minhash_lsh_pairs_cross(
     band_b = _band_table(db, k, rows_per_band).select(
         F.col("doc_id").alias("d2"), "band", "bkey"
     )
-    cand = _pin(
-        band_a.join(band_b, ["band", "bkey"]).select("d1", "d2").distinct()
-    )
+    # single consumer (_pair_common) — lazy, same reasoning as
+    # minhash_lsh_pairs' candidate set (r18)
+    cand = band_a.join(band_b, ["band", "bkey"]).select("d1", "d2").distinct()
     dva, dvb = _hashed_shingles(da), _hashed_shingles(db)
     common = _pair_common(cand, dva, dvb)
     sz_a = _sizes(dva).select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
