@@ -369,18 +369,58 @@ def _areal_batch(gt, coords_arr, geodesic: bool):
             g_p = np.bincount(pp, weights=gq, minlength=nparts)
             gm2[sp] = np.abs(g_p[j]) * (MEAN_R * MEAN_R)
 
-    # multi-ring polygons: exact shell/hole regrouping, per row (rare)
-    for i in np.nonzero(is_poly & (nr > 1))[0]:
-        parts = [
-            np.column_stack(
-                [X[o2[jg] - p0:o2[jg + 1] - p0],
-                 Y[o2[jg] - p0:o2[jg + 1] - p0]]
-            ).tolist()
-            for jg in range(o1[i], o1[i + 1])
-        ]
-        area[i], cx[i], cy[i] = _areal_measures(gt[i], parts)
-        if geodesic:
-            gm2[i] = _geodesic_area_m2(gt[i], parts)
+    # multi-ring polygons: exact shell/hole regrouping per row, but the
+    # per-ring shoelace / spherical sums come from the VECTORIZED
+    # per-part arrays above (r18) — the former fallback re-ran the pure
+    # Python point loops of _areal_measures/_geodesic_area_m2 for every
+    # multi-ring row. Only the even-odd nesting (regroup_rings' exact
+    # point-location) still reads coordinates row-side; accumulation
+    # order and expression shapes replicate _areal_measures exactly
+    # (groups-then-members iteration IS original ring order — a ring
+    # only ever joins the CURRENT polygon), so results are bit-identical.
+    # (P < 2 means no intra-part pair anywhere: every ring is a single
+    # point or empty, so the defaults — area 0, vertex-mean centroid,
+    # spherical 0 — already equal _areal_measures' degenerate answers)
+    mrows = np.nonzero(is_poly & (nr > 1))[0]
+    if mrows.size and P >= 2 and nparts:
+        from ds_jedai_spark.model.geometry import regroup_rings
+
+        for i in mrows:
+            ringsl = [
+                np.column_stack(
+                    [X[o2[jg] - p0:o2[jg + 1] - p0],
+                     Y[o2[jg] - p0:o2[jg + 1] - p0]]
+                ).tolist()
+                for jg in range(o1[i], o1[i + 1])
+            ]
+            pos = {id(r): t for t, r in enumerate(ringsl)}
+            base = int(o1[i]) - j0
+            a_i = 0.0
+            mx = my = 0.0
+            g_i = 0.0
+            for rings in regroup_rings(ringsl):
+                for k, ring in enumerate(rings):
+                    jloc = base + pos[id(ring)]
+                    a2r = a2[jloc]
+                    a = abs(a2r) / 2.0
+                    sgn = 1.0 if k == 0 else -1.0
+                    a_i += sgn * a
+                    if a2r != 0.0:
+                        mx += sgn * sx[jloc] / 6.0 * \
+                            (1.0 if a2r > 0 else -1.0)
+                        my += sgn * sy[jloc] / 6.0 * \
+                            (1.0 if a2r > 0 else -1.0)
+                    if geodesic:
+                        ga = abs(g_p[jloc]) * MEAN_R * MEAN_R
+                        g_i += ga if k == 0 else -ga
+            if a_i > 0.0:
+                area[i] = a_i
+                cx[i] = mx / a_i
+                cy[i] = my / a_i
+            # else: area stays 0.0 and cx/cy keep the vertex mean —
+            # the same degenerate fallback _areal_measures returns
+            if geodesic:
+                gm2[i] = max(g_i, 0.0)
     return area, cx, cy, gm2, wrap
 
 

@@ -72,7 +72,11 @@ def measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     haversine length of the segments remapped into lon/lat range."""
     from ds_jedai_spark.operators.measures import with_measures
 
-    poly = with_measures(_poly_with_hole(spark, sf_dir))
+    # ship ONLY (gtype, coords) through the Arrow boundary (guide
+    # §4.1, r18): the aggregates read measure columns alone, and the
+    # id + envelope passthrough cost both directions of the map
+    poly = with_measures(
+        _poly_with_hole(spark, sf_dir).select("gtype", "coords"))
     agg_poly = poly.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("npoints").cast("bigint").alias("npts"),
@@ -91,7 +95,7 @@ def measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array(array(array(x1, y1), array(x2, y2))) AS coords",
         "minx", "miny", "maxx", "maxy",
     )
-    lm = with_measures(lines)
+    lm = with_measures(lines.select("gtype", "coords"))
     agg_line = lm.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("length") * 1000)).cast("bigint")
@@ -114,7 +118,8 @@ def measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "greatest(x1, x2) - 48.0 AS maxx",
         "greatest(y1, y2) / 2.0 - 24.0 AS maxy",
     ).withMetadata("gtype", {"crs": "EPSG:4326"})
-    agg_geo = with_measures(geo, geodesic=True).agg(
+    agg_geo = with_measures(
+        geo.select("gtype", "coords"), geodesic=True).agg(
         F.sum(F.round(F.col("length_m"))).cast("bigint").alias("glen_m"),
     )
 
@@ -137,8 +142,8 @@ def measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         " array(x1 / 2.0 - 180.0, y1 / 4.0 - 11.0),"
         " array(x1 / 2.0 - 180.0, y1 / 4.0 - 12.0))) AS coords",
     )
-    wrapped = wl.unionByName(wp).withMetadata(
-        "gtype", {"crs": "EPSG:4326"})
+    wrapped = wl.unionByName(wp).select("gtype", "coords")\
+        .withMetadata("gtype", {"crs": "EPSG:4326"})
     agg_gw = with_measures(wrapped, geodesic=True).agg(
         F.sum(F.when(F.col("gtype") == "LINESTRING", 1).otherwise(0))
         .cast("bigint").alias("n_wline"),
@@ -159,7 +164,8 @@ def measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per row: libm last-ulp differences (~1e-4 m² at these
     # magnitudes) sit 1e-10 from a km² rounding boundary.
     agg_gsh = with_measures(
-        wp.withMetadata("gtype", {"crs": "EPSG:4326"}),
+        wp.select("gtype", "coords")
+        .withMetadata("gtype", {"crs": "EPSG:4326"}),
         geodesic=True, seam="shift",
     ).agg(
         F.sum(F.round(F.col("area_m2") / 1e6)).cast("bigint")
@@ -174,7 +180,7 @@ def measure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array(array(array(minx, miny))) AS coords",
         "minx", "miny", "maxx", "maxy",
     )
-    agg_pt = with_measures(pts).agg(
+    agg_pt = with_measures(pts.select("gtype", "coords")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("centroid_x") * 1e6)).cast("bigint")
         .alias("cx6"),
