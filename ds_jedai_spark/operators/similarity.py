@@ -519,8 +519,40 @@ def pin_bands(
 VERIFY_BROADCAST_CAP = 262_144
 
 
+_GATHER_UNSET = object()  # sentinel: no pre-gathered corpus supplied
+
+
+def gather_quantized(qe: DataFrame):
+    """Collect + broadcast the quantized corpus ONCE for the verify
+    tier — the index-build-time form of _cosine_verify_pairs' probe
+    (r18): a standing index gathers its matrix when it is built, not
+    per search. Returns a Broadcast of the (ids, mat, norm2) arrays
+    (sorted by id), or None when the corpus exceeds
+    VERIFY_BROADCAST_CAP — and probes with a COUNT first, so the
+    over-cap (join-tier) case never hauls vectors to the driver."""
+    import numpy as np
+
+    base = qe.select("vec_id", "qv", "norm2")
+    if base.limit(VERIFY_BROADCAST_CAP + 1).count() > VERIFY_BROADCAST_CAP:
+        return None
+    rows = base.collect()
+    ids = np.fromiter((r[0] for r in rows), dtype=np.int64,
+                      count=len(rows))
+    mat = np.array([r[1] for r in rows], dtype=np.int64)
+    nn = np.fromiter((r[2] for r in rows), dtype=np.int64,
+                     count=len(rows))
+    order = np.argsort(ids)
+    return qe.sparkSession.sparkContext.broadcast(
+        (ids[order], mat[order], nn[order])
+    )
+
+
 def _cosine_verify_pairs(
-    cand: DataFrame, qe: DataFrame, tau: float, dedup: bool = False
+    cand: DataFrame,
+    qe: DataFrame,
+    tau: float,
+    dedup: bool = False,
+    gathered=_GATHER_UNSET,
 ) -> DataFrame:
     """Exact-cosine verification of an id-pair stream (d1, d2) against
     the quantized corpus ``qe`` (vec_id, qv, norm2): (d1, d2, cos) for
@@ -558,20 +590,29 @@ def _cosine_verify_pairs(
 
     The tier probe is ``limit(cap + 1).collect()`` — bounded driver
     memory, the same cost class as building any broadcast hash
-    relation."""
-    probe = qe.select("vec_id", "qv", "norm2") \
-        .limit(VERIFY_BROADCAST_CAP + 1).collect()
-    if len(probe) <= VERIFY_BROADCAST_CAP:
-        import numpy as np
+    relation. Callers holding a STANDING index pass ``gathered``
+    (gather_quantized's result — a Broadcast below the cap, None above
+    it) so searches skip the probe job entirely (r18); the default
+    keeps the per-call probe for ad-hoc corpora."""
+    if gathered is _GATHER_UNSET:
+        probe = qe.select("vec_id", "qv", "norm2") \
+            .limit(VERIFY_BROADCAST_CAP + 1).collect()
+        if len(probe) <= VERIFY_BROADCAST_CAP:
+            import numpy as np
 
-        ids = np.fromiter((r[0] for r in probe), dtype=np.int64,
-                          count=len(probe))
-        mat = np.array([r[1] for r in probe], dtype=np.int64)
-        nn = np.fromiter((r[2] for r in probe), dtype=np.int64,
-                         count=len(probe))
-        order = np.argsort(ids)
-        ids, mat, nn = ids[order], mat[order], nn[order]
-        bc = cand.sparkSession.sparkContext.broadcast((ids, mat, nn))
+            ids = np.fromiter((r[0] for r in probe), dtype=np.int64,
+                              count=len(probe))
+            mat = np.array([r[1] for r in probe], dtype=np.int64)
+            nn = np.fromiter((r[2] for r in probe), dtype=np.int64,
+                             count=len(probe))
+            order = np.argsort(ids)
+            gathered = cand.sparkSession.sparkContext.broadcast(
+                (ids[order], mat[order], nn[order])
+            )
+        else:
+            gathered = None
+    if gathered is not None:
+        bc = gathered
         tau_f = float(tau)
 
         def verify(batches):
@@ -627,6 +668,7 @@ def lsh_neardup_pairs(
     bands: DataFrame | None = None,
     n_bands: int | str = LSH_BANDS,
     n_bits: int = LSH_BITS,
+    gathered=_GATHER_UNSET,
 ) -> DataFrame:
     """Banded random-hyperplane LSH near-dup discovery: a pair is a
     candidate if ANY of the LSH_BANDS bands (LSH_BITS sign bits each,
@@ -660,7 +702,8 @@ def lsh_neardup_pairs(
         .where(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
     )
-    return _cosine_verify_pairs(cand, qe, tau, dedup=True)
+    return _cosine_verify_pairs(cand, qe, tau, dedup=True,
+                                gathered=gathered)
 
 
 def lsh_neardup_pairs_cross(

@@ -108,13 +108,20 @@ def _pinned_ann(spark: SparkSession, sf_dir: str) -> dict:
             cent = similarity.pin_centroids(emb)
             return cent, similarity.pin_cells(emb, cent)
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        with ThreadPoolExecutor(max_workers=4) as pool:
             f_pq = pool.submit(_pq_chain)
             f_ivf = pool.submit(_ivf_chain)
             f_bands = pool.submit(similarity.pin_bands, emb)
+            # gathered verify matrix: an index payload like codes/cells
+            # (r18) — built once here, so searches skip the per-call
+            # probe collect; None above the broadcast cap (join tier)
+            f_gather = pool.submit(
+                similarity.gather_quantized, similarity.quantized(emb)
+            )
             books, codes = f_pq.result()
             cent, cells = f_ivf.result()
             bands = f_bands.result()
+            qgather = f_gather.result()
         _ANN_PIN[key] = {
             "books": books,
             "cent": cent,
@@ -126,6 +133,10 @@ def _pinned_ann(spark: SparkSession, sf_dir: str) -> dict:
             # build time — LSH searches and the incremental cross-dedup
             # read the standing band table, not the hyperplane dots
             "bands": bands,
+            # broadcast of the quantized verify matrix (or None above
+            # VERIFY_BROADCAST_CAP): searches pass it to
+            # _cosine_verify_pairs instead of re-collecting per call
+            "qgather": qgather,
         }
     return _ANN_PIN[key]
 
@@ -257,9 +268,10 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 def ann_lsh_pairs(spark, sf_dir):
+    pin = _pinned_ann(spark, sf_dir)
     return similarity.lsh_neardup_pairs(
         _emb(spark, sf_dir), TAU_COS,
-        bands=_pinned_ann(spark, sf_dir)["bands"],
+        bands=pin["bands"], gathered=pin["qgather"],
     )
 
 
@@ -290,8 +302,9 @@ def ann_lsh_recall(spark, sf_dir):
     exact = similarity.cosine_neardup_pairs(emb, TAU_COS).select(
         F.col("v1").alias("d1"), F.col("v2").alias("d2")
     )
+    pin = _pinned_ann(spark, sf_dir)
     lsh = similarity.lsh_neardup_pairs(
-        emb, TAU_COS, bands=_pinned_ann(spark, sf_dir)["bands"]
+        emb, TAU_COS, bands=pin["bands"], gathered=pin["qgather"]
     ).select("d1", "d2")
     hit = exact.join(lsh, on=["d1", "d2"], how="left_semi")
     return (
