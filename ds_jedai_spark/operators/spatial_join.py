@@ -349,14 +349,19 @@ def knn_join_exact_geodesic(
             cand = cand.where(F.col("s_id") != F.col("t_id"))
         cand = cand.withColumn(
             "dist_mm", F.round(F.col("dist_m") * 1000.0).cast("bigint")
-        ).localCheckpoint()
+        )
         r_mm = round(r * 1000.0)
         # One window pass carries ranking AND the strict-mm resolution
         # count (r17 optimization round, mirroring knn_join_exact): nc
         # sums the strictly-in-radius candidates over the same s_id
         # partitioning the ordered window already established — the
         # former counts groupBy + done semi-join (2 extra Exchanges +
-        # a join per round) fold away. Identical row set.
+        # a join per round) fold away. Identical row set. The round pin
+        # sits ABOVE the window (r18): the RANKED frame is what both
+        # consumers (the per-round output and the done/remaining probe)
+        # read, so pinning it runs the window once per round instead of
+        # once per consumer — two fewer Exchange+Sort executions per
+        # round for two extra int columns in the checkpoint.
         w = Window.partitionBy("s_id").orderBy("dist_mm", "t_id")
         wc = Window.partitionBy("s_id")
         ranked = (
@@ -368,6 +373,7 @@ def knn_join_exact_geodesic(
                     .otherwise(0)
                 ).over(wc),
             )
+            .localCheckpoint()
         )
         if r >= rmax_m:
             # terminal radius exceeds any possible great-circle
@@ -454,30 +460,36 @@ def knn_join_exact(
     remaining = source
     r = r0
     while True:
-        # Pin each round's candidate set (eager localCheckpoint): it is
-        # consumed by BOTH the resolution counts and the ranked output,
-        # and every later round's `remaining` chains an anti-join off
-        # it — unpinned, round i re-executes the tile joins of rounds
-        # 1..i (measured 1.5x warm on the sf0.1 gate query). The pinned
-        # frame holds only unresolved-source candidates, which shrink
-        # geometrically with the rounds.
+        # Pin each round's RANKED candidate set (eager localCheckpoint):
+        # it is consumed by BOTH the resolution probe and the per-round
+        # output, and every later round's `remaining` chains an
+        # anti-join off it — unpinned, round i re-executes the tile
+        # joins of rounds 1..i (measured 1.5x warm on the sf0.1 gate
+        # query). The pinned frame holds only unresolved-source
+        # candidates, which shrink geometrically with the rounds.
         cand = distance_join(
             remaining, target, r, _round_theta(theta, r)
         )
         if self_join:
             cand = cand.where(F.col("s_id") != F.col("t_id"))
-        cand = cand.localCheckpoint()
         # Resolution and ranking share ONE window pass (r17 optimization
         # round): nc = count over the same s_id partitioning (no extra
         # exchange — the ordered window's sort satisfies it), and a
         # source is resolved iff nc >= k, equivalently iff a row with
         # rn == k exists. This folds the former counts groupBy + done
         # semi-join into the window stage: 1 Exchange per round instead
-        # of 2, and no join. Identical row set.
+        # of 2, and no join. Identical row set. The pin sits ABOVE the
+        # window (r18): both consumers (output filter, done/remaining
+        # probe) formerly re-ran the Exchange + Sort + Window over the
+        # pinned raw candidates; pinning the ranked rows runs it once
+        # per round for two extra int columns in the checkpoint.
         w = Window.partitionBy("s_id").orderBy("dist2", "t_id")
         wc = Window.partitionBy("s_id")
-        ranked = cand.withColumn("rn", F.row_number().over(w)) \
-                     .withColumn("nc", F.count(F.lit(1)).over(wc))
+        ranked = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .withColumn("nc", F.count(F.lit(1)).over(wc))
+            .localCheckpoint()
+        )
         if r >= rmax:
             rounds.append(
                 ranked.where(F.col("rn") <= k)
