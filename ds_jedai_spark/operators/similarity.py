@@ -492,17 +492,32 @@ def pin_bands(
         "lsh_bands", F.lit(int(bands))
     ).withColumn("lsh_bits", F.lit(int(bits)))
     if mode == "local":
-        # Spread the pinned payload across the session parallelism: the
-        # band table reads as ONE partition otherwise (a map-only plan
-        # over a small scan), and every downstream collision join +
-        # verification pass inherits that single-core layout (r17
+        # Spread the pinned payload across DATA-PROPORTIONAL
+        # parallelism: the band table reads as ONE partition otherwise
+        # (a map-only plan over a small scan), and every downstream
+        # collision join + verification pass inherits that layout (r17
         # optimization round: the whole ann_lsh_pairs pipeline ran on
-        # one task; measured 2.0 s -> 0.5 s for the verify stage after
-        # the spread). Rows are 5 small integers — the one-time shuffle
-        # is noise in the build.
+        # one task with the then-HOF verify; measured 2.0 s -> 0.5 s
+        # for the verify stage after a full-parallelism spread). The
+        # r17 full fan-out over-corrected at small corpora: every
+        # search stage — and its Python verify worker round-trip —
+        # inherits shuffle_partitions-many tasks of a few hundred rows
+        # each, which is why the driver's 8-core bench ran ann_lsh
+        # TWICE as fast as 32-core (PERF_r17 scaling 0.51). r18 sizes
+        # the spread by ROWS (ceil(n·bands / PIN_BAND_ROWS_PER_PART),
+        # capped at the session parallelism): small pins stay compact,
+        # cluster-scale corpora still fan out fully — the partition
+        # count is derived from input size, not from the local core
+        # count (guide §2). Rows are 5 small integers — the one-time
+        # count + shuffle are noise in the build.
         from ds_jedai_spark.operators.ranking import shuffle_parts
 
-        return bb.repartition(shuffle_parts(bb)).localCheckpoint()
+        rows = emb.count() * int(bands)
+        parts = min(
+            shuffle_parts(bb),
+            max(1, -(-rows // PIN_BAND_ROWS_PER_PART)),
+        )
+        return bb.repartition(parts).localCheckpoint()
     if mode != "table":
         raise ValueError(f"unknown pin mode: {mode!r}")
     from ds_jedai_spark.io.bucketed import drop_table_and_location
@@ -516,6 +531,13 @@ def pin_bands(
 # collected (vec_id, qv, norm2) matrix at this cap is ~130 MB of int64
 # for 64-dim vectors — ordinary broadcast-join territory. Beyond it the
 # equi-join tier takes over (same results, one more shuffle).
+# Band-pin partition sizing: one partition per this many (vec_id, band,
+# bucket) rows (~3 MB at 24 B/row framed). Derived from data volume so
+# the same formula yields 1 partition for a 2k-vector local corpus and
+# full session parallelism beyond ~4M vectors — never a constant tuned
+# to either regime (guide §2, scale-adaptive partitioning).
+PIN_BAND_ROWS_PER_PART = 131_072
+
 VERIFY_BROADCAST_CAP = 262_144
 
 
