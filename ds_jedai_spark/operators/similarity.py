@@ -532,11 +532,17 @@ def pin_bands(
 # for 64-dim vectors — ordinary broadcast-join territory. Beyond it the
 # equi-join tier takes over (same results, one more shuffle).
 # Band-pin partition sizing: one partition per this many (vec_id, band,
-# bucket) rows (~3 MB at 24 B/row framed). Derived from data volume so
-# the same formula yields 1 partition for a 2k-vector local corpus and
-# full session parallelism beyond ~4M vectors — never a constant tuned
-# to either regime (guide §2, scale-adaptive partitioning).
-PIN_BAND_ROWS_PER_PART = 131_072
+# bucket) rows. The partition count governs the COLLISION pipeline's
+# task granularity (scan -> broadcast collision join -> Arrow verify all
+# fuse over the pin's layout), and collision volume is quadratic in
+# bucket occupancy — so the divisor is deliberately small: it only
+# matters for sub-100k-row corpora, where the measured sweep (sf0.1
+# bench corpus, 16k band rows -> 4.01M collisions) reads 2.6 s at 1
+# partition, 0.9-1.0 s at 8-16, 1.2-1.8 s at 32 on 32 cores. Beyond
+# ~1024·shuffle_partitions band rows the cap takes over and the pin
+# spreads across full session parallelism — the at-scale shape, derived
+# from data volume, not the local core count (guide §2).
+PIN_BAND_ROWS_PER_PART = 1_024
 
 VERIFY_BROADCAST_CAP = 262_144
 
