@@ -24,6 +24,7 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from ds_jedai_spark.operators import similarity
+from conftest import fuzz_examples
 
 _val = st.integers(-16, 16).map(lambda v: v / 8.0)
 
@@ -65,7 +66,7 @@ def _brute_py(rows, k):
 
 @pytest.mark.usefixtures("spark")
 @given(corpus())
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=fuzz_examples(8), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_ann_family_matches_brute_force(spark, rows):
     emb = spark.createDataFrame(

@@ -22,6 +22,7 @@ import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from ds_jedai_spark.operators import dedup
+from conftest import fuzz_examples
 
 VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "x_y", "ümlaut", "a,b."]
 
@@ -87,7 +88,7 @@ def _brute_clusters(pairs, tau=0.25):
 
 @pytest.mark.usefixtures("spark")
 @given(corpus())
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=fuzz_examples(10), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_dedup_family_matches_brute_force(spark, rows):
     docs = spark.createDataFrame(rows, "doc_id long, text string")

@@ -19,6 +19,7 @@ from ds_jedai_spark.config import DatasetSpec, JedaiConfig
 from ds_jedai_spark.model.geometry import format_wkt
 from ds_jedai_spark.operators.relate import RELATIONS
 from ds_jedai_spark.operators.relate_general import relate_pair
+from conftest import fuzz_examples
 
 _lat = st.integers(-24, 24).map(lambda v: v / 16.0)
 
@@ -195,7 +196,7 @@ def _shift(rows, dx, dy):
 @example(src=_POINTS_ONLY, tgt=_BOXES, off=(0.0, 0.0))
 @example(src=_STACKED, tgt=_BOXES, off=(0.0, 0.0))
 @example(src=_HOLED, tgt=_HOLED, off=(0.0, 0.0))
-@settings(max_examples=12, deadline=None,
+@settings(max_examples=fuzz_examples(12), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_de9im_counts_match_brute_force(spark, tmp_path_factory, src, tgt,
                                         off):
@@ -238,7 +239,7 @@ _PATHS = [
 # boxes for them and the decomposed pre-filter dropped true pairs
 @example(src=[("POINT", [[[0.0, 0.0]]])],
          tgt=[("MULTIPOINT", [[[0.0, 0.0]], [[0.0, 0.0625]]])], variant=0)
-@settings(max_examples=12, deadline=None,
+@settings(max_examples=fuzz_examples(12), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_variant_paths_match_brute_force(spark, tmp_path_factory, src,
                                          tgt, variant):
@@ -300,7 +301,7 @@ def _write_dated(path, rows, days):
 
 @pytest.mark.usefixtures("spark")
 @given(dataset(), dataset(), st.integers(0, 5), st.integers(0, 5))
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=fuzz_examples(8), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_spatiotemporal_counts_match_brute_force(
         spark, tmp_path_factory, src, tgt, sseed, tseed):
@@ -338,7 +339,7 @@ def test_spatiotemporal_counts_match_brute_force(
 
 @pytest.mark.usefixtures("spark")
 @given(dataset(), dataset(), st.booleans())
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=fuzz_examples(6), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_export_sinks_roundtrip_brute_force(spark, tmp_path_factory, src,
                                             tgt, rdf):
@@ -427,7 +428,7 @@ def _write_nt(path, rows):
 
 @pytest.mark.usefixtures("spark")
 @given(dataset(), dataset())
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=fuzz_examples(6), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_geojson_and_ntriples_readers_match_brute_force(
         spark, tmp_path_factory, src, tgt):
@@ -475,7 +476,7 @@ def _write_wkb_parquet(path, rows):
 
 @pytest.mark.usefixtures("spark")
 @given(dataset(), dataset())
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=fuzz_examples(6), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_wkb_parquet_reader_matches_brute_force(
         spark, tmp_path_factory, src, tgt):
@@ -501,7 +502,7 @@ def test_wkb_parquet_reader_matches_brute_force(
 
 @pytest.mark.usefixtures("spark")
 @given(dataset(), dataset())
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=fuzz_examples(5), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_early_stopping_is_subset_of_brute_force(spark, tmp_path_factory,
                                                  src, tgt):
@@ -537,7 +538,7 @@ _PROG = [
 
 @pytest.mark.usefixtures("spark")
 @given(dataset(), dataset(), st.integers(0, len(_PROG) - 1))
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=fuzz_examples(10), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_progressive_full_budget_is_full_verification(
         spark, tmp_path_factory, src, tgt, variant):

@@ -24,7 +24,15 @@ WKTS = [
 @pytest.fixture(scope="module")
 def geoms(spark):
     df = spark.createDataFrame(WKTS, ["id", "wkt"])
-    return with_fine_envelopes(valid_geometries(with_parsed_geometry(df)))
+    # Pinned: the crossJoin below plans as a CartesianProduct whose
+    # every task pair re-executes BOTH sides' mapInPandas subtrees —
+    # measured 64 s for 30 pairs unpinned vs 0.5 s pinned. The engine's
+    # decomposed path never crossJoins unpinned fine-env frames (its
+    # joins are tile equi-joins, one evaluation per side per stage);
+    # this is purely the test's brute-force harness.
+    return with_fine_envelopes(
+        valid_geometries(with_parsed_geometry(df))
+    ).localCheckpoint()
 
 
 def test_fine_filter_keeps_all_true_intersections(spark, geoms):

@@ -56,7 +56,19 @@ def test_every_composite_column_aligns_with_its_oracle(spark):
     driver's compare sorts columns by name before hashing, so an alias
     drifting on either side fails the hash even with identical values —
     this is the most common way a green composite silently turns red.
-    Catch it at test time, not at round time."""
+    Catch it at test time, not at round time.
+
+    Full-tier only (r18): executing all 50 oracle SQLs + building all
+    50 Spark plans (their eager pins included) is ~3.5 min, and
+    scripts/check_correctness.py verifies the identical alignment
+    (schema_match) on every run of the gate. The default profile keeps
+    the two-composite live check above."""
+    import pytest
+
+    from conftest import FULL_SUITE
+
+    if not FULL_SUITE:
+        pytest.skip("oracle-gate duplicate; DSJ_FULL_SUITE=1 restores")
     import duckdb
 
     con = duckdb.connect()

@@ -17,6 +17,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import fuzz_examples
 from ds_jedai_spark.io.geopackage import (
     export_geopackage,
     read_geopackage,
@@ -265,7 +266,7 @@ def test_fuzz_gpkg_roundtrip(spark):
     from hypothesis import HealthCheck, given, settings
     from test_e2e_fuzz import dataset
 
-    @settings(max_examples=10, deadline=None,
+    @settings(max_examples=fuzz_examples(10), deadline=None,
               suppress_health_check=list(HealthCheck))
     @given(dataset())
     def run(rows):

@@ -72,7 +72,14 @@ def _frame(spark, n, kind_shift):
     df = spark.createDataFrame(
         list(enumerate(_wkts(n, kind_shift))), "id long, wkt string"
     )
-    return valid_geometries(with_parsed_geometry(df, "wkt")).drop("wkt")
+    # Pinned: the brute-force crossJoin below plans as a
+    # CartesianProduct whose task pairs re-execute both sides' parse
+    # subtrees, and _rel_rows evaluates each candidate frame twice
+    # (agg + pair collect) — pinning the 48-row inputs keeps this a
+    # seconds-scale test without changing what it proves.
+    return valid_geometries(
+        with_parsed_geometry(df, "wkt")
+    ).drop("wkt").localCheckpoint()
 
 
 def _rel_rows(cand):

@@ -5,6 +5,7 @@ from hypothesis import given, settings, strategies as st
 
 from ds_jedai_spark.model.geometry import format_wkt, parse_wkt
 from ds_jedai_spark.operators.relate_general import relate_pair
+from conftest import fuzz_examples
 
 lattice = st.integers(min_value=-50, max_value=50).map(lambda v: v / 16.0)
 
@@ -27,7 +28,7 @@ def points(draw):
 
 
 @given(boxes())
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=fuzz_examples(200), deadline=None)
 def test_wkt_roundtrip_polygon(parts):
     w = format_wkt("POLYGON", parts)
     parsed = parse_wkt(w)
@@ -37,14 +38,14 @@ def test_wkt_roundtrip_polygon(parts):
 
 
 @given(points())
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=fuzz_examples(100), deadline=None)
 def test_wkt_roundtrip_point(parts):
     parsed = parse_wkt(format_wkt("POINT", parts))
     assert parsed is not None and parsed[1] == parts
 
 
 @given(boxes(), boxes())
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=fuzz_examples(300), deadline=None)
 def test_relation_algebra_laws(a, b):
     ab = relate_pair("POLYGON", a, "POLYGON", b)
     ba = relate_pair("POLYGON", b, "POLYGON", a)
@@ -70,7 +71,7 @@ def test_relation_algebra_laws(a, b):
 
 
 @given(points(), boxes())
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=fuzz_examples(200), deadline=None)
 def test_point_box_laws(p, b):
     pb = relate_pair("POINT", p, "POLYGON", b)
     bp = relate_pair("POLYGON", b, "POINT", p)
@@ -98,7 +99,7 @@ def polylines(draw):
 
 
 @given(polylines(), polylines())
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=fuzz_examples(300), deadline=None)
 def test_line_line_algebra_laws(pa, pb):
     """Internal consistency of the exact line-line path (rational
     sub-segment coverage): argument-swap duality, symmetry of the
@@ -137,7 +138,7 @@ def triangles(draw):
 
 
 @given(triangles(), triangles())
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=fuzz_examples(200), deadline=None)
 def test_polygon_polygon_algebra_laws(pa, pb):
     """Same consistency laws through the rational-arithmetic
     polygon-polygon path (relate_poly)."""
@@ -160,7 +161,7 @@ def test_polygon_polygon_algebra_laws(pa, pb):
 
 
 @given(polylines(), triangles())
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=fuzz_examples(200), deadline=None)
 def test_line_polygon_algebra_laws(pl, tri):
     """Mixed-dimension laws through the rational line-polygon classifier:
     swap duality, dimension constraints (a 1-D geometry can never
@@ -187,7 +188,7 @@ def test_line_polygon_algebra_laws(pl, tri):
     st.integers(min_value=2, max_value=64),
     st.data(),
 )
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=fuzz_examples(300), deadline=None)
 def test_chunk_schedule_laws(n, chunk, data):
     """The closed-form chunk schedule of textops.chunk_documents (same
     integer formulas, driver-side): chunks tile [0, n) with no gaps,
@@ -246,7 +247,7 @@ def _rect_loc(p, rect):
 
 
 @given(donuts(), points())
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=fuzz_examples(300), deadline=None)
 def test_point_vs_donut_matches_interval_algebra(donut, pt):
     """POLYGON-with-hole vs POINT across the whole lattice space: the
     engine's region classification must equal the interval-algebra
@@ -272,7 +273,7 @@ def test_point_vs_donut_matches_interval_algebra(donut, pt):
 
 
 @given(donuts(), donuts(), points())
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=fuzz_examples(300), deadline=None)
 def test_point_vs_multipolygon_matches_interval_algebra(d1, d2, pt):
     """MULTIPOLYGON (two independent donut parts, arbitrary relative
     placement — may overlap, under even-odd the overlap is exterior) vs
@@ -389,7 +390,7 @@ def _rect_parts(r):
 
 
 @given(donuts(), rects())
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=fuzz_examples(300), deadline=None)
 def test_rect_vs_donut_full_de9im_matches_interval_algebra(donut, t):
     """POLYGON-with-hole vs rectangle POLYGON: ALL TEN DE-9IM flags from
     the exact sub-segment classifier (relate_poly) must equal pure
@@ -403,7 +404,7 @@ def test_rect_vs_donut_full_de9im_matches_interval_algebra(donut, t):
 
 
 @given(rects(), rects(), rects())
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=fuzz_examples(300), deadline=None)
 def test_rect_vs_disjoint_multipolygon_matches_interval_algebra(a, b, t):
     """Two-part MULTIPOLYGON (disjoint, non-touching rects) vs rect:
     union algebra — II if either part strictly overlaps; covered iff
@@ -457,7 +458,7 @@ def hsegments(draw):
 
 
 @given(donuts(), hsegments())
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=fuzz_examples(300), deadline=None)
 def test_hsegment_vs_donut_matches_arrangement(donut, seg):
     """Horizontal LINESTRING vs polygon-with-hole: flags from a 1-D
     arrangement (cut the segment at the rects' x-bounds, classify each
@@ -565,7 +566,7 @@ def small_donuts(draw):
 
 
 @given(small_donuts(), small_donuts())
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=fuzz_examples(60), deadline=None)
 def test_donut_vs_donut_full_de9im_matches_exact_sampling(da, db):
     """POLYGON-with-hole vs POLYGON-with-hole — the hardest
     polygon-polygon corner (shared hole boundaries, donut-in-hole,
@@ -642,7 +643,7 @@ def rectilinear_shapes(draw):
 
 
 @given(rectilinear_shapes(), rectilinear_shapes())
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=fuzz_examples(60), deadline=None)
 def test_rectilinear_vs_rectilinear_full_de9im_matches_exact_sampling(
     sa, sb
 ):
@@ -664,7 +665,7 @@ def test_rectilinear_vs_rectilinear_full_de9im_matches_exact_sampling(
 
 
 @given(small_donuts())
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=fuzz_examples(100), deadline=None)
 def test_wkt_roundtrip_polygon_with_hole(donut):
     parts = donut[0]
     parsed = parse_wkt(format_wkt("POLYGON", parts))
@@ -1016,7 +1017,7 @@ def dyadic_maps(draw):
     st.integers(0, len(_POLY_TEMPLATES) - 1), dyadic_maps(),
     st.integers(0, len(_POLY_TEMPLATES) - 1), dyadic_maps(),
 )
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=fuzz_examples(150), deadline=None)
 def test_affine_polygon_pairs_match_arrangement_model(ia, ma, ib, mb):
     """Rotated/sheared/reflected polygon x polygon in general position:
     all ten DE-9IM flags from the engine (both the relate_pair dispatch
@@ -1041,7 +1042,7 @@ def test_affine_polygon_pairs_match_arrangement_model(ia, ma, ib, mb):
     st.integers(-6, 6),
     st.integers(-6, 6),
 )
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=fuzz_examples(150), deadline=None)
 def test_sheared_contact_polygon_pairs_match_arrangement_model(
     ia, ib, m, dx, dy
 ):
@@ -1113,7 +1114,7 @@ def _chain_flags_by_arrangement(chain_parts, poly_parts):
     st.integers(0, len(_POLY_TEMPLATES) - 1),
     dyadic_maps(),
 )
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=fuzz_examples(200), deadline=None)
 def test_chain_vs_affine_polygon_matches_arrangement_model(
     chain, ip, m
 ):
@@ -1134,7 +1135,7 @@ def test_chain_vs_affine_polygon_matches_arrangement_model(
     st.integers(-4, 4),
     st.integers(-4, 4),
 )
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=fuzz_examples(120), deadline=None)
 def test_chain_vs_seamed_multipolygon_matches_arrangement_model(
     chain, ia, ib, m, dx, dy
 ):
@@ -1151,7 +1152,7 @@ def test_chain_vs_seamed_multipolygon_matches_arrangement_model(
 
 
 @given(boxes(), segments())
-@settings(max_examples=400, deadline=None)
+@settings(max_examples=fuzz_examples(400), deadline=None)
 def test_segment_vs_box_matches_rational_clipping(box, seg):
     """Arbitrary (diagonal) lattice segments vs boxes: the engine's
     line-polygon path must match exact rational Liang-Barsky clipping —
@@ -1175,7 +1176,7 @@ def test_segment_vs_box_matches_rational_clipping(box, seg):
 
 
 @given(points(), st.integers(0, len(_POLY_TEMPLATES) - 1), dyadic_maps())
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=fuzz_examples(300), deadline=None)
 def test_point_vs_affine_polygon_matches_rational_locator(pt, ip, m):
     """POINT vs rotated/sheared polygons (concave + holed): the engine's
     point classification must equal the rational even-odd locator, in
@@ -1204,7 +1205,7 @@ def test_point_vs_affine_polygon_matches_rational_locator(pt, ip, m):
     st.integers(-4, 4),
     st.integers(-4, 4),
 )
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=fuzz_examples(60), deadline=None)
 def test_affine_multipolygon_evenodd_matches_arrangement_model(
     ia, ib, ic, ma, mb, dx, dy
 ):
@@ -1359,7 +1360,7 @@ def incident_chains(draw):
 
 
 @given(incident_chains(), incident_chains())
-@settings(max_examples=400, deadline=None)
+@settings(max_examples=fuzz_examples(400), deadline=None)
 def test_line_line_matches_rational_jts_model(pa, pb):
     """MULTILINESTRING x MULTILINESTRING against the independent rational
     JTS-semantics model — degree-2 path vertices and closed rings are
@@ -1407,7 +1408,7 @@ def _points_line_flags_by_rational_model(pts_parts, chain_parts):
 
 
 @given(multipoints(), incident_chains())
-@settings(max_examples=400, deadline=None)
+@settings(max_examples=fuzz_examples(400), deadline=None)
 def test_multipoint_vs_chain_matches_rational_model(pts, chain):
     """MULTIPOINT vs incidence-rich chains: per-point location under the
     Mod2 boundary rule (degree-2 path vertices are line INTERIOR, so a
@@ -1419,7 +1420,7 @@ def test_multipoint_vs_chain_matches_rational_model(pts, chain):
 
 @given(multipoints(), st.integers(0, len(_POLY_TEMPLATES) - 1),
        dyadic_maps())
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=fuzz_examples(300), deadline=None)
 def test_multipoint_vs_affine_polygon_matches_rational_model(pts, ip, m):
     """MULTIPOINT vs rotated/sheared polygons (concave + holed): the
     per-point aggregation must equal the rational even-odd locator."""

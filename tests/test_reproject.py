@@ -17,6 +17,7 @@ import pytest
 
 from ds_jedai_spark.io.readers import read_wkt_delimited
 from ds_jedai_spark.operators.crs import MAX_LAT, R, reproject
+from conftest import fuzz_examples
 
 WKT_FIX = str(
     Path(__file__).resolve().parent.parent / "fixtures" / "wkt_source.tsv"
@@ -143,7 +144,7 @@ _lat = st.floats(min_value=-MAX_LAT, max_value=MAX_LAT,
 
 
 @given(_lon, _lat)
-@settings(max_examples=500, deadline=None)
+@settings(max_examples=fuzz_examples(500), deadline=None)
 def test_property_roundtrip(lon, lat):
     x, y = _fwd(lon, lat)
     blon, blat = _inv(x, y)
@@ -152,7 +153,7 @@ def test_property_roundtrip(lon, lat):
 
 
 @given(_lon, _lon, _lat, _lat)
-@settings(max_examples=500, deadline=None)
+@settings(max_examples=fuzz_examples(500), deadline=None)
 def test_property_monotone_per_axis(lon1, lon2, lat1, lat2):
     """Monotonicity justifies transforming envelopes corner-wise."""
     if lon1 > lon2:

@@ -20,6 +20,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ds_jedai_spark.io.shapefile import parse_shape, read_shapefile
+from conftest import fuzz_examples
 
 FIX = str(Path(__file__).resolve().parent.parent / "fixtures" / "shp_source")
 WKT_FIX = str(
@@ -414,7 +415,7 @@ def test_fuzz_shapefile_roundtrip(spark):
 
     import tempfile
 
-    @settings(max_examples=15, deadline=None,
+    @settings(max_examples=fuzz_examples(15), deadline=None,
               suppress_health_check=list(HealthCheck))
     @given(dataset())
     def run(rows):
