@@ -79,7 +79,8 @@ def pytest_collection_modifyitems(config, items):
         reason="full-tier deep variant; DSJ_FULL_SUITE=1 restores"
     )
     for item in items:
-        if item.originalname in _FULL_TIER or item.name in _FULL_TIER:
+        base = getattr(item, "originalname", None) or item.name
+        if base in _FULL_TIER or item.name in _FULL_TIER:
             item.add_marker(skip)
 
 
